@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's TPC-H-ish parquet tables (TESTDATA.md).
+  *
+  * All loads are plain parquet scans so Catalyst's predicate pushdown and
+  * column pruning reach the file source — callers should `.select`/`.filter`
+  * on the returned frame rather than materialize it.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEvents(df) else df
+  }
+
+  /** The `events` table stores `ts` as parquet TIMESTAMP(NANOS) which Spark
+    * reads as a nanosecond long (spark.sql.legacy.parquet.nanosAsLong=true).
+    * Convert to a proper TimestampType column (microsecond precision).
+    */
+  private def normalizeEvents(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    df.schema.find(_.name == "ts") match {
+      case Some(f) if f.dataType == LongType =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => df
+    }
+  }
+
+  /** Register every table for `spark.sql` use. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}
