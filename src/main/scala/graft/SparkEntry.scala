@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.operators.{AuditDiff, Constraints, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -143,6 +144,164 @@ object SparkEntry {
     "q23_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus")).distinct()
+    }),
+
+    // Set operations (SURVEY §2.7): urgent-customer keys minus F-order
+    // customers, plus the intersection with high-balance customers.
+    "q24_set_ops" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val urgent = ord.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val finished = ord.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("o_custkey"))
+      urgent.except(finished).unionByName(urgent.intersect(rich)).distinct()
+    }),
+
+    // A2 MERGE/upsert with per-column resolution (ON CONFLICT DO UPDATE,
+    // process_publications_dag.py:224-232): delta updates acctbal
+    // unconditionally, mktsegment only when non-null (COALESCE semantics),
+    // unmatched delta rows insert.
+    "q25_merge_upsert" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val updates = cust.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          (col("c_acctbal") + 1000).as("c_acctbal"),
+          lit(null).cast("string").as("c_mktsegment"))
+      val inserts = cust.filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 10000000).as("c_custkey"), col("c_name"),
+          col("c_nationkey"), lit(0.0).as("c_acctbal"),
+          lit("NEW").as("c_mktsegment"))
+      Relational.merge(cust, updates.unionByName(inserts), Seq("c_custkey"),
+        Map("c_acctbal" -> Relational.Overwrite,
+            "c_mktsegment" -> Relational.CoalesceNewOld,
+            "c_name" -> Relational.KeepOld,
+            "c_nationkey" -> Relational.KeepOld))
+    }),
+
+    // A1 keyed dedup with UNIQUE-null semantics: null keys all survive,
+    // non-null keys keep the lowest-custkey representative.
+    "q26_dedup_nulldistinct" -> ((s, dir) => {
+      val keyed = t(s, dir, "customer").select(
+        col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(concat(col("c_nationkey").cast("string"), lit("-"),
+            col("c_mktsegment"))).as("k"))
+      Relational.dedupByKey(keyed, "k", Seq(col("c_custkey").asc))
+    }),
+
+    // A3 SERIAL-style surrogate-key allocation: dense ids for new dim
+    // values, distributed (sort + zipWithIndex, no single-partition window).
+    "q27_surrogate_keys" -> ((s, dir) => {
+      val dim = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id"), col("n_name").as("name"))
+      val incoming = t(s, dir, "supplier").select(col("s_name").as("name"))
+      Relational.upsertDim(dim, incoming, "name")
+    }),
+
+    // F8 ordered contains→case chain (extract_publication_type,
+    // process_publications_dag.py:271-304 — branch order is semantic).
+    "q30_case_chain" -> ((s, dir) => {
+      val c = col("p_type")
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        when(c.contains("PROMO ANODIZED"), "promo-anodized")
+          .when(c.contains("PROMO"), "promo")
+          .when(c.contains("ECONOMY ANODIZED"), "economy-anodized")
+          .when(c.contains("ECONOMY"), "economy")
+          .when(c.contains("STANDARD"), "standard")
+          .when(c.contains("MEDIUM"), "medium")
+          .when(c.contains("SMALL"), "small")
+          .when(c.contains("LARGE"), "large")
+          .otherwise("Unknown").as("p_class"))
+    }),
+
+    // F9 small-map normalization with default (map_to_normalized_category,
+    // process_publications_dag.py:397-421): broadcast lookup + coalesce
+    // default — most values intentionally collapse to 'Other'.
+    "q31_lookup_normalize" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val lookup = Seq(
+        ("FRANCE", "Western Europe"), ("GERMANY", "Western Europe"),
+        ("JAPAN", "East Asia"), ("CHINA", "East Asia"))
+        .toDF("n_name", "norm")
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      cust.join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .join(broadcast(lookup), Seq("n_name"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("norm"), lit("Other")).as("norm_region"))
+    }),
+
+    // F1-F4/F7/F10 string-function surface: length/trim/split/element_at
+    // with fallback/concat (SURVEY §2.8).
+    "q32_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        length(trim(col("p_name"))).as("name_len"),
+        element_at(split(col("p_type"), " "), 1).as("type_head"),
+        when(col("p_name").contains(" "),
+          trim(element_at(split(col("p_name"), " "), 1)))
+          .otherwise(lit("Unknown")).as("first_word"),
+        concat(lit("brand:"), col("p_brand")).as("brand_tag"),
+        upper(col("p_brand")).as("brand_uc"))
+    }),
+
+    // F6 + date bucketing: epoch-stable month truncation (cross-engine as
+    // unix seconds), year/month extraction.
+    "q33_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_start_epoch"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+    }),
+
+    // F5 coalesce/nullif conditional cleaning (clean-stage shape).
+    "q34_conditional_clean" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        coalesce(nullif(trim(col("c_mktsegment")), lit("")), lit("Unknown"))
+          .as("segment"),
+        when(col("c_acctbal") < 0, "delinquent")
+          .when(col("c_acctbal") < 5000, "standard")
+          .otherwise("premium").as("tier"))
+    }),
+
+    // C1 audit/change-capture as snapshot diff (trigger → full-outer diff;
+    // aupostgres.sql:82-97). JSON payload is exercised in ScalaTest; the
+    // oracle checks the classification core.
+    "q40_audit_diff" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val newSnap = cust
+        .filter(col("c_custkey") % 50 =!= 0) // deletes
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 5).otherwise(col("c_acctbal")))
+        .unionByName(cust.filter(col("c_custkey") % 100 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 9000000)) // inserts
+      AuditDiff.diff(cust, newSnap, "c_custkey", "customer")
+        .select(col("table_name"), col("operation"), col("pk").cast("long").as("pk"))
+    }),
+
+    // V1-V4 constraint/validation report: CHECK, UNIQUE (null-distinct),
+    // FK via anti join, single pass for scan-shaped checks.
+    "q41_constraints_report" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val scan = Constraints.scanReport(cust, Seq(
+        Constraints.Check("check_acctbal_nonneg", col("c_acctbal") >= 0),
+        Constraints.NotNull("c_mktsegment"),
+        Constraints.Check("check_name_nonempty", length(trim(col("c_name"))) > 1)))
+      Constraints.report(Seq(
+        scan,
+        Constraints.unique(ord, Seq("o_custkey"), "unique_orders_custkey"),
+        Constraints.foreignKey(ord, "o_custkey",
+          cust.filter(col("c_acctbal") > 0), "c_custkey",
+          "fk_orders_positive_customer")))
     })
   )
 
@@ -201,6 +360,121 @@ object SparkEntry {
       """SELECT o_custkey, count(o_orderkey) AS n_orders
         |FROM orders GROUP BY o_custkey HAVING count(o_orderkey) > 12""".stripMargin,
     "q23_distinct" ->
-      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q24_set_ops" ->
+      """SELECT DISTINCT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |   INTERSECT
+        |   SELECT c_custkey AS o_custkey FROM customer WHERE c_acctbal > 5000)
+        |) u""".stripMargin,
+    "q25_merge_upsert" ->
+      """WITH delta AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal+1000 AS c_acctbal,
+        |         CAST(NULL AS VARCHAR) AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey+10000000, c_name, c_nationkey, 0.0, 'NEW'
+        |  FROM customer WHERE c_custkey % 100 = 0)
+        |SELECT c.c_custkey, c.c_name, c.c_nationkey,
+        |  CASE WHEN d.c_custkey IS NOT NULL THEN d.c_acctbal
+        |       ELSE c.c_acctbal END AS c_acctbal,
+        |  COALESCE(d.c_mktsegment, c.c_mktsegment) AS c_mktsegment
+        |FROM customer c LEFT JOIN delta d ON c.c_custkey = d.c_custkey
+        |UNION ALL
+        |SELECT d.c_custkey, d.c_name, d.c_nationkey, d.c_acctbal, d.c_mktsegment
+        |FROM delta d WHERE d.c_custkey NOT IN (SELECT c_custkey FROM customer)""".stripMargin,
+    "q26_dedup_nulldistinct" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |         ELSE CAST(c_nationkey AS VARCHAR) || '-' || c_mktsegment END AS k
+        |  FROM customer)
+        |SELECT c_custkey, k FROM (
+        |  SELECT c_custkey, k,
+        |    row_number() OVER (PARTITION BY k ORDER BY c_custkey) AS rn
+        |  FROM t WHERE k IS NOT NULL) d
+        |WHERE rn = 1
+        |UNION ALL
+        |SELECT c_custkey, k FROM t WHERE k IS NULL""".stripMargin,
+    "q27_surrogate_keys" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name FROM nation
+        |UNION ALL
+        |SELECT (SELECT max(n_nationkey) FROM nation)
+        |       + row_number() OVER (ORDER BY name) AS id, name
+        |FROM (SELECT DISTINCT s_name AS name FROM supplier) s""".stripMargin,
+    "q30_case_chain" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_type LIKE '%PROMO ANODIZED%' THEN 'promo-anodized'
+        |       WHEN p_type LIKE '%PROMO%' THEN 'promo'
+        |       WHEN p_type LIKE '%ECONOMY ANODIZED%' THEN 'economy-anodized'
+        |       WHEN p_type LIKE '%ECONOMY%' THEN 'economy'
+        |       WHEN p_type LIKE '%STANDARD%' THEN 'standard'
+        |       WHEN p_type LIKE '%MEDIUM%' THEN 'medium'
+        |       WHEN p_type LIKE '%SMALL%' THEN 'small'
+        |       WHEN p_type LIKE '%LARGE%' THEN 'large'
+        |       ELSE 'Unknown' END AS p_class
+        |FROM part""".stripMargin,
+    "q31_lookup_normalize" ->
+      """SELECT c_custkey, COALESCE(v.norm, 'Other') AS norm_region
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN (VALUES ('FRANCE','Western Europe'), ('GERMANY','Western Europe'),
+        |                  ('JAPAN','East Asia'), ('CHINA','East Asia'))
+        |  AS v(n_name, norm) USING (n_name)""".stripMargin,
+    "q32_string_funcs" ->
+      """SELECT p_partkey,
+        |  length(trim(p_name)) AS name_len,
+        |  split_part(p_type, ' ', 1) AS type_head,
+        |  CASE WHEN contains(p_name, ' ') THEN trim(split_part(p_name, ' ', 1))
+        |       ELSE 'Unknown' END AS first_word,
+        |  'brand:' || p_brand AS brand_tag,
+        |  upper(p_brand) AS brand_uc
+        |FROM part""".stripMargin,
+    "q33_date_funcs" ->
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_epoch,
+        |  count(*) AS n_orders,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+        |FROM orders GROUP BY 1, 2, 3""".stripMargin,
+    "q34_conditional_clean" ->
+      """SELECT c_custkey,
+        |  COALESCE(nullif(trim(c_mktsegment), ''), 'Unknown') AS segment,
+        |  CASE WHEN c_acctbal < 0 THEN 'delinquent'
+        |       WHEN c_acctbal < 5000 THEN 'standard'
+        |       ELSE 'premium' END AS tier
+        |FROM customer""".stripMargin,
+    "q40_audit_diff" ->
+      """WITH newsnap AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 5 ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 50 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 9000000, c_acctbal FROM customer WHERE c_custkey % 100 = 0)
+        |SELECT 'customer' AS table_name,
+        |  CASE WHEN o.c_custkey IS NULL THEN 'INSERT'
+        |       WHEN n.c_custkey IS NULL THEN 'DELETE'
+        |       ELSE 'UPDATE' END AS operation,
+        |  CAST(COALESCE(o.c_custkey, n.c_custkey) AS BIGINT) AS pk
+        |FROM customer o FULL OUTER JOIN newsnap n ON o.c_custkey = n.c_custkey
+        |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+        |   OR o.c_acctbal <> n.c_acctbal""".stripMargin,
+    "q41_constraints_report" ->
+      """SELECT 'check_acctbal_nonneg' AS constraint_name, CAST(count(*) FILTER (WHERE NOT (c_acctbal >= 0)) AS BIGINT) AS violations FROM customer
+        |UNION ALL
+        |SELECT 'not_null_c_mktsegment', CAST(count(*) FILTER (WHERE c_mktsegment IS NULL) AS BIGINT) FROM customer
+        |UNION ALL
+        |SELECT 'check_name_nonempty', CAST(count(*) FILTER (WHERE NOT (length(trim(c_name)) > 1)) AS BIGINT) FROM customer
+        |UNION ALL
+        |SELECT 'unique_orders_custkey', CAST(COALESCE(sum(c - 1), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS c FROM orders WHERE o_custkey IS NOT NULL
+        |      GROUP BY o_custkey HAVING count(*) > 1) d
+        |UNION ALL
+        |SELECT 'fk_orders_positive_customer', CAST(count(*) AS BIGINT) FROM orders
+        |WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal > 0)""".stripMargin
   )
 }
