@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{AuditDiff, Constraints, Relational}
+import graft.functions.TextAnalysis
+import graft.operators.{AuditDiff, Constraints, Dedup, Relational, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -302,6 +303,130 @@ object SparkEntry {
         Constraints.foreignKey(ord, "o_custkey",
           cust.filter(col("c_acctbal") > 0), "c_custkey",
           "fk_orders_positive_customer")))
+    }),
+
+    // ---- training-data extension surface (documents / embeddings / events)
+
+    // Exact dedup clusters on an 8-word prefix fingerprint (hash groupBy).
+    "q50_dedup_exact" -> ((s, dir) => {
+      Dedup.exactClusters(t(s, dir, "documents"), "doc_id",
+        TextAnalysis.prefixFingerprint(col("text"), 8))
+    }),
+
+    // MinHash+LSH near-dup pairs: shingle→sign→band→bucket-join→verify.
+    "q51_dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Exact n-gram Jaccard pairs via shingle inverted index.
+    "q52_dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)
+    }),
+
+    // SimHash near-dup pairs (60-bit md5-derived, 4-band pigeonhole).
+    "q53_dedup_simhash" -> ((s, dir) => {
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 6)
+    }),
+
+    // Brute-force cosine top-k ANN baseline (quantized-exact arithmetic).
+    "q54_ann_brute_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") % 25 === 0), emb,
+        "vec_id", "embedding", k = 10)
+    }),
+
+    // Embedding-cosine near-dup pairs above a threshold.
+    "q55_embedding_neardup" -> ((s, dir) => {
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35)
+    }),
+
+    // LSH-bucketed ANN (sign random projections; recall tested vs brute in
+    // ScalaTest — no SQL oracle: plane generation is library-side).
+    "q56_ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") % 25 === 0), emb,
+        "vec_id", "embedding", k = 10)
+    }),
+
+    // IVF (k-means coarse quantizer) ANN — the 100 TB scale path.
+    "q57_ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") % 25 === 0), emb,
+        "vec_id", "embedding", k = 10)
+    }),
+
+    // Token counting + quality metrics (exact-integer ratios).
+    "q58_text_stats" -> ((s, dir) => {
+      val m = TextAnalysis.qualityMetrics(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        m("n_tokens").as("n_tokens"),
+        m("n_chars").as("n_chars_len"),
+        m("avg_token_len").as("avg_token_len"),
+        m("uniq_token_ratio").as("uniq_token_ratio"))
+    }),
+
+    // Language-ID heuristic: marker-occurrence argmax with tiebreak.
+    "q59_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        (TextAnalysis.langId(col("text")) === col("lang")).as("is_match"))
+    }),
+
+    // Document fingerprinting (normalized md5 + prefix hash).
+    "q60_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.prefixFingerprint(col("text"), 8).as("prefix_fp"))
+    }),
+
+    // Tumbling-window aggregation over events (batch form of the
+    // Structured Streaming pipeline in graft.streaming).
+    "q61_events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("value_cents"))
+    }),
+
+    // Sessionization: 30-min-gap sessions per user (lag + running sum).
+    "q62_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_sec"))
+        .withColumn("new_sess",
+          when(col("ts_sec") - lag(col("ts_sec"), 1).over(byUser) <= 1800, 0)
+            .otherwise(1))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_sec")).as("start_sec"),
+          (max(col("ts_sec")) - min(col("ts_sec"))).as("duration_sec"))
+    }),
+
+    // F11 nested-JSON access: parse the props JSON column.
+    "q63_json_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("int")).as("sum_k"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Multimodal plumbing: opaque binary column + typed metadata (the
+    // decode itself is stubbed — see graft.sources.Multimodal).
+    "q64_multimodal_meta" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), unhex(md5(col("text"))).as("blob"))
+        .select(col("doc_id"),
+          length(col("blob")).as("n_bytes"),
+          substring(hex(col("blob")), 1, 8).as("hex8"))
     })
   )
 
@@ -475,6 +600,188 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'fk_orders_positive_customer', CAST(count(*) AS BIGINT) FROM orders
         |WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
-        |  (SELECT c_custkey FROM customer WHERE c_acctbal > 0)""".stripMargin
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal > 0)""".stripMargin,
+
+    "q50_dedup_exact" ->
+      """SELECT fp, min(doc_id) AS representative, count(*) AS dup_count
+        |FROM (SELECT doc_id,
+        |        md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS fp
+        |      FROM documents) t
+        |GROUP BY fp HAVING count(*) > 1""".stripMargin,
+    // Mirrors Dedup.minHashLshPairs: 3-word shingles, 12 salted-md5 min
+    // hashes, 6 bands × 2 rows, exact-Jaccard verify ≥ 0.5. Band hash
+    // sorts "seed:sig" strings lexicographically (= Spark array_sort).
+    "q51_dedup_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id AS id,
+        |         unnest(list_distinct([w.w[i] || ' ' || w.w[i+1] || ' ' || w.w[i+2]
+        |                               FOR i IN range(1, greatest(len(w.w)-2, 0)+1)])) AS shingle
+        |       FROM w),
+        |sig AS (SELECT id, seed,
+        |          min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS sig
+        |        FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) seeds
+        |        GROUP BY id, seed),
+        |bands AS (SELECT id, CAST(seed // 2 AS INT) AS band,
+        |            md5(string_agg(CAST(seed AS VARCHAR) || ':' || sig, '|'
+        |              ORDER BY CAST(seed AS VARCHAR) || ':' || sig)) AS band_hash
+        |          FROM sig GROUP BY id, CAST(seed // 2 AS INT)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id),
+        |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        |common AS (SELECT c.id_a, c.id_b, count(*) AS n_common
+        |           FROM cand c
+        |           JOIN sh a ON a.id = c.id_a
+        |           JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+        |           GROUP BY c.id_a, c.id_b)
+        |SELECT id_a, id_b,
+        |  CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) AS jaccard
+        |FROM common
+        |JOIN sz za ON za.id = id_a
+        |JOIN sz zb ON zb.id = id_b
+        |WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.5""".stripMargin,
+    "q52_dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id AS id,
+        |         unnest(list_distinct([w.w[i] || ' ' || w.w[i+1] || ' ' || w.w[i+2]
+        |                               FOR i IN range(1, greatest(len(w.w)-2, 0)+1)])) AS shingle
+        |       FROM w),
+        |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        |common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        |           GROUP BY a.id, b.id)
+        |SELECT id_a, id_b,
+        |  CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) AS jaccard
+        |FROM common
+        |JOIN sz za ON za.id = id_a
+        |JOIN sz zb ON zb.id = id_b
+        |WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.5""".stripMargin,
+    "q53_dedup_simhash" -> simhashOracleSql,
+    "q54_ann_brute_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v
+        |           FROM embeddings),
+        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |             list_dot_product(q.v, c.v) /
+        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+        |           FROM e q JOIN e c ON q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM scored) r
+        |WHERE rank <= 10""".stripMargin,
+    "q55_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v
+        |           FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35""".stripMargin,
+    "q58_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_len,
+        |  CAST(length(text) AS DOUBLE) / greatest(len(string_split(text, ' ')), 1) AS avg_token_len,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / greatest(len(string_split(text, ' ')), 1) AS uniq_token_ratio
+        |FROM documents""".stripMargin,
+    "q59_langid" -> langidOracleSql,
+    "q60_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS prefix_fp
+        |FROM documents""".stripMargin,
+    "q61_events_hourly" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+        |  event_type, count(*) AS n_events,
+        |  sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q62_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |           FROM events),
+        |flagged AS (SELECT user_id, event_id, ts_sec,
+        |  CASE WHEN ts_sec - lag(ts_sec) OVER w <= 1800 THEN 0 ELSE 1 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+        |sess AS (SELECT user_id, ts_sec,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events,
+        |  min(ts_sec) AS start_sec,
+        |  max(ts_sec) - min(ts_sec) AS duration_sec
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "q63_json_props" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q64_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(unhex(md5(text))) AS n_bytes,
+        |  substring(hex(unhex(md5(text))), 1, 8) AS hex8
+        |FROM documents""".stripMargin
   )
+
+  /** DuckDB mirror of [[Dedup.simHashPairs]], generated so the 60-bit
+    * hex→int and per-bit vote arithmetic provably matches the Scala side.
+    */
+  private lazy val simhashOracleSql: String = {
+    // 15-hex-char md5 prefix → BIGINT (= Spark's conv(substr(md5,1,15),16,10))
+    val hex2long = (1 to 15).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5(t), $i, 1)) - 1) * ${math.pow(16, 15 - i).toLong}"
+    }.mkString(" + ")
+    val votes = (0 until 60).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")
+    val fp = (0 until 60).map(j =>
+      s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |h AS (SELECT id, CAST($hex2long AS BIGINT) AS h FROM tok),
+       |votes AS (SELECT id,
+       |    $votes
+       |  FROM h GROUP BY id),
+       |fp AS (SELECT id, $fp AS simhash FROM votes),
+       |banded AS (SELECT id, simhash, band, (simhash >> (band*15)) & 32767 AS bv
+       |           FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band) b)
+       |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin
+  }
+
+  /** DuckDB mirror of [[TextAnalysis.langId]] over the default markers:
+    * replace-trick occurrence counts, first-max-wins argmax, 'und' fallback.
+    */
+  private lazy val langidOracleSql: String = {
+    val langs = TextAnalysis.defaultLangMarkers
+    val scores = langs.map { case (lang, ms) =>
+      val terms = ms.map { m =>
+        s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS BIGINT)"
+      }.mkString(" + ")
+      s"($terms) AS s_$lang"
+    }.mkString(",\n  ")
+    // first-max-wins over the marker list order (= Spark's reduce)
+    val names = langs.map(_._1)
+    val argmax = names.init.zipWithIndex.map { case (l, i) =>
+      val rest = names.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString("\n    ")
+    val anyPositive = names.map(l => s"s_$l > 0").mkString(" OR ")
+    s"""WITH p AS (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents),
+       |scored AS (SELECT doc_id, lang,
+       |  $scores
+       |  FROM p),
+       |pred AS (SELECT doc_id, lang,
+       |  CASE WHEN NOT ($anyPositive) THEN 'und'
+       |    $argmax
+       |    ELSE '${names.last}' END AS lang_pred
+       |  FROM scored)
+       |SELECT doc_id, lang_pred, lang_pred = lang AS is_match FROM pred""".stripMargin
+  }
 }

@@ -27,7 +27,9 @@ object Tables {
     import org.apache.spark.sql.types.LongType
     df.schema.find(_.name == "ts") match {
       case Some(f) if f.dataType == LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integer division: epoch-nanos (~1.7e18) exceeds double's exact
+        // integer range, so `/ 1000` via double would drift by microseconds
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case _ => df
     }
   }

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines: exact
+  * (hash groupBy), MinHash+LSH banding, SimHash hamming, and exact n-gram
+  * Jaccard (builder-prompt extension surface).
+  *
+  * Scale design: every algorithm is shuffle-bounded on its bucketing key —
+  * exact dedup shuffles once on the content hash; MinHash shuffles on
+  * (band, band_hash) so only genuinely-similar docs meet; SimHash shuffles
+  * on 16-bit band values (pigeonhole: hamming ≤ 3 ⇒ one of 4 bands equal);
+  * n-gram Jaccard shuffles on shingles (inverted index) and never
+  * materializes the doc×doc cross product. All hashing is md5-based so the
+  * same algorithm is expressible in any SQL engine for oracle checks.
+  */
+object Dedup {
+
+  /** Exact-duplicate clusters on a content key (default: normalized md5
+    * fingerprint). Returns (key, representative = min id, dup_count ≥ 2).
+    */
+  def exactClusters(df: DataFrame, idCol: String, key: Column): DataFrame =
+    df.select(col(idCol), key.as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("representative"), count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** Keep one representative (min id) per content key — the dedup action. */
+  def dedupExact(df: DataFrame, idCol: String, key: Column): DataFrame =
+    Relational.dedupByKey(df.withColumn("__fp", key), "__fp",
+      Seq(col(idCol).asc)).drop("__fp")
+
+  /** Distinct (id, shingle) pairs — the input relation for MinHash and
+    * Jaccard. Word `n`-gram shingles.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(TextAnalysis.wordNGrams(col(textCol), n))).as("shingle"))
+
+  /** MinHash signatures: `numHashes` permutations simulated as
+    * `min(md5(seed || '|' || shingle))` — string-min over salted md5 is a
+    * valid minwise family and is portable to any engine with md5.
+    * Returns (id, seed, sig).
+    */
+  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val seeds = (0 until numHashes).map(lit(_))
+    sh.select(col("id"), explode(array(seeds: _*)).as("seed"),
+        col("shingle"))
+      .select(col("id"), col("seed"),
+        md5(concat(col("seed").cast("string"), lit("|"), col("shingle"))).as("h"))
+      .groupBy(col("id"), col("seed"))
+      .agg(min(col("h")).as("sig"))
+  }
+
+  /** LSH banding: group signatures into `numHashes/rowsPerBand` bands,
+    * hash each band; docs sharing any (band, band_hash) are candidates.
+    * Returns (id, band, band_hash).
+    */
+  def lshBands(sigs: DataFrame, rowsPerBand: Int): DataFrame =
+    sigs.withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy(col("id"), col("band"))
+      // array_sort + fixed '|' joiner: band hash must not depend on the
+      // (nondeterministic) aggregation arrival order of the r sigs.
+      .agg(md5(concat_ws("|", array_sort(collect_list(
+        concat(col("seed").cast("string"), lit(":"), col("sig")))))).as("band_hash"))
+
+  /** Exact Jaccard for candidate pairs: |A∩B| / (|A|+|B|-|A∩B|) via the
+    * shingle inverted index. `candidates` must have (id_a, id_b), a < b.
+    */
+  def verifyJaccard(sh: DataFrame, candidates: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("id").as("id_a"), col("shingle"))
+    val b = sh.select(col("id").as("id_b"), col("shingle"))
+    val common = candidates
+      .join(a, Seq("id_a")).join(b, Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket-join
+    * → exact-Jaccard verify ≥ `threshold`. Output (id_a, id_b, jaccard).
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleSize)
+    val bands = lshBands(minHashSignatures(sh, numHashes), rowsPerBand)
+    val l = bands.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val r = bands.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val candidates = l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    verifyJaccard(sh, candidates).filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard similar pairs (no LSH): inverted-index join on
+    * shingles, then threshold. Quadratic only within a shingle's posting
+    * list — fine when no shingle is ubiquitous; for 100 TB use
+    * [[minHashLshPairs]] (this is the small-scale oracle-friendly variant).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val pairs = sh.select(col("id").as("id_a"), col("shingle"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    verifyJaccard(sh, pairs).filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over word tokens. Per token a 60-bit md5-derived hash
+    * votes ±1 on each bit position; the sign vector is the fingerprint.
+    * Explode → 60 conditional sums → reassemble; one shuffle on id.
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bits = 60 // 15 md5 hex chars → fits a signed long exactly
+    val tok = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .select(col("id"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+    val votes = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agged = tok.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    val fp = (0 until bits).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    agged.select(col("id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 60-bit fingerprint into 4×15-bit
+    * bands (hamming ≤ 3 ⇒ some band equal), bucket-join, verify hamming ≤
+    * `maxHamming` via bit_count(xor).
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val hashes = simHash(df, idCol, textCol)
+    val banded = hashes.select(col("id"), col("simhash"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 15).bitwiseAND(0x7fff).as("bv"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band"), col("bb.bv"))
+    val l = banded.select(col("band"), col("bv"),
+      col("id").as("id_a"), col("simhash").as("h_a"))
+    val r = banded.select(col("band"), col("bv"),
+      col("id").as("id_b"), col("simhash").as("h_b"))
+    l.join(r, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

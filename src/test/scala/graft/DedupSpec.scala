@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.TextAnalysis
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 1
+    (3L, "completely different text about spark query engines here"),
+    (4L, "the quick brown fox jumps over the lazy dog tonight") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactClusters finds the exact duplicate pair only") {
+    val cl = Dedup.exactClusters(docs, "doc_id", TextAnalysis.fingerprint(col("text")))
+      .select($"representative", $"dup_count").as[(Long, Long)].collect().toSeq
+    assert(cl == Seq((1L, 2L)))
+  }
+
+  test("dedupExact keeps min-id representative") {
+    val kept = Dedup.dedupExact(docs, "doc_id", TextAnalysis.fingerprint(col("text")))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
+  test("ngramJaccardPairs finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical → jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minHashLshPairs candidates verify to a subset of exact jaccard pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 12, 2, 0.5)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((1L, 4L, 1.0))) // identical docs always collide
+  }
+
+  test("simHash: identical docs equal, near-dups close, distinct docs far") {
+    val h = Dedup.simHash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(2L)) < hamming(h(1L), h(3L)))
+  }
+
+  test("simHashPairs returns exact-dup pair at hamming 0") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 4L, 0)))
+  }
+}
