@@ -1,0 +1,117 @@
+package graft.arxiv
+
+import graft.operators.Relational
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Ingest stage (insert_data, process_publications_dag.py:45-88): JSON →
+  * normalized star schema, set-based.
+  *
+  * Fidelity notes (SURVEY §2.4 A1/A3/A4):
+  *  - `ON CONFLICT (doi) DO NOTHING` ⇒ first-in-file-order row wins per
+  *    non-null doi; null-doi rows are never deduped (UNIQUE nulls are
+  *    distinct in SQL).
+  *  - bridge rows are built only for publications that were actually
+  *    inserted (a conflicting row returns no id in the reference, so its
+  *    authors/categories are silently dropped — preserved).
+  *  - `update_date` is overwritten with the current date, discarding the
+  *    JSON value (py:63,69 — quirk preserved; inject `clock` for tests).
+  *  - authors get affiliation 'Unknown' (py:33).
+  *  - the reference's N+1 row-at-a-time `get_or_insert_*` loops become
+  *    explode + distinct + dense-id allocation + broadcast joins: constant
+  *    number of shuffles regardless of row count.
+  */
+object Ingest {
+
+  /** Read the arXiv JSON array preserving file order as `input_idx`
+    * (the reference iterates the array in order; order decides conflict
+    * winners and SERIAL ids).
+    */
+  def readArxivJson(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.schema(Schemas.arxivInput)
+      .option("multiLine", true).json(path)
+    val withIdx = raw.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(withIdx,
+      StructType(raw.schema.fields :+ StructField("input_idx", LongType, nullable = false)))
+  }
+
+  def run(spark: SparkSession, store: ArxivStore, inputPath: String,
+      clock: Column = current_date()): ArxivStore =
+    run(spark, store, readArxivJson(spark, inputPath), clock)
+
+  def run(spark: SparkSession, store: ArxivStore, input: DataFrame,
+      clock: Column): ArxivStore = {
+    // -- normalize column names + project the INSERT columns (py:64-69)
+    val normalized = input.select(
+      col("input_idx"),
+      col("submitter"), col("title"), col("comments"),
+      col("`journal-ref`").as("journal_ref"), col("doi"),
+      col("`report-no`").as("report_no"), col("categories"), col("license"),
+      col("abstract"), col("authors").as("authors_str"))
+
+    // -- A1: batch dedup on doi (nulls distinct, first-in-order wins),
+    //    then drop rows whose doi already exists in the table
+    val batchDeduped = Relational.dedupByKey(normalized, "doi", Seq(col("input_idx").asc))
+    val existingDois = store.publications.select(col("doi")).filter(col("doi").isNotNull)
+    val fresh = batchDeduped.join(existingDois,
+      batchDeduped("doi") === existingDois("doi"), "left_anti")
+
+    // -- A3: SERIAL ids continue after the current max, in file order
+    val maxId = maxLong(store.publications, "id")
+    val newPubs = Relational.allocateIds(fresh, "input_idx", maxId)
+      .withColumn("update_date", clock)
+
+    val publications = store.publications.unionByName(
+      newPubs.select(Schemas.publications.fieldNames.map(col).toSeq: _*))
+
+    // -- dims: explode author/category lists (F3), upsert with dense ids
+    val authorNames = newPubs.select(
+      explode(split(col("authors_str"), ", ")).as("name"))
+    val authors = upsertAuthorDim(store.authors, authorNames)
+
+    val categoryNames = newPubs.select(
+      explode(split(col("categories"), " ")).as("category_name"))
+    val categories = Relational.upsertDim(
+      store.categories.withColumnRenamed("category_name", "name"),
+      categoryNames.withColumnRenamed("category_name", "name"), "name")
+      .withColumnRenamed("name", "category_name")
+      .select(Schemas.categories.fieldNames.map(col).toSeq: _*)
+
+    // -- A4 bridges: resolve surrogate keys via broadcast joins, dedup on
+    //    the composite PK (ON CONFLICT DO NOTHING)
+    val authorship = store.authorship.unionByName(
+      newPubs.select(col("id").as("publication_id"),
+          explode(split(col("authors_str"), ", ")).as("name"))
+        .join(broadcast(authors.select(col("id").as("author_id"), col("name"))), "name")
+        .select(col("publication_id"), col("author_id")))
+      .dropDuplicates("publication_id", "author_id")
+
+    val publicationCategory = store.publicationCategory.unionByName(
+      newPubs.select(col("id").as("publication_id"),
+          explode(split(col("categories"), " ")).as("category_name"))
+        .join(broadcast(categories.select(col("id").as("category_id"), col("category_name"))),
+          "category_name")
+        .select(col("publication_id"), col("category_id")))
+      .dropDuplicates("publication_id", "category_id")
+
+    store.copy(publications = publications, authors = authors,
+      categories = categories, authorship = authorship,
+      publicationCategory = publicationCategory)
+  }
+
+  /** Authors dim upsert preserving the 'Unknown' affiliation default. */
+  private[arxiv] def upsertAuthorDim(dim: DataFrame, names: DataFrame): DataFrame = {
+    val base = Relational.upsertDim(
+      dim.select(col("id"), col("name")),
+      names.select(col("name")), "name")
+    // aliased key avoids self-join ambiguity (base derives from dim)
+    val aff = dim.select(col("id").as("__aff_id"), col("affiliation"))
+    base.join(aff, base("id") === aff("__aff_id"), "left")
+      .select(base("id"), base("name"),
+        coalesce(col("affiliation"), lit("Unknown")).as("affiliation"))
+  }
+
+  private[arxiv] def maxLong(df: DataFrame, c: String): Long =
+    df.agg(coalesce(max(col(c)), lit(0L))).head().getLong(0)
+}

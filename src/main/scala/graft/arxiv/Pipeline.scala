@@ -1,0 +1,77 @@
+package graft.arxiv
+
+import graft.operators.AuditDiff
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline driver (the Airflow DAG, process_publications_dag.py:540-612):
+  * linear chain Ingest → Clean → Enrich → Citations → Validate, with
+  *  - per-stage retry (D3: retries=1 in the reference's default_args);
+  *  - the three commented-out transforms as opt-in stages (D2);
+  *  - change-capture on publications around every stage (the Postgres
+  *    trigger → [[AuditDiff]] snapshot diff, SURVEY §2.10 C1);
+  *  - config injected (no hardcoded credentials/keys — explicitly NOT
+  *    replicating the reference's leaked literals, SURVEY §0).
+  */
+final case class PipelineConfig(
+    inputPath: String,
+    client: ScholarClient = new MockScholarClient(),
+    enrichCycles: Int = 2,
+    limitPerCategory: Int = 2,
+    stageRetries: Int = 1,
+    enableResolvePublicationTypes: Boolean = false,
+    enableResolveAuthorNames: Boolean = false,
+    enableNormalizeFieldsOfStudy: Boolean = false)
+
+final case class PipelineResult(store: ArxivStore, validation: DataFrame)
+
+object Pipeline {
+
+  def run(spark: SparkSession, config: PipelineConfig,
+      clock: Column = current_date()): PipelineResult = {
+    var store = ArxivStore.empty(spark)
+
+    def stage(name: String)(f: ArxivStore => ArxivStore): Unit = {
+      var attempt = 0
+      var done = false
+      while (!done) {
+        try {
+          val before = store.publications
+          val after = f(store).cached()
+          // trigger-equivalent audit append (aupostgres.sql:82-97); align
+          // both snapshots to common columns when the stage evolved the
+          // schema (clean drops abstract, transforms add publication_type)
+          val common = before.columns.filter(after.publications.columns.contains).toSeq
+          val log = AuditDiff.diff(
+            before.select(common.map(col): _*),
+            after.publications.select(common.map(col): _*),
+            "id", "publications", clock = current_timestamp())
+          store = after.copy(logTable = store.logTable
+            .unionByName(log.select(store.logTable.columns.map(col).toSeq: _*)))
+          done = true
+        } catch {
+          case e: Exception if attempt < config.stageRetries =>
+            attempt += 1 // D3: one retry, matching default_args retries=1
+        }
+      }
+    }
+
+    stage("ingest")(s => Ingest.run(spark, s, config.inputPath, clock))
+    stage("clean")(Clean.run)
+    stage("enrich")(s => Enrich.run(spark, s, config.client,
+      config.enrichCycles, config.limitPerCategory, clock))
+    if (config.enableResolvePublicationTypes)
+      stage("resolve_publication_types")(s =>
+        Transforms.resolvePublicationTypes(spark, s, config.client))
+    if (config.enableResolveAuthorNames)
+      stage("resolve_author_names")(s =>
+        Transforms.resolveAuthorNames(spark, s, config.client))
+    if (config.enableNormalizeFieldsOfStudy)
+      stage("normalize_fields_of_study")(s =>
+        Transforms.normalizeFieldsOfStudy(spark, s))
+    stage("citations")(s => Citations.run(spark, s, config.client))
+
+    store.registerViews()
+    PipelineResult(store, Validate.run(store))
+  }
+}

@@ -65,11 +65,14 @@ object Constraints {
     * keys with no parent (left anti join — SURVEY §2.3 J5).
     */
   def foreignKey(child: DataFrame, childCol: String, parent: DataFrame,
-      parentCol: String, name: String): DataFrame =
+      parentCol: String, name: String): DataFrame = {
+    // aliased parent key: the child may carry a same-named column
+    val p = parent.select(col(parentCol).as("__fk_parent"))
     child.filter(col(childCol).isNotNull)
-      .join(parent.select(col(parentCol)), col(childCol) === col(parentCol), "left_anti")
+      .join(p, col(childCol) === col("__fk_parent"), "left_anti")
       .agg(count(lit(1)).as("violations"))
       .select(lit(name).as("constraint_name"), col("violations"))
+  }
 
   /** Union the individual reports into (constraint, violations). */
   def report(parts: Seq[DataFrame]): DataFrame = parts.reduce(_.unionByName(_))
