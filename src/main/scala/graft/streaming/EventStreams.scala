@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table (extension per
+  * SURVEY §2.11 — the reference's closest analog is its @daily batch DAG;
+  * streams give the same pipeline incremental semantics via
+  * readStream → transforms → writeStream with watermarked state).
+  *
+  * Batch/stream parity: the transforms here are the streaming twins of
+  * SparkEntry q61 (hourly windows) and q62 (sessionization) — same
+  * aggregates, same column names, so a user can swap `spark.read` for
+  * `spark.readStream` without rewriting queries.
+  */
+object EventStreams {
+
+  /** events parquet schema as stored (ts = nanosecond INT64). */
+  val eventsFileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over an events parquet path (driver testdata or a
+    * production landing dir). `maxFilesPerTrigger=1` gives deterministic
+    * incremental batches in tests; at scale leave the default.
+    */
+  def readEvents(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(eventsFileSchema)
+    val r2 = maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
+    r2.parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark —
+    * streaming twin of q61_events_hourly. Append-mode-compatible.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
+  /** Sliding 30-minute windows every 10 minutes (overlapping windows are
+    * the canonical streaming shape Spark's `window` handles natively).
+    */
+  def slidingTypeRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("window_start_epoch"),
+        col("event_type"), col("n_events"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start_sec: Long,
+      n_events: Long, duration_sec: Long)
+
+  /** Stateful sessionization via flatMapGroupsWithState: 30-minute
+    * inactivity gap closes a session (streaming twin of q62, with state
+    * timeouts doing what the batch lag-window does).
+    */
+  def sessionize(events: DataFrame): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          for (e <- sorted) {
+            val sec = e.ts.getTime / 1000
+            st match {
+              case Some(s) if sec - s.last <= 1800 =>
+                st = Some(s.copy(last = sec, n = s.n + 1))
+              case Some(s) =>
+                closed += SessionOut(userId, s.start, s.n, s.last - s.start)
+                st = Some(SessionState(sec, sec, 1))
+              case None =>
+                st = Some(SessionState(sec, sec, 1))
+            }
+          }
+          if (state.hasTimedOut) {
+            val out = st.map(s => SessionOut(userId, s.start, s.n, s.last - s.start))
+            state.remove()
+            out.iterator ++ closed.iterator
+          } else {
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last * 1000 + 1800 * 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Drain a stream into an in-memory table synchronously (test/dev). */
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** Streaming specs: drive each streaming query over the events parquet
+  * with the memory sink and compare against the batch twin where the
+  * output modes allow it.
+  */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the streaming file source requires a DIRECTORY; link the single
+  // events.parquet file into a temp dir (read-only testdata stays untouched)
+  private lazy val eventsPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    dir.toString
+  }
+
+  test("hourly windowed agg (complete mode) matches the batch query") {
+    val stream = EventStreams.hourlyCounts(
+      EventStreams.readEvents(spark, eventsPath))
+    EventStreams.runToMemory(stream, "hourly_complete", outputMode = "complete")
+    val streamed = spark.table("hourly_complete")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q61_events_hourly")(spark, sf)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("sliding windows produce overlapping buckets") {
+    val stream = EventStreams.slidingTypeRates(
+      EventStreams.readEvents(spark, eventsPath))
+    EventStreams.runToMemory(stream, "sliding_complete", outputMode = "complete")
+    val rows = spark.table("sliding_complete")
+      .as[(Long, String, Long)].collect()
+    assert(rows.nonEmpty)
+    // every event lands in 3 overlapping 30min/10min windows per type
+    val batchTotal = Tables(spark, sf, "events").count()
+    assert(rows.map(_._3).sum == 3 * batchTotal)
+  }
+
+  test("stateful sessionization emits closed sessions consistent with batch") {
+    val stream = EventStreams.sessionize(
+      EventStreams.readEvents(spark, eventsPath))
+    EventStreams.runToMemory(stream.toDF(), "sessions_append")
+    val streamed = spark.table("sessions_append")
+      .select($"user_id", $"session_start_sec", $"n_events", $"duration_sec")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q62_sessionize")(spark, sf)
+      .select($"user_id", $"start_sec", $"n_events", $"duration_sec")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // one (watermark-open) tail session per user may be unemitted in the
+    // stream; every emitted session must match a batch session exactly
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"streamed-only sessions: ${(streamed -- batch).take(3)}")
+    val missing = batch -- streamed
+    assert(missing.size <= batch.groupBy(_._1).size,
+      "at most one open tail session per user may be missing")
+  }
+}
