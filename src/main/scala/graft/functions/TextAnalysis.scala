@@ -39,9 +39,14 @@ object TextAnalysis {
   def wordNGrams(text: Column, n: Int): Column = {
     val toks = tokens(text)
     val cnt = size(toks) - (n - 1)
-    when(cnt < 1, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), cnt),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    // chained zip_with over n shifted views: O(len) per doc — the naive
+    // transform(sequence)(i => slice(toks, i, n)) is O(len²)
+    val head = slice(toks, lit(1), greatest(cnt, lit(0)))
+    val joined = (1 until n).foldLeft(head) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), greatest(cnt, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(cnt < 1, array().cast("array<string>")).otherwise(joined)
   }
 
   /** Character n-grams (shingles) of the raw string. */

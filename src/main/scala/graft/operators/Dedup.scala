@@ -32,12 +32,12 @@ object Dedup {
     Relational.dedupByKey(df.withColumn("__fp", key), "__fp",
       Seq(col(idCol).asc)).drop("__fp")
 
-  /** Distinct (id, shingle) pairs — the input relation for MinHash and
-    * Jaccard. Word `n`-gram shingles.
+  /** Distinct (id, shingle) pairs — the exploded posting-list relation
+    * for MinHash signatures and prefix indexing.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(array_distinct(TextAnalysis.wordNGrams(col(textCol), n))).as("shingle"))
+    shingleSets(df, idCol, textCol, n)
+      .select(col("id"), explode(col("shset")).as("shingle"))
 
   /** MinHash signatures: `numHashes` permutations simulated as
     * `min(md5(seed || '|' || shingle))` — string-min over salted md5 is a
@@ -66,20 +66,25 @@ object Dedup {
       .agg(md5(concat_ws("|", array_sort(collect_list(
         concat(col("seed").cast("string"), lit(":"), col("sig")))))).as("band_hash"))
 
-  /** Exact Jaccard for candidate pairs: |A∩B| / (|A|+|B|-|A∩B|) via the
-    * shingle inverted index. `candidates` must have (id_a, id_b), a < b.
+  /** Per-doc distinct shingle SETS — the verify-side relation: one array
+    * row per doc instead of an exploded posting list.
     */
-  def verifyJaccard(sh: DataFrame, candidates: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("id").as("id_a"), col("shingle"))
-    val b = sh.select(col("id").as("id_b"), col("shingle"))
-    val common = candidates
-      .join(a, Seq("id_a")).join(b, Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.wordNGrams(col(textCol), n)).as("shset"))
+
+  /** Exact Jaccard for candidate pairs: |A∩B| / (|A|+|B|-|A∩B|) computed
+    * with array_intersect over the per-doc sets — two narrow joins and
+    * zero explosion (the exploded-postings verify shuffles |pairs|×|doc|
+    * rows; this shuffles |pairs|).
+    */
+  def verifyJaccard(docSets: DataFrame, candidates: DataFrame): DataFrame = {
+    val a = docSets.select(col("id").as("id_a"), col("shset").as("set_a"))
+    val b = docSets.select(col("id").as("id_b"), col("shset").as("set_b"))
+    candidates.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).as("n_common"),
+        size(col("set_a")).as("n_a"), size(col("set_b")).as("n_b"))
       .select(col("id_a"), col("id_b"),
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
@@ -91,29 +96,48 @@ object Dedup {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleSize)
+    val sets = shingleSets(df, idCol, textCol, shingleSize).cache()
+    val sh = sets.select(col("id"), explode(col("shset")).as("shingle"))
     val bands = lshBands(minHashSignatures(sh, numHashes), rowsPerBand)
     val l = bands.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val r = bands.select(col("band"), col("band_hash"), col("id").as("id_b"))
     val candidates = l.join(r, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    verifyJaccard(sh, candidates).filter(col("jaccard") >= threshold)
+    verifyJaccard(sets, candidates).filter(col("jaccard") >= threshold)
   }
 
-  /** Exact n-gram Jaccard similar pairs (no LSH): inverted-index join on
-    * shingles, then threshold. Quadratic only within a shingle's posting
-    * list — fine when no shingle is ubiquitous; for 100 TB use
-    * [[minHashLshPairs]] (this is the small-scale oracle-friendly variant).
+  /** Exact n-gram Jaccard similar pairs with PPJoin-style prefix
+    * filtering (Xiao et al., WWW'08): rank each doc's shingles rarest
+    * first and index only the first `|A| - ceil(t·|A|) + 1` of them — two
+    * docs with jaccard ≥ t MUST share a prefix shingle, so the inverted-
+    * index join shrinks by orders of magnitude while staying EXACT.
+    * A size-ratio filter (`|A| ≥ t·|B|`, also necessary) prunes further
+    * before the full-intersection verify.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
-    val pairs = sh.select(col("id").as("id_a"), col("shingle"))
-      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
+    // the shingle sets feed three consumers (freq, prefix, verify) —
+    // cache once instead of re-exploding the corpus each time
+    val sets = shingleSets(df, idCol, textCol, n).cache()
+    val sh = sets.select(col("id"), explode(col("shset")).as("shingle"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("f").asc, col("shingle").asc)
+    val prefix = sh.join(freq, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .join(sizes, "id")
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id"), col("shingle"), col("sz"))
+    val pairs = prefix.select(col("id").as("id_a"), col("shingle"), col("sz").as("sz_a"))
+      .join(prefix.select(col("id").as("id_b"), col("shingle"), col("sz").as("sz_b")),
+        Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
+      .filter(least(col("sz_a"), col("sz_b")) >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")))
       .select(col("id_a"), col("id_b")).distinct()
-    verifyJaccard(sh, pairs).filter(col("jaccard") >= threshold)
+    verifyJaccard(sets, pairs).filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash over word tokens. Per token a 60-bit md5-derived hash

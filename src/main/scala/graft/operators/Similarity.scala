@@ -16,9 +16,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Dot product of two double-array columns (left-fold, deterministic). */
+  /** Dot product of two double-array columns — native codegen expression
+    * ([[org.apache.spark.sql.graft.DoubleDot]]); left-to-right
+    * accumulation, deterministic.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    org.apache.spark.sql.graft.VectorExpressions.dot_double(a, b)
 
   /** Quantize a float embedding to exact integer milliunits — makes every
     * downstream sum/product exact (deterministic across engines).
@@ -27,7 +30,7 @@ object Similarity {
     transform(v, x => round(x * 1000).cast("long"))
 
   private def dotLong(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    org.apache.spark.sql.graft.VectorExpressions.dot_long(a, b)
 
   /** Cosine similarity on quantized vectors: integer dot and norms, one
     * final IEEE sqrt+divide (bit-identical in any engine).
@@ -42,12 +45,16 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    // norms are computed ONCE per vector before the cross join — inside it
+    // they'd be recomputed per pair (O(n·m·d) extra work)
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dotLong(col("qv"), col("qv")).cast("double")))
     val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(dotLong(col("cv"), col("cv")).cast("double")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosineQuantized(col("qv"), col("cv")).as("cosine"))
+        (dotLong(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -59,10 +66,12 @@ object Similarity {
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), quantize(col(vecCol)).as("va"))
+      .withColumn("na", sqrt(dotLong(col("va"), col("va")).cast("double")))
     val b = df.select(col(idCol).as("id_b"), quantize(col(vecCol)).as("vb"))
+      .withColumn("nb", sqrt(dotLong(col("vb"), col("vb")).cast("double")))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosineQuantized(col("va"), col("vb")).as("cosine"))
+        (dotLong(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -105,14 +114,18 @@ object Similarity {
     val cb = bucketed(corpus, "neighbor_id")
     val candidates = cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      // dedup multi-table collisions on the id PAIR (array-valued columns
+      // would make the dedup shuffle compare whole vectors)
+      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         quantize(col("query_id_v")).as("qv"), quantize(col("neighbor_id_v")).as("cv"))
-      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     candidates
+      .withColumn("qn", sqrt(dotLong(col("qv"), col("qv")).cast("double")))
+      .withColumn("cn", sqrt(dotLong(col("cv"), col("cv")).cast("double")))
       .select(col("query_id"), col("neighbor_id"),
-        cosineQuantized(col("qv"), col("cv")).as("cosine"))
+        (dotLong(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
