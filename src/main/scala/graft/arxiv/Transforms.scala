@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
 object Transforms {
 
   /** F8: the 15-branch contains→case chain over bib_entry (py:271-304).
-    * Branch ORDER is semantic and preserved verbatim — including the
-    * reference quirk that '@thesis' is tested before '@phdthesis' /
-    * '@mastersthesis', so those two branches can never match (any string
-    * containing '@phdthesis' contains '@thesis').
+    * Branch ORDER is semantic and preserved verbatim. (Note: '@thesis'
+    * before '@phdthesis' is safe — '@phdthesis' does not contain the
+    * substring '@thesis', so every branch is reachable; a bib entry
+    * containing both markers resolves by chain order, as in the
+    * reference.)
     */
   def extractPublicationType(bib: Column): Column =
     when(bib.contains("@article"), "Journal Article")

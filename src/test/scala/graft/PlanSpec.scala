@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan assertions — the scale contract. These lock in the plans
+  * we actually want (pushdown reaching parquet, dims broadcast, top-k not
+  * globally sorted) so a refactor that silently degrades a plan fails CI,
+  * not the 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(q: String): SparkPlan =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+
+  private def formatted(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q02: filters and projection are pushed into the parquet scan") {
+    val s = formatted("q02_filter_project")
+    assert(s.contains("PushedFilters") && s.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(s.contains("LessThan(l_quantity,24.0)"))
+    // pruned read: untouched columns never leave the file
+    assert(!s.contains("l_tax") && !s.contains("l_returnflag"))
+  }
+
+  test("q10: all three joins broadcast; fact table is never shuffled for the join") {
+    val s = formatted("q10_join_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 3)
+    assert(!s.contains("SortMergeJoin"))
+  }
+
+  test("q21: global top-k plans TakeOrderedAndProject, not a full sort") {
+    val s = formatted("q21_sort_limit")
+    assert(s.contains("TakeOrderedAndProject"))
+  }
+
+  test("q01: aggregation is partial+final (map-side combine before shuffle)") {
+    val s = formatted("q01_pricing_summary")
+    // tree lines only (the detail section repeats node names)
+    assert("\\+- HashAggregate".r.findAllIn(s).size +
+      "^HashAggregate".r.findAllIn(s).size >= 2)
+    assert("\\+- Exchange".r.findAllIn(s).size == 1)
+  }
+
+  test("q12: NOT IN planned as a broadcast anti join") {
+    val s = formatted("q12_anti_join")
+    assert(s.contains("LeftAnti"))
+    assert(s.contains("Broadcast"))
+  }
+
+  test("q13: EXISTS planned as a semi join") {
+    val s = formatted("q13_semi_join")
+    assert(s.contains("LeftSemi"))
+  }
+
+  test("core scan queries stay inside whole-stage codegen") {
+    for (q <- Seq("q02_filter_project", "q30_case_chain", "q34_conditional_clean")) {
+      val s = formatted(q)
+      assert(s.contains("codegen id"), s"$q fell out of codegen")
+    }
+  }
+
+  test("q31: small lookup map is broadcast, never shuffled") {
+    val s = formatted("q31_lookup_normalize")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY §5): upsert idempotence, UNIQUE-null dedup
+  * semantics, and F8 branch-order fidelity under generated inputs.
+  * ScalaCheck generators driven by a fixed seed sweep (the scalatestplus
+  * bridge isn't on the offline classpath); each case round-trips through
+  * real Spark plans, so rounds stay modest.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[A](g: Gen[A], rounds: Int = 10)(check: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var done = 0
+    var tries = 0
+    while (done < rounds && tries < rounds * 20) {
+      g.apply(Gen.Parameters.default, seed).foreach { a => check(a); done += 1 }
+      seed = seed.next
+      tries += 1
+    }
+    assert(done == rounds, s"generator produced only $done/$rounds cases")
+  }
+
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B], rounds: Int = 10)(
+      check: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb), rounds) { case (a, b) => check(a, b) }
+
+  private val row = for {
+    id <- Gen.choose(1L, 20L)
+    name <- Gen.option(Gen.alphaStr.map(_.take(5)))
+    score <- Gen.option(Gen.choose(-100.0, 100.0))
+  } yield (id, name, score)
+
+  private val frame = Gen.listOfN(12, row)
+
+  test("merge is idempotent for any base/delta (same keys merged once or twice agree)") {
+    forAll2(frame, frame) { (baseRows, deltaRows) =>
+      val base = baseRows.toDF("id", "name", "score").dropDuplicates("id")
+      val delta = deltaRows.toDF("id", "name", "score").dropDuplicates("id")
+      val once = Relational.merge(base, delta, Seq("id"))
+      val twice = Relational.merge(once, delta, Seq("id"))
+      assert(once.orderBy("id").collect().toSeq == twice.orderBy("id").collect().toSeq)
+    }
+  }
+
+  test("merge result has exactly the union of keys") {
+    forAll2(frame, frame) { (baseRows, deltaRows) =>
+      val base = baseRows.toDF("id", "name", "score").dropDuplicates("id")
+      val delta = deltaRows.toDF("id", "name", "score").dropDuplicates("id")
+      val merged = Relational.merge(base, delta, Seq("id"))
+      val expected = (baseRows.map(_._1) ++ deltaRows.map(_._1)).toSet
+      assert(merged.select("id").as[Long].collect().toSet == expected)
+      assert(merged.count() == expected.size)
+    }
+  }
+
+  test("dedupByKey: output nulls = input nulls; non-null keys unique; subset of input") {
+    forAll(frame) { rows =>
+      val df = rows.toDF("id", "name", "score")
+      val out = Relational.dedupByKey(df, "name", Seq($"id".asc, $"score".asc))
+      val inputNulls = rows.count(_._2.isEmpty)
+      assert(out.filter($"name".isNull).count() == inputNulls)
+      val keys = out.filter($"name".isNotNull).select("name").as[String].collect()
+      assert(keys.length == keys.distinct.length)
+      val inSet = df.collect().map(_.toString).toSet
+      assert(out.collect().map(_.toString).forall(inSet.contains))
+    }
+  }
+
+  test("allocateIds: dense, unique, stable under re-allocation") {
+    forAll2(Gen.listOf(Gen.alphaNumStr.map(_.take(8))), Gen.choose(0L, 1000L)) {
+      (names, start) =>
+        val df = names.distinct.toDF("name")
+        val out = Relational.allocateIds(df, "name", start)
+        val ids = out.select("id").as[Long].collect().sorted
+        assert(ids.toSeq == (start + 1 to start + names.distinct.size))
+        val again = Relational.allocateIds(df, "name", start)
+        assert(out.orderBy("id").collect().toSeq == again.orderBy("id").collect().toSeq)
+    }
+  }
+
+  test("F8 branch order: earlier contains-branch always wins") {
+    val bibGen = Gen.oneOf(
+      "@article{x}", "@thesis{x}", "@phdthesis{x}", "@mastersthesis{x}",
+      "@book{x}", "@inbook{x}", "@misc{x}", "nothing")
+    forAll(Gen.listOfN(8, bibGen)) { bibs =>
+      val out = bibs.toDF("bib")
+        .select(graft.arxiv.Transforms.extractPublicationType($"bib").as("t"))
+        .as[Option[String]].collect().toSeq
+      // note: '@phdthesis' does NOT contain '@thesis' as a substring (the
+      // '@' breaks it), so every branch of the reference chain is reachable
+      val expected = bibs.map {
+        case "@article{x}" => Some("Journal Article")
+        case "@thesis{x}" => Some("Thesis")
+        case "@phdthesis{x}" => Some("PhD Thesis")
+        case "@mastersthesis{x}" => Some("Masters Thesis")
+        case "@book{x}" => Some("Book")
+        case "@inbook{x}" => Some("Book Chapter")
+        case "@misc{x}" => Some("Miscellaneous")
+        case _ => None
+      }
+      assert(out == expected)
+    }
+  }
+}
