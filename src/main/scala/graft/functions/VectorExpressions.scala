@@ -5,7 +5,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   * millions of candidate pairs then spends more time in the interpreter
   * than in arithmetic. These generate a tight primitive loop instead.
   */
-abstract class ArrayDot extends BinaryExpression with ExpectsInputTypes {
+abstract class ArrayDot extends BinaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
 
   protected def elemType: DataType
