@@ -10,9 +10,12 @@ object RunOne {
     val spark = GraftSession.get()
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (args.contains("explain")) df.explain("formatted")
-    val t0 = System.nanoTime()
-    val n = df.count()
-    println(f"[runone] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    var n = 0L
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      n = SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"[runone] $name run$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     spark.stop()
   }
 }

@@ -608,38 +608,7 @@ object SparkEntry {
         |        md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS fp
         |      FROM documents) t
         |GROUP BY fp HAVING count(*) > 1""".stripMargin,
-    // Mirrors Dedup.minHashLshPairs: 3-word shingles, 12 salted-md5 min
-    // hashes, 6 bands × 2 rows, exact-Jaccard verify ≥ 0.5. Band hash
-    // sorts "seed:sig" strings lexicographically (= Spark array_sort).
-    "q51_dedup_minhash_lsh" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT doc_id AS id,
-        |         unnest(list_distinct([w.w[i] || ' ' || w.w[i+1] || ' ' || w.w[i+2]
-        |                               FOR i IN range(1, greatest(len(w.w)-2, 0)+1)])) AS shingle
-        |       FROM w),
-        |sig AS (SELECT id, seed,
-        |          min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS sig
-        |        FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) seeds
-        |        GROUP BY id, seed),
-        |bands AS (SELECT id, CAST(seed // 2 AS INT) AS band,
-        |            md5(string_agg(CAST(seed AS VARCHAR) || ':' || sig, '|'
-        |              ORDER BY CAST(seed AS VARCHAR) || ':' || sig)) AS band_hash
-        |          FROM sig GROUP BY id, CAST(seed // 2 AS INT)),
-        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        |         FROM bands a JOIN bands b
-        |           ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id),
-        |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-        |common AS (SELECT c.id_a, c.id_b, count(*) AS n_common
-        |           FROM cand c
-        |           JOIN sh a ON a.id = c.id_a
-        |           JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
-        |           GROUP BY c.id_a, c.id_b)
-        |SELECT id_a, id_b,
-        |  CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) AS jaccard
-        |FROM common
-        |JOIN sz za ON za.id = id_a
-        |JOIN sz zb ON zb.id = id_b
-        |WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.5""".stripMargin,
+    "q51_dedup_minhash_lsh" -> minhashOracleSql,
     "q52_dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id AS id,
@@ -728,14 +697,59 @@ object SparkEntry {
         |FROM documents""".stripMargin
   )
 
+  /** DuckDB rendering of Spark's `conv(substring(md5(x), start, len), 16, 10)`
+    * — per-nibble positional arithmetic (DuckDB has no conv).
+    */
+  private def hexToLongSql(hexExpr: String, start: Int, len: Int): String =
+    (0 until len).map { k =>
+      s"(strpos('0123456789abcdef', substr($hexExpr, ${start + k}, 1)) - 1) * ${1L << (4 * (len - 1 - k))}"
+    }.mkString(" + ")
+
+  /** DuckDB mirror of [[Dedup.minHashLshPairs]]: 3-word shingles, ONE md5
+    * per shingle split into (h1, h2) Kirsch-Mitzenmacher halves,
+    * permutation i = h1 + i·h2, 6 bands × 2 rows, exact-Jaccard verify
+    * ≥ 0.5. Band hash sorts "seed:sig" strings lexicographically
+    * (= Spark's array_sort).
+    */
+  private lazy val minhashOracleSql: String = {
+    val h1 = hexToLongSql("md5(shingle)", 1, 15)
+    val h2 = hexToLongSql("md5(shingle)", 16, 14)
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id AS id,
+       |         unnest(list_distinct([w.w[i] || ' ' || w.w[i+1] || ' ' || w.w[i+2]
+       |                               FOR i IN range(1, greatest(len(w.w)-2, 0)+1)])) AS shingle
+       |       FROM w),
+       |hv AS (SELECT id, CAST($h1 AS BIGINT) AS h1, CAST($h2 AS BIGINT) AS h2 FROM sh),
+       |sig AS (SELECT id, seed, min(h1 + seed * h2) AS sig
+       |        FROM hv CROSS JOIN (SELECT unnest(range(12)) AS seed) seeds
+       |        GROUP BY id, seed),
+       |bands AS (SELECT id, CAST(seed // 2 AS INT) AS band,
+       |            md5(string_agg(CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR), '|'
+       |              ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR))) AS band_hash
+       |          FROM sig GROUP BY id, CAST(seed // 2 AS INT)),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id),
+       |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       |common AS (SELECT c.id_a, c.id_b, count(*) AS n_common
+       |           FROM cand c
+       |           JOIN sh a ON a.id = c.id_a
+       |           JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+       |           GROUP BY c.id_a, c.id_b)
+       |SELECT id_a, id_b,
+       |  CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) AS jaccard
+       |FROM common
+       |JOIN sz za ON za.id = id_a
+       |JOIN sz zb ON zb.id = id_b
+       |WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.5""".stripMargin
+  }
+
   /** DuckDB mirror of [[Dedup.simHashPairs]], generated so the 60-bit
     * hex→int and per-bit vote arithmetic provably matches the Scala side.
     */
   private lazy val simhashOracleSql: String = {
     // 15-hex-char md5 prefix → BIGINT (= Spark's conv(substr(md5,1,15),16,10))
-    val hex2long = (1 to 15).map { i =>
-      s"(strpos('0123456789abcdef', substr(md5(t), $i, 1)) - 1) * ${math.pow(16, 15 - i).toLong}"
-    }.mkString(" + ")
+    val hex2long = hexToLongSql("md5(t)", 1, 15)
     val votes = (0 until 60).map(j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")
     val fp = (0 until 60).map(j =>

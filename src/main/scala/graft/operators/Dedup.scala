@@ -39,19 +39,25 @@ object Dedup {
     shingleSets(df, idCol, textCol, n)
       .select(col("id"), explode(col("shset")).as("shingle"))
 
-  /** MinHash signatures: `numHashes` permutations simulated as
-    * `min(md5(seed || '|' || shingle))` — string-min over salted md5 is a
-    * valid minwise family and is portable to any engine with md5.
-    * Returns (id, seed, sig).
+  /** MinHash signatures via Kirsch-Mitzenmacher double hashing: ONE md5
+    * per shingle yields two independent integers (h1 = hex[1..15],
+    * h2 = hex[16..29]); permutation i is `h1 + i·h2` (h2 is 56-bit so the
+    * sum never overflows a signed long for i < 64). One hash call instead
+    * of `numHashes` — and still expressible in any engine with md5 for
+    * the oracle mirror. Returns (id, seed, sig).
     */
   def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val seeds = (0 until numHashes).map(lit(_))
-    sh.select(col("id"), explode(array(seeds: _*)).as("seed"),
-        col("shingle"))
-      .select(col("id"), col("seed"),
-        md5(concat(col("seed").cast("string"), lit("|"), col("shingle"))).as("h"))
-      .groupBy(col("id"), col("seed"))
-      .agg(min(col("h")).as("sig"))
+    val hashed = sh.select(col("id"),
+      conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(col("shingle")), 16, 14), 16, 10).cast("long").as("h2"))
+    // all numHashes mins in ONE groupBy(id) (map-side combined) — the
+    // explode-seeds-then-shuffle alternative moves numHashes× the rows
+    val aggs = (0 until numHashes).map(i =>
+      min(col("h1") + lit(i) * col("h2")).as(s"__sig$i"))
+    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), explode(array((0 until numHashes).map(i =>
+        struct(lit(i).as("seed"), col(s"__sig$i").as("sig"))): _*)).as("s"))
+      .select(col("id"), col("s.seed"), col("s.sig"))
   }
 
   /** LSH banding: group signatures into `numHashes/rowsPerBand` bands,
@@ -64,7 +70,8 @@ object Dedup {
       // array_sort + fixed '|' joiner: band hash must not depend on the
       // (nondeterministic) aggregation arrival order of the r sigs.
       .agg(md5(concat_ws("|", array_sort(collect_list(
-        concat(col("seed").cast("string"), lit(":"), col("sig")))))).as("band_hash"))
+        concat(col("seed").cast("string"), lit(":"), col("sig").cast("string"))))))
+        .as("band_hash"))
 
   /** Per-doc distinct shingle SETS — the verify-side relation: one array
     * row per doc instead of an exploded posting list.
