@@ -305,6 +305,49 @@ object SparkEntry {
           "fk_orders_positive_customer")))
     }),
 
+    // Grouping-sets surface: ROLLUP subtotals (extension beyond the
+    // reference's plain GROUP BY).
+    "q28_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // Exact distinct aggregation (expand + two-phase agg under the hood).
+    "q29_count_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+    }),
+
+    // Regex surface: extract + replace with simple (engine-portable)
+    // patterns.
+    "q35_regex_funcs" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        regexp_extract(col("o_orderpriority"), "^([0-9]+)-", 1).as("prio_num"),
+        regexp_replace(col("o_orderpriority"), "[^A-Z]", "").as("prio_word"))
+    }),
+
+    // Array-function surface: split/sort/contains/size over p_type words.
+    "q36_array_funcs" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        size(split(col("p_type"), " ")).as("n_words"),
+        array_contains(split(col("p_type"), " "), "BRUSHED").as("is_brushed"),
+        concat_ws(",", array_sort(split(col("p_type"), " "))).as("sorted_words"))
+    }),
+
+    // Pivot (CASE-aggregation shape) — wide per-returnflag quantities.
+    "q42_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity")))
+        .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
+    }),
+
     // ---- training-data extension surface (documents / embeddings / events)
 
     // Exact dedup clusters on an 8-word prefix fingerprint (hash groupBy).
@@ -602,6 +645,31 @@ object SparkEntry {
         |WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
         |  (SELECT c_custkey FROM customer WHERE c_acctbal > 0)""".stripMargin,
 
+    "q28_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q29_count_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q35_regex_funcs" ->
+      """SELECT o_orderkey,
+        |  regexp_extract(o_orderpriority, '^([0-9]+)-', 1) AS prio_num,
+        |  regexp_replace(o_orderpriority, '[^A-Z]', '', 'g') AS prio_word
+        |FROM orders""".stripMargin,
+    "q36_array_funcs" ->
+      """SELECT p_partkey,
+        |  len(string_split(p_type, ' ')) AS n_words,
+        |  list_contains(string_split(p_type, ' '), 'BRUSHED') AS is_brushed,
+        |  array_to_string(list_sort(string_split(p_type, ' ')), ',') AS sorted_words
+        |FROM part""".stripMargin,
+    "q42_pivot" ->
+      """SELECT l_linestatus,
+        |  sum(l_quantity) FILTER (WHERE l_returnflag = 'A') AS qty_a,
+        |  sum(l_quantity) FILTER (WHERE l_returnflag = 'N') AS qty_n,
+        |  sum(l_quantity) FILTER (WHERE l_returnflag = 'R') AS qty_r
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     "q50_dedup_exact" ->
       """SELECT fp, min(doc_id) AS representative, count(*) AS dup_count
         |FROM (SELECT doc_id,
