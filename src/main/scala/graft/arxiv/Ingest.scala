@@ -28,9 +28,13 @@ object Ingest {
     * (the reference iterates the array in order; order decides conflict
     * winners and SERIAL ids).
     */
-  def readArxivJson(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.schema(Schemas.arxivInput)
-      .option("multiLine", true).json(path)
+  def readArxivJson(spark: SparkSession, path: String): DataFrame =
+    withInputIdx(spark.read.schema(Schemas.arxivInput)
+      .option("multiLine", true).json(path))
+
+  /** Attach the 0-based input order (distributed zipWithIndex). */
+  def withInputIdx(raw: DataFrame): DataFrame = {
+    val spark = raw.sparkSession
     val withIdx = raw.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
     spark.createDataFrame(withIdx,
       StructType(raw.schema.fields :+ StructField("input_idx", LongType, nullable = false)))

@@ -58,6 +58,50 @@ object Scholar {
   }
 }
 
+/** Real SerpAPI-shaped HTTP client (the production implementation of the
+  * lookup stage, process_publications_dag.py:141-157,181-199). All config
+  * is injected — the API key comes from the caller (e.g. `SparkConf` /
+  * env), never a literal. Retries the reference's policy: `maxAttempts`
+  * with `2^attempt`-seconds backoff on HTTP 429/5xx.
+  *
+  * One instance per executor partition (instantiate inside mapPartitions
+  * via [[graft.arxiv.Enrich.fetchResponses]]); java.net.http is used so
+  * the library adds no dependencies. Untestable in this offline container
+  * — [[Scholar.withRetry]] and the response parsing are covered with
+  * [[MockScholarClient]].
+  */
+final class HttpScholarClient(
+    baseUrl: String,
+    apiKey: String,
+    resultsPerQuery: Int = 2,
+    maxAttempts: Int = 5,
+    timeoutMs: Long = 30000) extends ScholarClient {
+
+  @transient private lazy val http = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+
+  override def search(query: String): Option[String] =
+    Scholar.withRetry(maxAttempts) {
+      val url = baseUrl + "?engine=google_scholar&start=0&hl=en" +
+        s"&num=$resultsPerQuery" +
+        "&q=" + java.net.URLEncoder.encode(query, "UTF-8") +
+        "&api_key=" + java.net.URLEncoder.encode(apiKey, "UTF-8")
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
+      try {
+        val resp = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        resp.statusCode() match {
+          case 200 => Some(resp.body())
+          case 429 => None // retryable (rate limit) — backoff then retry
+          case c if c >= 500 => None // retryable server error
+          case _ => Some(null) // non-retryable: give up without retry
+        }
+      } catch {
+        case _: java.io.IOException => None // retryable network failure
+      }
+    }.flatMap(Option(_))
+}
+
 /** Deterministic offline stand-in for SerpAPI: fabricates a plausible
   * 2-result response derived only from the query string (stable across
   * runs/executors). Used by tests and the default pipeline config — the
