@@ -136,13 +136,20 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .join(sizes, "id")
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("id"), col("shingle"), col("sz"))
-    val pairs = prefix.select(col("id").as("id_a"), col("shingle"), col("sz").as("sz_a"))
-      .join(prefix.select(col("id").as("id_b"), col("shingle"), col("sz").as("sz_b")),
-        Seq("shingle"))
+      .select(col("id"), col("shingle"), col("sz"), col("rn"))
+    val pairs = prefix.select(col("id").as("id_a"), col("shingle"),
+        col("sz").as("sz_a"), col("rn").as("rn_a"))
+      .join(prefix.select(col("id").as("id_b"), col("shingle"),
+        col("sz").as("sz_b"), col("rn").as("rn_b")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
+      // size-ratio bound: jaccard ≥ t ⇒ min ≥ t·max
       .filter(least(col("sz_a"), col("sz_b")) >=
         lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+      // positional bound (PPJoin): matching at prefix positions (i, j)
+      // caps the remaining overlap at 1 + min(|A|-i, |B|-j), which must
+      // reach the required α = ceil(t/(1+t)·(|A|+|B|))
+      .filter(lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) >=
+        ceil(lit(threshold) / (1 + threshold) * (col("sz_a") + col("sz_b"))))
       .select(col("id_a"), col("id_b")).distinct()
     verifyJaccard(sets, pairs).filter(col("jaccard") >= threshold)
   }
