@@ -812,8 +812,9 @@ object SparkEntry {
        |WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.5""".stripMargin
   }
 
-  /** DuckDB mirror of [[Dedup.simHashPairs]], generated so the 60-bit
-    * hex→int and per-bit vote arithmetic provably matches the Scala side.
+  /** DuckDB mirror of [[Dedup.simHashPairs]] (maxHamming = 6 as used by
+    * q53 ⇒ 7 pigeonhole bands), generated so the 60-bit hex→int, per-bit
+    * vote, and band-mask arithmetic provably matches the Scala side.
     */
   private lazy val simhashOracleSql: String = {
     // 15-hex-char md5 prefix → BIGINT (= Spark's conv(substr(md5,1,15),16,10))
@@ -822,14 +823,18 @@ object SparkEntry {
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")
     val fp = (0 until 60).map(j =>
       s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END").mkString(" + ")
+    val bandRows = graft.operators.Dedup.simHashBandLayout(6).zipWithIndex
+      .map { case ((shift, width), b) =>
+        s"($b, (simhash >> $shift) & ${(1L << width) - 1L})"
+      }.mkString(", ")
     s"""WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS t FROM documents),
        |h AS (SELECT id, CAST($hex2long AS BIGINT) AS h FROM tok),
        |votes AS (SELECT id,
        |    $votes
        |  FROM h GROUP BY id),
        |fp AS (SELECT id, $fp AS simhash FROM votes),
-       |banded AS (SELECT id, simhash, band, (simhash >> (band*15)) & 32767 AS bv
-       |           FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band) b)
+       |banded AS (SELECT id, simhash, bb.band, bb.bv
+       |           FROM fp CROSS JOIN LATERAL (VALUES $bandRows) AS bb(band, bv))
        |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        |FROM banded a JOIN banded b

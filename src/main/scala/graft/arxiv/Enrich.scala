@@ -55,7 +55,13 @@ object Enrich {
         Row.fromSeq(r.toSeq :+ resp)
       }
     }
-    spark.createDataFrame(rows, schema)
+    // Materialize ONCE: five downstream tables branch off this frame, and
+    // without pinning each would re-run the side-effecting HTTP sweep —
+    // with a live client that means N× quota and, worse, tables built
+    // from DIFFERENT response sets (dangling bridges).
+    val out = spark.createDataFrame(rows, schema).cache()
+    out.count()
+    out
   }
 
   def run(spark: SparkSession, store0: ArxivStore, client: ScholarClient,

@@ -61,10 +61,13 @@ object Ingest {
     val fresh = batchDeduped.join(existingDois,
       batchDeduped("doi") === existingDois("doi"), "left_anti")
 
-    // -- A3: SERIAL ids continue after the current max, in file order
+    // -- A3: SERIAL ids continue after the current max, in file order.
+    // newPubs feeds five outputs — cache so the dedup + anti-join + global
+    // sort + zipWithIndex chain runs once, not per consumer
     val maxId = maxLong(store.publications, "id")
     val newPubs = Relational.allocateIds(fresh, "input_idx", maxId)
       .withColumn("update_date", clock)
+      .cache()
 
     val publications = store.publications.unionByName(
       newPubs.select(Schemas.publications.fieldNames.map(col).toSeq: _*))

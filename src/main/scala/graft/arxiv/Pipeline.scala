@@ -38,6 +38,12 @@ object Pipeline {
         try {
           val before = store.publications
           val after = f(store).cached()
+          // force materialization INSIDE the try: Spark stages are lazy,
+          // so without this the retry would only ever guard plan
+          // construction while real failures surfaced later, outside it
+          after.publications.count()
+          after.authors.count()
+          after.citations.count()
           // trigger-equivalent audit append (aupostgres.sql:82-97); align
           // both snapshots to common columns when the stage evolved the
           // schema (clean drops abstract, transforms add publication_type)

@@ -15,10 +15,14 @@ object Constraints {
 
   sealed trait Constraint { def name: String; def violations(df: DataFrame): Column }
 
-  /** CHECK (pred) — count rows where the predicate is false or null. */
+  /** CHECK (pred) — count rows where the predicate is strictly FALSE.
+    * SQL CHECK semantics: a NULL predicate result PASSES (Postgres
+    * accepts the row), so nulls are not violations — use [[NotNull]] for
+    * null rejection.
+    */
   final case class Check(name: String, pred: Column) extends Constraint {
     def violations(df: DataFrame): Column =
-      count(when(not(coalesce(pred, lit(false))), 1))
+      count(when(coalesce(pred, lit(true)) === false, 1))
   }
 
   final case class NotNull(colName: String) extends Constraint {

@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * Scale design: every algorithm is shuffle-bounded on its bucketing key —
   * exact dedup shuffles once on the content hash; MinHash shuffles on
   * (band, band_hash) so only genuinely-similar docs meet; SimHash shuffles
-  * on 16-bit band values (pigeonhole: hamming ≤ 3 ⇒ one of 4 bands equal);
+  * on band values (pigeonhole-complete: maxHamming+1 bands ⇒ every
+  * qualifying pair shares a band);
   * n-gram Jaccard shuffles on shingles (inverted index) and never
   * materializes the doc×doc cross product. All hashing is md5-based so the
   * same algorithm is expressible in any SQL engine for oracle checks.
@@ -174,17 +175,32 @@ object Dedup {
     agged.select(col("id"), fp.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 60-bit fingerprint into 4×15-bit
-    * bands (hamming ≤ 3 ⇒ some band equal), bucket-join, verify hamming ≤
-    * `maxHamming` via bit_count(xor).
+  /** Band layout for a given hamming budget: pigeonhole needs
+    * `maxHamming + 1` bands (differing in ≤ maxHamming bits ⇒ at least one
+    * band untouched), so the band count DERIVES from the threshold — a
+    * fixed band count would silently drop qualifying pairs whose diffs
+    * spread across all bands. Returns (shift, width) per band over 60 bits.
+    */
+  def simHashBandLayout(maxHamming: Int): Seq[(Int, Int)] = {
+    val nBands = maxHamming + 1
+    require(nBands <= 60, s"maxHamming $maxHamming too large for 60-bit simhash")
+    val widths = Array.tabulate(nBands)(b => 60 / nBands + (if (b < 60 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    (0 until nBands).map(b => (offsets(b), widths(b)))
+  }
+
+  /** SimHash near-dup pairs: band the 60-bit fingerprint into
+    * `maxHamming + 1` bands (pigeonhole-complete), bucket-join, verify
+    * hamming ≤ `maxHamming` via bit_count(xor).
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    val layout = simHashBandLayout(maxHamming)
     val hashes = simHash(df, idCol, textCol)
     val banded = hashes.select(col("id"), col("simhash"),
-        explode(array((0 until 4).map { b =>
+        explode(array(layout.zipWithIndex.map { case ((shift, width), b) =>
           struct(lit(b).as("band"),
-            shiftright(col("simhash"), b * 15).bitwiseAND(0x7fff).as("bv"))
+            shiftright(col("simhash"), shift).bitwiseAND((1L << width) - 1).as("bv"))
         }: _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.band"), col("bb.bv"))
     val l = banded.select(col("band"), col("bv"),

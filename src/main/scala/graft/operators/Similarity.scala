@@ -100,7 +100,12 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nPlanes: Int = 5, nTables: Int = 8,
       seed: Long = 42L): DataFrame = {
-    val dim = queries.select(size(col(vecCol))).head().getInt(0)
+    val dimRow = queries.select(size(col(vecCol))).limit(1).collect()
+    if (dimRow.isEmpty) // no queries → empty result, not a crash
+      return queries.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+          lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
+    val dim = dimRow.head.getInt(0)
     val tables = (0 until nTables).map { t =>
       (t, hyperplanes(dim, nPlanes, seed + t))
     }
@@ -135,7 +140,9 @@ object Similarity {
     */
   def trainCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
       iters: Int = 5, seed: Long = 42L): Array[Array[Double]] = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val dimRow = corpus.select(size(col(vecCol))).limit(1).collect()
+    if (dimRow.isEmpty) return Array.empty
+    val dim = dimRow.head.getInt(0)
     var centroids = corpus.select(col(vecCol)).limit(nlist).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     if (centroids.length < nlist) centroids = centroids ++
@@ -191,6 +198,10 @@ object Similarity {
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       iters: Int = 3): DataFrame = {
     val centroids = trainCentroids(corpus, vecCol, nlist, iters)
+    if (centroids.isEmpty) // empty corpus → empty result
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+          lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
     val cb = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cell", nearestCell(col("cv"), centroids))

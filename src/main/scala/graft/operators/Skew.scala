@@ -41,6 +41,11 @@ object Skew {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit each unmatched right row once PER SALT
+    // (the right side is replicated) — only shapes where unmatched right
+    // rows are dropped are sound
+    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val saltedLeft = left.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
     val replicatedRight = right.withColumn("__salt",

@@ -81,12 +81,16 @@ object IO {
   }
 
   /** S5: byte-budget prefix sampler (createdataset.py:26-36): keep rows in
-    * order while the cumulative serialized (JSON) size stays ≤
-    * `targetBytes` — the row that would cross the budget is EXCLUDED
-    * (`if bytes_written + len(line) > target: break`). Exact and
-    * distributed: one pass computes per-partition byte subtotals, the
-    * driver prefix-sums them (tiny), a second pass cuts each partition at
-    * its byte offset.
+    * order while the cumulative serialized size stays ≤ `targetBytes` —
+    * the row that would cross the budget is EXCLUDED
+    * (`if bytes_written + len(line) > target: break`). The CUT RULE
+    * mirrors the reference; row sizes are measured as compact
+    * `to_json` + newline, which is smaller than the reference's raw
+    * snapshot lines (python json keeps null fields and ': ' spacing), so
+    * the same budget admits somewhat more rows than the reference script
+    * would. Distributed and exact for its own size measure: one pass
+    * computes per-partition byte subtotals, the driver prefix-sums them
+    * (tiny), a second pass cuts each partition at its byte offset.
     */
   def byteBudgetPrefix(df: DataFrame, targetBytes: Long): DataFrame = {
     val spark = df.sparkSession

@@ -90,7 +90,14 @@ object EventStreams {
             val sec = e.ts.getTime / 1000
             st match {
               case Some(s) if sec - s.last <= 1800 =>
-                st = Some(s.copy(last = sec, n = s.n + 1))
+                // a late in-watermark event may predate the session's
+                // bounds: extend them, never move `last` backwards (a
+                // backwards `last` yields negative durations and false
+                // splits on the next on-time event)
+                st = Some(SessionState(
+                  start = math.min(s.start, sec),
+                  last = math.max(s.last, sec),
+                  n = s.n + 1))
               case Some(s) =>
                 closed += SessionOut(userId, s.start, s.n, s.last - s.start)
                 st = Some(SessionState(sec, sec, 1))
