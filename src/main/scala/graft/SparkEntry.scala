@@ -339,6 +339,19 @@ object SparkEntry {
         concat_ws(",", array_sort(split(col("p_type"), " "))).as("sorted_words"))
     }),
 
+    // Date arithmetic surface: diffs, month addition (end-of-month
+    // clamped identically in both engines), calendar parts.
+    "q37_date_arith" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1992-01-01")))
+          .as("days_since"),
+        unix_timestamp(add_months(col("o_orderdate"), 3).cast("timestamp"))
+          .as("plus3m_epoch"),
+        quarter(col("o_orderdate")).as("q"),
+        (weekday(col("o_orderdate")) + 1).as("isodow"))
+    }),
+
     // Pivot (CASE-aggregation shape) — wide per-returnflag quantities.
     "q42_pivot" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -664,6 +677,13 @@ object SparkEntry {
         |  list_contains(string_split(p_type, ' '), 'BRUSHED') AS is_brushed,
         |  array_to_string(list_sort(string_split(p_type, ' ')), ',') AS sorted_words
         |FROM part""".stripMargin,
+    "q37_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        |  CAST(epoch(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP)) AS BIGINT) AS plus3m_epoch,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(isodow(o_orderdate) AS INT) AS isodow
+        |FROM orders""".stripMargin,
     "q42_pivot" ->
       """SELECT l_linestatus,
         |  sum(l_quantity) FILTER (WHERE l_returnflag = 'A') AS qty_a,

@@ -116,8 +116,8 @@ final class MockScholarClient(resultsPerQuery: Int = 2) extends ScholarClient {
   override def search(query: String): Option[String] = {
     val results = (0 until resultsPerQuery).map { i =>
       val tag = h(s"$query#$i")
-      // every 3rd fabricated result hits an existing title (exercises the
-      // ON CONFLICT (title) DO UPDATE path); others are novel
+      // result 0 echoes the queried title (exercises the ON CONFLICT
+      // (title) DO UPDATE path); the rest are novel fabricated titles
       val title = if (i == 0) query else s"Study of $query ($tag)"
       val doi = if (tag(0) % 2 == 0) s""""result_id": "SR$tag",""" else """"result_id": "","""
       s"""{

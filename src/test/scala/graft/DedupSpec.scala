@@ -55,4 +55,30 @@ class DedupSpec extends SparkSpec {
       .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect().toSet
     assert(pairs.contains((1L, 4L, 0)))
   }
+
+  test("simHash band layout is pigeonhole-complete for any threshold") {
+    for (h <- Seq(0, 3, 6, 10, 59)) {
+      val layout = Dedup.simHashBandLayout(h)
+      assert(layout.size == h + 1)
+      assert(layout.map(_._2).sum == 60)
+      assert(layout.forall(_._2 >= 1))
+      // bands tile [0, 60) contiguously
+      assert(layout.sliding(2).forall {
+        case Seq((s1, w1), (s2, _)) => s2 == s1 + w1
+        case _ => true
+      })
+    }
+  }
+
+  test("simHashPairs candidate recall is complete up to maxHamming (brute-force check)") {
+    val h = Dedup.simHash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- h.keys; b <- h.keys if a < b
+      d = java.lang.Long.bitCount(h(a) ^ h(b)) if d <= 6
+    } yield (a, b, d)).toSet
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == brute)
+  }
 }
