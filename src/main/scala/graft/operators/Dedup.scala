@@ -104,6 +104,11 @@ object Dedup {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
+    // cached because signatures and verify both consume it; MEMORY_AND_DISK
+    // with LRU eviction bounds the cost, but long-lived sessions issuing
+    // many dedup jobs should unpersist via spark.catalog.clearCache()
+    // between jobs (the result is lazy, so the operator cannot safely
+    // unpersist its own input)
     val sets = shingleSets(df, idCol, textCol, shingleSize).cache()
     val sh = sets.select(col("id"), explode(col("shset")).as("shingle"))
     val bands = lshBands(minHashSignatures(sh, numHashes), rowsPerBand)
