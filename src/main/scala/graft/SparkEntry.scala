@@ -493,8 +493,8 @@ object SparkEntry {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
-        |  sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_price_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_filter_project" ->
@@ -506,7 +506,7 @@ object SparkEntry {
         |  AND l_discount >= 0.05 AND l_quantity < 24""".stripMargin,
     "q10_join_revenue_by_nation" ->
       """SELECT n_name,
-        |  sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |  count(*) AS n_lines
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -528,7 +528,7 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
     "q20_topk_per_group" ->
-      """SELECT o_custkey, o_orderkey, rn FROM (
+      """SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn FROM (
         |  SELECT o_custkey, o_orderkey,
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -608,7 +608,7 @@ object SparkEntry {
         |  AS v(n_name, norm) USING (n_name)""".stripMargin,
     "q32_string_funcs" ->
       """SELECT p_partkey,
-        |  length(trim(p_name)) AS name_len,
+        |  CAST(length(trim(p_name)) AS INT) AS name_len,
         |  split_part(p_type, ' ', 1) AS type_head,
         |  CASE WHEN contains(p_name, ' ') THEN trim(split_part(p_name, ' ', 1))
         |       ELSE 'Unknown' END AS first_word,
@@ -616,10 +616,10 @@ object SparkEntry {
         |  upper(p_brand) AS brand_uc
         |FROM part""".stripMargin,
     "q33_date_funcs" ->
-      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
         |  CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_epoch,
         |  count(*) AS n_orders,
-        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1, 2, 3""".stripMargin,
     "q34_conditional_clean" ->
       """SELECT c_custkey,
@@ -673,7 +673,7 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     "q36_array_funcs" ->
       """SELECT p_partkey,
-        |  len(string_split(p_type, ' ')) AS n_words,
+        |  CAST(len(string_split(p_type, ' ')) AS INT) AS n_words,
         |  list_contains(string_split(p_type, ' '), 'BRUSHED') AS is_brushed,
         |  array_to_string(list_sort(string_split(p_type, ' ')), ',') AS sorted_words
         |FROM part""".stripMargin,
@@ -722,7 +722,7 @@ object SparkEntry {
         |             list_dot_product(q.v, c.v) /
         |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
         |           FROM e q JOIN e c ON q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id)
-        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
         |  SELECT query_id, neighbor_id, cosine,
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
@@ -755,7 +755,7 @@ object SparkEntry {
     "q61_events_hourly" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
         |  event_type, count(*) AS n_events,
-        |  sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q62_sessionize" ->
       """WITH e AS (SELECT user_id, event_id,
@@ -780,7 +780,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
     "q64_multimodal_meta" ->
       """SELECT doc_id,
-        |  octet_length(unhex(md5(text))) AS n_bytes,
+        |  CAST(octet_length(unhex(md5(text))) AS INT) AS n_bytes,
         |  substring(hex(unhex(md5(text))), 1, 8) AS hex8
         |FROM documents""".stripMargin
   )

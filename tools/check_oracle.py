@@ -67,6 +67,16 @@ def main(sf_dir, out_dir):
             continue
         ok_cols = sorted(s_cols) == sorted(d_cols)
         ok_rows = len(s_rows) == len(d_rows)
+        # type audit: a type-sensitive driver compare would flag INT vs
+        # BIGINT even when values match — surface those as warnings
+        try:
+            s_types = dict(zip(s_cols, [str(t) for t in spark_rel.types]))
+            d_types = dict(zip(d_cols, [str(t) for t in d_rel.types]))
+            for c in sorted(set(s_cols) & set(d_cols)):
+                if s_types[c] != d_types[c]:
+                    print(f"[TYPE ] {name}.{c}: spark={s_types[c]} duck={d_types[c]}")
+        except Exception:
+            pass
         ok_hash = (ok_cols and ok_rows and
                    frame_fingerprint(s_rows, s_cols) == frame_fingerprint(d_rows, d_cols))
         if ok_hash:
