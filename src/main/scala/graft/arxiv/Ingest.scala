@@ -54,12 +54,22 @@ object Ingest {
       col("`report-no`").as("report_no"), col("categories"), col("license"),
       col("abstract"), col("authors").as("authors_str"))
 
-    // -- A1: batch dedup on doi (nulls distinct, first-in-order wins),
-    //    then drop rows whose doi already exists in the table
-    val batchDeduped = Relational.dedupByKey(normalized, "doi", Seq(col("input_idx").asc))
-    val existingDois = store.publications.select(col("doi")).filter(col("doi").isNotNull)
-    val fresh = batchDeduped.join(existingDois,
-      batchDeduped("doi") === existingDois("doi"), "left_anti")
+    // -- A1: the reference's insert hits THREE unique constraints
+    //    (doi via ON CONFLICT DO NOTHING; title/report_no via caught
+    //    unique-violation → rollback → skip row, py:79-82 +
+    //    aupostgres.sql:8,9,17-18). Nulls compare distinct throughout.
+    //    Enforced as chained first-in-order dedups per key plus anti-joins
+    //    against the existing table. (Edge divergence, documented: the
+    //    reference's row-sequential greedy can keep a later row whose key
+    //    was only "taken" by an already-skipped row; the chained set-based
+    //    form drops it. Identical on data without cross-key collision
+    //    chains — the fixture has none.)
+    val fresh = Seq("doi", "title", "report_no").foldLeft(normalized) { (df, key) =>
+      val deduped = Relational.dedupByKey(df, key, Seq(col("input_idx").asc))
+      val existing = store.publications.select(col(key).as("__existing"))
+        .filter(col("__existing").isNotNull)
+      deduped.join(existing, deduped(key) === col("__existing"), "left_anti")
+    }
 
     // -- A3: SERIAL ids continue after the current max, in file order.
     // newPubs feeds five outputs — cache so the dedup + anti-join + global

@@ -105,6 +105,25 @@ class ArxivPipelineSpec extends SparkSpec {
     assert(sig(store.authorship) == sig(r2.store.authorship))
   }
 
+  test("ingest enforces all three UNIQUE keys (doi, title, report_no), nulls distinct") {
+    import org.apache.spark.sql.Row
+    val schema = Ingest.readArxivJson(spark, fixture).schema
+    def rec(idx: Long, title: String, doi: String, reportNo: String) =
+      Row("id" + idx, "sub", "A One, B Two", title, null, null, doi, reportNo,
+        "cs.AI", null, "abs", null, "2020-01-01", null, idx)
+    val batch = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(
+        rec(0, "T1", "d1", "r1"),
+        rec(1, "T1", "d2", null),   // title conflict with idx 0 → skipped
+        rec(2, "T2", "d1", null),   // doi conflict with idx 0 → skipped
+        rec(3, "T3", null, "r1"),   // report_no conflict with idx 0 → skipped
+        rec(4, "T4", null, null),   // null doi/report_no never conflict
+        rec(5, "T5", null, null))), schema)
+    val out = Ingest.run(spark, ArxivStore.empty(spark), batch, clock)
+    val titles = out.publications.select($"title").as[String].collect().toSet
+    assert(titles == Set("T1", "T4", "T5"))
+  }
+
   test("clean removes orphan publications and drops abstract") {
     val s0 = Ingest.run(spark, ArxivStore.empty(spark), fixture, clock)
     // fabricate an orphan + short-title row
