@@ -119,6 +119,39 @@ object EventStreams {
       }
   }
 
+  /** Exactly-once-ish ingest dedup: drop replayed events by event_id
+    * within the watermark horizon (state auto-expires past it — unbounded
+    * keys never accumulate). The streaming twin of batch
+    * `dropDuplicates(id)`.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: each purchase joins the same user's
+    * signup within the preceding hour. Both sides watermarked so join
+    * state is bounded; the time-range predicate is what lets Spark expire
+    * buffered rows.
+    */
+  def purchasesAfterSignup(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("amount"), col("event_id"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(signups,
+      col("p_user") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("event_id"),
+        unix_timestamp(col("s_ts")).as("signup_sec"),
+        unix_timestamp(col("p_ts")).as("purchase_sec"),
+        round(col("amount") * 100).cast("long").as("amount_cents"))
+  }
+
   /** Drain a stream into an in-memory table synchronously (test/dev). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): Unit = {
     val q = df.writeStream.format("memory").queryName(name)

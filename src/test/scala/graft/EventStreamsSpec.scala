@@ -43,6 +43,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.map(_._3).sum == 3 * batchTotal)
   }
 
+  test("streaming dedup keeps event_ids unique") {
+    val stream = EventStreams.dedupEvents(
+      EventStreams.readEvents(spark, eventsPath))
+      .select(col("event_id"))
+    EventStreams.runToMemory(stream, "dedup_append")
+    val ids = spark.table("dedup_append").as[Long].collect()
+    assert(ids.length == ids.distinct.length)
+    assert(ids.nonEmpty)
+  }
+
+  test("stream-stream interval join matches the batch equivalent") {
+    val stream = EventStreams.purchasesAfterSignup(
+      EventStreams.readEvents(spark, eventsPath))
+    EventStreams.runToMemory(stream, "ss_join")
+    val streamed = spark.table("ss_join")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val ev = Tables(spark, sf, "events")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"user_id".as("s_user"), $"ts".as("s_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+        $"value".as("amount"), $"event_id")
+    val batch = purchases.join(signups,
+        $"p_user" === $"s_user" && $"p_ts" >= $"s_ts" &&
+          $"p_ts" <= $"s_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"p_user", $"event_id", unix_timestamp($"s_ts"),
+        unix_timestamp($"p_ts"), round($"amount" * 100).cast("long"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stateful sessionization emits closed sessions consistent with batch") {
     val stream = EventStreams.sessionize(
       EventStreams.readEvents(spark, eventsPath))
