@@ -54,8 +54,11 @@ object SparkEntry {
     "q02_filter_project" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .filter(
-          col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
-          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          // to_timestamp parses in the SESSION timezone (UTC) — a
+          // java.sql.Timestamp literal would parse in the JVM default
+          // zone and shift the boundary on non-UTC drivers
+          col("l_shipdate") >= to_timestamp(lit("1995-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-01-01 00:00:00")) &&
           col("l_discount") >= 0.05 && col("l_quantity") < 24)
         .select(
           col("l_orderkey"), col("l_linenumber"),

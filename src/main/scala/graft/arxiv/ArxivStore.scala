@@ -42,6 +42,20 @@ final case class ArxivStore(
     authorship = authorship.cache(),
     publicationCategory = publicationCategory.cache(),
     logTable = logTable.cache())
+
+  private def all: Seq[DataFrame] = Seq(publications, citations, authors,
+    publicationVenues, categories, authorship, publicationCategory, logTable)
+
+  /** Force every table to compute (fills the caches) — call before
+    * unpersisting a predecessor store whose frames this one's lineage
+    * still references.
+    */
+  def materialize(): ArxivStore = { all.foreach(_.count()); this }
+
+  /** Release this store's cached tables (safe only after successors are
+    * materialized — see [[materialize]]).
+    */
+  def unpersist(): Unit = all.foreach(_.unpersist())
 }
 
 object ArxivStore {

@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
 object Clean {
 
   def run(store: ArxivStore): ArxivStore = {
+    // DELETE WHERE pred → keep rows where pred is NOT TRUE: a NULL title
+    // makes the reference's DELETE predicate NULL (row survives), so the
+    // keep-side filter must pass nulls too, not silently drop them
     val kept = store.publications
-      .filter(length(trim(col("title"))) >= 2)
+      .filter(not(coalesce(length(trim(col("title"))) < 2, lit(false))))
       .join(store.authorship.select(col("publication_id")).distinct(),
         col("id") === col("publication_id"), "left_semi")
       .drop("abstract")

@@ -68,8 +68,14 @@ object Enrich {
       cycles: Int = 2, limitPerCategory: Int = 2,
       clock: Column = current_date()): ArxivStore = {
     var store = store0
-    for (_ <- 1 to cycles)
-      store = runOnce(spark, store, client, limitPerCategory, clock).cached()
+    var owned = false // never unpersist the caller's store
+    for (_ <- 1 to cycles) {
+      val next = runOnce(spark, store, client, limitPerCategory, clock)
+        .cached().materialize()
+      if (owned) store.unpersist() // superseded cycle snapshots don't accumulate
+      store = next
+      owned = true
+    }
     store
   }
 
@@ -140,7 +146,7 @@ object Enrich {
     // -- resolve every result row (not only the title-winner) to its pub id
     val titleIds = mergedPubs.select(col("id").as("publication_id"), col("title"))
     val resultsWithId = results
-      .join(broadcast(titleIds), results("new_title") === titleIds("title"))
+      .join(titleIds, results("new_title") === titleIds("title"))
 
     // -- authors from each result (skip null/blank names, py:240-241)
     val newAuthorNames = resultsWithId
@@ -153,7 +159,7 @@ object Enrich {
       resultsWithId.select(col("publication_id"), explode(col("author_list")).as("a"))
         .select(col("publication_id"), trim(col("a.name")).as("name"))
         .filter(col("name").isNotNull && col("name") =!= "")
-        .join(broadcast(authors.select(col("id").as("author_id"), col("name"))), "name")
+        .join(authors.select(col("id").as("author_id"), col("name")), "name")
         .select(col("publication_id"), col("author_id")))
       .dropDuplicates("publication_id", "author_id")
 
@@ -169,7 +175,7 @@ object Enrich {
     val publicationCategory = store.publicationCategory.unionByName(
       resultsWithId.select(col("publication_id"),
           explode(split(col("categories_str"), " ")).as("category_name"))
-        .join(broadcast(categories.select(col("id").as("category_id"), col("category_name"))),
+        .join(categories.select(col("id").as("category_id"), col("category_name")),
           "category_name")
         .select(col("publication_id"), col("category_id")))
       .dropDuplicates("publication_id", "category_id")

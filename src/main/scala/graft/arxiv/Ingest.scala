@@ -19,8 +19,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *    JSON value (py:63,69 — quirk preserved; inject `clock` for tests).
   *  - authors get affiliation 'Unknown' (py:33).
   *  - the reference's N+1 row-at-a-time `get_or_insert_*` loops become
-  *    explode + distinct + dense-id allocation + broadcast joins: constant
-  *    number of shuffles regardless of row count.
+  *    explode + distinct + dense-id allocation + key joins (Catalyst
+  *    broadcasts the dim side while it is small; no forced hint, since
+  *    dims grow with the corpus): constant number of shuffles regardless
+  *    of row count.
   */
 object Ingest {
 
@@ -95,19 +97,20 @@ object Ingest {
       .withColumnRenamed("name", "category_name")
       .select(Schemas.categories.fieldNames.map(col).toSeq: _*)
 
-    // -- A4 bridges: resolve surrogate keys via broadcast joins, dedup on
-    //    the composite PK (ON CONFLICT DO NOTHING)
+    // -- A4 bridges: resolve surrogate keys via key joins (auto-broadcast
+    //    while dims are small), dedup on the composite PK
+    //    (ON CONFLICT DO NOTHING)
     val authorship = store.authorship.unionByName(
       newPubs.select(col("id").as("publication_id"),
           explode(split(col("authors_str"), ", ")).as("name"))
-        .join(broadcast(authors.select(col("id").as("author_id"), col("name"))), "name")
+        .join(authors.select(col("id").as("author_id"), col("name")), "name")
         .select(col("publication_id"), col("author_id")))
       .dropDuplicates("publication_id", "author_id")
 
     val publicationCategory = store.publicationCategory.unionByName(
       newPubs.select(col("id").as("publication_id"),
           explode(split(col("categories"), " ")).as("category_name"))
-        .join(broadcast(categories.select(col("id").as("category_id"), col("category_name"))),
+        .join(categories.select(col("id").as("category_id"), col("category_name")),
           "category_name")
         .select(col("publication_id"), col("category_id")))
       .dropDuplicates("publication_id", "category_id")

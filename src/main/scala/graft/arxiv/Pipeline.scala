@@ -19,6 +19,9 @@ final case class PipelineConfig(
     enrichCycles: Int = 2,
     limitPerCategory: Int = 2,
     stageRetries: Int = 1,
+    /** delay before a stage retry — the reference's retry_delay is 5 min
+      * (py:544); default 0 keeps tests fast, production configs mirror it */
+    stageRetryDelayMs: Long = 0,
     enableResolvePublicationTypes: Boolean = false,
     enableResolveAuthorNames: Boolean = false,
     enableNormalizeFieldsOfStudy: Boolean = false)
@@ -31,33 +34,41 @@ object Pipeline {
       clock: Column = current_date()): PipelineResult = {
     var store = ArxivStore.empty(spark)
 
+    var ownedStore = false
     def stage(name: String)(f: ArxivStore => ArxivStore): Unit = {
       var attempt = 0
       var done = false
       while (!done) {
         try {
-          val before = store.publications
+          val before = store
           val after = f(store).cached()
+          // trigger-equivalent audit append (aupostgres.sql:82-97); align
+          // both snapshots to common columns when the stage evolved the
+          // schema (clean drops abstract, transforms add publication_type).
+          // operation_time uses the injected clock so runs are reproducible
+          // (the trigger's CURRENT_TIMESTAMP ≙ the default clock value).
+          val common = before.publications.columns
+            .filter(after.publications.columns.contains).toSeq
+          val log = AuditDiff.diff(
+            before.publications.select(common.map(col): _*),
+            after.publications.select(common.map(col): _*),
+            "id", "publications", clock = clock.cast("timestamp"))
+          val next = after.copy(logTable = store.logTable
+            .unionByName(log.select(store.logTable.columns.map(col).toSeq: _*)))
           // force materialization INSIDE the try: Spark stages are lazy,
           // so without this the retry would only ever guard plan
           // construction while real failures surfaced later, outside it
-          after.publications.count()
-          after.authors.count()
-          after.citations.count()
-          // trigger-equivalent audit append (aupostgres.sql:82-97); align
-          // both snapshots to common columns when the stage evolved the
-          // schema (clean drops abstract, transforms add publication_type)
-          val common = before.columns.filter(after.publications.columns.contains).toSeq
-          val log = AuditDiff.diff(
-            before.select(common.map(col): _*),
-            after.publications.select(common.map(col): _*),
-            "id", "publications", clock = current_timestamp())
-          store = after.copy(logTable = store.logTable
-            .unionByName(log.select(store.logTable.columns.map(col).toSeq: _*)))
+          next.materialize()
+          if (ownedStore) before.unpersist() // bound cached-snapshot growth
+          store = next
+          ownedStore = true
           done = true
         } catch {
           case e: Exception if attempt < config.stageRetries =>
             attempt += 1 // D3: one retry, matching default_args retries=1
+            System.err.println(s"[pipeline] stage $name attempt $attempt " +
+              s"failed, retrying: ${e.getMessage}")
+            if (config.stageRetryDelayMs > 0) Thread.sleep(config.stageRetryDelayMs)
         }
       }
     }

@@ -113,6 +113,20 @@ final class MockScholarClient(resultsPerQuery: Int = 2) extends ScholarClient {
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
 
+  /** Full JSON string escaping — arXiv titles carry backslashes (TeX) and
+    * quotes; anything less produces invalid JSON that from_json nulls out,
+    * silently dropping those rows from enrichment.
+    */
+  private def jstr(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   override def search(query: String): Option[String] = {
     val results = (0 until resultsPerQuery).map { i =>
       val tag = h(s"$query#$i")
@@ -121,7 +135,7 @@ final class MockScholarClient(resultsPerQuery: Int = 2) extends ScholarClient {
       val title = if (i == 0) query else s"Study of $query ($tag)"
       val doi = if (tag(0) % 2 == 0) s""""result_id": "SR$tag",""" else """"result_id": "","""
       s"""{
-         |  "title": "${title.replace("\"", "").replace("\n", " ")}",
+         |  "title": "${jstr(title)}",
          |  "link": "https://scholar.example/$tag",
          |  $doi
          |  "snippet": "snippet $tag",

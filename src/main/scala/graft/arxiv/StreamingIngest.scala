@@ -15,6 +15,14 @@ import org.apache.spark.sql.streaming.Trigger
   * accumulated store — ids keep extending the SERIAL sequence, doi dedup
   * sees all previously-ingested rows, so replaying a batch is a no-op
   * (idempotent upserts, SURVEY §2.4 A1-A4).
+  *
+  * CHECKPOINT/STORE PAIRING: the checkpoint remembers which FILES were
+  * committed, not the table state. A caller restarting with an existing
+  * `checkpointDir` MUST pass the store those commits produced (e.g.
+  * reloaded from its persisted tables) — pairing an old checkpoint with
+  * an empty store skips the committed files and silently yields an empty
+  * result. Fresh checkpoint + empty store, or persisted checkpoint +
+  * persisted store; never mix.
   */
 object StreamingIngest {
 

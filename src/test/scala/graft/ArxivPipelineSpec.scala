@@ -103,6 +103,9 @@ class ArxivPipelineSpec extends SparkSpec {
     assert(sig(store.publications) == sig(r2.store.publications))
     assert(sig(store.citations) == sig(r2.store.citations))
     assert(sig(store.authorship) == sig(r2.store.authorship))
+    // the audit log is reproducible too: operation_time uses the injected
+    // clock, not wall-clock
+    assert(sig(store.logTable) == sig(r2.store.logTable))
   }
 
   test("ingest enforces all three UNIQUE keys (doi, title, report_no), nulls distinct") {
