@@ -478,6 +478,40 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // Ensemble near-dup: a pair is flagged if EITHER the text signal
+    // (3-gram Jaccard ≥ 0.5) OR the embedding signal (cosine ≥ 0.35, on
+    // matching ids) fires — the standard belt-and-braces curation setup.
+    "q65_dedup_ensemble" -> ((s, dir) => {
+      val textPairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), lit("text").as("signal"))
+      val embPairs = Similarity.nearDupPairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.35)
+        .select(col("id_a"), col("id_b"), lit("embedding").as("signal"))
+      textPairs.unionByName(embPairs)
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_signals"),
+          array_join(array_sort(collect_set(col("signal"))), ",").as("signals"))
+    }),
+
+    // Composed curation pipeline: quality-gate → exact-dedup (best = min
+    // doc_id per normalized fingerprint) → per-language counts. The whole
+    // chain is one declarative plan: filter pushdown + one dedup shuffle +
+    // one agg shuffle.
+    "q66_curation_pipeline" -> ((s, dir) => {
+      val m = TextAnalysis.qualityMetrics(col("text"))
+      val gated = t(s, dir, "documents")
+        .withColumn("n_tokens", m("n_tokens"))
+        .withColumn("uniq_ratio", m("uniq_token_ratio"))
+        .filter(col("n_tokens") >= 20 && col("uniq_ratio") >= 0.2)
+      Relational.dedupByKey(
+          gated.withColumn("fp", TextAnalysis.fingerprint(col("text"))),
+          "fp", Seq(col("doc_id").asc))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+    }),
+
     // Multimodal plumbing: opaque binary column + typed metadata (the
     // decode itself is stubbed — see graft.sources.Multimodal).
     "q64_multimodal_meta" -> ((s, dir) => {
@@ -700,22 +734,7 @@ object SparkEntry {
         |      FROM documents) t
         |GROUP BY fp HAVING count(*) > 1""".stripMargin,
     "q51_dedup_minhash_lsh" -> minhashOracleSql,
-    "q52_dedup_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT doc_id AS id,
-        |         unnest(list_distinct([w.w[i] || ' ' || w.w[i+1] || ' ' || w.w[i+2]
-        |                               FOR i IN range(1, greatest(len(w.w)-2, 0)+1)])) AS shingle
-        |       FROM w),
-        |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-        |common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-        |           GROUP BY a.id, b.id)
-        |SELECT id_a, id_b,
-        |  CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) AS jaccard
-        |FROM common
-        |JOIN sz za ON za.id = id_a
-        |JOIN sz zb ON zb.id = id_b
-        |WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.5""".stripMargin,
+    "q52_dedup_ngram_jaccard" -> oracleJaccardPairs(0.5),
     "q53_dedup_simhash" -> simhashOracleSql,
     "q54_ann_brute_topk" ->
       """WITH e AS (SELECT vec_id,
@@ -781,12 +800,67 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "q65_dedup_ensemble" -> {
+      val textPairs =
+        s"""SELECT id_a, id_b, 'text' AS signal FROM (
+           |${oracleJaccardPairs(0.5)}) tp""".stripMargin
+      val embPairs =
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b, 'embedding' AS signal
+          |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v FROM embeddings) a
+          |JOIN (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v FROM embeddings) b
+          |  ON a.vec_id < b.vec_id
+          |WHERE list_dot_product(a.v, b.v) /
+          |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35""".stripMargin
+      s"""SELECT id_a, id_b, count(*) AS n_signals,
+         |  array_to_string(list_sort(list(DISTINCT signal)), ',') AS signals
+         |FROM ($textPairs UNION ALL $embPairs) u
+         |GROUP BY id_a, id_b""".stripMargin
+    },
+    "q66_curation_pipeline" ->
+      """WITH gated AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / greatest(len(string_split(text, ' ')), 1) AS uniq_ratio,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 20
+        |    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / greatest(len(string_split(text, ' ')), 1) >= 0.2),
+        |deduped AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM gated) g WHERE rn = 1)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM deduped GROUP BY lang""".stripMargin,
     "q64_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(unhex(md5(text))) AS INT) AS n_bytes,
         |  substring(hex(unhex(md5(text))), 1, 8) AS hex8
         |FROM documents""".stripMargin
   )
+
+  /** DuckDB mirror of exact n-gram Jaccard pairs over documents (3-word
+    * shingles) at a threshold — brute inverted-index form (the oracle need
+    * not replicate the Spark side's PPJoin pruning, which is exact).
+    */
+  private def oracleJaccardPairs(threshold: Double): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id AS id,
+       |         unnest(list_distinct([w.w[i] || ' ' || w.w[i+1] || ' ' || w.w[i+2]
+       |                               FOR i IN range(1, greatest(len(w.w)-2, 0)+1)])) AS shingle
+       |       FROM w),
+       |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       |common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+       |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+       |           GROUP BY a.id, b.id)
+       |SELECT id_a, id_b,
+       |  CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) AS jaccard
+       |FROM common
+       |JOIN sz za ON za.id = id_a
+       |JOIN sz zb ON zb.id = id_b
+       |WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= $threshold""".stripMargin
 
   /** DuckDB rendering of Spark's `conv(substring(md5(x), start, len), 16, 10)`
     * — per-nibble positional arithmetic (DuckDB has no conv).
