@@ -65,6 +65,19 @@ object SparkEntry {
           cents(col("l_extendedprice") * col("l_discount")).as("disc_cents"))
     }),
 
+    // SQL-mode parity (SURVEY §3 E2): the SAME SQL string runs through
+    // spark.sql over registered temp views AND through DuckDB as its own
+    // oracle — one text, two engines, hash-equal results.
+    "q03_sql_pricing" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sharedSql("q03_sql_pricing"))
+    }),
+
+    "q14_sql_join_agg" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sharedSql("q14_sql_join_agg"))
+    }),
+
     // J1+J3 chained inner equi-joins (small dims auto-broadcast) +
     // group-count per nation (SURVEY §2.3 J1/J3, §2.4 A5/A7).
     "q10_join_revenue_by_nation" -> ((s, dir) => {
@@ -541,6 +554,8 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_discount >= 0.05 AND l_quantity < 24""".stripMargin,
+    "q03_sql_pricing" -> sharedSql("q03_sql_pricing"),
+    "q14_sql_join_agg" -> sharedSql("q14_sql_join_agg"),
     "q10_join_revenue_by_nation" ->
       """SELECT n_name,
         |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
@@ -840,6 +855,28 @@ object SparkEntry {
         |  substring(hex(unhex(md5(text))), 1, 8) AS hex8
         |FROM documents""".stripMargin
   )
+
+  /** Queries written in the ANSI subset BOTH engines parse identically —
+    * used verbatim as the Spark text and the DuckDB oracle.
+    */
+  val sharedSql: Map[String, String] = Map(
+    "q03_sql_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_units,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q14_sql_join_agg" ->
+      """SELECT n_name, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY n_name, o_orderpriority""".stripMargin)
 
   /** DuckDB mirror of exact n-gram Jaccard pairs over documents (3-word
     * shingles) at a threshold — brute inverted-index form (the oracle need
