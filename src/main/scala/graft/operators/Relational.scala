@@ -46,7 +46,7 @@ object Relational {
       resolve: Map[String, Resolve] = Map.empty): DataFrame = {
     val valueCols = base.columns.filterNot(keys.contains).toSeq
     val d = delta
-      .select(delta.columns.map(c =>
+      .select(delta.columns.toSeq.map(c =>
         if (keys.contains(c)) col(c) else col(c).as(s"__new_$c")): _*)
       .withColumn("__matched", lit(true))
     val isMatched = col("__matched").isNotNull // null ⇔ no delta row joined
@@ -61,7 +61,7 @@ object Relational {
         }).as(c)
       }): _*)
     val inserts = delta.join(base.select(keys.map(col): _*), keys, "left_anti")
-    resolved.unionByName(inserts.select(base.columns.map(col): _*))
+    resolved.unionByName(inserts.select(base.columns.toSeq.map(col): _*))
   }
 
   /** Key-dedup with SQL UNIQUE-constraint null semantics: rows with a null
@@ -116,7 +116,7 @@ object Relational {
     val maxId = dim.agg(coalesce(max(col(idCol)), lit(0L)).cast(LongType))
       .head().getLong(0)
     dim.unionByName(allocateIds(fresh, nameCol, maxId, idCol)
-      .select(dim.columns.map(col): _*))
+      .select(dim.columns.toSeq.map(col): _*))
   }
 
   /** Per-group top-k (SURVEY §2.5 W1): one shuffle, ranking window. */

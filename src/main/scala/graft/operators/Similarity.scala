@@ -86,7 +86,7 @@ object Similarity {
     */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit(_)): _*)
+      val planeLit = array(p.toSeq.map(lit(_)): _*)
       when(dot(vec.cast("array<double>"), planeLit) >= 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
@@ -169,7 +169,7 @@ object Similarity {
     * quadratically and stalls codegen).
     */
   private def cellScores(vec: Column, centroids: Array[Array[Double]]): Column =
-    transform(array(centroids.map(c => array(c.map(lit(_)): _*)): _*),
+    transform(array(centroids.toSeq.map(c => array(c.toSeq.map(lit(_)): _*)): _*),
       c => dot(vec, c))
 
   /** Index of the nearest centroid (max dot; first index wins ties). */
