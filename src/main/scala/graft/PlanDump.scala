@@ -1,0 +1,22 @@
+package graft
+
+/** Dev tool: dump formatted physical plans for representative queries
+  * (regenerates PLANS.md content).
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val qs = Seq("q01_pricing_summary", "q02_filter_project",
+      "q10_join_revenue_by_nation", "q12_anti_join", "q21_sort_limit",
+      "q51_dedup_minhash_lsh", "q54_ann_brute_topk")
+    for (q <- qs) {
+      println(s"\n## $q\n")
+      println("```")
+      println(SparkEntry.queries(q)(spark, sfDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode))
+      println("```")
+    }
+    spark.stop()
+  }
+}
