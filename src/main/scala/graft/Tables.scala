@@ -15,6 +15,11 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // runtime-settable: lets events load even from sessions that were
+      // not built through GraftSession (e.g. a driver-owned session)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeEvents(df) else df
   }
