@@ -753,7 +753,7 @@ object SparkEntry {
     "q53_dedup_simhash" -> simhashOracleSql,
     "q54_ann_brute_topk" ->
       """WITH e AS (SELECT vec_id,
-        |             list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v
+        |             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
         |           FROM embeddings),
         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |             list_dot_product(q.v, c.v) /
@@ -767,7 +767,7 @@ object SparkEntry {
         |WHERE rank <= 10""".stripMargin,
     "q55_embedding_neardup" ->
       """WITH e AS (SELECT vec_id,
-        |             list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v
+        |             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
         |           FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  list_dot_product(a.v, b.v) /
@@ -821,8 +821,8 @@ object SparkEntry {
            |${oracleJaccardPairs(0.5)}) tp""".stripMargin
       val embPairs =
         """SELECT a.vec_id AS id_a, b.vec_id AS id_b, 'embedding' AS signal
-          |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v FROM embeddings) a
-          |JOIN (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v FROM embeddings) b
+          |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings) a
+          |JOIN (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings) b
           |  ON a.vec_id < b.vec_id
           |WHERE list_dot_product(a.v, b.v) /
           |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35""".stripMargin

@@ -25,9 +25,13 @@ object Similarity {
 
   /** Quantize a float embedding to exact integer milliunits — makes every
     * downstream sum/product exact (deterministic across engines).
+    * The float is widened to double BEFORE the multiply: `float * 1000`
+    * evaluated in float32 rounds differently from an engine computing in
+    * double at .5-boundary products (observed at sf0.1), while
+    * float→double widening is exact everywhere.
     */
   def quantize(v: Column): Column =
-    transform(v, x => round(x * 1000).cast("long"))
+    transform(v, x => round(x.cast("double") * 1000).cast("long"))
 
   private def dotLong(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.dot_long(a, b)
