@@ -368,6 +368,43 @@ object SparkEntry {
         (weekday(col("o_orderdate")) + 1).as("isodow"))
     }),
 
+    // Analytic windows beyond ranking: running sum + lag delta per
+    // supplier. The synthetic lineitem does NOT have unique
+    // (orderkey, linenumber), so the value itself is the final tiebreak —
+    // rows tying on ALL order keys are then interchangeable and the output
+    // multiset is deterministic.
+    "q38_window_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+          col("price_cents").asc)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("price_cents"))
+        .withColumn("running_cents",
+          sum(col("price_cents")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("prev_cents", lag(col("price_cents"), 1).over(w))
+    }),
+
+    // CUBE grouping sets: all four aggregation granularities in one pass.
+    "q39_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Scalar subquery: rows above the global mean, compared in exact
+    // integer cents (price·N > Σcents) so no double-summation boundary.
+    "q47_scalar_subquery" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val totals = ord.agg(
+        sum(cents(col("o_totalprice"))).as("__sum_cents"),
+        count(lit(1)).as("__n"))
+      ord.crossJoin(broadcast(totals))
+        .filter(cents(col("o_totalprice")) * col("__n") > col("__sum_cents"))
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+    }),
+
     // Pivot (CASE-aggregation shape) — wide per-returnflag quantities.
     "q42_pivot" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -736,6 +773,26 @@ object SparkEntry {
         |  CAST(quarter(o_orderdate) AS INT) AS q,
         |  CAST(isodow(o_orderdate) AS INT) AS isodow
         |FROM orders""".stripMargin,
+    "q38_window_analytics" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_orderkey, l_linenumber, CAST(round(l_extendedprice*100) AS BIGINT)
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+        |  lag(CAST(round(l_extendedprice*100) AS BIGINT), 1) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_orderkey, l_linenumber, CAST(round(l_extendedprice*100) AS BIGINT)
+        |  ) AS prev_cents
+        |FROM lineitem""".stripMargin,
+    "q39_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q47_scalar_subquery" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE CAST(round(o_totalprice*100) AS BIGINT) * (SELECT count(*) FROM orders)
+        |  > (SELECT CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) FROM orders)""".stripMargin,
     "q42_pivot" ->
       """SELECT l_linestatus,
         |  sum(l_quantity) FILTER (WHERE l_returnflag = 'A') AS qty_a,
