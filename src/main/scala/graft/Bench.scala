@@ -1,6 +1,52 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main: times every catalog query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. A query that THROWS is reported in a "failed"
+  * list and as value -1 in "queries" — never as a (fast-looking) elapsed
+  * time, and never summed into the total.
+  */
 object Bench {
+
+  final case class Result(times: Map[String, Double], failed: Seq[String]) {
+    def total: Double = times.values.sum
+  }
+
+  /** Warmup + min-of-`passes` timing for each query; failures isolated
+    * per query. Separated from main so a spec can inject a failing query.
+    */
+  def run(spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      passes: Int = 2): Result = {
+    val sorted = queries.toSeq.sortBy(_._1)
+    // One warmup pass (codegen + JIT + parquet footer caches), then
+    // `passes` timed passes per query reporting the min — steady-state
+    // throughput with GC/scheduler noise damped.
+    sorted.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    def timeOnce(fn: (SparkSession, String) => DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable => None }
+    }
+    val timed = sorted.map { case (name, fn) =>
+      val runs = (1 to passes).flatMap(_ => timeOnce(fn))
+      name -> (if (runs.size == passes) Some(runs.min) else None)
+    }
+    Result(
+      times = timed.collect { case (n, Some(t)) => n -> t }.toMap,
+      failed = timed.collect { case (n, None) => n })
+  }
+
+  def render(r: Result, sfDir: String): String = {
+    val entries = (r.times.map { case (k, v) => k -> v.toString } ++
+      r.failed.map(_ -> "-1")).toSeq.sortBy(_._1)
+    val qs = entries.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val failedJson = r.failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${r.total},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,24 +56,10 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // One warmup pass (codegen + JIT + parquet footer caches), then two
-    // timed passes per query reporting the min — steady-state throughput
-    // with GC/scheduler noise damped.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
-    }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val result = run(spark, sfDir, SparkEntry.queries)
+    if (result.failed.nonEmpty)
+      System.err.println(s"[bench] FAILED queries: ${result.failed.mkString(", ")}")
+    println(render(result, sfDir))
     spark.stop()
   }
 }

@@ -106,8 +106,10 @@ object SparkEntry {
         .agg(count(col("l_linenumber")).as("big_lines"))
     }),
 
-    // P7/J5 NOT IN → null-aware anti join: customers with no urgent orders
-    // (SURVEY §2.2 P7, §2.3 J5).
+    // P7/J5 NOT IN → anti join: customers with no urgent orders
+    // (SURVEY §2.2 P7, §2.3 J5). left_anti ≙ NOT EXISTS, which equals the
+    // oracle's NOT IN here only because o_custkey is NOT NULL in the data;
+    // a null in the subquery side would make SQL NOT IN return zero rows.
     "q12_anti_join" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       val urgent = t(s, dir, "orders")

@@ -37,9 +37,12 @@ object ArxivFunctions {
       case (marker, label) if bib.contains(marker) => label
     }.getOrElse("Unknown")
 
+  // built once — as a per-row UDF the lookup must not rebuild the map
+  private val categoryLookup: Map[String, String] = Transforms.categoryMapping.toMap
+
   /** F9 scalar twin of [[Transforms.normalizeFieldsOfStudy]]. */
   def normalizeCategory(category: String): String =
-    Transforms.categoryMapping.toMap.getOrElse(category, "Other")
+    categoryLookup.getOrElse(category, "Other")
 
   /** F4 scalar twin of [[Citations.extractAuthor]]. */
   def extractCitationAuthor(summary: String): String =

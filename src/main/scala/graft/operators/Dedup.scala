@@ -19,6 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Tracks the intermediate frames an operator caches so the CALLER can
+    * release them once the (lazy) result is materialized — a long-lived
+    * session issuing many dedup jobs would otherwise accumulate
+    * MEMORY_AND_DISK shingle sets until LRU pressure. Default
+    * [[CacheHandle.untracked]] keeps the old fire-and-forget behavior.
+    */
+  final class CacheHandle {
+    private val frames = scala.collection.mutable.Buffer.empty[DataFrame]
+    private[operators] def track(df: DataFrame): DataFrame = {
+      frames += df.cache(); df
+    }
+    /** Unpersist every tracked frame (call AFTER materializing results). */
+    def release(): Unit = { frames.foreach(_.unpersist()); frames.clear() }
+  }
+  object CacheHandle {
+    /** Shared sink for callers that don't manage cache lifetime. */
+    val untracked: CacheHandle = new CacheHandle
+  }
+
   /** Exact-duplicate clusters on a content key (default: normalized md5
     * fingerprint). Returns (key, representative = min id, dup_count ≥ 2).
     */
@@ -103,13 +122,12 @@ object Dedup {
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
-    // cached because signatures and verify both consume it; MEMORY_AND_DISK
-    // with LRU eviction bounds the cost, but long-lived sessions issuing
-    // many dedup jobs should unpersist via spark.catalog.clearCache()
-    // between jobs (the result is lazy, so the operator cannot safely
-    // unpersist its own input)
-    val sets = shingleSets(df, idCol, textCol, shingleSize).cache()
+      threshold: Double = 0.5,
+      cache: CacheHandle = CacheHandle.untracked): DataFrame = {
+    // cached because signatures and verify both consume it; pass a real
+    // CacheHandle and release() after materializing to bound memory in
+    // long-lived sessions
+    val sets = cache.track(shingleSets(df, idCol, textCol, shingleSize))
     val sh = sets.select(col("id"), explode(col("shset")).as("shingle"))
     val bands = lshBands(minHashSignatures(sh, numHashes), rowsPerBand)
     val l = bands.select(col("band"), col("band_hash"), col("id").as("id_a"))
@@ -129,10 +147,11 @@ object Dedup {
     * before the full-intersection verify.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+      n: Int = 3, threshold: Double = 0.6,
+      cache: CacheHandle = CacheHandle.untracked): DataFrame = {
     // the shingle sets feed three consumers (freq, prefix, verify) —
     // cache once instead of re-exploding the corpus each time
-    val sets = shingleSets(df, idCol, textCol, n).cache()
+    val sets = cache.track(shingleSets(df, idCol, textCol, n))
     val sh = sets.select(col("id"), explode(col("shset")).as("shingle"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))

