@@ -1,0 +1,122 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** DuckDB mirrors for the similarity/ANN queries, generated from the SAME
+  * plane matrices and trained centroids the Spark operators use — the
+  * q51/q53 technique (render the algorithm's literals into SQL) applied to
+  * embeddings. All routing arithmetic is exact-integer on both sides
+  * (milli-quantized vectors × micro-quantized planes / milli centroids:
+  * terms < 2^40, 64-dim sums < 2^46, exact even if an engine computes the
+  * list dot in doubles), so candidate sets, cell assignments and rankings
+  * match bit-for-bit.
+  *
+  * These mirrors are generated AT VERIFY TIME (they need the embedding dim
+  * and, for IVF, the deterministically-trained centroids), via
+  * [[SparkEntry.oracleSqlDynamic]].
+  */
+object SimilarityOracle {
+
+  private def longList(a: Array[Long]): String = a.mkString("[", ", ", "]")
+
+  /** Milli-quantized embedding, the SQL twin of [[Similarity.quantize]]. */
+  private val vMilli =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+
+  private def dimOf(spark: SparkSession, dir: String): Int =
+    Tables(spark, dir, "embeddings")
+      .select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+
+  /** Integer sign-projection bucket id — twin of [[Similarity.lshBucket]]. */
+  private def bucketExpr(planes: Array[Array[Long]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(vm, ${longList(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def bandedCte(tables: Seq[(Int, Array[Array[Long]])]): String =
+    tables.map { case (t, planes) =>
+      s"  SELECT vec_id, $t AS tbl, ${bucketExpr(planes)} AS bucket FROM e"
+    }.mkString("\nUNION ALL\n")
+
+  /** Mirror of q56: multi-table LSH bucket join, distinct candidate pairs,
+    * exact quantized-cosine rerank to top-k.
+    */
+  def lshTopKSql(spark: SparkSession, dir: String, k: Int = 10,
+      nPlanes: Int = 5, nTables: Int = 8, seed: Long = 42L): String = {
+    val tables = Similarity.lshTables(dimOf(spark, dir), nPlanes, nTables, seed)
+    s"""WITH e AS (SELECT vec_id, $vMilli AS vm FROM embeddings),
+       |b AS (
+       |${bandedCte(tables)}),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |         FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |         WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id),
+       |scored AS (SELECT query_id, neighbor_id,
+       |    list_dot_product(qe.vm, ce.vm) /
+       |      (sqrt(list_dot_product(qe.vm, qe.vm)) * sqrt(list_dot_product(ce.vm, ce.vm))) AS cosine
+       |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+       |            JOIN e ce ON ce.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored) r
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** Mirror of q57: trains the integer k-means HERE (deterministic — long
+    * sums are partition-order independent, init is the nlist lowest ids),
+    * renders the centroids as literals, then replays cell assignment
+    * (crn = 1), query probing (crn ≤ nprobe) and the exact rerank.
+    */
+  def ivfTopKSql(spark: SparkSession, dir: String, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): String = {
+    val cents = Similarity.trainCentroids(
+      Tables(spark, dir, "embeddings"), "vec_id", "embedding", nlist, iters)
+    val sl = cents.map(c => s"list_dot_product(vm, ${longList(c)})")
+      .mkString("[\n    ", ",\n    ", "]")
+    s"""WITH e AS (SELECT vec_id, $vMilli AS vm FROM embeddings),
+       |sc AS (SELECT vec_id, vm, $sl AS sl FROM e),
+       |cells AS (SELECT vec_id, vm, CAST(t.cell AS INT) AS cell,
+       |            sl[CAST(t.cell AS INT) + 1] AS s
+       |          FROM sc CROSS JOIN (SELECT unnest(range(${cents.length})) AS cell) t),
+       |ranked AS (SELECT vec_id, vm, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS crn
+       |  FROM cells),
+       |corpus AS (SELECT vec_id AS neighbor_id, vm AS cv, cell FROM ranked WHERE crn = 1),
+       |queries AS (SELECT vec_id AS query_id, vm AS qv, cell FROM ranked
+       |            WHERE crn <= $nprobe AND vec_id % 25 = 0),
+       |scored AS (SELECT query_id, neighbor_id,
+       |    list_dot_product(qv, cv) /
+       |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+       |  FROM corpus JOIN queries USING (cell)
+       |  WHERE query_id <> neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored) r
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** Mirror of q67: banded candidates (id_a < id_b, any table), exact
+    * quantized-cosine verify ≥ threshold.
+    */
+  def bandedNearDupSql(spark: SparkSession, dir: String, threshold: Double,
+      nPlanes: Int = 6, nTables: Int = 8, seed: Long = 42L): String = {
+    val tables = Similarity.lshTables(dimOf(spark, dir), nPlanes, nTables, seed)
+    s"""WITH e AS (SELECT vec_id, $vMilli AS vm FROM embeddings),
+       |b AS (
+       |${bandedCte(tables)}),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+       |         FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+       |                          AND a.vec_id < c.vec_id),
+       |scored AS (SELECT id_a, id_b,
+       |    list_dot_product(ea.vm, eb.vm) /
+       |      (sqrt(list_dot_product(ea.vm, ea.vm)) * sqrt(list_dot_product(eb.vm, eb.vm))) AS cosine
+       |  FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+       |            JOIN e eb ON eb.vec_id = cand.id_b)
+       |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= $threshold""".stripMargin
+  }
+}

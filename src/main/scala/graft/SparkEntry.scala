@@ -454,19 +454,29 @@ object SparkEntry {
         threshold = 0.35)
     }),
 
-    // LSH-bucketed ANN (sign random projections; recall tested vs brute in
-    // ScalaTest — no SQL oracle: plane generation is library-side).
+    // LSH-bucketed ANN (sign random projections, integer-exact buckets).
+    // Oracle: the plane literals are rendered into DuckDB SQL at verify
+    // time (SimilarityOracle.lshTopKSql) — same technique as q51/q53.
     "q56_ann_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb.filter(col("vec_id") % 25 === 0), emb,
         "vec_id", "embedding", k = 10)
     }),
 
-    // IVF (k-means coarse quantizer) ANN — the 100 TB scale path.
+    // IVF (k-means coarse quantizer) ANN — the 100 TB scale path. The
+    // integer k-means is deterministic, so the oracle replays the trained
+    // centroids as literals (SimilarityOracle.ivfTopKSql).
     "q57_ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb.filter(col("vec_id") % 25 === 0), emb,
         "vec_id", "embedding", k = 10)
+    }),
+
+    // Sub-quadratic embedding near-dup: sign-projection banded candidates
+    // + exact cosine verify (documented recall; oracle mirrors the bands).
+    "q67_neardup_lsh_banded" -> ((s, dir) => {
+      Similarity.nearDupPairsBanded(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45)
     }),
 
     // Token counting + quality metrics (exact-integer ratios).
@@ -574,6 +584,16 @@ object SparkEntry {
           substring(hex(col("blob")), 1, 8).as("hex8"))
     })
   )
+
+  /** Oracle SQL that must be GENERATED against the data (embedding dim,
+    * trained IVF centroids) — merged with [[oracleSql]] by [[Verify]].
+    * Generation is deterministic: integer k-means + seeded planes, so the
+    * driver's oracle run replays exactly what the Spark queries computed.
+    */
+  def oracleSqlDynamic(spark: SparkSession, dir: String): Map[String, String] = Map(
+    "q56_ann_lsh_topk" -> SimilarityOracle.lshTopKSql(spark, dir),
+    "q57_ann_ivf_topk" -> SimilarityOracle.ivfTopKSql(spark, dir),
+    "q67_neardup_lsh_banded" -> SimilarityOracle.bandedNearDupSql(spark, dir, threshold = 0.45))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

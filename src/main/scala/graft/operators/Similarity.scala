@@ -4,15 +4,17 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Approximate-nearest-neighbor search over an embedding column
-  * (`Array[Float]`) — brute-force cosine as the exact baseline, plus two
-  * scale paths: random-hyperplane LSH bucketing and IVF (k-means coarse
-  * quantizer). Builder-prompt extension surface.
+/** Approximate-nearest-neighbor search and near-duplicate detection over an
+  * embedding column (`Array[Float]`) — brute-force cosine as the exact
+  * baseline, plus two scale paths: random-hyperplane LSH bucketing and IVF
+  * (k-means coarse quantizer). Builder-prompt extension surface.
   *
-  * Scale design: the corpus is never collected; queries (the small side)
-  * broadcast into a cross/bucket join; dot products are codegen'd
-  * `zip_with`/`aggregate` expressions, no UDFs. The quantized variants use
-  * exact integer arithmetic so results are engine-portable for oracles.
+  * Scale design: the corpus is never collected; small sides broadcast;
+  * dot products are codegen'd native expressions, no UDFs. All routing
+  * arithmetic (LSH bucket signs, IVF cell argmax) is EXACT-INTEGER —
+  * vectors quantized to milli-units, hyperplanes/centroids to fixed-point
+  * longs — so every candidate set and ranking is bit-reproducible in any
+  * engine (the DuckDB oracle mirrors render the same literals).
   */
 object Similarity {
 
@@ -36,6 +38,8 @@ object Similarity {
   private def dotLong(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.dot_long(a, b)
 
+  private def longLit(a: Array[Long]): Column = array(a.toSeq.map(lit(_)): _*)
+
   /** Cosine similarity on quantized vectors: integer dot and norms, one
     * final IEEE sqrt+divide (bit-identical in any engine).
     */
@@ -45,7 +49,8 @@ object Similarity {
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * `queries` and `corpus` both have (idCol, vecCol); self-pairs excluded.
     * The queries side is broadcast (assumed ≪ corpus); ranking is
-    * tie-broken on neighbor id for determinism.
+    * tie-broken on neighbor id for determinism. This is the DOCUMENTED
+    * exact baseline — [[lshTopK]]/[[ivfTopK]] are the scale paths.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
@@ -64,18 +69,51 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** All near-duplicate pairs with cosine ≥ threshold (id_a < id_b).
-    * Brute-force within — use for modest corpora or LSH-bucketed input.
+  /** All near-duplicate pairs with cosine ≥ threshold (id_a < id_b) —
+    * EXACT, with a cluster-shaped plan.
+    *
+    * An exact cosine-threshold self-join over dense embeddings is
+    * inherently O(n²) comparisons: at thresholds like q55's 0.35 the
+    * qualifying pairs sit AT the boundary (measured min cosine 0.35000 on
+    * the test corpora), where no sub-quadratic candidate generator can
+    * reach recall 1 for less work than the comparisons themselves. What
+    * this operator fixes vs a naive `crossJoin` is the EXECUTION SHAPE:
+    * ids hash into `nTiles` groups and each group pair (i ≤ j) becomes
+    * one tile of a triangle-tiled self-join (the classic MapReduce
+    * theta-join partitioning, cf. Okcan & Riedewald SIGMOD'11): the left
+    * side replicates each row to tiles (g, j ≥ g), the right side to
+    * tiles (i ≤ g, g), so every pair meets in EXACTLY one tile. The plan
+    * is a shuffled equi-join on the tile key — no CartesianProduct /
+    * BroadcastNestedLoopJoin node, no single unsplittable task, no
+    * full-side broadcast — with per-side replication ≤ nTiles and
+    * ~(n/nTiles)² comparisons per tile, spread evenly over the cluster.
+    *
+    * Scale knob: pick nTiles so a tile's rows fit an executor core's
+    * memory (nTiles ≈ n·rowBytes / targetPartitionBytes). For CAPPED
+    * near-dup thresholds (≥ ~0.7) prefer [[nearDupPairsBanded]], which is
+    * genuinely sub-quadratic at a documented recall.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), quantize(col(vecCol)).as("va"))
-      .withColumn("na", sqrt(dotLong(col("va"), col("va")).cast("double")))
-    val b = df.select(col(idCol).as("id_b"), quantize(col(vecCol)).as("vb"))
-      .withColumn("nb", sqrt(dotLong(col("vb"), col("vb")).cast("double")))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (dotLong(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      threshold: Double, nTiles: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
+      .withColumn("g", pmod(xxhash64(col("id")), lit(nTiles)).cast("int"))
+      .withColumn("nrm", sqrt(dotLong(col("v"), col("v")).cast("double")))
+    val lefts = base.select(
+      col("id").as("id_l"), col("v").as("v_l"), col("nrm").as("n_l"),
+      col("g").as("tile_i"),
+      explode(sequence(col("g"), lit(nTiles - 1))).as("tile_j"))
+    val rights = base.select(
+      col("id").as("id_r"), col("v").as("v_r"), col("nrm").as("n_r"),
+      explode(sequence(lit(0), col("g"))).as("tile_i"),
+      col("g").as("tile_j"))
+    lefts.join(rights, Seq("tile_i", "tile_j"))
+      // diagonal tiles see both orderings of a pair — keep one; off-diagonal
+      // tiles see each pair exactly once (group pair uniqueness)
+      .filter(col("tile_i") =!= col("tile_j") || col("id_l") < col("id_r"))
+      .select(
+        least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        (dotLong(col("v_l"), col("v_r")) / (col("n_l") * col("n_r"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -85,21 +123,64 @@ object Similarity {
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-random-projection LSH bucket id (0 .. 2^nPlanes-1) for a vector
-    * column: bit i = sign(v · plane_i). Pure expression, no UDF.
+  /** Hyperplanes quantized to integer micro-units: sign(v·p) evaluated on
+    * (milli-vector · micro-plane) is exact BIGINT arithmetic — terms stay
+    * below 2^40, 64-dim sums below 2^46 — so bucket assignment cannot be
+    * flipped by float summation order in ANY engine (the oracle renders
+    * these exact longs as SQL literals).
     */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+  def planesMicro(dim: Int, nPlanes: Int, seed: Long): Array[Array[Long]] =
+    hyperplanes(dim, nPlanes, seed).map(_.map(x => math.round(x * 1e6)))
+
+  /** The per-table plane matrices for multi-table LSH (table t seeded
+    * seed+t) — shared between the Spark operators and the oracle renderer.
+    */
+  def lshTables(dim: Int, nPlanes: Int, nTables: Int,
+      seed: Long): Seq[(Int, Array[Array[Long]])] =
+    (0 until nTables).map(t => (t, planesMicro(dim, nPlanes, seed + t)))
+
+  /** Sign-random-projection LSH bucket id (0 .. 2^nPlanes-1) for a
+    * MILLI-QUANTIZED vector column: bit i = sign(v · plane_i), exact
+    * integer. Pure expression, no UDF.
+    */
+  def lshBucket(vecMilli: Column, planes: Array[Array[Long]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.toSeq.map(lit(_)): _*)
-      when(dot(vec.cast("array<double>"), planeLit) >= 0, lit(1L << i)).otherwise(0L)
+      when(dotLong(vecMilli, longLit(p)) >= 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
+
+  /** (id, vm, tbl, bucket) — each vector exploded into its bucket in each
+    * of the `tables`.
+    */
+  private def bucketed(df: DataFrame, idCol: String, vecCol: String,
+      tables: Seq[(Int, Array[Array[Long]])]): DataFrame =
+    df.select(col(idCol).as("id"), quantize(col(vecCol)).as("vm"))
+      .select(col("id"), col("vm"),
+        explode(array(tables.map { case (t, planes) =>
+          struct(lit(t).as("tbl"), lshBucket(col("vm"), planes).as("bucket"))
+        }: _*)).as("tb"))
+      .select(col("id"), col("vm"), col("tb.tbl"), col("tb.bucket"))
+
+  /** Exact quantized cosine for candidate (id_a, id_b) pairs: join the
+    * milli-vectors back and score — candidates stay narrow through the
+    * distinct.
+    */
+  private def scorePairs(base: DataFrame, candidates: DataFrame): DataFrame = {
+    val a = base.select(col("id").as("id_a"), col("vm").as("va"))
+    val b = base.select(col("id").as("id_b"), col("vm").as("vb"))
+    candidates.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dotLong(col("va"), col("vb")) /
+          (sqrt(dotLong(col("va"), col("va")).cast("double")) *
+           sqrt(dotLong(col("vb"), col("vb")).cast("double")))).as("cosine"))
+  }
 
   /** LSH-bucketed approximate top-k: hash corpus and queries into
     * sign-projection buckets (`nTables` independent tables to boost
-    * recall), search only same-bucket candidates, exact-rerank.
-    * The shuffle key is (table, bucket) — at 100 TB the corpus partitions
-    * by bucket and each query touches nTables buckets instead of the
-    * full corpus.
+    * recall), search only same-bucket candidates, exact-rerank with
+    * quantized cosine. The shuffle key is (table, bucket) — at 100 TB the
+    * corpus partitions by bucket and each query touches nTables buckets
+    * instead of the full corpus. Recall for a pair at cosine c is
+    * 1 - (1 - p^nPlanes)^nTables with p = 1 - acos(c)/π.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nPlanes: Int = 5, nTables: Int = 8,
@@ -110,118 +191,163 @@ object Similarity {
         .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
           lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
     val dim = dimRow.head.getInt(0)
-    val tables = (0 until nTables).map { t =>
-      (t, hyperplanes(dim, nPlanes, seed + t))
-    }
-    def bucketed(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(s"${id}_v"),
-          explode(array(tables.map { case (ti, planes) =>
-            struct(lit(ti).as("tbl"), lshBucket(col(vecCol), planes).as("bucket"))
-          }: _*)).as("tb"))
-        .select(col(id), col(s"${id}_v"), col("tb.tbl"), col("tb.bucket"))
-    val qb = bucketed(queries, "query_id")
-    val cb = bucketed(corpus, "neighbor_id")
-    val candidates = cb.join(broadcast(qb), Seq("tbl", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val tables = lshTables(dim, nPlanes, nTables, seed)
+    val qb = bucketed(queries, idCol, vecCol, tables)
+    val cb = bucketed(corpus, idCol, vecCol, tables)
+    val candidates = cb.join(broadcast(qb.select(col("tbl"), col("bucket"),
+        col("id").as("query_id"))), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"))
       // dedup multi-table collisions on the id PAIR (array-valued columns
       // would make the dedup shuffle compare whole vectors)
-      .dropDuplicates("query_id", "neighbor_id")
+      .distinct()
+    // score each side from its OWN frame (queries need not be ⊆ corpus)
+    val qv = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+    val scored = candidates.join(broadcast(qv), Seq("query_id")).join(cv, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        quantize(col("query_id_v")).as("qv"), quantize(col("neighbor_id_v")).as("cv"))
+        (dotLong(col("qv"), col("cv")) /
+          (sqrt(dotLong(col("qv"), col("qv")).cast("double")) *
+           sqrt(dotLong(col("cv"), col("cv")).cast("double")))).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    candidates
-      .withColumn("qn", sqrt(dotLong(col("qv"), col("qv")).cast("double")))
-      .withColumn("cn", sqrt(dotLong(col("cv"), col("cv")).cast("double")))
-      .select(col("query_id"), col("neighbor_id"),
-        (dotLong(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** IVF coarse quantizer: Lloyd k-means over the corpus (few iterations,
-    * centroids live on the driver — nlist vectors, tiny), then search only
-    * the `nprobe` nearest centroid cells per query.
+  /** Near-duplicate pairs via multi-table sign-projection banding —
+    * the SUB-QUADRATIC embedding near-dup path: candidates are same-bucket
+    * pairs in any table, verified with exact quantized cosine ≥ threshold.
+    *
+    * Approximate BY DESIGN with a documented recall bound: a pair at
+    * cosine c collides with probability 1 - (1 - p^nPlanes)^nTables,
+    * p = 1 - acos(c)/π (e.g. ≥ 98% at c = 0.9 with the defaults; the
+    * operator is meant for genuine near-dup thresholds ≥ ~0.7). Both the
+    * banding and the verify are exact-integer, so the SAME candidate set
+    * is reproducible in any engine — the oracle mirrors the algorithm,
+    * literals included. Sizing: buckets per table = 2^nPlanes; scale
+    * nPlanes ≈ log2(n / targetBucketSize) to keep bucket self-joins flat.
     */
-  def trainCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
-      iters: Int = 5, seed: Long = 42L): Array[Array[Double]] = {
-    val dimRow = corpus.select(size(col(vecCol))).limit(1).collect()
-    if (dimRow.isEmpty) return Array.empty
+  def nearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 6, nTables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val dimRow = df.select(size(col(vecCol))).limit(1).collect()
+    if (dimRow.isEmpty)
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0.0).as("cosine"))
+        .limit(0)
     val dim = dimRow.head.getInt(0)
-    var centroids = corpus.select(col(vecCol)).limit(nlist).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val tables = lshTables(dim, nPlanes, nTables, seed)
+    val banded = bucketed(df, idCol, vecCol, tables)
+    val l = banded.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("tbl"), col("bucket"), col("id").as("id_b"))
+    val candidates = l.join(r, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val base = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("vm"))
+    scorePairs(base, candidates).filter(col("cosine") >= threshold)
+  }
+
+  /** IVF coarse quantizer: Lloyd k-means over the corpus with EXACT-INTEGER
+    * state — vectors in milli-units, per-(cell, dim) updates as long sums
+    * (associative ⇒ partition-order independent), centroids re-rounded to
+    * milli-units each iteration, init = the `nlist` lowest-id vectors.
+    * Two trainings over the same data produce IDENTICAL centroids, which
+    * is what lets the oracle render them as SQL literals. Centroids live
+    * on the driver — nlist milli-vectors, tiny; at scale the trained index
+    * (centroids + assignments) would be persisted, not retrained per query.
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 3, seed: Long = 42L): Array[Array[Long]] = {
+    val quant = corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
+    val initRows = quant.orderBy(col("id").asc).limit(nlist).collect()
+    if (initRows.isEmpty) return Array.empty
+    val dim = initRows.head.getSeq[Long](1).length
+    var centroids: Array[Array[Long]] = initRows.map(_.getSeq[Long](1).toArray)
     if (centroids.length < nlist) centroids = centroids ++
-      hyperplanes(dim, nlist - centroids.length, seed)
+      hyperplanes(dim, nlist - centroids.length, seed).map(_.map(x => math.round(x * 1000)))
     for (_ <- 1 to iters) {
-      val assigned = corpus.select(col(vecCol).cast("array<double>").as("v"))
-        .withColumn("cell", nearestCell(col("v"), centroids))
-      // per-(cell, dim) mean: scales to any cell size (no per-cell list);
-      // the collected result is only nlist × dim values.
-      val newCents = assigned
+      val assigned = quant.withColumn("cell", nearestCell(col("v"), centroids))
+      // per-(cell, dim) long sum + count: exact, scales to any cell size
+      // (no per-cell list); the collected result is only nlist × dim rows
+      val stats = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
         .collect()
-      for (r <- newCents)
-        centroids(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      val next = centroids.map(_.clone())
+      for (r <- stats)
+        next(r.getInt(0))(r.getInt(1)) =
+          math.round(r.getLong(2).toDouble / r.getLong(3))
+      centroids = next
     }
     centroids
   }
 
-  /** Per-centroid dot scores as ONE array expression — a single literal
-    * centroid matrix + nested lambda keeps the codegen tree linear in
-    * nlist×dim (a naive reduce-of-structs duplicates the dot expressions
-    * quadratically and stalls codegen).
+  /** Per-centroid integer dot scores as ONE array expression — a single
+    * literal centroid matrix + nested lambda keeps the codegen tree linear
+    * in nlist×dim (a naive reduce-of-structs duplicates the dot
+    * expressions quadratically and stalls codegen).
     */
-  private def cellScores(vec: Column, centroids: Array[Array[Double]]): Column =
-    transform(array(centroids.toSeq.map(c => array(c.toSeq.map(lit(_)): _*)): _*),
-      c => dot(vec, c))
+  private def cellScores(vecMilli: Column, centroids: Array[Array[Long]]): Column =
+    transform(array(centroids.toSeq.map(longLit): _*), c => dotLong(vecMilli, c))
 
-  /** Index of the nearest centroid (max dot; first index wins ties). */
-  def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val s = cellScores(vec, centroids)
+  /** Index of the nearest centroid (max integer dot; first index wins
+    * ties) for a milli-quantized vector.
+    */
+  def nearestCell(vecMilli: Column, centroids: Array[Array[Long]]): Column = {
+    val s = cellScores(vecMilli, centroids)
     (array_position(s, array_max(s)) - 1).cast("int")
   }
 
-  /** Cell indices argsorted by score desc (index-asc tiebreak). */
-  private def cellsByScore(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val s = cellScores(vec, centroids)
-    val zipped = zip_with(s, sequence(lit(0), lit(centroids.length - 1)),
-      (sc, i) => struct(sc.as("s"), i.as("i")))
-    transform(
-      array_sort(zipped, (a, b) =>
-        when(a("s") > b("s"), -1).when(a("s") < b("s"), 1)
-          .otherwise((a("i") - b("i")).cast("int"))),
-      x => x("i").cast("int"))
+  /** (vec_id, vm, cell, crn): every (vector, cell) scored and ranked by
+    * (score desc, cell asc) — crn = 1 is the assignment, crn ≤ nprobe the
+    * query probes. Relational form mirrors the oracle SQL one-to-one.
+    */
+  private def cellRanked(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Long]]): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("s").desc, col("cell").asc)
+    df.select(col(idCol).as("id"), quantize(col(vecCol)).as("vm"))
+      .select(col("id"), col("vm"),
+        posexplode(cellScores(col("vm"), centroids)).as(Seq("cell", "s")))
+      .withColumn("crn", row_number().over(w))
   }
 
-  /** IVF top-k: assign corpus rows to cells once (this would be the
-    * persisted index at scale), probe the nearest `nprobe` cells per query,
-    * exact-rerank within.
+  /** IVF search with given centroids: corpus rows live in their argmax
+    * cell (this is the persisted index at scale), each query probes its
+    * `nprobe` best cells, exact quantized-cosine rerank within.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      iters: Int = 3): DataFrame = {
-    val centroids = trainCentroids(corpus, vecCol, nlist, iters)
-    if (centroids.isEmpty) // empty corpus → empty result
-      return corpus.sparkSession.emptyDataFrame
-        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
-          lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
-    val cb = corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cell", nearestCell(col("cv"), centroids))
-    val qb = queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("cell",
-        explode(slice(cellsByScore(col("qv"), centroids), 1, nprobe)))
+  def ivfSearch(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Array[Array[Long]],
+      nprobe: Int): DataFrame = {
+    val cb = cellRanked(corpus, idCol, vecCol, centroids)
+      .filter(col("crn") === 1)
+      .select(col("id").as("neighbor_id"), col("vm").as("cv"), col("cell"))
+    val qb = cellRanked(queries, idCol, vecCol, centroids)
+      .filter(col("crn") <= nprobe)
+      .select(col("id").as("query_id"), col("vm").as("qv"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cb.join(broadcast(qb), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("cv")) /
-          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))))
-          .as("cosine"))
+        (dotLong(col("qv"), col("cv")) /
+          (sqrt(dotLong(col("qv"), col("qv")).cast("double")) *
+           sqrt(dotLong(col("cv"), col("cv")).cast("double")))).as("cosine"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF top-k: train the coarse quantizer, then search. Deterministic end
+    * to end (integer k-means), so an oracle can replay the exact centroids.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 3): DataFrame = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nlist, iters)
+    if (centroids.isEmpty) // empty corpus → empty result
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+          lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
+    ivfSearch(queries, corpus, idCol, vecCol, k, centroids, nprobe)
+  }
 }

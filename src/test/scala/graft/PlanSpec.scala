@@ -68,4 +68,18 @@ class PlanSpec extends SparkSpec {
     val s = formatted("q31_lookup_normalize")
     assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q55/q65: embedding near-dup plans have NO cartesian product") {
+    for (q <- Seq("q55_embedding_neardup", "q65_dedup_ensemble")) {
+      val s = formatted(q)
+      assert(!s.contains("CartesianProduct"), s"$q plans a CartesianProduct")
+      assert(!s.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("q67: banded near-dup joins on (tbl, bucket), no cartesian") {
+    val s = formatted("q67_neardup_lsh_banded")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -56,4 +56,48 @@ class SimilaritySpec extends SparkSpec {
       .select($"id_a", $"id_b", $"cosine").as[(Long, Long, Double)].collect()
     assert(pairs.forall(p => p._1 < p._2 && p._3 >= 0.3))
   }
+
+  test("tiled nearDupPairs equals the brute-force pair set exactly") {
+    // independent brute reference, computed with the same quantization
+    val q = emb.select($"vec_id", Similarity.quantize($"embedding").as("v"))
+    val a = q.select($"vec_id".as("id_a"), $"v".as("va"))
+    val b = q.select($"vec_id".as("id_b"), $"v".as("vb"))
+    val dl = org.apache.spark.sql.graft.VectorExpressions
+    val brute = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        (dl.dot_long($"va", $"vb") /
+          (sqrt(dl.dot_long($"va", $"va").cast("double")) *
+           sqrt(dl.dot_long($"vb", $"vb").cast("double")))).as("cosine"))
+      .filter($"cosine" >= 0.35)
+      .as[(Long, Long, Double)].collect().toSet
+    val tiled = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.35)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(tiled == brute, s"tiled=${tiled.size} brute=${brute.size}")
+    // and with a tile count that doesn't divide the corpus evenly
+    val tiled5 = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.35, nTiles = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(tiled5 == brute)
+  }
+
+  test("nearDupPairsBanded is a subset of exact pairs with identical cosines") {
+    val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.45)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    val banded = Similarity.nearDupPairsBanded(emb, "vec_id", "embedding", 0.45)
+      .as[(Long, Long, Double)].collect()
+    assert(banded.nonEmpty, "banding should recover some qualifying pairs")
+    banded.foreach { case (ia, ib, c) =>
+      assert(exact.contains((ia, ib)), s"($ia,$ib) not in exact set")
+      assert(exact((ia, ib)) == c, "verify cosine must equal the exact cosine")
+    }
+  }
+
+  test("integer k-means training is deterministic across invocations") {
+    val c1 = Similarity.trainCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val c2 = Similarity.trainCentroids(
+      emb.repartition(7), "vec_id", "embedding", nlist = 16)
+    assert(c1.length == 16)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq,
+      "long-sum k-means must be partition-order independent")
+  }
 }
