@@ -145,37 +145,86 @@ object Dedup {
     * index join shrinks by orders of magnitude while staying EXACT.
     * A size-ratio filter (`|A| ≥ t·|B|`, also necessary) prunes further
     * before the full-intersection verify.
+    *
+    * Hot-shingle handling (the 100 TB adversarial case): a shingle with
+    * document frequency > `maxShingleDf` that lands in prefixes creates a
+    * quadratic inverted-index bucket — one shuffle key, one straggler
+    * task. The prefix relation is therefore split by frequency:
+    *  - COLD prefix entries (df ≤ cap) join through the inverted index as
+    *    usual — fan-out is bounded by the cap;
+    *  - HOT prefix entries go through a triangle-TILED self-join per
+    *    shingle (same scheme as `Similarity.nearDupPairs`), so even a
+    *    shingle shared by every document spreads its candidate pairs
+    *    evenly over the cluster instead of one reducer.
+    * EXACTNESS is preserved, not approximated: candidates(cold) ∪
+    * candidates(hot) = pairs sharing ANY prefix shingle, which is the
+    * original PPJoin candidate set. (Under the rarest-first global order,
+    * hot shingles rank last, so a hot shingle enters a doc's prefix only
+    * when the doc has fewer than p rarer shingles — i.e. hot-heavy docs —
+    * which keeps the hot side small on natural corpora.)
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6,
-      cache: CacheHandle = CacheHandle.untracked): DataFrame = {
-    // the shingle sets feed three consumers (freq, prefix, verify) —
-    // cache once instead of re-exploding the corpus each time
+      cache: CacheHandle = CacheHandle.untracked,
+      maxShingleDf: Long = 256, nTiles: Int = 8): DataFrame = {
+    // the shingle sets feed the prefix build and the verify — cache once
+    // instead of re-exploding the corpus each time
     val sets = cache.track(shingleSets(df, idCol, textCol, n))
-    val sh = sets.select(col("id"), explode(col("shset")).as("shingle"))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    // carry |A| through the explode: sz comes from the array length, not
+    // a second groupBy-count shuffle over the posting list
+    val sh = sets.select(col("id"), size(col("shset")).as("sz"),
+      explode(col("shset")).as("shingle"))
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("f").asc, col("shingle").asc)
     val prefix = sh.join(freq, "shingle")
       .withColumn("rn", row_number().over(w))
-      .join(sizes, "id")
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("id"), col("shingle"), col("sz"), col("rn"))
-    val pairs = prefix.select(col("id").as("id_a"), col("shingle"),
-        col("sz").as("sz_a"), col("rn").as("rn_a"))
-      .join(prefix.select(col("id").as("id_b"), col("shingle"),
-        col("sz").as("sz_b"), col("rn").as("rn_b")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      // size-ratio bound: jaccard ≥ t ⇒ min ≥ t·max
+      .select(col("id"), col("shingle"), col("sz"), col("rn"), col("f"))
+
+    // size-ratio bound: jaccard ≥ t ⇒ min ≥ t·max; positional bound
+    // (PPJoin): matching at prefix positions (i, j) caps the remaining
+    // overlap at 1 + min(|A|-i, |B|-j), which must reach the required
+    // α = ceil(t/(1+t)·(|A|+|B|)). Both are symmetric in (a, b).
+    def pairFilters(d: DataFrame): DataFrame = d
       .filter(least(col("sz_a"), col("sz_b")) >=
         lit(threshold) * greatest(col("sz_a"), col("sz_b")))
-      // positional bound (PPJoin): matching at prefix positions (i, j)
-      // caps the remaining overlap at 1 + min(|A|-i, |B|-j), which must
-      // reach the required α = ceil(t/(1+t)·(|A|+|B|))
       .filter(lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) >=
         ceil(lit(threshold) / (1 + threshold) * (col("sz_a") + col("sz_b"))))
-      .select(col("id_a"), col("id_b")).distinct()
+
+    val cold = prefix.filter(col("f") <= maxShingleDf)
+    val coldPairs = pairFilters(
+      cold.select(col("id").as("id_a"), col("shingle"),
+          col("sz").as("sz_a"), col("rn").as("rn_a"))
+        .join(cold.select(col("id").as("id_b"), col("shingle"),
+          col("sz").as("sz_b"), col("rn").as("rn_b")), Seq("shingle"))
+        .filter(col("id_a") < col("id_b")))
+      .select(col("id_a"), col("id_b"))
+
+    // hot path: per-shingle triangle tiling — every doc pair sharing the
+    // hot shingle meets in exactly one (shingle, ti, tj) task
+    val hot = prefix.filter(col("f") > maxShingleDf)
+      .withColumn("g", pmod(xxhash64(col("id")), lit(nTiles)).cast("int"))
+    val hl = hot.select(col("id").as("id_l"), col("shingle"),
+      col("sz").as("sz_l"), col("rn").as("rn_l"),
+      col("g").as("ti"), explode(sequence(col("g"), lit(nTiles - 1))).as("tj"))
+    val hr = hot.select(col("id").as("id_r"), col("shingle"),
+      col("sz").as("sz_r"), col("rn").as("rn_r"),
+      explode(sequence(lit(0), col("g"))).as("ti"), col("g").as("tj"))
+    val hotPairs = pairFilters(
+      hl.join(hr, Seq("shingle", "ti", "tj"))
+        .filter(col("ti") =!= col("tj") || col("id_l") < col("id_r"))
+        .filter(col("id_l") =!= col("id_r"))
+        .select(
+          least(col("id_l"), col("id_r")).as("id_a"),
+          greatest(col("id_l"), col("id_r")).as("id_b"),
+          when(col("id_l") < col("id_r"), col("sz_l")).otherwise(col("sz_r")).as("sz_a"),
+          when(col("id_l") < col("id_r"), col("sz_r")).otherwise(col("sz_l")).as("sz_b"),
+          when(col("id_l") < col("id_r"), col("rn_l")).otherwise(col("rn_r")).as("rn_a"),
+          when(col("id_l") < col("id_r"), col("rn_r")).otherwise(col("rn_l")).as("rn_b")))
+      .select(col("id_a"), col("id_b"))
+
+    val pairs = coldPairs.unionByName(hotPairs).distinct()
     verifyJaccard(sets, pairs).filter(col("jaccard") >= threshold)
   }
 

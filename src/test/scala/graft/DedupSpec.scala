@@ -81,4 +81,38 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(pairs == brute)
   }
+
+  test("hot-shingle split is EXACT: tiny df-cap output equals uncapped output") {
+    val corpus = Tables(spark, sf, "documents")
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5,
+        maxShingleDf = Long.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    // cap of 2 forces nearly every prefix entry through the tiled hot path
+    val capped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5,
+        maxShingleDf = 2, nTiles = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(uncapped.nonEmpty)
+    assert(capped == uncapped,
+      s"capped=${capped.size} uncapped=${uncapped.size}")
+  }
+
+  test("adversarial corpus (one shingle in every doc) completes without a quadratic bucket") {
+    // every 4-word doc carries the universal shingle "alpha beta gamma"
+    // IN ITS PREFIX (2 shingles, prefix = 2 at t = 0.5) — the inverted
+    // index would put all 300 docs in one bucket; the tiled hot path must
+    // spread it. Two planted duplicates must still be found, the random
+    // tails must not pair.
+    val adversarial = ((1 to 300).map(i => (i.toLong, s"alpha beta gamma u$i")) ++
+      Seq((900L, "alpha beta gamma u77"))).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(adversarial, "doc_id", "text", 3, 0.5,
+        maxShingleDf = 16)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((77L, 900L))) // the planted duplicate only
+    // and the physical plan keeps the hot self-join keyed on tiles, not
+    // a single-shingle hash bucket: the join keys include the tile ids
+    val plan = Dedup.ngramJaccardPairs(adversarial, "doc_id", "text", 3, 0.5,
+        maxShingleDf = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ti") && plan.contains("tj"))
+  }
 }
