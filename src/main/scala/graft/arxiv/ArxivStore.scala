@@ -56,6 +56,31 @@ final case class ArxivStore(
     * materialized — see [[materialize]]).
     */
   def unpersist(): Unit = all.foreach(_.unpersist())
+
+  /** Durable lineage break: write every table to `dir` and re-read it.
+    * The 100×-safe analog of the reference's "between-task state lives in
+    * the database" (SURVEY §3 E1) — an executor loss after this point
+    * recomputes from the checkpoint parquet, never back through the
+    * (side-effecting) enrichment lineage; memory-only caches are not
+    * load-bearing for correctness. The write doubles as the stage's
+    * materialization barrier.
+    */
+  def checkpointTo(spark: SparkSession, dir: String): ArxivStore = {
+    def cp(df: DataFrame, name: String): DataFrame = {
+      val path = s"$dir/$name"
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      spark.read.schema(df.schema).parquet(path)
+    }
+    ArxivStore(
+      publications = cp(publications, "publications"),
+      citations = cp(citations, "citations"),
+      authors = cp(authors, "authors"),
+      publicationVenues = cp(publicationVenues, "publication_venues"),
+      categories = cp(categories, "categories"),
+      authorship = cp(authorship, "authorship"),
+      publicationCategory = cp(publicationCategory, "publication_category"),
+      logTable = cp(logTable, "log_table"))
+  }
 }
 
 object ArxivStore {

@@ -24,7 +24,14 @@ final case class PipelineConfig(
     stageRetryDelayMs: Long = 0,
     enableResolvePublicationTypes: Boolean = false,
     enableResolveAuthorNames: Boolean = false,
-    enableNormalizeFieldsOfStudy: Boolean = false)
+    enableNormalizeFieldsOfStudy: Boolean = false,
+    /** When set, every stage durably checkpoints the store to
+      * `<dir>/<n>_<stage>/` parquet and continues from the re-read — the
+      * lineage break survives executor loss (memory caches do not). Unset
+      * keeps the cache+materialize mode, which is fine for fixture-scale
+      * runs and tests.
+      */
+    checkpointDir: Option[String] = None)
 
 final case class PipelineResult(store: ArxivStore, validation: DataFrame)
 
@@ -35,13 +42,16 @@ object Pipeline {
     var store = ArxivStore.empty(spark)
 
     var ownedStore = false
+    var stageIdx = 0
     def stage(name: String)(f: ArxivStore => ArxivStore): Unit = {
       var attempt = 0
       var done = false
+      stageIdx += 1
       while (!done) {
         try {
           val before = store
-          val after = f(store).cached()
+          val after =
+            if (config.checkpointDir.isDefined) f(store) else f(store).cached()
           // trigger-equivalent audit append (aupostgres.sql:82-97); align
           // both snapshots to common columns when the stage evolved the
           // schema (clean drops abstract, transforms add publication_type).
@@ -57,11 +67,18 @@ object Pipeline {
             .unionByName(log.select(store.logTable.columns.map(col).toSeq: _*)))
           // force materialization INSIDE the try: Spark stages are lazy,
           // so without this the retry would only ever guard plan
-          // construction while real failures surfaced later, outside it
-          next.materialize()
-          if (ownedStore) before.unpersist() // bound cached-snapshot growth
-          store = next
-          ownedStore = true
+          // construction while real failures surfaced later, outside it.
+          // Checkpoint mode materializes by WRITING (durable lineage
+          // break, overwrite-idempotent under retry); cache mode counts.
+          config.checkpointDir match {
+            case Some(dir) =>
+              store = next.checkpointTo(spark, s"$dir/${stageIdx}_$name")
+            case None =>
+              next.materialize()
+              if (ownedStore) before.unpersist() // bound cached-snapshot growth
+              store = next
+              ownedStore = true
+          }
           done = true
         } catch {
           case e: Exception if attempt < config.stageRetries =>

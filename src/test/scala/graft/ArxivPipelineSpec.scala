@@ -127,6 +127,28 @@ class ArxivPipelineSpec extends SparkSpec {
     assert(titles == Set("T1", "T4", "T5"))
   }
 
+  test("durable checkpointing: identical outputs, lineage broken at each stage") {
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    val ck = Pipeline.run(spark,
+      PipelineConfig(inputPath = fixture, checkpointDir = Some(ckDir)),
+      clock = clock)
+    def sig(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy(df.columns.map(col).toSeq: _*).collect().map(_.toString).toSeq
+    // same results as the cache-mode run
+    assert(sig(ck.store.publications) == sig(store.publications))
+    assert(sig(ck.store.citations) == sig(store.citations))
+    assert(sig(ck.store.authorship) == sig(store.authorship))
+    assert(sig(ck.store.logTable) == sig(store.logTable))
+    // the returned store READS FROM the checkpoint — correctness no longer
+    // rides on memory-only caches (executor loss re-reads parquet)
+    val files = ck.store.publications.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains(ckDir.stripPrefix("/"))),
+      s"expected checkpoint-backed scan, got ${files.take(2).mkString(",")}")
+    // one directory per stage, in order
+    val stages = new java.io.File(ckDir).listFiles().map(_.getName).sorted.toSeq
+    assert(stages == Seq("1_ingest", "2_clean", "3_enrich", "4_citations"))
+  }
+
   test("clean removes orphan publications and drops abstract") {
     val s0 = Ingest.run(spark, ArxivStore.empty(spark), fixture, clock)
     // fabricate an orphan + short-title row
