@@ -1,32 +1,24 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{DoubleDot, LongDot}
+import org.apache.spark.sql.graft.GraftFunctionRegistry
 
-/** SparkSessionExtensions entry point: makes the graft native functions
-  * available to ANY session via config — no code changes for SQL users:
+/** SparkSessionExtensions entry point: makes the ENTIRE graft function
+  * surface available to ANY session via config — no code changes for SQL
+  * users:
   *
   * {{{
   * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
-  * SELECT dot_long(a, b), dot_double(x, y) FROM vectors
+  * SELECT dot_long(a, b), fingerprint(text), lang_id(text),
+  *        extract_publication_type(bib) FROM ...
   * }}}
   *
-  * (Extension-injected functions are the supported path for a library —
-  * the alternative, session-local `createOrReplaceTempFunction`, is also
-  * exposed as [[org.apache.spark.sql.graft.VectorExpressions.register]].)
+  * Every function is injected as a native expression builder (the SQL form
+  * plans and codegens identically to the DataFrame form) — see
+  * [[org.apache.spark.sql.graft.GraftFunctionRegistry]] for the catalog.
+  * The session-local alternative is `GraftFunctionRegistry.register`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("dot_long"),
-      new ExpressionInfo(classOf[LongDot].getName, "dot_long"),
-      (exprs: Seq[Expression]) => LongDot(exprs.head, exprs(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("dot_double"),
-      new ExpressionInfo(classOf[DoubleDot].getName, "dot_double"),
-      (exprs: Seq[Expression]) => DoubleDot(exprs.head, exprs(1))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctionRegistry.injectAll(ext)
 }
