@@ -9,7 +9,9 @@ object PlanDump {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val qs = Seq("q01_pricing_summary", "q02_filter_project",
       "q10_join_revenue_by_nation", "q12_anti_join", "q21_sort_limit",
-      "q51_dedup_minhash_lsh", "q54_ann_brute_topk")
+      "q51_dedup_minhash_lsh", "q54_ann_brute_topk",
+      "q55_embedding_neardup", "q56_ann_lsh_topk", "q57_ann_ivf_topk",
+      "q67_neardup_lsh_banded")
     for (q <- qs) {
       println(s"\n## $q\n")
       println("```")

@@ -27,13 +27,47 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object Enrich {
 
-  /** One-pass per-category top-k selection (replaces k queries). */
+  /** One-pass per-category top-k selection (replaces k queries).
+    *
+    * PARITY MODE: preserves the reference's substring semantics (`cs.C`
+    * matches `cs.CG`, py:165 LIKE '%...%') via a contains-join, which
+    * plans as BroadcastNestedLoopJoin over pubs × categories — fine while
+    * the category dim is a small broadcast, O(pubs·cats) if it grows with
+    * the corpus. Prefer [[selectPapersExact]] at scale.
+    */
   def selectPapers(store: ArxivStore, limitPerCategory: Int = 2): DataFrame = {
     val cats = store.categories
       .select(col("id").as("cat_id"), col("category_name"))
     val pubs = store.publications.select(col("id"), col("title"), col("categories"))
     val w = Window.partitionBy(col("cat_id")).orderBy(col("id").asc)
     pubs.join(broadcast(cats), pubs("categories").contains(col("category_name")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= limitPerCategory)
+      .select(col("cat_id"), col("id").as("pub_id"), col("title"),
+        col("categories").as("categories_str"))
+  }
+
+  /** SCALE MODE: equi-join on exploded category tokens — the shuffle key
+    * is the exact category code, so the join hash-partitions (and
+    * broadcasts only while the dim is genuinely small) instead of
+    * nested-looping pubs × categories. Semantics differ from
+    * [[selectPapers]] ONLY on the reference's substring quirk: a category
+    * code that is a proper substring of another token (`cs.C` vs `cs.CG`)
+    * no longer matches. Token-exact is the intended behavior at 100 TB;
+    * the parity default stays substring for reference fidelity
+    * (PipelineConfig.enrichExactCategoryMatch switches).
+    */
+  def selectPapersExact(store: ArxivStore, limitPerCategory: Int = 2): DataFrame = {
+    val cats = store.categories
+      .select(col("id").as("cat_id"), col("category_name"))
+    val tokens = store.publications
+      .select(col("id"), col("title"), col("categories"),
+        explode(split(col("categories"), " ")).as("category_name"))
+      // a code repeated inside one categories string must not occupy two
+      // rank slots (the contains-join yields one row per (pub, cat) pair)
+      .dropDuplicates("id", "category_name")
+    val w = Window.partitionBy(col("cat_id")).orderBy(col("id").asc)
+    tokens.join(cats, Seq("category_name"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= limitPerCategory)
       .select(col("cat_id"), col("id").as("pub_id"), col("title"),
@@ -66,11 +100,13 @@ object Enrich {
 
   def run(spark: SparkSession, store0: ArxivStore, client: ScholarClient,
       cycles: Int = 2, limitPerCategory: Int = 2,
-      clock: Column = current_date()): ArxivStore = {
+      clock: Column = current_date(),
+      exactCategoryMatch: Boolean = false): ArxivStore = {
     var store = store0
     var owned = false // never unpersist the caller's store
     for (_ <- 1 to cycles) {
-      val next = runOnce(spark, store, client, limitPerCategory, clock)
+      val next = runOnce(spark, store, client, limitPerCategory, clock,
+          exactCategoryMatch)
         .cached().materialize()
       if (owned) store.unpersist() // superseded cycle snapshots don't accumulate
       store = next
@@ -80,8 +116,11 @@ object Enrich {
   }
 
   private[arxiv] def runOnce(spark: SparkSession, store: ArxivStore,
-      client: ScholarClient, limitPerCategory: Int, clock: Column): ArxivStore = {
-    val papers = selectPapers(store, limitPerCategory)
+      client: ScholarClient, limitPerCategory: Int, clock: Column,
+      exactCategoryMatch: Boolean = false): ArxivStore = {
+    val papers =
+      if (exactCategoryMatch) selectPapersExact(store, limitPerCategory)
+      else selectPapers(store, limitPerCategory)
     val responses = fetchResponses(spark, papers, client, "title")
       .withColumn("parsed", from_json(col("response"), Scholar.responseSchema))
       .filter(col("parsed.organic_results").isNotNull) // skip-on-bad-response (py:211-213)

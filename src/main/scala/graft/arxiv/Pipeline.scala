@@ -25,6 +25,12 @@ final case class PipelineConfig(
     enableResolvePublicationTypes: Boolean = false,
     enableResolveAuthorNames: Boolean = false,
     enableNormalizeFieldsOfStudy: Boolean = false,
+    /** Scale switch for enrichment's per-category selection: false keeps
+      * the reference's substring semantics (broadcast contains-join);
+      * true uses the token-exact equi-join (hash-partitionable — the
+      * 100 TB shape). See [[Enrich.selectPapersExact]].
+      */
+    enrichExactCategoryMatch: Boolean = false,
     /** When set, every stage durably checkpoints the store to
       * `<dir>/<n>_<stage>/` parquet and continues from the re-read — the
       * lineage break survives executor loss (memory caches do not). Unset
@@ -93,7 +99,8 @@ object Pipeline {
     stage("ingest")(s => Ingest.run(spark, s, config.inputPath, clock))
     stage("clean")(Clean.run)
     stage("enrich")(s => Enrich.run(spark, s, config.client,
-      config.enrichCycles, config.limitPerCategory, clock))
+      config.enrichCycles, config.limitPerCategory, clock,
+      config.enrichExactCategoryMatch))
     if (config.enableResolvePublicationTypes)
       stage("resolve_publication_types")(s =>
         Transforms.resolvePublicationTypes(spark, s, config.client))

@@ -149,6 +149,36 @@ class ArxivPipelineSpec extends SparkSpec {
     assert(stages == Seq("1_ingest", "2_clean", "3_enrich", "4_citations"))
   }
 
+  test("selectPapersExact: same selection as substring mode on the fixture, scalable plan") {
+    val s0 = Clean.run(Ingest.run(spark, ArxivStore.empty(spark), fixture, clock))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"cat_id", $"pub_id").collect().map(_.toString).toSeq
+    // fixture codes have no proper-substring collisions → identical output
+    assert(rows(Enrich.selectPapersExact(s0)) == rows(Enrich.selectPapers(s0)))
+    // the equi-join form must not plan a nested loop over pubs × cats
+    val plan = Enrich.selectPapersExact(s0).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+
+    // the documented divergence: a category code that is a proper
+    // substring of another token matches in parity mode only
+    val quirk = s0.copy(
+      categories = Seq((900L, "cs.C")).toDF("id", "category_name"),
+      publications = s0.publications.limit(1)
+        .withColumn("categories", lit("cs.CG")))
+    assert(Enrich.selectPapers(quirk).count() == 1)      // substring hit
+    assert(Enrich.selectPapersExact(quirk).count() == 0) // token-exact miss
+  }
+
+  test("pipeline with exact category matching reproduces the fixture run") {
+    val exact = Pipeline.run(spark,
+      PipelineConfig(inputPath = fixture, enrichExactCategoryMatch = true),
+      clock = clock)
+    def sig(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy(df.columns.map(col).toSeq: _*).collect().map(_.toString).toSeq
+    assert(sig(exact.store.publications) == sig(store.publications))
+    assert(sig(exact.store.authorship) == sig(store.authorship))
+  }
+
   test("clean removes orphan publications and drops abstract") {
     val s0 = Ingest.run(spark, ArxivStore.empty(spark), fixture, clock)
     // fabricate an orphan + short-title row
