@@ -320,9 +320,12 @@ object Similarity {
   def ivfSearch(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Array[Array[Long]],
       nprobe: Int): DataFrame = {
-    val cb = cellRanked(corpus, idCol, vecCol, centroids)
-      .filter(col("crn") === 1)
-      .select(col("id").as("neighbor_id"), col("vm").as("cv"), col("cell"))
+    // corpus assignment is a pure argmax EXPRESSION (scan-side, no
+    // explode/window shuffle over n×nlist rows) — identical semantics to
+    // cellRanked's crn = 1 (first max wins both ways)
+    val cb = corpus
+      .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+      .withColumn("cell", nearestCell(col("cv"), centroids))
     val qb = cellRanked(queries, idCol, vecCol, centroids)
       .filter(col("crn") <= nprobe)
       .select(col("id").as("query_id"), col("vm").as("qv"), col("cell"))
