@@ -39,7 +39,14 @@ object Tables {
     }
   }
 
-  /** Register every table for `spark.sql` use. */
+  // last directory registered per session: repeat registrations of the
+  // same dir are no-ops (each one re-lists 10 parquet footers otherwise);
+  // a dir CHANGE re-registers so views never point at stale data
+  private val lastRegistered =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  /** Register every table for `spark.sql` use (idempotent per dir). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+    if (lastRegistered.put(spark, dir) != dir)
+      names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -353,4 +353,75 @@ object Similarity {
           lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
     ivfSearch(queries, corpus, idCol, vecCol, k, centroids, nprobe)
   }
+
+  // ------------------------------------------------------------------
+  // Persisted IVF index — the actual 100 TB shape: train + assign ONCE,
+  // store the assignments partitioned by cell, serve queries against the
+  // stored index. Probing nprobe of nlist cells then touches nprobe/nlist
+  // of the corpus files (partition pruning on the cell key) instead of
+  // rescanning and re-quantizing everything per query batch.
+  // ------------------------------------------------------------------
+
+  /** A trained IVF index: driver-held centroids (nlist milli-vectors,
+    * tiny) + the cell-assigned, milli-quantized corpus.
+    */
+  final case class IvfIndex(centroids: Array[Array[Long]], assignments: DataFrame)
+
+  /** Train and assign. `assignments` has (neighbor_id, cv, cell). */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, iters: Int = 3): IvfIndex = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nlist, iters)
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+      .withColumn("cell", nearestCell(col("cv"), centroids))
+    IvfIndex(centroids, assigned)
+  }
+
+  /** Persist: centroids as a tiny parquet (cell, centroid), assignments
+    * PARTITIONED BY cell — the layout that lets a probe read only its
+    * cells' files.
+    */
+  def saveIvfIndex(index: IvfIndex, dir: String): Unit = {
+    val spark = index.assignments.sparkSession
+    import scala.jdk.CollectionConverters._
+    val centRows = index.centroids.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, c.toSeq)
+    }.toSeq.asJava
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType), nullable = false)))
+    spark.createDataFrame(centRows, centSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    index.assignments.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$dir/assignments")
+  }
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Long](1).toArray)
+    IvfIndex(cents, spark.read.parquet(s"$dir/assignments"))
+  }
+
+  /** Serve top-k against a stored index: queries probe their nprobe best
+    * cells; the per-cell equi-join prunes to those cells' partitions.
+    */
+  def ivfSearchIndex(queries: DataFrame, index: IvfIndex, idCol: String,
+      vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val qb = cellRanked(queries, idCol, vecCol, index.centroids)
+      .filter(col("crn") <= nprobe)
+      .select(col("id").as("query_id"), col("vm").as("qv"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    index.assignments.join(broadcast(qb), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotLong(col("qv"), col("cv")) /
+          (sqrt(dotLong(col("qv"), col("qv")).cast("double")) *
+           sqrt(dotLong(col("cv"), col("cv")).cast("double")))).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -92,6 +92,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF index: save/load round trip serves identical top-k") {
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    val direct = Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 10)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.saveIvfIndex(
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding"), dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    val served = Similarity.ivfSearchIndex(queries, loaded, "vec_id", "embedding", 10)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served == direct)
+    // the at-rest layout is partitioned by cell → probes prune partitions
+    val cells = new java.io.File(s"$dir/assignments").listFiles()
+      .map(_.getName).filter(_.startsWith("cell="))
+    assert(cells.length > 1)
+  }
+
   test("integer k-means training is deterministic across invocations") {
     val c1 = Similarity.trainCentroids(emb, "vec_id", "embedding", nlist = 16)
     val c2 = Similarity.trainCentroids(
