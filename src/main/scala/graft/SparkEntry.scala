@@ -479,6 +479,29 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.45)
     }),
 
+    // Dedup clustering: pairwise minhash signals → connected components
+    // (min-label propagation; component id = representative doc).
+    "q68_dedup_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("component"))
+    }),
+
+    // As-of join: each purchase attributed to the user's latest
+    // prior-or-simultaneous click (union + running-last window — one
+    // shuffle on user_id, no range theta-join).
+    "q69_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), unix_timestamp(col("ts")).as("ts_sec"),
+        cents(col("value")).as("value_cents"))
+      val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
+      val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+      graft.operators.AsOf.joinAsOf(purchases, clicks, Seq("user_id"),
+        "ts_sec", payload = Seq("value_cents"), tieBreak = "event_id")
+    }),
+
     // Token counting + quality metrics (exact-integer ratios).
     "q58_text_stats" -> ((s, dir) => {
       val m = TextAnalysis.qualityMetrics(col("text"))
@@ -932,7 +955,50 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(octet_length(unhex(md5(text))) AS INT) AS n_bytes,
         |  substring(hex(unhex(md5(text))), 1, 8) AS hex8
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // components = min reachable doc_id over the minhash pair graph: the
+    // recursive CTE floods labels along (symmetric) edges; UNION dedup
+    // guarantees termination
+    "q68_dedup_components" ->
+      s"""WITH RECURSIVE mh AS (
+         |  SELECT id_a, id_b FROM ($minhashOracleSql) mhp
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mh
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM mh
+         |),
+         |r AS (
+         |  SELECT doc_id AS id, doc_id AS m FROM documents
+         |  UNION
+         |  SELECT e.dst AS id, r.m FROM r JOIN edges e ON e.src = r.id
+         |)
+         |SELECT id AS doc_id, min(m) AS component FROM r GROUP BY id""".stripMargin,
+    // mirror of the union+window as-of formulation; right rows sort
+    // before left at equal ts (<= semantics), last struct carried forward
+    "q69_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |             CAST(round(value*100) AS BIGINT) AS value_cents
+        |           FROM events),
+        |l AS (SELECT event_id, user_id, ts_sec, value_cents, 1 AS side,
+        |        CAST(NULL AS BIGINT) AS tb,
+        |        CAST(NULL AS STRUCT(event_id BIGINT, value_cents BIGINT)) AS p
+        |      FROM e WHERE event_type = 'purchase'),
+        |r AS (SELECT CAST(NULL AS BIGINT) AS event_id, user_id, ts_sec,
+        |        CAST(NULL AS BIGINT) AS value_cents, 0 AS side,
+        |        event_id AS tb,
+        |        {'event_id': event_id, 'value_cents': value_cents} AS p
+        |      FROM e WHERE event_type = 'click'),
+        |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |w AS (SELECT *, last_value(p IGNORE NULLS) OVER (
+        |        PARTITION BY user_id ORDER BY ts_sec, side, tb
+        |        ROWS UNBOUNDED PRECEDING) AS lastp
+        |      FROM u)
+        |SELECT event_id, user_id, ts_sec, value_cents,
+        |  lastp.event_id AS asof_event_id,
+        |  lastp.value_cents AS asof_value_cents
+        |FROM w WHERE side = 1""".stripMargin
   )
 
   /** Queries written in the ANSI subset BOTH engines parse identically —

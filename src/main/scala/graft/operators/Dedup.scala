@@ -228,6 +228,59 @@ object Dedup {
     verifyJaccard(sets, pairs).filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected near-dup pair graph — the
+    * clustering step that turns pairwise signals (minhash/simhash/
+    * embedding) into dedup groups. Iterative min-label propagation:
+    * every node starts labeled with its own id; each round takes the min
+    * of its own and its neighbors' labels; at fixpoint the label is the
+    * component's minimum id (which doubles as the representative).
+    *
+    * Scale shape: each round is one keyed shuffle (join + groupBy on the
+    * node id) — no driver-side graph. Rounds = eccentricity of the min
+    * node; near-dup clusters are near-cliques, so 1-3 rounds in practice.
+    * (For adversarially long path graphs at 100 TB, switch to
+    * large-star/small-star to get O(log n) rounds; the per-round plan is
+    * the same keyed shuffle.)
+    *
+    * Returns (id, component) for EVERY node (singletons map to
+    * themselves). Deterministic: min over longs.
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionByName(pairs
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .distinct().cache()
+    var labels = nodes
+      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("component"))
+      .cache()
+    labels.count()
+    var iter = 0
+    var done = false
+    while (!done) {
+      require(iter < maxIters,
+        s"connectedComponents did not converge in $maxIters rounds")
+      val byDst = labels.select(col("id").as("dst"), col("component").as("__nc"))
+      val nmin = edges.join(byDst, "dst")
+        .groupBy(col("src")).agg(min(col("__nc")).as("__nmin"))
+        .withColumnRenamed("src", "id")
+      val next = labels.join(nmin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nmin"), col("component")))
+            .as("component"))
+        .cache()
+      next.count()
+      done = next.join(labels.select(col("id"), col("component").as("__old")), "id")
+        .filter(col("component") < col("__old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash over word tokens. Per token a 60-bit md5-derived hash
     * votes ±1 on each bit position; the sign vector is the fingerprint.
     * Explode → 60 conditional sums → reassemble; one shuffle on id.

@@ -82,6 +82,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs == brute)
   }
 
+  test("connectedComponents: chains, cliques and singletons label to the component min") {
+    val nodes = (1L to 9L).toDF("id")
+    // component {1,2,3,4} as a path (forces multi-round propagation),
+    // component {5,6,7} as a triangle, {8} and {9} singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
+  }
+
+  test("connectedComponents groups the exact/near dup docs, leaves the rest alone") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select($"id_a", $"id_b")
+    val comp = Dedup.connectedComponents(docs.select($"doc_id"), "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(4L) == 1L) // dup cluster
+    assert(comp(3L) == 3L) // unrelated doc is its own component
+  }
+
   test("hot-shingle split is EXACT: tiny df-cap output equals uncapped output") {
     val corpus = Tables(spark, sf, "documents")
     val uncapped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5,
