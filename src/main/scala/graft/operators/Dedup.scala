@@ -266,19 +266,22 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("__nc")).as("__nmin"))
         .withColumnRenamed("src", "id")
       val next = labels.join(nmin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("__nmin"), col("component")))
             .as("component"))
         .cache()
-      next.count()
-      done = next.join(labels.select(col("id"), col("component").as("__old")), "id")
-        .filter(col("component") < col("__old")).isEmpty
+      // ONE job materializes the cache AND counts label changes — a
+      // separate count + isEmpty pair doubles the driver round-trips
+      val changed = next
+        .agg(sum(when(col("component") < col("__old"), 1L).otherwise(0L)))
+        .head().getLong(0)
+      done = changed == 0L
       labels.unpersist()
-      labels = next
+      labels = next.drop("__old")
       iter += 1
     }
     edges.unpersist()
-    labels
+    labels.select(col("id"), col("component"))
   }
 
   /** 64-bit SimHash over word tokens. Per token a 60-bit md5-derived hash
