@@ -107,4 +107,33 @@ class PropertySpec extends SparkSpec {
       assert(out == expected)
     }
   }
+
+  test("property: joinAsOf equals the brute-force most-recent-prior lookup") {
+    val eventGen = for {
+      n <- Gen.choose(5, 25)
+      rows <- Gen.listOfN(n, for {
+        user <- Gen.choose(1L, 4L)
+        ts <- Gen.choose(0L, 20L) // small range → frequent ts collisions
+        v <- Gen.choose(0L, 99L)
+      } yield (user, ts, v))
+    } yield rows.zipWithIndex.map { case ((u, t, v), i) => (i.toLong, u, t, v) }
+    forAll2(eventGen, eventGen, rounds = 8) { (leftRows, rightRows) =>
+      val left = leftRows.toDF("event_id", "user_id", "ts_sec", "value_cents")
+      val right = rightRows.toDF("event_id", "user_id", "ts_sec", "value_cents")
+      val got = graft.operators.AsOf
+        .joinAsOf(left, right, Seq("user_id"), "ts_sec",
+          Seq("value_cents"), "event_id")
+        .select($"event_id", $"asof_event_id", $"asof_value_cents")
+        .as[(Long, Option[Long], Option[Long])].collect()
+        .map { case (k, a, b) => k -> ((a, b)) }.toMap
+      val expected = leftRows.map { case (id, u, t, _) =>
+        // latest right.ts <= t for the user; ties → highest right event_id
+        val best = rightRows
+          .filter(r => r._2 == u && r._3 <= t)
+          .sortBy(r => (r._3, r._1)).lastOption
+        id -> ((best.map(_._1), best.map(_._4)))
+      }.toMap
+      assert(got == expected)
+    }
+  }
 }
