@@ -80,6 +80,25 @@ object IO {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** ORC source/sink — same columnar pushdown/pruning properties as
+    * parquet for shops standardized on ORC.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
+  /** CSV sink (header on by default) — the interchange format; prefer the
+    * columnar sinks for anything read back by the engine.
+    */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", header).csv(path)
+
   /** S5: byte-budget prefix sampler (createdataset.py:26-36): keep rows in
     * order while the cumulative serialized size stays ≤ `targetBytes` —
     * the row that would cross the budget is EXCLUDED

@@ -42,6 +42,22 @@ class IOSpec extends SparkSpec {
     val back = IO.readCsv(spark, s"$tmp/c", df.schema)
     assert(back.as[(Long, Option[String])].collect().toSet ==
       Set((1L, Some("a")), (2L, None)))
+    IO.writeCsv(df, s"$tmp/c2")
+    assert(IO.readCsv(spark, s"$tmp/c2", df.schema).count() == 2)
+  }
+
+  test("orc round-trip with partitioned layout and pushdown") {
+    val tmp = java.nio.file.Files.createTempDirectory("io_orc").toString
+    val df = Tables(spark, sf, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+    IO.writeOrc(df, s"$tmp/o", partitionBy = Seq("o_orderpriority"))
+    val back = IO.readOrc(spark, s"$tmp/o")
+    assert(back.count() == df.count())
+    // partition column became a directory key → partition pruning
+    val pruned = back.filter($"o_orderpriority" === "1-URGENT")
+    assert(pruned.count() == df.filter($"o_orderpriority" === "1-URGENT").count())
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("partitionFilters"))
   }
 
   test("extension-injected SQL functions resolve via spark.sql") {
