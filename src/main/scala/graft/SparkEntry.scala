@@ -489,6 +489,26 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("component"))
     }),
 
+    // Skew-safe two-phase aggregation: group by (key, salt) then combine —
+    // results must be IDENTICAL to the plain GROUP BY (the oracle), which
+    // is exactly what makes salting sound for decomposable aggs.
+    "q70_salted_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("vc"))
+      graft.operators.Skew.saltedAggregate(ev, Seq("event_type"), salts = 16,
+        partial = Seq(sum(col("vc")).as("__s"), count(lit(1)).as("__c")),
+        combine = Seq(sum(col("__s")).as("value_cents"),
+          sum(col("__c")).as("n_events")))
+    }),
+
+    // Quality gate: heuristic score + BPE-ish token estimate per doc.
+    "q71_quality_gate" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality_score"),
+        TextAnalysis.bpeTokenEstimate(col("text")).as("bpe_tokens"),
+        (TextAnalysis.qualityScore(col("text")) >= 0.5).as("is_kept"))
+    }),
+
     // As-of join: each purchase attributed to the user's latest
     // prior-or-simultaneous click (union + running-last window — one
     // shuffle on user_id, no range theta-join).
@@ -974,6 +994,30 @@ object SparkEntry {
          |  SELECT e.dst AS id, r.m FROM r JOIN edges e ON e.src = r.id
          |)
          |SELECT id AS doc_id, min(m) AS component FROM r GROUP BY id""".stripMargin,
+    // the salted two-phase agg must equal the PLAIN group-by — that
+    // equality IS the correctness property of salting
+    "q70_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q71_quality_gate" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / greatest(len(string_split(text, ' ')), 1) AS uniq_ratio,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS alpha_ratio,
+        |    CAST(list_sum(list_transform(string_split(text, ' '),
+        |      w -> greatest(1, CAST(ceil(length(w)/4.0) AS BIGINT)))) AS BIGINT) AS bpe_tokens
+        |  FROM documents),
+        |s AS (SELECT doc_id, bpe_tokens,
+        |        round((least(n_tok/50.0, 1.0) + uniq_ratio + alpha_ratio)/3, 6) AS quality_score
+        |      FROM m)
+        |SELECT doc_id, quality_score, bpe_tokens,
+        |  quality_score >= 0.5 AS is_kept
+        |FROM s""".stripMargin,
     // mirror of the union+window as-of formulation; right rows sort
     // before left at equal ts (<= semantics), last struct carried forward
     "q69_asof_join" ->
