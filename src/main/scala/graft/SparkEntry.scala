@@ -617,6 +617,24 @@ object SparkEntry {
           sum(col("n_tokens")).as("total_tokens"))
     }),
 
+    // Full near-dup curation pipeline in ONE declarative chain: quality
+    // gate → minhash pair graph over the survivors → connected-components
+    // clustering → representatives only → per-language stats. The
+    // training-data shape: q66 with fuzzy (not just exact) dedup.
+    "q72_curation_neardup" -> ((s, dir) => {
+      val m = TextAnalysis.qualityMetrics(col("text"))
+      val gated = t(s, dir, "documents")
+        .withColumn("n_tokens", m("n_tokens"))
+        .withColumn("uniq_ratio", m("uniq_token_ratio"))
+        .filter(col("n_tokens") >= 20 && col("uniq_ratio") >= 0.2)
+      val pairs = Dedup.minHashLshPairs(gated, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      Dedup.dedupByComponents(gated, "doc_id", pairs)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+    }),
+
     // Multimodal plumbing: opaque binary column + typed metadata (the
     // decode itself is stubbed — see graft.sources.Multimodal).
     "q64_multimodal_meta" -> ((s, dir) => {
@@ -994,6 +1012,35 @@ object SparkEntry {
          |  SELECT e.dst AS id, r.m FROM r JOIN edges e ON e.src = r.id
          |)
          |SELECT id AS doc_id, min(m) AS component FROM r GROUP BY id""".stripMargin,
+    // gate → minhash pairs over survivors → component flood → keep
+    // representatives → per-language stats (the q66 shape with fuzzy dedup)
+    "q72_curation_neardup" -> {
+      val gatePred =
+        """len(string_split(text, ' ')) >= 20
+          |    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          |      / greatest(len(string_split(text, ' ')), 1) >= 0.2""".stripMargin
+      val gatedSrc = s"(SELECT doc_id, text FROM documents WHERE $gatePred) gsrc"
+      s"""WITH RECURSIVE gated AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |  WHERE $gatePred),
+         |mh AS (SELECT id_a, id_b FROM (${minhashPairsSqlFrom(gatedSrc)}) mhp),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mh
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM mh),
+         |r AS (
+         |  SELECT doc_id AS id, doc_id AS m FROM gated
+         |  UNION
+         |  SELECT e.dst AS id, r.m FROM r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, min(m) AS component FROM r GROUP BY id)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM gated JOIN comp ON gated.doc_id = comp.id
+         |WHERE comp.id = comp.component
+         |GROUP BY lang""".stripMargin
+    },
     // the salted two-phase agg must equal the PLAIN group-by — that
     // equality IS the correctness property of salting
     "q70_salted_agg" ->
@@ -1102,10 +1149,16 @@ object SparkEntry {
     * ≥ 0.5. Band hash sorts "seed:sig" strings lexicographically
     * (= Spark's array_sort).
     */
-  private lazy val minhashOracleSql: String = {
+  private lazy val minhashOracleSql: String = minhashPairsSqlFrom("documents")
+
+  /** Same mirror over an arbitrary (doc_id, text) source expression —
+    * lets composed pipelines (q72) run the minhash stage over a gated
+    * subset.
+    */
+  private def minhashPairsSqlFrom(docsSrc: String): String = {
     val h1 = hexToLongSql("md5(shingle)", 1, 15)
     val h2 = hexToLongSql("md5(shingle)", 16, 14)
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM $docsSrc),
        |sh AS (SELECT doc_id AS id,
        |         unnest(list_distinct([w.w[i] || ' ' || w.w[i+1] || ' ' || w.w[i+2]
        |                               FOR i IN range(1, greatest(len(w.w)-2, 0)+1)])) AS shingle

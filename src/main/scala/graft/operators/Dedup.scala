@@ -284,6 +284,18 @@ object Dedup {
     labels.select(col("id"), col("component"))
   }
 
+  /** Near-dup dedup ACTION: cluster the pair graph and keep only each
+    * component's representative (the minimum id). Composes any pair
+    * source (minhash/simhash/embedding/ensemble) with
+    * [[connectedComponents]].
+    */
+  def dedupByComponents(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val reps = connectedComponents(df.select(col(idCol)), idCol, pairs)
+      .filter(col("id") === col("component"))
+      .select(col("id").as("__keep"))
+    df.join(reps, col(idCol) === col("__keep")).drop("__keep")
+  }
+
   /** 64-bit SimHash over word tokens. Per token a 60-bit md5-derived hash
     * votes ±1 on each bit position; the sign vector is the fingerprint.
     * Explode → 60 conditional sums → reassemble; one shuffle on id.
