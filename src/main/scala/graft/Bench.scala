@@ -18,6 +18,7 @@ object Bench {
   def run(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame],
       passes: Int = 2): Result = {
+    require(passes >= 1, s"passes must be >= 1, got $passes")
     val sorted = queries.toSeq.sortBy(_._1)
     // One warmup pass (codegen + JIT + parquet footer caches), then
     // `passes` timed passes per query reporting the min — steady-state

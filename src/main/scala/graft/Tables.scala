@@ -45,8 +45,16 @@ object Tables {
   private val lastRegistered =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
-  /** Register every table for `spark.sql` use (idempotent per dir). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    if (lastRegistered.put(spark, dir) != dir)
+  /** Register every table for `spark.sql` use (idempotent per dir).
+    * Synchronized, and the dir is recorded only AFTER all ten views
+    * exist — a partial failure must not poison the session into
+    * no-op-ing forever, and a concurrent caller must not proceed
+    * against views that are not there yet.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
+    if (lastRegistered.get(spark) != dir) {
       names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+      lastRegistered.put(spark, dir)
+    }
+  }
 }

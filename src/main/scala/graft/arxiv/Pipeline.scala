@@ -78,7 +78,12 @@ object Pipeline {
           // break, overwrite-idempotent under retry); cache mode counts.
           config.checkpointDir match {
             case Some(dir) =>
-              store = next.checkpointTo(spark, s"$dir/${stageIdx}_$name")
+              // pin the stage result across the 8 table writes: the audit
+              // diff reads after.publications a second time (logTable),
+              // and every write would otherwise re-run the stage lineage
+              val pinned = next.cached()
+              try store = pinned.checkpointTo(spark, s"$dir/${stageIdx}_$name")
+              finally pinned.unpersist() // store now reads parquet
             case None =>
               next.materialize()
               if (ownedStore) before.unpersist() // bound cached-snapshot growth

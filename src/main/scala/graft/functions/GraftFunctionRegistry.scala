@@ -38,11 +38,17 @@ object GraftFunctionRegistry {
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(col.node)
 
   /** Constant int argument (e.g. an n-gram size) — must be a literal. */
-  private def intArg(x: Expression, fn: String): Int = x match {
-    case Literal(v: Int, _) => v
-    case other if other.foldable => other.eval().asInstanceOf[Number].intValue
-    case _ => throw new IllegalArgumentException(
-      s"$fn expects a literal integer argument")
+  private def intArg(x: Expression, fn: String): Int = {
+    val v = x match {
+      case Literal(i: Int, _) => i
+      case other if other.foldable => other.eval() // may be null / non-numeric
+      case _ => null
+    }
+    v match {
+      case n: Number => n.intValue
+      case _ => throw new IllegalArgumentException(
+        s"$fn expects a literal integer argument, got ${x.sql}")
+    }
   }
 
   /** Column twin of the reference's category normalization (F9) as a pure

@@ -25,17 +25,26 @@ object Dedup {
     * MEMORY_AND_DISK shingle sets until LRU pressure. Default
     * [[CacheHandle.untracked]] keeps the old fire-and-forget behavior.
     */
-  final class CacheHandle {
+  final class CacheHandle(private val record: Boolean = true) {
     private val frames = scala.collection.mutable.Buffer.empty[DataFrame]
     private[operators] def track(df: DataFrame): DataFrame = {
-      frames += df.cache(); df
+      df.cache()
+      // synchronized: concurrent dedup jobs may share a handle
+      if (record) frames.synchronized { frames += df }
+      df
     }
     /** Unpersist every tracked frame (call AFTER materializing results). */
-    def release(): Unit = { frames.foreach(_.unpersist()); frames.clear() }
+    def release(): Unit = frames.synchronized {
+      frames.foreach(_.unpersist()); frames.clear()
+    }
   }
   object CacheHandle {
-    /** Shared sink for callers that don't manage cache lifetime. */
-    val untracked: CacheHandle = new CacheHandle
+    /** Shared sink for callers that don't manage cache lifetime — caches
+      * but deliberately records NOTHING (a JVM-lifetime buffer of every
+      * default-arg call's frame would itself be the leak, and a stray
+      * `untracked.release()` would unpersist unrelated in-flight jobs).
+      */
+    val untracked: CacheHandle = new CacheHandle(record = false)
   }
 
   /** Exact-duplicate clusters on a content key (default: normalized md5
@@ -255,6 +264,11 @@ object Dedup {
     var labels = nodes
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("component"))
       .cache()
+    // `cached` tracks the EXACT frame that holds the cache entry:
+    // unpersisting a projection of it (labels after drop) is a no-op
+    // (Dataset.unpersist only removes a sameResult-matching plan), which
+    // would leak one cached frame per round
+    var cached = labels
     labels.count()
     var iter = 0
     var done = false
@@ -276,7 +290,8 @@ object Dedup {
         .agg(sum(when(col("component") < col("__old"), 1L).otherwise(0L)))
         .head().getLong(0)
       done = changed == 0L
-      labels.unpersist()
+      cached.unpersist() // safe: next is materialized above
+      cached = next
       labels = next.drop("__old")
       iter += 1
     }

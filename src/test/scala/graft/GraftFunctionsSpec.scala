@@ -58,6 +58,15 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getLong(0) == 23L && r.getDouble(1) == 1.5)
   }
 
+  test("non-integer n-gram size argument fails with a clear message") {
+    val e = intercept[Exception] {
+      s2.sql("SELECT word_ngrams(text, 'three') FROM docs").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("literal integer")))
+  }
+
   test("SQL form stays an expression: no ScalaUDF node in the plan") {
     val plan = s2.sql("SELECT fingerprint(text), quality_score(text) FROM docs")
       .queryExecution.executedPlan.toString
