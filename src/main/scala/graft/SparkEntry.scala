@@ -575,6 +575,35 @@ object SparkEntry {
           (max(col("ts_sec")) - min(col("ts_sec"))).as("duration_sec"))
     }),
 
+    // Sliding-window aggregation (batch twin of the streaming
+    // slidingTypeRates): every event lands in size/slide = 4 windows.
+    "q73_events_sliding" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"), unix_timestamp(col("ts")).as("ts_sec"))
+        .withColumn("w_start",
+          explode(transform(sequence(lit(0), lit(3)),
+            k => (col("ts_sec") - col("ts_sec") % 900) - k * 900)))
+        .groupBy(col("w_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
+    // RANGE-frame window: for each error event, how many clicks the same
+    // user made in the preceding 10 minutes (union + range frame — the
+    // batch form of a stream-stream interval join, no theta join).
+    "q74_range_window" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("error", "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_sec"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"))
+        .rangeBetween(-600, 0)
+      ev.withColumn("clicks_10m",
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w))
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts_sec"), col("clicks_10m"))
+    }),
+
     // F11 nested-JSON access: parse the props JSON column.
     "q63_json_props" -> ((s, dir) => {
       t(s, dir, "events")
@@ -1012,6 +1041,27 @@ object SparkEntry {
          |  SELECT e.dst AS id, r.m FROM r JOIN edges e ON e.src = r.id
          |)
          |SELECT id AS doc_id, min(m) AS component FROM r GROUP BY id""".stripMargin,
+    "q73_events_sliding" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |           FROM events),
+        |w AS (SELECT event_type,
+        |        (ts_sec - ts_sec % 900) - k * 900 AS w_start
+        |      FROM e CROSS JOIN (SELECT unnest(range(4)) AS k) ks)
+        |SELECT w_start, event_type, count(*) AS n_events
+        |FROM w GROUP BY w_start, event_type""".stripMargin,
+    "q74_range_window" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |           FROM events
+        |           WHERE event_type IN ('error', 'click')),
+        |r AS (SELECT event_id, user_id, event_type, ts_sec,
+        |        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+        |          PARTITION BY user_id ORDER BY ts_sec
+        |          RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS clicks_10m
+        |      FROM e)
+        |SELECT event_id, user_id, ts_sec, CAST(clicks_10m AS BIGINT) AS clicks_10m
+        |FROM r WHERE event_type = 'error'""".stripMargin,
     // gate → minhash pairs over survivors → component flood → keep
     // representatives → per-language stats (the q66 shape with fuzzy dedup)
     "q72_curation_neardup" -> {
