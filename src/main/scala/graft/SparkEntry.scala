@@ -407,6 +407,22 @@ object SparkEntry {
         .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
     }),
 
+    // GROUPING SETS (the general form behind rollup/cube) — shared SQL
+    // text runs identically in both engines.
+    "q43_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sharedSql("q43_grouping_sets"))
+    }),
+
+    // Exact median (interpolating percentile) per group on integer cents
+    // — (a+b)/2 on integers is IEEE-exact in any engine.
+    "q44_median" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(percentile(cents(col("o_totalprice")), lit(0.5)).as("median_cents"),
+          count(lit(1)).as("n_orders"))
+    }),
+
     // Pivot (CASE-aggregation shape) — wide per-returnflag quantities.
     "q42_pivot" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -705,6 +721,12 @@ object SparkEntry {
         |  AND l_discount >= 0.05 AND l_quantity < 24""".stripMargin,
     "q03_sql_pricing" -> sharedSql("q03_sql_pricing"),
     "q14_sql_join_agg" -> sharedSql("q14_sql_join_agg"),
+    "q43_grouping_sets" -> sharedSql("q43_grouping_sets"),
+    "q44_median" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) AS median_cents,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q10_join_revenue_by_nation" ->
       """SELECT n_name,
         |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
@@ -1162,7 +1184,12 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE o_orderstatus = 'F'
-        |GROUP BY n_name, o_orderpriority""".stripMargin)
+        |GROUP BY n_name, o_orderpriority""".stripMargin,
+    "q43_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
 
   /** DuckDB mirror of exact n-gram Jaccard pairs over documents (3-word
     * shingles) at a threshold — brute inverted-index form (the oracle need
