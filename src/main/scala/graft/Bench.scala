@@ -14,6 +14,16 @@ object Bench {
 
   /** Warmup + min-of-`passes` timing for each query; failures isolated
     * per query. Separated from main so a spec can inject a failing query.
+    *
+    * The Spark cache is CLEARED before every execution: several catalog
+    * queries cache intermediates internally (shingle sets, component
+    * labels) through `CacheHandle.untracked`, and across 59 queries ×
+    * (1 + passes) executions in one JVM those entries accumulate until
+    * the storage-memory pressure evicts/recomputes mid-query — the later
+    * (heavier) queries then measure GC thrash, not the operator. Clearing
+    * per execution makes each number a self-contained cold-cache run;
+    * parquet footer/file-listing caches live outside the cache manager
+    * and stay warm, which is what the warmup pass is for.
     */
   def run(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame],
@@ -24,9 +34,11 @@ object Bench {
     // `passes` timed passes per query reporting the min — steady-state
     // throughput with GC/scheduler noise damped.
     sorted.foreach { case (_, fn) =>
+      spark.catalog.clearCache()
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     def timeOnce(fn: (SparkSession, String) => DataFrame): Option[Double] = {
+      spark.catalog.clearCache() // outside the timed region
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
       catch { case _: Throwable => None }
@@ -35,17 +47,28 @@ object Bench {
       val runs = (1 to passes).flatMap(_ => timeOnce(fn))
       name -> (if (runs.size == passes) Some(runs.min) else None)
     }
+    spark.catalog.clearCache()
     Result(
       times = timed.collect { case (n, Some(t)) => n -> t }.toMap,
       failed = timed.collect { case (n, None) => n })
   }
 
+  /** Key used in the one-line JSON: the `qNN` prefix of the catalog name.
+    * The full names make the line ~1,900 chars, which overflows the
+    * 2,000-char tail window the driver parses the line out of (both prior
+    * rounds recorded `parsed: null` for exactly this reason); the prefix
+    * is unique per query and keeps the line under ~900 chars. Full names
+    * are printed as separate per-query detail lines by [[main]].
+    */
+  private def shortKey(name: String): String = name.takeWhile(_ != '_')
+
   def render(r: Result, sfDir: String): String = {
-    val entries = (r.times.map { case (k, v) => k -> v.toString } ++
-      r.failed.map(_ -> "-1")).toSeq.sortBy(_._1)
+    def fmt(v: Double): String = f"$v%.3f"
+    val entries = (r.times.map { case (k, v) => shortKey(k) -> fmt(v) } ++
+      r.failed.map(shortKey(_) -> "-1")).toSeq.sortBy(_._1)
     val qs = entries.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val failedJson = r.failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":${r.total},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val failedJson = r.failed.sorted.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${fmt(r.total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -60,6 +83,11 @@ object Bench {
     val result = run(spark, sfDir, SparkEntry.queries)
     if (result.failed.nonEmpty)
       System.err.println(s"[bench] FAILED queries: ${result.failed.mkString(", ")}")
+    // full-name per-query detail (human/judge-readable; the parseable
+    // one-line JSON below uses short keys to fit the driver's tail window)
+    result.times.toSeq.sortBy(-_._2).foreach { case (n, t) =>
+      System.err.println(f"[bench] $n%-28s ${t}%8.3f s")
+    }
     println(render(result, sfDir))
     spark.stop()
   }

@@ -688,6 +688,99 @@ object SparkEntry {
         .select(col("doc_id"),
           length(col("blob")).as("n_bytes"),
           substring(hex(col("blob")), 1, 8).as("hex8"))
+    }),
+
+    // Deterministic stratified sampling: per-language keep rate, with
+    // membership decided by an md5-derived hash of the id — reproducible
+    // across engines/runs and stable under repartition (rand()-based
+    // sampling is neither). Scan-linear: the predicate is pure
+    // projection, no shuffle, so it holds at any corpus size.
+    "q75_stratified_sample" -> ((s, dir) => {
+      val bucket = (conv(substring(
+          md5(concat(lit("smp:"), col("doc_id").cast("string"))), 1, 15),
+          16, 10).cast("long") % 100).cast("int")
+      t(s, dir, "documents")
+        .withColumn("bucket", bucket)
+        // downsample the dominant language, keep more of the rest — the
+        // usual training-mix rebalancing shape
+        .filter(col("bucket") < when(col("lang") === "en", 5).otherwise(20))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+    }),
+
+    // TF-IDF-style top terms per language. The score is EXACT-INTEGER:
+    // (tf · 1e6) DIV df — engines disagree on log() ulps, never on BIGINT
+    // division — and ranking tie-breaks on the token, so the top-10 cut
+    // is total-ordered. Two aggregations (tf by (lang, token), df by
+    // token) + one ranking window; each is a single keyed shuffle.
+    "q76_tfidf_topterms" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val tf = tok.groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tok.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("score").desc, col("token").asc)
+      tf.join(dfreq, "token")
+        .withColumn("score", expr("(tf * 1000000) DIV df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("lang"), col("token"), col("tf"), col("df"),
+          col("score"), col("rn").cast("int").as("rn"))
+    }),
+
+    // Corpus vocabulary: top-100 tokens by occurrence (tokenizer/vocab
+    // building). ORDER BY + LIMIT plans TakeOrderedAndProject over the
+    // aggregated frame — no global sort of the token universe.
+    "q77_vocab_topk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occ"), count_distinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occ").desc, col("token").asc)
+        .limit(100)
+    }),
+
+    // Document-length histogram: fixed-width token-count buckets (cap at
+    // bucket 19) + each bucket's share of the corpus. The share divides
+    // two exact longs (the window total runs over the ~20 aggregated
+    // rows, not the corpus), so the doubles are bit-identical anywhere.
+    "q78_length_histogram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .withColumn("bucket", least(expr("n_tokens DIV 50"), lit(19L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .withColumn("share", col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy(lit(0))))
+        .select(col("bucket"), col("n_docs"), col("sum_tokens"), col("share"))
+    }),
+
+    // Per-dimension embedding statistics (training-data QA: spot dead or
+    // saturated dimensions). Quantized-exact longs; the only double is
+    // the final mean division. posexplode → one shuffle on (pos).
+    "q79_embedding_dim_stats" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(posexplode(Similarity.quantize(col("embedding"))).as(Seq("pos", "x")))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_milli"),
+          min(col("x")).as("min_milli"), max(col("x")).as("max_milli"))
+        .withColumn("mean_milli", col("sum_milli").cast("double") / col("n"))
+    }),
+
+    // Incremental dedup: a "new batch" (doc_id % 10 = 0) admitted only if
+    // its content fingerprint is unseen in the existing corpus — the
+    // daily-drop dedup shape. One anti-join shuffle on the fingerprint;
+    // at scale the corpus side is the persisted fingerprint store, read
+    // as a pruned single-column scan.
+    "q80_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val newBatch = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      newBatch.join(corpus.select(col("fp")), Seq("fp"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("fp"))
     })
   )
 
@@ -1161,7 +1254,65 @@ object SparkEntry {
         |SELECT event_id, user_id, ts_sec, value_cents,
         |  lastp.event_id AS asof_event_id,
         |  lastp.value_cents AS asof_value_cents
-        |FROM w WHERE side = 1""".stripMargin
+        |FROM w WHERE side = 1""".stripMargin,
+    "q75_stratified_sample" -> {
+      val h = hexToLongSql("md5('smp:' || CAST(doc_id AS VARCHAR))", 1, 15)
+      s"""WITH h AS (SELECT doc_id, lang,
+         |             CAST(($h) % 100 AS INT) AS bucket
+         |           FROM documents)
+         |SELECT doc_id, lang, bucket FROM h
+         |WHERE bucket < CASE WHEN lang = 'en' THEN 5 ELSE 20 END""".stripMargin
+    },
+    "q76_tfidf_topterms" ->
+      """WITH tok AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT lang, token, count(*) AS tf FROM tok GROUP BY lang, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM
+        |            (SELECT DISTINCT doc_id, token FROM tok) d GROUP BY token),
+        |scored AS (SELECT tf.lang, tf.token, tf.tf, dfreq.df,
+        |             (tf.tf * 1000000) // dfreq.df AS score
+        |           FROM tf JOIN dfreq ON tf.token = dfreq.token),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |             ORDER BY score DESC, token ASC) AS rn
+        |           FROM scored)
+        |SELECT lang, token, tf, df, score, CAST(rn AS INT) AS rn
+        |FROM ranked WHERE rn <= 10""".stripMargin,
+    "q77_vocab_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents)
+        |SELECT token, count(*) AS n_occ,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM tok GROUP BY token
+        |ORDER BY n_occ DESC, token ASC LIMIT 100""".stripMargin,
+    "q78_length_histogram" ->
+      """WITH d AS (SELECT least(CAST(len(string_split(text, ' ')) AS BIGINT) // 50,
+        |                       19) AS bucket,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |agg AS (SELECT bucket, count(*) AS n_docs,
+        |          CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |        FROM d GROUP BY bucket)
+        |SELECT bucket, n_docs, sum_tokens,
+        |  CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS share
+        |FROM agg""".stripMargin,
+    "q79_embedding_dim_stats" ->
+      """WITH e AS (SELECT list_transform(embedding,
+        |             x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |           FROM embeddings),
+        |x AS (SELECT unnest([{'pos': i-1, 'x': v[i]} FOR i IN range(1, len(v)+1)]) AS s
+        |      FROM e)
+        |SELECT CAST(s.pos AS INT) AS pos, count(*) AS n,
+        |  CAST(sum(s.x) AS BIGINT) AS sum_milli,
+        |  min(s.x) AS min_milli, max(s.x) AS max_milli,
+        |  CAST(sum(s.x) AS DOUBLE) / count(*) AS mean_milli
+        |FROM x GROUP BY s.pos""".stripMargin,
+    "q80_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |           FROM documents)
+        |SELECT doc_id, lang, fp FROM d
+        |WHERE doc_id % 10 = 0
+        |  AND fp NOT IN (SELECT fp FROM d WHERE doc_id % 10 <> 0)""".stripMargin
   )
 
   /** Queries written in the ANSI subset BOTH engines parse identically —

@@ -41,9 +41,12 @@ object Tables {
 
   // last directory registered per session: repeat registrations of the
   // same dir are no-ops (each one re-lists 10 parquet footers otherwise);
-  // a dir CHANGE re-registers so views never point at stale data
+  // a dir CHANGE re-registers so views never point at stale data.
+  // WEAK-keyed: a strong session-keyed map would reference every session
+  // ever passed in (including stopped ones) for the JVM lifetime. Access
+  // only under the registerAll lock.
   private val lastRegistered =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+    new java.util.WeakHashMap[SparkSession, String]()
 
   /** Register every table for `spark.sql` use (idempotent per dir).
     * Synchronized, and the dir is recorded only AFTER all ten views

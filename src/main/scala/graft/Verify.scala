@@ -17,9 +17,12 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal only: an OOM/LinkageError must abort the run loudly,
+        // not be logged as one more missing query
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      spark.catalog.clearCache() // release untracked per-query caches
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -38,7 +41,7 @@ object Verify {
     // literals this run's Spark queries used
     val dynamic =
       try SparkEntry.oracleSqlDynamic(spark, sfDir)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] dynamic oracle generation failed: ${e.getMessage}")
         Map.empty[String, String]
       }

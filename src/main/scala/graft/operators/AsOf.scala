@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
   * row AT the left row's timestamp matches (<= semantics) — and among
   * right rows sharing a timestamp the highest `tieBreak` wins. Left rows
   * with no prior right row get NULL payload (left-outer semantics).
+  *
+  * Null-timestamp contract: rows with a NULL `tsCol` are EXCLUDED from
+  * both sides — "most recent prior to an unknown time" is undefined, and
+  * a null right timestamp must not act as ts = -infinity (which is what
+  * Spark's NULLS FIRST ascending default would silently do in the
+  * window; SQL engines ordering NULLS LAST would diverge on the same
+  * input). This matches range/as-of semantics in SQL (`ts <= t` is never
+  * true for NULL).
   */
 object AsOf {
 
@@ -36,12 +44,12 @@ object AsOf {
     val pType = right.select(pStruct.as("__p")).schema.head.dataType
 
     val leftCols = left.columns.toSeq
-    val l = left
+    val l = left.filter(col(tsCol).isNotNull)
       .withColumn("__side", lit(1))
       .withColumn("__tb", lit(null).cast(right.schema(tieBreak).dataType))
       .withColumn("__p", lit(null).cast(pType))
     val r = {
-      val base = right
+      val base = right.filter(col(tsCol).isNotNull)
         .withColumn("__side", lit(0))
         .withColumn("__tb", col(tieBreak))
         .withColumn("__p", pStruct)

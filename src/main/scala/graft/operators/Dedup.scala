@@ -29,6 +29,12 @@ object Dedup {
     private val frames = scala.collection.mutable.Buffer.empty[DataFrame]
     private[operators] def track(df: DataFrame): DataFrame = {
       df.cache()
+      trackCached(df)
+    }
+    /** Record an ALREADY-cached frame (avoids the CacheManager
+      * "already cached" warning a second `.cache()` would log).
+      */
+    private[operators] def trackCached(df: DataFrame): DataFrame = {
       // synchronized: concurrent dedup jobs may share a handle
       if (record) frames.synchronized { frames += df }
       df
@@ -255,7 +261,19 @@ object Dedup {
     * themselves). Deterministic: min over longs.
     */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25, cache: CacheHandle = CacheHandle.untracked): DataFrame = {
+    // ids are label values here: the long cast must be lossless. A string
+    // id would cast to null, silently drop every edge, and return each doc
+    // as its own singleton — fail loudly instead.
+    def requireIntegral(df: DataFrame, c: String): Unit = {
+      import org.apache.spark.sql.types._
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"connectedComponents needs an integral id column; '$c' is $dt " +
+          "(map string ids to longs first, e.g. via a surrogate-key join)")
+    }
+    requireIntegral(nodes, idCol)
+    requireIntegral(pairs, "id_a"); requireIntegral(pairs, "id_b")
     val edges = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionByName(pairs
@@ -296,6 +314,9 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // the final round's cache backs the returned frame — hand its
+    // lifetime to the caller's handle (untracked default = old behavior)
+    cache.trackCached(cached)
     labels.select(col("id"), col("component"))
   }
 

@@ -94,6 +94,17 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
   }
 
+  test("connectedComponents rejects non-integral id columns loudly") {
+    // a string id would cast to null, drop every edge, and silently return
+    // all-singletons — the operator must fail instead
+    val nodes = Seq("a", "b").toDF("id")
+    val pairs = Seq(("a", "b")).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, "id", pairs)
+    }
+    assert(e.getMessage.contains("integral id column"))
+  }
+
   test("connectedComponents groups the exact/near dup docs, leaves the rest alone") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select($"id_a", $"id_b")

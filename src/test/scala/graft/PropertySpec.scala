@@ -136,4 +136,24 @@ class PropertySpec extends SparkSpec {
       assert(got == expected)
     }
   }
+
+  test("joinAsOf excludes null timestamps from both sides") {
+    // right row 30 has null ts: under Spark's NULLS FIRST it would act as
+    // ts = -infinity and match every left row — the contract excludes it.
+    // left row 3 has null ts: "as of unknown time" is undefined — dropped.
+    val left = Seq(
+      (1L, 1L, Option(10L)), (2L, 1L, Option(5L)), (3L, 1L, Option.empty[Long]))
+      .toDF("event_id", "user_id", "ts_sec")
+    val right = Seq(
+      (10L, 1L, Option(8L), 100L), (30L, 1L, Option.empty[Long], 999L))
+      .toDF("event_id", "user_id", "ts_sec", "value_cents")
+    val got = graft.operators.AsOf
+      .joinAsOf(left, right, Seq("user_id"), "ts_sec",
+        Seq("value_cents"), "event_id")
+      .select($"event_id", $"asof_event_id", $"asof_value_cents")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, Some(10L), Some(100L)), // ts 10 ≥ 8 → matches the real click
+      (2L, None, None)))           // ts 5 < 8, null-ts right NOT a match
+  }
 }

@@ -101,15 +101,18 @@ class ValidateConstraintsSpec extends SparkSpec {
 
   test("Bench.run surfaces a thrown query as failed, never as a timing") {
     val qs = Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
-      "ok_query" -> ((s, _) => s.range(10).toDF()),
-      "boom_query" -> ((_, _) => sys.error("injected failure")))
+      "q98_ok_query" -> ((s, _) => s.range(10).toDF()),
+      "q99_boom_query" -> ((_, _) => sys.error("injected failure")))
     val r = Bench.run(spark, sf, qs, passes = 1)
-    assert(r.failed == Seq("boom_query"))
-    assert(r.times.keySet == Set("ok_query"))
-    assert(r.total == r.times("ok_query"))
+    assert(r.failed == Seq("q99_boom_query"))
+    assert(r.times.keySet == Set("q98_ok_query"))
+    assert(r.total == r.times("q98_ok_query"))
+    // render emits the qNN short key (full names overflow the driver's
+    // tail window — see Bench.shortKey)
     val json = Bench.render(r, sf)
-    assert(json.contains("\"boom_query\":-1"))
-    assert(json.contains("\"failed\":[\"boom_query\"]"))
+    assert(json.contains("\"q99\":-1"))
+    assert(json.contains("\"failed\":[\"q99\"]"))
+    assert(json.contains("\"q98\":"))
   }
 
   test("Dedup.CacheHandle.release unpersists the tracked shingle sets") {
