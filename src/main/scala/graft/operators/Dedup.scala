@@ -245,23 +245,35 @@ object Dedup {
 
   /** Connected components over an undirected near-dup pair graph — the
     * clustering step that turns pairwise signals (minhash/simhash/
-    * embedding) into dedup groups. Iterative min-label propagation:
-    * every node starts labeled with its own id; each round takes the min
-    * of its own and its neighbors' labels; at fixpoint the label is the
-    * component's minimum id (which doubles as the representative).
+    * embedding) into dedup groups. Iterative min-label propagation WITH
+    * POINTER JUMPING: every node starts labeled with its own id; each
+    * round takes (1) the min of its own and its neighbors' labels, then
+    * (2) its label's label (path-halving, cf. Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — so label
+    * chains collapse doubling-fast and an adversarial PATH graph
+    * converges in O(log n) rounds, not O(n) (a 1000-node chain at 100 TB
+    * would otherwise exhaust any sane round budget; near-dup clusters
+    * are near-cliques and still converge in 1-3 rounds).
     *
-    * Scale shape: each round is one keyed shuffle (join + groupBy on the
-    * node id) — no driver-side graph. Rounds = eccentricity of the min
-    * node; near-dup clusters are near-cliques, so 1-3 rounds in practice.
-    * (For adversarially long path graphs at 100 TB, switch to
-    * large-star/small-star to get O(log n) rounds; the per-round plan is
-    * the same keyed shuffle.)
+    * Scale shape: each round is two keyed shuffles (neighbor-min
+    * join+groupBy, then the label self-join) — no driver-side graph.
+    * Round state is EAGERLY LOCAL-CHECKPOINTED, not just cached: the
+    * round-k plan embeds the round-(k-1) plan several times (labels
+    * feeds both join sides), so without truncation catalyst analysis
+    * goes exponential in the round count and hangs near round ~10 —
+    * caching shortcuts execution but not the logical plan. Each round
+    * frees the previous round's checkpoint blocks; the returned frame's
+    * blocks are released by the ContextCleaner when the frame is GC'd.
+    * (localCheckpoint trades fault tolerance for speed: an executor loss
+    * mid-operator means re-running the operator. On a long cluster run,
+    * swap in `Dataset.checkpoint` against a reliable checkpoint dir —
+    * the round structure is unchanged.)
     *
     * Returns (id, component) for EVERY node (singletons map to
     * themselves). Deterministic: min over longs.
     */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 25, cache: CacheHandle = CacheHandle.untracked): DataFrame = {
+      maxIters: Int = 25): DataFrame = {
     // ids are label values here: the long cast must be lossless. A string
     // id would cast to null, silently drop every edge, and return each doc
     // as its own singleton — fail loudly instead.
@@ -274,20 +286,26 @@ object Dedup {
     }
     requireIntegral(nodes, idCol)
     requireIntegral(pairs, "id_a"); requireIntegral(pairs, "id_b")
+    val sc = nodes.sparkSession.sparkContext
+    // snapshot-diff of the persistent-RDD registry identifies the blocks
+    // a localCheckpoint just created, so each round can free its
+    // predecessor's explicitly (the ContextCleaner would only get to
+    // them after a GC)
+    def persisted(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def free(ids: Set[Int]): Unit =
+      sc.getPersistentRDDs.filter(kv => ids.contains(kv._1))
+        .values.foreach(_.unpersist(blocking = false))
+
     val edges = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionByName(pairs
         .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .distinct().cache()
+    val before0 = persisted()
     var labels = nodes
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("component"))
-      .cache()
-    // `cached` tracks the EXACT frame that holds the cache entry:
-    // unpersisting a projection of it (labels after drop) is a no-op
-    // (Dataset.unpersist only removes a sameResult-matching plan), which
-    // would leak one cached frame per round
-    var cached = labels
-    labels.count()
+      .localCheckpoint() // eager: materializes AND truncates the plan
+    var labelBlocks = persisted().diff(before0)
     var iter = 0
     var done = false
     while (!done) {
@@ -297,26 +315,38 @@ object Dedup {
       val nmin = edges.join(byDst, "dst")
         .groupBy(col("src")).agg(min(col("__nc")).as("__nmin"))
         .withColumnRenamed("src", "id")
-      val next = labels.join(nmin, Seq("id"), "left")
+      // checkpointed: both pointer-jump sides below consume it — without
+      // the pin the neighbor-min join would run twice per round
+      val beforeHop = persisted()
+      val hop = labels.join(nmin, Seq("id"), "left")
         .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("__nmin"), col("component")))
             .as("component"))
-        .cache()
-      // ONE job materializes the cache AND counts label changes — a
-      // separate count + isEmpty pair doubles the driver round-trips
+        .localCheckpoint()
+      val hopBlocks = persisted().diff(beforeHop)
+      // pointer jumping: component ← label(component). Labels only ever
+      // decrease and every label value is some node's id, so the lookup
+      // hits (left join only for robustness against edge ids ∉ nodes);
+      // this halves label-chain depth each round.
+      val byId = hop.select(col("id").as("component"), col("component").as("__cc"))
+      val beforeNext = persisted()
+      val next = hop.join(byId, Seq("component"), "left")
+        .select(col("id"), col("__old"),
+          least(col("component"), coalesce(col("__cc"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      val nextBlocks = persisted().diff(beforeNext)
       val changed = next
         .agg(sum(when(col("component") < col("__old"), 1L).otherwise(0L)))
         .head().getLong(0)
       done = changed == 0L
-      cached.unpersist() // safe: next is materialized above
-      cached = next
+      // next is checkpoint-materialized: its predecessors can go
+      free(hopBlocks); free(labelBlocks)
+      labelBlocks = nextBlocks
       labels = next.drop("__old")
       iter += 1
     }
     edges.unpersist()
-    // the final round's cache backs the returned frame — hand its
-    // lifetime to the caller's handle (untracked default = old behavior)
-    cache.trackCached(cached)
     labels.select(col("id"), col("component"))
   }
 

@@ -94,6 +94,19 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
   }
 
+  test("connectedComponents converges on a long path graph in O(log n) rounds") {
+    // a 300-node chain has eccentricity 299: plain min-label propagation
+    // would need ~300 rounds and blow the maxIters budget — pointer
+    // jumping must collapse it within ~log2(300)+slack rounds
+    val n = 300L
+    val nodes = (1L to n).toDF("id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, "id", pairs, maxIters = 15)
+      .as[(Long, Long)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 1L), "every chain node must label to the min id")
+  }
+
   test("connectedComponents rejects non-integral id columns loudly") {
     // a string id would cast to null, drop every edge, and silently return
     // all-singletons — the operator must fail instead

@@ -82,4 +82,21 @@ class PlanSpec extends SparkSpec {
     val s = formatted("q67_neardup_lsh_banded")
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q75: deterministic sampling is scan-linear — zero shuffles") {
+    val s = formatted("q75_stratified_sample")
+    assert(!s.contains("Exchange"), "sampling must not shuffle")
+    assert(s.contains("codegen id"), "sampling predicate fell out of codegen")
+  }
+
+  test("q77: vocabulary top-k plans TakeOrderedAndProject after the agg") {
+    val s = formatted("q77_vocab_topk")
+    assert(s.contains("TakeOrderedAndProject"))
+  }
+
+  test("q80: incremental dedup plans an anti join on the fingerprint") {
+    val s = formatted("q80_incremental_dedup")
+    assert(s.contains("LeftAnti"))
+    assert(!s.contains("CartesianProduct"))
+  }
 }
