@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming document curation — the training-data pipeline run
+  * INCREMENTALLY over a landing directory of document drops (extension
+  * surface; the reference's closest analog is its @daily batch DAG,
+  * `process_publications_dag.py:551`).
+  *
+  * The curation transforms are MODE-AGNOSTIC DataFrame programs: the same
+  * function runs under `spark.read` (backfill) and `spark.readStream`
+  * (daily drops) — which is the point of Structured Streaming, and what
+  * the parity spec asserts. Metrics are computed on NORMALIZED text
+  * (the fingerprint's input), so every member of an exact-dup group
+  * carries identical (lang-stats) metrics and the dedup representative
+  * choice can never change the downstream statistics.
+  */
+object DocumentStreams {
+
+  /** documents parquet schema as stored by the driver. */
+  val documentsFileSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over a documents landing dir.
+    * `maxFilesPerTrigger=1` gives deterministic per-drop batches in
+    * tests; at scale leave the default and let the source batch.
+    */
+  def readDocuments(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(documentsFileSchema)
+    val r2 = maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
+    r2.parquet(path)
+  }
+
+  /** Quality gate + corpus-lifetime fingerprint dedup. Works identically
+    * on a batch or streaming frame (streaming: append mode; the dedup
+    * state IS the fingerprint store, deliberately not watermarked —
+    * a training corpus dedups against everything ever admitted, so state
+    * grows with the DISTINCT corpus, not with time; at cluster scale
+    * back it with the RocksDB state store, or compact it into a
+    * fingerprint table and use [[graft.SparkEntry]] q80's anti-join
+    * shape per drop).
+    */
+  def gateAndDedup(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val toks = split(norm, " ")
+    docs
+      .withColumn("fp", md5(norm))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("uniq_ratio",
+        size(array_distinct(toks)).cast("double") /
+          greatest(size(toks), lit(1)))
+      .filter(col("n_tokens") >= 20 && col("uniq_ratio") >= 0.2)
+      .dropDuplicates("fp")
+  }
+
+  /** Per-language corpus statistics over curated docs. Batch, or a
+    * standalone streaming aggregation (complete mode).
+    */
+  def langStats(curated: DataFrame): DataFrame =
+    curated.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+
+  /** Full batch curation = gate → dedup → stats (one declarative plan). */
+  def curate(docs: DataFrame): DataFrame = langStats(gateAndDedup(docs))
+}
