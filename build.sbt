@@ -26,8 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: the bench executes 59 queries × 3 passes in one JVM on a
-  // 128 GiB host — 8g left too little storage-memory headroom for the
-  // cache-heavy dedup/clustering queries.
+  // 16g default: the bench executes the full query catalog × 3 passes in
+  // one JVM on a 128 GiB host — 8g left too little storage-memory
+  // headroom for the cache-heavy dedup/clustering queries.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

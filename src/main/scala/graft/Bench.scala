@@ -17,7 +17,7 @@ object Bench {
     *
     * The Spark cache is CLEARED before every execution: several catalog
     * queries cache intermediates internally (shingle sets, component
-    * labels) through `CacheHandle.untracked`, and across 59 queries ×
+    * labels) through `CacheHandle.untracked`, and across the catalog ×
     * (1 + passes) executions in one JVM those entries accumulate until
     * the storage-memory pressure evicts/recomputes mid-query — the later
     * (heavier) queries then measure GC thrash, not the operator. Clearing
@@ -63,7 +63,9 @@ object Bench {
   private def shortKey(name: String): String = name.takeWhile(_ != '_')
 
   def render(r: Result, sfDir: String): String = {
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would render 1.234 as
+    // "1,234" and corrupt the JSON
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val entries = (r.times.map { case (k, v) => shortKey(k) -> fmt(v) } ++
       r.failed.map(shortKey(_) -> "-1")).toSeq.sortBy(_._1)
     val qs = entries.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
@@ -86,7 +88,8 @@ object Bench {
     // full-name per-query detail (human/judge-readable; the parseable
     // one-line JSON below uses short keys to fit the driver's tail window)
     result.times.toSeq.sortBy(-_._2).foreach { case (n, t) =>
-      System.err.println(f"[bench] $n%-28s ${t}%8.3f s")
+      System.err.println("[bench] %-28s %8.3f s"
+        .formatLocal(java.util.Locale.ROOT, n, t))
     }
     println(render(result, sfDir))
     spark.stop()

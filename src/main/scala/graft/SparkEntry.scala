@@ -1231,12 +1231,15 @@ object SparkEntry {
         |  quality_score >= 0.5 AS is_kept
         |FROM s""".stripMargin,
     // mirror of the union+window as-of formulation; right rows sort
-    // before left at equal ts (<= semantics), last struct carried forward
+    // before left at equal ts (<= semantics), last struct carried
+    // forward. ts IS NOT NULL encodes joinAsOf's null-timestamp
+    // exclusion (fixture events have none; the contract must still be
+    // mirrored or a null ts would match under DuckDB's NULLS LAST)
     "q69_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
         |             CAST(round(value*100) AS BIGINT) AS value_cents
-        |           FROM events),
+        |           FROM events WHERE ts IS NOT NULL),
         |l AS (SELECT event_id, user_id, ts_sec, value_cents, 1 AS side,
         |        CAST(NULL AS BIGINT) AS tb,
         |        CAST(NULL AS STRUCT(event_id BIGINT, value_cents BIGINT)) AS p
@@ -1306,13 +1309,17 @@ object SparkEntry {
         |  min(s.x) AS min_milli, max(s.x) AS max_milli,
         |  CAST(sum(s.x) AS DOUBLE) / count(*) AS mean_milli
         |FROM x GROUP BY s.pos""".stripMargin,
+    // NOT EXISTS, not NOT IN: a single NULL fp in the corpus would
+    // NULL-poison NOT IN to an empty result, while Spark's left_anti
+    // keeps null-keyed probes — NOT EXISTS matches anti-join semantics
     "q80_incremental_dedup" ->
       """WITH d AS (SELECT doc_id, lang,
         |             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |           FROM documents)
         |SELECT doc_id, lang, fp FROM d
         |WHERE doc_id % 10 = 0
-        |  AND fp NOT IN (SELECT fp FROM d WHERE doc_id % 10 <> 0)""".stripMargin
+        |  AND NOT EXISTS (SELECT 1 FROM d d2
+        |                  WHERE d2.doc_id % 10 <> 0 AND d2.fp = d.fp)""".stripMargin
   )
 
   /** Queries written in the ANSI subset BOTH engines parse identically —

@@ -301,6 +301,13 @@ object Dedup {
       .unionByName(pairs
         .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .distinct().cache()
+    // materialize edges (and, transitively, any lazy caches inside the
+    // `pairs` pipeline, e.g. minhash shingle sets) BEFORE the first
+    // registry snapshot — SQL caches appear in getPersistentRDDs only
+    // when their buffers are first built, and if that happened inside a
+    // round's snapshot window the round-end free() would unpersist
+    // caches this function does not own
+    edges.count()
     val before0 = persisted()
     var labels = nodes
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("component"))

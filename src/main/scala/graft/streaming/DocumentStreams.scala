@@ -51,7 +51,10 @@ object DocumentStreams {
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
     val toks = split(norm, " ")
     docs
-      .withColumn("fp", md5(norm))
+      // the SHARED fingerprint — the streaming dedup state and the batch
+      // q80 anti-join store stay interchangeable only while both sides
+      // compute the identical key
+      .withColumn("fp", graft.functions.TextAnalysis.fingerprint(col("text")))
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("uniq_ratio",
         size(array_distinct(toks)).cast("double") /
