@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextAnalysis
-import graft.operators.{AuditDiff, Constraints, Dedup, Relational, Similarity}
+import graft.operators.{AuditDiff, Constraints, Curation, Dedup, Layout, Relational, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -781,7 +781,84 @@ object SparkEntry {
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       newBatch.join(corpus.select(col("fp")), Seq("fp"), "left_anti")
         .select(col("doc_id"), col("lang"), col("fp"))
-    })
+    }),
+
+    // Exactly-k per-stratum sample: rank docs inside each language by an
+    // md5 hash of the id (a deterministic uniform shuffle both engines
+    // replay bit-identically) and keep the first 30 — the fixed-size
+    // counterpart of q75's rate sampling. One ranking window per
+    // stratum; strata partition the shuffle, so a skewed language costs
+    // one fat partition, not a global sort.
+    "q81_sample_exact_k" -> ((s, dir) => {
+      val hkey = md5(concat(lit("rk:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("hkey").asc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .withColumn("hkey", hkey)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 30)
+        .select(col("doc_id"), col("lang"), col("rk").cast("int").as("rk"))
+    }),
+
+    // Truncation-style near-dup clusters: docs sharing an 8-word prefix
+    // fingerprint (same opening, diverging tails — the classic
+    // scraped-page truncation artifact). One shuffle on the prefix hash.
+    "q82_prefix_clusters" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("prefix_fp", TextAnalysis.prefixFingerprint(col("text"), 8))
+        .groupBy(col("prefix_fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("representative"))
+        .filter(col("n_docs") > 1)
+    }),
+
+    // Benchmark decontamination: drop corpus docs sharing any 3-gram with
+    // the "benchmark" slice (doc_id % 97 == 0) — the n-gram-overlap rule
+    // of public LLM data pipelines. Benchmark postings broadcast; the
+    // corpus side stays scan-shaped (explode → semi-probe → anti join).
+    "q83_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      Curation.decontaminate(corpus, bench, "doc_id", "text", 3)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // KMV distinct sketch: per-lang distinct-text estimate from the k=16
+    // smallest 60-bit md5 hashes. Engine-portable (unlike HLL) so the
+    // ESTIMATE itself is oracle-verified bit-exactly.
+    "q84_kmv_distinct" -> ((s, dir) =>
+      Curation.kmvDistinct(t(s, dir, "documents"), Seq("lang"), col("text"), 16)),
+
+    // Z-order (Morton) clustering key over (user bucket, minute-of-day):
+    // the multi-column data-skipping layout key, as pure bit arithmetic.
+    "q85_zorder_key" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val x = col("user_id") % 2048
+      val y = hour(col("ts")) * 60 + minute(col("ts"))
+      e.select(col("event_id"), x.as("xb"), y.cast("long").as("yb"),
+          Layout.zOrder2(x, y, 11).as("z"))
+        .orderBy(col("z").desc, col("event_id").asc)
+        .limit(100)
+    }),
+
+    // Sequence packing: fill fixed 512-token shards per lang in doc_id
+    // order (running-sum window, one shuffle) → shard manifest.
+    "q86_pack_shards" -> ((s, dir) =>
+      Curation.packShards(t(s, dir, "documents"), "lang", "doc_id",
+        TextAnalysis.tokenCount(col("text")), 512)),
+
+    // Sliding-window chunking: 32-token windows every 24 tokens — the
+    // doc → training-sequence map. Zero shuffles (scan + explode).
+    "q87_doc_chunks" -> ((s, dir) =>
+      Curation.chunk(t(s, dir, "documents"), "doc_id", "text", 32, 24)),
+
+    // Corpus mixing by epoch replication: en×2, zh×3, de dropped, rest
+    // ×1, each replica with a deterministic interleave key.
+    "q88_corpus_mix" -> ((s, dir) =>
+      Curation.mixByEpochs(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 2, "zh" -> 3, "de" -> 0), defaultEpochs = 1)
+        .select(col("doc_id"), col("lang"), col("epoch").cast("int").as("epoch"),
+          col("mix_key")))
   )
 
   /** Oracle SQL that must be GENERATED against the data (embedding dim,
@@ -1319,7 +1396,83 @@ object SparkEntry {
         |SELECT doc_id, lang, fp FROM d
         |WHERE doc_id % 10 = 0
         |  AND NOT EXISTS (SELECT 1 FROM d d2
-        |                  WHERE d2.doc_id % 10 <> 0 AND d2.fp = d.fp)""".stripMargin
+        |                  WHERE d2.doc_id % 10 <> 0 AND d2.fp = d.fp)""".stripMargin,
+    "q81_sample_exact_k" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |             md5('rk:' || CAST(doc_id AS VARCHAR)) AS hkey
+        |           FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY hkey ASC, doc_id ASC) AS rk
+        |      FROM h)
+        |SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM r WHERE rk <= 30""".stripMargin,
+    "q82_prefix_clusters" ->
+      """WITH p AS (SELECT doc_id,
+        |             md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS prefix_fp
+        |           FROM documents)
+        |SELECT prefix_fp, count(*) AS n_docs,
+        |  min(doc_id) AS representative
+        |FROM p GROUP BY prefix_fp HAVING count(*) > 1""".stripMargin,
+    "q83_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id AS id,
+        |         unnest(list_distinct([w.w[i] || ' ' || w.w[i+1] || ' ' || w.w[i+2]
+        |                               FOR i IN range(1, greatest(len(w.w)-2, 0)+1)])) AS shingle
+        |       FROM w),
+        |bad AS (SELECT DISTINCT c.id FROM sh c
+        |        JOIN sh b ON b.shingle = c.shingle AND b.id % 97 = 0
+        |        WHERE c.id % 97 <> 0)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id % 97 <> 0
+        |  AND d.doc_id NOT IN (SELECT id FROM bad)""".stripMargin,
+    "q84_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT lang,
+         |             ${hexToLongSql("md5(text)", 1, 15)} AS h
+         |           FROM documents),
+         |r AS (SELECT lang, h,
+         |        row_number() OVER (PARTITION BY lang ORDER BY h ASC) AS rk
+         |      FROM h)
+         |SELECT lang, count(*) AS n_seen, max(h) AS kth_hash,
+         |  CASE WHEN count(*) < 16 THEN CAST(count(*) AS DOUBLE)
+         |       ELSE 15.0 * 1152921504606846976 / CAST(max(h) AS DOUBLE)
+         |  END AS est_distinct
+         |FROM r WHERE rk <= 16 GROUP BY lang""".stripMargin,
+    "q85_zorder_key" ->
+      s"""SELECT event_id, user_id % 2048 AS xb,
+         |  CAST(hour(ts) * 60 + minute(ts) AS BIGINT) AS yb,
+         |  ${zOrder2Sql("(user_id % 2048)", "(hour(ts) * 60 + minute(ts))", 11)} AS z
+         |FROM events
+         |ORDER BY z DESC, event_id ASC LIMIT 100""".stripMargin,
+    "q86_pack_shards" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |           FROM documents),
+        |c AS (SELECT lang, doc_id, tok,
+        |        sum(tok) OVER (PARTITION BY lang ORDER BY doc_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM d)
+        |SELECT lang, (cum - tok) // 512 AS shard,
+        |  count(*) AS n_docs, sum(tok) AS tok_sum,
+        |  CAST(sum(tok) AS DOUBLE) / 512 AS fill
+        |FROM c GROUP BY lang, (cum - tok) // 512""".stripMargin,
+    "q87_doc_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS st FROM w)
+        |SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
+        |  CAST(least(32, len(toks) - st) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(toks[st+1 : st+32], ' ')) AS chunk_fp
+        |FROM s""".stripMargin,
+    "q88_corpus_mix" ->
+      """WITH e AS (SELECT doc_id, lang,
+        |             CASE WHEN lang = 'en' THEN 2 WHEN lang = 'zh' THEN 3
+        |                  WHEN lang = 'de' THEN 0 ELSE 1 END AS n
+        |           FROM documents),
+        |x AS (SELECT doc_id, lang, unnest(range(1, n + 1)) AS epoch
+        |      FROM e WHERE n >= 1)
+        |SELECT doc_id, lang, CAST(epoch AS INT) AS epoch,
+        |  md5('mix:' || lang || ':' || CAST(epoch AS VARCHAR)
+        |      || ':' || CAST(doc_id AS VARCHAR)) AS mix_key
+        |FROM x""".stripMargin
   )
 
   /** Queries written in the ANSI subset BOTH engines parse identically —
@@ -1369,6 +1522,17 @@ object SparkEntry {
        |JOIN sz za ON za.id = id_a
        |JOIN sz zb ON zb.id = id_b
        |WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= $threshold""".stripMargin
+
+  /** DuckDB rendering of [[graft.operators.Layout.zOrder2]]: the same
+    * bit-interleave as a sum of shift/mask terms (both engines compute
+    * identical integer arithmetic).
+    */
+  private def zOrder2Sql(x: String, y: String, bits: Int): String =
+    ((0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i})"
+    } ++ (0 until bits).map { i =>
+      s"((($y >> $i) & 1) << ${2 * i + 1})"
+    }).mkString("(", " + ", ")")
 
   /** DuckDB rendering of Spark's `conv(substring(md5(x), start, len), 16, 10)`
     * — per-nibble positional arithmetic (DuckDB has no conv).

@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.{Curation, Layout}
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "a quick brown fox jumps over a sleeping cat", "en"),
+    (3L, "completely different words in this one here now", "en"),
+    (4L, "der schnelle braune fuchs springt sehr hoch heute", "de"),
+    (5L, "the quick brown fox sat still all day", "en")
+  ).toDF("doc_id", "text", "lang")
+
+  test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
+    val bench = docs.filter($"doc_id" === 1L)
+    val corpus = docs.filter($"doc_id" =!= 1L)
+    val clean = Curation.decontaminate(corpus, bench, "doc_id", "text", 3)
+    // doc 2 shares "brown fox jumps"+"fox jumps over", doc 5 shares
+    // "the quick brown"+"quick brown fox"; docs 3 and 4 share nothing
+    assert(clean.select($"doc_id").as[Long].collect().toSet == Set(3L, 4L))
+  }
+
+  test("decontaminate with an empty benchmark keeps the whole corpus") {
+    val clean = Curation.decontaminate(docs, docs.limit(0), "doc_id", "text", 3)
+    assert(clean.count() == docs.count())
+  }
+
+  test("kmvDistinct is exact below k and within tolerance above k") {
+    val df = (0 until 1000).map(i => ("big", s"val$i")) ++
+      (0 until 5).map(i => ("small", s"v$i"))
+    val out = Curation.kmvDistinct(df.toDF("g", "v"), Seq("g"), $"v", k = 64)
+      .select($"g", $"est_distinct").as[(String, Double)].collect().toMap
+    assert(out("small") == 5.0) // below k: exact count
+    // KMV with k=64 has relative stddev ~ 1/sqrt(k-2) ≈ 12.7%; allow 4σ
+    assert(math.abs(out("big") - 1000.0) / 1000.0 < 0.5,
+      s"estimate ${out("big")} too far from 1000")
+  }
+
+  test("kmvDistinct ignores duplicate keys") {
+    val df = (0 until 50).flatMap(i => Seq.fill(10)(("g", s"v$i")))
+    val out = Curation.kmvDistinct(df.toDF("g", "v"), Seq("g"), $"v", k = 64)
+    assert(out.select($"est_distinct").as[Double].head() == 50.0)
+  }
+
+  test("chunk covers every token exactly and ids are dense") {
+    val out = Curation.chunk(docs, "doc_id", "text", width = 4, stride = 3)
+      .collect()
+    // 8-9 token docs, stride 3: starts 0,3,6 -> 3 chunks each
+    assert(out.length == 15)
+    val doc1 = out.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    assert(doc1.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+    // 9 tokens: windows at 0..3, 3..6, 6..8 -> last is truncated to 3
+    assert(doc1.map(_.getLong(2)).toSeq == Seq(4L, 4L, 3L))
+  }
+
+  test("chunk of a short doc yields one truncated window") {
+    val one = Seq((9L, "hi there", "en")).toDF("doc_id", "text", "lang")
+    val out = Curation.chunk(one, "doc_id", "text", width = 32, stride = 24).collect()
+    assert(out.length == 1 && out.head.getLong(2) == 2L)
+  }
+
+  test("packShards conserves tokens and shard ids are dense per stratum") {
+    val out = Curation.packShards(docs, "lang", "doc_id",
+      size(split($"text", " ")), budget = 10)
+    val rows = out.select($"lang", $"shard", $"n_docs", $"tok_sum")
+      .as[(String, Long, Long, Long)].collect()
+    val totalTok = docs.select(sum(size(split($"text", " ")))).as[Long].head()
+    assert(rows.map(_._4).sum == totalTok) // every token lands in a shard
+    assert(rows.map(_._3).sum == docs.count()) // every doc in exactly one shard
+    for ((lang, group) <- rows.groupBy(_._1)) {
+      val shards = group.map(_._2).sorted.toSeq
+      assert(shards == (0L until shards.size).toSeq, s"$lang shards not dense")
+    }
+  }
+
+  test("mixByEpochs replicates per the epoch map and drops zero-epoch strata") {
+    val out = Curation.mixByEpochs(docs, "doc_id", "lang",
+      Map("en" -> 2, "de" -> 0), defaultEpochs = 1)
+    val counts = out.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(counts.get("de").isEmpty) // dropped
+    assert(counts("en") == 8L) // 4 en docs x 2 epochs
+    // replicas are distinguishable and deterministic
+    assert(out.select($"mix_key").distinct().count() == out.count())
+    val again = Curation.mixByEpochs(docs, "doc_id", "lang",
+      Map("en" -> 2, "de" -> 0), defaultEpochs = 1)
+    assert(again.select($"mix_key").as[String].collect().sorted.toSeq ==
+      out.select($"mix_key").as[String].collect().sorted.toSeq)
+  }
+
+  test("zOrder2 is an exact bit interleave (round-trips both inputs)") {
+    val pts = for { x <- 0 until 32; y <- 0 until 32 } yield (x.toLong, y.toLong)
+    val out = pts.toDF("x", "y")
+      .withColumn("z", Layout.zOrder2($"x", $"y", 5))
+      .as[(Long, Long, Long)].collect()
+    for ((x, y, z) <- out) {
+      var (dx, dy) = (0L, 0L)
+      for (i <- 0 until 5) {
+        dx |= ((z >> (2 * i)) & 1L) << i
+        dy |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert((dx, dy) == (x, y), s"z=$z did not round-trip ($x,$y)")
+    }
+  }
+
+  test("writeZOrdered produces files with disjoint z-ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val pts = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
+    Layout.writeZOrdered(pts.toDF("x", "y"), dir, $"x", $"y", bits = 6,
+      numFiles = 4)
+    val back = spark.read.parquet(dir)
+      .withColumn("z", Layout.zOrder2($"x", $"y", 6))
+      .withColumn("f", input_file_name())
+    assert(back.count() == 64 * 64) // lossless
+    val ranges = back.groupBy($"f")
+      .agg(min($"z").as("lo"), max($"z").as("hi"))
+      .select($"lo", $"hi").as[(Long, Long)].collect().sortBy(_._1)
+    assert(ranges.length > 1)
+    for (w <- ranges.sliding(2) if w.length == 2)
+      assert(w(0)._2 < w(1)._1, "file z-ranges overlap: clustering is broken")
+  }
+}
