@@ -1451,8 +1451,8 @@ object SparkEntry {
         |        sum(tok) OVER (PARTITION BY lang ORDER BY doc_id ASC
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |      FROM d)
-        |SELECT lang, (cum - tok) // 512 AS shard,
-        |  count(*) AS n_docs, sum(tok) AS tok_sum,
+        |SELECT lang, CAST((cum - tok) // 512 AS BIGINT) AS shard,
+        |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tok_sum,
         |  CAST(sum(tok) AS DOUBLE) / 512 AS fill
         |FROM c GROUP BY lang, (cum - tok) // 512""".stripMargin,
     "q87_doc_chunks" ->

@@ -32,6 +32,25 @@ class AsOfSpec extends SparkSpec {
     assert(out(103L) == (None, None))
   }
 
+  test("joinAsOf: null timestamps excluded from both sides, never ts=-infinity") {
+    // right row with null ts must NOT match every left row (the NULLS
+    // FIRST ascending default would make it ts=-infinity in the window);
+    // a left row with null ts has no defined "prior" and is dropped.
+    val l = Seq((1L, Some(20L), 10L), (2L, None, 11L))
+      .toDF("event_id", "ts_sec", "value_cents")
+      .select($"event_id", $"ts_sec".cast("long").as("ts_sec"), $"value_cents")
+    val r = Seq((7L, Option.empty[Long], 70L), (8L, Some(5L), 71L))
+      .toDF("event_id", "ts_sec", "value_cents")
+      .select($"event_id", $"ts_sec".cast("long").as("ts_sec"), $"value_cents")
+    val lk = l.withColumn("user_id", lit(1L))
+    val rk = r.withColumn("user_id", lit(1L))
+    val out = AsOf.joinAsOf(lk, rk, Seq("user_id"), "ts_sec",
+        payload = Seq("value_cents"), tieBreak = "event_id")
+      .select($"event_id", $"asof_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(1L -> Some(8L))) // matches the ts=5 row, not the null-ts row
+  }
+
   test("joinAsOf plans one keyed window, not a range theta-join") {
     val plan = AsOf.joinAsOf(purchases, clicks, Seq("user_id"), "ts_sec",
         Seq("value_cents"), "event_id")
