@@ -271,9 +271,20 @@ object Dedup {
     *
     * Returns (id, component) for EVERY node (singletons map to
     * themselves). Deterministic: min over longs.
+    *
+    * Small-graph fast path: the edge list is counted anyway (to pin its
+    * cache), so when it fits `driverEdgeBudget` the components come from
+    * a driver-side min-root union-find over the collected pairs — one
+    * broadcast join instead of ~4 rounds × 3 jobs of iterative overhead.
+    * This is the bounded-collect pattern (like the IVF centroid pull):
+    * near-dup edge sets are pairs ABOVE a high similarity threshold, so
+    * even petabyte corpora commonly produce edge lists in the millions;
+    * a graph over budget takes the iterative path unchanged. Both paths
+    * compute the same labeling (component = min node id). Set the budget
+    * to 0 to force the distributed loop.
     */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25, driverEdgeBudget: Long = 1L << 20): DataFrame = {
     // ids are label values here: the long cast must be lossless. A string
     // id would cast to null, silently drop every edge, and return each doc
     // as its own singleton — fail loudly instead.
@@ -307,7 +318,34 @@ object Dedup {
     // when their buffers are first built, and if that happened inside a
     // round's snapshot window the round-end free() would unpersist
     // caches this function does not own
-    edges.count()
+    val nEdges = edges.count()
+    if (nEdges <= driverEdgeBudget) {
+      // min-root union-find: attach the larger root under the smaller, so
+      // find(x) is the min id of x's component — the same labeling the
+      // iterative path converges to. Collected size is bounded: nEdges
+      // pairs of longs ≤ 16·driverEdgeBudget bytes (16 MB at the default).
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.select(col("src"), col("dst")).collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val mapping = parent.keys.map(x => (x, find(x))).toSeq
+      edges.unpersist(blocking = false)
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val mapDf = mapping.toDF("__mid", "__mcomp")
+      return nodes
+        .select(col(idCol).cast("long").as("id"))
+        .join(broadcast(mapDf), col("id") === col("__mid"), "left")
+        .select(col("id"), coalesce(col("__mcomp"), col("id")).as("component"))
+    }
     val before0 = persisted()
     var labels = nodes
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("component"))

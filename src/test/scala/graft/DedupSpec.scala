@@ -101,10 +101,30 @@ class DedupSpec extends SparkSpec {
     val n = 300L
     val nodes = (1L to n).toDF("id")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(nodes, "id", pairs, maxIters = 15)
+    // budget 0 forces the ITERATIVE path — the default budget would route
+    // a 299-edge graph through the driver union-find and test nothing
+    val got = Dedup.connectedComponents(nodes, "id", pairs, maxIters = 15,
+        driverEdgeBudget = 0L)
       .as[(Long, Long)].collect()
     assert(got.length == n)
     assert(got.forall(_._2 == 1L), "every chain node must label to the min id")
+  }
+
+  test("connectedComponents: driver fast path and iterative path agree") {
+    // mixed shapes (path + triangle + singletons) plus a seeded random
+    // graph: the union-find fast path must produce the identical
+    // min-id labeling the distributed loop converges to
+    val rnd = new scala.util.Random(7)
+    val nodes = (1L to 60L).toDF("id")
+    val pairs = ((1L to 59L).filter(_ => rnd.nextBoolean())
+      .map(i => (i, i + 1)) ++ Seq((3L, 41L), (10L, 50L)))
+      .toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    val iter = Dedup.connectedComponents(nodes, "id", pairs,
+        driverEdgeBudget = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == iter)
   }
 
   test("connectedComponents rejects non-integral id columns loudly") {
