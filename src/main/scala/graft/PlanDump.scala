@@ -12,7 +12,8 @@ object PlanDump {
       "q51_dedup_minhash_lsh", "q54_ann_brute_topk",
       "q55_embedding_neardup", "q56_ann_lsh_topk", "q57_ann_ivf_topk",
       "q67_neardup_lsh_banded",
-      "q75_stratified_sample", "q77_vocab_topk", "q80_incremental_dedup")
+      "q75_stratified_sample", "q77_vocab_topk", "q80_incremental_dedup",
+      "q90_dup_ngrams", "q91_embedding_outliers")
     for (q <- qs) {
       println(s"\n## $q\n")
       println("```")

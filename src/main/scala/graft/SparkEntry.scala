@@ -858,7 +858,29 @@ object SparkEntry {
       Curation.mixByEpochs(t(s, dir, "documents"), "doc_id", "lang",
           Map("en" -> 2, "zh" -> 3, "de" -> 0), defaultEpochs = 1)
         .select(col("doc_id"), col("lang"), col("epoch").cast("int").as("epoch"),
-          col("mix_key")))
+          col("mix_key"))),
+
+    // Gopher repetition rules: top-bigram and duplicated-bigram fractions
+    // per doc — two keyed shuffles, scan-linear.
+    "q89_repetition_stats" -> ((s, dir) =>
+      Curation.repetitionStats(t(s, dir, "documents"), "doc_id", "text", n = 2)),
+
+    // ExactSubstr-style duplicated 8-gram fraction: the partial-overlap
+    // dedup signal whole-doc fingerprints cannot see.
+    "q90_dup_ngrams" -> ((s, dir) =>
+      Curation.dupNgramStats(t(s, dir, "documents"), "doc_id", "text", n = 8)),
+
+    // SemDeDup-flavored outliers: top-5 farthest vectors from each
+    // label's integer-quantized centroid (exact ranking, no FP drift).
+    "q91_embedding_outliers" -> ((s, dir) =>
+      Similarity.embeddingOutliers(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", topK = 5)),
+
+    // Corpus-mix planning: per-(lang, source) exact token counts and the
+    // T=0.5 temperature weight (deliberately unnormalized — see Scaladoc).
+    "q92_mix_weights" -> ((s, dir) =>
+      Curation.mixWeights(t(s, dir, "documents"), Seq("lang", "source"),
+        TextAnalysis.tokenCount(col("text"))))
   )
 
   /** Oracle SQL that must be GENERATED against the data (embedding dim,
@@ -1472,7 +1494,69 @@ object SparkEntry {
         |SELECT doc_id, lang, CAST(epoch AS INT) AS epoch,
         |  md5('mix:' || lang || ':' || CAST(epoch AS VARCHAR)
         |      || ':' || CAST(doc_id AS VARCHAR)) AS mix_key
-        |FROM x""".stripMargin
+        |FROM x""".stripMargin,
+    "q89_repetition_stats" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest([w.w[i] || ' ' || w.w[i+1]
+        |                FOR i IN range(1, greatest(len(w.w)-1, 0)+1)]) AS gram
+        |      FROM w),
+        |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_gram_frac,
+        |  CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_gram_frac,
+        |  (CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) > 0.2
+        |   OR CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) > 0.6)
+        |    AS is_repetitive
+        |FROM c GROUP BY doc_id""".stripMargin,
+    "q90_dup_ngrams" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g0 AS (SELECT doc_id,
+        |         unnest([array_to_string(w.w[i:i+7], ' ')
+        |                 FOR i IN range(1, greatest(len(w.w)-7, 0)+1)]) AS gram
+        |       FROM w),
+        |g AS (SELECT doc_id, md5(gram) AS fp FROM g0),
+        |f AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM g GROUP BY fp)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    AS dup_frac,
+        |  (CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |   >= 0.3) AS is_dup_heavy
+        |FROM g JOIN f USING (fp) GROUP BY g.doc_id""".stripMargin,
+    "q91_embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, label,
+        |             list_transform(embedding,
+        |               x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |           FROM embeddings),
+        |x0 AS (SELECT vec_id, label,
+        |         unnest([{'dim': i-1, 'm': v[i]} FOR i IN range(1, len(v)+1)]) AS s
+        |       FROM e),
+        |x AS (SELECT vec_id, label, s.dim AS dim, s.m AS m FROM x0),
+        |cent AS (SELECT label, dim,
+        |           CAST(floor(CAST(sum(m) AS DOUBLE) / count(*)) AS BIGINT) AS c
+        |         FROM x GROUP BY label, dim),
+        |d AS (SELECT vec_id, label,
+        |        CAST(sum((m - c) * (m - c)) AS BIGINT) AS dist2_milli
+        |      FROM x JOIN cent USING (label, dim) GROUP BY vec_id, label),
+        |r AS (SELECT label, vec_id, dist2_milli,
+        |        row_number() OVER (PARTITION BY label
+        |          ORDER BY dist2_milli DESC, vec_id ASC) AS rk
+        |      FROM d)
+        |SELECT label, vec_id, dist2_milli, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 5""".stripMargin,
+    "q92_mix_weights" ->
+      """WITH g AS (SELECT lang, source, count(*) AS n_docs,
+        |             CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |                  AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY lang, source)
+        |SELECT lang, source, n_docs, n_tokens,
+        |  CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)
+        |    AS token_share,
+        |  sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(sum(n_tokens) OVER () AS DOUBLE))
+        |    AS temp_weight
+        |FROM g""".stripMargin
   )
 
   /** Queries written in the ANSI subset BOTH engines parse identically —

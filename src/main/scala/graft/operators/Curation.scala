@@ -127,6 +127,92 @@ object Curation {
       .withColumn("fill", col("tok_sum").cast("double") / budget)
   }
 
+  /** Gopher-style repetition signals per document (Rae et al. 2021,
+    * "Scaling Language Models", table A1): the fraction of the most
+    * frequent word n-gram and the fraction of duplicated n-gram
+    * occurrences. Documents failing either bound are boilerplate /
+    * looping-generator suspects the quality gate drops.
+    *
+    * Scale shape: explode n-grams (multiset, stride 1) → one map-side-
+    * combinable count per (doc, gram) → one re-group per doc. Two keyed
+    * shuffles, scan-linear, no windows. Documents shorter than n words
+    * emit no n-grams and are absent from the output (nothing to score).
+    * Fractions are single correctly-rounded double divisions of exact
+    * integer counts — bit-identical in any engine (oracle-safe).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, topFracMax: Double = 0.2, dupFracMax: Double = 0.6): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(graft.functions.TextAnalysis.wordNGrams(col(textCol), n)).as("gram"))
+    grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(col(idCol), col("n_grams"),
+        (col("top_count").cast("double") / col("n_grams")).as("top_gram_frac"),
+        ((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+          .as("dup_gram_frac"))
+      .withColumn("is_repetitive",
+        col("top_gram_frac") > topFracMax || col("dup_gram_frac") > dupFracMax)
+  }
+
+  /** ExactSubstr-style duplicated-span fraction per document (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"),
+    * at word-n-gram granularity: the fraction of a document's n-gram
+    * occurrences that also appear in at least one OTHER document. High
+    * fractions mark documents that are largely assembled from text
+    * duplicated elsewhere in the corpus — partial-overlap cases whole-doc
+    * dedup cannot see.
+    *
+    * Scale shape: explode → distinct postings → document frequency per
+    * gram fingerprint → join postings back on the fingerprint. All keyed
+    * shuffles; the join fans out 1:1 (one df row per fingerprint), so a
+    * corpus-wide hot gram costs its posting count, never a quadratic
+    * bucket. The md5 fingerprint keeps shuffle keys fixed-width.
+    */
+  def dupNgramStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, dupFracMin: Double = 0.3): DataFrame = {
+    val grams = docs.select(col(idCol),
+        explode(graft.functions.TextAnalysis.wordNGrams(col(textCol), n)).as("gram"))
+      .select(col(idCol), md5(col("gram")).as("fp"))
+    val docFreq = grams.distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+    grams.join(docFreq, "fp")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac", col("n_dup").cast("double") / col("n_grams"))
+      .withColumn("is_dup_heavy", col("dup_frac") >= dupFracMin)
+  }
+
+  /** Temperature-sampling mix weights per stratum — the corpus-mix
+    * planning step before [[mixByEpochs]]: exact integer doc/token
+    * counts, each stratum's token share, and the temperature-adjusted
+    * weight sqrt(n_g)/sqrt(N) (T = 0.5 in the p_g ∝ n_g^T family —
+    * the standard flattening that keeps low-resource strata from
+    * vanishing, cf. multilingual sampling in public LM pipelines).
+    *
+    * The weight is DELIBERATELY left unnormalized: normalizing needs a
+    * sum of G doubles whose value depends on addition order — not
+    * reproducible across engines/partitionings. sqrt and division are
+    * IEEE correctly-rounded, so these weights are bit-identical anywhere;
+    * the client normalizes over its G-row manifest if it needs p values.
+    *
+    * One agg shuffle; the grand total is a window over the G-row
+    * aggregated frame (G = #strata, driver-bounded by definition).
+    */
+  def mixWeights(docs: DataFrame, groupCols: Seq[String], tokens: Column): DataFrame = {
+    val g = docs.select(groupCols.map(col) :+ tokens.cast("long").as("tok"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+    val all = Window.partitionBy()
+    g.withColumn("total_tokens", sum(col("n_tokens")).over(all))
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / col("total_tokens"))
+      .withColumn("temp_weight",
+        sqrt(col("n_tokens").cast("double")) / sqrt(col("total_tokens").cast("double")))
+  }
+
   /** Weighted corpus mixing by epoch replication: each stratum key gets
     * an integer epoch count (e.g. high-quality sources oversampled 2-3×,
     * the long tail once); every document is replicated once per epoch

@@ -69,6 +69,42 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Per-group embedding outliers by distance to the group centroid — the
+    * SemDeDup-flavored curation signal: vectors far from their cluster's
+    * center are mislabeled/noisy candidates a training pipeline reviews
+    * or drops. Returns the `topK` farthest vectors per `labelCol` group
+    * as (label, id, dist2_milli, rk), ties broken on id.
+    *
+    * Exactness contract: vectors quantize to integer milli-units; the
+    * centroid coordinate is floor(sum/n) computed as one correctly-
+    * rounded double division of exact integers (exact while |sum| < 2^53
+    * — ~10^12 vectors at milli scale; beyond that shard the centroid
+    * agg), and dist2 is an exact integer sum of squared milli deltas. So
+    * the ranking is bit-reproducible in any engine — no FP-accumulation
+    * drift ANN scores suffer.
+    *
+    * Scale shape: posexplode (d× rows, map-side combined partial sums) →
+    * per-(label, dim) centroid (G·d rows, broadcast) → scan-side join +
+    * one re-group per vector → per-label ranking window bounded by
+    * WindowGroupLimit pushdown (rk ≤ k prunes before the full sort).
+    */
+  def embeddingOutliers(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, topK: Int = 5): DataFrame = {
+    val q = emb.select(col(idCol), col(labelCol),
+      posexplode(quantize(col(vecCol))).as(Seq("dim", "m")))
+    val cent = q.groupBy(col(labelCol), col("dim"))
+      .agg(floor(sum(col("m")).cast("double") / count(lit(1))).cast("long").as("c"))
+    val dist = q.join(broadcast(cent), Seq(labelCol, "dim"))
+      .select(col(idCol), col(labelCol),
+        ((col("m") - col("c")) * (col("m") - col("c"))).as("d2"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(sum(col("d2")).as("dist2_milli"))
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy(col("dist2_milli").desc, col(idCol).asc)
+    dist.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select(col(labelCol), col(idCol), col("dist2_milli"), col("rk"))
+  }
+
   /** All near-duplicate pairs with cosine ≥ threshold (id_a < id_b) —
     * EXACT, with a cluster-shaped plan.
     *

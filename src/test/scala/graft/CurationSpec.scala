@@ -121,4 +121,60 @@ class CurationSpec extends SparkSpec {
     for (w <- ranges.sliding(2) if w.length == 2)
       assert(w(0)._2 < w(1)._1, "file z-ranges overlap: clustering is broken")
   }
+
+  test("repetitionStats flags the looping doc and not the varied one") {
+    val corpus = Seq(
+      (1L, "spam ham spam ham spam ham spam ham spam ham"), // one bigram loop
+      (2L, "every word here is fully distinct from others")
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionStats(corpus, "doc_id", "text", n = 2)
+      .select($"doc_id", $"n_grams", $"top_gram_frac", $"dup_gram_frac",
+        $"is_repetitive")
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: 9 bigrams = 5×"spam ham" + 4×"ham spam" → top 5/9, dup 7/9
+    assert(out(1L)._2 == 9L && out(1L)._3 == 5.0 / 9 && out(1L)._4 == 7.0 / 9)
+    assert(out(1L)._5)
+    // doc 2: 7 distinct bigrams → top 1/7, dup 0
+    assert(out(2L)._3 == 1.0 / 7 && out(2L)._4 == 0.0 && !out(2L)._5)
+  }
+
+  test("repetitionStats omits docs shorter than n tokens") {
+    val corpus = Seq((1L, "solo"), (2L, "two words")).toDF("doc_id", "text")
+    val ids = Curation.repetitionStats(corpus, "doc_id", "text", n = 2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids == Set(2L))
+  }
+
+  test("dupNgramStats scores cross-doc shared spans, not self-repeats") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 words
+    val corpus = Seq(
+      (1L, shared + " unique1 unique2 unique3"),
+      (2L, shared + " other4 other5 other6"),
+      (3L, "wholly disjoint text with eight distinct little words")
+    ).toDF("doc_id", "text")
+    val out = Curation.dupNgramStats(corpus, "doc_id", "text", n = 8)
+      .select($"doc_id", $"n_grams", $"n_dup", $"is_dup_heavy")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // docs 1/2: 11 words → 4 8-grams each; only the full `shared` gram
+    // (positions 1) occurs in both docs
+    assert(out(1L)._2 == 4L && out(1L)._3 == 1L)
+    assert(out(2L)._2 == 4L && out(2L)._3 == 1L)
+    assert(out(3L)._3 == 0L && !out(3L)._4)
+  }
+
+  test("mixWeights: exact counts, share sums to 1, weights flatten the skew") {
+    val corpus = (1 to 90).map(i => (i.toLong, "w " * 10 + "end", "en", "web")) ++
+      (91 to 100).map(i => (i.toLong, "w " * 10 + "end", "fr", "book"))
+    val out = Curation.mixWeights(corpus.toDF("doc_id", "text", "lang", "source"),
+        Seq("lang", "source"), graft.functions.TextAnalysis.tokenCount($"text"))
+      .select($"lang", $"n_docs", $"n_tokens", $"token_share", $"temp_weight")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("en")._2 == 90L && out("fr")._2 == 10L)
+    assert(out("en")._4 == 0.9 && out("fr")._4 == 0.1)
+    // temperature 0.5 flattens: weight ratio sqrt(9) = 3, not 9
+    assert(math.abs(out("en")._5 / out("fr")._5 - 3.0) < 1e-12)
+  }
 }

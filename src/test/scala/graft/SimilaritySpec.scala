@@ -117,4 +117,35 @@ class SimilaritySpec extends SparkSpec {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq,
       "long-sum k-means must be partition-order independent")
   }
+
+  test("embeddingOutliers ranks the planted far vector first in its group") {
+    // group 0: four vectors at ~(1,0) and one planted at (-1,0) — the
+    // planted one is farthest from the centroid; group 1 is tight
+    val rows = Seq(
+      (1L, Array(1.00f, 0.01f), 0), (2L, Array(0.99f, -0.01f), 0),
+      (3L, Array(1.01f, 0.02f), 0), (4L, Array(1.00f, 0.00f), 0),
+      (5L, Array(-1.00f, 0.00f), 0),
+      (6L, Array(0.00f, 1.00f), 1), (7L, Array(0.01f, 0.99f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingOutliers(rows, "vec_id", "embedding",
+        "label", topK = 2)
+      .select($"label", $"vec_id", $"rk").as[(Int, Long, Int)].collect()
+    val g0 = out.filter(_._1 == 0).sortBy(_._3).map(_._2).toSeq
+    assert(g0.head == 5L, s"planted outlier must rank first, got $g0")
+    assert(out.count(_._1 == 1) == 2)
+  }
+
+  test("embeddingOutliers ties break on id and ranking is exact-integer") {
+    // two vectors symmetric around the centroid: identical dist2 — the
+    // smaller id must win rank 1 (deterministic under any partitioning)
+    val rows = Seq(
+      (10L, Array(1.0f, 0.0f), 0), (11L, Array(-1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingOutliers(rows, "vec_id", "embedding",
+        "label", topK = 2)
+      .select($"vec_id", $"dist2_milli", $"rk").as[(Long, Long, Int)].collect()
+      .sortBy(_._3)
+    assert(out.map(_._1).toSeq == Seq(10L, 11L))
+    assert(out(0)._2 == out(1)._2)
+  }
 }
