@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output normally goes through sbt's logger, which prefixes
+// every line with "[info] " — that prefix broke the driver's JSON-line
+// parse of Bench's stdout in every prior round (BENCH_r*.json all record
+// parsed: null). StdoutOutput passes the forked JVM's stdout/stderr
+// through verbatim, so the one-line bench JSON arrives unprefixed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
