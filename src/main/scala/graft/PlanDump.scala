@@ -13,7 +13,8 @@ object PlanDump {
       "q55_embedding_neardup", "q56_ann_lsh_topk", "q57_ann_ivf_topk",
       "q67_neardup_lsh_banded",
       "q75_stratified_sample", "q77_vocab_topk", "q80_incremental_dedup",
-      "q90_dup_ngrams", "q91_embedding_outliers")
+      "q90_dup_ngrams", "q91_embedding_outliers",
+      "q93_event_funnel", "q94_dup_source_matrix")
     for (q <- qs) {
       println(s"\n## $q\n")
       println("```")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextAnalysis
-import graft.operators.{AuditDiff, Constraints, Curation, Dedup, Layout, Relational, Similarity}
+import graft.operators.{AuditDiff, Constraints, Curation, Dedup, Funnel, Layout, Relational, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -880,7 +880,46 @@ object SparkEntry {
     // T=0.5 temperature weight (deliberately unnormalized — see Scaladoc).
     "q92_mix_weights" -> ((s, dir) =>
       Curation.mixWeights(t(s, dir, "documents"), Seq("lang", "source"),
-        TextAnalysis.tokenCount(col("text"))))
+        TextAnalysis.tokenCount(col("text")))),
+
+    // Ordered conversion funnel over the event log: one shuffle on the
+    // user key, k window-mins over it, one global fold to stage counts.
+    "q93_event_funnel" -> ((s, dir) =>
+      Funnel.reach(t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
+
+    // Cross-source duplication matrix: which sources copy from which —
+    // duplicate pairs bucketed by unordered source pair. Keyed on the
+    // 8-word prefix fingerprint (truncation-style near-dups, present at
+    // every scale factor); hash self-join, no cross product.
+    "q94_dup_source_matrix" -> ((s, dir) =>
+      Dedup.crossGroupDupMatrix(t(s, dir, "documents"), "doc_id", "source",
+        TextAnalysis.prefixFingerprint(col("text"), 8))),
+
+    // Length stratification: NTILE(4) length bands per language with
+    // exact per-band token stats (curriculum / context-length splits).
+    "q95_length_strata" -> ((s, dir) =>
+      Curation.lengthStrata(t(s, dir, "documents"), "lang", "doc_id",
+        TextAnalysis.tokenCount(col("text")), 4)),
+
+    // Tokenizer-fertility planning: BPE-ish subword estimate vs
+    // whitespace tokens per language — the budget ratio a multilingual
+    // mix planner needs. Scan + one agg; one final exact-int division.
+    "q96_token_fertility" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ws"),
+          TextAnalysis.bpeTokenEstimate(col("text")).cast("long").as("bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+          sum(col("bpe")).as("bpe_tokens"))
+        .withColumn("fertility",
+          col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))),
+
+    // Source-concentration (HHI) per language: single-source dominance
+    // diagnostic over the corpus mix. Two map-side-combined aggregates.
+    "q97_source_hhi" -> ((s, dir) =>
+      Curation.concentration(t(s, dir, "documents"), "lang", "source"))
   )
 
   /** Oracle SQL that must be GENERATED against the data (embedding dim,
@@ -1556,7 +1595,66 @@ object SparkEntry {
         |    AS token_share,
         |  sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(sum(n_tokens) OVER () AS DOUBLE))
         |    AS temp_weight
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+    // Stage k's first-qualifying time is NULL-gated on stage k-1: a CASE
+    // condition over a NULL t_{k-1} is NULL → skipped by min(), exactly
+    // the Spark side's isNotNull && ts >= prev gate.
+    "q93_event_funnel" ->
+      """WITH s0 AS (SELECT user_id,
+        |              min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+        |            FROM events GROUP BY user_id),
+        |s1 AS (SELECT s0.user_id, t0,
+        |         min(CASE WHEN e.event_type = 'click' AND e.ts >= t0
+        |             THEN e.ts END) AS t1
+        |       FROM s0 JOIN events e ON e.user_id = s0.user_id
+        |       GROUP BY s0.user_id, t0),
+        |s2 AS (SELECT s1.user_id, t0, t1,
+        |         min(CASE WHEN e.event_type = 'purchase' AND e.ts >= t1
+        |             THEN e.ts END) AS t2
+        |       FROM s1 JOIN events e ON e.user_id = s1.user_id
+        |       GROUP BY s1.user_id, t0, t1)
+        |SELECT 1 AS stage_idx, 'view' AS stage, count(t0) AS n_users FROM s2
+        |UNION ALL SELECT 2, 'click', count(t1) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(t2) FROM s2""".stripMargin,
+    "q94_dup_source_matrix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp
+        |           FROM documents)
+        |SELECT least(a.source, b.source) AS grp_a,
+        |  greatest(a.source, b.source) AS grp_b, count(*) AS n_pairs
+        |FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+    "q95_length_strata" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |           FROM documents),
+        |t AS (SELECT lang, tok,
+        |        ntile(4) OVER (PARTITION BY lang ORDER BY tok ASC, doc_id ASC)
+        |          AS tile
+        |      FROM d)
+        |SELECT lang, CAST(tile AS INT) AS tile, count(*) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS tok_sum,
+        |  min(tok) AS tok_min, max(tok) AS tok_max
+        |FROM t GROUP BY lang, tile""".stripMargin,
+    "q96_token_fertility" ->
+      """WITH w AS (SELECT lang, doc_id,
+        |             unnest(string_split(text, ' ')) AS wd
+        |           FROM documents),
+        |p AS (SELECT lang, doc_id, count(*) AS ws,
+        |        CAST(sum(greatest(1, CAST(ceil(length(wd) / 4) AS BIGINT)))
+        |             AS BIGINT) AS bpe
+        |      FROM w GROUP BY lang, doc_id)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+        |  CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) AS fertility
+        |FROM p GROUP BY lang""".stripMargin,
+    "q97_source_hhi" ->
+      """WITH g AS (SELECT lang, source, count(*) AS c
+        |           FROM documents GROUP BY lang, source)
+        |SELECT lang, count(*) AS n_items, CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) * sum(c) AS DOUBLE) AS hhi
+        |FROM g GROUP BY lang""".stripMargin
   )
 
   /** Queries written in the ANSI subset BOTH engines parse identically —

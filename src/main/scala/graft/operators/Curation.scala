@@ -239,4 +239,43 @@ object Curation {
         md5(concat(lit("mix:"), col(keyCol), lit(":"),
           col("epoch").cast("string"), lit(":"), col(idCol).cast("string"))))
   }
+
+  /** Length stratification: NTILE(`tiles`) buckets per stratum over a
+    * deterministic (length, id) order, with exact per-tile token stats —
+    * the curriculum/packing pre-step that splits each language into
+    * equal-count length bands (short-context vs long-context training
+    * splits). One window shuffle on the stratum key, reused by the
+    * following aggregate; stats are exact integers (no FP drift).
+    * Ties break on the id so tile assignment is reproducible across
+    * engines and partitionings.
+    */
+  def lengthStrata(docs: DataFrame, partCol: String, idCol: String,
+      tokens: Column, tiles: Int): DataFrame = {
+    require(tiles >= 1, s"tiles must be >= 1, got $tiles")
+    val w = Window.partitionBy(col(partCol))
+      .orderBy(col("tok").asc, col(idCol).asc)
+    docs.select(col(partCol), col(idCol), tokens.cast("long").as("tok"))
+      .withColumn("tile", ntile(tiles).over(w))
+      .groupBy(col(partCol), col("tile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tok_sum"),
+        min(col("tok")).as("tok_min"), max(col("tok")).as("tok_max"))
+  }
+
+  /** Source-concentration diagnostic per stratum: distinct item count and
+    * the Herfindahl–Hirschman index sum((c_i/N)²) of the item distribution
+    * — the "is this language dominated by one crawl source?" curation
+    * check (HHI → 1 means a single source; → 1/k means k equal sources).
+    * Two keyed aggregates (map-side combined); the HHI is ONE double
+    * division of exact integer sums — sum(c²)/N², bit-identical in any
+    * engine while the sums stay below 2⁵³ (≈9·10¹⁵ — beyond that,
+    * rescale counts before squaring).
+    */
+  def concentration(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(itemCol)).agg(count(lit(1)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_items"), sum(col("c")).as("n_rows"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .select(col(groupCol), col("n_items"), col("n_rows"),
+        (col("sum_sq").cast("double") /
+          (col("n_rows") * col("n_rows")).cast("double")).as("hhi"))
 }

@@ -67,6 +67,29 @@ object Dedup {
     Relational.dedupByKey(df.withColumn("__fp", key), "__fp",
       Seq(col(idCol).asc)).drop("__fp")
 
+  /** Cross-group duplicate-pair matrix: for every exact-duplicate pair
+    * (same content key, distinct ids), count pairs per unordered group
+    * pair — "which crawl sources copy from which" / train–eval leakage
+    * accounting. Returns (grp_a ≤ grp_b, n_pairs).
+    *
+    * Plan shape: a hash self-equi-join on the fixed-width content key —
+    * no cross product anywhere; a duplicate cluster of size c costs
+    * c(c-1)/2 pairs, which is the OUTPUT size, not a blowup (near-dup
+    * clusters at 100 TB are overwhelmingly small; a pathological mega-
+    * cluster should be capped upstream via [[exactClusters]] dup_count).
+    */
+  def crossGroupDupMatrix(df: DataFrame, idCol: String, grpCol: String,
+      key: Column): DataFrame = {
+    val d = df.select(col(idCol).as("id"), col(grpCol).as("grp"), key.as("fp"))
+    val a = d.select(col("fp"), col("id").as("id_a"), col("grp").as("grp_l"))
+    val b = d.select(col("fp"), col("id").as("id_b"), col("grp").as("grp_r"))
+    a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+      .select(least(col("grp_l"), col("grp_r")).as("grp_a"),
+        greatest(col("grp_l"), col("grp_r")).as("grp_b"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Distinct (id, shingle) pairs — the exploded posting-list relation
     * for MinHash signatures and prefix indexing.
     */

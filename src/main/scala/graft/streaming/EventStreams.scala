@@ -119,6 +119,79 @@ object EventStreams {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+  final case class FunnelBuf(ts_us: Long, tpe: String)
+  final case class FunnelState(buf: Seq[FunnelBuf], firsts: Seq[Long])
+  final case class FunnelHit(user_id: Long, stage_idx: Int, stage: String,
+      first_ts_us: Long)
+
+  /** Streaming ordered-funnel progress — the incremental twin of batch
+    * `Funnel.reach`/`stageTimes`: emits (user, stage_idx, stage,
+    * first_ts_us) the moment a user FIRST completes each stage, with
+    * batch-exact semantics for any event-time disorder inside the
+    * watermark.
+    *
+    * Exactness mechanism: events buffer in state until the watermark
+    * passes them, then apply in global event-time order — so a late
+    * in-watermark `view` correctly precedes an already-buffered `click`,
+    * which a process-on-arrival design would mis-order (the batch
+    * definition of stage k is the MIN qualifying timestamp, which is
+    * order-sensitive). State per user = funnel progress (k longs) + the
+    * ≤ watermark-horizon event buffer, so state is bounded by the delay,
+    * not the stream length; progress itself persists without a timeout
+    * (a conversion may arrive days later).
+    */
+  def funnelProgress(events: DataFrame, stages: Seq[String]): Dataset[FunnelHit] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      // keep the watermarked `ts` attribute itself — projecting it away
+      // (e.g. to unix_micros) would drop the event-time tag the timeout
+      // needs; µs are derived inside the handler instead
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+          val st = state.getOption
+            .getOrElse(FunnelState(Nil, stages.map(_ => -1L)))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // only funnel-relevant types are worth buffer space
+          val incoming = batch.collect {
+            case e if stages.contains(e.event_type) =>
+              FunnelBuf(micros(e.ts), e.event_type)
+          }
+          val (ready, pending) = (st.buf ++ incoming)
+            .sortBy(b => (b.ts_us, b.tpe))
+            .partition(_.ts_us <= wmUs)
+          val firsts = st.firsts.toArray
+          val hits = Seq.newBuilder[FunnelHit]
+          for (b <- ready) {
+            val k = stages.indexOf(b.tpe)
+            if (firsts(k) < 0L &&
+                (k == 0 || (firsts(k - 1) >= 0L && b.ts_us >= firsts(k - 1)))) {
+              firsts(k) = b.ts_us
+              hits += FunnelHit(uid, k + 1, stages(k), b.ts_us)
+            }
+          }
+          // a fully-converted user needs no buffer; otherwise keep the
+          // > watermark tail and wake up when the watermark passes it
+          val keep = if (firsts.forall(_ >= 0L)) Nil else pending
+          state.update(FunnelState(keep, firsts.toSeq))
+          if (keep.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(keep.map(_.ts_us).min / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+          hits.result().iterator
+      }
+  }
+
   /** Exactly-once-ish ingest dedup: drop replayed events by event_id
     * within the watermark horizon (state auto-expires past it — unbounded
     * keys never accumulate). The streaming twin of batch

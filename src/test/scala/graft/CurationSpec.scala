@@ -177,4 +177,29 @@ class CurationSpec extends SparkSpec {
     // temperature 0.5 flattens: weight ratio sqrt(9) = 3, not 9
     assert(math.abs(out("en")._5 / out("fr")._5 - 3.0) < 1e-12)
   }
+
+  test("lengthStrata: ntile bands are equal-count and length-ordered") {
+    val corpus = (1 to 8).map(i => (i.toLong, ("w " * i).trim, "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.lengthStrata(corpus, "lang", "doc_id",
+        graft.functions.TextAnalysis.tokenCount($"text"), tiles = 4)
+      .orderBy($"tile")
+      .select($"tile", $"n_docs", $"tok_min", $"tok_max")
+      .as[(Int, Long, Long, Long)].collect()
+    // 8 docs of 1..8 tokens into 4 tiles: (1,2)(3,4)(5,6)(7,8)
+    assert(out.toSeq == Seq((1, 2L, 1L, 2L), (2, 2L, 3L, 4L),
+      (3, 2L, 5L, 6L), (4, 2L, 7L, 8L)))
+  }
+
+  test("concentration: HHI is 1 for one source, 1/k for k equal sources") {
+    val corpus = ((1 to 10).map(i => (i.toLong, "en", "only")) ++
+      (1 to 12).map(i => (100L + i, "fr", s"s${i % 4}")))
+      .toDF("doc_id", "lang", "source")
+    val out = Curation.concentration(corpus, "lang", "source")
+      .select($"lang", $"n_items", $"n_rows", $"hhi")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("en") == (("en", 1L, 10L, 1.0)))
+    assert(out("fr")._2 == 4L && out("fr")._3 == 12L)
+    assert(math.abs(out("fr")._4 - 0.25) < 1e-15) // 4 × (3/12)²
+  }
 }

@@ -180,4 +180,26 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ti") && plan.contains("tj"))
   }
+
+  test("crossGroupDupMatrix counts unordered group pairs of exact dups") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (1L, "same text here", "web"), (2L, "same text here", "book"),
+      (3L, "same text here", "web"), // web-web pair + two cross pairs
+      (4L, "unique text", "web"), (5L, "other unique", "book")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.crossGroupDupMatrix(docs, "doc_id", "source",
+        TextAnalysis.fingerprint($"text"))
+      .select($"grp_a", $"grp_b", $"n_pairs")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // cluster {1,2,3}: pairs (1,2) book-web, (1,3) web-web, (2,3) book-web
+    assert(out == Map(("book", "web") -> 2L, ("web", "web") -> 1L))
+    // plan is a hash equi-join on the fingerprint — no cross product
+    val plan = Dedup.crossGroupDupMatrix(docs, "doc_id", "source",
+        TextAnalysis.fingerprint($"text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

@@ -94,4 +94,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(missing.size <= batch.groupBy(_._1).size,
       "at most one open tail session per user may be missing")
   }
+
+  test("streaming funnel progress equals batch stage times up to the watermark") {
+    import graft.operators.Funnel
+    val stages = Seq("view", "click", "purchase")
+    val stream = EventStreams.funnelProgress(
+      EventStreams.readEvents(spark, eventsPath), stages)
+    EventStreams.runToMemory(stream.toDF(), "funnel_append")
+    val streamed = spark.table("funnel_append")
+      .select($"user_id", $"stage_idx", $"first_ts_us")
+      .as[(Long, Int, Long)].collect().toSet
+
+    // the stream can only have finalized events at or before the final
+    // watermark (max event time - 2h); batch-restrict to the same horizon
+    val ev = Tables(spark, sf, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
+    val wmMs = ev.agg(max($"ts_us")).as[Long].head() / 1000L - 2L * 3600 * 1000
+    val horizon = ev.filter($"ts_us" <= wmMs * 1000L)
+    val perUser = Funnel.stageTimes(horizon, "user_id", "event_type", "ts_us", stages)
+    val batch = stages.indices.flatMap { i =>
+      perUser.select($"user_id", $"s$i").as[(Long, Option[Long])].collect()
+        .collect { case (u, Some(ts)) => (u, i + 1, ts) }
+    }.toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
 }
