@@ -919,7 +919,47 @@ object SparkEntry {
     // Source-concentration (HHI) per language: single-source dominance
     // diagnostic over the corpus mix. Two map-side-combined aggregates.
     "q97_source_hhi" -> ((s, dir) =>
-      Curation.concentration(t(s, dir, "documents"), "lang", "source"))
+      Curation.concentration(t(s, dir, "documents"), "lang", "source")),
+
+    // Exact interpolating length quantiles per language (p10/p50/p90 of
+    // token counts) — the context-length planning profile. Exact
+    // percentile (one per-group sort), not approx sketches: the sketch
+    // variant (approx_percentile / t-digest) is engine-specific and
+    // cannot hash-match an oracle; at 100 TB swap in approx_percentile
+    // with a documented error bound.
+    "q98_length_quantiles" -> ((s, dir) => {
+      val tok = TextAnalysis.tokenCount(col("text")).cast("long")
+      t(s, dir, "documents")
+        .select(col("lang"), tok.as("tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          percentile(col("tok"), lit(0.1)).as("p10"),
+          percentile(col("tok"), lit(0.5)).as("p50"),
+          percentile(col("tok"), lit(0.9)).as("p90"))
+    }),
+
+    // Pearson correlation from EXACT integer moments (decimal sums, so
+    // n·Σxx cannot overflow), with the final formula spelled out as the
+    // same correctly-rounded double ops in both engines — the built-in
+    // corr() accumulates doubles in partition order and is NOT
+    // reproducible, so it cannot be oracle-hashed.
+    "q99_value_hour_corr" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val e = t(s, dir, "events").select(col("event_type"),
+        cents(col("value")).cast(dec).as("x"),
+        hour(col("ts")).cast(dec).as("y"))
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("event_type"), col("n").cast("long").as("n_events"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("pearson"))
+    })
   )
 
   /** Oracle SQL that must be GENERATED against the data (embedding dim,
@@ -1654,7 +1694,33 @@ object SparkEntry {
         |           FROM documents GROUP BY lang, source)
         |SELECT lang, count(*) AS n_items, CAST(sum(c) AS BIGINT) AS n_rows,
         |  CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) * sum(c) AS DOUBLE) AS hhi
-        |FROM g GROUP BY lang""".stripMargin
+        |FROM g GROUP BY lang""".stripMargin,
+    "q98_length_quantiles" ->
+      """WITH d AS (SELECT lang,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |           FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  quantile_cont(tok, 0.1) AS p10,
+        |  quantile_cont(tok, 0.5) AS p50,
+        |  quantile_cont(tok, 0.9) AS p90
+        |FROM d GROUP BY lang""".stripMargin,
+    // HUGEINT sums/products keep the moments exact; the ONLY lossy steps
+    // are the final casts to DOUBLE and the same sqrt/divide tree Spark
+    // evaluates — each IEEE correctly-rounded, so bit-identical.
+    "q99_value_hour_corr" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(round(value * 100) AS BIGINT) AS x,
+        |             CAST(hour(ts) AS BIGINT) AS y
+        |           FROM events),
+        |m AS (SELECT event_type, count(*) AS n,
+        |        sum(x) AS sx, sum(y) AS sy,
+        |        sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |      FROM e GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson
+        |FROM m""".stripMargin
   )
 
   /** Queries written in the ANSI subset BOTH engines parse identically —
