@@ -959,6 +959,17 @@ object SparkEntry {
             (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
             .as("pearson"))
+    }),
+
+    // Incremental fuzzy dedup: tonight's batch (doc_id % 10 == 0) probes
+    // the corpus's LSH band index — within-corpus pairs never form. The
+    // production pattern where the corpus bands are a stored index.
+    "q100_incremental_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minHashLshPairsAcross(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text")
     })
   )
 
@@ -1720,7 +1731,13 @@ object SparkEntry {
         |  CAST(n * sxy - sx * sy AS DOUBLE) /
         |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
         |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    // full-corpus minhash pairs restricted to CROSS pairs (exactly one
+    // side in the new batch) — banding is per-doc, so the restriction
+    // equals the two-sided bucket join the Spark operator plans
+    "q100_incremental_minhash" ->
+      s"""SELECT id_a, id_b, jaccard FROM ($minhashOracleSql) p
+         |WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)""".stripMargin
   )
 
   /** Queries written in the ANSI subset BOTH engines parse identically —

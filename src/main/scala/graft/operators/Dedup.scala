@@ -176,6 +176,44 @@ object Dedup {
     verifyJaccard(sets, candidates).filter(col("jaccard") >= threshold)
   }
 
+  /** Near-dup pairs of a NEW batch against an EXISTING corpus — the
+    * incremental form of [[minHashLshPairs]] and the fuzzy analog of a
+    * fingerprint anti-join: dedup tonight's crawl against the corpus
+    * without re-pairing the corpus with itself.
+    *
+    * Production shape: the corpus side's band table is precomputed and
+    * STORED (a signature index, refreshed as batches are accepted);
+    * only the new batch is shingled and signed per run, and the bucket
+    * join probes the stored bands — corpus text is never re-read. Here
+    * both band tables derive from their DataFrames, but the plan from
+    * the bucket join onward is identical to the stored-index case.
+    * Within-corpus and within-batch pairs never form by construction
+    * (the join is new × corpus). Ids must be disjoint across the sides.
+    * Returns (id_a < id_b, jaccard ≥ threshold), cross pairs only.
+    */
+  def minHashLshPairsAcross(corpus: DataFrame, newBatch: DataFrame,
+      idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
+      threshold: Double = 0.5,
+      cache: CacheHandle = CacheHandle.untracked): DataFrame = {
+    def bandsOf(sets: DataFrame): DataFrame =
+      lshBands(minHashSignatures(
+        sets.select(col("id"), explode(col("shset")).as("shingle")),
+        numHashes), rowsPerBand)
+    val cSets = cache.track(shingleSets(corpus, idCol, textCol, shingleSize))
+    val nSets = cache.track(shingleSets(newBatch, idCol, textCol, shingleSize))
+    val c = bandsOf(cSets).select(col("band"), col("band_hash"),
+      col("id").as("cid"))
+    val nb = bandsOf(nSets).select(col("band"), col("band_hash"),
+      col("id").as("nid"))
+    val candidates = nb.join(c, Seq("band", "band_hash"))
+      .select(least(col("nid"), col("cid")).as("id_a"),
+        greatest(col("nid"), col("cid")).as("id_b"))
+      .distinct()
+    verifyJaccard(cSets.unionByName(nSets), candidates)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact n-gram Jaccard similar pairs with PPJoin-style prefix
     * filtering (Xiao et al., WWW'08): rank each doc's shingles rarest
     * first and index only the first `|A| - ceil(t·|A|) + 1` of them — two

@@ -202,4 +202,25 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("minHashLshPairsAcross equals the full pair set restricted to cross pairs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),   // ~dup of 1
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 1, new side
+      (20L, "completely different content with no overlap at all here"),
+      (3L, "another unrelated document about sorting and shuffling data")
+    ).toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    val across = Dedup.minHashLshPairsAcross(corpus, batch, "doc_id", "text")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.minHashLshPairs(docs, "doc_id", "text")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => (a % 10 == 0) != (b % 10 == 0) }.toSet
+    assert(across == full)
+    assert(across.contains((1L, 10L))) // the planted cross dup
+    // within-side pairs must never form, even for the (1,2) near-dup
+    assert(across.forall { case (a, b) => (a % 10 == 0) != (b % 10 == 0) })
+  }
 }
