@@ -266,16 +266,20 @@ object Curation {
     * — the "is this language dominated by one crawl source?" curation
     * check (HHI → 1 means a single source; → 1/k means k equal sources).
     * Two keyed aggregates (map-side combined); the HHI is ONE double
-    * division of exact integer sums — sum(c²)/N², bit-identical in any
-    * engine while the sums stay below 2⁵³ (≈9·10¹⁵ — beyond that,
-    * rescale counts before squaring).
+    * division of EXACT integer arithmetic — squares and the N² are
+    * computed in decimal(38,0) (never LongType, whose non-ANSI multiply
+    * silently wraps past ~3·10⁹), each side rounded to double exactly
+    * once, matching an exact-integer oracle (DuckDB HUGEINT) bit-for-bit.
+    * Valid while per-group sums stay below 10³⁸ — i.e. any Long row count.
     */
   def concentration(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
     df.groupBy(col(groupCol), col(itemCol)).agg(count(lit(1)).as("c"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_items"), sum(col("c")).as("n_rows"),
-        sum(col("c") * col("c")).as("sum_sq"))
+        sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .as("sum_sq"))
       .select(col(groupCol), col("n_items"), col("n_rows"),
         (col("sum_sq").cast("double") /
-          (col("n_rows") * col("n_rows")).cast("double")).as("hhi"))
+          (col("n_rows").cast("decimal(19,0)") *
+            col("n_rows").cast("decimal(19,0)")).cast("double")).as("hhi"))
 }

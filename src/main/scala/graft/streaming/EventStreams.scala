@@ -122,7 +122,8 @@ object EventStreams {
   final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
       event_type: String)
   final case class FunnelBuf(ts_us: Long, tpe: String)
-  final case class FunnelState(buf: Seq[FunnelBuf], firsts: Seq[Long])
+  final case class FunnelState(buf: Seq[FunnelBuf], firsts: Seq[Long],
+      last_seen_us: Long)
   final case class FunnelHit(user_id: Long, stage_idx: Int, stage: String,
       first_ts_us: Long)
 
@@ -137,12 +138,22 @@ object EventStreams {
     * in-watermark `view` correctly precedes an already-buffered `click`,
     * which a process-on-arrival design would mis-order (the batch
     * definition of stage k is the MIN qualifying timestamp, which is
-    * order-sensitive). State per user = funnel progress (k longs) + the
-    * ≤ watermark-horizon event buffer, so state is bounded by the delay,
-    * not the stream length; progress itself persists without a timeout
-    * (a conversion may arrive days later).
+    * order-sensitive). Same-timestamp ties break by FUNNEL STAGE ORDER
+    * (not event-type name): a view and a click at the same instant must
+    * apply view-first, matching the batch inclusive `>=` gate
+    * (`Funnel.stageTimes`) — an alphabetical tie-break would consume the
+    * click before its gating view and silently drop the conversion.
+    * State per user = funnel progress (k longs) + the ≤ watermark-horizon
+    * event buffer, so buffer state is bounded by the delay, not the
+    * stream length. Progress state itself persists without a timeout by
+    * default (a conversion may arrive days later); on a long-running
+    * stream with unbounded distinct users pass `stateTtl` — a user whose
+    * last funnel event is older than the TTL (in event time) has their
+    * progress dropped, trading "conversions later than TTL re-emit
+    * earlier stages" for bounded state.
     */
-  def funnelProgress(events: DataFrame, stages: Seq[String]): Dataset[FunnelHit] = {
+  def funnelProgress(events: DataFrame, stages: Seq[String],
+      stateTtl: Option[java.time.Duration] = None): Dataset[FunnelHit] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val spark = events.sparkSession
     import spark.implicits._
@@ -159,17 +170,23 @@ object EventStreams {
         (uid: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
           def micros(t: java.sql.Timestamp): Long =
             t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+          val ttlUs = stateTtl.map(d => d.toMillis * 1000L)
           val st = state.getOption
-            .getOrElse(FunnelState(Nil, stages.map(_ => -1L)))
+            .getOrElse(FunnelState(Nil, stages.map(_ => -1L), -1L))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           // only funnel-relevant types are worth buffer space
           val incoming = batch.collect {
             case e if stages.contains(e.event_type) =>
               FunnelBuf(micros(e.ts), e.event_type)
-          }
+          }.toVector
+          // ties on ts_us break by stage position: a same-instant
+          // (view, click) must apply the gating view first — the batch
+          // gate is inclusive (b.ts_us >= firsts(k-1)) so the click then
+          // counts, matching Funnel.stageTimes exactly
           val (ready, pending) = (st.buf ++ incoming)
-            .sortBy(b => (b.ts_us, b.tpe))
+            .sortBy(b => (b.ts_us, stages.indexOf(b.tpe)))
             .partition(_.ts_us <= wmUs)
+          val lastSeen = (st.last_seen_us +: incoming.map(_.ts_us)).max
           val firsts = st.firsts.toArray
           val hits = Seq.newBuilder[FunnelHit]
           for (b <- ready) {
@@ -183,11 +200,21 @@ object EventStreams {
           // a fully-converted user needs no buffer; otherwise keep the
           // > watermark tail and wake up when the watermark passes it
           val keep = if (firsts.forall(_ >= 0L)) Nil else pending
-          state.update(FunnelState(keep, firsts.toSeq))
-          if (keep.nonEmpty)
-            state.setTimeoutTimestamp(
-              math.max(keep.map(_.ts_us).min / 1000L,
-                state.getCurrentWatermarkMs() + 1L))
+          val expired = ttlUs.exists(t =>
+            keep.isEmpty && lastSeen >= 0L && wmUs >= lastSeen + t)
+          if (expired) {
+            state.remove()
+          } else {
+            state.update(FunnelState(keep, firsts.toSeq, lastSeen))
+            val bufWakeMs = keep.map(_.ts_us).minOption.map(_ / 1000L)
+            val ttlWakeMs = ttlUs.collect {
+              case t if lastSeen >= 0L => (lastSeen + t) / 1000L
+            }
+            (bufWakeMs.toSeq ++ ttlWakeMs.toSeq).minOption.foreach { w =>
+              state.setTimeoutTimestamp(
+                math.max(w, state.getCurrentWatermarkMs() + 1L))
+            }
+          }
           hits.result().iterator
       }
   }

@@ -120,4 +120,77 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch,
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
   }
+
+  private def writeEventsFile(dir: String, name: String,
+      rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode("append").parquet(s"$dir/$name")
+
+  test("same-timestamp cross-stage ties apply in funnel-stage order (stream == batch)") {
+    import graft.operators.Funnel
+    val stages = Seq("view", "click", "purchase")
+    val baseUs = 1690000000000000L
+    val hUs = 3600L * 1000000L
+    def ns(us: Long) = us * 1000L
+    val dir = java.nio.file.Files.createTempDirectory("funnel_tie").toString
+    writeEventsFile(dir, "batch0", Seq(
+      // user 1: view and click at the SAME instant — stage order must
+      // apply the view first so the click passes the inclusive gate
+      (1L, ns(baseUs), 1L, "view", 0.0, "{}"),
+      (2L, ns(baseUs), 1L, "click", 0.0, "{}"),
+      (3L, ns(baseUs + hUs), 1L, "purchase", 0.0, "{}"),
+      // user 2: click strictly BEFORE its view — gate must reject it
+      (4L, ns(baseUs), 2L, "click", 0.0, "{}"),
+      (5L, ns(baseUs + 1L), 2L, "view", 0.0, "{}"),
+      // watermark pusher (own user; beyond the horizon itself)
+      (6L, ns(baseUs + 4 * hUs), 99L, "view", 0.0, "{}")))
+    val stream = EventStreams.funnelProgress(
+      EventStreams.readEvents(spark, s"$dir/batch0"), stages)
+    EventStreams.runToMemory(stream.toDF(), "funnel_tie")
+    val streamed = spark.table("funnel_tie")
+      .select($"user_id", $"stage_idx", $"first_ts_us")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(streamed == Set(
+      (1L, 1, baseUs), (1L, 2, baseUs), (1L, 3, baseUs + hUs),
+      (2L, 1, baseUs + 1L)))
+    // and the batch twin agrees over the same watermark horizon
+    val horizon = spark.read.parquet(s"$dir/batch0")
+      .select($"user_id", $"event_type", expr("ts DIV 1000").as("ts_us"))
+      .filter($"ts_us" <= baseUs + 2 * hUs)
+    val perUser = Funnel.stageTimes(horizon, "user_id", "event_type", "ts_us", stages)
+    val batch = stages.indices.flatMap { i =>
+      perUser.select($"user_id", col(s"s$i")).as[(Long, Option[Long])].collect()
+        .collect { case (u, Some(ts)) => (u, i + 1, ts) }
+    }.toSet
+    assert(streamed == batch)
+  }
+
+  test("stateTtl drops idle funnel progress past the retention horizon") {
+    val stages = Seq("view", "click")
+    val baseUs = 1690000000000000L
+    val hUs = 3600L * 1000000L
+    def ns(us: Long) = us * 1000L
+    val dir = java.nio.file.Files.createTempDirectory("funnel_ttl").toString
+    writeEventsFile(dir, "drops", Seq(
+      (1L, ns(baseUs), 1L, "view", 0.0, "{}"),
+      (2L, ns(baseUs + 4 * hUs), 99L, "view", 0.0, "{}")))
+    val stream = EventStreams.funnelProgress(
+      EventStreams.readEvents(spark, s"$dir/drops", maxFilesPerTrigger = Some(1)),
+      stages, stateTtl = Some(java.time.Duration.ofHours(1)))
+    val q = stream.toDF().writeStream.format("memory").queryName("funnel_ttl")
+      .outputMode("append").start()
+    q.processAllAvailable() // view applied; TTL (1h) expires user 1's state
+    writeEventsFile(dir, "drops", Seq(
+      (3L, ns(baseUs + 2 * hUs + 1L), 1L, "click", 0.0, "{}"),
+      (4L, ns(baseUs + 6 * hUs), 99L, "view", 0.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("funnel_ttl")
+      .select($"user_id", $"stage_idx", $"first_ts_us")
+      .as[(Long, Int, Long)].collect().toSet
+    // the view emits; the later click finds the user's progress expired
+    // (gate un-met) — the documented TTL trade-off, and proof state died
+    // (the watermark-pusher user's own stage-1 hits are irrelevant here)
+    assert(streamed.filter(_._1 == 1L) == Set((1L, 1, baseUs)))
+  }
 }
