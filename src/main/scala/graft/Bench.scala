@@ -1,15 +1,64 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.graft.ListenerBusDrain
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times every catalog query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. A query that THROWS is reported in a "failed"
   * list and as value -1 in "queries" — never as a (fast-looking) elapsed
   * time, and never summed into the total.
+  *
+  * Every timing carries execution-shape counters (jobs, stages, tasks,
+  * shuffle read/write bytes, task GC ms, disk spill) captured by a
+  * [[SparkListener]] scoped to exactly that execution (the listener bus
+  * is drained before and after the timed region). The counters are what
+  * make round-over-round numbers LEGIBLE: a wall-clock swing with
+  * identical job/stage/shuffle counts is environment noise (JVM, GC,
+  * page cache); a job-count change is a real plan change.
   */
 object Bench {
 
-  final case class Result(times: Map[String, Double], failed: Seq[String]) {
+  /** Execution-shape counters for one timed query run. */
+  final case class Stats(jobs: Long, stages: Long, tasks: Long,
+      shuffleReadB: Long, shuffleWriteB: Long, gcMs: Long, spillB: Long) {
+    def -(o: Stats): Stats = Stats(jobs - o.jobs, stages - o.stages,
+      tasks - o.tasks, shuffleReadB - o.shuffleReadB,
+      shuffleWriteB - o.shuffleWriteB, gcMs - o.gcMs, spillB - o.spillB)
+  }
+  object Stats { val zero: Stats = Stats(0, 0, 0, 0, 0, 0, 0) }
+
+  /** Monotonic counters fed by the scheduler's listener bus; `snap` +
+    * [[Stats.-]] brackets a region. (Counters, not per-query maps: the
+    * bench runs queries strictly sequentially.)
+    */
+  private final class BenchListener extends SparkListener {
+    private val jobs, stages, tasks = new AtomicLong
+    private val shufR, shufW, gc, spill = new AtomicLong
+    override def onJobStart(j: SparkListenerJobStart): Unit =
+      jobs.incrementAndGet()
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      stages.incrementAndGet()
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        tasks.incrementAndGet()
+        shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        gc.addAndGet(m.jvmGCTime)
+        spill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def snap(): Stats = Stats(jobs.get, stages.get, tasks.get,
+      shufR.get, shufW.get, gc.get, spill.get)
+  }
+
+  final case class Result(times: Map[String, Double], failed: Seq[String],
+      details: Map[String, Stats] = Map.empty) {
     def total: Double = times.values.sum
+    def totalGcSec: Double = details.values.map(_.gcMs).sum / 1e3
+    def totalJobs: Long = details.values.map(_.jobs).sum
   }
 
   /** Warmup + min-of-`passes` timing for each query; failures isolated
@@ -24,33 +73,48 @@ object Bench {
     * per execution makes each number a self-contained cold-cache run;
     * parquet footer/file-listing caches live outside the cache manager
     * and stay warm, which is what the warmup pass is for.
+    *
+    * Reported [[Stats]] are those of the MIN-time pass, so the counters
+    * describe the same execution the number does.
     */
   def run(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame],
       passes: Int = 2): Result = {
     require(passes >= 1, s"passes must be >= 1, got $passes")
-    val sorted = queries.toSeq.sortBy(_._1)
-    // One warmup pass (codegen + JIT + parquet footer caches), then
-    // `passes` timed passes per query reporting the min — steady-state
-    // throughput with GC/scheduler noise damped.
-    sorted.foreach { case (_, fn) =>
+    val sc = spark.sparkContext
+    val listener = new BenchListener
+    sc.addSparkListener(listener)
+    try {
+      val sorted = queries.toSeq.sortBy(_._1)
+      // One warmup pass (codegen + JIT + parquet footer caches), then
+      // `passes` timed passes per query reporting the min — steady-state
+      // throughput with GC/scheduler noise damped.
+      sorted.foreach { case (_, fn) =>
+        spark.catalog.clearCache()
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+      def timeOnce(fn: (SparkSession, String) => DataFrame): Option[(Double, Stats)] = {
+        spark.catalog.clearCache() // outside the timed region
+        ListenerBusDrain.drain(sc)
+        val before = listener.snap()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          ListenerBusDrain.drain(sc)
+          Some((sec, listener.snap() - before))
+        } catch { case _: Throwable => None }
+      }
+      val timed = sorted.map { case (name, fn) =>
+        val runs = (1 to passes).flatMap(_ => timeOnce(fn))
+        name -> (if (runs.size == passes) Some(runs.minBy(_._1)) else None)
+      }
       spark.catalog.clearCache()
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
-    def timeOnce(fn: (SparkSession, String) => DataFrame): Option[Double] = {
-      spark.catalog.clearCache() // outside the timed region
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-      catch { case _: Throwable => None }
-    }
-    val timed = sorted.map { case (name, fn) =>
-      val runs = (1 to passes).flatMap(_ => timeOnce(fn))
-      name -> (if (runs.size == passes) Some(runs.min) else None)
-    }
-    spark.catalog.clearCache()
-    Result(
-      times = timed.collect { case (n, Some(t)) => n -> t }.toMap,
-      failed = timed.collect { case (n, None) => n })
+      Result(
+        times = timed.collect { case (n, Some((t, _))) => n -> t }.toMap,
+        failed = timed.collect { case (n, None) => n },
+        details = timed.collect { case (n, Some((_, s))) => n -> s }.toMap)
+    } finally sc.removeSparkListener(listener)
   }
 
   /** Key used in the one-line JSON: the `qNN` prefix of the catalog name.
@@ -70,8 +134,22 @@ object Bench {
       r.failed.map(shortKey(_) -> "-1")).toSeq.sortBy(_._1)
     val qs = entries.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val failedJson = r.failed.sorted.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":${fmt(r.total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(r.total)},"unit":"sec","gc_sec":${fmt(r.totalGcSec)},"jobs":${r.totalJobs},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
   }
+
+  private def mb(b: Long): String =
+    "%.1f".formatLocal(java.util.Locale.ROOT, b / 1e6)
+
+  /** One stderr detail line per query — full name, seconds, and the
+    * execution-shape counters of the reported (min) pass.
+    */
+  def detailLines(r: Result): Seq[String] =
+    r.times.toSeq.sortBy(-_._2).map { case (n, t) =>
+      val s = r.details.getOrElse(n, Stats.zero)
+      "[bench] %-28s %8.3f s  jobs=%-3d stages=%-4d tasks=%-5d shufR=%sMB shufW=%sMB gc=%dms spill=%sMB"
+        .formatLocal(java.util.Locale.ROOT, n, t, s.jobs, s.stages, s.tasks,
+          mb(s.shuffleReadB), mb(s.shuffleWriteB), s.gcMs, mb(s.spillB))
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,15 +160,18 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val result = run(spark, sfDir, SparkEntry.queries)
+    // dev aid: SPARK_GRAFT_ONLY=q72,q65 restricts the run to matching
+    // prefixes (the driver never sets it, so round numbers stay full-catalog)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val queries = only.fold(SparkEntry.queries) { prefixes =>
+      SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
+    }
+    val result = run(spark, sfDir, queries)
     if (result.failed.nonEmpty)
       System.err.println(s"[bench] FAILED queries: ${result.failed.mkString(", ")}")
     // full-name per-query detail (human/judge-readable; the parseable
     // one-line JSON below uses short keys to fit the driver's tail window)
-    result.times.toSeq.sortBy(-_._2).foreach { case (n, t) =>
-      System.err.println("[bench] %-28s %8.3f s"
-        .formatLocal(java.util.Locale.ROOT, n, t))
-    }
+    detailLines(result).foreach(System.err.println)
     println(render(result, sfDir))
     spark.stop()
   }
