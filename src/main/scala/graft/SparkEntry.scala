@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextAnalysis
-import graft.operators.{AuditDiff, Constraints, Curation, Dedup, Funnel, Layout, Relational, Similarity}
+import graft.operators.{AuditDiff, Constraints, Curation, Dedup, Funnel, Layout, Relational, Similarity, Skew}
+import graft.sources.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -629,14 +630,18 @@ object SparkEntry {
     }),
 
     // Ensemble near-dup: a pair is flagged if EITHER the text signal
-    // (3-gram Jaccard ≥ 0.5) OR the embedding signal (cosine ≥ 0.35, on
-    // matching ids) fires — the standard belt-and-braces curation setup.
+    // (3-gram Jaccard ≥ 0.5) OR the embedding signal (banded cosine
+    // ≥ 0.45) fires — the standard belt-and-braces curation setup.
+    // The embedding leg is the SUB-QUADRATIC banded path (documented
+    // recall; the oracle mirrors its bands), so the default ensemble is
+    // scale-safe end to end; the deliberately-exact O(n²) threshold scan
+    // remains available as the named baseline q55 (as q54 is for top-k).
     "q65_dedup_ensemble" -> ((s, dir) => {
       val textPairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
           "doc_id", "text", n = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b"), lit("text").as("signal"))
-      val embPairs = Similarity.nearDupPairs(t(s, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.35)
+      val embPairs = Similarity.nearDupPairsBanded(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.45)
         .select(col("id_a"), col("id_b"), lit("embedding").as("signal"))
       textPairs.unionByName(embPairs)
         .groupBy(col("id_a"), col("id_b"))
@@ -970,6 +975,49 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0),
         "doc_id", "text")
+    }),
+
+    // The STORED form of q100: build the corpus band index, persist it
+    // (bands partitioned by band, shingle sets, parameters), load it
+    // back, probe with the new batch — the serve path a production
+    // ingest runs nightly. Must equal q100 exactly (same oracle).
+    "q101_band_index_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_band_index_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Dedup.saveBandIndex(
+        Dedup.buildBandIndex(docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text"), idxDir)
+      Dedup.minHashLshProbe(Dedup.loadBandIndex(s, idxDir),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    }),
+
+    // The multimodal DECODE path itself (not just the metadata
+    // projection of q64): per-partition decoder over the opaque binary
+    // payloads via Multimodal.extractFeatures. The stub decoder is
+    // deterministic (md5-derived), so the mapPartitions stage sits under
+    // the DuckDB oracle like any other operator; features are quantized
+    // to exact milli longs for a stable cross-engine hash.
+    "q102_multimodal_decode" -> ((s, dir) => {
+      val media = Multimodal.demoMediaTable(t(s, dir, "documents"))
+      Multimodal.extractFeatures(media, new Multimodal.DeterministicStubDecoder(8))
+        .select(col("media_id"), col("width"), col("height"), col("n_bytes"),
+          transform(col("features"),
+            f => round(f.cast("double") * 1000).cast("long")).as("f_milli"))
+    }),
+
+    // Salted JOIN (the skew shape AQE's skew handling does not cover when
+    // the build side must replicate): orders join customer through
+    // Skew.saltedJoin — results must equal the plain join, which IS the
+    // oracle (the q70 pattern, for joins).
+    "q103_salted_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(orders, cust, "o_custkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
     })
   )
 
@@ -981,7 +1029,21 @@ object SparkEntry {
   def oracleSqlDynamic(spark: SparkSession, dir: String): Map[String, String] = Map(
     "q56_ann_lsh_topk" -> SimilarityOracle.lshTopKSql(spark, dir),
     "q57_ann_ivf_topk" -> SimilarityOracle.ivfTopKSql(spark, dir),
-    "q67_neardup_lsh_banded" -> SimilarityOracle.bandedNearDupSql(spark, dir, threshold = 0.45))
+    "q67_neardup_lsh_banded" -> SimilarityOracle.bandedNearDupSql(spark, dir, threshold = 0.45),
+    // ensemble = text-Jaccard ∪ banded-embedding signals; the embedding
+    // leg mirrors the same plane literals as q67 (a derived table may
+    // carry its own WITH clause in DuckDB)
+    "q65_dedup_ensemble" -> {
+      val embPairs = SimilarityOracle.bandedNearDupSql(spark, dir, threshold = 0.45)
+      s"""SELECT id_a, id_b, count(*) AS n_signals,
+         |  array_to_string(list_sort(list(DISTINCT signal)), ',') AS signals
+         |FROM (
+         |  SELECT id_a, id_b, 'text' AS signal FROM (
+         |${oracleJaccardPairs(0.5)}) tp
+         |  UNION ALL
+         |  SELECT id_a, id_b, 'embedding' AS signal FROM ($embPairs) bp
+         |) u GROUP BY id_a, id_b""".stripMargin
+    })
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1288,22 +1350,6 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
-    "q65_dedup_ensemble" -> {
-      val textPairs =
-        s"""SELECT id_a, id_b, 'text' AS signal FROM (
-           |${oracleJaccardPairs(0.5)}) tp""".stripMargin
-      val embPairs =
-        """SELECT a.vec_id AS id_a, b.vec_id AS id_b, 'embedding' AS signal
-          |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings) a
-          |JOIN (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings) b
-          |  ON a.vec_id < b.vec_id
-          |WHERE list_dot_product(a.v, b.v) /
-          |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35""".stripMargin
-      s"""SELECT id_a, id_b, count(*) AS n_signals,
-         |  array_to_string(list_sort(list(DISTINCT signal)), ',') AS signals
-         |FROM ($textPairs UNION ALL $embPairs) u
-         |GROUP BY id_a, id_b""".stripMargin
-    },
     "q66_curation_pipeline" ->
       """WITH gated AS (
         |  SELECT doc_id, lang, text,
@@ -1737,7 +1783,40 @@ object SparkEntry {
     // equals the two-sided bucket join the Spark operator plans
     "q100_incremental_minhash" ->
       s"""SELECT id_a, id_b, jaccard FROM ($minhashOracleSql) p
-         |WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)""".stripMargin
+         |WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)""".stripMargin,
+    // the stored-index probe must return exactly the in-plan q100 pairs
+    "q101_band_index_probe" ->
+      s"""SELECT id_a, id_b, jaccard FROM ($minhashOracleSql) p
+         |WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)""".stripMargin,
+    // stub-decoder mirror: payload = unhex(repeat(md5(text),4)); the
+    // decoder md5s the payload and derives width/height/features from
+    // its bytes — hex-nibble arithmetic keeps it engine-portable, and
+    // the float÷255 quantization is double-rounding-safe for all 256
+    // byte values (checked exhaustively)
+    "q102_multimodal_decode" -> {
+      def nib(pos: Int) =
+        s"(strpos('0123456789abcdef', substring(h, $pos, 1)) - 1)"
+      def byteAt(i: Int) = s"(${nib(2 * i + 1)} * 16 + ${nib(2 * i + 2)})"
+      val feats = (0 until 8).map(i =>
+        s"CAST(round(CAST(CAST(${byteAt(i)} / 255.0 AS FLOAT) AS DOUBLE) * 1000) AS BIGINT)")
+        .mkString("[", ", ", "]")
+      s"""WITH m AS (SELECT doc_id AS media_id,
+         |             repeat(md5(text), 2) AS payload
+         |           FROM documents),
+         |d AS (SELECT media_id, payload, md5(payload) AS h FROM m)
+         |SELECT media_id,
+         |  CAST(1 + ${byteAt(0)} % 64 AS INT) AS width,
+         |  CAST(1 + ${byteAt(1)} % 64 AS INT) AS height,
+         |  CAST(octet_length(CAST(payload AS BLOB)) AS INT) AS n_bytes,
+         |  $feats AS f_milli
+         |FROM d""".stripMargin
+    },
+    // the salted join must be INVISIBLE in the result: oracle = plain join
+    "q103_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin
   )
 
   /** Queries written in the ANSI subset BOTH engines parse identically —

@@ -74,21 +74,48 @@ object Dedup {
     *
     * Plan shape: a hash self-equi-join on the fixed-width content key —
     * no cross product anywhere; a duplicate cluster of size c costs
-    * c(c-1)/2 pairs, which is the OUTPUT size, not a blowup (near-dup
-    * clusters at 100 TB are overwhelmingly small; a pathological mega-
-    * cluster should be capped upstream via [[exactClusters]] dup_count).
+    * c(c-1)/2 pairs, which for NORMAL clusters is just the output size.
+    * The pathological case — ONE boilerplate fingerprint spanning every
+    * source at 100 TB — would emit c(c-1)/2 ≈ 10¹⁶ rows from a single
+    * shuffle key, so clusters larger than `maxClusterSize` are EXCLUDED
+    * here (the guard is a co-partitioned size join on the same fp key,
+    * not an extra wide shuffle) and surfaced cluster-level by
+    * [[crossGroupDupOversized]] — report the c-row cluster, never its
+    * c² pairs. The default cap keeps any one cluster's pair emission
+    * ≤ ~5·10⁷ rows; testdata clusters sit far below it, so capped and
+    * uncapped results agree everywhere the cap doesn't bind.
     */
   def crossGroupDupMatrix(df: DataFrame, idCol: String, grpCol: String,
-      key: Column): DataFrame = {
+      key: Column, maxClusterSize: Long = 10000L): DataFrame = {
     val d = df.select(col(idCol).as("id"), col(grpCol).as("grp"), key.as("fp"))
-    val a = d.select(col("fp"), col("id").as("id_a"), col("grp").as("grp_l"))
-    val b = d.select(col("fp"), col("id").as("id_b"), col("grp").as("grp_r"))
+    val small = d.join(
+      d.groupBy(col("fp")).agg(count(lit(1)).as("__csz"))
+        .filter(col("__csz") <= maxClusterSize)
+        .select(col("fp")),
+      Seq("fp"), "left_semi")
+    val a = small.select(col("fp"), col("id").as("id_a"), col("grp").as("grp_l"))
+    val b = small.select(col("fp"), col("id").as("id_b"), col("grp").as("grp_r"))
     a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
       .select(least(col("grp_l"), col("grp_r")).as("grp_a"),
         greatest(col("grp_l"), col("grp_r")).as("grp_b"))
       .groupBy(col("grp_a"), col("grp_b"))
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** The clusters [[crossGroupDupMatrix]] refused to expand: fingerprints
+    * whose duplicate cluster exceeds `maxClusterSize`, reported at
+    * CLUSTER granularity — (fp, cluster_size, n_groups) — so the signal
+    * ("this boilerplate spans k sources, c docs") survives without the
+    * c(c-1)/2 pair blowup. Output is bounded by the number of oversized
+    * fingerprints, each costing one aggregation row.
+    */
+  def crossGroupDupOversized(df: DataFrame, idCol: String, grpCol: String,
+      key: Column, maxClusterSize: Long = 10000L): DataFrame =
+    df.select(col(idCol).as("id"), col(grpCol).as("grp"), key.as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("cluster_size"),
+        countDistinct(col("grp")).as("n_groups"))
+      .filter(col("cluster_size") > maxClusterSize)
 
   /** Distinct (id, shingle) pairs — the exploded posting-list relation
     * for MinHash signatures and prefix indexing.
@@ -184,33 +211,102 @@ object Dedup {
     * Production shape: the corpus side's band table is precomputed and
     * STORED (a signature index, refreshed as batches are accepted);
     * only the new batch is shingled and signed per run, and the bucket
-    * join probes the stored bands — corpus text is never re-read. Here
-    * both band tables derive from their DataFrames, but the plan from
-    * the bucket join onward is identical to the stored-index case.
-    * Within-corpus and within-batch pairs never form by construction
-    * (the join is new × corpus). Ids must be disjoint across the sides.
-    * Returns (id_a < id_b, jaccard ≥ threshold), cross pairs only.
+    * join probes the stored bands — corpus text is never re-read. This
+    * convenience form builds the index in-plan ([[buildBandIndex]]) and
+    * probes it ([[minHashLshProbe]]); the stored case saves/loads the
+    * SAME index ([[saveBandIndex]]/[[loadBandIndex]]) and the plan from
+    * the bucket join onward is identical. Within-corpus and within-batch
+    * pairs never form by construction (the join is new × corpus). Ids
+    * must be disjoint across the sides. Returns
+    * (id_a < id_b, jaccard ≥ threshold), cross pairs only.
     */
   def minHashLshPairsAcross(corpus: DataFrame, newBatch: DataFrame,
       idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
       threshold: Double = 0.5,
+      cache: CacheHandle = CacheHandle.untracked): DataFrame =
+    minHashLshProbe(
+      buildBandIndex(corpus, idCol, textCol, shingleSize, numHashes,
+        rowsPerBand, cache),
+      newBatch, idCol, textCol, threshold, cache)
+
+  // ------------------------------------------------------------------
+  // Persisted MinHash band index — the stored form the `Across` Scaladoc
+  // promises: band-partitioned signature table + the shingle sets the
+  // exact-Jaccard verify needs. Mirrors the IVF index API
+  // (build/save/load/probe, cf. Similarity.saveIvfIndex): accept a batch
+  // → probe the stored bands → union the accepted batch into the index —
+  // corpus text is never re-shingled at probe time.
+  // ------------------------------------------------------------------
+
+  /** A stored-or-in-memory LSH index over a corpus: `bands` is
+    * (band, band_hash, id), `sets` the per-doc distinct shingle arrays,
+    * and the three parameters that SHAPE the index travel with it so a
+    * probe can never silently hash with mismatched settings.
+    */
+  final case class BandIndex(bands: DataFrame, sets: DataFrame,
+      shingleSize: Int, numHashes: Int, rowsPerBand: Int)
+
+  /** Shingle + sign + band the corpus once. `sets` is cache-tracked (both
+    * the band build and any later verify consume it).
+    */
+  def buildBandIndex(corpus: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
+      cache: CacheHandle = CacheHandle.untracked): BandIndex = {
+    val sets = cache.track(shingleSets(corpus, idCol, textCol, shingleSize))
+    val bands = lshBands(minHashSignatures(
+      sets.select(col("id"), explode(col("shset")).as("shingle")),
+      numHashes), rowsPerBand)
+    BandIndex(bands, sets, shingleSize, numHashes, rowsPerBand)
+  }
+
+  /** Persist: bands PARTITIONED BY band (a probe of one band's buckets
+    * prunes to that band's files), sets keyed by id, parameters as a
+    * one-row `params` parquet so load() restores an index that can only
+    * be probed the way it was built.
+    */
+  def saveBandIndex(index: BandIndex, dir: String): Unit = {
+    val spark = index.bands.sparkSession
+    import spark.implicits._
+    index.bands.write.mode("overwrite").partitionBy("band")
+      .parquet(s"$dir/bands")
+    index.sets.write.mode("overwrite").parquet(s"$dir/sets")
+    Seq((index.shingleSize, index.numHashes, index.rowsPerBand))
+      .toDF("shingle_size", "num_hashes", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  def loadBandIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): BandIndex = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    BandIndex(spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/sets"),
+      p.getInt(0), p.getInt(1), p.getInt(2))
+  }
+
+  /** Probe a (possibly loaded) band index with a new batch: only the
+    * batch is shingled and signed; candidates are cross-side bucket
+    * collisions; verify is exact Jaccard over batch sets ∪ INDEXED sets.
+    * Within-corpus and within-batch pairs never form by construction.
+    * Ids must be disjoint across the sides. Returns
+    * (id_a < id_b, jaccard ≥ threshold), cross pairs only.
+    */
+  def minHashLshProbe(index: BandIndex, newBatch: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.5,
       cache: CacheHandle = CacheHandle.untracked): DataFrame = {
-    def bandsOf(sets: DataFrame): DataFrame =
-      lshBands(minHashSignatures(
-        sets.select(col("id"), explode(col("shset")).as("shingle")),
-        numHashes), rowsPerBand)
-    val cSets = cache.track(shingleSets(corpus, idCol, textCol, shingleSize))
-    val nSets = cache.track(shingleSets(newBatch, idCol, textCol, shingleSize))
-    val c = bandsOf(cSets).select(col("band"), col("band_hash"),
+    val nSets = cache.track(
+      shingleSets(newBatch, idCol, textCol, index.shingleSize))
+    val nb = lshBands(minHashSignatures(
+        nSets.select(col("id"), explode(col("shset")).as("shingle")),
+        index.numHashes), index.rowsPerBand)
+      .select(col("band"), col("band_hash"), col("id").as("nid"))
+    val c = index.bands.select(col("band"), col("band_hash"),
       col("id").as("cid"))
-    val nb = bandsOf(nSets).select(col("band"), col("band_hash"),
-      col("id").as("nid"))
     val candidates = nb.join(c, Seq("band", "band_hash"))
       .select(least(col("nid"), col("cid")).as("id_a"),
         greatest(col("nid"), col("cid")).as("id_b"))
       .distinct()
-    verifyJaccard(cSets.unionByName(nSets), candidates)
+    verifyJaccard(index.sets.unionByName(nSets), candidates)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -242,7 +338,15 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6,
       cache: CacheHandle = CacheHandle.untracked,
-      maxShingleDf: Long = 256, nTiles: Int = 8): DataFrame = {
+      maxShingleDf: Long = 256, nTiles: Int = 0): DataFrame = {
+    // nTiles ≤ 0 auto-sizes the hot-shingle tile grid: the worst-case
+    // per-(shingle, tile) bucket is every doc sharing one shingle, so
+    // doc count × prefix-entry bytes bounds the per-task join side
+    // (Similarity.autoTiles; pass explicitly to skip the count job)
+    val tiles =
+      if (nTiles > 0) nTiles
+      else Similarity.autoTiles(df.count(), 80L,
+        df.sparkSession.sparkContext.defaultParallelism)
     // the shingle sets feed the prefix build and the verify — cache once
     // instead of re-exploding the corpus each time
     val sets = cache.track(shingleSets(df, idCol, textCol, n))
@@ -280,10 +384,10 @@ object Dedup {
     // hot path: per-shingle triangle tiling — every doc pair sharing the
     // hot shingle meets in exactly one (shingle, ti, tj) task
     val hot = prefix.filter(col("f") > maxShingleDf)
-      .withColumn("g", pmod(xxhash64(col("id")), lit(nTiles)).cast("int"))
+      .withColumn("g", pmod(xxhash64(col("id")), lit(tiles)).cast("int"))
     val hl = hot.select(col("id").as("id_l"), col("shingle"),
       col("sz").as("sz_l"), col("rn").as("rn_l"),
-      col("g").as("ti"), explode(sequence(col("g"), lit(nTiles - 1))).as("tj"))
+      col("g").as("ti"), explode(sequence(col("g"), lit(tiles - 1))).as("tj"))
     val hr = hot.select(col("id").as("id_r"), col("shingle"),
       col("sz").as("sz_r"), col("rn").as("rn_r"),
       explode(sequence(lit(0), col("g"))).as("ti"), col("g").as("tj"))
@@ -380,6 +484,13 @@ object Dedup {
     // round's snapshot window the round-end free() would unpersist
     // caches this function does not own
     val nEdges = edges.count()
+    // one stderr line per call names the path taken and the edge count —
+    // bench logs must be able to PROVE which path a measurement measured
+    // (a fast-path optimization whose engagement is invisible is an
+    // unverifiable claim)
+    System.err.println(
+      s"[components] edges=$nEdges budget=$driverEdgeBudget path=" +
+        (if (nEdges <= driverEdgeBudget) "driver-union-find" else "pointer-jumping"))
     if (nEdges <= driverEdgeBudget) {
       // min-root union-find: attach the larger root under the smaller, so
       // find(x) is the min id of x's component — the same labeling the

@@ -25,6 +25,21 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.dot_double(a, b)
 
+  /** Tile count for a triangle-tiled self-join, derived from the input
+    * instead of hand-tuned: enough tiles that (a) ONE tile's rows fit
+    * `targetTileBytes` — the per-task join-side memory bound, which is
+    * what keeps tiling safe at 100× the data without retuning — and
+    * (b) the tile-pair grid (nTiles·(nTiles+1)/2 tasks) covers the
+    * cluster's parallelism, so small inputs still spread. Capped at 4096
+    * (replication factor = nTiles; past that, tiling is the wrong tool).
+    */
+  private[graft] def autoTiles(nRows: Long, rowBytes: Long,
+      parallelism: Int, targetTileBytes: Long = 64L << 20): Int = {
+    val byMemory = math.ceil(nRows.toDouble * rowBytes / targetTileBytes).toLong
+    val byCpu = math.ceil((math.sqrt(8.0 * parallelism + 1) - 1) / 2).toLong
+    math.max(1L, math.max(byMemory, byCpu)).min(4096L).toInt
+  }
+
   /** Quantize a float embedding to exact integer milliunits — makes every
     * downstream sum/product exact (deterministic across engines).
     * The float is widened to double BEFORE the multiply: `float * 1000`
@@ -124,20 +139,32 @@ object Similarity {
     * full-side broadcast — with per-side replication ≤ nTiles and
     * ~(n/nTiles)² comparisons per tile, spread evenly over the cluster.
     *
-    * Scale knob: pick nTiles so a tile's rows fit an executor core's
-    * memory (nTiles ≈ n·rowBytes / targetPartitionBytes). For CAPPED
-    * near-dup thresholds (≥ ~0.7) prefer [[nearDupPairsBanded]], which is
-    * genuinely sub-quadratic at a documented recall.
+    * Scale knob: `nTiles ≤ 0` (the default) AUTO-SIZES from the input —
+    * one cheap count() and the vector dim give n·rowBytes, and
+    * [[autoTiles]] picks the smallest grid whose tiles fit a task's
+    * memory budget AND cover the cluster's parallelism, so the operator
+    * survives a 100× scale-up without retuning (pass an explicit count
+    * via `nTiles` to skip the extra job). For CAPPED near-dup thresholds
+    * (≥ ~0.7) prefer [[nearDupPairsBanded]], which is genuinely
+    * sub-quadratic at a documented recall.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nTiles: Int = 8): DataFrame = {
+      threshold: Double, nTiles: Int = 0): DataFrame = {
+    val tiles =
+      if (nTiles > 0) nTiles
+      else {
+        val dimRow = df.select(size(col(vecCol))).limit(1).collect()
+        val dim = if (dimRow.isEmpty) 0 else dimRow.head.getInt(0)
+        autoTiles(df.count(), 8L * dim + 48L,
+          df.sparkSession.sparkContext.defaultParallelism)
+      }
     val base = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
-      .withColumn("g", pmod(xxhash64(col("id")), lit(nTiles)).cast("int"))
+      .withColumn("g", pmod(xxhash64(col("id")), lit(tiles)).cast("int"))
       .withColumn("nrm", sqrt(dotLong(col("v"), col("v")).cast("double")))
     val lefts = base.select(
       col("id").as("id_l"), col("v").as("v_l"), col("nrm").as("n_l"),
       col("g").as("tile_i"),
-      explode(sequence(col("g"), lit(nTiles - 1))).as("tile_j"))
+      explode(sequence(col("g"), lit(tiles - 1))).as("tile_j"))
     val rights = base.select(
       col("id").as("id_r"), col("v").as("v_r"), col("nrm").as("n_r"),
       explode(sequence(lit(0), col("g"))).as("tile_i"),

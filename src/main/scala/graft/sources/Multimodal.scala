@@ -61,13 +61,16 @@ object Multimodal {
   }
 
   /** Fabricate a demo media table from the documents table (payload =
-    * md5-derived bytes) — stands in for `spark.read.format("binaryFile")`
-    * over a real media landing directory.
+    * 64 md5-derived bytes) — stands in for `spark.read.format("binaryFile")`
+    * over a real media landing directory. The payload is the ASCII bytes
+    * of the doubled md5 hex string (not unhex'd): byte-identical content,
+    * but an oracle engine whose md5() takes strings only (DuckDB) can
+    * still mirror the decoder's md5-of-payload stage.
     */
   def demoMediaTable(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
-      unhex(repeat(md5(col("text")), 4)).as("payload"),
+      repeat(md5(col("text")), 2).cast("binary").as("payload"),
       struct(
         lit("application/x-demo").as("mime"),
         lit(null).cast(IntegerType).as("width"),

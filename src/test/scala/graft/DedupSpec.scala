@@ -203,6 +203,32 @@ class DedupSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("crossGroupDupMatrix caps a mega-cluster to a cluster-level report") {
+    import graft.functions.TextAnalysis
+    // adversarial: ONE fingerprint shared by all 500 docs (would emit
+    // 500·499/2 pairs uncapped) + a small honest dup pair that must survive
+    val docs = ((1 to 500).map(i =>
+        (i.toLong, "boilerplate header text", if (i % 2 == 0) "web" else "book")) :+
+      (1001L, "real dup", "web") :+ (1002L, "real dup", "book"))
+      .toDF("doc_id", "text", "source")
+    val fp = TextAnalysis.fingerprint($"text")
+    val matrix = Dedup.crossGroupDupMatrix(docs, "doc_id", "source", fp,
+        maxClusterSize = 50)
+      .select($"grp_a", $"grp_b", $"n_pairs")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // bounded output: only the honest pair, never the 124,750 mega rows
+    assert(matrix == Map(("book", "web") -> 1L))
+    val over = Dedup.crossGroupDupOversized(docs, "doc_id", "source", fp,
+        maxClusterSize = 50)
+      .select($"cluster_size", $"n_groups").as[(Long, Long)].collect().toSeq
+    assert(over == Seq((500L, 2L)))
+    // and with the cap above the cluster, pair counts are the uncapped ones
+    val uncapped = Dedup.crossGroupDupMatrix(docs, "doc_id", "source", fp)
+      .agg(sum($"n_pairs")).as[Long].head()
+    assert(uncapped == 500L * 499 / 2 + 1)
+  }
+
   test("minHashLshPairsAcross equals the full pair set restricted to cross pairs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
@@ -222,5 +248,26 @@ class DedupSpec extends SparkSpec {
     assert(across.contains((1L, 10L))) // the planted cross dup
     // within-side pairs must never form, even for the (1,2) near-dup
     assert(across.forall { case (a, b) => (a % 10 == 0) != (b % 10 == 0) })
+  }
+
+  test("band index save/load round trip probes to identical pairs") {
+    val docs = Tables(spark, sf, "documents")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    val direct = Dedup.minHashLshPairsAcross(corpus, batch, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("band_idx").toString
+    Dedup.saveBandIndex(
+      Dedup.buildBandIndex(corpus, "doc_id", "text", numHashes = 12), dir)
+    val loaded = Dedup.loadBandIndex(spark, dir)
+    // parameters travel with the index
+    assert((loaded.shingleSize, loaded.numHashes, loaded.rowsPerBand) == (3, 12, 2))
+    val probed = Dedup.minHashLshProbe(loaded, batch, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(probed == direct)
+    assert(probed.nonEmpty)
+    // the stored layout prunes: bands/ is partitioned by band
+    assert(new java.io.File(s"$dir/bands").listFiles()
+      .exists(_.getName.startsWith("band=")))
   }
 }

@@ -10,7 +10,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("demo media table has binary payloads with typed metadata") {
     val r = media.select($"payload", $"meta.mime", $"meta.duration_ms").head()
-    assert(r.getAs[Array[Byte]](0).length == 64) // 4 × 16 md5 bytes
+    assert(r.getAs[Array[Byte]](0).length == 64) // 2 × 32 md5 hex chars
     assert(r.getString(1) == "application/x-demo")
     assert(r.getLong(2) > 0)
   }

@@ -76,6 +76,24 @@ class PlanSpec extends SparkSpec {
       assert(!s.contains("BroadcastNestedLoopJoin"),
         s"$q plans a BroadcastNestedLoopJoin")
     }
+    // the default ensemble's embedding leg is the BANDED sub-quadratic
+    // path — no triangle-tiled n² self-join may appear in its plan (the
+    // exact tiled scan lives only in the named baseline q55)
+    val ens = formatted("q65_dedup_ensemble")
+    assert(!ens.contains("tile_i"), "q65 regressed to the tiled O(n²) leg")
+    assert(formatted("q55_embedding_neardup").contains("tile_i"),
+      "q55 must remain the tiled exact baseline")
+  }
+
+  test("q103: salted join replicates the build side and joins on (key, salt)") {
+    val s = formatted("q103_salted_join")
+    // the right side fans out through a Generate(explode) of the salts...
+    assert(s.contains("Generate") && s.contains("explode"),
+      "salted build side must replicate via explode")
+    // ...and the join key carries the salt column, so one hot key spreads
+    // over `salts` shuffle partitions instead of one straggler
+    assert(s.contains("__salt"), "join keys must include the salt")
+    assert(!s.contains("CartesianProduct"))
   }
 
   test("q67: banded near-dup joins on (tbl, bucket), no cartesian") {

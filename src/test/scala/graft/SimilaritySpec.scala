@@ -79,6 +79,22 @@ class SimilaritySpec extends SparkSpec {
     assert(tiled5 == brute)
   }
 
+  test("autoTiles grows with input and floors at cluster-coverage") {
+    val par = 32
+    val floor = Similarity.autoTiles(0, 560, par)
+    // tile-pair grid nTiles·(nTiles+1)/2 must cover the parallelism
+    assert(floor * (floor + 1) / 2 >= par)
+    val small = Similarity.autoTiles(2000, 560, par)
+    val big = Similarity.autoTiles(2000L * 10000, 560, par)
+    assert(small == floor, "tiny input stays at the coverage floor")
+    assert(big > small, "tile count must grow with input volume")
+    // memory bound dominates at scale: one tile's bytes stay ≤ target
+    val n = 2000L * 10000
+    assert(n / big * 560 <= (64L << 20))
+    assert(Similarity.autoTiles(Long.MaxValue / 1000, 560, par) == 4096,
+      "cap holds")
+  }
+
   test("nearDupPairsBanded is a subset of exact pairs with identical cosines") {
     val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.45)
       .as[(Long, Long, Double)].collect()
