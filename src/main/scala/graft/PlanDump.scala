@@ -11,10 +11,14 @@ object PlanDump {
       "q10_join_revenue_by_nation", "q12_anti_join", "q21_sort_limit",
       "q51_dedup_minhash_lsh", "q54_ann_brute_topk",
       "q55_embedding_neardup", "q56_ann_lsh_topk", "q57_ann_ivf_topk",
-      "q67_neardup_lsh_banded",
+      "q65_dedup_ensemble", "q67_neardup_lsh_banded",
       "q75_stratified_sample", "q77_vocab_topk", "q80_incremental_dedup",
-      "q90_dup_ngrams", "q91_embedding_outliers",
-      "q93_event_funnel", "q94_dup_source_matrix")
+      "q89_repetition_stats", "q90_dup_ngrams", "q91_embedding_outliers",
+      "q92_mix_weights", "q93_event_funnel", "q94_dup_source_matrix",
+      "q95_length_strata", "q96_token_fertility", "q97_source_hhi",
+      "q98_length_quantiles", "q99_value_hour_corr",
+      "q100_incremental_minhash", "q101_band_index_probe",
+      "q102_multimodal_decode", "q103_salted_join")
     for (q <- qs) {
       println(s"\n## $q\n")
       println("```")
