@@ -1018,6 +1018,34 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
           sum(cents(col("o_totalprice"))).as("total_cents"))
+    }),
+
+    // PII detection + redaction — the compliance gate before a corpus
+    // ships. The synthetic text carries no PII, so deterministic
+    // addresses/phones/IPs are planted first (keyed on doc_id), then
+    // scrubbed; the redacted char sum verifies the REDACTION itself, not
+    // just the counts. Scan-linear codegen'd regexes, no UDF.
+    "q104_pii_scrub" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("t",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact u"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" call 555-010-0199 now")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit(" from 10.0.42.7 today")).otherwise(lit(""))))
+      val cnt = TextAnalysis.piiCounts(col("t"))
+      planted.select(col("lang"),
+          cnt("email").cast("long").as("ne"), cnt("phone").cast("long").as("np"),
+          cnt("ipv4").cast("long").as("ni"),
+          length(TextAnalysis.scrubPii(col("t"))).cast("long").as("rl"))
+        .groupBy(col("lang"))
+        .agg(sum(col("ne")).as("emails"), sum(col("np")).as("phones"),
+          sum(col("ni")).as("ips"),
+          count(when(col("ne") + col("np") + col("ni") > 0, lit(1)))
+            .as("docs_with_pii"),
+          sum(col("rl")).as("redacted_chars"))
     })
   )
 
@@ -1816,7 +1844,33 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment""".stripMargin,
+    // RE2 (DuckDB) and Java regex agree on this pattern subset (classes,
+    // bounded repetition, \b — no lookaround/backrefs); 'g' matches
+    // Spark's always-global regexp_replace
+    "q104_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang,
+        |    text ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN ' call 555-010-0199 now' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.42.7 today' ELSE '' END) AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+        |    len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS np,
+        |    len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+        |    length(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS rl
+        |  FROM p)
+        |SELECT lang, CAST(sum(ne) AS BIGINT) AS emails,
+        |  CAST(sum(np) AS BIGINT) AS phones, CAST(sum(ni) AS BIGINT) AS ips,
+        |  count(*) FILTER (ne + np + ni > 0) AS docs_with_pii,
+        |  CAST(sum(rl) AS BIGINT) AS redacted_chars
+        |FROM c GROUP BY lang""".stripMargin
   )
 
   /** Queries written in the ANSI subset BOTH engines parse identically —

@@ -128,4 +128,37 @@ object TextAnalysis {
     */
   def prefixFingerprint(text: Column, nWords: Int): Column =
     md5(concat_ws(" ", slice(tokens(text), 1, nWords)))
+
+  // ------------------------------------------------------------------
+  // PII detection / redaction — the compliance gate every training-data
+  // pipeline runs before anything ships. Patterns deliberately stay in
+  // the regex subset Java regex and RE2 (DuckDB) interpret identically
+  // (character classes, bounded repetition, \b, non-capturing groups —
+  // no lookaround, no backreferences), so counts and redactions are
+  // engine-portable and oracle-checkable. Pure codegen'd expressions
+  // (regexp_count / regexp_replace), scan-linear, no UDF.
+  // ------------------------------------------------------------------
+
+  /** (label, pattern, replacement) — ordered: redaction applies email
+    * first so a phone-like digit run inside an address is already gone.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Per-kind PII match counts for a text column, keyed by label. */
+  def piiCounts(text: Column): Map[String, Column] =
+    piiPatterns.map { case (label, re, _) =>
+      label -> regexp_count(text, lit(re))
+    }.toMap
+
+  /** Redact all PII kinds (in [[piiPatterns]] order). Spark's
+    * regexp_replace is global; an oracle mirror needs its engine's
+    * global flag (DuckDB: 'g').
+    */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, re, repl)) =>
+      regexp_replace(c, lit(re), lit(repl))
+    }
 }

@@ -57,4 +57,23 @@ class TextAnalysisSpec extends SparkSpec {
     // "hi" → 1, "supercalifragilistic" (20 chars) → ceil(20/4) = 5
     assert(df.select(TextAnalysis.bpeTokenEstimate($"t")).as[Long].head() == 6L)
   }
+
+  test("piiCounts finds emails/phones/IPs; scrubPii redacts them all") {
+    val df = Seq(
+      "mail a.b-c@ex-1.org or x@y.io, call 555-123-4567, host 10.0.0.1 up",
+      "no pii here at all").toDF("t")
+    val c = TextAnalysis.piiCounts($"t")
+    val rows = df.select(c("email").as("e"), c("phone").as("p"),
+        c("ipv4").as("i"), TextAnalysis.scrubPii($"t").as("r"))
+      .as[(Int, Int, Int, String)].collect()
+    assert((rows(0)._1, rows(0)._2, rows(0)._3) == ((2, 1, 1)))
+    assert(rows(0)._4 ==
+      "mail <EMAIL> or <EMAIL>, call <PHONE>, host <IP> up")
+    assert((rows(1)._1, rows(1)._2, rows(1)._3) == ((0, 0, 0)))
+    assert(rows(1)._4 == "no pii here at all")
+    // a phone-like run glued to a word boundary test: \b guards both ends
+    val edge = Seq("x555-123-45678 and 555-123-4567x").toDF("t")
+      .select(c("phone")).as[Int].head()
+    assert(edge == 0, "\\b must reject digit runs embedded in longer tokens")
+  }
 }
