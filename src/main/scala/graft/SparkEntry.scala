@@ -1046,6 +1046,21 @@ object SparkEntry {
           count(when(col("ne") + col("np") + col("ni") > 0, lit(1)))
             .as("docs_with_pii"),
           sum(col("rl")).as("redacted_chars"))
+    }),
+
+    // Quality-POLICY near-dup dedup: per cluster keep the LONGEST doc
+    // (ties min id) instead of q72's min-id rule — the curation choice
+    // when a truncated page and its full twin collide. Integer score, so
+    // the survivor set is bit-deterministic in any engine.
+    "q105_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      Dedup.dedupByComponentsBest(docs, "doc_id", pairs, col("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
     })
   )
 
@@ -1870,7 +1885,31 @@ object SparkEntry {
         |  CAST(sum(np) AS BIGINT) AS phones, CAST(sum(ni) AS BIGINT) AS ips,
         |  count(*) FILTER (ne + np + ni > 0) AS docs_with_pii,
         |  CAST(sum(rl) AS BIGINT) AS redacted_chars
-        |FROM c GROUP BY lang""".stripMargin
+        |FROM c GROUP BY lang""".stripMargin,
+    // keep-best = rank per recursive-CTE component by (n_tokens desc, id)
+    "q105_dedup_keep_best" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |mh AS (SELECT id_a, id_b FROM ($minhashOracleSql) mhp),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mh
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM mh),
+         |r AS (
+         |  SELECT doc_id AS id, doc_id AS m FROM d
+         |  UNION
+         |  SELECT e.dst AS id, r.m FROM r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, min(m) AS component FROM r GROUP BY id),
+         |ranked AS (
+         |  SELECT d.lang, d.n_tokens,
+         |    row_number() OVER (PARTITION BY comp.component
+         |      ORDER BY d.n_tokens DESC, d.doc_id ASC) AS rk
+         |  FROM d JOIN comp ON d.doc_id = comp.id)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM ranked WHERE rk = 1 GROUP BY lang""".stripMargin
   )
 
   /** Queries written in the ANSI subset BOTH engines parse identically —

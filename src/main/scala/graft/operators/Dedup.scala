@@ -579,6 +579,29 @@ object Dedup {
     df.join(reps, col(idCol) === col("__keep")).drop("__keep")
   }
 
+  /** Near-dup dedup action with a QUALITY policy: cluster the pair graph
+    * and keep, per component, the row maximizing `score` (ties broken on
+    * min id — a total order, so the survivor set is deterministic). The
+    * curation-grade alternative to [[dedupByComponents]]' min-id rule:
+    * when a boilerplate page and its well-formatted twin collide, the
+    * better document survives, not the numerically-smaller id.
+    *
+    * Scale shape: components as usual, then ONE ranking window keyed by
+    * component — no extra join beyond the label attach.
+    */
+  def dedupByComponentsBest(df: DataFrame, idCol: String,
+      pairs: DataFrame, score: Column): DataFrame = {
+    val labels = connectedComponents(df.select(col(idCol)), idCol, pairs)
+      .withColumnRenamed("id", "__cid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(score.desc, col(idCol).asc)
+    df.join(labels, col(idCol) === col("__cid"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__cid", "component", "__rk")
+  }
+
   /** 64-bit SimHash over word tokens. Per token a 60-bit md5-derived hash
     * votes ±1 on each bit position; the sign vector is the fingerprint.
     * Explode → 60 conditional sums → reassemble; one shuffle on id.

@@ -250,6 +250,22 @@ class DedupSpec extends SparkSpec {
     assert(across.forall { case (a, b) => (a % 10 == 0) != (b % 10 == 0) })
   }
 
+  test("dedupByComponentsBest keeps the max-score row per cluster, min id on ties") {
+    val docs = Seq(
+      (1L, "short", 5L), (2L, "longer", 9L), (4L, "also long", 9L), // cluster
+      (3L, "solo", 7L)
+    ).toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByComponentsBest(docs, "doc_id", pairs, $"score")
+      .select($"doc_id").as[Long].collect().toSet
+    // cluster {1,2,4}: max score 9 held by 2 and 4 → min id 2 survives
+    assert(kept == Set(2L, 3L))
+    // min-id policy would have kept 1 — the two actions genuinely differ
+    val minId = Dedup.dedupByComponents(docs, "doc_id", pairs)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 3L))
+  }
+
   test("band index save/load round trip probes to identical pairs") {
     val docs = Tables(spark, sf, "documents")
     val corpus = docs.filter($"doc_id" % 10 =!= 0)
