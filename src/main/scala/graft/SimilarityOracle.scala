@@ -71,9 +71,15 @@ object SimilarityOracle {
     * (crn = 1), query probing (crn ≤ nprobe) and the exact rerank.
     */
   def ivfTopKSql(spark: SparkSession, dir: String, k: Int = 10,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): String = {
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      trainWhere: Option[String] = None): String = {
+    // trainWhere restricts the TRAINING corpus only (the incremental-add
+    // case: centroids from the original corpus, search over everything —
+    // appended vectors assign by the same crn = 1 rule the CTE replays)
+    val trainDf = trainWhere.foldLeft(
+      Tables(spark, dir, "embeddings"))((d, w) => d.where(w))
     val cents = Similarity.trainCentroids(
-      Tables(spark, dir, "embeddings"), "vec_id", "embedding", nlist, iters)
+      trainDf, "vec_id", "embedding", nlist, iters)
     val sl = cents.map(c => s"list_dot_product(vm, ${longList(c)})")
       .mkString("[\n    ", ",\n    ", "]")
     s"""WITH e AS (SELECT vec_id, $vMilli AS vm FROM embeddings),

@@ -1061,6 +1061,24 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"))
+    }),
+
+    // Incremental ANN index maintenance: build+persist IVF on the
+    // corpus, APPEND tonight's batch (assigned to the existing
+    // centroids, no retrain, existing files untouched), serve top-k
+    // against the updated stored index — the IVF twin of q101's band
+    // probe. Oracle replays centroids trained on the corpus subset only.
+    "q106_ivf_index_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding"), idxDir)
+      Similarity.appendIvfIndex(s, idxDir,
+        emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding")
+      Similarity.ivfSearchIndex(emb.filter(col("vec_id") % 25 === 0),
+        Similarity.loadIvfIndex(s, idxDir), "vec_id", "embedding", k = 10)
     })
   )
 
@@ -1072,6 +1090,8 @@ object SparkEntry {
   def oracleSqlDynamic(spark: SparkSession, dir: String): Map[String, String] = Map(
     "q56_ann_lsh_topk" -> SimilarityOracle.lshTopKSql(spark, dir),
     "q57_ann_ivf_topk" -> SimilarityOracle.ivfTopKSql(spark, dir),
+    "q106_ivf_index_append" -> SimilarityOracle.ivfTopKSql(spark, dir,
+      trainWhere = Some("vec_id % 10 <> 0")),
     "q67_neardup_lsh_banded" -> SimilarityOracle.bandedNearDupSql(spark, dir, threshold = 0.45),
     // ensemble = text-Jaccard ∪ banded-embedding signals; the embedding
     // leg mirrors the same plane literals as q67 (a derived table may

@@ -469,6 +469,21 @@ object Similarity {
     IvfIndex(cents, spark.read.parquet(s"$dir/assignments"))
   }
 
+  /** Incrementally add a batch to a STORED index: assign the new vectors
+    * to the EXISTING centroids and append to the cell-partitioned
+    * assignments — no retrain, and the existing files are never
+    * rewritten (the nightly-ingest shape; retrain offline when centroid
+    * drift accumulates). The IVF twin of the MinHash band-index probe
+    * story (`Dedup.minHashLshProbe`).
+    */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val idx = loadIvfIndex(spark, dir)
+    batch.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+      .withColumn("cell", nearestCell(col("cv"), idx.centroids))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
+  }
+
   /** Serve top-k against a stored index: queries probe their nprobe best
     * cells; the per-cell equi-join prunes to those cells' partitions.
     */

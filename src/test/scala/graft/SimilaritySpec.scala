@@ -125,6 +125,31 @@ class SimilaritySpec extends SparkSpec {
     assert(cells.length > 1)
   }
 
+  test("appendIvfIndex serves the union without retraining or rewriting") {
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batch = emb.filter($"vec_id" % 10 === 0)
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    Similarity.saveIvfIndex(
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding"), dir)
+    val filesBefore = new java.io.File(s"$dir/assignments").listFiles().length
+    Similarity.appendIvfIndex(spark, dir, batch, "vec_id", "embedding")
+    val idx = Similarity.loadIvfIndex(spark, dir)
+    val served = Similarity.ivfSearchIndex(queries, idx, "vec_id", "embedding", 10)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // equivalent in-memory shape: centroids from the CORPUS ONLY, search
+    // over everything
+    val cents = Similarity.trainCentroids(corpus, "vec_id", "embedding", 16)
+    val direct = Similarity.ivfSearch(queries, emb, "vec_id", "embedding", 10,
+        cents, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served == direct)
+    // appended vectors are actually searchable (batch ids appear)
+    assert(served.exists(_._2 % 10 == 0))
+    // append added files; it did not rewrite the corpus partition files
+    assert(new java.io.File(s"$dir/assignments").listFiles().length >= filesBefore)
+  }
+
   test("integer k-means training is deterministic across invocations") {
     val c1 = Similarity.trainCentroids(emb, "vec_id", "embedding", nlist = 16)
     val c2 = Similarity.trainCentroids(
