@@ -18,7 +18,8 @@ object PlanDump {
       "q95_length_strata", "q96_token_fertility", "q97_source_hhi",
       "q98_length_quantiles", "q99_value_hour_corr",
       "q100_incremental_minhash", "q101_band_index_probe",
-      "q102_multimodal_decode", "q103_salted_join")
+      "q102_multimodal_decode", "q103_salted_join", "q104_pii_scrub",
+      "q105_dedup_keep_best", "q106_ivf_index_append", "q107_corpus_split")
     for (q <- qs) {
       println(s"\n## $q\n")
       println("```")

@@ -1079,6 +1079,22 @@ object SparkEntry {
         emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding")
       Similarity.ivfSearchIndex(emb.filter(col("vec_id") % 25 === 0),
         Similarity.loadIvfIndex(s, idxDir), "vec_id", "embedding", k = 10)
+    }),
+
+    // Deterministic train/val/test split (90/5/5 on an md5 bucket of the
+    // id): reproducible across engines and runs, stable under
+    // repartition — a rand() split is neither. Exact per-(lang, split)
+    // doc and token counts; scan-linear, one agg shuffle.
+    "q107_corpus_split" -> ((s, dir) => {
+      val bucket = (conv(substring(
+          md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 15),
+          16, 10).cast("long") % 100).cast("int")
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
     })
   )
 
@@ -1929,7 +1945,19 @@ object SparkEntry {
          |  FROM d JOIN comp ON d.doc_id = comp.id)
          |SELECT lang, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-         |FROM ranked WHERE rk = 1 GROUP BY lang""".stripMargin
+         |FROM ranked WHERE rk = 1 GROUP BY lang""".stripMargin,
+    "q107_corpus_split" -> {
+      val h = hexToLongSql("md5('split:' || CAST(doc_id AS VARCHAR))", 1, 15)
+      s"""WITH b AS (SELECT lang,
+         |             CAST(($h) % 100 AS INT) AS bucket,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         |           FROM documents)
+         |SELECT lang,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+         |FROM b GROUP BY 1, 2""".stripMargin
+    }
   )
 
   /** Queries written in the ANSI subset BOTH engines parse identically —

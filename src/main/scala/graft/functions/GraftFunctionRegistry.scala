@@ -93,7 +93,13 @@ object GraftFunctionRegistry {
     ("map_to_normalized_category", "graft.arxiv.Transforms",
       (xs: Seq[Expression]) => e(normalizeCategoryCol(c(xs.head)))),
     ("extract_citation_author", "graft.arxiv.Citations",
-      (xs: Seq[Expression]) => e(Citations.extractAuthor(c(xs.head)))))
+      (xs: Seq[Expression]) => e(Citations.extractAuthor(c(xs.head)))),
+    ("scrub_pii", "graft.functions.TextAnalysis",
+      (xs: Seq[Expression]) => e(TextAnalysis.scrubPii(c(xs.head)))),
+    ("pii_count", "graft.functions.TextAnalysis",
+      // total PII matches of all kinds in one scan
+      (xs: Seq[Expression]) =>
+        e(TextAnalysis.piiCounts(c(xs.head)).values.reduce(_ + _))))
 
   /** Session-local registration of every graft function. */
   def register(spark: SparkSession): Unit =

@@ -37,6 +37,9 @@ class GraftFunctionsSpec extends SparkSpec {
     parity("char_ngrams(text, 4)", TextAnalysis.charNGrams(col("text"), 4))
     parity("quality_metrics(text)", TextAnalysis.qualityMetrics(col("text")))
     parity("quality_score(text)", TextAnalysis.qualityScore(col("text")))
+    parity("scrub_pii(text)", TextAnalysis.scrubPii(col("text")))
+    parity("pii_count(text)",
+      TextAnalysis.piiCounts(col("text")).values.reduce(_ + _))
   }
 
   test("arxiv scalar functions: SQL equals DataFrame") {
