@@ -1095,6 +1095,19 @@ object SparkEntry {
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"),
           sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
+    }),
+
+    // Leakage-SAFE variant of q107: the split hashes each doc's near-dup
+    // COMPONENT representative, so minhash twins can never straddle the
+    // train/eval boundary (the doc-level split of q107 lets them, which
+    // silently inflates eval numbers).
+    "q108_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      Curation.clusterAwareSplit(docs, "doc_id", pairs)
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
     })
   )
 
@@ -1956,6 +1969,28 @@ object SparkEntry {
          |  CASE WHEN bucket < 90 THEN 'train'
          |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
          |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+         |FROM b GROUP BY 1, 2""".stripMargin
+    },
+    // q107's bucket arithmetic applied to the recursive-CTE component id
+    "q108_leakage_safe_split" -> {
+      val h = hexToLongSql("md5('split:' || CAST(component AS VARCHAR))", 1, 15)
+      s"""WITH RECURSIVE d AS (SELECT doc_id, lang FROM documents),
+         |mh AS (SELECT id_a, id_b FROM ($minhashOracleSql) mhp),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mh
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM mh),
+         |r AS (
+         |  SELECT doc_id AS id, doc_id AS m FROM d
+         |  UNION
+         |  SELECT e.dst AS id, r.m FROM r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, min(m) AS component FROM r GROUP BY id),
+         |b AS (SELECT d.lang, CAST(($h) % 100 AS INT) AS bucket
+         |      FROM d JOIN comp ON d.doc_id = comp.id)
+         |SELECT lang,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs
          |FROM b GROUP BY 1, 2""".stripMargin
     }
   )

@@ -272,6 +272,38 @@ object Curation {
     * once, matching an exact-integer oracle (DuckDB HUGEINT) bit-for-bit.
     * Valid while per-group sums stay below 10³⁸ — i.e. any Long row count.
     */
+  /** Leakage-safe train/val/test split: the split is assigned per
+    * NEAR-DUP CLUSTER (connected component of `pairs`), not per document
+    * — a doc-level hash split places near-duplicate twins on both sides
+    * of the train/eval boundary, silently inflating eval scores. The
+    * bucket hashes the component representative, so every member of a
+    * cluster lands in the same split; singletons hash their own id
+    * (component = id), which is exactly the plain doc-level split.
+    * Buckets are md5-derived — reproducible across engines and stable
+    * under repartition. Appends a `split` column.
+    *
+    * Scale shape: components as usual (keyed shuffles / bounded driver
+    * fast path), one label-attach join, and a scan-side bucket
+    * expression — no extra shuffle beyond the attach.
+    */
+  def clusterAwareSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int = 90, valPct: Int = 5, seedTag: String = "split:"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct, 0 <= valPct, trainPct + valPct < 100; " +
+        s"got $trainPct/$valPct")
+    val labels = Dedup.connectedComponents(df.select(col(idCol)), idCol, pairs)
+      .withColumnRenamed("id", "__cid")
+    val bucket = (conv(substring(
+        md5(concat(lit(seedTag), col("component").cast("string"))), 1, 15),
+        16, 10).cast("long") % 100).cast("int")
+    df.join(labels, col(idCol) === col("__cid"))
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop("__cid", "component")
+  }
+
   def concentration(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
     df.groupBy(col(groupCol), col(itemCol)).agg(count(lit(1)).as("c"))
       .groupBy(col(groupCol))

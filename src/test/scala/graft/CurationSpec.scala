@@ -191,6 +191,32 @@ class CurationSpec extends SparkSpec {
       (3, 2L, 5L, 6L), (4, 2L, 7L, 8L)))
   }
 
+  test("clusterAwareSplit never lets a near-dup cluster straddle splits") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, sf, "documents")
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text")
+      .select($"id_a", $"id_b")
+    assert(pairs.count() > 0, "need real clusters for this property")
+    val split = Curation.clusterAwareSplit(docs, "doc_id", pairs)
+      .select($"doc_id", $"split")
+    // every paired doc shares its split with its twin — zero straddles
+    val straddles = pairs
+      .join(split.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "s_a"), Seq("id_a"))
+      .join(split.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "s_b"), Seq("id_b"))
+      .filter($"s_a" =!= $"s_b").count()
+    assert(straddles == 0L)
+    // split covers every doc exactly once and all three labels exist
+    assert(split.count() == docs.count())
+    val labels = split.select($"split").distinct().as[String].collect().toSet
+    assert(labels.subsetOf(Set("train", "val", "test")) && labels.contains("train"))
+    // invalid fractions fail loudly
+    intercept[IllegalArgumentException] {
+      Curation.clusterAwareSplit(docs, "doc_id", pairs, trainPct = 96, valPct = 5)
+    }
+  }
+
   test("concentration: HHI is 1 for one source, 1/k for k equal sources") {
     val corpus = ((1 to 10).map(i => (i.toLong, "en", "only")) ++
       (1 to 12).map(i => (100L + i, "fr", s"s${i % 4}")))
