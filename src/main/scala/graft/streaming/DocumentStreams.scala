@@ -72,4 +72,35 @@ object DocumentStreams {
 
   /** Full batch curation = gate → dedup → stats (one declarative plan). */
   def curate(docs: DataFrame): DataFrame = langStats(gateAndDedup(docs))
+
+  /** Probe a STORED MinHash band index with every micro-batch of a
+    * document stream, appending the cross near-dup pairs to `outPath` —
+    * the nightly-ingest fuzzy dedup run continuously. Each drop's batch
+    * is handed to the UNCHANGED batch operator
+    * ([[graft.operators.Dedup.minHashLshProbe]]) through foreachBatch,
+    * so stream and batch results agree by construction (the probe is
+    * per-document independent: probing drops one at a time unions to
+    * probing them together). The full minhash pipeline chains several
+    * aggregations, which Spark's continuous-stateful planner would
+    * reject — foreachBatch is the supported (and production) shape for
+    * reusing a multi-stage batch operator per trigger.
+    *
+    * Within-stream pairs deliberately never form here (the probe is
+    * new × corpus only); in production the accepted drop's bands are
+    * appended to the stored index between triggers, which makes later
+    * drops dedup against earlier ones — the composition
+    * [[graft.operators.Dedup.saveBandIndex]] already supports.
+    */
+  def probeBandIndex(spark: SparkSession, landingDir: String,
+      index: graft.operators.Dedup.BandIndex, outPath: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readDocuments(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup.minHashLshProbe(index, batch, "doc_id", "text")
+          .write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }
