@@ -76,4 +76,25 @@ class TextAnalysisSpec extends SparkSpec {
       .select(c("phone")).as[Int].head()
     assert(edge == 0, "\\b must reject digit runs embedded in longer tokens")
   }
+
+  test("scrubPii is a fixpoint: zero PII counts after redaction, corpus-wide") {
+    // the q104 planting over the real corpus — every doc that had PII
+    // must count zero afterwards (guards against a replacement token
+    // ever re-triggering a pattern)
+    val planted = Tables(spark, sf, "documents").withColumn("t",
+      concat($"text",
+        when($"doc_id" % 7 === 0,
+          concat(lit(" contact u"), $"doc_id".cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when($"doc_id" % 11 === 0, lit(" call 555-010-0199 now")).otherwise(lit("")),
+        when($"doc_id" % 13 === 0, lit(" from 10.0.42.7 today")).otherwise(lit(""))))
+    val before = planted.select(
+      TextAnalysis.piiCounts($"t").values.reduce(_ + _).as("n"))
+      .agg(sum($"n")).as[Long].head()
+    assert(before > 0, "the planting must create PII to scrub")
+    val after = planted.select(TextAnalysis.scrubPii($"t").as("r"))
+      .select(TextAnalysis.piiCounts($"r").values.reduce(_ + _).as("n"))
+      .agg(sum($"n")).as[Long].head()
+    assert(after == 0L)
+  }
 }
