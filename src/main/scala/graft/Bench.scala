@@ -55,10 +55,34 @@ object Bench {
   }
 
   final case class Result(times: Map[String, Double], failed: Seq[String],
-      details: Map[String, Stats] = Map.empty) {
+      details: Map[String, Stats] = Map.empty,
+      calibCpuSec: Double = -1, calibShuffleSec: Double = -1) {
     def total: Double = times.values.sum
     def totalGcSec: Double = details.values.map(_.gcMs).sum / 1e3
     def totalJobs: Long = details.values.map(_.jobs).sum
+  }
+
+  /** Fixed calibration probes — identical work every round, so their
+    * round-over-round drift IS the machine-noise factor to discount
+    * wall-clock numbers by (per-query counters catch plan changes; the
+    * calibration catches the environment). `cpu`: codegen'd scan-sum,
+    * no shuffle. `shuffle`: one keyed exchange. Median of 5 runs.
+    */
+  private def calibrate(spark: SparkSession): (Double, Double) = {
+    import org.apache.spark.sql.functions.{count => fcount, _}
+    def median5(work: () => Unit): Double = {
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); work(); (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(2)
+    }
+    val cpu = median5(() =>
+      spark.range(50L * 1000 * 1000).agg(sum(col("id"))).collect())
+    val shuffle = median5(() =>
+      spark.range(2L * 1000 * 1000)
+        .groupBy(pmod(col("id"), lit(4096)).as("k"))
+        .agg(fcount(lit(1))).agg(sum(col("k"))).collect())
+    (cpu, shuffle)
   }
 
   /** Warmup + min-of-`passes` timing for each query; failures isolated
@@ -110,10 +134,12 @@ object Bench {
         name -> (if (runs.size == passes) Some(runs.minBy(_._1)) else None)
       }
       spark.catalog.clearCache()
+      val (calibCpu, calibShuffle) = calibrate(spark)
       Result(
         times = timed.collect { case (n, Some((t, _))) => n -> t }.toMap,
         failed = timed.collect { case (n, None) => n },
-        details = timed.collect { case (n, Some((_, s))) => n -> s }.toMap)
+        details = timed.collect { case (n, Some((_, s))) => n -> s }.toMap,
+        calibCpuSec = calibCpu, calibShuffleSec = calibShuffle)
     } finally sc.removeSparkListener(listener)
   }
 
@@ -134,7 +160,7 @@ object Bench {
       r.failed.map(shortKey(_) -> "-1")).toSeq.sortBy(_._1)
     val qs = entries.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val failedJson = r.failed.sorted.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":${fmt(r.total)},"unit":"sec","gc_sec":${fmt(r.totalGcSec)},"jobs":${r.totalJobs},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(r.total)},"unit":"sec","gc_sec":${fmt(r.totalGcSec)},"jobs":${r.totalJobs},"calib_cpu":${fmt(r.calibCpuSec)},"calib_shuffle":${fmt(r.calibShuffleSec)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
   }
 
   private def mb(b: Long): String =
