@@ -1108,6 +1108,29 @@ object SparkEntry {
       Curation.clusterAwareSplit(docs, "doc_id", pairs)
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // Rare-token quality gate — the log-free form of the CCNet-style
+    // unigram-LM filter: per doc, the mean CORPUS frequency of its
+    // tokens, in exact integers (log p would differ in engine libm
+    // ulps and can never hash-match; an integer mean ranks documents
+    // identically for the gate's purpose). Low mean = assembled from
+    // rare/garbled tokens; high mean = stopword boilerplate — both
+    // tails are curation flags. Two keyed shuffles (term frequency,
+    // per-doc agg); the tf join fans 1:1 per token. Long-arithmetic
+    // bound: sum_ctf·1000 < 2⁶³ holds while a doc's tokens' corpus
+    // frequencies sum below ~9·10¹⁵ — past that drop the milli scale.
+    "q109_rare_token_gate" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("ctf"))
+      toks.join(tf, "tok")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("ctf")).as("sum_ctf"))
+        // truncating long DIV == DuckDB's flooring // for positives
+        // (Column./ would be double division)
+        .withColumn("mean_ctf_milli", expr("sum_ctf * 1000 DIV n_tokens"))
     })
   )
 
@@ -1992,7 +2015,18 @@ object SparkEntry {
          |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
          |  count(*) AS n_docs
          |FROM b GROUP BY 1, 2""".stripMargin
-    }
+    },
+    // // floors, Spark long-div truncates — equal for positives
+    "q109_rare_token_gate" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |               unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT tok, count(*) AS ctf FROM tok GROUP BY tok)
+        |SELECT doc_id, lang, count(*) AS n_tokens,
+        |  CAST(sum(ctf) AS BIGINT) AS sum_ctf,
+        |  CAST(CAST(sum(ctf) AS BIGINT) * 1000 // count(*) AS BIGINT) AS mean_ctf_milli
+        |FROM tok JOIN tf USING (tok)
+        |GROUP BY doc_id, lang""".stripMargin
   )
 
   /** Queries written in the ANSI subset BOTH engines parse identically —
