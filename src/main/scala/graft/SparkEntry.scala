@@ -701,9 +701,7 @@ object SparkEntry {
     // sampling is neither). Scan-linear: the predicate is pure
     // projection, no shuffle, so it holds at any corpus size.
     "q75_stratified_sample" -> ((s, dir) => {
-      val bucket = (conv(substring(
-          md5(concat(lit("smp:"), col("doc_id").cast("string"))), 1, 15),
-          16, 10).cast("long") % 100).cast("int")
+      val bucket = Curation.md5Bucket("smp:", col("doc_id"))
       t(s, dir, "documents")
         .withColumn("bucket", bucket)
         // downsample the dominant language, keep more of the rest — the
@@ -983,8 +981,11 @@ object SparkEntry {
     // ingest runs nightly. Must equal q100 exactly (same oracle).
     "q101_band_index_probe" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // pid suffix: two processes running the catalog concurrently must
+      // not overwrite/delete each other's index files mid-read
       val idxDir = s"${sys.props("java.io.tmpdir")}/graft_band_index_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        java.lang.Integer.toHexString(dir.hashCode) +
+        s"_p${ProcessHandle.current().pid()}"
       Dedup.saveBandIndex(
         Dedup.buildBandIndex(docs.filter(col("doc_id") % 10 =!= 0),
           "doc_id", "text"), idxDir)
@@ -1071,7 +1072,8 @@ object SparkEntry {
     "q106_ivf_index_append" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val idxDir = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        java.lang.Integer.toHexString(dir.hashCode) +
+        s"_p${ProcessHandle.current().pid()}"
       Similarity.saveIvfIndex(
         Similarity.buildIvfIndex(emb.filter(col("vec_id") % 10 =!= 0),
           "vec_id", "embedding"), idxDir)
@@ -1086,9 +1088,7 @@ object SparkEntry {
     // repartition — a rand() split is neither. Exact per-(lang, split)
     // doc and token counts; scan-linear, one agg shuffle.
     "q107_corpus_split" -> ((s, dir) => {
-      val bucket = (conv(substring(
-          md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 15),
-          16, 10).cast("long") % 100).cast("int")
+      val bucket = Curation.md5Bucket("split:", col("doc_id"))
       t(s, dir, "documents")
         .withColumn("split",
           when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
@@ -1828,13 +1828,18 @@ object SparkEntry {
         |SELECT 1 AS stage_idx, 'view' AS stage, count(t0) AS n_users FROM s2
         |UNION ALL SELECT 2, 'click', count(t1) FROM s2
         |UNION ALL SELECT 3, 'purchase', count(t2) FROM s2""".stripMargin,
+    // mirrors crossGroupDupMatrix's default maxClusterSize = 10000: the
+    // pair join excludes oversized clusters in BOTH engines, so the two
+    // sides agree even at a scale where the cap binds
     "q94_dup_source_matrix" ->
       """WITH d AS (SELECT doc_id, source,
         |             md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp
-        |           FROM documents)
+        |           FROM documents),
+        |small AS (SELECT fp FROM d GROUP BY fp HAVING count(*) <= 10000)
         |SELECT least(a.source, b.source) AS grp_a,
         |  greatest(a.source, b.source) AS grp_b, count(*) AS n_pairs
         |FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |WHERE a.fp IN (SELECT fp FROM small)
         |GROUP BY 1, 2""".stripMargin,
     "q95_length_strata" ->
       """WITH d AS (SELECT lang, doc_id,

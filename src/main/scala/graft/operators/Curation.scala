@@ -261,17 +261,18 @@ object Curation {
         min(col("tok")).as("tok_min"), max(col("tok")).as("tok_max"))
   }
 
-  /** Source-concentration diagnostic per stratum: distinct item count and
-    * the Herfindahl–Hirschman index sum((c_i/N)²) of the item distribution
-    * — the "is this language dominated by one crawl source?" curation
-    * check (HHI → 1 means a single source; → 1/k means k equal sources).
-    * Two keyed aggregates (map-side combined); the HHI is ONE double
-    * division of EXACT integer arithmetic — squares and the N² are
-    * computed in decimal(38,0) (never LongType, whose non-ANSI multiply
-    * silently wraps past ~3·10⁹), each side rounded to double exactly
-    * once, matching an exact-integer oracle (DuckDB HUGEINT) bit-for-bit.
-    * Valid while per-group sums stay below 10³⁸ — i.e. any Long row count.
+  /** Deterministic 0-99 bucket of an id: first 15 hex chars of
+    * md5("<tag><id>") as a long, mod 100 — reproducible across engines
+    * (oracles render the identical arithmetic) and stable under
+    * repartition, which a rand() bucket is not. The ONE definition the
+    * sampling (q75), doc-level split (q107) and [[clusterAwareSplit]]
+    * queries all share, so their bucket spaces can never silently
+    * diverge.
     */
+  def md5Bucket(tag: String, id: Column): Column =
+    (conv(substring(md5(concat(lit(tag), id.cast("string"))), 1, 15),
+      16, 10).cast("long") % 100).cast("int")
+
   /** Leakage-safe train/val/test split: the split is assigned per
     * NEAR-DUP CLUSTER (connected component of `pairs`), not per document
     * — a doc-level hash split places near-duplicate twins on both sides
@@ -293,9 +294,7 @@ object Curation {
         s"got $trainPct/$valPct")
     val labels = Dedup.connectedComponents(df.select(col(idCol)), idCol, pairs)
       .withColumnRenamed("id", "__cid")
-    val bucket = (conv(substring(
-        md5(concat(lit(seedTag), col("component").cast("string"))), 1, 15),
-        16, 10).cast("long") % 100).cast("int")
+    val bucket = md5Bucket(seedTag, col("component"))
     df.join(labels, col(idCol) === col("__cid"))
       .withColumn("split",
         when(bucket < trainPct, "train")
@@ -304,6 +303,17 @@ object Curation {
       .drop("__cid", "component")
   }
 
+  /** Source-concentration diagnostic per stratum: distinct item count and
+    * the Herfindahl–Hirschman index sum((c_i/N)²) of the item distribution
+    * — the "is this language dominated by one crawl source?" curation
+    * check (HHI → 1 means a single source; → 1/k means k equal sources).
+    * Two keyed aggregates (map-side combined); the HHI is ONE double
+    * division of EXACT integer arithmetic — squares and the N² are
+    * computed in decimal(38,0) (never LongType, whose non-ANSI multiply
+    * silently wraps past ~3·10⁹), each side rounded to double exactly
+    * once, matching an exact-integer oracle (DuckDB HUGEINT) bit-for-bit.
+    * Valid while per-group sums stay below 10³⁸ — i.e. any Long row count.
+    */
   def concentration(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
     df.groupBy(col(groupCol), col(itemCol)).agg(count(lit(1)).as("c"))
       .groupBy(col(groupCol))

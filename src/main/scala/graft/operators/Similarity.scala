@@ -53,6 +53,15 @@ object Similarity {
   private def dotLong(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.dot_long(a, b)
 
+  /** Dimension of the first vector — one tiny job; None on an empty
+    * frame or a null first vector (callers treat both as "nothing to
+    * search"). The single probe every plane/tile sizing shares.
+    */
+  private def headDim(df: DataFrame, vecCol: String): Option[Int] = {
+    val r = df.select(size(col(vecCol))).limit(1).collect()
+    if (r.isEmpty || r.head.isNullAt(0)) None else Some(r.head.getInt(0))
+  }
+
   private def longLit(a: Array[Long]): Column = array(a.toSeq.map(lit(_)): _*)
 
   /** Cosine similarity on quantized vectors: integer dot and norms, one
@@ -152,12 +161,8 @@ object Similarity {
       threshold: Double, nTiles: Int = 0): DataFrame = {
     val tiles =
       if (nTiles > 0) nTiles
-      else {
-        val dimRow = df.select(size(col(vecCol))).limit(1).collect()
-        val dim = if (dimRow.isEmpty) 0 else dimRow.head.getInt(0)
-        autoTiles(df.count(), 8L * dim + 48L,
-          df.sparkSession.sparkContext.defaultParallelism)
-      }
+      else autoTiles(df.count(), 8L * headDim(df, vecCol).getOrElse(0) + 48L,
+        df.sparkSession.sparkContext.defaultParallelism)
     val base = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
       .withColumn("g", pmod(xxhash64(col("id")), lit(tiles)).cast("int"))
       .withColumn("nrm", sqrt(dotLong(col("v"), col("v")).cast("double")))
@@ -248,13 +253,12 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nPlanes: Int = 5, nTables: Int = 8,
       seed: Long = 42L): DataFrame = {
-    val dimRow = queries.select(size(col(vecCol))).limit(1).collect()
-    if (dimRow.isEmpty) // no queries → empty result, not a crash
+    val dimOpt = headDim(queries, vecCol)
+    if (dimOpt.isEmpty) // no queries → empty result, not a crash
       return queries.sparkSession.emptyDataFrame
         .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
           lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
-    val dim = dimRow.head.getInt(0)
-    val tables = lshTables(dim, nPlanes, nTables, seed)
+    val tables = lshTables(dimOpt.get, nPlanes, nTables, seed)
     val qb = bucketed(queries, idCol, vecCol, tables)
     val cb = bucketed(corpus, idCol, vecCol, tables)
     val candidates = cb.join(broadcast(qb.select(col("tbl"), col("bucket"),
@@ -293,13 +297,12 @@ object Similarity {
   def nearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int = 6, nTables: Int = 8,
       seed: Long = 42L): DataFrame = {
-    val dimRow = df.select(size(col(vecCol))).limit(1).collect()
-    if (dimRow.isEmpty)
+    val dimOpt = headDim(df, vecCol)
+    if (dimOpt.isEmpty)
       return df.sparkSession.emptyDataFrame
         .select(lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0.0).as("cosine"))
         .limit(0)
-    val dim = dimRow.head.getInt(0)
-    val tables = lshTables(dim, nPlanes, nTables, seed)
+    val tables = lshTables(dimOpt.get, nPlanes, nTables, seed)
     val banded = bucketed(df, idCol, vecCol, tables)
     val l = banded.select(col("tbl"), col("bucket"), col("id").as("id_a"))
     val r = banded.select(col("tbl"), col("bucket"), col("id").as("id_b"))

@@ -90,6 +90,12 @@ object DocumentStreams {
     * appended to the stored index between triggers, which makes later
     * drops dedup against earlier ones — the composition
     * [[graft.operators.Dedup.saveBandIndex]] already supports.
+    *
+    * Exactly-once output: foreachBatch is at-least-once (a batch whose
+    * write committed but whose checkpoint didn't is RE-EXECUTED on
+    * restart), so each batch OVERWRITES its own `batch_id=N` partition
+    * of `outPath` — a replay rewrites the same files instead of
+    * appending duplicates. Readers see `batch_id` as a partition column.
     */
   def probeBandIndex(spark: SparkSession, landingDir: String,
       index: graft.operators.Dedup.BandIndex, outPath: String,
@@ -97,9 +103,9 @@ object DocumentStreams {
       maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
     readDocuments(spark, landingDir, maxFilesPerTrigger)
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.Dedup.minHashLshProbe(index, batch, "doc_id", "text")
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .start()

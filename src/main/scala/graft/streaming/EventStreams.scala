@@ -150,7 +150,12 @@ object EventStreams {
     * stream with unbounded distinct users pass `stateTtl` — a user whose
     * last funnel event is older than the TTL (in event time) has their
     * progress dropped, trading "conversions later than TTL re-emit
-    * earlier stages" for bounded state.
+    * earlier stages" for bounded state. Users who never produce a
+    * funnel-relevant event leave NO state behind.
+    *
+    * Checkpoint note: the state encoding gained a `last_seen_us` field;
+    * a query restored from a checkpoint written by an older build must
+    * restart from a fresh checkpoint (state schema is not migrated).
     */
   def funnelProgress(events: DataFrame, stages: Seq[String],
       stateTtl: Option[java.time.Duration] = None): Dataset[FunnelHit] = {
@@ -202,8 +207,14 @@ object EventStreams {
           val keep = if (firsts.forall(_ >= 0L)) Nil else pending
           val expired = ttlUs.exists(t =>
             keep.isEmpty && lastSeen >= 0L && wmUs >= lastSeen + t)
+          // lastSeen < 0 ⇒ this user has NEVER produced a funnel-relevant
+          // event (the group fires for every user in the batch, funnel
+          // types or not) — storing empty progress would leak one state
+          // entry per non-funnel user forever, with or without a TTL
           if (expired) {
             state.remove()
+          } else if (keep.isEmpty && lastSeen < 0L) {
+            if (state.exists) state.remove()
           } else {
             state.update(FunnelState(keep, firsts.toSeq, lastSeen))
             val bufWakeMs = keep.map(_.ts_us).minOption.map(_ / 1000L)

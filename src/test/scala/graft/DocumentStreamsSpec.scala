@@ -86,6 +86,7 @@ class DocumentStreamsSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val streamed = spark.read.parquet(outPath)
+      .select($"id_a", $"id_b", $"jaccard") // batch_id partition col dropped
       .as[(Long, Long, Double)].collect().toSet
     val batch = Dedup.minHashLshProbe(index, batchSide, "doc_id", "text")
       .as[(Long, Long, Double)].collect().toSet
