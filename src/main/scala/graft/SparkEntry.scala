@@ -28,6 +28,33 @@ object SparkEntry {
   /** Exact integer cents of a 2-decimal money double — associative sum. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Scratch dir for persisted-index/streaming queries: pid-suffixed so
+    * two processes running the catalog concurrently cannot clobber each
+    * other's files mid-read, and deleted on JVM exit (results are LAZY —
+    * the files must outlive query construction, so cleanup cannot happen
+    * inline; without the hook every bench/verify JVM would leave a full
+    * index copy under java.io.tmpdir).
+    */
+  private val scratchHooked = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  /** Per-JVM run counter: streaming rows need a FRESH sink + checkpoint
+    * per invocation (a reused AvailableNow checkpoint would see no new
+    * files and emit nothing).
+    */
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def scratchDir(prefix: String, key: String): String = {
+    val p = s"${sys.props("java.io.tmpdir")}/${prefix}_" +
+      java.lang.Integer.toHexString(key.hashCode) +
+      s"_p${ProcessHandle.current().pid()}"
+    if (scratchHooked.putIfAbsent(p, java.lang.Boolean.TRUE) == null)
+      sys.addShutdownHook(deleteRecursively(new java.io.File(p)))
+    p
+  }
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -981,11 +1008,7 @@ object SparkEntry {
     // ingest runs nightly. Must equal q100 exactly (same oracle).
     "q101_band_index_probe" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // pid suffix: two processes running the catalog concurrently must
-      // not overwrite/delete each other's index files mid-read
-      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_band_index_" +
-        java.lang.Integer.toHexString(dir.hashCode) +
-        s"_p${ProcessHandle.current().pid()}"
+      val idxDir = scratchDir("graft_band_index", dir)
       Dedup.saveBandIndex(
         Dedup.buildBandIndex(docs.filter(col("doc_id") % 10 =!= 0),
           "doc_id", "text"), idxDir)
@@ -998,13 +1021,17 @@ object SparkEntry {
     // payloads via Multimodal.extractFeatures. The stub decoder is
     // deterministic (md5-derived), so the mapPartitions stage sits under
     // the DuckDB oracle like any other operator; features are quantized
-    // to exact milli longs for a stable cross-engine hash.
+    // to exact milli longs for a stable cross-engine hash, and the
+    // feature vector is posexploded to one SCALAR row per (media, index)
+    // — catalog rule: no array/struct output columns, the driver's
+    // pandas comparator cannot sort/hash them.
     "q102_multimodal_decode" -> ((s, dir) => {
       val media = Multimodal.demoMediaTable(t(s, dir, "documents"))
       Multimodal.extractFeatures(media, new Multimodal.DeterministicStubDecoder(8))
         .select(col("media_id"), col("width"), col("height"), col("n_bytes"),
-          transform(col("features"),
-            f => round(f.cast("double") * 1000).cast("long")).as("f_milli"))
+          posexplode(transform(col("features"),
+            f => round(f.cast("double") * 1000).cast("long")))
+            .as(Seq("f_idx", "f_milli")))
     }),
 
     // Salted JOIN (the skew shape AQE's skew handling does not cover when
@@ -1071,9 +1098,7 @@ object SparkEntry {
     // probe. Oracle replays centroids trained on the corpus subset only.
     "q106_ivf_index_append" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
-        java.lang.Integer.toHexString(dir.hashCode) +
-        s"_p${ProcessHandle.current().pid()}"
+      val idxDir = scratchDir("graft_ivf_index", dir)
       Similarity.saveIvfIndex(
         Similarity.buildIvfIndex(emb.filter(col("vec_id") % 10 =!= 0),
           "vec_id", "embedding"), idxDir)
@@ -1120,17 +1145,69 @@ object SparkEntry {
     // per-doc agg); the tf join fans 1:1 per token. Long-arithmetic
     // bound: sum_ctf·1000 < 2⁶³ holds while a doc's tokens' corpus
     // frequencies sum below ~9·10¹⁵ — past that drop the milli scale.
+    // Skew: raw-token join keys are Zipfian (stopwords are classic hot
+    // keys at 100× corpus), so the tf dim splits at a df threshold —
+    // the tiny hot head broadcasts (those tokens never enter an
+    // exchange), only the long tail shuffle-joins (Skew.hotColdJoin).
     "q109_rare_token_gate" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           explode(TextAnalysis.tokens(col("text"))).as("tok"))
       val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("ctf"))
-      toks.join(tf, "tok")
+      Skew.hotColdJoin(toks, tf, "tok", isHot = col("ctf") >= 1000L)
         .groupBy(col("doc_id"), col("lang"))
         .agg(count(lit(1)).as("n_tokens"), sum(col("ctf")).as("sum_ctf"))
         // truncating long DIV == DuckDB's flooring // for positives
         // (Column./ would be double division)
         .withColumn("mean_ctf_milli", expr("sum_ctf * 1000 DIV n_tokens"))
+    }),
+
+    // Streaming ingest UNDER THE ORACLE: the curation gate+dedup runs as
+    // a real Structured Streaming query (file source over the static
+    // documents drop, Trigger.AvailableNow, parquet sink + checkpoint),
+    // then the materialized sink is aggregated. The grouping key derives
+    // ONLY from the normalized text (token-count bucket): the stream's
+    // dedup keeps the first-arriving row per fingerprint, and exact-dup
+    // groups can disagree on `lang` (7 such groups at sf0.1), so a
+    // lang-grouped result would depend on file/partition arrival order.
+    "q110_stream_curate" -> ((s, dir) => {
+      val base = scratchDir("graft_stream_curate", dir)
+      val run = streamRuns.incrementAndGet()
+      // the file stream source requires a DIRECTORY — stage the static
+      // drop into a scratch landing dir (what a real ingest has anyway)
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        java.nio.file.Paths.get(s"$landing/documents.parquet"))
+      val curated = graft.streaming.DocumentStreams.curateAvailableNow(
+        s, landing.toString, s"$base/out$run", s"$base/ckpt$run")
+      curated
+        .groupBy(expr("n_tokens DIV 50").as("tok_bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    }),
+
+    // The registered-SQL surface under an oracle: the query is SQL TEXT
+    // calling scrub_pii/pii_count from GraftFunctionRegistry (q104
+    // exercises the Column forms; this row proves the spark.sql registry
+    // path plans the same codegen'd expressions).
+    "q111_sql_pii_registry" -> ((s, dir) => {
+      org.apache.spark.sql.graft.GraftFunctionRegistry.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents_q111")
+      s.sql("""
+        SELECT lang,
+          sum(CAST(pii_count(t) AS BIGINT)) AS n_pii,
+          sum(CAST(length(scrub_pii(t)) AS BIGINT)) AS redacted_chars,
+          count(*) AS n_docs
+        FROM (SELECT lang,
+                concat(text,
+                  CASE WHEN doc_id % 7 = 0
+                    THEN concat(' contact u', CAST(doc_id AS STRING), '@example.com')
+                    ELSE '' END,
+                  CASE WHEN doc_id % 11 = 0 THEN ' call 555-010-0199 now' ELSE '' END,
+                  CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.42.7 today' ELSE '' END) AS t
+              FROM documents_q111)
+        GROUP BY lang""")
     })
   )
 
@@ -1917,9 +1994,13 @@ object SparkEntry {
       def nib(pos: Int) =
         s"(strpos('0123456789abcdef', substring(h, $pos, 1)) - 1)"
       def byteAt(i: Int) = s"(${nib(2 * i + 1)} * 16 + ${nib(2 * i + 2)})"
-      val feats = (0 until 8).map(i =>
-        s"CAST(round(CAST(CAST(${byteAt(i)} / 255.0 AS FLOAT) AS DOUBLE) * 1000) AS BIGINT)")
-        .mkString("[", ", ", "]")
+      // one SCALAR row per feature index (Spark side posexplodes) — the
+      // CASE over the generated per-index byte expressions mirrors
+      // transform+posexplode without a DuckDB list column in the output
+      // (the driver's pandas comparator cannot sort/hash arrays)
+      val fCase = (0 until 8).map(i =>
+        s"WHEN $i THEN CAST(round(CAST(CAST(${byteAt(i)} / 255.0 AS FLOAT) AS DOUBLE) * 1000) AS BIGINT)")
+        .mkString("CASE f_idx ", " ", " END")
       s"""WITH m AS (SELECT doc_id AS media_id,
          |             repeat(md5(text), 2) AS payload
          |           FROM documents),
@@ -1928,8 +2009,9 @@ object SparkEntry {
          |  CAST(1 + ${byteAt(0)} % 64 AS INT) AS width,
          |  CAST(1 + ${byteAt(1)} % 64 AS INT) AS height,
          |  CAST(octet_length(CAST(payload AS BLOB)) AS INT) AS n_bytes,
-         |  $feats AS f_milli
-         |FROM d""".stripMargin
+         |  CAST(f_idx AS INT) AS f_idx,
+         |  $fCase AS f_milli
+         |FROM d CROSS JOIN (SELECT unnest(range(8)) AS f_idx) idx""".stripMargin
     },
     // the salted join must be INVISIBLE in the result: oracle = plain join
     "q103_salted_join" ->
@@ -2031,7 +2113,44 @@ object SparkEntry {
         |  CAST(sum(ctf) AS BIGINT) AS sum_ctf,
         |  CAST(CAST(sum(ctf) AS BIGINT) * 1000 // count(*) AS BIGINT) AS mean_ctf_milli
         |FROM tok JOIN tf USING (tok)
-        |GROUP BY doc_id, lang""".stripMargin
+        |GROUP BY doc_id, lang""".stripMargin,
+    // batch mirror of the STREAMING gate+dedup+agg: gate on normalized
+    // token stats, dedup per fingerprint (all per-fp stats are equal, so
+    // the representative choice is invisible), bucket by token count
+    "q110_stream_curate" ->
+      """WITH n AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |           FROM documents),
+        |t AS (SELECT md5(norm) AS fp,
+        |        CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_distinct(string_split(norm, ' '))) AS DOUBLE)
+        |          / greatest(len(string_split(norm, ' ')), 1) AS uniq_ratio
+        |      FROM n),
+        |dd AS (SELECT fp, min(n_tokens) AS n_tokens
+        |       FROM t WHERE n_tokens >= 20 AND uniq_ratio >= 0.2
+        |       GROUP BY fp)
+        |SELECT CAST(n_tokens // 50 AS BIGINT) AS tok_bucket,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM dd GROUP BY 1""".stripMargin,
+    // q104's planted-PII corpus through the REGISTERED SQL functions;
+    // pii_count = emails + phones + ips in one scan
+    "q111_sql_pii_registry" ->
+      """WITH p AS (
+        |  SELECT lang,
+        |    text ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN ' call 555-010-0199 now' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.42.7 today' ELSE '' END) AS t
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(sum(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+        |    + len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) AS n_pii,
+        |  CAST(sum(length(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))) AS BIGINT) AS redacted_chars,
+        |  count(*) AS n_docs
+        |FROM p GROUP BY lang""".stripMargin
   )
 
   /** Queries written in the ANSI subset BOTH engines parse identically —

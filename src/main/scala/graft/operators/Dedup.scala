@@ -339,17 +339,20 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.6,
       cache: CacheHandle = CacheHandle.untracked,
       maxShingleDf: Long = 256, nTiles: Int = 0): DataFrame = {
-    // nTiles ≤ 0 auto-sizes the hot-shingle tile grid: the worst-case
-    // per-(shingle, tile) bucket is every doc sharing one shingle, so
-    // doc count × prefix-entry bytes bounds the per-task join side
-    // (Similarity.autoTiles; pass explicitly to skip the count job)
-    val tiles =
-      if (nTiles > 0) nTiles
-      else Similarity.autoTiles(df.count(), 80L,
-        df.sparkSession.sparkContext.defaultParallelism)
     // the shingle sets feed the prefix build and the verify — cache once
     // instead of re-exploding the corpus each time
     val sets = cache.track(shingleSets(df, idCol, textCol, n))
+    // nTiles ≤ 0 auto-sizes the hot-shingle tile grid: the worst-case
+    // per-(shingle, tile) bucket is every doc sharing one shingle, so
+    // doc count × prefix-entry bytes bounds the per-task join side.
+    // NOTE: this runs an EAGER count job at builder time (pass nTiles
+    // explicitly to stay lazy); counting the CACHED shingle sets — one
+    // row per doc — materializes the cache the prefix build and verify
+    // reuse, instead of scanning the raw input a second time
+    val tiles =
+      if (nTiles > 0) nTiles
+      else Similarity.autoTiles(sets.count(), 80L,
+        df.sparkSession.sparkContext.defaultParallelism)
     // carry |A| through the explode: sz comes from the array length, not
     // a second groupBy-count shuffle over the posting list
     val sh = sets.select(col("id"), size(col("shset")).as("sz"),

@@ -152,8 +152,11 @@ object Similarity {
     * one cheap count() and the vector dim give n·rowBytes, and
     * [[autoTiles]] picks the smallest grid whose tiles fit a task's
     * memory budget AND cover the cluster's parallelism, so the operator
-    * survives a 100× scale-up without retuning (pass an explicit count
-    * via `nTiles` to skip the extra job). For CAPPED near-dup thresholds
+    * survives a 100× scale-up without retuning. NOTE: the count is an
+    * EAGER Spark job at builder-construction time that scans the
+    * (uncached) input plan once before the pair job scans it again —
+    * pass `nTiles > 0` to keep the builder fully lazy and skip that
+    * scan. For CAPPED near-dup thresholds
     * (≥ ~0.7) prefer [[nearDupPairsBanded]], which is genuinely
     * sub-quadratic at a documented recall.
     */

@@ -54,6 +54,36 @@ object Skew {
       .drop("__salt")
   }
 
+  /** Hot/cold split join for a skewed STREAM side against a keyed dim
+    * whose hot head is tiny: dim rows matching `isHot` broadcast (their
+    * stream rows never enter an exchange), the cold tail goes through the
+    * normal shuffled equi-join — with the stream side pre-filtered by a
+    * broadcast ANTI join on the hot keys, so hot-key rows are absent from
+    * the cold exchange entirely (filtering at the probe would still have
+    * shuffled them to one reducer first, keeping the skew).
+    *
+    * The classic Zipf shape: a token/term-frequency dim where the top
+    * ~10⁴ keys cover most of the stream. Requires `isHot` to be constant
+    * per key (e.g. a predicate on a per-key aggregate) — a key with dim
+    * rows on BOTH sides of the split would lose its cold matches to the
+    * anti join. Inner join semantics; result ≡ `stream.join(dim, key)`
+    * up to row order. The stream plan is referenced twice (hot + cold
+    * branch) — at scale that is a re-scan of a pruned columnar read,
+    * cheap against a hot-key exchange; shuffle subplans feeding `dim`
+    * are reused by Spark's exchange reuse.
+    */
+  def hotColdJoin(stream: DataFrame, dim: DataFrame, key: String,
+      isHot: Column): DataFrame = {
+    val hotP = coalesce(isHot, lit(false))
+    val hot = dim.filter(hotP)
+    val cold = dim.filter(!hotP)
+    val hotBranch = stream.join(broadcast(hot), Seq(key))
+    val coldBranch = stream
+      .join(broadcast(hot.select(col(key))), Seq(key), "left_anti")
+      .join(cold, Seq(key))
+    hotBranch.unionByName(coldBranch)
+  }
+
   /** Top skewed keys by frequency — the diagnosis step before salting
     * (returns keys whose row count exceeds `threshold`).
     */

@@ -90,6 +90,10 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("n_bytes", IntegerType),
       StructField("features", ArrayType(FloatType))))
+    // DELIBERATE exit from codegen/columnar: `.rdd` ends whole-stage
+    // codegen here — acceptable for a decode stage whose cost is the
+    // codec, not the row plumbing. Binary payloads must be projected
+    // away before any shuffle; only this narrow output shuffles.
     val rows = media.rdd.mapPartitions { it =>
       // decoder is reused across the whole partition (the expensive init
       // a real codec would have happens once here, not per row)

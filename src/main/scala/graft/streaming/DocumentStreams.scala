@@ -73,6 +73,37 @@ object DocumentStreams {
   /** Full batch curation = gate → dedup → stats (one declarative plan). */
   def curate(docs: DataFrame): DataFrame = langStats(gateAndDedup(docs))
 
+  /** Run gate+dedup over a landing dir as a REAL streaming query —
+    * `Trigger.AvailableNow` drains every currently-visible file and
+    * stops — materializing the curated docs to `outDir` parquet (append
+    * mode; the file sink is exactly-once via its `_spark_metadata` log).
+    * Returns the curated frame read back from the sink.
+    *
+    * Oracle caveat the caller owns: the streaming dedup keeps the
+    * FIRST-ARRIVING row per fingerprint, so any downstream aggregate
+    * must key on columns derived from the normalized text alone
+    * (n_tokens, uniq_ratio, fp — identical across an exact-dup group by
+    * construction); a column like `lang` can disagree inside a group and
+    * would make the result depend on file/partition arrival order.
+    */
+  def curateAvailableNow(spark: SparkSession, landingDir: String,
+      outDir: String, checkpointDir: String): DataFrame = {
+    val q = gateAndDedup(readDocuments(spark, landingDir))
+      // heavy text dropped before the sink: the curated record is ids +
+      // fingerprint + metrics; the corpus payload stays in the lake
+      .select(col("doc_id"), col("source"), col("fp"),
+        col("n_tokens"), col("uniq_ratio"))
+      .writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Probe a STORED MinHash band index with every micro-batch of a
     * document stream, appending the cross near-dup pairs to `outPath` —
     * the nightly-ingest fuzzy dedup run continuously. Each drop's batch

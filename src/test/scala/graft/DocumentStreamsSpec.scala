@@ -93,4 +93,19 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty, "the planted cross dups must surface")
   }
+
+  test("curateAvailableNow drains the landing dir and equals the batch twin") {
+    val base = java.nio.file.Files.createTempDirectory("curate_an").toString
+    val curated = DocumentStreams.curateAvailableNow(
+      spark, landingDir, s"$base/out", s"$base/ckpt")
+    // compare on representative-INVARIANT facts only: the streaming dedup
+    // keeps the first-arriving row per fp, so (fp, n_tokens, uniq_ratio)
+    // are stable but source/doc_id are arrival-order dependent
+    val streamed = curated.select($"fp", $"n_tokens")
+      .as[(String, Long)].collect().toSet
+    val batch = DocumentStreams.gateAndDedup(Tables(spark, sf, "documents"))
+      .select($"fp", $"n_tokens").as[(String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }

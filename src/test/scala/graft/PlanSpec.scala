@@ -117,4 +117,15 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("LeftAnti"))
     assert(!s.contains("CartesianProduct"))
   }
+
+  test("q109: tf join splits hot/cold — broadcast head + anti-filtered tail") {
+    val s = formatted("q109_rare_token_gate")
+    // the hot head joins via broadcast, so hot tokens never shuffle...
+    assert(s.contains("BroadcastHashJoin"), "hot tf head must broadcast")
+    // ...and the cold branch pre-filters hot keys with a broadcast ANTI
+    // join, so they are absent from the cold exchange, not merely
+    // dropped at its probe
+    assert(s.contains("LeftAnti"), "cold branch must anti-filter hot keys")
+    assert(!s.contains("CartesianProduct"))
+  }
 }

@@ -150,6 +150,50 @@ class SimilaritySpec extends SparkSpec {
     assert(new java.io.File(s"$dir/assignments").listFiles().length >= filesBefore)
   }
 
+  test("K successive appends ≡ one bulk assign; earlier files never touched") {
+    // the retrain-offline contract: appends only ASSIGN to the stored
+    // centroids, so N nightly drops must land exactly where one combined
+    // drop would, and drift can only accumulate in centroid fit (fixed
+    // by an offline rebuild), never in the stored assignments
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batches = Seq(
+      emb.filter($"vec_id" % 30 === 0),
+      emb.filter($"vec_id" % 30 === 10),
+      emb.filter($"vec_id" % 30 === 20))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_drift").toString
+    Similarity.saveIvfIndex(
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding"), dir)
+    def fileStamps(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/assignments"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    for (b <- batches) {
+      val before = fileStamps()
+      Similarity.appendIvfIndex(spark, dir, b, "vec_id", "embedding")
+      val after = fileStamps()
+      // strictly additive: every pre-existing data file survives with
+      // its path and mtime intact
+      before.foreach { case (path, mtime) =>
+        assert(after.contains(path), s"append removed $path")
+        assert(after(path) == mtime, s"append rewrote $path")
+      }
+      assert(after.size > before.size, "append must add data files")
+    }
+    val stored = Similarity.loadIvfIndex(spark, dir).assignments
+      .select($"neighbor_id", $"cell").as[(Long, Int)].collect().toSet
+    // one bulk assign of corpus + all three drops to the SAME centroids
+    val cents = Similarity.trainCentroids(corpus, "vec_id", "embedding", 16)
+    val all = corpus.unionByName(batches.reduce(_ unionByName _))
+    val bulk = all
+      .select($"vec_id".as("neighbor_id"),
+        Similarity.nearestCell(Similarity.quantize($"embedding"), cents).as("cell"))
+      .as[(Long, Int)].collect().toSet
+    assert(stored == bulk)
+  }
+
   test("integer k-means training is deterministic across invocations") {
     val c1 = Similarity.trainCentroids(emb, "vec_id", "embedding", nlist = 16)
     val c2 = Similarity.trainCentroids(

@@ -42,4 +42,30 @@ class SkewSpec extends SparkSpec {
     val hot = Skew.skewedKeys(skewed, "k", 100).select($"k").as[String].collect().toSeq
     assert(hot == Seq("hot"))
   }
+
+  test("hotColdJoin matches plain join on an adversarial hot-token stream") {
+    // q109's shape: the stream is an exploded token column where one
+    // stopword dwarfs everything; the dim is the per-key frequency
+    val stream = (Seq.tabulate(2000)(i => (i.toLong % 7, "the")) ++
+      Seq.tabulate(200)(i => (i.toLong % 7, s"rare$i")))
+      .toDF("doc_id", "tok")
+    val tf = stream.groupBy($"tok").agg(count(lit(1)).as("ctf"))
+    val plain = stream.join(tf, "tok")
+      .select($"doc_id", $"tok", $"ctf")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    val split = Skew.hotColdJoin(stream, tf, "tok", isHot = $"ctf" >= 100L)
+      .select($"doc_id", $"tok", $"ctf")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(split == plain)
+  }
+
+  test("hotColdJoin with empty hot side degenerates to the plain join") {
+    val tf = skewed.groupBy($"k").agg(count(lit(1)).as("ctf"))
+    val plain = skewed.join(tf, "k").select($"k", $"v", $"ctf")
+      .as[(String, Double, Long)].collect().sorted.toSeq
+    val split = Skew.hotColdJoin(skewed, tf, "k", isHot = $"ctf" >= 100000L)
+      .select($"k", $"v", $"ctf")
+      .as[(String, Double, Long)].collect().sorted.toSeq
+    assert(split == plain)
+  }
 }
