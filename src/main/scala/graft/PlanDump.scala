@@ -1,17 +1,30 @@
 package graft
 
 /** Dev tool: dump formatted physical plans for representative queries
-  * (regenerates PLANS.md content).
+  * (regenerates PLANS.md content). Optional second arg: a file of
+  * `[bench] <name> ... jobs=...` detail lines (Bench stderr) — the
+  * matching counter line is printed above each plan so the section
+  * carries the execution shape alongside the static plan.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val counters: Map[String, String] =
+      if (args.length > 1)
+        scala.io.Source.fromFile(args(1)).getLines()
+          .filter(_.contains("[bench]"))
+          .flatMap { l =>
+            l.split("\\s+").find(_.startsWith("q")).map(_ -> l.dropWhile(_ != '[').trim)
+          }.toMap
+      else Map.empty
     val qs = Seq("q01_pricing_summary", "q02_filter_project",
       "q10_join_revenue_by_nation", "q12_anti_join", "q21_sort_limit",
-      "q51_dedup_minhash_lsh", "q54_ann_brute_topk",
+      "q51_dedup_minhash_lsh", "q52_dedup_ngram_jaccard",
+      "q54_ann_brute_topk",
       "q55_embedding_neardup", "q56_ann_lsh_topk", "q57_ann_ivf_topk",
       "q65_dedup_ensemble", "q67_neardup_lsh_banded",
+      "q68_dedup_components", "q72_curation_neardup",
       "q75_stratified_sample", "q77_vocab_topk", "q80_incremental_dedup",
       "q89_repetition_stats", "q90_dup_ngrams", "q91_embedding_outliers",
       "q92_mix_weights", "q93_event_funnel", "q94_dup_source_matrix",
@@ -19,9 +32,12 @@ object PlanDump {
       "q98_length_quantiles", "q99_value_hour_corr",
       "q100_incremental_minhash", "q101_band_index_probe",
       "q102_multimodal_decode", "q103_salted_join", "q104_pii_scrub",
-      "q105_dedup_keep_best", "q106_ivf_index_append", "q107_corpus_split")
+      "q105_dedup_keep_best", "q106_ivf_index_append", "q107_corpus_split",
+      "q108_leakage_safe_split", "q109_rare_token_gate",
+      "q110_stream_curate", "q111_sql_pii_registry")
     for (q <- qs) {
       println(s"\n## $q\n")
+      counters.get(q).foreach(l => println(s"r7 counters (sf0.1, min pass): `$l`\n"))
       println("```")
       println(SparkEntry.queries(q)(spark, sfDir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode))
