@@ -1208,6 +1208,42 @@ object SparkEntry {
                   CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.42.7 today' ELSE '' END) AS t
               FROM documents_q111)
         GROUP BY lang""")
+    }),
+
+    // The nightly-ingest LOOP closed on the MinHash side (the band-index
+    // twin of q106's IVF append): build+persist the corpus index, probe
+    // drop1, APPEND drop1 (banded with the index's own stored params,
+    // existing files untouched), probe drop2 — which now near-dups
+    // against corpus AND drop1. Probe-then-append order matters: an
+    // appended batch probing itself would emit degenerate self-pairs.
+    // probe1 is persisted before the append because its plan reads the
+    // index files the append extends (lazy evaluation would see drop1
+    // on both sides).
+    "q112_band_index_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = scratchDir("graft_band_append", dir)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+      val drop1 = docs.filter(col("doc_id") % 10 === 0)
+      val drop2 = docs.filter(col("doc_id") % 10 === 5)
+      Dedup.saveBandIndex(Dedup.buildBandIndex(corpus, "doc_id", "text"), idxDir)
+      Dedup.minHashLshProbe(Dedup.loadBandIndex(s, idxDir), drop1, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$idxDir/probe1")
+      Dedup.appendBandIndex(s, idxDir, drop1, "doc_id", "text")
+      s.read.parquet(s"$idxDir/probe1").unionByName(
+        Dedup.minHashLshProbe(Dedup.loadBandIndex(s, idxDir), drop2,
+          "doc_id", "text"))
+    }),
+
+    // Frame sampling over the opaque media payloads (the video-shaped
+    // multimodal path): every stride-th 16-byte slice becomes a frame
+    // row — the explode/partition shape a codec-backed sampler needs,
+    // under the oracle via the deterministic demo payloads. Frames
+    // output as hex STRINGS (catalog rule: no binary/array columns).
+    "q113_frame_sample" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+          Multimodal.demoMediaTable(t(s, dir, "documents")), stride = 2)
+        .select(col("media_id"), col("frame_idx"),
+          upper(hex(col("frame"))).as("frame_hex"))
     })
   )
 
@@ -2150,7 +2186,26 @@ object SparkEntry {
         |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))) AS BIGINT) AS redacted_chars,
         |  count(*) AS n_docs
-        |FROM p GROUP BY lang""".stripMargin
+        |FROM p GROUP BY lang""".stripMargin,
+    // banding is per-doc, so each probe equals the full-corpus pair set
+    // restricted to its sides: probe1 = drop1 × corpus (neither side
+    // drop2), probe2 = drop2 × (corpus ∪ drop1) — exactly one side in
+    // the probing drop either way; the branches are disjoint (probe1
+    // pairs contain no drop2 member)
+    "q112_band_index_append" ->
+      s"""SELECT id_a, id_b, jaccard FROM ($minhashOracleSql) p
+         |WHERE ((id_a % 10 = 0) <> (id_b % 10 = 0)
+         |        AND id_a % 10 <> 5 AND id_b % 10 <> 5)
+         |   OR ((id_a % 10 = 5) <> (id_b % 10 = 5))""".stripMargin,
+    // demo payload = ASCII bytes of the doubled md5 hex (64 chars), so a
+    // 16-byte frame is a 16-char substring and its hex is the hex of
+    // those ASCII chars; stride 2 over 4 frames keeps indexes 0 and 2
+    "q113_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, repeat(md5(text), 2) AS p
+        |           FROM documents)
+        |SELECT media_id, CAST(f_idx AS INT) AS frame_idx,
+        |  upper(hex(substring(p, f_idx * 16 + 1, 16))) AS frame_hex
+        |FROM m CROSS JOIN (SELECT unnest([0, 2]) AS f_idx) s""".stripMargin
   )
 
   /** Queries written in the ANSI subset BOTH engines parse identically —

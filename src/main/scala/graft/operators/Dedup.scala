@@ -284,6 +284,26 @@ object Dedup {
       p.getInt(0), p.getInt(1), p.getInt(2))
   }
 
+  /** Incrementally add an ACCEPTED batch to a stored index: shingle +
+    * sign + band the batch with the INDEX'S OWN parameters (loaded from
+    * its params file — a mismatched probe/append can't happen) and
+    * append to the band-partitioned table and the sets table. Existing
+    * files are never rewritten (the nightly-ingest shape; the IVF twin
+    * is [[graft.operators.Similarity.appendIvfIndex]]). Appending a
+    * batch BEFORE probing it makes the probe see the batch in the index
+    * and emit degenerate self-pairs — probe first, then append.
+    */
+  def appendBandIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, idCol: String, textCol: String): Unit = {
+    val idx = loadBandIndex(spark, dir)
+    val nSets = shingleSets(batch, idCol, textCol, idx.shingleSize)
+    lshBands(minHashSignatures(
+        nSets.select(col("id"), explode(col("shset")).as("shingle")),
+        idx.numHashes), idx.rowsPerBand)
+      .write.mode("append").partitionBy("band").parquet(s"$dir/bands")
+    nSets.write.mode("append").parquet(s"$dir/sets")
+  }
+
   /** Probe a (possibly loaded) band index with a new batch: only the
     * batch is shingled and signed; candidates are cross-side bucket
     * collisions; verify is exact Jaccard over batch sets ∪ INDEXED sets.

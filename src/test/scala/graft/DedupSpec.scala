@@ -286,4 +286,47 @@ class DedupSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/bands").listFiles()
       .exists(_.getName.startsWith("band=")))
   }
+
+  test("appendBandIndex: K appends ≡ bulk rebuild; earlier files never touched") {
+    val docs = Tables(spark, sf, "documents")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0 && $"doc_id" % 10 =!= 5)
+    val drops = Seq(
+      docs.filter($"doc_id" % 10 === 0),
+      docs.filter($"doc_id" % 10 === 5))
+    // re-keyed copies of corpus docs: ids disjoint from the index, text
+    // identical → guaranteed jaccard-1 pairs against the index
+    val probe = docs.filter($"doc_id" % 20 === 3)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val dir = java.nio.file.Files.createTempDirectory("band_append").toString
+    Dedup.saveBandIndex(Dedup.buildBandIndex(corpus, "doc_id", "text"), dir)
+    def stamps(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      (walk(new java.io.File(s"$dir/bands")) ++
+        walk(new java.io.File(s"$dir/sets")))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    for (d <- drops) {
+      val before = stamps()
+      Dedup.appendBandIndex(spark, dir, d, "doc_id", "text")
+      val after = stamps()
+      before.foreach { case (p, m) =>
+        assert(after.contains(p), s"append removed $p")
+        assert(after(p) == m, s"append rewrote $p")
+      }
+      assert(after.size > before.size, "append must add data files")
+    }
+    // probing the appended index == probing a bulk-built index over
+    // corpus ∪ both drops (the append is only an incremental band build)
+    val appended = Dedup.minHashLshProbe(Dedup.loadBandIndex(spark, dir),
+        probe, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val bulk = Dedup.minHashLshPairsAcross(
+        corpus.unionByName(drops.reduce(_ unionByName _)), probe,
+        "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(appended == bulk)
+    assert(appended.nonEmpty, "the planted near-dups must surface")
+  }
 }
