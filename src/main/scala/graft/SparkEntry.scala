@@ -1244,6 +1244,28 @@ object SparkEntry {
           Multimodal.demoMediaTable(t(s, dir, "documents")), stride = 2)
         .select(col("media_id"), col("frame_idx"),
           upper(hex(col("frame"))).as("frame_hex"))
+    }),
+
+    // Per-source quota cap (the domain-cap curation rule): keep at most
+    // 50 docs per source by (token count desc, doc_id) — integer score,
+    // bit-deterministic kept set — then per-source kept stats.
+    "q114_source_quota" -> ((s, dir) => {
+      Curation.sourceQuota(t(s, dir, "documents"), "source", "doc_id",
+          TextAnalysis.tokenCount(col("text")), cap = 50)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("tokens_kept"))
+    }),
+
+    // Deterministic training-order shuffle: reproducible (shard,
+    // position) per doc — engine-portable md5 order, one keyed shuffle,
+    // no global sort. Full assignment emitted: the hash proves the
+    // exact order, not just the shard sizes.
+    "q115_train_order" -> ((s, dir) => {
+      Curation.trainOrderShuffle(t(s, dir, "documents"), "doc_id",
+          nShards = 16)
+        .select(col("shard"), col("position"), col("doc_id"))
     })
   )
 
@@ -2205,7 +2227,28 @@ object SparkEntry {
         |           FROM documents)
         |SELECT media_id, CAST(f_idx AS INT) AS frame_idx,
         |  upper(hex(substring(p, f_idx * 16 + 1, 16))) AS frame_hex
-        |FROM m CROSS JOIN (SELECT unnest([0, 2]) AS f_idx) s""".stripMargin
+        |FROM m CROSS JOIN (SELECT unnest([0, 2]) AS f_idx) s""".stripMargin,
+    // only the kept SET matters to the aggregate, and the (tok desc,
+    // doc_id asc) tiebreak makes it engine-identical
+    "q114_source_quota" ->
+      """WITH r AS (SELECT source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY len(string_split(text, ' ')) DESC,
+        |                        doc_id ASC) AS rk
+        |           FROM documents)
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(tok) AS BIGINT) AS tokens_kept
+        |FROM r WHERE rk <= 50 GROUP BY source""".stripMargin,
+    "q115_train_order" -> {
+      val h = hexToLongSql("md5('shuffle:' || CAST(doc_id AS VARCHAR))", 1, 15)
+      s"""WITH h AS (SELECT doc_id, CAST($h AS BIGINT) AS hv FROM documents)
+         |SELECT CAST(hv % 16 AS INT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY hv % 16
+         |    ORDER BY hv ASC, doc_id ASC) AS INT) AS position,
+         |  doc_id
+         |FROM h""".stripMargin
+    }
   )
 
   /** Queries written in the ANSI subset BOTH engines parse identically —

@@ -303,6 +303,48 @@ object Curation {
       .drop("__cid", "component")
   }
 
+  /** Per-source quota cap — the domain-cap curation rule (a single crawl
+    * source/domain must not dominate the corpus, cf. the per-domain caps
+    * of public web-corpus pipelines): keep at most `cap` docs per
+    * source, priority (score desc, id asc). ONE ranking window on the
+    * source key; with an integer score the kept set is bit-deterministic
+    * in any engine. At scale this is the same single keyed shuffle as
+    * any per-group top-k — AQE splits a skewed source's sort.
+    */
+  def sourceQuota(docs: DataFrame, srcCol: String, idCol: String,
+      score: Column, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(score.desc, col(idCol).asc)
+    docs.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
+  /** Deterministic training-order shuffle: every doc gets a reproducible
+    * (shard, position) — shard = md5(tag+id) mod `nShards`, position =
+    * rank within the shard by the same hash (id tiebreak). The "global
+    * shuffle before training" op: the order is independent of input
+    * partitioning and arrival (a rand() shuffle is neither reproducible
+    * nor engine-portable), and the plan is ONE keyed shuffle by shard +
+    * per-shard sort — never a global sort. Readers consume shards
+    * round-robin for an epoch-stable stream.
+    */
+  def trainOrderShuffle(docs: DataFrame, idCol: String, nShards: Int,
+      tag: String = "shuffle:"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    // 15 hex chars → 60-bit nonnegative long: % and pmod agree, and any
+    // engine's md5 renders the identical value
+    val h = conv(substring(md5(concat(lit(tag), col(idCol).cast("string"))),
+      1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    docs.withColumn("__h", h)
+      .withColumn("shard", (col("__h") % nShards).cast("int"))
+      .withColumn("position", row_number().over(w))
+      .drop("__h")
+  }
+
   /** Source-concentration diagnostic per stratum: distinct item count and
     * the Herfindahl–Hirschman index sum((c_i/N)²) of the item distribution
     * — the "is this language dominated by one crawl source?" curation

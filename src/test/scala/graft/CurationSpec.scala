@@ -228,4 +228,39 @@ class CurationSpec extends SparkSpec {
     assert(out("fr")._2 == 4L && out("fr")._3 == 12L)
     assert(math.abs(out("fr")._4 - 0.25) < 1e-15) // 4 × (3/12)²
   }
+
+  test("sourceQuota keeps the cap-best docs per source, priority respected") {
+    // source a: 5 docs scores 10..50, source b: 2 docs — cap 3 binds
+    // only a, keeping the 3 highest scores (ties impossible here)
+    val docs = (Seq((1L, "a", 10), (2L, "a", 50), (3L, "a", 30),
+      (4L, "a", 40), (5L, "a", 20), (6L, "b", 9), (7L, "b", 8)))
+      .toDF("doc_id", "source", "score")
+    val kept = Curation.sourceQuota(docs, "source", "doc_id", $"score", 3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L, 6L, 7L))
+    // score ties break on the SMALLER doc_id (deterministic kept set)
+    val tied = Seq((1L, "a", 7), (2L, "a", 7), (3L, "a", 7))
+      .toDF("doc_id", "source", "score")
+    val keptTied = Curation.sourceQuota(tied, "source", "doc_id", $"score", 2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptTied == Set(1L, 2L))
+  }
+
+  test("trainOrderShuffle: contiguous positions per shard, repartition-stable") {
+    val docs = Tables(spark, sf, "documents")
+    val out = Curation.trainOrderShuffle(docs, "doc_id", nShards = 8)
+      .select($"shard", $"position", $"doc_id")
+      .as[(Int, Int, Long)].collect()
+    assert(out.length == docs.count())
+    // every shard's positions are exactly 1..n (a dense training order)
+    out.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.length).toSeq)
+    }
+    // the assignment is a pure function of the id — any input
+    // partitioning produces the identical order
+    val re = Curation.trainOrderShuffle(docs.repartition(7), "doc_id", 8)
+      .select($"shard", $"position", $"doc_id")
+      .as[(Int, Int, Long)].collect()
+    assert(re.sortBy(_._3).toSeq == out.sortBy(_._3).toSeq)
+  }
 }

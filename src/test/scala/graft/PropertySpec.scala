@@ -38,6 +38,22 @@ class PropertySpec extends SparkSpec {
 
   private val frame = Gen.listOfN(12, row)
 
+  test("hotColdJoin ≡ plain join for any token stream and hot threshold") {
+    val tokRows = Gen.listOfN(60,
+      Gen.zip(Gen.choose(1L, 10L), Gen.oneOf("a", "b", "c", "d", "e", "th")))
+    forAll2(tokRows, Gen.choose(1L, 30L), rounds = 6) { (rows, thr) =>
+      val stream = rows.toDF("doc_id", "tok")
+      val tf = stream.groupBy($"tok").agg(count(lit(1)).as("ctf"))
+      val plain = stream.join(tf, "tok").select($"doc_id", $"tok", $"ctf")
+        .as[(Long, String, Long)].collect().sorted.toSeq
+      val split = graft.operators.Skew
+        .hotColdJoin(stream, tf, "tok", isHot = $"ctf" >= thr)
+        .select($"doc_id", $"tok", $"ctf")
+        .as[(Long, String, Long)].collect().sorted.toSeq
+      assert(split == plain, s"differs at threshold $thr")
+    }
+  }
+
   test("merge is idempotent for any base/delta (same keys merged once or twice agree)") {
     forAll2(frame, frame) { (baseRows, deltaRows) =>
       val base = baseRows.toDF("id", "name", "score").dropDuplicates("id")
