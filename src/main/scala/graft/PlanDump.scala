@@ -34,7 +34,9 @@ object PlanDump {
       "q102_multimodal_decode", "q103_salted_join", "q104_pii_scrub",
       "q105_dedup_keep_best", "q106_ivf_index_append", "q107_corpus_split",
       "q108_leakage_safe_split", "q109_rare_token_gate",
-      "q110_stream_curate", "q111_sql_pii_registry")
+      "q110_stream_curate", "q111_sql_pii_registry",
+      "q112_band_index_append", "q113_frame_sample",
+      "q114_source_quota", "q115_train_order")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"r7 counters (sf0.1, min pass): `$l`\n"))
