@@ -4,7 +4,10 @@ package graft
   * (regenerates PLANS.md content). Optional second arg: a file of
   * `[bench] <name> ... jobs=...` detail lines (Bench stderr) — the
   * matching counter line is printed above each plan so the section
-  * carries the execution shape alongside the static plan.
+  * carries the execution shape alongside the static plan. Optional
+  * third arg: the provenance label for those lines (round + scale,
+  * e.g. "r7 counters (sf0.1, min pass)") so a regeneration can never
+  * stamp data with a stale round/scale claim.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -12,12 +15,16 @@ object PlanDump {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val counters: Map[String, String] =
       if (args.length > 1)
-        scala.io.Source.fromFile(args(1)).getLines()
-          .filter(_.contains("[bench]"))
-          .flatMap { l =>
-            l.split("\\s+").find(_.startsWith("q")).map(_ -> l.dropWhile(_ != '[').trim)
-          }.toMap
+        scala.util.Using.resource(scala.io.Source.fromFile(args(1))) { src =>
+          src.getLines()
+            .filter(_.contains("[bench]"))
+            .flatMap { l =>
+              l.split("\\s+").find(_.startsWith("q"))
+                .map(_ -> l.dropWhile(_ != '[').trim)
+            }.toMap
+        }
       else Map.empty
+    val label = if (args.length > 2) args(2) else "bench counters (min pass)"
     val qs = Seq("q01_pricing_summary", "q02_filter_project",
       "q10_join_revenue_by_nation", "q12_anti_join", "q21_sort_limit",
       "q51_dedup_minhash_lsh", "q52_dedup_ngram_jaccard",
@@ -39,7 +46,7 @@ object PlanDump {
       "q114_source_quota", "q115_train_order")
     for (q <- qs) {
       println(s"\n## $q\n")
-      counters.get(q).foreach(l => println(s"r7 counters (sf0.1, min pass): `$l`\n"))
+      counters.get(q).foreach(l => println(s"$label: `$l`\n"))
       println("```")
       println(SparkEntry.queries(q)(spark, sfDir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode))

@@ -295,13 +295,21 @@ object Dedup {
     */
   def appendBandIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       batch: DataFrame, idCol: String, textCol: String): Unit = {
-    val idx = loadBandIndex(spark, dir)
-    val nSets = shingleSets(batch, idCol, textCol, idx.shingleSize)
-    lshBands(minHashSignatures(
-        nSets.select(col("id"), explode(col("shset")).as("shingle")),
-        idx.numHashes), idx.rowsPerBand)
-      .write.mode("append").partitionBy("band").parquet(s"$dir/bands")
-    nSets.write.mode("append").parquet(s"$dir/sets")
+    // only the params row is needed — loading the full index would list
+    // and footer-scan the (large) bands/sets tables for nothing
+    val p = spark.read.parquet(s"$dir/params").head()
+    val (shingleSize, numHashes, rowsPerBand) =
+      (p.getInt(0), p.getInt(1), p.getInt(2))
+    // cached: the band write and the sets write both consume it — an
+    // uncached plan would shingle the batch twice
+    val nSets = shingleSets(batch, idCol, textCol, shingleSize).cache()
+    try {
+      lshBands(minHashSignatures(
+          nSets.select(col("id"), explode(col("shset")).as("shingle")),
+          numHashes), rowsPerBand)
+        .write.mode("append").partitionBy("band").parquet(s"$dir/bands")
+      nSets.write.mode("append").parquet(s"$dir/sets")
+    } finally { nSets.unpersist(); () }
   }
 
   /** Probe a (possibly loaded) band index with a new batch: only the

@@ -78,8 +78,12 @@ object Skew {
     val hot = dim.filter(hotP)
     val cold = dim.filter(!hotP)
     val hotBranch = stream.join(broadcast(hot), Seq(key))
+    // the anti join deliberately broadcasts the SAME full hot frame as
+    // the hot branch (not a keys-only projection): identical broadcast
+    // exchanges unify under Spark's exchange reuse, so the hot head is
+    // built and shipped once for both joins
     val coldBranch = stream
-      .join(broadcast(hot.select(col(key))), Seq(key), "left_anti")
+      .join(broadcast(hot), Seq(key), "left_anti")
       .join(cold, Seq(key))
     hotBranch.unionByName(coldBranch)
   }

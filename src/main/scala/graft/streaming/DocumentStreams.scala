@@ -101,7 +101,16 @@ object DocumentStreams {
       .option("path", outDir)
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    // explicit schema: a drop whose docs ALL fail the gate commits zero
+    // part files, and a schema-less read of the empty sink would throw
+    // instead of returning an empty frame
+    spark.read.schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("source", StringType),
+        StructField("fp", StringType),
+        StructField("n_tokens", LongType),
+        StructField("uniq_ratio", DoubleType))))
+      .parquet(outDir)
   }
 
   /** Probe a STORED MinHash band index with every micro-batch of a

@@ -299,18 +299,10 @@ class DedupSpec extends SparkSpec {
       .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
     val dir = java.nio.file.Files.createTempDirectory("band_append").toString
     Dedup.saveBandIndex(Dedup.buildBandIndex(corpus, "doc_id", "text"), dir)
-    def stamps(): Map[String, Long] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      (walk(new java.io.File(s"$dir/bands")) ++
-        walk(new java.io.File(s"$dir/sets")))
-        .filter(_.getName.endsWith(".parquet"))
-        .map(f => f.getPath -> f.lastModified()).toMap
-    }
     for (d <- drops) {
-      val before = stamps()
+      val before = parquetStamps(s"$dir/bands", s"$dir/sets")
       Dedup.appendBandIndex(spark, dir, d, "doc_id", "text")
-      val after = stamps()
+      val after = parquetStamps(s"$dir/bands", s"$dir/sets")
       before.foreach { case (p, m) =>
         assert(after.contains(p), s"append removed $p")
         assert(after(p) == m, s"append rewrote $p")

@@ -163,17 +163,10 @@ class SimilaritySpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("ivf_drift").toString
     Similarity.saveIvfIndex(
       Similarity.buildIvfIndex(corpus, "vec_id", "embedding"), dir)
-    def fileStamps(): Map[String, Long] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(s"$dir/assignments"))
-        .filter(_.getName.endsWith(".parquet"))
-        .map(f => f.getPath -> f.lastModified()).toMap
-    }
     for (b <- batches) {
-      val before = fileStamps()
+      val before = parquetStamps(s"$dir/assignments")
       Similarity.appendIvfIndex(spark, dir, b, "vec_id", "embedding")
-      val after = fileStamps()
+      val after = parquetStamps(s"$dir/assignments")
       // strictly additive: every pre-existing data file survives with
       // its path and mtime intact
       before.foreach { case (path, mtime) =>

@@ -18,4 +18,16 @@ object TestSession {
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   def sf: String = TestSession.sf
+
+  /** (path → mtime) of every parquet data file under `dirs` — the shared
+    * probe for "append never rewrites existing files" contracts (IVF and
+    * band-index append specs).
+    */
+  def parquetStamps(dirs: String*): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    dirs.flatMap(d => walk(new java.io.File(d)))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> f.lastModified()).toMap
+  }
 }
