@@ -106,6 +106,73 @@ object SimilarityOracle {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** Mirror of q116: IVF-PQ. Trains the SAME coarse centroids and
+    * per-subspace codebooks the Spark operator trains (both integer-
+    * deterministic), renders them as literals, then replays coarse
+    * routing (crn), per-subspace L2 encoding (first-min ties, exactly
+    * `Similarity.nearestSubCell`), and the ADC rerank. Every score is
+    * an exact integer ≪ 2^53, so DuckDB's double `list_dot_product`
+    * arithmetic is exact and the BIGINT cast is lossless.
+    */
+  def ivfPqTopKSql(spark: SparkSession, dir: String, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4, nSub: Int = 8, ksub: Int = 16,
+      iters: Int = 3): String = {
+    val emb = Tables(spark, dir, "embeddings")
+    val coarse = Similarity.trainCentroids(emb, "vec_id", "embedding", nlist, iters)
+    val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", nSub, ksub, iters)
+    val dsub = books.head.head.length
+    def bookLit(m: Int): String =
+      books(m).map(longList).mkString("[", ", ", "]")
+    def slc(m: Int, v: String): String = s"$v[${m * dsub + 1}:${(m + 1) * dsub}]"
+    val sl = coarse.map(c => s"list_dot_product(vm, ${longList(c)})")
+      .mkString("[\n    ", ",\n    ", "]")
+    // code_m: scores = |c|² − 2·v_m·c per codebook entry; first min wins
+    val codeCols = (0 until nSub).map { m =>
+      s"""    CAST(list_position(
+         |      list_transform(${bookLit(m)},
+         |        c -> list_dot_product(c, c) - 2*list_dot_product(${slc(m, "cv")}, c)),
+         |      list_min(list_transform(${bookLit(m)},
+         |        c -> list_dot_product(c, c) - 2*list_dot_product(${slc(m, "cv")}, c)))) - 1
+         |      AS INT) AS code_$m""".stripMargin
+    }.mkString(",\n")
+    // selected sub-centroid per subspace, then the exact ADC sum
+    val selCols = (0 until nSub).map { m =>
+      s"    (${bookLit(m)})[code_$m + 1] AS sel_$m"
+    }.mkString(",\n")
+    val adc = (0 until nSub).map { m =>
+      s"""(list_dot_product(${slc(m, "qv")}, ${slc(m, "qv")})
+         |     + list_dot_product(sel_$m, sel_$m)
+         |     - 2*list_dot_product(${slc(m, "qv")}, sel_$m))""".stripMargin
+    }.mkString("\n   + ")
+    s"""WITH e AS (SELECT vec_id, $vMilli AS vm FROM embeddings),
+       |sc AS (SELECT vec_id, vm, $sl AS sl FROM e),
+       |cells AS (SELECT vec_id, vm, CAST(t.cell AS INT) AS cell,
+       |            sl[CAST(t.cell AS INT) + 1] AS s
+       |          FROM sc CROSS JOIN (SELECT unnest(range(${coarse.length})) AS cell) t),
+       |ranked AS (SELECT vec_id, vm, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS crn
+       |  FROM cells),
+       |corpus AS (SELECT vec_id AS neighbor_id, vm AS cv, cell FROM ranked WHERE crn = 1),
+       |enc AS (SELECT neighbor_id, cell,
+       |$codeCols
+       |  FROM corpus),
+       |sels AS (SELECT neighbor_id, cell,
+       |$selCols
+       |  FROM enc),
+       |queries AS (SELECT vec_id AS query_id, vm AS qv, cell FROM ranked
+       |            WHERE crn <= $nprobe AND vec_id % 25 = 0),
+       |scored AS (SELECT query_id, neighbor_id,
+       |    CAST($adc AS BIGINT) AS adc_dist2
+       |  FROM sels JOIN queries USING (cell)
+       |  WHERE query_id <> neighbor_id)
+       |SELECT query_id, neighbor_id, adc_dist2, CAST(rank AS INT) AS rank FROM (
+       |  SELECT query_id, neighbor_id, adc_dist2,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rank
+       |  FROM scored) r
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** Mirror of q67: banded candidates (id_a < id_b, any table), exact
     * quantized-cosine verify ≥ threshold.
     */

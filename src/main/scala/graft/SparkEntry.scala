@@ -523,6 +523,18 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.45)
     }),
 
+    // IVF-PQ ANN — IVF routing + product-quantized codes; candidates are
+    // scored from nSub small ints per vector (asymmetric distance), the
+    // raw vectors projected away after encoding. The memory path that
+    // keeps a 100 TB corpus's serving index cluster-resident. Integer
+    // Lloyd on both quantizers → the oracle replays codebooks as
+    // literals (SimilarityOracle.ivfPqTopKSql).
+    "q116_ann_ivf_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") % 25 === 0), emb,
+        "vec_id", "embedding", k = 10)
+    }),
+
     // Dedup clustering: pairwise minhash signals → connected components
     // (min-label propagation; component id = representative doc).
     "q68_dedup_components" -> ((s, dir) => {
@@ -1280,6 +1292,7 @@ object SparkEntry {
     "q106_ivf_index_append" -> SimilarityOracle.ivfTopKSql(spark, dir,
       trainWhere = Some("vec_id % 10 <> 0")),
     "q67_neardup_lsh_banded" -> SimilarityOracle.bandedNearDupSql(spark, dir, threshold = 0.45),
+    "q116_ann_ivf_pq_topk" -> SimilarityOracle.ivfPqTopKSql(spark, dir),
     // ensemble = text-Jaccard ∪ banded-embedding signals; the embedding
     // leg mirrors the same plane literals as q67 (a derived table may
     // carry its own WITH clause in DuckDB)

@@ -490,6 +490,154 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) — the memory side of billion-vector ANN
+  // (Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+  // Search", TPAMI 2011). The vector splits into nSub contiguous
+  // subspaces; each subspace gets its own ksub-centroid codebook; a
+  // stored corpus row is then (cell, nSub small ints) — e.g. 8 bytes —
+  // instead of dim floats, a 32× compression that is what lets a
+  // 100 TB corpus's index fit in cluster memory. Search reads ONLY the
+  // codes (asymmetric distance computation, ADC): the query keeps full
+  // precision and scores a neighbor by summing exact per-subspace
+  // distances to the neighbor's selected sub-centroids.
+  //
+  // Same exactness contract as the rest of this file: milli-quantized
+  // vectors, integer Lloyd (L2 assignment, first-min ties, floor-mean
+  // updates), so codebooks, codes and ADC scores are bit-reproducible
+  // and the DuckDB oracle replays them as literals.
+  // ------------------------------------------------------------------
+
+  /** Squared-L2 rank scores of a milli sub-vector against each sub-
+    * centroid as ONE array expression: score_j = |c_j|² − 2·v·c_j,
+    * which orders exactly like dist²(v, c_j) = |v|² + |c_j|² − 2·v·c_j
+    * (the |v|² term is constant across j). All-integer.
+    */
+  private def subScores(vecMilli: Column, centroids: Array[Array[Long]]): Column =
+    transform(array(centroids.toSeq.map(longLit): _*),
+      c => dotLong(c, c) - lit(2L) * dotLong(vecMilli, c))
+
+  /** Index of the nearest sub-centroid by exact squared L2 (first index
+    * wins ties) — the PQ twin of [[nearestCell]] (which routes by max
+    * dot; PQ encodes by min L2 because the code must MINIMIZE
+    * reconstruction error, not maximize alignment).
+    */
+  def nearestSubCell(vecMilli: Column, centroids: Array[Array[Long]]): Column = {
+    val s = subScores(vecMilli, centroids)
+    (array_position(s, array_min(s)) - 1).cast("int")
+  }
+
+  /** The m-th milli sub-vector (dims m·dsub .. (m+1)·dsub − 1). */
+  private def subVec(vecMilli: Column, m: Int, dsub: Int): Column =
+    slice(vecMilli, m * dsub + 1, dsub)
+
+  /** Train the nSub per-subspace codebooks (each ksub × dsub milli
+    * longs) with integer Lloyd under L2 assignment. ALL subspaces train
+    * together — one job per iteration, not nSub of them: rows explode
+    * to (sub, sub-vector), assignment picks the branch for its
+    * subspace, and the per-(sub, cell, dim) long-sum stats collect as
+    * nSub·ksub·dsub rows (tiny). Init = each subspace's slice of the
+    * ksub lowest-id vectors (padded with seeded noise if the corpus is
+    * smaller), mirroring [[trainCentroids]].
+    */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      nSub: Int, ksub: Int, iters: Int = 3, seed: Long = 42L): Array[Array[Array[Long]]] = {
+    val quant = corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
+    val initRows = quant.orderBy(col("id").asc).limit(ksub).collect()
+    if (initRows.isEmpty) return Array.empty
+    val dim = initRows.head.getSeq[Long](1).length
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    val dsub = dim / nSub
+    var books: Array[Array[Array[Long]]] = Array.tabulate(nSub) { m =>
+      val own = initRows.map(_.getSeq[Long](1).slice(m * dsub, (m + 1) * dsub).toArray)
+      if (own.length >= ksub) own
+      else own ++ hyperplanes(dsub, ksub - own.length, seed + m)
+        .map(_.map(x => math.round(x * 1000)))
+    }
+    val subbed = quant.select(col("id"),
+      posexplode(array((0 until nSub).map(m => subVec(col("v"), m, dsub)): _*))
+        .as(Seq("sub", "sv")))
+    for (_ <- 1 to iters) {
+      val cellExpr = (0 until nSub).map { m =>
+        (col("sub") === m, nearestSubCell(col("sv"), books(m)))
+      }.foldRight(lit(-1): Column) { case ((p, c), acc) => when(p, c).otherwise(acc) }
+      val stats = subbed.withColumn("cell", cellExpr)
+        .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      for (r <- stats)
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          math.round(r.getLong(3).toDouble / r.getLong(4))
+      books = next
+    }
+    books
+  }
+
+  /** PQ codes for a milli vector: array of nSub sub-centroid indices. */
+  def pqEncode(vecMilli: Column, books: Array[Array[Array[Long]]]): Column = {
+    val dsub = books.head.head.length
+    array(books.zipWithIndex.map { case (cb, m) =>
+      nearestSubCell(subVec(vecMilli, m, dsub), cb)
+    }: _*)
+  }
+
+  /** Asymmetric squared-L2 distance from a full-precision milli query to
+    * a PQ-coded neighbor: Σ over subspaces of the EXACT integer
+    * dist²(q_m, codebook_m[code_m]). `element_at` on the literal
+    * codebook array selects the coded sub-centroid at runtime — the
+    * whole score is one scan-side expression, no join against a
+    * reconstruction table.
+    */
+  def adcDist2(qMilli: Column, codes: Column, books: Array[Array[Array[Long]]]): Column = {
+    val dsub = books.head.head.length
+    books.zipWithIndex.map { case (cb, m) =>
+      val q = subVec(qMilli, m, dsub)
+      val sel = element_at(array(cb.map(longLit): _*), element_at(codes, m + 1) + 1)
+      dotLong(q, q) + dotLong(sel, sel) - lit(2L) * dotLong(q, sel)
+    }.reduce(_ + _)
+  }
+
+  /** IVF-PQ top-k: coarse cells route the search (as [[ivfTopK]]); the
+    * probed cells' candidates are scored from their CODES ONLY via
+    * [[adcDist2]] — the corpus's vectors are projected away right after
+    * encoding, which is the point: the serving index is
+    * (neighbor_id, cell, nSub bytes), small enough to pin in memory at
+    * corpus sizes where the raw vectors cannot be. Ranking is
+    * (adc_dist2 asc, neighbor_id asc); output is all-scalar
+    * (query_id, neighbor_id, adc_dist2, rank). Approximate BY DESIGN —
+    * quantization error shifts ranks near ties; the exactness contract
+    * is that the APPROXIMATION ITSELF is bit-reproducible, which is
+    * what the oracle verifies.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      nSub: Int = 8, ksub: Int = 16, iters: Int = 3): DataFrame = {
+    val coarse = trainCentroids(corpus, idCol, vecCol, nlist, iters)
+    val books = trainPqCodebooks(corpus, idCol, vecCol, nSub, ksub, iters)
+    if (coarse.isEmpty || books.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+          lit(0L).as("adc_dist2"), lit(0).as("rank")).limit(0)
+    // the stored index: id + coarse cell + codes, vectors DROPPED
+    val coded = corpus
+      .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+      .select(col("neighbor_id"),
+        nearestCell(col("cv"), coarse).as("cell"),
+        pqEncode(col("cv"), books).as("codes"))
+    val qb = cellRanked(queries, idCol, vecCol, coarse)
+      .filter(col("crn") <= nprobe)
+      .select(col("id").as("query_id"), col("vm").as("qv"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist2").asc, col("neighbor_id").asc)
+    coded.join(broadcast(qb), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcDist2(col("qv"), col("codes"), books).as("adc_dist2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Serve top-k against a stored index: queries probe their nprobe best
     * cells; the per-cell equi-join prunes to those cells' partitions.
     */

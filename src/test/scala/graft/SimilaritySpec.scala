@@ -226,4 +226,66 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq(10L, 11L))
     assert(out(0)._2 == out(1)._2)
   }
+
+  test("PQ codebook training is deterministic and codes stay in range") {
+    val b1 = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", 8, 16)
+    val b2 = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", 8, 16)
+    assert(b1.length == 8 && b1.forall(_.length == 16))
+    assert(b1.flatten.flatten.toSeq == b2.flatten.flatten.toSeq)
+    val codes = emb
+      .select(Similarity.pqEncode(Similarity.quantize($"embedding"), b1).as("c"))
+      .select(explode($"c")).as[Int].collect()
+    assert(codes.forall(c => c >= 0 && c < 16))
+  }
+
+  test("pqEncode and adcDist2 match an independent driver-side recomputation") {
+    val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", 8, 16)
+    val dsub = books.head.head.length
+    val vecs = emb.orderBy($"vec_id").limit(6)
+      .select($"vec_id", Similarity.quantize($"embedding").as("vm"))
+    val rows = vecs.as[(Long, Seq[Long])].collect()
+    // plain-Scala re-implementation of encode + ADC, no Spark expressions
+    def enc(v: Seq[Long]): Array[Int] = books.indices.map { m =>
+      val sv = v.slice(m * dsub, (m + 1) * dsub)
+      books(m).zipWithIndex.map { case (c, j) =>
+        val cc = c.map(x => x * x).sum
+        val vc = sv.zip(c).map { case (a, b) => a * b }.sum
+        (cc - 2 * vc, j)
+      }.minBy(s => (s._1, s._2))._2
+    }.toArray
+    def adc(q: Seq[Long], codes: Array[Int]): Long = books.indices.map { m =>
+      val qm = q.slice(m * dsub, (m + 1) * dsub)
+      val c = books(m)(codes(m))
+      qm.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sum
+    val q = rows.head._2
+    val sparkOut = vecs
+      .select($"vec_id", Similarity.pqEncode($"vm", books).as("codes"))
+      .withColumn("adc", Similarity.adcDist2(
+        array(q.map(lit(_)): _*), $"codes", books))
+      .select($"vec_id", $"codes", $"adc").as[(Long, Seq[Int], Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    for ((id, vm) <- rows) {
+      val expCodes = enc(vm)
+      assert(sparkOut(id)._1 == expCodes.toSeq, s"codes mismatch for $id")
+      assert(sparkOut(id)._2 == adc(q, expCodes), s"adc mismatch for $id")
+    }
+  }
+
+  test("ivfPqTopK: k ranked rows per query, ADC ascending, recall sane") {
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    val out = Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding", 10)
+      .select($"query_id", $"neighbor_id", $"adc_dist2", $"rank")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(!out.exists(r => r._1 == r._2))
+    out.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._3).sliding(2).forall(p => p.head <= p.last))
+    }
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = out.map(r => (r._1, r._2)).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall > 0.15, s"IVF-PQ recall too low: $recall") // coded + probe-limited
+  }
 }
