@@ -1278,6 +1278,23 @@ object SparkEntry {
       Curation.trainOrderShuffle(t(s, dir, "documents"), "doc_id",
           nShards = 16)
         .select(col("shard"), col("position"), col("doc_id"))
+    }),
+
+    // Bloom-gated incremental exact dedup: q80's anti-join semantics
+    // executed through a Bloom-filter membership gate — the corpus's
+    // fingerprints compress to a (word, bits) bitmap relation that
+    // broadcasts to the batch probe; only bloom-positive keys touch the
+    // corpus again (scan-side broadcast semi join — the corpus never
+    // shuffles). The gate is LOSSLESS (no false negatives; positives
+    // exact-verified), so the oracle is the plain anti join — same
+    // "fancy plan, plain answer" pattern as q103's salted join.
+    "q117_bloom_gated_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val newBatch = docs.filter(col("doc_id") % 7 === 0)
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      Dedup.bloomGatedAntiJoin(newBatch, corpus, "fp", mBits = 1L << 16)
+        .select(col("doc_id"), col("lang"), col("fp"))
     })
   )
 
@@ -2261,7 +2278,16 @@ object SparkEntry {
          |    ORDER BY hv ASC, doc_id ASC) AS INT) AS position,
          |  doc_id
          |FROM h""".stripMargin
-    }
+    },
+    // the bloom gate is lossless, so the oracle is the PLAIN anti join
+    "q117_bloom_gated_dedup" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |           FROM documents)
+        |SELECT doc_id, lang, fp FROM d
+        |WHERE doc_id % 7 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM d d2
+        |                  WHERE d2.doc_id % 7 <> 0 AND d2.fp = d.fp)""".stripMargin
   )
 
   /** Queries written in the ANSI subset BOTH engines parse identically —

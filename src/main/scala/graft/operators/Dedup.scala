@@ -338,6 +338,86 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------------------------------
+  // Bloom-gated exact membership — the standard cheap pre-filter in
+  // front of an incremental dedup join at corpus scale. The bitmap is
+  // a RELATION (word_idx, 64 bits), not driver state: m = 2^30 bits is
+  // 16M rows / 128 MB however big the corpus, it broadcasts (or
+  // bucket-joins, beyond ~8 GB bitmaps) to the probe side, and at
+  // 100 TB it would be built once and persisted next to the corpus
+  // (the fingerprint twin of the band/IVF index lifecycle). Bloom
+  // positions use the Kirsch–Mitzenmacher double-hash scheme over
+  // xxhash64 (two seeds), same construction as the minhash family.
+  //
+  // No oracle mirror is needed anywhere: a Bloom filter has NO false
+  // negatives, and every positive is exact-verified against the
+  // corpus, so the gated result EQUALS the plain anti join — which is
+  // exactly what q117's plain-SQL oracle checks.
+  // ------------------------------------------------------------------
+
+  /** The kHashes bit positions of a key in an mBits-bit Bloom filter:
+    * pos_i = (h1 + i·h2) mod m, both hashes pre-reduced mod m so every
+    * intermediate stays far from Long range (ANSI mode would reject an
+    * overflowing multiply); h2 lands in 1..m−1 (the classic
+    * `mod (m−1) + 1` step) so the k probes never collapse onto one bit.
+    */
+  private def bloomPositions(key: Column, mBits: Long, kHashes: Int): Column = {
+    val h1 = pmod(xxhash64(lit("bloom1"), key), lit(mBits))
+    val h2 = pmod(xxhash64(lit("bloom2"), key), lit(mBits - 1)) + 1L
+    array((0 until kHashes).map(i =>
+      pmod(h1 + lit(i.toLong) * h2, lit(mBits))): _*)
+  }
+
+  /** Build the filter over `keys` as (word, bits) rows — word =
+    * position / 64, bits = OR of the position masks. Rows for words
+    * with no set bit are simply absent (a probe treats absence as 0).
+    * One explode + one groupBy(word) shuffle of kHashes×|keys| longs;
+    * the result has at most mBits/64 rows.
+    */
+  def bloomBuild(keys: DataFrame, key: Column, mBits: Long = 1L << 20,
+      kHashes: Int = 7): DataFrame =
+    keys.select(explode(bloomPositions(key, mBits, kHashes)).as("pos"))
+      .select(shiftright(col("pos"), 6).as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
+
+  /** Distinct probe keys the filter reports PRESENT (every one of the
+    * kHashes bits set) — the corpus members plus the false positives
+    * (rate ≈ (1 − e^(−k·n/m))^k; ~1% at 10 bits/element, k = 7).
+    * The words side broadcasts; a missing word row means bit unset.
+    */
+  def bloomCandidates(batch: DataFrame, keyCol: String, words: DataFrame,
+      mBits: Long = 1L << 20, kHashes: Int = 7): DataFrame =
+    batch.select(col(keyCol)).distinct()
+      .select(col(keyCol),
+        explode(bloomPositions(col(keyCol), mBits, kHashes)).as("pos"))
+      .select(col(keyCol), shiftright(col("pos"), 6).as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
+      .join(broadcast(words), Seq("word"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(when(col("bits").isNotNull &&
+        (col("bits").bitwiseAND(col("mask")) =!= 0), 1).otherwise(0)).as("hit"))
+      .filter(col("hit") === 1).select(col(keyCol))
+
+  /** Batch rows whose key is NOT in the corpus — semantically IDENTICAL
+    * to `batch.join(corpus, key, "left_anti")`, executed as:
+    * bloom-build over corpus keys → probe the batch's distinct keys →
+    * exact-confirm ONLY the bloom positives with a scan-side semi join
+    * (candidates broadcast; the corpus never shuffles) → anti join the
+    * batch against the confirmed members (also broadcast — confirmed ⊆
+    * batch keys). The corpus is read twice but shuffled zero times; at
+    * scale the first read amortizes away by persisting the (word, bits)
+    * relation alongside the corpus.
+    */
+  def bloomGatedAntiJoin(batch: DataFrame, corpus: DataFrame,
+      keyCol: String, mBits: Long = 1L << 20, kHashes: Int = 7): DataFrame = {
+    val words = bloomBuild(corpus.select(col(keyCol)), col(keyCol), mBits, kHashes)
+    val candidates = bloomCandidates(batch, keyCol, words, mBits, kHashes)
+    val confirmed = corpus.join(broadcast(candidates), Seq(keyCol), "left_semi")
+      .select(col(keyCol)).distinct()
+    batch.join(broadcast(confirmed), Seq(keyCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similar pairs with PPJoin-style prefix
     * filtering (Xiao et al., WWW'08): rank each doc's shingles rarest
     * first and index only the first `|A| - ceil(t·|A|) + 1` of them — two

@@ -321,4 +321,33 @@ class DedupSpec extends SparkSpec {
     assert(appended == bulk)
     assert(appended.nonEmpty, "the planted near-dups must surface")
   }
+
+  test("bloomGatedAntiJoin ≡ plain anti join, even saturated with false positives") {
+    val rnd = new scala.util.Random(7)
+    // batch keys half-overlap the corpus; duplicate rows per key in both
+    val corpus = (0 until 400).map(i => (i.toLong, s"k${rnd.nextInt(300)}"))
+      .toDF("row_id", "fp")
+    val batch = (1000 until 1200).map(i => (i.toLong, s"k${rnd.nextInt(600)}"))
+      .toDF("row_id", "fp")
+    val plain = batch.join(corpus.select($"fp"), Seq("fp"), "left_anti")
+      .select($"row_id", $"fp").as[(Long, String)].collect().toSet
+    // mBits = 256 with k = 7 over 300 keys: bitmap saturated, nearly every
+    // probe is bloom-positive — the exact-confirm stage must scrub them all
+    val gatedTiny = Dedup.bloomGatedAntiJoin(batch, corpus, "fp", mBits = 256L)
+      .select($"row_id", $"fp").as[(Long, String)].collect().toSet
+    assert(gatedTiny == plain)
+    // and at the default healthy sizing too
+    val gated = Dedup.bloomGatedAntiJoin(batch, corpus, "fp")
+      .select($"row_id", $"fp").as[(Long, String)].collect().toSet
+    assert(gated == plain)
+    assert(plain.nonEmpty && plain.size < 200, "split must be non-trivial")
+  }
+
+  test("bloom filter has no false negatives: every corpus key is a candidate") {
+    val corpus = (0 until 500).map(i => (i.toLong, s"fp$i")).toDF("row_id", "fp")
+    val words = Dedup.bloomBuild(corpus.select($"fp"), $"fp", mBits = 1L << 14)
+    val cands = Dedup.bloomCandidates(corpus, "fp", words, mBits = 1L << 14)
+      .as[String].collect().toSet
+    assert((0 until 500).forall(i => cands.contains(s"fp$i")))
+  }
 }

@@ -128,4 +128,17 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("LeftAnti"), "cold branch must anti-filter hot keys")
     assert(!s.contains("CartesianProduct"))
   }
+
+  test("q117: bloom gate confirms and anti-joins via broadcast — the corpus never sort-merges") {
+    val s = formatted("q117_bloom_gated_dedup")
+    // the exact-confirm semi join and the final anti join both run
+    // against broadcast candidate sets, scan-side on their big inputs
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"),
+      "bloom positives must exact-confirm via a broadcast semi join")
+    assert(s.contains("LeftAnti"),
+      "confirmed members must be removed with an anti join")
+    // no plan shape may sort-merge the corpus against the batch
+    assert(!s.contains("SortMergeJoin"), "corpus must never shuffle for a join")
+    assert(!s.contains("CartesianProduct"))
+  }
 }
