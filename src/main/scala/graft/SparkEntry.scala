@@ -1295,6 +1295,29 @@ object SparkEntry {
       val corpus = docs.filter(col("doc_id") % 7 =!= 0)
       Dedup.bloomGatedAntiJoin(newBatch, corpus, "fp", mBits = 1L << 16)
         .select(col("doc_id"), col("lang"), col("fp"))
+    }),
+
+    // Stored-Bloom-filter lifecycle under the oracle: build the filter
+    // over a seed corpus, APPEND a later ingest's keys as new files
+    // (bitmaps merge by bitwise OR at load — existing files untouched),
+    // then gate the probe batch against the full corpus through the
+    // LOADED filter. Same lossless contract as q117, so the oracle is
+    // again the plain anti join; what this row adds is the persisted
+    // build → save → append → load → probe path (the q101/q112/q106
+    // lifecycle story, for membership).
+    "q118_bloom_index_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val batch = docs.filter(col("doc_id") % 9 === 0)
+      val corpus = docs.filter(col("doc_id") % 9 =!= 0)
+      val idxDir = scratchDir("graft_bloom_index", dir)
+      Dedup.saveBloomIndex(Dedup.buildBloomIndex(
+        corpus.filter(col("doc_id") % 9 <= 4), "fp", mBits = 1L << 16), idxDir)
+      Dedup.appendBloomIndex(s, idxDir,
+        corpus.filter(col("doc_id") % 9 >= 5), "fp")
+      Dedup.bloomGatedAntiJoinIndexed(Dedup.loadBloomIndex(s, idxDir),
+          batch, corpus, "fp")
+        .select(col("doc_id"), col("lang"), col("fp"))
     })
   )
 
@@ -2287,7 +2310,17 @@ object SparkEntry {
         |SELECT doc_id, lang, fp FROM d
         |WHERE doc_id % 7 = 0
         |  AND NOT EXISTS (SELECT 1 FROM d d2
-        |                  WHERE d2.doc_id % 7 <> 0 AND d2.fp = d.fp)""".stripMargin
+        |                  WHERE d2.doc_id % 7 <> 0 AND d2.fp = d.fp)""".stripMargin,
+    // stored-filter variant of q117 — the lifecycle changes the plan,
+    // never the answer
+    "q118_bloom_index_probe" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |           FROM documents)
+        |SELECT doc_id, lang, fp FROM d
+        |WHERE doc_id % 9 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM d d2
+        |                  WHERE d2.doc_id % 9 <> 0 AND d2.fp = d.fp)""".stripMargin
   )
 
   /** Queries written in the ANSI subset BOTH engines parse identically —

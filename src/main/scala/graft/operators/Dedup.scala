@@ -418,6 +418,72 @@ object Dedup {
     batch.join(broadcast(confirmed), Seq(keyCol), "left_anti")
   }
 
+  /** A persisted Bloom filter: the (word, bits) relation + the params it
+    * was built with (a probe with different m or k would silently lose
+    * the no-false-negative guarantee, so they travel with the index —
+    * the [[BandIndex]]/IVF convention).
+    */
+  final case class BloomIndex(words: DataFrame, mBits: Long, kHashes: Int)
+
+  def buildBloomIndex(corpus: DataFrame, keyCol: String,
+      mBits: Long = 1L << 20, kHashes: Int = 7): BloomIndex =
+    BloomIndex(bloomBuild(corpus.select(col(keyCol)), col(keyCol),
+      mBits, kHashes), mBits, kHashes)
+
+  def saveBloomIndex(index: BloomIndex, dir: String): Unit = {
+    val spark = index.words.sparkSession
+    import spark.implicits._
+    index.words.write.mode("overwrite").parquet(s"$dir/words")
+    Seq((index.mBits, index.kHashes)).toDF("m_bits", "k_hashes")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** Load re-ORs the word rows at read time (see [[appendBloomIndex]]:
+    * an append adds PARTIAL word rows as new files), restoring the
+    * single-bits-per-word shape probes consume. The OR is associative
+    * and commutative, so any number of appends in any order load
+    * identically.
+    */
+  def loadBloomIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): BloomIndex = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    BloomIndex(spark.read.parquet(s"$dir/words")
+        .groupBy(col("word")).agg(expr("bit_or(bits)").as("bits")),
+      p.getLong(0), p.getInt(1))
+  }
+
+  /** Incrementally absorb a batch's keys into a stored filter: build the
+    * batch's own (word, bits) rows with the INDEX'S params and append
+    * them as new files — existing files are never rewritten (Bloom
+    * bitmaps are mergeable by bitwise OR, so "merge" can happen lazily
+    * at load). The nightly-ingest twin of [[appendBandIndex]] /
+    * [[graft.operators.Similarity.appendIvfIndex]].
+    */
+  def appendBloomIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, keyCol: String): Unit = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    bloomBuild(batch.select(col(keyCol)), col(keyCol), p.getLong(0), p.getInt(1))
+      .write.mode("append").parquet(s"$dir/words")
+  }
+
+  /** [[bloomGatedAntiJoin]] against a STORED filter: the bitmap loads
+    * (m/64 rows max) instead of the corpus being re-hashed, so the only
+    * touches on the corpus itself are the scan-side exact-confirm of
+    * the bloom positives. EQUIVALENCE CONTRACT: the filter must have
+    * absorbed (a superset of) `corpus`'s keys — a corpus key the filter
+    * never saw could probe bloom-negative and skip the confirm, hiding
+    * a member. Extra STALE keys in the filter (deleted docs) are safe:
+    * they only add candidates that the exact confirm scrubs.
+    */
+  def bloomGatedAntiJoinIndexed(index: BloomIndex, batch: DataFrame,
+      corpus: DataFrame, keyCol: String): DataFrame = {
+    val candidates = bloomCandidates(batch, keyCol, index.words,
+      index.mBits, index.kHashes)
+    val confirmed = corpus.join(broadcast(candidates), Seq(keyCol), "left_semi")
+      .select(col(keyCol)).distinct()
+    batch.join(broadcast(confirmed), Seq(keyCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similar pairs with PPJoin-style prefix
     * filtering (Xiao et al., WWW'08): rank each doc's shingles rarest
     * first and index only the first `|A| - ceil(t·|A|) + 1` of them — two

@@ -350,4 +350,37 @@ class DedupSpec extends SparkSpec {
       .as[String].collect().toSet
     assert((0 until 500).forall(i => cands.contains(s"fp$i")))
   }
+
+  test("bloom index appends never rewrite files; loaded ≡ bulk-built filter") {
+    val seed = (0 until 200).map(i => (i.toLong, s"k$i")).toDF("row_id", "fp")
+    val drops = Seq(
+      (200 until 300).map(i => (i.toLong, s"k$i")).toDF("row_id", "fp"),
+      (300 until 400).map(i => (i.toLong, s"k$i")).toDF("row_id", "fp"))
+    val batch = (0 until 600 by 3).map(i => (1000L + i, s"k$i")).toDF("row_id", "fp")
+    val all = seed.unionByName(drops.head).unionByName(drops.last)
+    val dir = java.nio.file.Files.createTempDirectory("bloom_append").toString
+    Dedup.saveBloomIndex(
+      Dedup.buildBloomIndex(seed, "fp", mBits = 1L << 14), dir)
+    for (d <- drops) {
+      val before = parquetStamps(s"$dir/words")
+      Dedup.appendBloomIndex(spark, dir, d, "fp")
+      val after = parquetStamps(s"$dir/words")
+      before.foreach { case (p, m) =>
+        assert(after.contains(p) && after(p) == m, s"append touched $p")
+      }
+      assert(after.size > before.size, "append must add data files")
+    }
+    val loaded = Dedup.loadBloomIndex(spark, dir)
+    assert(loaded.mBits == (1L << 14) && loaded.kHashes == 7)
+    // loaded (seed + 2 appends) word rows ≡ one bulk build over the union
+    val bulk = Dedup.bloomBuild(all.select($"fp"), $"fp", mBits = 1L << 14)
+      .as[(Long, Long)].collect().toSet
+    assert(loaded.words.as[(Long, Long)].collect().toSet == bulk)
+    // and the indexed gate still equals the plain anti join
+    val gated = Dedup.bloomGatedAntiJoinIndexed(loaded, batch, all, "fp")
+      .select($"row_id").as[Long].collect().toSet
+    val plain = batch.join(all.select($"fp"), Seq("fp"), "left_anti")
+      .select($"row_id").as[Long].collect().toSet
+    assert(gated == plain && plain.nonEmpty)
+  }
 }
