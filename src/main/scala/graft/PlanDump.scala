@@ -43,7 +43,9 @@ object PlanDump {
       "q108_leakage_safe_split", "q109_rare_token_gate",
       "q110_stream_curate", "q111_sql_pii_registry",
       "q112_band_index_append", "q113_frame_sample",
-      "q114_source_quota", "q115_train_order")
+      "q114_source_quota", "q115_train_order",
+      "q116_ann_ivf_pq_topk", "q117_bloom_gated_dedup",
+      "q118_bloom_index_probe")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))

@@ -129,6 +129,14 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("q116: IVF-PQ scores candidates via a broadcast cell join — no cartesian") {
+    val s = formatted("q116_ann_ivf_pq_topk")
+    // probed queries broadcast to the coded corpus; candidates meet on
+    // the coarse cell key, never as a cross product
+    assert(s.contains("BroadcastHashJoin"), "probed queries must broadcast")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q117: bloom gate confirms and anti-joins via broadcast — the corpus never sort-merges") {
     val s = formatted("q117_bloom_gated_dedup")
     // the exact-confirm semi join and the final anti join both run
