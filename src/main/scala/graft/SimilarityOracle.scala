@@ -116,8 +116,13 @@ object SimilarityOracle {
     */
   def ivfPqTopKSql(spark: SparkSession, dir: String, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4, nSub: Int = 8, ksub: Int = 16,
-      iters: Int = 3): String = {
-    val emb = Tables(spark, dir, "embeddings")
+      iters: Int = 3, trainWhere: Option[String] = None): String = {
+    // trainWhere restricts the TRAINING corpus only (the stored-index
+    // append case, q119: quantizers trained on the original corpus,
+    // search over everything — appended vectors route and encode by the
+    // same argmax/first-min rules the CTEs replay)
+    val emb = trainWhere.foldLeft(
+      Tables(spark, dir, "embeddings"))((d, w) => d.where(w))
     val coarse = Similarity.trainCentroids(emb, "vec_id", "embedding", nlist, iters)
     val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", nSub, ksub, iters)
     val dsub = books.head.head.length

@@ -1318,6 +1318,27 @@ object SparkEntry {
       Dedup.bloomGatedAntiJoinIndexed(Dedup.loadBloomIndex(s, idxDir),
           batch, corpus, "fp")
         .select(col("doc_id"), col("lang"), col("fp"))
+    }),
+
+    // Persisted IVF-PQ lifecycle — the fourth stored-index family
+    // completed (bands q112, IVF q106, Bloom q118, now PQ): build both
+    // quantizers on the seed corpus and persist (codes partitioned by
+    // cell + two tiny params tables), APPEND tonight's batch encoded
+    // with the STORED codebooks (no retraining, existing files
+    // untouched), then serve top-k from the loaded CODES ONLY — the
+    // search path runs zero training jobs, which is what q116's
+    // in-memory form couldn't claim. Oracle replays quantizers trained
+    // on the corpus subset only.
+    "q119_pq_index_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxDir = scratchDir("graft_pq_index", dir)
+      Similarity.savePqIndex(
+        Similarity.buildPqIndex(emb.filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding"), idxDir)
+      Similarity.appendPqIndex(s, idxDir,
+        emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding")
+      Similarity.pqSearchIndex(emb.filter(col("vec_id") % 25 === 0),
+        Similarity.loadPqIndex(s, idxDir), "vec_id", "embedding", k = 10)
     })
   )
 
@@ -1333,6 +1354,8 @@ object SparkEntry {
       trainWhere = Some("vec_id % 10 <> 0")),
     "q67_neardup_lsh_banded" -> SimilarityOracle.bandedNearDupSql(spark, dir, threshold = 0.45),
     "q116_ann_ivf_pq_topk" -> SimilarityOracle.ivfPqTopKSql(spark, dir),
+    "q119_pq_index_append" -> SimilarityOracle.ivfPqTopKSql(spark, dir,
+      trainWhere = Some("vec_id % 10 <> 0")),
     // ensemble = text-Jaccard ∪ banded-embedding signals; the embedding
     // leg mirrors the same plane literals as q67 (a derived table may
     // carry its own WITH clause in DuckDB)

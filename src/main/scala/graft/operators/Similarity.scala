@@ -638,6 +638,129 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // ------------------------------------------------------------------
+  // Persisted IVF-PQ index — the fourth stored-index lifecycle (after
+  // MinHash bands, IVF and the Bloom membership filter): train ONCE
+  // offline, store (codes partitioned by cell + the tiny params tables),
+  // serve and append with ZERO training jobs. This is the whole point of
+  // PQ — a serving index of nSub small ints per vector that lives in
+  // cluster memory while the raw 100 TB of vectors stays at rest; a
+  // search that retrains per query batch (q116's in-memory form) is a
+  // correctness demo, not a serving path.
+  // ------------------------------------------------------------------
+
+  /** A trained IVF-PQ index: driver-held coarse centroids and per-
+    * subspace codebooks (nlist·dim + nSub·ksub·dsub milli longs — tiny)
+    * plus the coded corpus (neighbor_id, cell, codes) with the raw
+    * vectors DROPPED at encode time.
+    */
+  final case class PqIndex(centroids: Array[Array[Long]],
+      books: Array[Array[Array[Long]]], codes: DataFrame)
+
+  /** Train both quantizers and encode the corpus. `codes` has
+    * (neighbor_id, cell, codes) — no vector column survives.
+    */
+  def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, nSub: Int = 8, ksub: Int = 16, iters: Int = 3): PqIndex = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nlist, iters)
+    val books = trainPqCodebooks(corpus, idCol, vecCol, nSub, ksub, iters)
+    val coded = corpus
+      .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+      .select(col("neighbor_id"),
+        nearestCell(col("cv"), centroids).as("cell"),
+        pqEncode(col("cv"), books).as("codes"))
+    PqIndex(centroids, books, coded)
+  }
+
+  private def vecTableSchema(first: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(first,
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("sub",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType), nullable = false)))
+
+  /** Persist: coarse centroids and codebooks as two tiny parquet params
+    * tables, codes PARTITIONED BY cell (a probe reads nprobe/nlist of
+    * the files). The codebooks row is (code, sub, centroid); the
+    * centroids table reuses the shape with sub = 0.
+    */
+  def savePqIndex(index: PqIndex, dir: String): Unit = {
+    val spark = index.codes.sparkSession
+    import scala.jdk.CollectionConverters._
+    val centRows = index.centroids.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, 0, c.toSeq)
+    }.toSeq.asJava
+    spark.createDataFrame(centRows, vecTableSchema("cell"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val bookRows = (for {
+      (cb, m) <- index.books.zipWithIndex
+      (c, j) <- cb.zipWithIndex
+    } yield org.apache.spark.sql.Row(j, m, c.toSeq)).toSeq.asJava
+    spark.createDataFrame(bookRows, vecTableSchema("code"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    index.codes.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Read ONLY the params tables (centroids + codebooks) — what the
+    * append path needs; the coded corpus is never scanned.
+    */
+  def loadPqParams(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Long](2).toArray)
+    val bookRows = spark.read.parquet(s"$dir/codebooks")
+      .orderBy(col("sub"), col("code")).collect()
+    val books = bookRows.groupBy(_.getInt(1)).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(0)).map(_.getSeq[Long](2).toArray))
+    (cents, books)
+  }
+
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): PqIndex = {
+    val (cents, books) = loadPqParams(spark, dir)
+    PqIndex(cents, books, spark.read.parquet(s"$dir/codes"))
+  }
+
+  /** Incrementally add a batch to a STORED PQ index: encode the new
+    * vectors with the STORED codebooks (no retraining — drift accumulates
+    * in quantizer fit only, fixed by an offline rebuild, never in the
+    * stored codes) and append to the cell-partitioned codes; existing
+    * files are never rewritten. Reads only the two tiny params tables.
+    */
+  def appendPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val (cents, books) = loadPqParams(spark, dir)
+    batch.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+      .select(col("neighbor_id"),
+        nearestCell(col("cv"), cents).as("cell"),
+        pqEncode(col("cv"), books).as("codes"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Serve IVF-PQ top-k against a stored index — q116's ADC scan with
+    * ZERO training jobs: queries rank cells against the loaded centroids
+    * (driver literals, no corpus job), probe their nprobe best, and score
+    * the probed cells' CODES with [[adcDist2]]. The cell equi-join prunes
+    * the codes table to nprobe/nlist of its partitions.
+    */
+  def pqSearchIndex(queries: DataFrame, index: PqIndex, idCol: String,
+      vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val qb = cellRanked(queries, idCol, vecCol, index.centroids)
+      .filter(col("crn") <= nprobe)
+      .select(col("id").as("query_id"), col("vm").as("qv"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist2").asc, col("neighbor_id").asc)
+    index.codes.join(broadcast(qb), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcDist2(col("qv"), col("codes"), index.books).as("adc_dist2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Serve top-k against a stored index: queries probe their nprobe best
     * cells; the per-cell equi-join prunes to those cells' partitions.
     */

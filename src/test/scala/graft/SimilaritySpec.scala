@@ -288,4 +288,71 @@ class SimilaritySpec extends SparkSpec {
     val recall = (brute & pq).size.toDouble / brute.size
     assert(recall > 0.15, s"IVF-PQ recall too low: $recall") // coded + probe-limited
   }
+
+  test("stored PQ index: save → load → search ≡ the in-memory index") {
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("pq_store").toString
+    val built = Similarity.buildPqIndex(corpus, "vec_id", "embedding")
+    Similarity.savePqIndex(built, dir)
+    val loaded = Similarity.loadPqIndex(spark, dir)
+    // params survive the round trip bit-exactly
+    assert(loaded.centroids.map(_.toSeq).toSeq == built.centroids.map(_.toSeq).toSeq)
+    assert(loaded.books.map(_.map(_.toSeq).toSeq).toSeq ==
+      built.books.map(_.map(_.toSeq).toSeq).toSeq)
+    val served = Similarity.pqSearchIndex(queries, loaded, "vec_id", "embedding", 10)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val direct = Similarity.pqSearchIndex(queries, built, "vec_id", "embedding", 10)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(served == direct)
+    // at-rest layout is partitioned by cell → probes prune partitions
+    val cells = new java.io.File(s"$dir/codes").listFiles()
+      .map(_.getName).filter(_.startsWith("cell="))
+    assert(cells.length > 1)
+  }
+
+  test("K successive PQ appends ≡ one bulk encode; earlier files never touched") {
+    // the retrain-offline contract, PQ edition: appends encode with the
+    // STORED codebooks only, so N nightly drops land exactly where one
+    // combined drop would — drift can only accumulate in quantizer fit
+    // (fixed by an offline rebuild), never in the stored codes
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batches = Seq(
+      emb.filter($"vec_id" % 30 === 0),
+      emb.filter($"vec_id" % 30 === 10),
+      emb.filter($"vec_id" % 30 === 20))
+    val dir = java.nio.file.Files.createTempDirectory("pq_drift").toString
+    Similarity.savePqIndex(
+      Similarity.buildPqIndex(corpus, "vec_id", "embedding"), dir)
+    for (b <- batches) {
+      val before = parquetStamps(s"$dir/codes")
+      Similarity.appendPqIndex(spark, dir, b, "vec_id", "embedding")
+      val after = parquetStamps(s"$dir/codes")
+      before.foreach { case (path, mtime) =>
+        assert(after.contains(path), s"append removed $path")
+        assert(after(path) == mtime, s"append rewrote $path")
+      }
+      assert(after.size > before.size, "append must add data files")
+    }
+    val stored = Similarity.loadPqIndex(spark, dir).codes
+      .select($"neighbor_id", $"cell", $"codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    // one bulk encode of corpus + all three drops with the SAME quantizers
+    val cents = Similarity.trainCentroids(corpus, "vec_id", "embedding", 16)
+    val books = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding", 8, 16)
+    val all = corpus.unionByName(batches.reduce(_ unionByName _))
+    val bulk = all
+      .select($"vec_id".as("neighbor_id"),
+        Similarity.quantize($"embedding").as("cv"))
+      .select($"neighbor_id",
+        Similarity.nearestCell($"cv", cents).as("cell"),
+        Similarity.pqEncode($"cv", books).as("codes"))
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(stored == bulk)
+    // appended vectors are actually searchable (batch ids appear in a probe)
+    val served = Similarity.pqSearchIndex(emb.filter($"vec_id" % 25 === 0),
+        Similarity.loadPqIndex(spark, dir), "vec_id", "embedding", 10)
+      .select($"neighbor_id").as[Long].collect()
+    assert(served.exists(_ % 30 == 0))
+  }
 }
