@@ -186,11 +186,12 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // dev aid: SPARK_GRAFT_ONLY=q72,q65 restricts the run to matching
-    // prefixes (the driver never sets it, so round numbers stay full-catalog)
+    // dev aid: SPARK_GRAFT_ONLY=q72,q65 restricts the run to exact names
+    // (q11* for a prefix family; the driver never sets it, so round
+    // numbers stay full-catalog)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val queries = only.fold(SparkEntry.queries) { prefixes =>
-      SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
+    val queries = only.fold(SparkEntry.queries) { pats =>
+      SparkEntry.queries.filter { case (n, _) => GraftSession.nameSelected(n, pats) }
     }
     val result = run(spark, sfDir, queries)
     if (result.failed.nonEmpty)

@@ -32,6 +32,16 @@ object GraftSession {
     spark
   }
 
+  /** `SPARK_GRAFT_ONLY` matcher shared by Bench and Verify: a pattern
+    * selects a query by EXACT name, or by prefix when it carries an
+    * explicit trailing `*` — so `q11` selects only q11, not q110-q118;
+    * `q11*` opts into the prefix family deliberately.
+    */
+  def nameSelected(name: String, patterns: Set[String]): Boolean =
+    patterns.exists { p =>
+      if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else name == p
+    }
+
   /** Apply graft configs to an externally-created builder (Bench/Verify). */
   def tune(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.adaptive.enabled", "true")

@@ -15,11 +15,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // dev aid (mirrors Bench): SPARK_GRAFT_ONLY=q116,q57 restricts the
-    // dump to matching queries; unset (the driver's case) runs all
+    // dump to exact names (q11* for a prefix family); unset (the
+    // driver's case) runs all
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     SparkEntry.queries
       .filter { case (name, _) =>
-        only.forall(_.exists(p => name == p || name.startsWith(p))) }
+        only.forall(GraftSession.nameSelected(name, _)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

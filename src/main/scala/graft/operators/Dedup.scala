@@ -362,6 +362,13 @@ object Dedup {
     * `mod (m−1) + 1` step) so the k probes never collapse onto one bit.
     */
   private def bloomPositions(key: Column, mBits: Long, kHashes: Int): Column = {
+    // mBits = 1 would divide by zero in the h2 reduction; the upper
+    // bound keeps the worst intermediate h1 + (k−1)·h2 < kHashes·mBits
+    // inside Long range, preserving the no-false-negative guarantee
+    // (an overflow would wrap silently in non-ANSI mode)
+    require(mBits >= 2 && kHashes >= 1 && mBits <= Long.MaxValue / kHashes,
+      s"bloom params out of range: mBits=$mBits kHashes=$kHashes " +
+        s"(need mBits in [2, Long.MaxValue/kHashes], kHashes >= 1)")
     val h1 = pmod(xxhash64(lit("bloom1"), key), lit(mBits))
     val h2 = pmod(xxhash64(lit("bloom2"), key), lit(mBits - 1)) + 1L
     array((0 until kHashes).map(i =>
@@ -410,12 +417,33 @@ object Dedup {
     * relation alongside the corpus.
     */
   def bloomGatedAntiJoin(batch: DataFrame, corpus: DataFrame,
-      keyCol: String, mBits: Long = 1L << 20, kHashes: Int = 7): DataFrame = {
+      keyCol: String, mBits: Long = 1L << 20, kHashes: Int = 7,
+      maxBroadcastCandidates: Long = 4L << 20): DataFrame = {
     val words = bloomBuild(corpus.select(col(keyCol)), col(keyCol), mBits, kHashes)
-    val candidates = bloomCandidates(batch, keyCol, words, mBits, kHashes)
-    val confirmed = corpus.join(broadcast(candidates), Seq(keyCol), "left_semi")
+    confirmAndAnti(batch, corpus, keyCol,
+      bloomCandidates(batch, keyCol, words, mBits, kHashes),
+      maxBroadcastCandidates)
+  }
+
+  /** Exact-confirm the bloom positives against the corpus, then anti-join
+    * the batch against the confirmed members. The candidate/confirmed key
+    * sets broadcast ONLY while the candidate count stays under
+    * `maxBroadcastCandidates` (confirmed ⊆ candidates, so one gate covers
+    * both hints) — a saturated filter or a huge batch would otherwise
+    * blow the 8 GB broadcast limit / driver memory; past the gate the
+    * joins fall back to plain shuffled semi/anti (the corpus shuffles,
+    * which is exactly the cost the caller was warned the filter could no
+    * longer avoid). The gate's count() re-evaluates the candidate plan
+    * once — a pass over the BATCH's distinct keys against the broadcast
+    * bitmap, never a corpus scan.
+    */
+  private def confirmAndAnti(batch: DataFrame, corpus: DataFrame,
+      keyCol: String, candidates: DataFrame, maxBroadcast: Long): DataFrame = {
+    val small = candidates.count() <= maxBroadcast
+    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val confirmed = corpus.join(hint(candidates), Seq(keyCol), "left_semi")
       .select(col(keyCol)).distinct()
-    batch.join(broadcast(confirmed), Seq(keyCol), "left_anti")
+    batch.join(hint(confirmed), Seq(keyCol), "left_anti")
   }
 
   /** A persisted Bloom filter: the (word, bits) relation + the params it
@@ -476,13 +504,11 @@ object Dedup {
     * they only add candidates that the exact confirm scrubs.
     */
   def bloomGatedAntiJoinIndexed(index: BloomIndex, batch: DataFrame,
-      corpus: DataFrame, keyCol: String): DataFrame = {
-    val candidates = bloomCandidates(batch, keyCol, index.words,
-      index.mBits, index.kHashes)
-    val confirmed = corpus.join(broadcast(candidates), Seq(keyCol), "left_semi")
-      .select(col(keyCol)).distinct()
-    batch.join(broadcast(confirmed), Seq(keyCol), "left_anti")
-  }
+      corpus: DataFrame, keyCol: String,
+      maxBroadcastCandidates: Long = 4L << 20): DataFrame =
+    confirmAndAnti(batch, corpus, keyCol,
+      bloomCandidates(batch, keyCol, index.words, index.mBits, index.kHashes),
+      maxBroadcastCandidates)
 
   /** Exact n-gram Jaccard similar pairs with PPJoin-style prefix
     * filtering (Xiao et al., WWW'08): rank each doc's shingles rarest

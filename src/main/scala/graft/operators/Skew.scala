@@ -73,10 +73,22 @@ object Skew {
     * are reused by Spark's exchange reuse.
     */
   def hotColdJoin(stream: DataFrame, dim: DataFrame, key: String,
-      isHot: Column): DataFrame = {
+      isHot: Column, assertConstantHot: Boolean = false): DataFrame = {
     val hotP = coalesce(isHot, lit(false))
     val hot = dim.filter(hotP)
     val cold = dim.filter(!hotP)
+    if (assertConstantHot) {
+      // opt-in guard for NEW call sites: a key with dim rows on both
+      // sides of the split would silently lose its cold matches to the
+      // anti join below — pay one small driver job here to fail loudly
+      // instead (off by default; the check scans the dim twice)
+      val straddle = hot.select(col(key)).intersect(cold.select(col(key)))
+        .limit(1).count()
+      require(straddle == 0,
+        s"hotColdJoin: isHot is not constant per '$key' — at least one " +
+          "key has dim rows on both sides of the hot/cold split; its " +
+          "cold matches would be dropped")
+    }
     val hotBranch = stream.join(broadcast(hot), Seq(key))
     // the anti join deliberately broadcasts the SAME full hot frame as
     // the hot branch (not a keys-only projection): identical broadcast

@@ -343,6 +343,30 @@ class DedupSpec extends SparkSpec {
     assert(plain.nonEmpty && plain.size < 200, "split must be non-trivial")
   }
 
+  test("bloom params are validated; shuffled fallback past the broadcast gate ≡ plain anti join") {
+    val corpus = (0 until 100).map(i => (i.toLong, s"k$i")).toDF("row_id", "fp")
+    val batch = (50 until 150).map(i => (i.toLong, s"k$i")).toDF("row_id", "fp")
+    // mBits = 1 would divide by zero in the double-hash reduction
+    intercept[IllegalArgumentException] {
+      Dedup.bloomGatedAntiJoin(batch, corpus, "fp", mBits = 1L)
+    }
+    // mBits·kHashes overflowing Long would wrap h1 + i·h2 silently
+    intercept[IllegalArgumentException] {
+      Dedup.bloomGatedAntiJoin(batch, corpus, "fp", mBits = 1L << 62)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.bloomGatedAntiJoin(batch, corpus, "fp", kHashes = 0)
+    }
+    // force the size gate OFF (every candidate set is "too big"): the
+    // joins fall back to plain shuffled semi/anti and stay exact
+    val shuffled = Dedup.bloomGatedAntiJoin(batch, corpus, "fp",
+        maxBroadcastCandidates = 0L)
+      .select($"row_id", $"fp").as[(Long, String)].collect().toSet
+    val plain = batch.join(corpus.select($"fp"), Seq("fp"), "left_anti")
+      .select($"row_id", $"fp").as[(Long, String)].collect().toSet
+    assert(shuffled == plain && plain.nonEmpty)
+  }
+
   test("bloom filter has no false negatives: every corpus key is a candidate") {
     val corpus = (0 until 500).map(i => (i.toLong, s"fp$i")).toDF("row_id", "fp")
     val words = Dedup.bloomBuild(corpus.select($"fp"), $"fp", mBits = 1L << 14)

@@ -59,6 +59,26 @@ class SkewSpec extends SparkSpec {
     assert(split == plain)
   }
 
+  test("hotColdJoin assertConstantHot rejects a per-ROW hot predicate") {
+    // a dim key with rows on both sides of the split (isHot depends on
+    // the row, not the key) would silently lose its cold matches; the
+    // opt-in guard must fail loudly instead
+    val stream = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "k")
+    val dim = Seq(("a", 1L), ("a", 500L), ("b", 2L)).toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      Skew.hotColdJoin(stream, dim, "k", isHot = $"w" >= 100L,
+        assertConstantHot = true)
+    }
+    // and a genuinely constant-per-key predicate passes the guard
+    val ok = Skew.hotColdJoin(stream, dim, "k",
+        isHot = $"k" === "a", assertConstantHot = true)
+      .select($"doc_id", $"k", $"w").as[(Long, String, Long)]
+      .collect().sorted.toSeq
+    val plain = stream.join(dim, "k").select($"doc_id", $"k", $"w")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(ok == plain)
+  }
+
   test("hotColdJoin with empty hot side degenerates to the plain join") {
     val tf = skewed.groupBy($"k").agg(count(lit(1)).as("ctf"))
     val plain = skewed.join(tf, "k").select($"k", $"v", $"ctf")
