@@ -137,6 +137,33 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("weak-list guard: NO catalog query beyond q54/q55 plans a quadratic shape") {
+    // the catalog-wide regression guard for the `weak` list: the only
+    // rows allowed a cartesian/nested-loop/tile-grid plan are the two
+    // NAMED exact baselines (q54 brute-force top-k, q55 exact
+    // threshold near-dup) — each of which has a sub-quadratic sibling.
+    // A future addition that silently reintroduces an all-pairs
+    // default fails here, not on the 100 TB run.
+    val exempt = Set("q54_ann_brute_topk", "q55_embedding_neardup")
+    // q47 is exempt from the nested-loop check ONLY: its crossJoin side
+    // is a SINGLE-ROW global aggregate (the scalar-subquery shape) — the
+    // nested loop is O(n·1), linear, not an all-pairs plan
+    val bnljOk = Set("q47_scalar_subquery")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(exempt)
+      .flatMap { q =>
+        val s = formatted(q)
+        Seq(
+          if (s.contains("CartesianProduct")) Some(s"$q: CartesianProduct") else None,
+          if (s.contains("BroadcastNestedLoopJoin") && !bnljOk(q))
+            Some(s"$q: BroadcastNestedLoopJoin") else None,
+          if (s.contains("tile_i")) Some(s"$q: tile_i grid") else None
+        ).flatten
+      }
+    assert(offenders.isEmpty,
+      s"quadratic plan shapes outside the named exact baselines:\n  ${offenders.mkString("\n  ")}")
+  }
+
   test("q117: bloom gate confirms and anti-joins via broadcast — the corpus never sort-merges") {
     val s = formatted("q117_bloom_gated_dedup")
     // the exact-confirm semi join and the final anti join both run
