@@ -1339,6 +1339,47 @@ object SparkEntry {
         emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding")
       Similarity.pqSearchIndex(emb.filter(col("vec_id") % 25 === 0),
         Similarity.loadPqIndex(s, idxDir), "vec_id", "embedding", k = 10)
+    }),
+
+    // Streaming MEMBERSHIP ingest under the oracle — the Bloom twin of
+    // q110's curation stream: two nightly drops land one file per
+    // trigger, each micro-batch is gated by the STORED Bloom filter
+    // (seeded over the corpus), admitted rows append their keys back to
+    // the filter, so drop 2 dedups against corpus AND drop 1 with zero
+    // corpus re-hashing. Output = the admitted fingerprint SET (fp is
+    // arrival-order invariant; doc_id within an exact-dup group is not),
+    // so the oracle is the plain "drop fps minus corpus fps".
+    "q120_bloom_stream_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val base = scratchDir("graft_bloom_stream", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      for ((m, i) <- Seq(0, 10).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        docs.filter(col("doc_id") % 20 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+      }
+      val bloomDir = s"$base/bloom$run"
+      Dedup.saveBloomIndex(Dedup.buildBloomIndex(
+        corpus.withColumn("fp", TextAnalysis.fingerprint(col("text"))),
+        "fp", mBits = 1L << 16), bloomDir)
+      val q = graft.streaming.DocumentStreams.bloomIngest(s,
+        landing.toString, bloomDir, corpus, s"$base/out$run",
+        s"$base/ckpt$run", maxFilesPerTrigger = Some(1))
+      q.processAllAvailable()
+      q.stop()
+      s.read.schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("fp",
+            org.apache.spark.sql.types.StringType))))
+        .parquet(s"$base/out$run")
+        .select(col("fp")).distinct()
     })
   )
 
@@ -1356,6 +1397,17 @@ object SparkEntry {
     "q116_ann_ivf_pq_topk" -> SimilarityOracle.ivfPqTopKSql(spark, dir),
     "q119_pq_index_append" -> SimilarityOracle.ivfPqTopKSql(spark, dir,
       trainWhere = Some("vec_id % 10 <> 0")),
+    // the streaming bloom gate is LOSSLESS (no false negatives, exact
+    // confirm) and admitted fps are arrival-order invariant, so the
+    // oracle is the plain set difference
+    "q120_bloom_stream_ingest" ->
+      """WITH d AS (SELECT doc_id,
+        |             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |           FROM documents)
+        |SELECT DISTINCT fp FROM d
+        |WHERE doc_id % 10 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM d d2
+        |                  WHERE d2.doc_id % 10 <> 0 AND d2.fp = d.fp)""".stripMargin,
     // ensemble = text-Jaccard ∪ banded-embedding signals; the embedding
     // leg mirrors the same plane literals as q67 (a derived table may
     // carry its own WITH clause in DuckDB)

@@ -137,6 +137,67 @@ object DocumentStreams {
     * of `outPath` — a replay rewrites the same files instead of
     * appending duplicates. Readers see `batch_id` as a partition column.
     */
+  /** Exact-membership ingest run continuously — the MEMBERSHIP twin of
+    * [[probeBandIndex]] for the Bloom family: each micro-batch
+    * fingerprints its documents, keeps the first row per fingerprint
+    * within the drop, admits only fingerprints NOT already in the corpus
+    * (the STORED Bloom filter gates; the exact confirm scrubs its false
+    * positives), lands the admitted rows in their own `batch_id=N`
+    * partition of `outPath`, and absorbs the admitted keys into the
+    * stored filter — so LATER drops dedup against EARLIER ones without
+    * the corpus ever being re-hashed or shuffled.
+    *
+    * The exact-confirm relation at each trigger is `corpus` ∪ the rows
+    * this query already admitted (read back from the sink), which keeps
+    * [[graft.operators.Dedup.bloomGatedAntiJoinIndexed]]'s equivalence
+    * contract: the filter has absorbed a superset of the confirm keys at
+    * every trigger (caller seeds the filter over `corpus` once, this
+    * loop appends every admitted batch).
+    *
+    * Replay idempotency (foreachBatch is at-least-once): a re-executed
+    * batch OVERWRITES its own batch_id partition — no duplicate rows —
+    * and its filter append re-derives the word rows from the COMMITTED
+    * partition, so a replay ORs in bits identical to the first run's;
+    * Bloom bitmaps are idempotent under OR, leaving the filter unchanged.
+    */
+  def bloomIngest(spark: SparkSession, landingDir: String, bloomDir: String,
+      corpus: DataFrame, outPath: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fp = graft.functions.TextAnalysis.fingerprint(col("text"))
+    val corpusKeys = corpus.select(fp.as("fp"))
+    // committed part files under outPath/batch_id=* (Hadoop FS, not
+    // java.io — the sink can be any cluster filesystem); empty until the
+    // first admitting batch commits
+    def admittedKeys(): DataFrame = {
+      val path = new org.apache.hadoop.fs.Path(outPath)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parts =
+        if (!fs.exists(path)) Array.empty[String]
+        else fs.globStatus(new org.apache.hadoop.fs.Path(s"$outPath/batch_id=*/*.parquet"))
+          .map(_.getPath.toString)
+      if (parts.isEmpty) corpusKeys.limit(0)
+      else spark.read.parquet(parts.toIndexedSeq: _*).select(col("fp"))
+    }
+    readDocuments(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val keyed = batch.withColumn("fp", fp).dropDuplicates("fp")
+        val admitted = graft.operators.Dedup.bloomGatedAntiJoinIndexed(
+          graft.operators.Dedup.loadBloomIndex(spark, bloomDir),
+          keyed, corpusKeys.unionByName(admittedKeys()), "fp")
+        val dir = s"$outPath/batch_id=$batchId"
+        admitted.write.mode("overwrite").parquet(dir)
+        // explicit fp-only schema: a batch whose rows were ALL rejected
+        // commits zero part files, and schema inference over the empty
+        // partition dir would throw instead of appending nothing
+        graft.operators.Dedup.appendBloomIndex(spark, bloomDir,
+          spark.read.schema(StructType(Seq(StructField("fp", StringType))))
+            .parquet(dir), "fp")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
   def probeBandIndex(spark: SparkSession, landingDir: String,
       index: graft.operators.Dedup.BandIndex, outPath: String,
       checkpointDir: String,

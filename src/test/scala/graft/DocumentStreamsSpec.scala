@@ -94,6 +94,65 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty, "the planted cross dups must surface")
   }
 
+  test("bloom ingest: later drops dedup against earlier; append is replay-idempotent") {
+    import graft.operators.Dedup
+    val fpCol = graft.functions.TextAnalysis.fingerprint(col("text"))
+    def mkDocs(rows: Seq[(Long, String)]) =
+      rows.map { case (id, tx) => (id, tx, "en", "syn", tx.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = mkDocs((0 until 50).map(i => (i.toLong, s"corpus document body number $i")))
+    // drop0: 10 fresh docs + 5 re-deliveries of corpus texts (new ids, same fp)
+    val drop0 = mkDocs((100 until 110).map(i => (i.toLong, s"fresh drop zero doc $i")) ++
+      (0 until 5).map(i => (1000L + i, s"corpus document body number $i")))
+    // drop1: 10 fresh docs + 5 re-deliveries of DROP0 texts + 1 corpus text
+    val drop1 = mkDocs((200 until 210).map(i => (i.toLong, s"fresh drop one doc $i")) ++
+      (100 until 105).map(i => (2000L + i, s"fresh drop zero doc $i")) ++
+      Seq((3000L, "corpus document body number 5")))
+    val base = java.nio.file.Files.createTempDirectory("bloom_ingest").toString
+    val landing = s"$base/landing"; new java.io.File(landing).mkdirs()
+    val bloomDir = s"$base/bloom"; val outPath = s"$base/out"
+    Dedup.saveBloomIndex(
+      Dedup.buildBloomIndex(corpus.withColumn("fp", fpCol), "fp"), bloomDir)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(s"$landing/$name.parquet"))
+    }
+    land(drop0, "drop_00")
+    val q = DocumentStreams.bloomIngest(spark, landing, bloomDir, corpus,
+      outPath, s"$base/ckpt", maxFilesPerTrigger = Some(1))
+    q.processAllAvailable()
+    land(drop1, "drop_01")
+    q.processAllAvailable()
+    q.stop()
+    // drop0's fresh docs admitted; drop1's fresh docs admitted; every
+    // re-delivery (corpus texts AND drop0 texts) rejected — later drops
+    // dedup against earlier ones through the appended filter
+    val admitted = spark.read.parquet(outPath)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(admitted == ((100 until 110) ++ (200 until 210)).map(_.toLong).toSet)
+    // stream ≡ batch on the key set: all drops at once against the corpus
+    val bulkFps = Dedup.bloomGatedAntiJoin(
+        drop0.unionByName(drop1).withColumn("fp", fpCol).dropDuplicates("fp"),
+        corpus.withColumn("fp", fpCol), "fp")
+      .select($"fp").as[String].collect().toSet
+    val streamedFps = spark.read.parquet(outPath)
+      .select($"fp").as[String].collect().toSet
+    assert(streamedFps == bulkFps)
+    // replay idempotency: re-running a committed batch's filter append
+    // ORs in identical bits — the loaded filter is unchanged
+    val before = Dedup.loadBloomIndex(spark, bloomDir).words
+      .as[(Long, Long)].collect().toSet
+    Dedup.appendBloomIndex(spark, bloomDir,
+      spark.read.parquet(s"$outPath/batch_id=1"), "fp")
+    val after = Dedup.loadBloomIndex(spark, bloomDir).words
+      .as[(Long, Long)].collect().toSet
+    assert(after == before)
+  }
+
   test("curateAvailableNow drains the landing dir and equals the batch twin") {
     val base = java.nio.file.Files.createTempDirectory("curate_an").toString
     val curated = DocumentStreams.curateAvailableNow(
