@@ -116,7 +116,8 @@ object SimilarityOracle {
     */
   def ivfPqTopKSql(spark: SparkSession, dir: String, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4, nSub: Int = 8, ksub: Int = 16,
-      iters: Int = 3, trainWhere: Option[String] = None): String = {
+      iters: Int = 3, trainWhere: Option[String] = None,
+      refineShortlist: Option[Int] = None): String = {
     // trainWhere restricts the TRAINING corpus only (the stored-index
     // append case, q119: quantizers trained on the original corpus,
     // search over everything — appended vectors route and encode by the
@@ -149,6 +150,37 @@ object SimilarityOracle {
          |     + list_dot_product(sel_$m, sel_$m)
          |     - 2*list_dot_product(${slc(m, "qv")}, sel_$m))""".stripMargin
     }.mkString("\n   + ")
+    // the final SELECT: raw ADC ranking, or (refine) an exact
+    // quantized-cosine re-rank of each query's top-`shortlist` ADC
+    // candidates — mirroring Similarity.pqSearchRefined one-to-one
+    val finalSelect = refineShortlist match {
+      case None =>
+        s"""SELECT query_id, neighbor_id, adc_dist2, CAST(rank AS INT) AS rank FROM (
+           |  SELECT query_id, neighbor_id, adc_dist2,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rank
+           |  FROM scored) r
+           |WHERE rank <= $k""".stripMargin
+      case Some(shortlist) =>
+        s""", short AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY adc_dist2 ASC, neighbor_id ASC) AS srank
+           |  FROM scored) s WHERE srank <= $shortlist),
+           |rescored AS (SELECT s.query_id, s.neighbor_id,
+           |    list_dot_product(q.vm, n.vm) /
+           |      (sqrt(list_dot_product(q.vm, q.vm)) *
+           |       sqrt(list_dot_product(n.vm, n.vm))) AS cosine
+           |  FROM short s
+           |  JOIN e q ON q.vec_id = s.query_id
+           |  JOIN e n ON n.vec_id = s.neighbor_id)
+           |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+           |  SELECT query_id, neighbor_id, cosine,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+           |  FROM rescored) r
+           |WHERE rank <= $k""".stripMargin
+    }
     s"""WITH e AS (SELECT vec_id, $vMilli AS vm FROM embeddings),
        |sc AS (SELECT vec_id, vm, $sl AS sl FROM e),
        |cells AS (SELECT vec_id, vm, CAST(t.cell AS INT) AS cell,
@@ -170,12 +202,7 @@ object SimilarityOracle {
        |    CAST($adc AS BIGINT) AS adc_dist2
        |  FROM sels JOIN queries USING (cell)
        |  WHERE query_id <> neighbor_id)
-       |SELECT query_id, neighbor_id, adc_dist2, CAST(rank AS INT) AS rank FROM (
-       |  SELECT query_id, neighbor_id, adc_dist2,
-       |    row_number() OVER (PARTITION BY query_id
-       |      ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rank
-       |  FROM scored) r
-       |WHERE rank <= $k""".stripMargin
+       |$finalSelect""".stripMargin
   }
 
   /** Mirror of q67: banded candidates (id_a < id_b, any table), exact
