@@ -105,6 +105,51 @@ object Multimodal {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** [[extractFeatures]] with PER-ITEM error isolation — the reference
+    * DAG's quarantine pattern (D5, `process_publications_dag.py:79-82`)
+    * applied to the decode stage: a payload the decoder rejects yields a
+    * quarantine row carrying the error instead of failing the task (and
+    * with it the stage and the job — at 100 TB one corrupt file must
+    * never kill a 1000-executor decode pass). Single scan, single output
+    * frame with a nullable `error` column; split it with
+    * [[splitQuarantine]]. Only NonFatal throwables are quarantined — an
+    * OOM/LinkageError still fails the task loudly.
+    */
+  def extractFeaturesQuarantined(media: DataFrame,
+      decoder: MediaDecoder): DataFrame = {
+    val spark = media.sparkSession
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_bytes", IntegerType),
+      StructField("features", ArrayType(FloatType)),
+      StructField("error", StringType)))
+    val rows = media.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        try {
+          val f = decoder.decode(r.getAs[Array[Byte]](payloadIdx))
+          Row(id, f.width, f.height, f.nBytes, f.features.toSeq, null)
+        } catch { case scala.util.control.NonFatal(e) =>
+          Row(id, null, null, null, null,
+            s"${e.getClass.getName}: ${e.getMessage}")
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** (decoded, quarantined) split of [[extractFeaturesQuarantined]]'s
+    * output: decoded rows drop the always-null error column; quarantine
+    * keeps (media_id, error) for the re-drive/report loop.
+    */
+  def splitQuarantine(out: DataFrame): (DataFrame, DataFrame) =
+    (out.filter(col("error").isNull).drop("error"),
+      out.filter(col("error").isNotNull).select(col("media_id"), col("error")))
+
   /** Frame sampling stub: emit every `stride`-th 16-byte slice of the
     * payload as a "frame" (posexplode keeps the frame index). Real video
     * sampling swaps the slicer for a codec; the explode/partition shape

@@ -36,6 +36,37 @@ class MultimodalSpec extends SparkSpec {
     assert(r.count(_._1 == r.head._1) == 2)
   }
 
+  test("poison payload is quarantined with its error; good rows still decode") {
+    // a decoder that rejects short payloads — the corrupt-file case
+    val poisonDecoder = new Multimodal.MediaDecoder {
+      private val inner = new Multimodal.DeterministicStubDecoder(8)
+      override def decode(payload: Array[Byte]): Multimodal.MediaFeatures = {
+        if (payload.length < 10)
+          throw new IllegalArgumentException(s"truncated payload: ${payload.length} bytes")
+        inner.decode(payload)
+      }
+    }
+    val good = media.limit(5)
+    val poison = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(-1L, "BAD".getBytes("UTF-8"), null)),
+      Multimodal.mediaSchema)
+    val out = Multimodal.extractFeaturesQuarantined(
+      good.unionByName(poison), poisonDecoder)
+    val (decoded, quarantined) = Multimodal.splitQuarantine(out)
+    // every good row decoded, identically to the non-quarantine path
+    val expect = Multimodal.extractFeatures(good,
+        new Multimodal.DeterministicStubDecoder(8))
+      .select($"media_id", $"n_bytes").as[(Long, Int)].collect().toSet
+    assert(decoded.select($"media_id", $"n_bytes")
+      .as[(Long, Int)].collect().toSet == expect)
+    assert(!decoded.columns.contains("error"))
+    // the poison row landed in quarantine carrying the error
+    val q = quarantined.as[(Long, String)].collect()
+    assert(q.map(_._1).toSeq == Seq(-1L))
+    assert(q.head._2.contains("truncated payload: 3 bytes"))
+  }
+
   test("extracted features feed the similarity operators") {
     val feats = Multimodal.extractFeatures(media, new Multimodal.DeterministicStubDecoder(8))
       .select($"media_id".as("vec_id"), $"features".as("embedding"))
