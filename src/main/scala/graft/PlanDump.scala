@@ -45,7 +45,8 @@ object PlanDump {
       "q112_band_index_append", "q113_frame_sample",
       "q114_source_quota", "q115_train_order",
       "q116_ann_ivf_pq_topk", "q117_bloom_gated_dedup",
-      "q118_bloom_index_probe")
+      "q118_bloom_index_probe", "q119_pq_index_append",
+      "q120_bloom_stream_ingest", "q121_pq_refined_topk")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))

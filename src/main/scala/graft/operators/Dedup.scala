@@ -839,20 +839,28 @@ object Dedup {
     (0 until nBands).map(b => (offsets(b), widths(b)))
   }
 
+  /** Banded fingerprint rows `(id, simhash, band, bv)` for a hamming
+    * budget — the bucket key both the pair enumeration and the stored
+    * index probe join on. Shared so an index built here and a probe
+    * banded here can never disagree on the layout.
+    */
+  private def simHashBanded(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val layout = simHashBandLayout(maxHamming)
+    hashes.select(col("id"), col("simhash"),
+        explode(array(layout.zipWithIndex.map { case ((shift, width), b) =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), shift).bitwiseAND((1L << width) - 1).as("bv"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band"), col("bb.bv"))
+  }
+
   /** SimHash near-dup pairs: band the 60-bit fingerprint into
     * `maxHamming + 1` bands (pigeonhole-complete), bucket-join, verify
     * hamming ≤ `maxHamming` via bit_count(xor).
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val layout = simHashBandLayout(maxHamming)
-    val hashes = simHash(df, idCol, textCol)
-    val banded = hashes.select(col("id"), col("simhash"),
-        explode(array(layout.zipWithIndex.map { case ((shift, width), b) =>
-          struct(lit(b).as("band"),
-            shiftright(col("simhash"), shift).bitwiseAND((1L << width) - 1).as("bv"))
-        }: _*)).as("bb"))
-      .select(col("id"), col("simhash"), col("bb.band"), col("bb.bv"))
+    val banded = simHashBanded(simHash(df, idCol, textCol), maxHamming)
     val l = banded.select(col("band"), col("bv"),
       col("id").as("id_a"), col("simhash").as("h_a"))
     val r = banded.select(col("band"), col("bv"),
@@ -862,5 +870,83 @@ object Dedup {
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted SimHash index — the fifth stored-index lifecycle (bands,
+  // IVF, Bloom, PQ, now simhash). A corpus's banded fingerprints are a
+  // tiny relation (maxHamming+1 rows of (band, bv, id, simhash) per
+  // doc — no shingle sets to keep), partitioned by band so a probe
+  // prunes to the band's files. Unlike the minhash family the
+  // pigeonhole banding is RECALL-COMPLETE: hamming ≤ maxHamming
+  // guarantees at least one band matches, so a probe is LOSSLESS —
+  // it EQUALS the exact cross-side hamming filter (which is exactly
+  // what the catalog oracle checks).
+  // ------------------------------------------------------------------
+
+  /** A stored-or-in-memory SimHash index: `banded` is
+    * (id, simhash, band, bv); the hamming budget that SHAPED the band
+    * layout travels with it so a probe can never band differently.
+    */
+  final case class SimHashIndex(banded: DataFrame, maxHamming: Int)
+
+  def buildSimHashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6): SimHashIndex =
+    SimHashIndex(
+      simHashBanded(simHash(corpus, idCol, textCol), maxHamming), maxHamming)
+
+  /** Persist: banded rows PARTITIONED BY band, the hamming budget as a
+    * one-row `params` parquet (same contract as [[saveBandIndex]]).
+    */
+  def saveSimHashIndex(index: SimHashIndex, dir: String): Unit = {
+    val spark = index.banded.sparkSession
+    import spark.implicits._
+    index.banded.write.mode("overwrite").partitionBy("band")
+      .parquet(s"$dir/banded")
+    Seq(index.maxHamming).toDF("max_hamming")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  def loadSimHashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): SimHashIndex = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    SimHashIndex(spark.read.parquet(s"$dir/banded"), p.getInt(0))
+  }
+
+  /** Incrementally add an ACCEPTED batch: fingerprint + band with the
+    * INDEX'S OWN stored hamming budget and append to the
+    * band-partitioned table — existing files are never rewritten.
+    * Probe first, then append (an appended batch probing itself would
+    * emit degenerate self-pairs), same ordering contract as
+    * [[appendBandIndex]].
+    */
+  def appendSimHashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, textCol: String): Unit = {
+    val maxHamming = spark.read.parquet(s"$dir/params").head().getInt(0)
+    simHashBanded(simHash(batch, idCol, textCol), maxHamming)
+      .write.mode("append").partitionBy("band").parquet(s"$dir/banded")
+  }
+
+  /** Probe a (possibly loaded) SimHash index with a new batch: only the
+    * batch is fingerprinted; candidates are cross-side band-bucket
+    * collisions; verify is bit_count(xor) ≤ the index's budget. By
+    * pigeonhole completeness the result EQUALS the exact cross-side
+    * hamming filter. Ids must be disjoint across the sides. Returns
+    * (id_a < id_b, hamming), cross pairs only.
+    */
+  def simHashProbe(index: SimHashIndex, newBatch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val nb = simHashBanded(simHash(newBatch, idCol, textCol),
+        index.maxHamming)
+      .select(col("band"), col("bv"), col("id").as("nid"),
+        col("simhash").as("nh"))
+    val c = index.banded.select(col("band"), col("bv"),
+      col("id").as("cid"), col("simhash").as("ch"))
+    nb.join(c, Seq("band", "bv"))
+      .select(least(col("nid"), col("cid")).as("id_a"),
+        greatest(col("nid"), col("cid")).as("id_b"),
+        bit_count(col("nh").bitwiseXOR(col("ch"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= index.maxHamming)
   }
 }
