@@ -1393,6 +1393,32 @@ object SparkEntry {
             org.apache.spark.sql.types.StringType))))
         .parquet(s"$base/out$run")
         .select(col("fp")).distinct()
+    }),
+
+    // Persisted SimHash index lifecycle — the FIFTH stored-index family
+    // (bands q112, IVF q106, Bloom q118, PQ q119, now simhash): band a
+    // seed corpus's 60-bit fingerprints pigeonhole-complete and persist
+    // PARTITIONED BY band, probe drop 1 against the loaded index, APPEND
+    // drop 1 (banded with the index's OWN stored hamming budget, files
+    // untouched), then probe drop 2 — which near-dups against corpus AND
+    // drop 1. Pigeonhole banding is recall-COMPLETE, so each probe EQUALS
+    // the exact cross-side hamming filter and the oracle is q53's pair
+    // SQL restricted to the cross-drop pairs.
+    "q122_simhash_index_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = scratchDir("graft_simhash_append", dir)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+      val drop1 = docs.filter(col("doc_id") % 10 === 0)
+      val drop2 = docs.filter(col("doc_id") % 10 === 5)
+      Dedup.saveSimHashIndex(
+        Dedup.buildSimHashIndex(corpus, "doc_id", "text", maxHamming = 6), idxDir)
+      Dedup.simHashProbe(Dedup.loadSimHashIndex(s, idxDir), drop1,
+          "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$idxDir/probe1")
+      Dedup.appendSimHashIndex(s, idxDir, drop1, "doc_id", "text")
+      s.read.parquet(s"$idxDir/probe1").unionByName(
+        Dedup.simHashProbe(Dedup.loadSimHashIndex(s, idxDir), drop2,
+          "doc_id", "text"))
     })
   )
 
@@ -2359,6 +2385,14 @@ object SparkEntry {
     // pairs contain no drop2 member)
     "q112_band_index_append" ->
       s"""SELECT id_a, id_b, jaccard FROM ($minhashOracleSql) p
+         |WHERE ((id_a % 10 = 0) <> (id_b % 10 = 0)
+         |        AND id_a % 10 <> 5 AND id_b % 10 <> 5)
+         |   OR ((id_a % 10 = 5) <> (id_b % 10 = 5))""".stripMargin,
+    // the pigeonhole probe is recall-complete (lossless), so the stored
+    // lifecycle answers exactly q53's pair SQL on the cross-drop pairs:
+    // probe1 = drop1 × corpus, probe2 = drop2 × (corpus ∪ drop1)
+    "q122_simhash_index_append" ->
+      s"""SELECT id_a, id_b, hamming FROM ($simhashOracleSql) p
          |WHERE ((id_a % 10 = 0) <> (id_b % 10 = 0)
          |        AND id_a % 10 <> 5 AND id_b % 10 <> 5)
          |   OR ((id_a % 10 = 5) <> (id_b % 10 = 5))""".stripMargin,

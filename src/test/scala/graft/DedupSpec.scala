@@ -407,4 +407,47 @@ class DedupSpec extends SparkSpec {
       .select($"row_id").as[Long].collect().toSet
     assert(gated == plain && plain.nonEmpty)
   }
+
+  test("simhash index: appends never touch files; probe of appended index is EXACT") {
+    val corpus = Tables(spark, sf, "documents")
+    val seed = corpus.filter($"doc_id" % 10 =!= 0 && $"doc_id" % 10 =!= 5)
+    val drops = Seq(
+      corpus.filter($"doc_id" % 10 === 0),
+      corpus.filter($"doc_id" % 10 === 5))
+    // re-keyed copies: ids disjoint from the index, text identical →
+    // guaranteed hamming-0 pairs against the index
+    val probe = corpus.filter($"doc_id" % 20 === 3)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val dir = java.nio.file.Files.createTempDirectory("simhash_append").toString
+    Dedup.saveSimHashIndex(
+      Dedup.buildSimHashIndex(seed, "doc_id", "text", maxHamming = 6), dir)
+    for (d <- drops) {
+      val before = parquetStamps(s"$dir/banded")
+      Dedup.appendSimHashIndex(spark, dir, d, "doc_id", "text")
+      val after = parquetStamps(s"$dir/banded")
+      before.foreach { case (p, m) =>
+        assert(after.contains(p) && after(p) == m, s"append touched $p")
+      }
+      assert(after.size > before.size, "append must add data files")
+    }
+    val loaded = Dedup.loadSimHashIndex(spark, dir)
+    assert(loaded.maxHamming == 6)
+    val probed = Dedup.simHashProbe(loaded, probe, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    // the pigeonhole-banding losslessness contract: probe ≡ the exact
+    // cross-side hamming filter over corpus ∪ both drops
+    val all = seed.unionByName(drops.reduce(_ unionByName _))
+    val idxSide = Dedup.simHash(all, "doc_id", "text")
+      .select($"id".as("cid"), $"simhash".as("ch"))
+    val probeSide = Dedup.simHash(probe, "doc_id", "text")
+      .select($"id".as("nid"), $"simhash".as("nh"))
+    val exact = probeSide.crossJoin(idxSide)
+      .select(least($"nid", $"cid").as("id_a"),
+        greatest($"nid", $"cid").as("id_b"),
+        bit_count($"nh".bitwiseXOR($"ch")).as("hamming"))
+      .filter($"hamming" <= 6)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(probed == exact)
+    assert(probed.nonEmpty, "the planted exact copies must surface")
+  }
 }
