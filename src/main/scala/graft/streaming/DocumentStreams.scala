@@ -159,43 +159,63 @@ object DocumentStreams {
     * and its filter append re-derives the word rows from the COMMITTED
     * partition, so a replay ORs in bits identical to the first run's;
     * Bloom bitmaps are idempotent under OR, leaving the filter unchanged.
+    * Crucially the confirm relation EXCLUDES the replaying batch's own
+    * committed partition: a batch that committed its sink write and
+    * filter append but died before the checkpoint commit re-executes
+    * with its own keys already in both — counting them as "earlier
+    * admissions" would reject every row and overwrite the partition
+    * with an empty set (silent data loss). Excluding batch_id=N from
+    * the glob makes the re-execution byte-identical to the first.
     */
   def bloomIngest(spark: SparkSession, landingDir: String, bloomDir: String,
       corpus: DataFrame, outPath: String, checkpointDir: String,
-      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
-    val fp = graft.functions.TextAnalysis.fingerprint(col("text"))
-    val corpusKeys = corpus.select(fp.as("fp"))
-    // committed part files under outPath/batch_id=* (Hadoop FS, not
-    // java.io — the sink can be any cluster filesystem); empty until the
-    // first admitting batch commits
-    def admittedKeys(): DataFrame = {
-      val path = new org.apache.hadoop.fs.Path(outPath)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val parts =
-        if (!fs.exists(path)) Array.empty[String]
-        else fs.globStatus(new org.apache.hadoop.fs.Path(s"$outPath/batch_id=*/*.parquet"))
-          .map(_.getPath.toString)
-      if (parts.isEmpty) corpusKeys.limit(0)
-      else spark.read.parquet(parts.toIndexedSeq: _*).select(col("fp"))
-    }
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
     readDocuments(spark, landingDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val keyed = batch.withColumn("fp", fp).dropDuplicates("fp")
-        val admitted = graft.operators.Dedup.bloomGatedAntiJoinIndexed(
-          graft.operators.Dedup.loadBloomIndex(spark, bloomDir),
-          keyed, corpusKeys.unionByName(admittedKeys()), "fp")
-        val dir = s"$outPath/batch_id=$batchId"
-        admitted.write.mode("overwrite").parquet(dir)
-        // explicit fp-only schema: a batch whose rows were ALL rejected
-        // commits zero part files, and schema inference over the empty
-        // partition dir would throw instead of appending nothing
-        graft.operators.Dedup.appendBloomIndex(spark, bloomDir,
-          spark.read.schema(StructType(Seq(StructField("fp", StringType))))
-            .parquet(dir), "fp")
+        bloomIngestBatch(spark, bloomDir, corpus, outPath)(batch.toDF(), batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** Committed part files under `outPath/batch_id=*`, excluding
+    * `excludeBatchId`'s own partition (Hadoop FS, not java.io — the sink
+    * can be any cluster filesystem); empty until the first admitting
+    * batch commits.
+    */
+  private def committedParts(spark: SparkSession, outPath: String,
+      excludeBatchId: Long): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(outPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.globStatus(new org.apache.hadoop.fs.Path(s"$outPath/batch_id=*/*.parquet"))
+      .map(_.getPath.toString).toIndexedSeq
+      .filterNot(_.contains(s"batch_id=$excludeBatchId/"))
+  }
+
+  /** One [[bloomIngest]] trigger, exposed so a spec can re-execute a
+    * batch directly and assert the at-least-once contract.
+    */
+  def bloomIngestBatch(spark: SparkSession, bloomDir: String,
+      corpus: DataFrame, outPath: String)(batch: DataFrame, batchId: Long): Unit = {
+    val fp = graft.functions.TextAnalysis.fingerprint(col("text"))
+    val corpusKeys = corpus.select(fp.as("fp"))
+    val parts = committedParts(spark, outPath, batchId)
+    val admittedKeys =
+      if (parts.isEmpty) corpusKeys.limit(0)
+      else spark.read.parquet(parts: _*).select(col("fp"))
+    val keyed = batch.withColumn("fp", fp).dropDuplicates("fp")
+    val admitted = graft.operators.Dedup.bloomGatedAntiJoinIndexed(
+      graft.operators.Dedup.loadBloomIndex(spark, bloomDir),
+      keyed, corpusKeys.unionByName(admittedKeys), "fp")
+    val dir = s"$outPath/batch_id=$batchId"
+    admitted.write.mode("overwrite").parquet(dir)
+    // explicit fp-only schema: a batch whose rows were ALL rejected
+    // commits zero part files, and schema inference over the empty
+    // partition dir would throw instead of appending nothing
+    graft.operators.Dedup.appendBloomIndex(spark, bloomDir,
+      spark.read.schema(StructType(Seq(StructField("fp", StringType))))
+        .parquet(dir), "fp")
   }
 
   def probeBandIndex(spark: SparkSession, landingDir: String,

@@ -151,6 +151,23 @@ class DocumentStreamsSpec extends SparkSpec {
     val after = Dedup.loadBloomIndex(spark, bloomDir).words
       .as[(Long, Long)].collect().toSet
     assert(after == before)
+    // FULL at-least-once replay: the whole foreachBatch body re-executes
+    // for an already-committed batch (sink write + filter append landed,
+    // checkpoint commit did not). Its own keys are in the filter AND its
+    // own partition is on disk — the re-execution must reproduce the
+    // partition byte-for-byte-equivalent, not reject its own rows and
+    // overwrite the partition with an empty set.
+    val batch1Before = spark.read.parquet(s"$outPath/batch_id=1")
+      .select($"doc_id").as[Long].collect().toSet
+    DocumentStreams.bloomIngestBatch(spark, bloomDir, corpus, outPath)(
+      drop1, 1L)
+    val batch1After = spark.read.parquet(s"$outPath/batch_id=1")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batch1After == batch1Before && batch1Before.nonEmpty,
+      "replayed batch must re-admit exactly its first-run rows")
+    val filterAfterReplay = Dedup.loadBloomIndex(spark, bloomDir).words
+      .as[(Long, Long)].collect().toSet
+    assert(filterAfterReplay == before, "replay must leave the filter unchanged")
   }
 
   test("curateAvailableNow drains the landing dir and equals the batch twin") {
