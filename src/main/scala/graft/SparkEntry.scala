@@ -1395,6 +1395,44 @@ object SparkEntry {
         .select(col("fp")).distinct()
     }),
 
+    // Streaming NEAR-DUP ingest under the oracle — the band-family twin
+    // of q120's membership gate: two drops land as separate triggers;
+    // each is probed against the STORED corpus band index plus bands
+    // re-derived from earlier committed drops, and only documents with
+    // NO verified near-dup (jaccard >= 0.5) on the index side are
+    // admitted — drop 2 near-dedups against corpus AND drop 1's admitted
+    // rows. Admission is doc_id-deterministic (the gate depends only on
+    // text), so the oracle replays the banding pair SQL and the two-step
+    // admission in plain SQL.
+    "q123_band_stream_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val base = scratchDir("graft_band_stream", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      val idxDir = s"$base/bands$run"
+      Dedup.saveBandIndex(Dedup.buildBandIndex(corpus, "doc_id", "text"), idxDir)
+      val q = graft.streaming.DocumentStreams.bandIngest(s,
+        landing.toString, idxDir, s"$base/out$run", s"$base/ckpt$run",
+        maxFilesPerTrigger = Some(1))
+      for ((m, i) <- Seq(0, 10).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        docs.filter(col("doc_id") % 20 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      s.read.schema(graft.streaming.DocumentStreams.documentsFileSchema)
+        .parquet(s"$base/out$run")
+        .select(col("doc_id"))
+    }),
+
     // Persisted SimHash index lifecycle — the FIFTH stored-index family
     // (bands q112, IVF q106, Bloom q118, PQ q119, now simhash): band a
     // seed corpus's 60-bit fingerprints pigeonhole-complete and persist
@@ -2388,6 +2426,23 @@ object SparkEntry {
          |WHERE ((id_a % 10 = 0) <> (id_b % 10 = 0)
          |        AND id_a % 10 <> 5 AND id_b % 10 <> 5)
          |   OR ((id_a % 10 = 5) <> (id_b % 10 = 5))""".stripMargin,
+    // the streaming gate admits a drop doc iff NO banding pair links it
+    // to the corpus (drop 1) or to corpus ∪ drop-1 admissions (drop 2);
+    // the pair SQL replays the banding, the two CTEs replay the
+    // two-trigger admission order
+    "q123_band_stream_ingest" ->
+      s"""WITH pairs AS (SELECT id_a, id_b FROM ($minhashOracleSql) p),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |        UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+         |adm1 AS (SELECT doc_id FROM documents d WHERE doc_id % 20 = 0
+         |  AND NOT EXISTS (SELECT 1 FROM sym
+         |                  WHERE sym.a = d.doc_id AND sym.b % 10 <> 0)),
+         |adm2 AS (SELECT doc_id FROM documents d WHERE doc_id % 20 = 10
+         |  AND NOT EXISTS (SELECT 1 FROM sym
+         |                  WHERE sym.a = d.doc_id
+         |                    AND (sym.b % 10 <> 0
+         |                         OR sym.b IN (SELECT doc_id FROM adm1))))
+         |SELECT doc_id FROM adm1 UNION ALL SELECT doc_id FROM adm2""".stripMargin,
     // the pigeonhole probe is recall-complete (lossless), so the stored
     // lifecycle answers exactly q53's pair SQL on the cross-drop pairs:
     // probe1 = drop1 × corpus, probe2 = drop2 × (corpus ∪ drop1)

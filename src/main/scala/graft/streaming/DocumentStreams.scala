@@ -218,6 +218,68 @@ object DocumentStreams {
         .parquet(dir), "fp")
   }
 
+  /** Near-dup-gated ingest — the NEAR-DUP twin of [[bloomIngest]] for
+    * the MinHash band family: each micro-batch probes the STORED band
+    * index (seeded over the corpus) unioned with bands re-derived from
+    * every previously-committed drop, rejects any document with a
+    * verified near-dup (jaccard ≥ 0.5) on the index side, and lands the
+    * admitted rows in their own `batch_id=N` partition — so later drops
+    * near-dedup against the corpus AND earlier drops.
+    *
+    * The stored index is never mutated during the run: earlier drops
+    * participate through bands re-derived each trigger from the
+    * COMMITTED sink partitions (with the index's own parameters). That
+    * makes the whole trigger replay-idempotent with zero coordination —
+    * a re-executed batch excludes its own partition from the re-derived
+    * side, reproduces the identical admitted set, and overwrites only
+    * its own partition. The re-derived side grows with admitted DROP
+    * volume only; the 100 TB corpus stays in the immutable stored index
+    * (bands partitioned by band, probe-side pruning). Compact the sink
+    * into the stored index offline with
+    * [[graft.operators.Dedup.appendBandIndex]] between runs.
+    *
+    * Within-batch near-dups are BOTH admitted (the probe forms
+    * cross-side pairs only; q110's fingerprint gate owns within-drop
+    * dedup) — this operator's contract is "nothing near-duplicate of
+    * what the corpus or an earlier drop already holds".
+    */
+  def bandIngest(spark: SparkSession, landingDir: String, idxDir: String,
+      outPath: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readDocuments(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        bandIngestBatch(spark, idxDir, outPath)(batch.toDF(), batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One [[bandIngest]] trigger, exposed for the replay spec. */
+  def bandIngestBatch(spark: SparkSession, idxDir: String,
+      outPath: String)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.Dedup
+    val stored = Dedup.loadBandIndex(spark, idxDir)
+    val parts = committedParts(spark, outPath, batchId)
+    val index =
+      if (parts.isEmpty) stored
+      else {
+        val prior = Dedup.buildBandIndex(
+          spark.read.parquet(parts: _*).select(col("doc_id"), col("text")),
+          "doc_id", "text",
+          stored.shingleSize, stored.numHashes, stored.rowsPerBand)
+        stored.copy(bands = stored.bands.unionByName(prior.bands),
+          sets = stored.sets.unionByName(prior.sets))
+      }
+    val pairs = Dedup.minHashLshProbe(index, batch, "doc_id", "text")
+    // every pair is cross-side, so exactly one id per pair is the
+    // batch's; the union over both columns hits it, and index-side ids
+    // fall out of the anti join for free
+    val dupIds = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+    batch.join(dupIds, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+  }
+
   def probeBandIndex(spark: SparkSession, landingDir: String,
       index: graft.operators.Dedup.BandIndex, outPath: String,
       checkpointDir: String,
