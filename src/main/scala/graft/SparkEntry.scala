@@ -1433,6 +1433,22 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // BM25 full-text retrieval: top-10 docs per query over an inverted
+    // index, scored in EXACT integer micro-units (BIGINT A/B products,
+    // one IEEE division per term, integer sum — engine-reproducible;
+    // the q76 fixed-point idiom extended to the full Okapi formula).
+    // Queries: every doc_id % 200 == 7 doc queries with its own first
+    // 4 distinct tokens. df is only counted for queried tokens; the
+    // query side broadcasts.
+    "q124_bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 200 === 7)
+        .select(col("doc_id").as("qid"),
+          array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+      graft.operators.Retrieval.bm25TopK(docs, queries,
+        "doc_id", "text", "qid", "qterms", k = 10)
+    }),
+
     // Persisted SimHash index lifecycle — the FIFTH stored-index family
     // (bands q112, IVF q106, Bloom q118, PQ q119, now simhash): band a
     // seed corpus's 60-bit fingerprints pigeonhole-complete and persist
@@ -2426,6 +2442,34 @@ object SparkEntry {
          |WHERE ((id_a % 10 = 0) <> (id_b % 10 = 0)
          |        AND id_a % 10 <> 5 AND id_b % 10 <> 5)
          |   OR ((id_a % 10 = 5) <> (id_b % 10 = 5))""".stripMargin,
+    // the BM25 mirror replays the identical BIGINT products, single
+    // double division, floor-to-micro, and exact integer sum
+    "q124_bm25_topk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                 CAST(sum(dl) AS BIGINT) AS t FROM dl),
+        |tok AS (SELECT doc_id, unnest(w.w) AS token FROM w),
+        |postings AS (SELECT tok.doc_id, dl.dl, tok.token, count(*) AS tf
+        |             FROM tok JOIN dl ON dl.doc_id = tok.doc_id
+        |             GROUP BY tok.doc_id, dl.dl, tok.token),
+        |q AS (SELECT doc_id AS qid, unnest(list_distinct(list_slice(w.w, 1, 4))) AS term
+        |      FROM w WHERE doc_id % 200 = 7),
+        |hit AS (SELECT * FROM postings WHERE token IN (SELECT term FROM q)),
+        |dfreq AS (SELECT token, count(*) AS df FROM hit GROUP BY token),
+        |scored AS (SELECT q.qid, h.doc_id,
+        |    CAST(sum(CAST(floor(
+        |      CAST((2*s.n - 2*f.df + 1) * 22 * h.tf * s.t AS DOUBLE)
+        |      / CAST((2*f.df + 1) * (10*h.tf*s.t + 3*s.t + 9*h.dl*s.n) AS DOUBLE)
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+        |  FROM hit h JOIN q ON q.term = h.token
+        |  JOIN dfreq f ON f.token = h.token
+        |  CROSS JOIN stats s
+        |  GROUP BY q.qid, h.doc_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |             ORDER BY score_micro DESC, doc_id ASC) AS rn FROM scored)
+        |SELECT qid, doc_id, score_micro, CAST(rn AS INT) AS rn
+        |FROM ranked WHERE rn <= 10""".stripMargin,
     // the streaming gate admits a drop doc iff NO banding pair links it
     // to the corpus (drop 1) or to corpus ∪ drop-1 admissions (drop 2);
     // the pair SQL replays the banding, the two CTEs replay the

@@ -145,10 +145,12 @@ class PlanSpec extends SparkSpec {
     // A future addition that silently reintroduces an all-pairs
     // default fails here, not on the 100 TB run.
     val exempt = Set("q54_ann_brute_topk", "q55_embedding_neardup")
-    // q47 is exempt from the nested-loop check ONLY: its crossJoin side
-    // is a SINGLE-ROW global aggregate (the scalar-subquery shape) — the
-    // nested loop is O(n·1), linear, not an all-pairs plan
-    val bnljOk = Set("q47_scalar_subquery")
+    // q47/q124 are exempt from the nested-loop check ONLY: their
+    // crossJoin side is a SINGLE-ROW global aggregate (the
+    // scalar-subquery shape — q124 broadcasts its one-row (N, T) corpus
+    // stats into the score expression) — the nested loop is O(n·1),
+    // linear, not an all-pairs plan
+    val bnljOk = Set("q47_scalar_subquery", "q124_bm25_topk")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exempt)
       .flatMap { q =>
