@@ -1449,6 +1449,22 @@ object SparkEntry {
         "doc_id", "text", "qid", "qterms", k = 10)
     }),
 
+    // Mergeable log-histogram quantile sketch — q98's quantiles without
+    // a per-group value sort: per-lang bucket counts (O(64) state per
+    // group), then the GLOBAL row is produced by MERGING the per-lang
+    // sketches (bucket counts sum — the mergeability the oracle checks),
+    // estimates carry the documented factor-2 ceiling bound.
+    "q125_quantile_sketch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      val perLang = Curation.logHistSketch(docs, Seq("lang"), "tok")
+      val merged = perLang.withColumn("lang", lit("__all__"))
+        .groupBy(col("lang"), col("bucket")).agg(sum(col("n")).as("n"))
+      Curation.logHistQuantiles(perLang.unionByName(merged),
+        Seq("lang"), Seq(("p10", 1, 10), ("p50", 1, 2), ("p90", 9, 10)))
+    }),
+
     // Persisted SimHash index lifecycle — the FIFTH stored-index family
     // (bands q112, IVF q106, Bloom q118, PQ q119, now simhash): band a
     // seed corpus's 60-bit fingerprints pigeonhole-complete and persist
@@ -2442,6 +2458,31 @@ object SparkEntry {
          |WHERE ((id_a % 10 = 0) <> (id_b % 10 = 0)
          |        AND id_a % 10 <> 5 AND id_b % 10 <> 5)
          |   OR ((id_a % 10 = 5) <> (id_b % 10 = 5))""".stripMargin,
+    // sketch mirror: identical integer bucketing (binary-string length),
+    // cumulative pick at rank ceil(q*N) in integer arithmetic, ceiling
+    // estimate 2^bucket - 1; the '__all__' row merges the per-lang
+    // sketches by summing bucket counts
+    "q125_quantile_sketch" ->
+      """WITH d AS (SELECT lang,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |           FROM documents),
+        |b AS (SELECT lang, CAST(length(bin(tok)) AS INT) AS bucket FROM d),
+        |sk0 AS (SELECT lang, bucket, count(*) AS n FROM b GROUP BY lang, bucket),
+        |sk AS (SELECT * FROM sk0
+        |       UNION ALL
+        |       SELECT '__all__' AS lang, bucket, CAST(sum(n) AS BIGINT) AS n
+        |       FROM sk0 GROUP BY bucket),
+        |c AS (SELECT lang, bucket, n,
+        |        CAST(sum(n) OVER (PARTITION BY lang ORDER BY bucket) AS BIGINT) AS cum,
+        |        CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS total
+        |      FROM sk),
+        |est AS (SELECT lang, cum, total,
+        |          (CAST(1 AS BIGINT) << bucket) - 1 AS est FROM c)
+        |SELECT lang, max(total) AS n_rows,
+        |  min(CASE WHEN cum >= (1*total + 9)//10 THEN est END) AS p10_est,
+        |  min(CASE WHEN cum >= (1*total + 1)//2 THEN est END) AS p50_est,
+        |  min(CASE WHEN cum >= (9*total + 9)//10 THEN est END) AS p90_est
+        |FROM est GROUP BY lang""".stripMargin,
     // the BM25 mirror replays the identical BIGINT products, single
     // double division, floor-to-micro, and exact integer sum
     "q124_bm25_topk" ->

@@ -366,4 +366,52 @@ object Curation {
         (col("sum_sq").cast("double") /
           (col("n_rows").cast("decimal(19,0)") *
             col("n_rows").cast("decimal(19,0)")).cast("double")).as("hhi"))
+
+  // ------------------------------------------------------------------
+  // Log-histogram quantile sketch — quantiles at corpus scale without a
+  // per-group sort. q98's exact `percentile` materializes each group's
+  // values; this sketch is O(#groups × 64) state, mergeable by ADDITION
+  // (bucket counts sum — spec proves K partial merges ≡ bulk build), at
+  // the cost of a deterministic factor-2 value error: the estimate for
+  // a value x is the bucket ceiling 2^⌈log2 x⌉ − 1 ∈ [x, 2x). The KMV
+  // twin for distinct counts is [[kmvDistinct]]; both are integer-exact
+  // programs, no transcendentals, so every engine agrees bit-for-bit.
+  // ------------------------------------------------------------------
+
+  /** Bucket counts per group: bucket = length of the value's binary
+    * form (= ⌊log2 x⌋ + 1 for x ≥ 1; 0 and 1 share bucket 1). Merge
+    * sketches by unioning and re-summing `n` per (group, bucket).
+    */
+  def logHistSketch(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    df.select(groupCols.map(col) :+
+        length(bin(col(valueCol))).cast("int").as("bucket"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Quantile estimates from a sketch. Each requested quantile is a
+    * RATIONAL (name, num, den) so the target rank
+    * ⌈(num/den)·N⌉ = (num·N + den − 1) DIV den stays in integers; the
+    * estimate is the ceiling value 2^bucket − 1 of the first bucket
+    * whose cumulative count reaches the rank. Output: one row per
+    * group, (groupCols..., n_rows, <name>_est...).
+    */
+  def logHistQuantiles(sketch: DataFrame, groupCols: Seq[String],
+      quantiles: Seq[(String, Int, Int)]): DataFrame = {
+    val gcols = groupCols.map(col)
+    val wc = Window.partitionBy(gcols: _*).orderBy(col("bucket"))
+    val wt = Window.partitionBy(gcols: _*)
+    val est = sketch
+      .withColumn("cum", sum(col("n")).over(wc))
+      .withColumn("total", sum(col("n")).over(wt))
+      .withColumn("est",
+        expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1"))
+    val aggs = max(col("total")).as("n_rows") +: quantiles.map {
+      case (name, num, den) =>
+        min(when(col("cum") >=
+            expr(s"($num * total + ${den - 1}) DIV $den"), col("est")))
+          .as(s"${name}_est")
+    }
+    est.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -263,4 +263,38 @@ class CurationSpec extends SparkSpec {
       .as[(Int, Int, Long)].collect()
     assert(re.sortBy(_._3).toSeq == out.sortBy(_._3).toSeq)
   }
+
+  test("logHistSketch: K partial merges ≡ bulk build; estimates honor the factor-2 bound") {
+    val docs = Tables(spark, sf, "documents")
+      .select($"lang", $"source",
+        graft.functions.TextAnalysis.tokenCount($"text").cast("long").as("tok"))
+    val bulk = Curation.logHistSketch(docs, Seq("lang"), "tok")
+      .as[(String, Int, Long)].collect().toSet
+    // build one partial sketch per source, merge by union + re-sum —
+    // the mergeability contract (bucket counts are additive)
+    val sources = docs.select($"source").distinct().as[String].collect()
+    val partials = sources.map(s =>
+      Curation.logHistSketch(docs.filter($"source" === s), Seq("lang"), "tok"))
+    val merged = partials.reduce(_ unionByName _)
+      .groupBy($"lang", $"bucket").agg(sum($"n").as("n"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(merged == bulk && bulk.nonEmpty)
+    // estimates: for each lang, est(q) = 2^b - 1 must bracket the exact
+    // rank statistic x as x <= est < 2x (x >= 1 here: docs have tokens)
+    val est = Curation.logHistQuantiles(
+        Curation.logHistSketch(docs, Seq("lang"), "tok"), Seq("lang"),
+        Seq(("p10", 1, 10), ("p50", 1, 2), ("p90", 9, 10)))
+      .as[(String, Long, Long, Long, Long)].collect()
+    val byLang = docs.as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (l, rs) => l -> rs.map(_._3).sorted }
+    for ((lang, n, p10, p50, p90) <- est) {
+      val xs = byLang(lang)
+      assert(n == xs.length)
+      for ((estV, num, den) <- Seq((p10, 1, 10), (p50, 1, 2), (p90, 9, 10))) {
+        val x = xs((num * xs.length + den - 1) / den - 1) // exact rank stat
+        assert(x <= estV && estV < 2 * x,
+          s"$lang: est $estV outside [$x, ${2 * x})")
+      }
+    }
+  }
 }
