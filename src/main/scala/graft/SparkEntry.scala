@@ -1449,6 +1449,28 @@ object SparkEntry {
         "doc_id", "text", "qid", "qterms", k = 10)
     }),
 
+    // Interval-containment JOIN (matched pairs, not q74's counts): every
+    // error event opens a 30-min per-user incident window; emit each
+    // same-user event inside a window with its offset. The tile trick
+    // (operators/Intervals.scala) makes this an equi-join on
+    // (user_id, tile) — the naive BETWEEN formulation would plan a
+    // nested loop, which PlanSpec forbids catalog-wide.
+    "q126_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_sec"), col("event_type"))
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"), col("user_id"),
+          col("ts_sec").as("start_sec"),
+          (col("ts_sec") + 1800L).as("end_sec"))
+      graft.operators.Intervals.pointInInterval(
+          ev.select(col("event_id"), col("user_id"), col("ts_sec")),
+          incidents, Seq("user_id"), "ts_sec", "start_sec", "end_sec",
+          tileSec = 900L)
+        .select(col("incident_id"), col("event_id"),
+          (col("ts_sec") - col("start_sec")).as("offset_sec"))
+    }),
+
     // Mergeable log-histogram quantile sketch — q98's quantiles without
     // a per-group value sort: per-lang bucket counts (O(64) state per
     // group), then the GLOBAL row is produced by MERGING the per-lang
@@ -2458,6 +2480,19 @@ object SparkEntry {
          |WHERE ((id_a % 10 = 0) <> (id_b % 10 = 0)
          |        AND id_a % 10 <> 5 AND id_b % 10 <> 5)
          |   OR ((id_a % 10 = 5) <> (id_b % 10 = 5))""".stripMargin,
+    // oracle = the naive BETWEEN theta join (DuckDB's optimizer owns the
+    // small-scale plan; the Spark side's tiling must not change the SET)
+    "q126_interval_join" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |              CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_type
+        |            FROM events),
+        |inc AS (SELECT event_id AS incident_id, user_id,
+        |          ts_sec AS start_sec, ts_sec + 1800 AS end_sec
+        |        FROM ev WHERE event_type = 'error')
+        |SELECT i.incident_id, e.event_id, e.ts_sec - i.start_sec AS offset_sec
+        |FROM ev e JOIN inc i
+        |  ON e.user_id = i.user_id
+        | AND e.ts_sec BETWEEN i.start_sec AND i.end_sec""".stripMargin,
     // sketch mirror: identical integer bucketing (binary-string length),
     // cumulative pick at rank ceil(q*N) in integer arithmetic, ceiling
     // estimate 2^bucket - 1; the '__all__' row merges the per-lang
