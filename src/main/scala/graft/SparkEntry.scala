@@ -1471,6 +1471,14 @@ object SparkEntry {
           (col("ts_sec") - col("start_sec")).as("offset_sec"))
     }),
 
+    // Good-Turing bigram frequency spectrum per language — the
+    // count-of-counts table an n-gram LM smoother / perplexity-based
+    // quality filter starts from; discounted r* in integer micro-units.
+    "q127_good_turing" -> ((s, dir) => {
+      Curation.goodTuringBigrams(t(s, dir, "documents"), "lang", "text",
+        maxR = 10)
+    }),
+
     // Mergeable log-histogram quantile sketch — q98's quantiles without
     // a per-group value sort: per-lang bucket counts (O(64) state per
     // group), then the GLOBAL row is produced by MERGING the per-lang
@@ -2480,6 +2488,20 @@ object SparkEntry {
          |WHERE ((id_a % 10 = 0) <> (id_b % 10 = 0)
          |        AND id_a % 10 <> 5 AND id_b % 10 <> 5)
          |   OR ((id_a % 10 = 5) <> (id_b % 10 = 5))""".stripMargin,
+    // Good-Turing mirror: same bigram stream, same spectrum, same
+    // integer discount arithmetic
+    "q127_good_turing" ->
+      """WITH w AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT lang, unnest([w.w[i] || ' ' || w.w[i+1]
+        |                            FOR i IN range(1, greatest(len(w.w) - 1, 0) + 1)]) AS bg
+        |       FROM w),
+        |counts AS (SELECT lang, bg, count(*) AS r FROM bg GROUP BY lang, bg),
+        |spectrum AS (SELECT lang, r, count(*) AS n_r FROM counts GROUP BY lang, r)
+        |SELECT s.lang, s.r, s.n_r,
+        |  (s.r + 1) * coalesce(n1.n_r, 0) * 1000000 // s.n_r AS r_star_micro
+        |FROM spectrum s
+        |LEFT JOIN spectrum n1 ON n1.lang = s.lang AND n1.r = s.r + 1
+        |WHERE s.r <= 10""".stripMargin,
     // oracle = the naive BETWEEN theta join (DuckDB's optimizer owns the
     // small-scale plan; the Spark side's tiling must not change the SET)
     "q126_interval_join" ->

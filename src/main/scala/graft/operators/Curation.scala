@@ -378,6 +378,36 @@ object Curation {
   // programs, no transcendentals, so every engine agrees bit-for-bit.
   // ------------------------------------------------------------------
 
+  /** Good-Turing bigram count-of-counts per group — the frequency
+    * spectrum an n-gram LM smoother (and an LM-perplexity quality
+    * filter) is built from. For each group: `r` = a bigram's corpus
+    * count, `n_r` = how many distinct bigrams occur exactly r times,
+    * and the Good-Turing discounted count r* = (r+1)·N_{r+1}/N_r in
+    * exact integer micro-units (0 where N_{r+1} is empty). Two keyed
+    * shuffles (bigram counts, then spectrum), all-integer output.
+    */
+  def goodTuringBigrams(df: DataFrame, groupCol: String, textCol: String,
+      maxR: Int = 10): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(expr(
+        s"transform(sequence(1, size(split($textCol, ' ')) - 1), " +
+        s"i -> concat(element_at(split($textCol, ' '), i), ' ', " +
+        s"element_at(split($textCol, ' '), i + 1)))"))
+    val counts = df.select(col(groupCol), explode(bigrams).as("bg"))
+      .groupBy(col(groupCol), col("bg"))
+      .agg(count(lit(1)).as("r"))
+    val spectrum = counts.groupBy(col(groupCol), col("r"))
+      .agg(count(lit(1)).as("n_r"))
+    val next = spectrum.select(col(groupCol), (col("r") - 1).as("r"),
+      col("n_r").as("n_r1"))
+    spectrum.filter(col("r") <= maxR)
+      .join(next, Seq(groupCol, "r"), "left")
+      .select(col(groupCol), col("r"), col("n_r"),
+        expr("(r + 1) * coalesce(n_r1, 0) * 1000000 DIV n_r")
+          .as("r_star_micro"))
+  }
+
   /** Bucket counts per group: bucket = length of the value's binary
     * form (= ⌊log2 x⌋ + 1 for x ≥ 1; 0 and 1 share bucket 1). Merge
     * sketches by unioning and re-summing `n` per (group, bucket).

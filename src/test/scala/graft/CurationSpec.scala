@@ -264,6 +264,22 @@ class CurationSpec extends SparkSpec {
     assert(re.sortBy(_._3).toSeq == out.sortBy(_._3).toSeq)
   }
 
+  test("goodTuringBigrams: hand-checked spectrum and integer discounts") {
+    val docs = Seq(
+      ("en", "a b a b c"),      // bigrams: "a b"×2, "b a", "b c"
+      ("en", "x"),              // single token: zero bigrams
+      ("de", "k k k")           // "k k"×2
+    ).toDF("lang", "text")
+    val got = Curation.goodTuringBigrams(docs, "lang", "text")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // en: r=1 n_r=2 (b a, b c), r*=(2·N2/N1)=2·1/2 → 1.0; r=2 n_r=1, N3=0 → 0
+    // de: r=2 n_r=1 ("k k"), N3=0 → 0
+    assert(got == Set(
+      ("en", 1L, 2L, 1000000L),
+      ("en", 2L, 1L, 0L),
+      ("de", 2L, 1L, 0L)))
+  }
+
   test("logHistSketch: K partial merges ≡ bulk build; estimates honor the factor-2 bound") {
     val docs = Tables(spark, sf, "documents")
       .select($"lang", $"source",
