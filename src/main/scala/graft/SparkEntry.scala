@@ -1471,6 +1471,18 @@ object SparkEntry {
           (col("ts_sec") - col("start_sec")).as("offset_sec"))
     }),
 
+    // Deterministic length-WEIGHTED sampling (token-budget subsampling:
+    // inclusion probability ∝ token count, capped at 1) — q75's
+    // stratified cousin with per-row weights; scan-linear, zero
+    // shuffles, reproducible across engines.
+    "q128_weighted_sample" -> ((s, dir) => {
+      val tok = TextAnalysis.tokenCount(col("text")).cast("long")
+      t(s, dir, "documents")
+        .withColumn("w_micro", least(lit(1000000L), tok * 2000L))
+        .filter(Curation.md5Micro("wsmp:", col("doc_id")) < col("w_micro"))
+        .select(col("doc_id"), col("lang"), col("w_micro"))
+    }),
+
     // Good-Turing bigram frequency spectrum per language — the
     // count-of-counts table an n-gram LM smoother / perplexity-based
     // quality filter starts from; discounted r* in integer micro-units.
@@ -2488,6 +2500,15 @@ object SparkEntry {
          |WHERE ((id_a % 10 = 0) <> (id_b % 10 = 0)
          |        AND id_a % 10 <> 5 AND id_b % 10 <> 5)
          |   OR ((id_a % 10 = 5) <> (id_b % 10 = 5))""".stripMargin,
+    // weighted-sample mirror: identical md5 micro-uniform and weight
+    "q128_weighted_sample" -> {
+      val h = hexToLongSql("md5('wsmp:' || CAST(doc_id AS VARCHAR))", 1, 15)
+      s"""WITH d AS (SELECT doc_id, lang,
+         |             least(1000000, CAST(len(string_split(text, ' ')) AS BIGINT) * 2000) AS w_micro,
+         |             CAST($h AS BIGINT) % 1000000 AS u_micro
+         |           FROM documents)
+         |SELECT doc_id, lang, w_micro FROM d WHERE u_micro < w_micro""".stripMargin
+    },
     // Good-Turing mirror: same bigram stream, same spectrum, same
     // integer discount arithmetic
     "q127_good_turing" ->

@@ -378,6 +378,27 @@ object Curation {
   // programs, no transcendentals, so every engine agrees bit-for-bit.
   // ------------------------------------------------------------------
 
+  /** Micro-resolution uniform hash in [0, 1e6) from (tag, id) — the
+    * fine-grained sibling of [[md5Bucket]] for probability-weighted
+    * decisions (md5Bucket's 100 buckets only resolve whole percents).
+    */
+  def md5Micro(tag: String, id: Column): Column =
+    conv(substring(md5(concat(lit(tag), id.cast("string"))), 1, 15),
+      16, 10).cast("long") % 1000000L
+
+  /** Deterministic WEIGHTED Bernoulli sample: keep a row iff its
+    * (tag, id)-hash micro-uniform falls below `weightMicro` ∈ [0, 1e6]
+    * — inclusion probability weightMicro/1e6 per row, independent
+    * across rows, reproducible across engines and partitionings (pure
+    * function of the id). The quality/length-proportional subsampling
+    * shape: weight long or high-quality documents up, boilerplate down.
+    * For unbiased downstream sums reweight kept rows by 1e6/weight
+    * (Horvitz-Thompson). Scan-linear, zero shuffles.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightMicro: Column,
+      seedTag: String = "wsmp:"): DataFrame =
+    df.filter(md5Micro(seedTag, col(idCol)) < weightMicro)
+
   /** Good-Turing bigram count-of-counts per group — the frequency
     * spectrum an n-gram LM smoother (and an LM-perplexity quality
     * filter) is built from. For each group: `r` = a bigram's corpus

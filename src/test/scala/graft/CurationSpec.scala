@@ -264,6 +264,25 @@ class CurationSpec extends SparkSpec {
     assert(re.sortBy(_._3).toSeq == out.sortBy(_._3).toSeq)
   }
 
+  test("weightedSample: weight-0 never, weight-1e6 always, partition-invariant, monotone") {
+    val docs = Tables(spark, sf, "documents").select($"doc_id", $"text")
+    assert(Curation.weightedSample(docs, "doc_id", lit(0L)).count() == 0)
+    assert(Curation.weightedSample(docs, "doc_id", lit(1000000L)).count()
+      == docs.count())
+    val half = Curation.weightedSample(docs, "doc_id", lit(500000L))
+      .select($"doc_id").as[Long].collect().toSet
+    val rep = Curation.weightedSample(docs.repartition(13), "doc_id",
+        lit(500000L)).select($"doc_id").as[Long].collect().toSet
+    assert(half == rep && half.nonEmpty)
+    // monotone in the weight: a smaller weight keeps a subset
+    val q = Curation.weightedSample(docs, "doc_id", lit(250000L))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(q.subsetOf(half))
+    // roughly proportional inclusion (md5 uniformity sanity)
+    val n = docs.count().toDouble
+    assert(math.abs(half.size / n - 0.5) < 0.1)
+  }
+
   test("goodTuringBigrams: hand-checked spectrum and integer discounts") {
     val docs = Seq(
       ("en", "a b a b c"),      // bigrams: "a b"×2, "b a", "b c"
