@@ -238,6 +238,30 @@ class DocumentStreamsSpec extends SparkSpec {
     val b1After = spark.read.parquet(s"$outPath/batch_id=1")
       .select($"doc_id").as[Long].collect().toSet
     assert(b1After == b1Before && b1Before.nonEmpty)
+    // OFFLINE COMPACTION (the documented between-runs step): absorb the
+    // committed admitted drops into the stored index with
+    // appendBandIndex — a fresh probe against the compacted stored
+    // index must equal the in-run gate (stored ∪ re-derived drops)
+    val admittedDocs = spark.read.parquet(outPath).select($"doc_id", $"text")
+    val inRunIdx = {
+      val pr = Dedup.buildBandIndex(admittedDocs, "doc_id", "text",
+        stored.shingleSize, stored.numHashes, stored.rowsPerBand)
+      stored.copy(bands = stored.bands.unionByName(pr.bands),
+        sets = stored.sets.unionByName(pr.sets))
+    }
+    Dedup.appendBandIndex(spark, idxDir, admittedDocs, "doc_id", "text")
+    val probeBatch = mkDocs(Seq(
+      (9000L, body(3).replace("narrative", "chronicle")), // near-dups corpus
+      (9001L, "entirely fresh drop zero story 101 with its own distinct vocabulary stream 101"), // dups an admitted drop doc
+      (9002L, "wholly novel probe text with vocabulary shared by no earlier document at all")))
+    def probePairs(idx: Dedup.BandIndex) =
+      Dedup.minHashLshProbe(idx, probeBatch, "doc_id", "text")
+        .as[(Long, Long, Double)].collect().toSet
+    val compacted = probePairs(Dedup.loadBandIndex(spark, idxDir))
+    assert(compacted == probePairs(inRunIdx))
+    assert(compacted.exists(p => p._1 == 9000L || p._2 == 9000L))
+    assert(compacted.exists(p => p._1 == 9001L || p._2 == 9001L))
+    assert(!compacted.exists(p => p._1 == 9002L || p._2 == 9002L))
   }
 
   test("curateAvailableNow drains the landing dir and equals the batch twin") {
