@@ -172,4 +172,33 @@ class PropertySpec extends SparkSpec {
       (1L, Some(10L), Some(100L)), // ts 10 ≥ 8 → matches the real click
       (2L, None, None)))           // ts 5 < 8, null-ts right NOT a match
   }
+
+  test("pointInInterval ≡ reference containment for random inputs and tile widths") {
+    val pts = Gen.listOfN(15, for {
+      key <- Gen.choose(1L, 3L)
+      t <- Gen.choose(0L, 500L)
+    } yield (key, t))
+    val ivs = Gen.listOfN(8, for {
+      key <- Gen.choose(1L, 3L)
+      a <- Gen.choose(0L, 450L)
+      span <- Gen.choose(0L, 120L)
+    } yield (key, a, a + span))
+    val width = Gen.oneOf(1L, 3L, 50L, 1000L)
+    forAll(Gen.zip(pts, ivs, width), rounds = 8) { case (ps, is, w) =>
+      val pdf = ps.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("pid", "key", "t")
+      val idf = is.zipWithIndex.map { case ((k, a, b), i) => (100L + i, k, a, b) }
+        .toDF("iid", "key", "a", "b")
+      val got = graft.operators.Intervals
+        .pointInInterval(pdf, idf, Seq("key"), "t", "a", "b", w)
+        .select($"pid", $"iid").as[(Long, Long)].collect().toSeq
+      assert(got.size == got.toSet.size, s"duplicates at W=$w")
+      val want = (for {
+        ((k, t), i) <- ps.zipWithIndex
+        ((k2, a, b), j) <- is.zipWithIndex
+        if k == k2 && t >= a && t <= b
+      } yield (i.toLong, 100L + j)).toSet
+      assert(got.toSet == want, s"W=$w")
+    }
+  }
 }
