@@ -29,12 +29,18 @@ object Tables {
     * Convert to a proper TimestampType column (microsecond precision).
     */
   private def normalizeEvents(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema.find(_.name == "ts") match {
       case Some(f) if f.dataType == LongType =>
         // integer division: epoch-nanos (~1.7e18) exceeds double's exact
         // integer range, so `/ 1000` via double would drift by microseconds
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case Some(f) if f.dataType == TimestampNTZType =>
+        // TIMESTAMP(MICROS, isAdjustedToUTC=false) files surface as NTZ;
+        // consumers (unix_micros, watermarks) expect session-TZ
+        // TimestampType — the session runs UTC, so the cast is
+        // value-preserving
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }

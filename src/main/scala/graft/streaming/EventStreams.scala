@@ -17,25 +17,47 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events parquet schema as stored (ts = nanosecond INT64). */
-  val eventsFileSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events parquet schema with `ts` at the given type: LongType when
+    * the files store TIMESTAMP(NANOS) (nanosAsLong maps them to long),
+    * TimestampType when they store TIMESTAMP(MICROS).
+    */
+  private def eventsFileSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   /** File-source stream over an events parquet path (driver testdata or a
     * production landing dir). `maxFilesPerTrigger=1` gives deterministic
     * incremental batches in tests; at scale leave the default.
+    *
+    * Timestamp unit is PROBED from the existing files with a batch read
+    * (the stream source needs an explicit schema, and the landing data
+    * has shipped both TIMESTAMP(NANOS) — which nanosAsLong surfaces as
+    * a nanosecond long needing DIV 1000 — and plain TIMESTAMP(MICROS),
+    * which must pass through untouched; assuming either unit corrupts
+    * the other by ×1000). Batch reads get the same treatment in
+    * [[graft.Tables.normalizeEvents]].
     */
   def readEvents(spark: SparkSession, path: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val r = spark.readStream.schema(eventsFileSchema)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file's own ts mapping: LongType for TIMESTAMP(NANOS) files
+    // (via nanosAsLong), TimestampNTZType for TIMESTAMP(MICROS,
+    // isAdjustedToUTC=false) — request exactly it, then normalize
+    val fileTsType = spark.read.parquet(path).schema("ts").dataType
+    val r = spark.readStream.schema(eventsFileSchema(fileTsType))
     val r2 = maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
-    r2.parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = r2.parquet(path)
+    // downstream consumers (watermarks, unix_micros) expect a session-TZ
+    // TimestampType; the session runs UTC so the NTZ cast is
+    // value-preserving
+    if (fileTsType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw.withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** Tumbling 1-hour windowed aggregation with a 2-hour watermark —
