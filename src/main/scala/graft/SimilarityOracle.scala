@@ -117,7 +117,8 @@ object SimilarityOracle {
   def ivfPqTopKSql(spark: SparkSession, dir: String, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4, nSub: Int = 8, ksub: Int = 16,
       iters: Int = 3, trainWhere: Option[String] = None,
-      refineShortlist: Option[Int] = None): String = {
+      refineShortlist: Option[Int] = None,
+      corpusWhere: Option[String] = None): String = {
     // trainWhere restricts the TRAINING corpus only (the stored-index
     // append case, q119: quantizers trained on the original corpus,
     // search over everything — appended vectors route and encode by the
@@ -189,7 +190,8 @@ object SimilarityOracle {
        |ranked AS (SELECT vec_id, vm, cell,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS crn
        |  FROM cells),
-       |corpus AS (SELECT vec_id AS neighbor_id, vm AS cv, cell FROM ranked WHERE crn = 1),
+       |corpus AS (SELECT vec_id AS neighbor_id, vm AS cv, cell FROM ranked
+       |           WHERE crn = 1${corpusWhere.fold("")(w => s" AND ($w)")}),
        |enc AS (SELECT neighbor_id, cell,
        |$codeCols
        |  FROM corpus),

@@ -1433,6 +1433,19 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // FILTERED vector search: PQ top-k restricted by a metadata
+    // predicate applied to the stored CODES before ADC scoring — the
+    // top-k ranks allowed candidates only (a post-filtered k-limited
+    // result would come up short), and on a loaded index the predicate
+    // lands in the codes parquet scan as a pushed filter.
+    "q129_pq_filtered_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqSearchIndex(emb.filter(col("vec_id") % 25 === 0),
+        Similarity.buildPqIndex(emb, "vec_id", "embedding"),
+        "vec_id", "embedding", k = 10,
+        corpusFilter = Some(col("neighbor_id") % 2 === 0))
+    }),
+
     // BM25 full-text retrieval: top-10 docs per query over an inverted
     // index, scored in EXACT integer micro-units (BIGINT A/B products,
     // one IEEE division per term, integer sum — engine-reproducible;
@@ -1550,6 +1563,8 @@ object SparkEntry {
       trainWhere = Some("vec_id % 10 <> 0")),
     "q121_pq_refined_topk" -> SimilarityOracle.ivfPqTopKSql(spark, dir,
       refineShortlist = Some(50)),
+    "q129_pq_filtered_topk" -> SimilarityOracle.ivfPqTopKSql(spark, dir,
+      corpusWhere = Some("vec_id % 2 = 0")),
     // the streaming bloom gate is LOSSLESS (no false negatives, exact
     // confirm) and admitted fps are arrival-order invariant, so the
     // oracle is the plain set difference

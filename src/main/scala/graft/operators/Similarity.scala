@@ -755,15 +755,28 @@ object Similarity {
     * (driver literals, no corpus job), probe their nprobe best, and score
     * the probed cells' CODES with [[adcDist2]]. The cell equi-join prunes
     * the codes table to nprobe/nlist of its partitions.
+    *
+    * `corpusFilter` is the FILTERED-SEARCH hook (metadata-restricted
+    * ANN): a predicate over the codes columns (`neighbor_id`, `cell`,
+    * plus whatever metadata the caller stored alongside) applied BEFORE
+    * scoring — disallowed rows never reach the ADC expression, and on a
+    * loaded index a plain comparison predicate additionally reaches the
+    * codes parquet scan as a pushed filter (arithmetic predicates stay a
+    * post-scan Filter, still upstream of the join). The top-k then ranks
+    * allowed candidates only, which is the semantics a post-filter of a
+    * k-limited result CANNOT give (it returns < k rows when the filter
+    * bites).
     */
   def pqSearchIndex(queries: DataFrame, index: PqIndex, idCol: String,
-      vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+      vecCol: String, k: Int, nprobe: Int = 4,
+      corpusFilter: Option[Column] = None): DataFrame = {
     val qb = cellRanked(queries, idCol, vecCol, index.centroids)
       .filter(col("crn") <= nprobe)
       .select(col("id").as("query_id"), col("vm").as("qv"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist2").asc, col("neighbor_id").asc)
-    index.codes.join(broadcast(qb), Seq("cell"))
+    corpusFilter.foldLeft(index.codes)((c, f) => c.filter(f))
+      .join(broadcast(qb), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         adcDist2(col("qv"), col("codes"), index.books).as("adc_dist2"))

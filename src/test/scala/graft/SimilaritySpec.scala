@@ -395,4 +395,46 @@ class SimilaritySpec extends SparkSpec {
       .select($"neighbor_id").as[Long].collect()
     assert(served.exists(_ % 30 == 0))
   }
+
+  test("filtered PQ search ranks allowed candidates only; comparisons push into the codes scan") {
+    val emb = Tables(spark, sf, "embeddings")
+    val idx = Similarity.buildPqIndex(emb, "vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    val filtered = Similarity.pqSearchIndex(queries, idx,
+        "vec_id", "embedding", k = 5,
+        corpusFilter = Some($"neighbor_id" % 2 === 0))
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // reference: the FULL ADC ranking, post-filtered to allowed
+    // neighbors, re-ranked — identical only because the filter ran
+    // BEFORE the k cutoff on the operator side
+    val all = Similarity.pqSearchIndex(queries, idx,
+        "vec_id", "embedding", k = Int.MaxValue)
+      .select($"query_id", $"neighbor_id", $"adc_dist2")
+      .as[(Long, Long, Long)].collect()
+    val want = all.filter(_._2 % 2 == 0).groupBy(_._1).toSeq.flatMap {
+      case (q, rs) => rs.sortBy(r => (r._3, r._2)).take(5).zipWithIndex
+        .map { case (r, i) => (q, r._2, i + 1) }
+    }.toSet
+    assert(filtered == want && filtered.nonEmpty)
+    // a k-limited-then-filtered result would be a strict subset when the
+    // filter bites inside some query's raw top-5
+    val postFiltered = Similarity.pqSearchIndex(queries, idx,
+        "vec_id", "embedding", k = 5)
+      .filter($"neighbor_id" % 2 === 0)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(postFiltered.size < filtered.size,
+      "fixture must exercise the filter inside raw top-k")
+    // plain comparison predicates reach the LOADED codes scan as pushed
+    // parquet filters
+    val dir = java.nio.file.Files.createTempDirectory("pq_filter").toString
+    Similarity.savePqIndex(idx, dir)
+    val plan = Similarity.pqSearchIndex(queries,
+        Similarity.loadPqIndex(spark, dir), "vec_id", "embedding", k = 5,
+        corpusFilter = Some($"neighbor_id" <= 100L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(neighbor_id), LessThanOrEqual(neighbor_id,100)")
+      || plan.contains("LessThanOrEqual(neighbor_id,100)"), plan.take(3000))
+  }
 }
