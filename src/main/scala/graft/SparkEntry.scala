@@ -1433,6 +1433,45 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // Incremental statistics under the oracle: the corpus seeds one
+    // sketch partition batch-side, two drops stream their own sketch
+    // partitions, and the reported quantiles come from SUMMING the
+    // committed partitions — no document is ever re-read. Same
+    // arithmetic as q125, different lifecycle (batch + streamed state).
+    "q130_sketch_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = scratchDir("graft_sketch_stream", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      val outPath = s"$base/out$run"
+      // corpus partition written batch-side (the backfill)
+      Curation.logHistSketch(
+          docs.filter(col("doc_id") % 10 =!= 0)
+            .select(col("lang"),
+              TextAnalysis.tokenCount(col("text")).cast("long").as("tok")),
+          Seq("lang"), "tok")
+        .write.mode("overwrite").parquet(s"$outPath/batch_id=-1")
+      val q = graft.streaming.DocumentStreams.sketchIngest(s,
+        landing.toString, outPath, s"$base/ckpt$run",
+        maxFilesPerTrigger = Some(1))
+      for ((m, i) <- Seq(0, 10).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        docs.filter(col("doc_id") % 20 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      Curation.logHistQuantiles(
+        graft.streaming.DocumentStreams.loadSketch(s, outPath),
+        Seq("lang"), Seq(("p10", 1, 10), ("p50", 1, 2), ("p90", 9, 10)))
+    }),
+
     // FILTERED vector search: PQ top-k restricted by a metadata
     // predicate applied to the stored CODES before ADC scoring — the
     // top-k ranks allowed candidates only (a post-filtered k-limited
@@ -2515,6 +2554,25 @@ object SparkEntry {
          |WHERE ((id_a % 10 = 0) <> (id_b % 10 = 0)
          |        AND id_a % 10 <> 5 AND id_b % 10 <> 5)
          |   OR ((id_a % 10 = 5) <> (id_b % 10 = 5))""".stripMargin,
+    // streamed-state mirror: corpus ∪ drops = every document, so the
+    // merged-partition quantiles equal q125's per-lang arithmetic
+    "q130_sketch_stream" ->
+      """WITH d AS (SELECT lang,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |           FROM documents),
+        |b AS (SELECT lang, CAST(length(bin(tok)) AS INT) AS bucket FROM d),
+        |sk AS (SELECT lang, bucket, count(*) AS n FROM b GROUP BY lang, bucket),
+        |c AS (SELECT lang, bucket, n,
+        |        CAST(sum(n) OVER (PARTITION BY lang ORDER BY bucket) AS BIGINT) AS cum,
+        |        CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS total
+        |      FROM sk),
+        |est AS (SELECT lang, cum, total,
+        |          (CAST(1 AS BIGINT) << bucket) - 1 AS est FROM c)
+        |SELECT lang, max(total) AS n_rows,
+        |  min(CASE WHEN cum >= (1*total + 9)//10 THEN est END) AS p10_est,
+        |  min(CASE WHEN cum >= (1*total + 1)//2 THEN est END) AS p50_est,
+        |  min(CASE WHEN cum >= (9*total + 9)//10 THEN est END) AS p90_est
+        |FROM est GROUP BY lang""".stripMargin,
     // weighted-sample mirror: identical md5 micro-uniform and weight
     "q128_weighted_sample" -> {
       val h = hexToLongSql("md5('wsmp:' || CAST(doc_id AS VARCHAR))", 1, 15)

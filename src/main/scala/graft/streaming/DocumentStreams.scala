@@ -280,6 +280,38 @@ object DocumentStreams {
       .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
   }
 
+  /** Incremental corpus STATISTICS — the stats sibling of the three
+    * ingest gates: each micro-batch reduces to its per-(lang, bucket)
+    * log-histogram sketch rows ([[graft.operators.Curation.logHistSketch]]
+    * over the token count) written to the batch's own partition; the
+    * corpus-wide sketch at any time is the SUM of all committed
+    * partitions (sketch merge is bucket-count addition), from which
+    * quantile estimates come without ever re-reading a document. A
+    * re-executed batch overwrites its own partition with identical rows
+    * — stateless, so replay-idempotent with no exclusions needed.
+    */
+  def sketchIngest(spark: SparkSession, landingDir: String,
+      outPath: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readDocuments(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Curation.logHistSketch(
+            batch.select(col("lang"),
+              graft.functions.TextAnalysis.tokenCount(col("text"))
+                .cast("long").as("tok")),
+            Seq("lang"), "tok")
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Merge every committed sketch partition into one corpus sketch. */
+  def loadSketch(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(outPath)
+      .groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("n")).as("n"))
+
   def probeBandIndex(spark: SparkSession, landingDir: String,
       index: graft.operators.Dedup.BandIndex, outPath: String,
       checkpointDir: String,

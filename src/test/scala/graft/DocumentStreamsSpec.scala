@@ -170,6 +170,45 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(filterAfterReplay == before, "replay must leave the filter unchanged")
   }
 
+  test("sketch ingest: merged streamed partitions ≡ bulk sketch; replay overwrites identically") {
+    import graft.operators.Curation
+    val docs = Tables(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("sketch_ingest").toString
+    val landing = s"$base/landing"; new java.io.File(landing).mkdirs()
+    val outPath = s"$base/out"
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(s"$landing/$name.parquet"))
+    }
+    val q = DocumentStreams.sketchIngest(spark, landing, outPath,
+      s"$base/ckpt", maxFilesPerTrigger = Some(1))
+    land(docs.filter($"doc_id" % 3 === 0), "drop_00"); q.processAllAvailable()
+    land(docs.filter($"doc_id" % 3 =!= 0), "drop_01"); q.processAllAvailable()
+    q.stop()
+    val merged = DocumentStreams.loadSketch(spark, outPath)
+      .as[(String, Int, Long)].collect().toSet
+    val bulk = Curation.logHistSketch(
+        docs.select($"lang",
+          graft.functions.TextAnalysis.tokenCount($"text").cast("long").as("tok")),
+        Seq("lang"), "tok")
+      .as[(String, Int, Long)].collect().toSet
+    assert(merged == bulk && bulk.nonEmpty)
+    // replay: re-running a batch's reduction overwrites its partition
+    // with identical rows (stateless), leaving the merge unchanged
+    Curation.logHistSketch(
+        docs.filter($"doc_id" % 3 === 0).select($"lang",
+          graft.functions.TextAnalysis.tokenCount($"text").cast("long").as("tok")),
+        Seq("lang"), "tok")
+      .write.mode("overwrite").parquet(s"$outPath/batch_id=0")
+    val afterReplay = DocumentStreams.loadSketch(spark, outPath)
+      .as[(String, Int, Long)].collect().toSet
+    assert(afterReplay == bulk)
+  }
+
   test("band ingest: near-dup gate vs corpus and earlier drops; replay-idempotent") {
     import graft.operators.Dedup
     def mkDocs(rows: Seq[(Long, String)]) =
