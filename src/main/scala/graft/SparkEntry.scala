@@ -1433,6 +1433,39 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // INCREMENTAL connected components under the oracle — nightly
+    // cluster state without a full recompute: the corpus's bulk labels
+    // seed an append-only store; each drop contracts its new edges onto
+    // the CURRENT labels (graph size = batch + touched components, never
+    // the corpus), appends batch labels once and label-merge remaps;
+    // the final view follows remap chains to fixpoint. Same answer as
+    // q68's bulk recursive flood over everything — the lifecycle changes
+    // the plan, never the labels.
+    "q131_incremental_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val store = scratchDir("graft_label_store", dir)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+      val drop1 = docs.filter(col("doc_id") % 10 === 0)
+      val drop2 = docs.filter(col("doc_id") % 10 === 5)
+      val cPairs = Dedup.minHashLshPairs(corpus, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      Dedup.saveLabelStore(
+        Dedup.connectedComponents(corpus.select(col("doc_id")), "doc_id",
+          cPairs), store)
+      var seen = corpus
+      for (d <- Seq(drop1, drop2)) {
+        val within = Dedup.minHashLshPairs(d, "doc_id", "text")
+          .select(col("id_a"), col("id_b"))
+        val across = Dedup.minHashLshPairsAcross(seen, d, "doc_id", "text")
+          .select(col("id_a"), col("id_b"))
+        Dedup.appendLabels(s, store, d.select(col("doc_id")), "doc_id",
+          within.unionByName(across))
+        seen = seen.unionByName(d)
+      }
+      Dedup.resolveLabels(s, store)
+        .select(col("id").as("doc_id"), col("component"))
+    }),
+
     // Incremental statistics under the oracle: the corpus seeds one
     // sketch partition batch-side, two drops stream their own sketch
     // partitions, and the reported quantiles come from SUMMING the
@@ -1961,6 +1994,24 @@ object SparkEntry {
     // components = min reachable doc_id over the minhash pair graph: the
     // recursive CTE floods labels along (symmetric) edges; UNION dedup
     // guarantees termination
+    // the incremental label store answers exactly the bulk flood (q68's
+    // SQL): the piecewise edge sets cover the bulk pair set because LSH
+    // banding is per-document
+    "q131_incremental_components" ->
+      s"""WITH RECURSIVE mh AS (
+         |  SELECT id_a, id_b FROM ($minhashOracleSql) mhp
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mh
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM mh
+         |),
+         |r AS (
+         |  SELECT doc_id AS id, doc_id AS m FROM documents
+         |  UNION
+         |  SELECT e.dst AS id, r.m FROM r JOIN edges e ON e.src = r.id
+         |)
+         |SELECT id AS doc_id, min(m) AS component FROM r GROUP BY id""".stripMargin,
     "q68_dedup_components" ->
       s"""WITH RECURSIVE mh AS (
          |  SELECT id_a, id_b FROM ($minhashOracleSql) mhp

@@ -949,4 +949,110 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= index.maxHamming)
   }
+
+  // ------------------------------------------------------------------
+  // Incremental connected components — nightly dedup clustering WITHOUT
+  // a full recompute. Append-only stored state:
+  //   dir/labels — (id, label) rows; a row is written ONCE, when its id
+  //                first enters the store
+  //   dir/remap  — (old_label, new_label) rows appended when a new
+  //                batch's edges MERGE previously-distinct components
+  // An increment contracts the new edges onto the CURRENT labels (each
+  // corpus endpoint replaced by its component label), runs components
+  // on that contracted graph — whose size is the batch plus the TOUCHED
+  // components, never the corpus — and appends batch labels + label
+  // remaps. Because every stored label is the min id of its component,
+  // the contracted min is the true min of the merged component, so
+  // labels stay canonical min-ids forever. Resolution follows remap
+  // chains to fixpoint (chain length is bounded by the number of
+  // increments since the last compaction); compaction = resolve + bulk
+  // rewrite offline. The LSM shape of the other stored indexes, for
+  // cluster state.
+  // ------------------------------------------------------------------
+
+  private val remapSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("old_label",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("new_label",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Seed the store with a bulk labeling (e.g. [[connectedComponents]]
+    * over the corpus): `labels` must be (id, component) min-id labels.
+    */
+  def saveLabelStore(labels: DataFrame, dir: String): Unit = {
+    labels.select(col("id"), col("component").as("label"))
+      .write.mode("overwrite").parquet(s"$dir/labels")
+    val spark = labels.sparkSession
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], remapSchema)
+      .write.mode("overwrite").parquet(s"$dir/remap")
+  }
+
+  /** Current (id, component) view: stored labels with remap chains
+    * followed to fixpoint. Each pass rewrites every label that still has
+    * a pending remap; passes are bounded by the longest chain, i.e. the
+    * increments since the last compaction (the loop squares nothing —
+    * chains are short by construction; compact if they are not).
+    */
+  def resolveLabels(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxChain: Int = 64): DataFrame = {
+    val remap = spark.read.schema(remapSchema).parquet(s"$dir/remap")
+    var cur = spark.read.parquet(s"$dir/labels")
+    var changed = true
+    var i = 0
+    while (changed && i < maxChain) {
+      val step = cur.join(remap, cur("label") === remap("old_label"), "left")
+        .select(cur("id"),
+          coalesce(col("new_label"), cur("label")).as("label"))
+      // one driver count per pass: cheap against the labels scan, and it
+      // is what bounds the loop deterministically
+      changed = step.join(remap, step("label") === remap("old_label"), "left_semi")
+        .limit(1).count() > 0
+      cur = step
+      i += 1
+    }
+    require(i < maxChain || !changed,
+      s"remap chains exceed $maxChain — compact the label store")
+    cur.select(col("id"), col("label").as("component"))
+  }
+
+  /** Fold one batch into the store. `batchIds` are the new ids (absent
+    * from the store); `pairs` (id_a, id_b) are ALL new edges — within
+    * the batch and between batch and stored ids (e.g. from
+    * [[minHashLshPairs]] on the batch plus [[minHashLshPairsAcross]]
+    * against the corpus). Existing files are never rewritten.
+    */
+  def appendLabels(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batchIds: DataFrame, idCol: String, pairs: DataFrame): Unit = {
+    val resolved = resolveLabels(spark, dir).cache()
+    try {
+      val ids = batchIds.select(col(idCol).as("id"))
+      // contract endpoints: stored id → its component label; batch id →
+      // itself (left joins leave batch ids unlabeled → coalesce)
+      def contracted(side: String) = {
+        val r = resolved.select(col("id").as(s"__$side"),
+          col("component").as(s"__c$side"))
+        r
+      }
+      val e = pairs
+        .join(contracted("a"), col("id_a") === col("__a"), "left")
+        .join(contracted("b"), col("id_b") === col("__b"), "left")
+        .select(coalesce(col("__ca"), col("id_a")).as("id_a"),
+          coalesce(col("__cb"), col("id_b")).as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      val touched = e.select(col("id_a").as("id"))
+        .unionByName(e.select(col("id_b").as("id"))).distinct()
+      val nodes = ids.unionByName(touched).distinct()
+      val comp = connectedComponents(nodes, "id", e)
+      // batch rows enter labels exactly once, with their final label
+      comp.join(ids, Seq("id"), "left_semi")
+        .select(col("id"), col("component").as("label"))
+        .write.mode("append").parquet(s"$dir/labels")
+      // merged old labels get a remap row (only where the label moved)
+      comp.join(ids, Seq("id"), "left_anti")
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("old_label"), col("component").as("new_label"))
+        .write.mode("append").parquet(s"$dir/remap")
+    } finally { resolved.unpersist(); () }
+  }
 }

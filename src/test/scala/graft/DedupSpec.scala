@@ -408,6 +408,36 @@ class DedupSpec extends SparkSpec {
     assert(gated == plain && plain.nonEmpty)
   }
 
+  test("label store: merges remap, chains resolve, appends never touch files, ≡ bulk flood") {
+    import org.apache.spark.sql.DataFrame
+    val dir = java.nio.file.Files.createTempDirectory("label_store").toString
+    def ids(xs: Long*): DataFrame = xs.toDF("doc_id")
+    def edges(ps: (Long, Long)*): DataFrame = ps.toDF("id_a", "id_b")
+    // seed: {2}, {3} as singletons
+    Dedup.saveLabelStore(
+      Dedup.connectedComponents(ids(2L, 3L), "doc_id", edges()), dir)
+    // inc1: 10 joins 3's component — labels row only, no remap
+    Dedup.appendLabels(spark, dir, ids(10L), "doc_id", edges((10L, 3L)))
+    // inc2: 1 joins {3,10} — the component's min drops to 1: remap 3→1
+    val before = parquetStamps(s"$dir/labels", s"$dir/remap")
+    Dedup.appendLabels(spark, dir, ids(1L), "doc_id", edges((1L, 3L)))
+    val after = parquetStamps(s"$dir/labels", s"$dir/remap")
+    before.foreach { case (p, m) =>
+      assert(after.contains(p) && after(p) == m, s"append touched $p")
+    }
+    assert(after.size > before.size)
+    // inc3: 0 joins via 1 — remap 1→0; id 10 now resolves 3→1→0 (chain of 2)
+    Dedup.appendLabels(spark, dir, ids(0L), "doc_id", edges((0L, 1L)))
+    val got = Dedup.resolveLabels(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 0L, 10L -> 0L))
+    // ≡ one bulk flood over all ids and all edges ever seen
+    val bulk = Dedup.connectedComponents(ids(0L, 1L, 2L, 3L, 10L), "doc_id",
+        edges((10L, 3L), (1L, 3L), (0L, 1L)))
+      .as[(Long, Long)].collect().toMap
+    assert(got == bulk)
+  }
+
   test("simhash index: appends never touch files; probe of appended index is EXACT") {
     val corpus = Tables(spark, sf, "documents")
     val seed = corpus.filter($"doc_id" % 10 =!= 0 && $"doc_id" % 10 =!= 5)
