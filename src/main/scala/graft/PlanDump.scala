@@ -46,7 +46,12 @@ object PlanDump {
       "q114_source_quota", "q115_train_order",
       "q116_ann_ivf_pq_topk", "q117_bloom_gated_dedup",
       "q118_bloom_index_probe", "q119_pq_index_append",
-      "q120_bloom_stream_ingest", "q121_pq_refined_topk")
+      "q120_bloom_stream_ingest", "q121_pq_refined_topk",
+      "q122_simhash_index_append", "q123_band_stream_ingest",
+      "q124_bm25_topk", "q125_quantile_sketch", "q126_interval_join",
+      "q127_good_turing", "q128_weighted_sample",
+      "q129_pq_filtered_topk", "q130_sketch_stream",
+      "q131_incremental_components")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))

@@ -1447,20 +1447,26 @@ object SparkEntry {
       val corpus = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
       val drop1 = docs.filter(col("doc_id") % 10 === 0)
       val drop2 = docs.filter(col("doc_id") % 10 === 5)
+      // the two stored structures run the nightly pipeline TOGETHER: the
+      // band index supplies each drop's cross pairs (corpus banded once,
+      // probed and appended per drop — q112's lifecycle), the label
+      // store folds them into cluster state incrementally
+      val idxDir = s"$store/bands"
       val cPairs = Dedup.minHashLshPairs(corpus, "doc_id", "text")
         .select(col("id_a"), col("id_b"))
       Dedup.saveLabelStore(
         Dedup.connectedComponents(corpus.select(col("doc_id")), "doc_id",
           cPairs), store)
-      var seen = corpus
+      Dedup.saveBandIndex(Dedup.buildBandIndex(corpus, "doc_id", "text"), idxDir)
       for (d <- Seq(drop1, drop2)) {
         val within = Dedup.minHashLshPairs(d, "doc_id", "text")
           .select(col("id_a"), col("id_b"))
-        val across = Dedup.minHashLshPairsAcross(seen, d, "doc_id", "text")
+        val across = Dedup.minHashLshProbe(Dedup.loadBandIndex(s, idxDir),
+            d, "doc_id", "text")
           .select(col("id_a"), col("id_b"))
         Dedup.appendLabels(s, store, d.select(col("doc_id")), "doc_id",
           within.unionByName(across))
-        seen = seen.unionByName(d)
+        Dedup.appendBandIndex(s, idxDir, d, "doc_id", "text")
       }
       Dedup.resolveLabels(s, store)
         .select(col("id").as("doc_id"), col("component"))

@@ -1034,25 +1034,33 @@ object Dedup {
           col("component").as(s"__c$side"))
         r
       }
+      // cached: the caller's pair plan is typically EXPENSIVE (minhash
+      // probe + verify); touched-node derivation, the component flood,
+      // and both writes would otherwise each re-execute it
       val e = pairs
         .join(contracted("a"), col("id_a") === col("__a"), "left")
         .join(contracted("b"), col("id_b") === col("__b"), "left")
         .select(coalesce(col("__ca"), col("id_a")).as("id_a"),
           coalesce(col("__cb"), col("id_b")).as("id_b"))
         .filter(col("id_a") =!= col("id_b"))
-      val touched = e.select(col("id_a").as("id"))
-        .unionByName(e.select(col("id_b").as("id"))).distinct()
-      val nodes = ids.unionByName(touched).distinct()
-      val comp = connectedComponents(nodes, "id", e)
-      // batch rows enter labels exactly once, with their final label
-      comp.join(ids, Seq("id"), "left_semi")
-        .select(col("id"), col("component").as("label"))
-        .write.mode("append").parquet(s"$dir/labels")
-      // merged old labels get a remap row (only where the label moved)
-      comp.join(ids, Seq("id"), "left_anti")
-        .filter(col("id") =!= col("component"))
-        .select(col("id").as("old_label"), col("component").as("new_label"))
-        .write.mode("append").parquet(s"$dir/remap")
+        .cache()
+      try {
+        val touched = e.select(col("id_a").as("id"))
+          .unionByName(e.select(col("id_b").as("id"))).distinct()
+        val nodes = ids.unionByName(touched).distinct()
+        val comp = connectedComponents(nodes, "id", e).cache()
+        try {
+          // batch rows enter labels exactly once, with their final label
+          comp.join(ids, Seq("id"), "left_semi")
+            .select(col("id"), col("component").as("label"))
+            .write.mode("append").parquet(s"$dir/labels")
+          // merged old labels get a remap row (only where the label moved)
+          comp.join(ids, Seq("id"), "left_anti")
+            .filter(col("id") =!= col("component"))
+            .select(col("id").as("old_label"), col("component").as("new_label"))
+            .write.mode("append").parquet(s"$dir/remap")
+        } finally { comp.unpersist(); () }
+      } finally { e.unpersist(); () }
     } finally { resolved.unpersist(); () }
   }
 }
