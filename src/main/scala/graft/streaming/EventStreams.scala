@@ -40,7 +40,10 @@ object EventStreams {
     * a nanosecond long needing DIV 1000 — and plain TIMESTAMP(MICROS),
     * which must pass through untouched; assuming either unit corrupts
     * the other by ×1000). Batch reads get the same treatment in
-    * [[graft.Tables.normalizeEvents]].
+    * [[graft.Tables.normalizeEvents]]. The probe means construction
+    * requires at least one landed file; for a stream over a
+    * not-yet-populated landing dir, seed it with an empty file of the
+    * intended unit first.
     */
   def readEvents(spark: SparkSession, path: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
