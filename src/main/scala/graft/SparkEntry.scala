@@ -1433,6 +1433,19 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // Count-min frequency sketch under the oracle: token occurrence
+    // counts estimated from a 4×1024-integer relation instead of the
+    // full vocabulary — estimates for the probe tokens (min over hash
+    // rows, the ≥-true guarantee); mergeable by addition like q125.
+    "q132_countmin_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(explode(split(col("text"), " ")).as("token"))
+      val probe = docs.filter(col("doc_id") % 250 === 3)
+        .select(explode(split(col("text"), " ")).as("token")).distinct()
+      Curation.cmEstimate(Curation.cmSketch(tok, "token"), probe, "token")
+        .select(col("k").as("token"), col("est").as("est_count"))
+    }),
+
     // INCREMENTAL connected components under the oracle — nightly
     // cluster state without a full recompute: the corpus's bulk labels
     // seed an append-only store; each drop contracts its new edges onto
@@ -2611,6 +2624,24 @@ object SparkEntry {
          |WHERE ((id_a % 10 = 0) <> (id_b % 10 = 0)
          |        AND id_a % 10 <> 5 AND id_b % 10 <> 5)
          |   OR ((id_a % 10 = 5) <> (id_b % 10 = 5))""".stripMargin,
+    // count-min mirror: identical md5 row-hashes, cells, and min-over-
+    // rows estimate
+    "q132_countmin_tokens" -> {
+      val h = hexToLongSql("md5(CAST(r AS VARCHAR) || ':' || k)", 1, 15)
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS k FROM documents),
+         |cells AS (SELECT k, CAST(r AS INT) AS r,
+         |            CAST(CAST($h AS BIGINT) % 1024 AS INT) AS c
+         |          FROM tok CROSS JOIN (SELECT unnest(range(4)) AS r) rs),
+         |sk AS (SELECT r, c, count(*) AS n FROM cells GROUP BY r, c),
+         |q AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS k
+         |      FROM documents WHERE doc_id % 250 = 3),
+         |qc AS (SELECT k, CAST(r AS INT) AS r,
+         |         CAST(CAST($h AS BIGINT) % 1024 AS INT) AS c
+         |       FROM q CROSS JOIN (SELECT unnest(range(4)) AS r) rs)
+         |SELECT qc.k AS token, CAST(min(coalesce(sk.n, 0)) AS BIGINT) AS est_count
+         |FROM qc LEFT JOIN sk ON sk.r = qc.r AND sk.c = qc.c
+         |GROUP BY qc.k""".stripMargin
+    },
     // streamed-state mirror: corpus ∪ drops = every document, so the
     // merged-partition quantiles equal q125's per-lang arithmetic
     "q130_sketch_stream" ->

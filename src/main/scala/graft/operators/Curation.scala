@@ -399,6 +399,39 @@ object Curation {
       seedTag: String = "wsmp:"): DataFrame =
     df.filter(md5Micro(seedTag, col(idCol)) < weightMicro)
 
+  /** Count-min sketch over a key stream: a (row, col, count) relation
+    * with depth md5-derived hash rows and `width` columns — counts merge
+    * by ADDITION (the sketch twin of [[kmvDistinct]] for FREQUENCIES),
+    * state is depth×width integers regardless of key cardinality. All
+    * integer arithmetic (md5 → 60-bit long → mod width), so every
+    * engine builds the identical relation.
+    */
+  def cmSketch(df: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    df.select(col(keyCol).as("k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("c", cmCell(col("k"), col("r"), width))
+      .groupBy(col("r"), col("c"))
+      .agg(count(lit(1)).as("n"))
+
+  private def cmCell(key: Column, row: Column, width: Int): Column =
+    (conv(substring(md5(concat(row.cast("string"), lit(":"), key)), 1, 15),
+      16, 10).cast("long") % width).cast("int")
+
+  /** Point-estimate key frequencies from a sketch: min over the depth
+    * rows of the key's counters (the count-min guarantee: estimate ≥
+    * true count always; equality when no row collides). The sketch side
+    * broadcasts — estimating is a scan of the key set.
+    */
+  def cmEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    keys.select(col(keyCol).as("k")).distinct()
+      .withColumn("r", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("c", cmCell(col("k"), col("r"), width))
+      .join(broadcast(sketch), Seq("r", "c"), "left")
+      .groupBy(col("k"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("est"))
+
   /** Good-Turing bigram count-of-counts per group — the frequency
     * spectrum an n-gram LM smoother (and an LM-perplexity quality
     * filter) is built from. For each group: `r` = a bigram's corpus

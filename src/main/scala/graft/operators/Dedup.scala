@@ -1016,6 +1016,28 @@ object Dedup {
     cur.select(col("id"), col("label").as("component"))
   }
 
+  /** Offline compaction: squash remap chains into the labels table and
+    * truncate the remap relation — the LSM merge step. Resolution cost
+    * returns to a single scan until the next merge-producing increment.
+    * Runs in place via a temp swap (write resolved labels to a side dir,
+    * then move); not concurrent-safe with appends, like every stored
+    * structure here (single nightly writer).
+    */
+  def compactLabelStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val resolved = resolveLabels(spark, dir)
+      .select(col("id"), col("component").as("label"))
+    resolved.write.mode("overwrite").parquet(s"$dir/labels_compact")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/labels"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/labels_compact"),
+      new org.apache.hadoop.fs.Path(s"$dir/labels"))
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], remapSchema)
+      .write.mode("overwrite").parquet(s"$dir/remap")
+  }
+
   /** Fold one batch into the store. `batchIds` are the new ids (absent
     * from the store); `pairs` (id_a, id_b) are ALL new edges — within
     * the batch and between batch and stored ids (e.g. from

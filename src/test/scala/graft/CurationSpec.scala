@@ -283,6 +283,32 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(half.size / n - 0.5) < 0.1)
   }
 
+  test("cmSketch: partial merges ≡ bulk; estimates dominate true counts") {
+    val docs = Tables(spark, sf, "documents")
+      .select($"source", explode(split($"text", " ")).as("token"))
+    val bulk = Curation.cmSketch(docs, "token")
+      .as[(Int, Int, Long)].collect().toSet
+    // one partial sketch per source, merged by union + re-sum
+    val sources = docs.select($"source").distinct().as[String].collect()
+    val merged = sources.map(s =>
+        Curation.cmSketch(docs.filter($"source" === s), "token"))
+      .reduce(_ unionByName _)
+      .groupBy($"r", $"c").agg(sum($"n").as("n"))
+      .as[(Int, Int, Long)].collect().toSet
+    assert(merged == bulk && bulk.nonEmpty)
+    // count-min guarantee: estimate >= true occurrence count, per token
+    val truth = docs.groupBy($"token").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val probe = docs.select($"token").distinct().limit(200)
+    val est = Curation.cmEstimate(Curation.cmSketch(docs, "token"),
+        probe, "token")
+      .as[(String, Long)].collect()
+    assert(est.nonEmpty)
+    est.foreach { case (tok, e) =>
+      assert(e >= truth(tok), s"$tok: est $e < true ${truth(tok)}")
+    }
+  }
+
   test("goodTuringBigrams: hand-checked spectrum and integer discounts") {
     val docs = Seq(
       ("en", "a b a b c"),      // bigrams: "a b"×2, "b a", "b c"

@@ -436,6 +436,17 @@ class DedupSpec extends SparkSpec {
         edges((10L, 3L), (1L, 3L), (0L, 1L)))
       .as[(Long, Long)].collect().toMap
     assert(got == bulk)
+    // compaction squashes the chains into labels and empties remap; the
+    // resolved view is unchanged and later increments keep working
+    Dedup.compactLabelStore(spark, dir)
+    assert(spark.read.parquet(s"$dir/remap").count() == 0)
+    val compacted = Dedup.resolveLabels(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(compacted == got)
+    Dedup.appendLabels(spark, dir, ids(7L), "doc_id", edges((7L, 2L)))
+    val afterMore = Dedup.resolveLabels(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(afterMore == got ++ Map(7L -> 2L))
   }
 
   test("simhash index: appends never touch files; probe of appended index is EXACT") {
