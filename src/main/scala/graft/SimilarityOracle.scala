@@ -210,6 +210,47 @@ object SimilarityOracle {
   /** Mirror of q67: banded candidates (id_a < id_b, any table), exact
     * quantized-cosine verify ≥ threshold.
     */
+  /** Mirror of q133: banded near-dup over MEDIA FEATURES. The demo
+    * payload is the ASCII of `repeat(md5(text), 2)` and the stub decoder
+    * derives feature i as float32(digestByte_i / 255) from the payload's
+    * md5 DIGEST — so the mirror computes `md5(repeat(md5(text), 2))` hex,
+    * extracts each digest byte from its hex pair, and maps it through a
+    * 256-entry milli lookup GENERATED by replaying the exact
+    * float32-then-double rounding the Spark side performs
+    * (`round(double(float32(b/255)) * 1000)`). Banding and the exact
+    * quantized-cosine verify then reuse the q67 machinery at dim 8.
+    */
+  def mediaNearDupSql(threshold: Double, featureDim: Int = 8,
+      nPlanes: Int = 6, nTables: Int = 8, seed: Long = 42L): String = {
+    val tables = Similarity.lshTables(featureDim, nPlanes, nTables, seed)
+    val lut = (0 to 255)
+      .map(b => math.round((b / 255.0f).toDouble * 1000))
+      .mkString("[", ", ", "]")
+    def byteExpr(i: Int) =
+      s"((strpos('0123456789abcdef', substr(h, ${2 * i + 1}, 1)) - 1) * 16" +
+        s" + (strpos('0123456789abcdef', substr(h, ${2 * i + 2}, 1)) - 1))"
+    val vm = (0 until featureDim)
+      .map(i => s"($lut)[${byteExpr(i)} + 1]")
+      .mkString("[", ",\n    ", "]")
+    val thumb =
+      "array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')"
+    s"""WITH m AS (SELECT doc_id AS vec_id,
+       |             md5(repeat(md5($thumb), 2)) AS h
+       |           FROM documents),
+       |e AS (SELECT vec_id, $vm AS vm FROM m),
+       |b AS (
+       |${bandedCte(tables)}),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+       |         FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+       |                          AND a.vec_id < c.vec_id),
+       |scored AS (SELECT id_a, id_b,
+       |    list_dot_product(ea.vm, eb.vm) /
+       |      (sqrt(list_dot_product(ea.vm, ea.vm)) * sqrt(list_dot_product(eb.vm, eb.vm))) AS cosine
+       |  FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+       |            JOIN e eb ON eb.vec_id = cand.id_b)
+       |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= $threshold""".stripMargin
+  }
+
   def bandedNearDupSql(spark: SparkSession, dir: String, threshold: Double,
       nPlanes: Int = 6, nTables: Int = 8, seed: Long = 42L): String = {
     val tables = Similarity.lshTables(dimOf(spark, dir), nPlanes, nTables, seed)

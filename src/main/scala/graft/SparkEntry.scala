@@ -1433,6 +1433,26 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // MEDIA near-dup: the multimodal pipeline feeding the similarity
+    // machinery — decode (per-partition stub decoder, real plumbing) →
+    // feature vectors → banded near-dup at dim 8. The demo payload is a
+    // "thumbnail" derived from the doc's 8-token prefix (the q50
+    // fingerprint surface), so shared-prefix docs carry identical
+    // payloads and surface at cosine 1. The oracle replays the decoder's
+    // digest-byte features through a generated float32-rounding lookup.
+    "q133_media_neardup" -> ((s, dir) => {
+      val thumbs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 8))
+          .as("text"))
+      val feats = Multimodal.extractFeatures(
+        Multimodal.demoMediaTable(thumbs),
+        new Multimodal.DeterministicStubDecoder(8))
+      Similarity.nearDupPairsBanded(
+        feats.select(col("media_id").as("vec_id"),
+          col("features").as("embedding")),
+        "vec_id", "embedding", threshold = 0.999)
+    }),
+
     // Count-min frequency sketch under the oracle: token occurrence
     // counts estimated from a 4×1024-integer relation instead of the
     // full vocabulary — estimates for the probe tokens (min over hash
@@ -1656,6 +1676,7 @@ object SparkEntry {
       refineShortlist = Some(50)),
     "q129_pq_filtered_topk" -> SimilarityOracle.ivfPqTopKSql(spark, dir,
       corpusWhere = Some("vec_id % 2 = 0")),
+    "q133_media_neardup" -> SimilarityOracle.mediaNearDupSql(threshold = 0.999),
     // the streaming bloom gate is LOSSLESS (no false negatives, exact
     // confirm) and admitted fps are arrival-order invariant, so the
     // oracle is the plain set difference

@@ -74,4 +74,23 @@ class MultimodalSpec extends SparkSpec {
       feats.filter($"vec_id" < 3), feats, "vec_id", "embedding", 3)
     assert(top.count() == 9)
   }
+
+  test("media near-dup: identical payloads pair at cosine 1, distinct ones don't") {
+    // two docs sharing a payload (identical thumbnail text), one distinct
+    val docs = Seq(
+      (1L, "shared leading words for the thumbnail"),
+      (2L, "shared leading words for the thumbnail"),
+      (3L, "an entirely different and unrelated document body")
+    ).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(
+        Multimodal.demoMediaTable(docs),
+        new Multimodal.DeterministicStubDecoder(8))
+      .select($"media_id".as("vec_id"), $"features".as("embedding"))
+    val pairs = graft.operators.Similarity.nearDupPairsBanded(
+        feats, "vec_id", "embedding", threshold = 0.999)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // identical vectors: cosine is 1 up to the sqrt(a)·sqrt(a) ulp
+    assert(math.abs(pairs.head._3 - 1.0) < 1e-12)
+  }
 }
