@@ -44,14 +44,26 @@ object SimilarityOracle {
     * exact quantized-cosine rerank to top-k.
     */
   def lshTopKSql(spark: SparkSession, dir: String, k: Int = 10,
-      nPlanes: Int = 5, nTables: Int = 8, seed: Long = 42L): String = {
+      nPlanes: Int = 5, nTables: Int = 8, seed: Long = 42L,
+      multiProbe: Boolean = false): String = {
     val tables = Similarity.lshTables(dimOf(spark, dir), nPlanes, nTables, seed)
+    // multi-probe: the query side also visits every Hamming-1 bucket
+    // (j = 0 keeps the original; j >= 1 flips plane j-1)
+    val qSide =
+      if (!multiProbe) "SELECT vec_id, tbl, bucket FROM b WHERE vec_id % 25 = 0"
+      else s"""SELECT q.vec_id, q.tbl,
+         |    CASE WHEN j.j = 0 THEN q.bucket
+         |         ELSE CAST(xor(q.bucket, CAST(1 AS BIGINT) << (j.j - 1)) AS BIGINT)
+         |    END AS bucket
+         |  FROM b q CROSS JOIN (SELECT unnest(range(${nPlanes + 1})) AS j) j
+         |  WHERE q.vec_id % 25 = 0""".stripMargin
     s"""WITH e AS (SELECT vec_id, $vMilli AS vm FROM embeddings),
        |b AS (
        |${bandedCte(tables)}),
-       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-       |         FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
-       |         WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id),
+       |qp AS ($qSide),
+       |cand AS (SELECT DISTINCT qp.vec_id AS query_id, c.vec_id AS neighbor_id
+       |         FROM qp JOIN b c ON qp.tbl = c.tbl AND qp.bucket = c.bucket
+       |         WHERE qp.vec_id <> c.vec_id),
        |scored AS (SELECT query_id, neighbor_id,
        |    list_dot_product(qe.vm, ce.vm) /
        |      (sqrt(list_dot_product(qe.vm, qe.vm)) * sqrt(list_dot_product(ce.vm, ce.vm))) AS cosine

@@ -1433,6 +1433,16 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // MULTI-PROBE LSH ANN: q56's tables with each query also visiting
+    // every Hamming-1 bucket — recall toward more-tables without
+    // touching the corpus side (corpus bucketed once; the broadcast
+    // query side fans out ×6). Candidates ⊇ q56's by construction.
+    "q134_ann_lsh_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopKMultiProbe(emb.filter(col("vec_id") % 25 === 0),
+        emb, "vec_id", "embedding", k = 10)
+    }),
+
     // MEDIA near-dup: the multimodal pipeline feeding the similarity
     // machinery — decode (per-partition stub decoder, real plumbing) →
     // feature vectors → banded near-dup at dim 8. The demo payload is a
@@ -1677,6 +1687,8 @@ object SparkEntry {
     "q129_pq_filtered_topk" -> SimilarityOracle.ivfPqTopKSql(spark, dir,
       corpusWhere = Some("vec_id % 2 = 0")),
     "q133_media_neardup" -> SimilarityOracle.mediaNearDupSql(threshold = 0.999),
+    "q134_ann_lsh_multiprobe" -> SimilarityOracle.lshTopKSql(spark, dir,
+      multiProbe = true),
     // the streaming bloom gate is LOSSLESS (no false negatives, exact
     // confirm) and admitted fps are arrival-order invariant, so the
     // oracle is the plain set difference

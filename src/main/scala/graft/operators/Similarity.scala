@@ -284,6 +284,50 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** MULTI-PROBE LSH top-k: each query probes its own bucket plus every
+    * bucket at Hamming distance 1 (flip each plane bit) in every table —
+    * the classic recall lever that does NOT grow the corpus side: corpus
+    * buckets are built and shuffled once, identical to [[lshTopK]]; only
+    * the broadcast query side fans out ×(nPlanes+1). The candidate set
+    * is a superset of the single-probe set (probe j = 0 is the original
+    * bucket), so per-rank result quality can only improve — spec-pinned
+    * against [[lshTopK]] and measured against the exact baseline.
+    */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nPlanes: Int = 5,
+      nTables: Int = 8, seed: Long = 42L): DataFrame = {
+    val dimOpt = headDim(queries, vecCol)
+    if (dimOpt.isEmpty)
+      return queries.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+          lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
+    val tables = lshTables(dimOpt.get, nPlanes, nTables, seed)
+    val probes = (-1 until nPlanes).map { j =>
+      if (j < 0) col("bucket") else col("bucket").bitwiseXOR(lit(1L << j))
+    }
+    val qb = bucketed(queries, idCol, vecCol, tables)
+      .select(col("id").as("query_id"), col("tbl"),
+        explode(array(probes: _*)).as("bucket"))
+    val cb = bucketed(corpus, idCol, vecCol, tables)
+    val candidates = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"))
+      .distinct()
+    val qv = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      quantize(col(vecCol)).as("cv"))
+    val scored = candidates.join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotLong(col("qv"), col("cv")) /
+          (sqrt(dotLong(col("qv"), col("qv")).cast("double")) *
+           sqrt(dotLong(col("cv"), col("cv")).cast("double")))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Near-duplicate pairs via multi-table sign-projection banding —
     * the SUB-QUADRATIC embedding near-dup path: candidates are same-bucket
     * pairs in any table, verified with exact quantized cosine ≥ threshold.

@@ -396,6 +396,36 @@ class SimilaritySpec extends SparkSpec {
     assert(served.exists(_ % 30 == 0))
   }
 
+  test("multi-probe LSH dominates single-probe per rank and lifts recall vs exact") {
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    def byRank(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"rank", $"cosine")
+        .as[(Long, Int, Double)].collect()
+        .map { case (q, r, c) => (q, r) -> c }.toMap
+    val single = byRank(Similarity.lshTopK(queries, emb,
+      "vec_id", "embedding", k = 10))
+    val multi = byRank(Similarity.lshTopKMultiProbe(queries, emb,
+      "vec_id", "embedding", k = 10))
+    // candidates superset ⇒ at every (query, rank) the multi-probe
+    // cosine is at least the single-probe one
+    single.foreach { case (qr, c) =>
+      assert(multi.contains(qr) && multi(qr) >= c - 1e-12,
+        s"$qr: multi ${multi.get(qr)} < single $c")
+    }
+    // and recall@10 vs the exact baseline strictly improves on this data
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = hits(Similarity.bruteForceTopK(queries, emb,
+      "vec_id", "embedding", k = 10))
+    val rSingle = (hits(Similarity.lshTopK(queries, emb,
+      "vec_id", "embedding", k = 10)) & exact).size.toDouble / exact.size
+    val rMulti = (hits(Similarity.lshTopKMultiProbe(queries, emb,
+      "vec_id", "embedding", k = 10)) & exact).size.toDouble / exact.size
+    info(f"recall@10 single=$rSingle%.3f multi=$rMulti%.3f")
+    assert(rMulti >= rSingle)
+  }
+
   test("filtered PQ search ranks allowed candidates only; comparisons push into the codes scan") {
     val emb = Tables(spark, sf, "embeddings")
     val idx = Similarity.buildPqIndex(emb, "vec_id", "embedding")
