@@ -51,7 +51,8 @@ object PlanDump {
       "q124_bm25_topk", "q125_quantile_sketch", "q126_interval_join",
       "q127_good_turing", "q128_weighted_sample",
       "q129_pq_filtered_topk", "q130_sketch_stream",
-      "q131_incremental_components")
+      "q131_incremental_components", "q132_countmin_tokens",
+      "q133_media_neardup", "q134_ann_lsh_multiprobe")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))

@@ -407,12 +407,15 @@ object Curation {
     * engine builds the identical relation.
     */
   def cmSketch(df: DataFrame, keyCol: String,
-      depth: Int = 4, width: Int = 1024): DataFrame =
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 1,
+      s"need depth >= 1 and width >= 1, got $depth/$width")
     df.select(col(keyCol).as("k"),
         explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .withColumn("c", cmCell(col("k"), col("r"), width))
       .groupBy(col("r"), col("c"))
       .agg(count(lit(1)).as("n"))
+  }
 
   private def cmCell(key: Column, row: Column, width: Int): Column =
     (conv(substring(md5(concat(row.cast("string"), lit(":"), key)), 1, 15),
@@ -442,6 +445,7 @@ object Curation {
     */
   def goodTuringBigrams(df: DataFrame, groupCol: String, textCol: String,
       maxR: Int = 10): DataFrame = {
+    require(maxR >= 1, s"maxR must be >= 1, got $maxR")
     val toks = split(col(textCol), " ")
     val bigrams = when(size(toks) < 2, array().cast("array<string>"))
       .otherwise(expr(
@@ -482,6 +486,10 @@ object Curation {
     */
   def logHistQuantiles(sketch: DataFrame, groupCols: Seq[String],
       quantiles: Seq[(String, Int, Int)]): DataFrame = {
+    quantiles.foreach { case (name, num, den) =>
+      require(num >= 1 && num <= den,
+        s"quantile $name: need 1 <= num <= den, got $num/$den")
+    }
     val gcols = groupCols.map(col)
     val wc = Window.partitionBy(gcols: _*).orderBy(col("bucket"))
     val wt = Window.partitionBy(gcols: _*)

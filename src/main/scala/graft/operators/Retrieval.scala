@@ -60,6 +60,7 @@ object Retrieval {
   def bm25TopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, textCol: String,
       qidCol: String, qtermsCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val toks = split(col(textCol), " ")
     val docs = corpus.select(col(idCol).as("doc_id"),
       toks.as("toks"), size(toks).cast("long").as("dl"))
