@@ -235,8 +235,11 @@ object SimilarityOracle {
   def mediaNearDupSql(threshold: Double, featureDim: Int = 8,
       nPlanes: Int = 6, nTables: Int = 8, seed: Long = 42L): String = {
     val tables = Similarity.lshTables(featureDim, nPlanes, nTables, seed)
+    // replays float32(b/255) − 0.5f (the catalog row's mean-centering)
+    // then the double·1000 rounding — all in Scala float32 arithmetic,
+    // which is bit-identical to Spark's FloatType minus
     val lut = (0 to 255)
-      .map(b => math.round((b / 255.0f).toDouble * 1000))
+      .map(b => math.round((b / 255.0f - 0.5f).toDouble * 1000))
       .mkString("[", ", ", "]")
     def byteExpr(i: Int) =
       s"((strpos('0123456789abcdef', substr(h, ${2 * i + 1}, 1)) - 1) * 16" +

@@ -1457,10 +1457,17 @@ object SparkEntry {
       val feats = Multimodal.extractFeatures(
         Multimodal.demoMediaTable(thumbs),
         new Multimodal.DeterministicStubDecoder(8))
+      // MEAN-CENTER before sign-banding: stub features live in [0,1], and
+      // sign planes barely split a positive-only point cloud (most planes
+      // leave the whole quadrant on one side → mega-buckets). Centering
+      // balances every cut; identical payloads still center identically,
+      // so dup recall stays 1. nPlanes=10/nTables=2 sized for dup
+      // detection (ANY shared bucket suffices for identical vectors).
       Similarity.nearDupPairsBanded(
         feats.select(col("media_id").as("vec_id"),
-          col("features").as("embedding")),
-        "vec_id", "embedding", threshold = 0.999)
+          transform(col("features"), x => x - lit(0.5f)).as("embedding")),
+        "vec_id", "embedding", threshold = 0.999,
+        nPlanes = 10, nTables = 2)
     }),
 
     // Count-min frequency sketch under the oracle: token occurrence
@@ -1686,7 +1693,8 @@ object SparkEntry {
       refineShortlist = Some(50)),
     "q129_pq_filtered_topk" -> SimilarityOracle.ivfPqTopKSql(spark, dir,
       corpusWhere = Some("vec_id % 2 = 0")),
-    "q133_media_neardup" -> SimilarityOracle.mediaNearDupSql(threshold = 0.999),
+    "q133_media_neardup" -> SimilarityOracle.mediaNearDupSql(threshold = 0.999,
+      nPlanes = 10, nTables = 2),
     "q134_ann_lsh_multiprobe" -> SimilarityOracle.lshTopKSql(spark, dir,
       multiProbe = true),
     // the streaming bloom gate is LOSSLESS (no false negatives, exact
