@@ -219,9 +219,6 @@ object SimilarityOracle {
        |$finalSelect""".stripMargin
   }
 
-  /** Mirror of q67: banded candidates (id_a < id_b, any table), exact
-    * quantized-cosine verify ≥ threshold.
-    */
   /** Mirror of q133: banded near-dup over MEDIA FEATURES. The demo
     * payload is the ASCII of `repeat(md5(text), 2)` and the stub decoder
     * derives feature i as float32(digestByte_i / 255) from the payload's
@@ -266,6 +263,9 @@ object SimilarityOracle {
        |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= $threshold""".stripMargin
   }
 
+  /** Mirror of q67: banded candidates (id_a < id_b, any table), exact
+    * quantized-cosine verify ≥ threshold.
+    */
   def bandedNearDupSql(spark: SparkSession, dir: String, threshold: Double,
       nPlanes: Int = 6, nTables: Int = 8, seed: Long = 42L): String = {
     val tables = Similarity.lshTables(dimOf(spark, dir), nPlanes, nTables, seed)

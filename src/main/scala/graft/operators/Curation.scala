@@ -399,22 +399,32 @@ object Curation {
       seedTag: String = "wsmp:"): DataFrame =
     df.filter(md5Micro(seedTag, col(idCol)) < weightMicro)
 
-  /** Count-min sketch over a key stream: a (row, col, count) relation
-    * with depth md5-derived hash rows and `width` columns — counts merge
-    * by ADDITION (the sketch twin of [[kmvDistinct]] for FREQUENCIES),
-    * state is depth×width integers regardless of key cardinality. All
-    * integer arithmetic (md5 → 60-bit long → mod width), so every
-    * engine builds the identical relation.
+  /** A count-min sketch: the (row, col, count) cell relation plus the
+    * (depth, width) that SHAPED it — traveling together so an estimate
+    * can never silently hash with mismatched settings (the
+    * BandIndex/BloomIndex contract). Merge sketches of EQUAL shape by
+    * unioning `cells` and re-summing `n` per (r, c).
+    */
+  final case class CmSketch(cells: DataFrame, depth: Int, width: Int)
+
+  /** Count-min sketch over a key stream: depth md5-derived hash rows ×
+    * `width` columns — counts merge by ADDITION (the sketch twin of
+    * [[kmvDistinct]] for FREQUENCIES), state is depth×width integers
+    * regardless of key cardinality. All integer arithmetic (md5 →
+    * 60-bit long → mod width), so every engine builds the identical
+    * relation.
     */
   def cmSketch(df: DataFrame, keyCol: String,
-      depth: Int = 4, width: Int = 1024): DataFrame = {
+      depth: Int = 4, width: Int = 1024): CmSketch = {
     require(depth >= 1 && width >= 1,
       s"need depth >= 1 and width >= 1, got $depth/$width")
-    df.select(col(keyCol).as("k"),
-        explode(sequence(lit(0), lit(depth - 1))).as("r"))
-      .withColumn("c", cmCell(col("k"), col("r"), width))
-      .groupBy(col("r"), col("c"))
-      .agg(count(lit(1)).as("n"))
+    CmSketch(
+      df.select(col(keyCol).as("k"),
+          explode(sequence(lit(0), lit(depth - 1))).as("r"))
+        .withColumn("c", cmCell(col("k"), col("r"), width))
+        .groupBy(col("r"), col("c"))
+        .agg(count(lit(1)).as("n")),
+      depth, width)
   }
 
   private def cmCell(key: Column, row: Column, width: Int): Column =
@@ -424,14 +434,14 @@ object Curation {
   /** Point-estimate key frequencies from a sketch: min over the depth
     * rows of the key's counters (the count-min guarantee: estimate ≥
     * true count always; equality when no row collides). The sketch side
-    * broadcasts — estimating is a scan of the key set.
+    * broadcasts — estimating is a scan of the key set. Hash shape comes
+    * from the sketch itself.
     */
-  def cmEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
-      depth: Int = 4, width: Int = 1024): DataFrame =
+  def cmEstimate(sketch: CmSketch, keys: DataFrame, keyCol: String): DataFrame =
     keys.select(col(keyCol).as("k")).distinct()
-      .withColumn("r", explode(sequence(lit(0), lit(depth - 1))))
-      .withColumn("c", cmCell(col("k"), col("r"), width))
-      .join(broadcast(sketch), Seq("r", "c"), "left")
+      .withColumn("r", explode(sequence(lit(0), lit(sketch.depth - 1))))
+      .withColumn("c", cmCell(col("k"), col("r"), sketch.width))
+      .join(broadcast(sketch.cells), Seq("r", "c"), "left")
       .groupBy(col("k"))
       .agg(min(coalesce(col("n"), lit(0L))).as("est"))
 
@@ -446,12 +456,10 @@ object Curation {
   def goodTuringBigrams(df: DataFrame, groupCol: String, textCol: String,
       maxR: Int = 10): DataFrame = {
     require(maxR >= 1, s"maxR must be >= 1, got $maxR")
-    val toks = split(col(textCol), " ")
-    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(expr(
-        s"transform(sequence(1, size(split($textCol, ' ')) - 1), " +
-        s"i -> concat(element_at(split($textCol, ' '), i), ' ', " +
-        s"element_at(split($textCol, ' '), i + 1)))"))
+    // O(len) bigram stream — wordNGrams' zip_with shape; the naive
+    // transform(sequence)(element_at(split…)) form re-tokenizes per
+    // element (its own doc comment warns it is O(len²))
+    val bigrams = graft.functions.TextAnalysis.wordNGrams(col(textCol), 2)
     val counts = df.select(col(groupCol), explode(bigrams).as("bg"))
       .groupBy(col(groupCol), col("bg"))
       .agg(count(lit(1)).as("r"))
@@ -469,13 +477,24 @@ object Curation {
   /** Bucket counts per group: bucket = length of the value's binary
     * form (= ⌊log2 x⌋ + 1 for x ≥ 1; 0 and 1 share bucket 1). Merge
     * sketches by unioning and re-summing `n` per (group, bucket).
+    * Values must be NON-NEGATIVE (enforced): bin() of a negative long
+    * is its 64-char two's-complement form, which would order after
+    * every positive bucket and alias its ceiling to 2⁶⁴ − 1 — silently
+    * wrong quantiles rather than an error.
     */
   def logHistSketch(df: DataFrame, groupCols: Seq[String],
-      valueCol: String): DataFrame =
-    df.select(groupCols.map(col) :+
-        length(bin(col(valueCol))).cast("int").as("bucket"): _*)
+      valueCol: String): DataFrame = {
+    // the assert lives INSIDE the bucket expression (assert_true is null
+    // on pass, throws on fail) so column pruning can never elide it
+    val bucket = when(
+      assert_true(col(valueCol) >= 0,
+        concat(lit(s"logHistSketch: negative $valueCol: "),
+          col(valueCol).cast("string"))).isNull,
+      length(bin(col(valueCol))).cast("int"))
+    df.select(groupCols.map(col) :+ bucket.as("bucket"): _*)
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(count(lit(1)).as("n"))
+  }
 
   /** Quantile estimates from a sketch. Each requested quantile is a
     * RATIONAL (name, num, den) so the target rank

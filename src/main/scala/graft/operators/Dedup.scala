@@ -1001,9 +1001,14 @@ object Dedup {
     var changed = true
     var i = 0
     while (changed && i < maxChain) {
+      // localCheckpoint truncates the per-pass join lineage — without it
+      // pass i's changed-check re-executes all i prior joins from
+      // parquet (O(chain²) total) and the caller's first action replays
+      // the whole chain once more
       val step = cur.join(remap, cur("label") === remap("old_label"), "left")
         .select(cur("id"),
           coalesce(col("new_label"), cur("label")).as("label"))
+        .localCheckpoint(true)
       // one driver count per pass: cheap against the labels scan, and it
       // is what bounds the loop deterministically
       changed = step.join(remap, step("label") === remap("old_label"), "left_semi")
@@ -1030,9 +1035,16 @@ object Dedup {
     resolved.write.mode("overwrite").parquet(s"$dir/labels_compact")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/labels"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/labels_compact"),
-      new org.apache.hadoop.fs.Path(s"$dir/labels"))
+    // rename signals most failures by RETURNING FALSE, not throwing —
+    // an unchecked false here (after the delete) would silently destroy
+    // the store. Fail loudly instead; labels_compact still holds the
+    // full resolved state for manual recovery.
+    require(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/labels"), true),
+      s"compactLabelStore: could not delete $dir/labels")
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/labels_compact"),
+        new org.apache.hadoop.fs.Path(s"$dir/labels")),
+      s"compactLabelStore: rename of $dir/labels_compact failed — " +
+        s"resolved labels preserved there; restore manually")
     spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], remapSchema)
       .write.mode("overwrite").parquet(s"$dir/remap")

@@ -40,18 +40,27 @@ object EventStreams {
     * a nanosecond long needing DIV 1000 — and plain TIMESTAMP(MICROS),
     * which must pass through untouched; assuming either unit corrupts
     * the other by ×1000). Batch reads get the same treatment in
-    * [[graft.Tables.normalizeEvents]]. The probe means construction
-    * requires at least one landed file; for a stream over a
-    * not-yet-populated landing dir, seed it with an empty file of the
-    * intended unit first.
+    * [[graft.Tables.normalizeEvents]]. The probe needs at least one
+    * landed file; for a stream over a not-yet-populated landing dir
+    * pass `tsType` explicitly (LongType for nanos files,
+    * TimestampNTZType or TimestampType for micros) — construction then
+    * never touches the directory.
     */
   def readEvents(spark: SparkSession, path: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      tsType: Option[org.apache.spark.sql.types.DataType] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file's own ts mapping: LongType for TIMESTAMP(NANOS) files
     // (via nanosAsLong), TimestampNTZType for TIMESTAMP(MICROS,
     // isAdjustedToUTC=false) — request exactly it, then normalize
-    val fileTsType = spark.read.parquet(path).schema("ts").dataType
+    val fileTsType = tsType.getOrElse {
+      try spark.read.parquet(path).schema("ts").dataType
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"readEvents: cannot probe the ts unit of $path (no files yet?) — " +
+            s"pass tsType explicitly for an empty landing dir", e)
+      }
+    }
     val r = spark.readStream.schema(eventsFileSchema(fileTsType))
     val r2 = maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
     val raw = r2.parquet(path)

@@ -287,11 +287,11 @@ class CurationSpec extends SparkSpec {
     val docs = Tables(spark, sf, "documents")
       .select($"source", explode(split($"text", " ")).as("token"))
     val bulk = Curation.cmSketch(docs, "token")
-      .as[(Int, Int, Long)].collect().toSet
+      .cells.as[(Int, Int, Long)].collect().toSet
     // one partial sketch per source, merged by union + re-sum
     val sources = docs.select($"source").distinct().as[String].collect()
     val merged = sources.map(s =>
-        Curation.cmSketch(docs.filter($"source" === s), "token"))
+        Curation.cmSketch(docs.filter($"source" === s), "token").cells)
       .reduce(_ unionByName _)
       .groupBy($"r", $"c").agg(sum($"n").as("n"))
       .as[(Int, Int, Long)].collect().toSet
