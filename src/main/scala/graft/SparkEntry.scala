@@ -1433,6 +1433,15 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // ExactSubstr dup-span REMOVAL — the action behind q90's stats: cut
+    // every token covered by an 8-gram that appears in more than one
+    // document (the q50 prefix-dup clusters lose their shared prefixes;
+    // unique tails survive), rebuild the cleaned text in order.
+    "q135_strip_dup_spans" -> ((s, dir) => {
+      Curation.stripDupSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 8, maxDf = 1)
+    }),
+
     // MULTI-PROBE LSH ANN: q56's tables with each query also visiting
     // every Hamming-1 bucket — recall toward more-tables without
     // touching the corpus side (corpus bucketed once; the broadcast
@@ -2665,6 +2674,33 @@ object SparkEntry {
          |WHERE ((id_a % 10 = 0) <> (id_b % 10 = 0)
          |        AND id_a % 10 <> 5 AND id_b % 10 <> 5)
          |   OR ((id_a % 10 = 5) <> (id_b % 10 = 5))""".stripMargin,
+    // dup-span mirror: same 8-gram df, same coverage expansion, same
+    // ordered rebuild
+    "q135_strip_dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |toks AS (SELECT doc_id, s.pos, s.tok FROM (
+        |    SELECT doc_id, unnest([{'pos': i-1, 'tok': w.w[i]}
+        |                           FOR i IN range(1, len(w.w)+1)]) AS s FROM w) t),
+        |grams AS (SELECT doc_id, g.gpos, g.gram FROM (
+        |    SELECT doc_id,
+        |      unnest([{'gpos': i-1,
+        |               'gram': array_to_string(list_slice(w.w, i, i+7), ' ')}
+        |              FOR i IN range(1, greatest(len(w.w)-7, 0)+1)]) AS g FROM w) t),
+        |dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM grams) d
+        |        GROUP BY gram HAVING count(*) > 1),
+        |covered AS (SELECT DISTINCT doc_id, gpos + k.k AS pos
+        |            FROM grams JOIN dup USING (gram)
+        |            CROSS JOIN (SELECT unnest(range(8)) AS k) k),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+        |         WHERE NOT EXISTS (SELECT 1 FROM covered c
+        |                           WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+        |reb AS (SELECT doc_id, count(*) AS n_kept,
+        |          string_agg(tok, ' ' ORDER BY pos) AS cleaned
+        |        FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(reb.cleaned, '') AS cleaned
+        |FROM w LEFT JOIN reb ON reb.doc_id = w.doc_id""".stripMargin,
     // count-min mirror: identical md5 row-hashes, cells, and min-over-
     // rows estimate
     "q132_countmin_tokens" -> {

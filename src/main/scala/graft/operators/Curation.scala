@@ -399,6 +399,51 @@ object Curation {
       seedTag: String = "wsmp:"): DataFrame =
     df.filter(md5Micro(seedTag, col(idCol)) < weightMicro)
 
+  /** ExactSubstr-style dup-span REMOVAL (the action behind
+    * [[dupNgramStats]]'s fractions — Lee et al.'s "train on text with
+    * the duplicated spans cut out"): a token is removed iff some `n`-gram
+    * window containing it occurs in MORE THAN `maxDf` distinct documents
+    * (cross-doc boilerplate; within-doc repetition alone never triggers).
+    * Returns (idCol, n_tokens, n_kept, cleaned) with `cleaned` the
+    * surviving tokens in original order ('' when everything was
+    * boilerplate).
+    *
+    * Scale shape: one shuffle builds the n-gram document frequencies
+    * (distinct (doc, gram) → count per gram); dup-gram starts come back
+    * via a semi join on the gram; coverage expansion and the keep-filter
+    * are per-document; the rebuild is one ordered aggregation keyed by
+    * doc. The gram df relation is the only corpus-wide state.
+    */
+  def stripDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, maxDf: Int = 1): DataFrame = {
+    require(n >= 1 && maxDf >= 1, s"need n >= 1, maxDf >= 1; got $n/$maxDf")
+    val toks = docs.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val grams = docs.select(col(idCol),
+      posexplode(graft.functions.TextAnalysis.wordNGrams(col(textCol), n))
+        .as(Seq("gpos", "gram")))
+    val dupGrams = grams.select(col(idCol), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("gram"))
+    val covered = grams.join(dupGrams, Seq("gram"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("cleaned"))
+    docs.select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** A count-min sketch: the (row, col, count) cell relation plus the
     * (depth, width) that SHAPED it — traveling together so an estimate
     * can never silently hash with mismatched settings (the

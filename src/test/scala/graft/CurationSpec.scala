@@ -283,6 +283,27 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(half.size / n - 0.5) < 0.1)
   }
 
+  test("stripDupSpans: shared spans cut, unique tails survive, all-dup doc empties") {
+    val pre = "one two three four five six seven eight" // 8 shared tokens
+    val docs = Seq(
+      (1L, s"$pre alpha beta gamma delta"),
+      (2L, s"$pre epsilon zeta eta theta"),
+      (3L, "totally unique document with no shared eight gram anywhere"),
+      (4L, pre) // nothing but the boilerplate
+    ).toDF("doc_id", "text")
+    val got = Curation.stripDupSpans(docs, "doc_id", "text", n = 8, maxDf = 1)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((12L, 4L, "alpha beta gamma delta")))
+    assert(got(2L) == ((12L, 4L, "epsilon zeta eta theta")))
+    assert(got(3L) == ((9L, 9L, "totally unique document with no shared eight gram anywhere")))
+    assert(got(4L) == ((8L, 0L, "")))
+    // n_kept always equals the cleaned token count
+    got.values.foreach { case (_, k, c) =>
+      assert(k == (if (c.isEmpty) 0 else c.split(" ").length))
+    }
+  }
+
   test("cmSketch: partial merges ≡ bulk; estimates dominate true counts") {
     val docs = Tables(spark, sf, "documents")
       .select($"source", explode(split($"text", " ")).as("token"))
