@@ -1433,6 +1433,42 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // SimHash-gated streaming ingest — the FOURTH gate family (exact
+    // q110, membership q120, minhash near-dup q123, now simhash), and
+    // the one whose probe is LOSSLESS: pigeonhole banding makes each
+    // trigger's gate EQUAL the exact hamming filter, so the two-stage
+    // admission oracle carries no recall caveat.
+    "q136_simhash_stream_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val base = scratchDir("graft_simhash_stream", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      val idxDir = s"$base/idx$run"
+      Dedup.saveSimHashIndex(
+        Dedup.buildSimHashIndex(corpus, "doc_id", "text", maxHamming = 6),
+        idxDir)
+      val q = graft.streaming.DocumentStreams.simhashIngest(s,
+        landing.toString, idxDir, s"$base/out$run", s"$base/ckpt$run",
+        maxFilesPerTrigger = Some(1))
+      for ((m, i) <- Seq(0, 10).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        docs.filter(col("doc_id") % 20 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      s.read.schema(graft.streaming.DocumentStreams.documentsFileSchema)
+        .parquet(s"$base/out$run")
+        .select(col("doc_id"))
+    }),
+
     // ExactSubstr dup-span REMOVAL — the action behind q90's stats: cut
     // every token covered by an 8-gram that appears in more than one
     // document (the q50 prefix-dup clusters lose their shared prefixes;
@@ -2833,6 +2869,22 @@ object SparkEntry {
     // two-trigger admission order
     "q123_band_stream_ingest" ->
       s"""WITH pairs AS (SELECT id_a, id_b FROM ($minhashOracleSql) p),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |        UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+         |adm1 AS (SELECT doc_id FROM documents d WHERE doc_id % 20 = 0
+         |  AND NOT EXISTS (SELECT 1 FROM sym
+         |                  WHERE sym.a = d.doc_id AND sym.b % 10 <> 0)),
+         |adm2 AS (SELECT doc_id FROM documents d WHERE doc_id % 20 = 10
+         |  AND NOT EXISTS (SELECT 1 FROM sym
+         |                  WHERE sym.a = d.doc_id
+         |                    AND (sym.b % 10 <> 0
+         |                         OR sym.b IN (SELECT doc_id FROM adm1))))
+         |SELECT doc_id FROM adm1 UNION ALL SELECT doc_id FROM adm2""".stripMargin,
+    // the lossless simhash gate: a drop doc is admitted iff NO hamming-
+    // ≤-6 pair links it to the corpus (drop 1) / corpus ∪ drop-1
+    // admissions (drop 2) — exact, no recall caveat
+    "q136_simhash_stream_ingest" ->
+      s"""WITH pairs AS (SELECT id_a, id_b FROM ($simhashOracleSql) p),
          |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
          |        UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
          |adm1 AS (SELECT doc_id FROM documents d WHERE doc_id % 20 = 0

@@ -280,6 +280,44 @@ object DocumentStreams {
       .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
   }
 
+  /** SimHash-gated ingest — [[bandIngest]]'s twin on the SIMHASH index,
+    * and the one gate whose probe is LOSSLESS (pigeonhole banding ⇒
+    * probe ≡ exact cross-side hamming filter), so its oracle carries no
+    * recall caveat at all. Same replay-idempotent construction: the
+    * stored corpus index is immutable, earlier drops re-band from
+    * committed partitions (own partition excluded), admitted rows land
+    * per batch_id.
+    */
+  def simhashIngest(spark: SparkSession, landingDir: String, idxDir: String,
+      outPath: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readDocuments(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        simhashIngestBatch(spark, idxDir, outPath)(batch.toDF(), batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One [[simhashIngest]] trigger, exposed for the replay spec. */
+  def simhashIngestBatch(spark: SparkSession, idxDir: String,
+      outPath: String)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.Dedup
+    val stored = Dedup.loadSimHashIndex(spark, idxDir)
+    val parts = committedParts(spark, outPath, batchId)
+    val index =
+      if (parts.isEmpty) stored
+      else stored.copy(banded = stored.banded.unionByName(
+        Dedup.buildSimHashIndex(
+          spark.read.parquet(parts: _*).select(col("doc_id"), col("text")),
+          "doc_id", "text", stored.maxHamming).banded))
+    val pairs = Dedup.simHashProbe(index, batch, "doc_id", "text")
+    val dupIds = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+    batch.join(dupIds, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+  }
+
   /** Incremental corpus STATISTICS — the stats sibling of the three
     * ingest gates: each micro-batch reduces to its per-(lang, bucket)
     * log-histogram sketch rows ([[graft.operators.Curation.logHistSketch]]

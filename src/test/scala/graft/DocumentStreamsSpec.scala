@@ -170,6 +170,72 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(filterAfterReplay == before, "replay must leave the filter unchanged")
   }
 
+  test("simhash ingest: lossless gate vs corpus and earlier drops; replay-idempotent") {
+    import graft.operators.Dedup
+    def mkDocs(rows: Seq[(Long, String)]) =
+      rows.map { case (id, tx) => (id, tx, "en", "syn", tx.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def body(i: Int) = s"steady corpus prose item $i about engines pipelines " +
+      s"and shuffles with plenty of stable shared filler vocabulary $i"
+    val corpus = mkDocs((0 until 25).map(i => (i.toLong, body(i))))
+    // drop0: 4 fresh + 2 exact copies of corpus texts (hamming 0)
+    val drop0 = mkDocs(
+      (100 until 104).map(i => (i.toLong, s"wholly new drop zero material $i with vocabulary disjoint from production $i")) ++
+      (0 until 2).map(i => (1000L + i, body(i))))
+    // drop1: 3 fresh + 1 exact copy of a DROP0 fresh text + 1 of corpus
+    val drop1 = mkDocs(
+      (200 until 203).map(i => (i.toLong, s"later second drop contribution $i carrying its own token stream $i")) ++
+      Seq((2000L, s"wholly new drop zero material 101 with vocabulary disjoint from production 101"),
+          (3000L, body(5))))
+    val base = java.nio.file.Files.createTempDirectory("simhash_ingest").toString
+    val landing = s"$base/landing"; new java.io.File(landing).mkdirs()
+    val idxDir = s"$base/idx"; val outPath = s"$base/out"
+    Dedup.saveSimHashIndex(
+      Dedup.buildSimHashIndex(corpus, "doc_id", "text", maxHamming = 6), idxDir)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(s"$landing/$name.parquet"))
+    }
+    val q = DocumentStreams.simhashIngest(spark, landing, idxDir, outPath,
+      s"$base/ckpt", maxFilesPerTrigger = Some(1))
+    land(drop0, "drop_00"); q.processAllAvailable()
+    land(drop1, "drop_01"); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outPath).select($"doc_id").as[Long].collect().toSet
+    // exact copies of corpus (1000, 1001, 3000) and of drop0's admitted
+    // 101 (2000) rejected; fresh docs admitted
+    assert(got.contains(100L) && got.contains(200L))
+    assert(!got.contains(1000L) && !got.contains(1001L) &&
+      !got.contains(2000L) && !got.contains(3000L))
+    // batch twin: same two-stage gate computed directly
+    val stored = Dedup.loadSimHashIndex(spark, idxDir)
+    def gate(idx: Dedup.SimHashIndex, batch: org.apache.spark.sql.DataFrame) = {
+      val pairs = Dedup.simHashProbe(idx, batch, "doc_id", "text")
+      val dup = pairs.select($"id_a".as("doc_id"))
+        .unionByName(pairs.select($"id_b".as("doc_id"))).distinct()
+      batch.join(dup, Seq("doc_id"), "left_anti")
+    }
+    val adm1 = gate(stored, drop0)
+    val idx2 = stored.copy(banded = stored.banded.unionByName(
+      Dedup.buildSimHashIndex(adm1.select($"doc_id", $"text"),
+        "doc_id", "text", stored.maxHamming).banded))
+    val expect = adm1.select($"doc_id")
+      .unionByName(gate(idx2, drop1).select($"doc_id"))
+      .as[Long].collect().toSet
+    assert(got == expect)
+    // at-least-once replay of committed batch 1
+    val b1 = spark.read.parquet(s"$outPath/batch_id=1")
+      .select($"doc_id").as[Long].collect().toSet
+    DocumentStreams.simhashIngestBatch(spark, idxDir, outPath)(drop1, 1L)
+    val b1After = spark.read.parquet(s"$outPath/batch_id=1")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(b1After == b1 && b1.nonEmpty)
+  }
+
   test("sketch ingest: merged streamed partitions ≡ bulk sketch; replay overwrites identically") {
     import graft.operators.Curation
     val docs = Tables(spark, sf, "documents")
