@@ -1433,6 +1433,23 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // Token-BUDGET mixture draw: from each source take documents in
+    // md5-hash order until the source's 800-token budget fills — the
+    // reproducible "draw N tokens per source" primitive behind mixture
+    // construction (q92's weights decide budgets; this row executes a
+    // draw). One window per source, no global sort.
+    "q137_token_budget_mix" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("h").asc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+        .withColumn("h", Curation.md5Micro("mix:", col("doc_id")))
+        .withColumn("cum_tok", sum(col("tok")).over(w))
+        .filter(col("cum_tok") <= 800)
+        .select(col("doc_id"), col("source"), col("tok"), col("cum_tok"))
+    }),
+
     // SimHash-gated streaming ingest — the FOURTH gate family (exact
     // q110, membership q120, minhash near-dup q123, now simhash), and
     // the one whose probe is LOSSLESS: pigeonhole banding makes each
@@ -2710,6 +2727,20 @@ object SparkEntry {
          |WHERE ((id_a % 10 = 0) <> (id_b % 10 = 0)
          |        AND id_a % 10 <> 5 AND id_b % 10 <> 5)
          |   OR ((id_a % 10 = 5) <> (id_b % 10 = 5))""".stripMargin,
+    // budget-draw mirror: same md5 order, same running token sum
+    "q137_token_budget_mix" -> {
+      val h = hexToLongSql("md5('mix:' || CAST(doc_id AS VARCHAR))", 1, 15)
+      s"""WITH d AS (SELECT doc_id, source,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+         |             CAST($h AS BIGINT) % 1000000 AS h
+         |           FROM documents),
+         |c AS (SELECT doc_id, source, tok,
+         |        CAST(sum(tok) OVER (PARTITION BY source
+         |          ORDER BY h ASC, doc_id ASC
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+         |      FROM d)
+         |SELECT doc_id, source, tok, cum_tok FROM c WHERE cum_tok <= 800""".stripMargin
+    },
     // dup-span mirror: same 8-gram df, same coverage expansion, same
     // ordered rebuild
     "q135_strip_dup_spans" ->
