@@ -52,7 +52,9 @@ object PlanDump {
       "q127_good_turing", "q128_weighted_sample",
       "q129_pq_filtered_topk", "q130_sketch_stream",
       "q131_incremental_components", "q132_countmin_tokens",
-      "q133_media_neardup", "q134_ann_lsh_multiprobe")
+      "q133_media_neardup", "q134_ann_lsh_multiprobe",
+      "q135_strip_dup_spans", "q136_simhash_stream_ingest",
+      "q137_token_budget_mix")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))
