@@ -1433,6 +1433,29 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // Robust per-source OUTLIER gate: flag documents whose token count
+    // sits more than 2 MADs from the source median (the
+    // median/MAD filter that survives the heavy tails a mean/stddev
+    // gate is wrecked by). Interpolating percentile parity with DuckDB
+    // is the q98-proven surface; the comparison stays in exact
+    // integer-vs-double space (|x − med| vs 2·mad to avoid
+    // engine-specific double literals).
+    "q138_robust_outliers" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      val med = docs.groupBy(col("source"))
+        .agg(percentile(col("tok"), lit(0.5)).as("med"))
+      val mad = docs.join(med, "source")
+        .groupBy(col("source"))
+        .agg(percentile(abs(col("tok") - col("med")), lit(0.5)).as("mad"),
+          first(col("med")).as("med"))
+      docs.join(mad, "source")
+        .filter(abs(col("tok") - col("med")) > lit(2) * col("mad"))
+        .select(col("doc_id"), col("source"), col("tok"),
+          col("med"), col("mad"))
+    }),
+
     // Token-BUDGET mixture draw: from each source take documents in
     // md5-hash order until the source's 800-token budget fills — the
     // reproducible "draw N tokens per source" primitive behind mixture
@@ -2727,6 +2750,21 @@ object SparkEntry {
          |WHERE ((id_a % 10 = 0) <> (id_b % 10 = 0)
          |        AND id_a % 10 <> 5 AND id_b % 10 <> 5)
          |   OR ((id_a % 10 = 5) <> (id_b % 10 = 5))""".stripMargin,
+    // robust-outlier mirror: same interpolating medians, same MAD, same
+    // 3-MAD cut
+    "q138_robust_outliers" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |           FROM documents),
+        |med AS (SELECT source, quantile_cont(tok, 0.5) AS med FROM d GROUP BY source),
+        |mad AS (SELECT d.source,
+        |          quantile_cont(abs(d.tok - med.med), 0.5) AS mad,
+        |          any_value(med.med) AS med
+        |        FROM d JOIN med ON med.source = d.source
+        |        GROUP BY d.source)
+        |SELECT d.doc_id, d.source, d.tok, mad.med, mad.mad
+        |FROM d JOIN mad ON mad.source = d.source
+        |WHERE abs(d.tok - mad.med) > 2 * mad.mad""".stripMargin,
     // budget-draw mirror: same md5 order, same running token sum
     "q137_token_budget_mix" -> {
       val h = hexToLongSql("md5('mix:' || CAST(doc_id AS VARCHAR))", 1, 15)
