@@ -54,7 +54,7 @@ object PlanDump {
       "q131_incremental_components", "q132_countmin_tokens",
       "q133_media_neardup", "q134_ann_lsh_multiprobe",
       "q135_strip_dup_spans", "q136_simhash_stream_ingest",
-      "q137_token_budget_mix")
+      "q137_token_budget_mix", "q138_robust_outliers")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))

@@ -178,4 +178,17 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"), "corpus must never shuffle for a join")
     assert(!s.contains("CartesianProduct"))
   }
+
+  test("q124: BM25 joins broadcast the query side; postings never sort-merge") {
+    val s = formatted("q124_bm25_topk")
+    // qterms/df/stats all ride broadcast joins onto the postings scan;
+    // the only exchanges are the postings build and the (qid, doc) agg
+    assert(s.contains("BroadcastHashJoin"),
+      "query-side joins must broadcast")
+    assert(!s.contains("SortMergeJoin"),
+      "the postings table must never sort-merge against the tiny sides")
+    // partial+final aggregation around the postings exchange
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "aggregates must be partial+final")
+  }
 }
