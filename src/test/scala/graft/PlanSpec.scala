@@ -145,20 +145,28 @@ class PlanSpec extends SparkSpec {
     // A future addition that silently reintroduces an all-pairs
     // default fails here, not on the 100 TB run.
     val exempt = Set("q54_ann_brute_topk", "q55_embedding_neardup")
-    // q47/q124 are exempt from the nested-loop check ONLY: their
+    // q47/q124/q139 are allowed AT MOST ONE nested-loop join: their
     // crossJoin side is a SINGLE-ROW global aggregate (the
-    // scalar-subquery shape — q124 broadcasts its one-row (N, T) corpus
-    // stats into the score expression) — the nested loop is O(n·1),
-    // linear, not an all-pairs plan
-    val bnljOk = Set("q47_scalar_subquery", "q124_bm25_topk")
+    // scalar-subquery shape — the BM25 rows broadcast their one-row
+    // (N, T) corpus stats into the score expression) — that nested loop
+    // is O(n·1), linear, not an all-pairs plan. The cap (rather than a
+    // blanket exemption) means a future regression that adds a GENUINE
+    // all-pairs nested loop to one of these plans still fails here.
+    val bnljOneOk = Set("q47_scalar_subquery", "q124_bm25_topk",
+      "q139_bm25_index_serve")
+    // each physical instance appears exactly once as a "(NN) Broadcast-
+    // NestedLoopJoin" detail header in formatted mode (tree lines
+    // repeat the name without the id)
+    val bnljInstance = "\\(\\d+\\) BroadcastNestedLoopJoin".r
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exempt)
       .flatMap { q =>
         val s = formatted(q)
+        val bnljN = bnljInstance.findAllIn(s).size
         Seq(
           if (s.contains("CartesianProduct")) Some(s"$q: CartesianProduct") else None,
-          if (s.contains("BroadcastNestedLoopJoin") && !bnljOk(q))
-            Some(s"$q: BroadcastNestedLoopJoin") else None,
+          if (bnljN > (if (bnljOneOk(q)) 1 else 0))
+            Some(s"$q: $bnljN BroadcastNestedLoopJoin") else None,
           if (s.contains("tile_i")) Some(s"$q: tile_i grid") else None
         ).flatten
       }

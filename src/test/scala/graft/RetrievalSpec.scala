@@ -77,4 +77,93 @@ class RetrievalSpec extends SparkSpec {
       .as[(Long, Long, Long, Int)].collect().toSet
     assert(base == shuffled)
   }
+
+  // ------------------------------------------------------------------
+  // Persisted postings lifecycle (the sixth stored-index family)
+  // ------------------------------------------------------------------
+
+  private def tmpIdx(tag: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft_postings_spec_$tag").toFile
+    d.deleteOnExit()
+    d.getPath
+  }
+
+  private val bigCorpus = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  private val bigQueries = bigCorpus.filter(col("doc_id") % 50 === 7)
+    .select(col("doc_id").as("qid"),
+      array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+
+  test("K appends equal the bulk build: stored-index serve matches in-flight bm25TopK") {
+    val dir = tmpIdx("appends")
+    // bulk on ~1/3, then two appends — index corpus = whole table
+    Retrieval.savePostingsIndex(
+      Retrieval.buildPostingsIndex(bigCorpus.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text"), dir)
+    Retrieval.appendPostingsIndex(spark, dir,
+      bigCorpus.filter(col("doc_id") % 3 === 1), "doc_id", "text")
+    Retrieval.appendPostingsIndex(spark, dir,
+      bigCorpus.filter(col("doc_id") % 3 === 2), "doc_id", "text")
+    val served = Retrieval.bm25SearchIndex(bigQueries,
+        Retrieval.loadPostingsIndex(spark, dir), "qid", "qterms", k = 5)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val inflight = Retrieval.bm25TopK(bigCorpus, bigQueries, "doc_id", "text",
+        "qid", "qterms", k = 5)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(served == inflight)
+    assert(served.nonEmpty)
+  }
+
+  test("append writes new files only and extends the stats additively") {
+    val dir = tmpIdx("mtime")
+    Retrieval.savePostingsIndex(
+      Retrieval.buildPostingsIndex(bigCorpus.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text"), dir)
+    val before = parquetStamps(s"$dir/postings", s"$dir/stats")
+    Thread.sleep(1100) // mtime granularity
+    Retrieval.appendPostingsIndex(spark, dir,
+      bigCorpus.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+    val after = parquetStamps(s"$dir/postings", s"$dir/stats")
+    assert(before.keySet.subsetOf(after.keySet), "append must not delete files")
+    before.foreach { case (p, m) =>
+      assert(after(p) == m, s"append rewrote pre-existing file $p")
+    }
+    assert(after.size > before.size, "append must add new files")
+    // stats deltas sum to the whole corpus
+    val live = Retrieval.loadPostingsIndex(spark, dir).stats
+      .agg(sum(col("n")), sum(col("t"))).as[(Long, Long)].head()
+    val whole = bigCorpus.select(count(lit(1)),
+        sum(size(split(col("text"), " ")).cast("long")))
+      .as[(Long, Long)].head()
+    assert(live == whole)
+  }
+
+  test("serve runs zero postings-build jobs and prunes the scan to query-term buckets") {
+    val dir = tmpIdx("serve")
+    Retrieval.savePostingsIndex(
+      Retrieval.buildPostingsIndex(bigCorpus, "doc_id", "text"), dir)
+    val idx = Retrieval.loadPostingsIndex(spark, dir)
+    val oneQ = bigQueries.limit(1).cache()
+    oneQ.count() // materialize so construction-time jobs are query-side only
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val served = Retrieval.bm25SearchIndex(oneQ, idx, "qid", "qterms", k = 5)
+    // construction ran exactly the bounded query-side actions (bucket
+    // collect) — never a corpus tokenize (which would be a multi-job
+    // shuffle of the token stream at ~1 job per action here)
+    val constructionJobs =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - before
+    assert(constructionJobs <= 2,
+      s"serve construction ran $constructionJobs jobs — postings rebuild?")
+    // the bucket filter reaches the postings scan as partition pruning
+    // (the stats scan is unpartitioned, so match the bucket filter
+    // itself rather than "some scan has no PartitionFilters")
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("/postings"), s"postings scan missing:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"bucket partition filter missing on postings scan:\n$plan")
+    assert(served.count() > 0)
+    oneQ.unpersist()
+  }
 }
