@@ -1607,6 +1607,51 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("component"))
     }),
 
+    // INCREMENTAL connected components run as a STREAM — q131's nightly
+    // lifecycle with the drops arriving through a real file-source
+    // query: the corpus seeds bulk labels + the band index ONCE; each
+    // drop's micro-batch probes the stored index (plus earlier drops'
+    // committed docs re-banded), folds its edges into cluster state by
+    // writing label/remap deltas to its OWN batch partitions
+    // (replay-idempotent: re-execution rewrites identical rows), and
+    // the final view resolves seed ∪ committed deltas. Same labels as
+    // q131's batch loop on the same drops — the q131 bulk-flood oracle
+    // checks exactly that.
+    "q140_label_stream_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+      val base = scratchDir("graft_label_stream", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      val store = s"$base/store$run"
+      val idxDir = s"$base/bands$run"
+      val cPairs = Dedup.minHashLshPairs(corpus, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      Dedup.saveLabelStore(
+        Dedup.connectedComponents(corpus.select(col("doc_id")), "doc_id",
+          cPairs), store)
+      Dedup.saveBandIndex(Dedup.buildBandIndex(corpus, "doc_id", "text"), idxDir)
+      val out = s"$base/out$run"
+      val q = graft.streaming.DocumentStreams.labelIngest(s,
+        landing.toString, idxDir, store, out, s"$base/ckpt$run",
+        maxFilesPerTrigger = Some(1))
+      for ((m, i) <- Seq(0, 5).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        docs.filter(col("doc_id") % 10 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      graft.streaming.DocumentStreams.resolvedStreamLabels(s, store, out)
+        .select(col("id").as("doc_id"), col("component"))
+    }),
+
     // Incremental statistics under the oracle: the corpus seeds one
     // sketch partition batch-side, two drops stream their own sketch
     // partitions, and the reported quantiles come from SUMMING the
@@ -2201,6 +2246,23 @@ object SparkEntry {
     // SQL): the piecewise edge sets cover the bulk pair set because LSH
     // banding is per-document
     "q131_incremental_components" ->
+      s"""WITH RECURSIVE mh AS (
+         |  SELECT id_a, id_b FROM ($minhashOracleSql) mhp
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mh
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM mh
+         |),
+         |r AS (
+         |  SELECT doc_id AS id, doc_id AS m FROM documents
+         |  UNION
+         |  SELECT e.dst AS id, r.m FROM r JOIN edges e ON e.src = r.id
+         |)
+         |SELECT id AS doc_id, min(m) AS component FROM r GROUP BY id""".stripMargin,
+    // the streaming lifecycle (q140) folds the same drops through the
+    // same min-id flood, so it answers the identical bulk SQL
+    "q140_label_stream_ingest" ->
       s"""WITH RECURSIVE mh AS (
          |  SELECT id_a, id_b FROM ($minhashOracleSql) mhp
          |),

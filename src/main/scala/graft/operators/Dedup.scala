@@ -970,7 +970,7 @@ object Dedup {
   // cluster state.
   // ------------------------------------------------------------------
 
-  private val remapSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[graft] val remapSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("old_label",
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("new_label",
@@ -995,9 +995,19 @@ object Dedup {
     * chains are short by construction; compact if they are not).
     */
   def resolveLabels(spark: org.apache.spark.sql.SparkSession,
-      dir: String, maxChain: Int = 64): DataFrame = {
-    val remap = spark.read.schema(remapSchema).parquet(s"$dir/remap")
-    var cur = spark.read.parquet(s"$dir/labels")
+      dir: String, maxChain: Int = 64): DataFrame =
+    resolveLabelChains(
+      spark.read.parquet(s"$dir/labels"),
+      spark.read.schema(remapSchema).parquet(s"$dir/remap"), maxChain)
+
+  /** The resolution engine behind [[resolveLabels]], over EXPLICIT
+    * (id, label) / (old_label, new_label) relations — also the view
+    * step of the streaming twin, whose labels and remaps live as
+    * per-batch sink partitions rather than store files.
+    */
+  def resolveLabelChains(labels: DataFrame, remap: DataFrame,
+      maxChain: Int = 64): DataFrame = {
+    var cur = labels
     var changed = true
     var i = 0
     while (changed && i < maxChain) {
@@ -1059,7 +1069,25 @@ object Dedup {
   def appendLabels(spark: org.apache.spark.sql.SparkSession, dir: String,
       batchIds: DataFrame, idCol: String, pairs: DataFrame): Unit = {
     val resolved = resolveLabels(spark, dir).cache()
-    try {
+    try incrementLabels(resolved, batchIds, idCol, pairs) { (lab, rem) =>
+      lab.write.mode("append").parquet(s"$dir/labels")
+      rem.write.mode("append").parquet(s"$dir/remap")
+    } finally { resolved.unpersist(); () }
+  }
+
+  /** Compute one batch's increment against an already-RESOLVED current
+    * view (`resolved` must be the (id, component) fixpoint — the caller
+    * should cache it): hands `write` the batch's (id, label) rows and
+    * the (old_label, new_label) merge remaps. A callback rather than a
+    * return value so the internal caches (contracted edges, component
+    * flood) outlive both writes. Deterministic in its inputs — the
+    * streaming twin relies on a re-executed batch writing identical
+    * rows.
+    */
+  def incrementLabels(resolved: DataFrame, batchIds: DataFrame,
+      idCol: String, pairs: DataFrame)(
+      write: (DataFrame, DataFrame) => Unit): Unit = {
+    {
       val ids = batchIds.select(col(idCol).as("id"))
       // contract endpoints: stored id → its component label; batch id →
       // itself (left joins leave batch ids unlabeled → coalesce)
@@ -1084,17 +1112,18 @@ object Dedup {
         val nodes = ids.unionByName(touched).distinct()
         val comp = connectedComponents(nodes, "id", e).cache()
         try {
-          // batch rows enter labels exactly once, with their final label
-          comp.join(ids, Seq("id"), "left_semi")
-            .select(col("id"), col("component").as("label"))
-            .write.mode("append").parquet(s"$dir/labels")
-          // merged old labels get a remap row (only where the label moved)
-          comp.join(ids, Seq("id"), "left_anti")
-            .filter(col("id") =!= col("component"))
-            .select(col("id").as("old_label"), col("component").as("new_label"))
-            .write.mode("append").parquet(s"$dir/remap")
+          // batch rows enter labels exactly once, with their final
+          // label; merged old labels get a remap row (only where the
+          // label moved)
+          write(
+            comp.join(ids, Seq("id"), "left_semi")
+              .select(col("id"), col("component").as("label")),
+            comp.join(ids, Seq("id"), "left_anti")
+              .filter(col("id") =!= col("component"))
+              .select(col("id").as("old_label"),
+                col("component").as("new_label")))
         } finally { comp.unpersist(); () }
       } finally { e.unpersist(); () }
-    } finally { resolved.unpersist(); () }
+    }
   }
 }

@@ -350,6 +350,106 @@ object DocumentStreams {
       .groupBy(col("lang"), col("bucket"))
       .agg(sum(col("n")).as("n"))
 
+  /** Read committed part files (possibly none) with an explicit schema —
+    * a batch partition whose write committed zero files, or a sink no
+    * batch has written yet, must read as EMPTY, not throw.
+    */
+  private def readParts(spark: SparkSession, parts: Seq[String],
+      schema: StructType): DataFrame =
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(parts: _*)
+
+  /** Long ids: the streaming twin binds to the documents table (doc_id);
+    * the batch-side store stays type-generic.
+    */
+  private val labelsSchema = StructType(Seq(
+    StructField("id", LongType), StructField("label", LongType)))
+
+  /** Incremental connected components run as a STREAM — the label-store
+    * twin of [[bandIngest]] (the r8 lifecycle q131 runs in batch): each
+    * micro-batch probes the STORED band index (corpus side, immutable
+    * during the run) plus bands re-derived from earlier drops' committed
+    * docs, adds its within-batch pairs, and folds the edges into cluster
+    * state via [[graft.operators.Dedup.incrementLabels]] — writing its
+    * (id, label) rows and label-merge remaps to its OWN `batch_id=N`
+    * partitions under `outPath/labels` and `outPath/remap` (plus its
+    * docs under `outPath/docs`, what later drops re-band against). The
+    * live (id, component) view at any time is [[resolvedStreamLabels]]:
+    * seed store ∪ committed deltas, chains followed to fixpoint —
+    * identical labels to the batch lifecycle folding the same drops in
+    * the same order, which is exactly what the q140 oracle checks.
+    *
+    * Replay idempotency (foreachBatch is at-least-once): every input to
+    * a batch's computation — stored index, seed labels, committed
+    * partitions EXCLUDING its own — is immutable during the run, and
+    * the contracted min-id flood is deterministic, so a re-executed
+    * batch overwrites its three partitions with identical rows (the
+    * replay spec asserts byte-level equality).
+    */
+  def labelIngest(spark: SparkSession, landingDir: String, idxDir: String,
+      storeDir: String, outPath: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readDocuments(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        labelIngestBatch(spark, idxDir, storeDir, outPath)(batch.toDF(), batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One [[labelIngest]] trigger, exposed for the replay spec. */
+  def labelIngestBatch(spark: SparkSession, idxDir: String,
+      storeDir: String, outPath: String)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.Dedup
+    val stored = Dedup.loadBandIndex(spark, idxDir)
+    val docParts = committedParts(spark, s"$outPath/docs", batchId)
+    val index =
+      if (docParts.isEmpty) stored
+      else {
+        val prior = Dedup.buildBandIndex(
+          spark.read.parquet(docParts: _*).select(col("doc_id"), col("text")),
+          "doc_id", "text",
+          stored.shingleSize, stored.numHashes, stored.rowsPerBand)
+        stored.copy(bands = stored.bands.unionByName(prior.bands),
+          sets = stored.sets.unionByName(prior.sets))
+      }
+    val labels = spark.read.parquet(s"$storeDir/labels").unionByName(
+      readParts(spark,
+        committedParts(spark, s"$outPath/labels", batchId), labelsSchema))
+    val remap = readParts(spark,
+      committedParts(spark, s"$outPath/remap", batchId), Dedup.remapSchema)
+    val resolved = Dedup.resolveLabelChains(labels, remap).cache()
+    try {
+      val pairs = Dedup.minHashLshPairs(batch, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+        .unionByName(Dedup.minHashLshProbe(index, batch, "doc_id", "text")
+          .select(col("id_a"), col("id_b")))
+      Dedup.incrementLabels(resolved, batch.select(col("doc_id")),
+          "doc_id", pairs) { (lab, rem) =>
+        lab.write.mode("overwrite").parquet(s"$outPath/labels/batch_id=$batchId")
+        rem.write.mode("overwrite").parquet(s"$outPath/remap/batch_id=$batchId")
+      }
+      batch.select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$outPath/docs/batch_id=$batchId")
+    } finally { resolved.unpersist(); () }
+  }
+
+  /** The stream's live (id, component) view: seed labels ∪ committed
+    * label deltas, remap chains followed to fixpoint.
+    */
+  def resolvedStreamLabels(spark: SparkSession, storeDir: String,
+      outPath: String): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.resolveLabelChains(
+      spark.read.parquet(s"$storeDir/labels").unionByName(
+        readParts(spark,
+          committedParts(spark, s"$outPath/labels", -1L), labelsSchema)),
+      readParts(spark,
+        committedParts(spark, s"$outPath/remap", -1L), Dedup.remapSchema))
+  }
+
   def probeBandIndex(spark: SparkSession, landingDir: String,
       index: graft.operators.Dedup.BandIndex, outPath: String,
       checkpointDir: String,

@@ -369,6 +369,72 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(!compacted.exists(p => p._1 == 9002L || p._2 == 9002L))
   }
 
+  test("label ingest stream equals the batch lifecycle and replays idempotently") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, sf, "documents")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0 && $"doc_id" % 10 =!= 5)
+    val drop1 = docs.filter($"doc_id" % 10 === 0)
+    val drop2 = docs.filter($"doc_id" % 10 === 5)
+    val base = java.nio.file.Files.createTempDirectory("label_stream").toString
+
+    def seed(store: String, idxDir: String): Unit = {
+      val cPairs = Dedup.minHashLshPairs(corpus, "doc_id", "text")
+        .select($"id_a", $"id_b")
+      Dedup.saveLabelStore(
+        Dedup.connectedComponents(corpus.select($"doc_id"), "doc_id",
+          cPairs), store)
+      Dedup.saveBandIndex(
+        Dedup.buildBandIndex(corpus, "doc_id", "text"), idxDir)
+    }
+
+    // streaming lifecycle: two drops folded through labelIngestBatch
+    val store = s"$base/store"; val idxDir = s"$base/bands"
+    val out = s"$base/out"
+    seed(store, idxDir)
+    DocumentStreams.labelIngestBatch(spark, idxDir, store, out)(drop1.toDF(), 0L)
+    DocumentStreams.labelIngestBatch(spark, idxDir, store, out)(drop2.toDF(), 1L)
+    val streamed = DocumentStreams.resolvedStreamLabels(spark, store, out)
+      .as[(Long, Long)].collect().toSet
+
+    // batch lifecycle (q131's loop) over a second store: same labels
+    val store2 = s"$base/store2"; val idx2 = s"$base/bands2"
+    seed(store2, idx2)
+    for (d <- Seq(drop1, drop2)) {
+      val pairs = Dedup.minHashLshPairs(d, "doc_id", "text")
+        .select($"id_a", $"id_b")
+        .unionByName(Dedup.minHashLshProbe(
+            Dedup.loadBandIndex(spark, idx2), d, "doc_id", "text")
+          .select($"id_a", $"id_b"))
+      Dedup.appendLabels(spark, store2, d.select($"doc_id"), "doc_id", pairs)
+      Dedup.appendBandIndex(spark, idx2, d, "doc_id", "text")
+    }
+    val batch = Dedup.resolveLabels(spark, store2)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.size.toLong == docs.count(),
+      "every document must carry exactly one resolved label")
+
+    // FULL at-least-once replay of committed batch 1: stored index, seed
+    // labels, and earlier committed partitions are unchanged, own
+    // partitions excluded from its inputs — the re-execution must
+    // rewrite identical label and remap deltas and leave the resolved
+    // view unchanged
+    val labBefore = spark.read.parquet(s"$out/labels/batch_id=1")
+      .as[(Long, Long)].collect().toSet
+    val remBefore = spark.read.schema(Dedup.remapSchema)
+      .parquet(s"$out/remap/batch_id=1").as[(Long, Long)].collect().toSet
+    DocumentStreams.labelIngestBatch(spark, idxDir, store, out)(drop2.toDF(), 1L)
+    val labAfter = spark.read.parquet(s"$out/labels/batch_id=1")
+      .as[(Long, Long)].collect().toSet
+    val remAfter = spark.read.schema(Dedup.remapSchema)
+      .parquet(s"$out/remap/batch_id=1").as[(Long, Long)].collect().toSet
+    assert(labAfter == labBefore && labBefore.nonEmpty)
+    assert(remAfter == remBefore)
+    val replayed = DocumentStreams.resolvedStreamLabels(spark, store, out)
+      .as[(Long, Long)].collect().toSet
+    assert(replayed == streamed)
+  }
+
   test("curateAvailableNow drains the landing dir and equals the batch twin") {
     val base = java.nio.file.Files.createTempDirectory("curate_an").toString
     val curated = DocumentStreams.curateAvailableNow(
