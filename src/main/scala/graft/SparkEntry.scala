@@ -1769,6 +1769,34 @@ object SparkEntry {
           (col("ts_sec") - col("start_sec")).as("offset_sec"))
     }),
 
+    // Interval × interval OVERLAP join (q126's two-sided sibling — the
+    // cross-doc span-merge shape): every error incident window
+    // [ts, ts+30m] paired with every same-user click session window
+    // [ts, ts+10m] it overlaps. Both sides tile; the responsibility-
+    // tile rule (keep the pair only in greatest(start_a, start_b)'s
+    // tile) makes each pair appear exactly once with NO distinct pass —
+    // still a plain equi-join on (user_id, tile), which PlanSpec's
+    // nested-loop guard requires.
+    "q141_interval_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_sec"), col("event_type"))
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"), col("user_id"),
+          col("ts_sec").as("inc_start"),
+          (col("ts_sec") + 1800L).as("inc_end"))
+      val sessions = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_sec").as("click_start"),
+          (col("ts_sec") + 600L).as("click_end"))
+      graft.operators.Intervals.intervalOverlap(incidents, sessions,
+          Seq("user_id"), "inc_start", "inc_end", "click_start", "click_end",
+          tileSec = 900L)
+        .select(col("incident_id"), col("click_id"),
+          (least(col("inc_end"), col("click_end")) -
+            greatest(col("inc_start"), col("click_start"))).as("overlap_sec"))
+    }),
+
     // Deterministic length-WEIGHTED sampling (token-budget subsampling:
     // inclusion probability ∝ token count, capped at 1) — q75's
     // stratified cousin with per-row weights; scan-linear, zero
@@ -2999,6 +3027,25 @@ object SparkEntry {
         |FROM ev e JOIN inc i
         |  ON e.user_id = i.user_id
         | AND e.ts_sec BETWEEN i.start_sec AND i.end_sec""".stripMargin,
+    // overlap mirror: the plain theta join the tiling is provably
+    // equivalent to (inclusive bounds both ends)
+    "q141_interval_overlap" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |              CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_type
+        |            FROM events),
+        |i AS (SELECT event_id AS incident_id, user_id,
+        |        ts_sec AS inc_start, ts_sec + 1800 AS inc_end
+        |      FROM ev WHERE event_type = 'error'),
+        |c AS (SELECT event_id AS click_id, user_id,
+        |        ts_sec AS click_start, ts_sec + 600 AS click_end
+        |      FROM ev WHERE event_type = 'click')
+        |SELECT i.incident_id, c.click_id,
+        |  least(i.inc_end, c.click_end) -
+        |    greatest(i.inc_start, c.click_start) AS overlap_sec
+        |FROM i JOIN c
+        |  ON c.user_id = i.user_id
+        | AND i.inc_start <= c.click_end
+        | AND c.click_start <= i.inc_end""".stripMargin,
     // sketch mirror: identical integer bucketing (binary-string length),
     // cumulative pick at rank ceil(q*N) in integer arithmetic, ceiling
     // estimate 2^bucket - 1; the '__all__' row merges the per-lang
