@@ -312,6 +312,25 @@ object Dedup {
     } finally { nSets.unpersist(); () }
   }
 
+  /** Nightly small-file compaction for a stored band index: rewrite the
+    * band-partitioned `bands` into one file per band (a repartition on
+    * the partition key lands each band in a single task) and `sets`
+    * into `setsFiles` files, via [[StoreFiles.swapIn]]'s guarded
+    * temp-swap. Probe results are unchanged — the relations are
+    * identical, only the file layout shrinks. Params are untouched.
+    */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, setsFiles: Int = 8): Unit = {
+    require(setsFiles >= 1, s"setsFiles must be >= 1, got $setsFiles")
+    StoreFiles.swapIn(spark, s"$dir/bands") { tmp =>
+      spark.read.parquet(s"$dir/bands").repartition(col("band"))
+        .write.partitionBy("band").parquet(tmp)
+    }
+    StoreFiles.swapIn(spark, s"$dir/sets") { tmp =>
+      spark.read.parquet(s"$dir/sets").coalesce(setsFiles).write.parquet(tmp)
+    }
+  }
+
   /** Probe a (possibly loaded) band index with a new batch: only the
     * batch is shingled and signed; candidates are cross-side bucket
     * collisions; verify is exact Jaccard over batch sets ∪ INDEXED sets.
@@ -492,6 +511,23 @@ object Dedup {
     val p = spark.read.parquet(s"$dir/params").head()
     bloomBuild(batch.select(col(keyCol)), col(keyCol), p.getLong(0), p.getInt(1))
       .write.mode("append").parquet(s"$dir/words")
+  }
+
+  /** Compaction for a stored Bloom filter: appends leave PARTIAL
+    * (word, bits) rows as new files ([[appendBloomIndex]]); compaction
+    * materializes the bit_or merge [[loadBloomIndex]] performs lazily,
+    * collapsing K appends' rows into one row per word in `targetFiles`
+    * files. Loads before and after are identical (OR is associative,
+    * commutative, idempotent).
+    */
+  def compactBloomIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, targetFiles: Int = 1): Unit = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    StoreFiles.swapIn(spark, s"$dir/words") { tmp =>
+      spark.read.parquet(s"$dir/words")
+        .groupBy(col("word")).agg(expr("bit_or(bits)").as("bits"))
+        .coalesce(targetFiles).write.parquet(tmp)
+    }
   }
 
   /** [[bloomGatedAntiJoin]] against a STORED filter: the bitmap loads
@@ -926,6 +962,17 @@ object Dedup {
     simHashBanded(simHash(batch, idCol, textCol), maxHamming)
       .write.mode("append").partitionBy("band").parquet(s"$dir/banded")
   }
+
+  /** Nightly small-file compaction for a stored SimHash index: one file
+    * per band partition, guarded temp-swap, probes unchanged — the
+    * [[compactBandIndex]] contract on the `banded` table.
+    */
+  def compactSimHashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    StoreFiles.swapIn(spark, s"$dir/banded") { tmp =>
+      spark.read.parquet(s"$dir/banded").repartition(col("band"))
+        .write.partitionBy("band").parquet(tmp)
+    }
 
   /** Probe a (possibly loaded) SimHash index with a new batch: only the
     * batch is fingerprinted; candidates are cross-side band-bucket

@@ -148,6 +148,25 @@ object Retrieval {
       spark.read.parquet(s"$dir/stats"),
       spark.read.parquet(s"$dir/params").head().getInt(0))
 
+  /** Nightly small-file compaction for a stored postings index: one
+    * file per bucket partition, and the K stats delta rows collapsed
+    * into their single-row sum, both via the guarded temp-swap
+    * ([[graft.operators.StoreFiles.swapIn]]). Serve results are
+    * unchanged — the relations are identical (stats totals are the sum
+    * either way); params are untouched.
+    */
+  def compactPostingsIndex(spark: SparkSession, dir: String): Unit = {
+    StoreFiles.swapIn(spark, s"$dir/postings") { tmp =>
+      spark.read.parquet(s"$dir/postings").repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(tmp)
+    }
+    StoreFiles.swapIn(spark, s"$dir/stats") { tmp =>
+      spark.read.parquet(s"$dir/stats")
+        .agg(sum(col("n")).as("n"), sum(col("t")).as("t"))
+        .coalesce(1).write.parquet(tmp)
+    }
+  }
+
   /** The shared scoring tail: `hit` is postings already restricted to
     * query terms — (token, doc_id, dl, tf); `qterms` is the exploded
     * (qid, token) query side; `stats` ONE row (n, t). df is counted over

@@ -534,6 +534,18 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
   }
 
+  /** Nightly small-file compaction for a stored IVF index: rewrite the
+    * cell-partitioned assignments into one file per cell through the
+    * guarded temp-swap ([[graft.operators.StoreFiles.swapIn]]); search
+    * results are unchanged, the centroids params table is untouched.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    StoreFiles.swapIn(spark, s"$dir/assignments") { tmp =>
+      spark.read.parquet(s"$dir/assignments").repartition(col("cell"))
+        .write.partitionBy("cell").parquet(tmp)
+    }
+
   // ------------------------------------------------------------------
   // Product quantization (PQ) — the memory side of billion-vector ANN
   // (Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
@@ -793,6 +805,17 @@ object Similarity {
         pqEncode(col("cv"), books).as("codes"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
+
+  /** Nightly small-file compaction for a stored PQ index: one file per
+    * cell partition of the codes table, guarded temp-swap, ADC results
+    * unchanged; the two params tables are untouched.
+    */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    StoreFiles.swapIn(spark, s"$dir/codes") { tmp =>
+      spark.read.parquet(s"$dir/codes").repartition(col("cell"))
+        .write.partitionBy("cell").parquet(tmp)
+    }
 
   /** Serve IVF-PQ top-k against a stored index — q116's ADC scan with
     * ZERO training jobs: queries rank cells against the loaded centroids

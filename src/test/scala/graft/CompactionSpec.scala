@@ -1,0 +1,146 @@
+package graft
+
+import graft.operators.{Dedup, Retrieval, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction for every append-only stored index family:
+  * appends are new-files-only by design, so a nightly loop accumulates
+  * files without bound; each `compact*Index` must rewrite the store
+  * into fewer files while leaving probe/serve results AND the params
+  * tables bit-identical. (The label store's own LSM merge is covered in
+  * DedupSpec; these are the r8-noted remaining families.)
+  */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, sf, "documents")
+  private lazy val emb = Tables(spark, sf, "embeddings")
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_compact_$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def files(dir: String): Int = parquetStamps(dir).size
+
+  /** Probe batch with ids disjoint from the corpus (index contract). */
+  private lazy val shifted = docs.filter($"doc_id" % 10 === 5)
+    .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+
+  test("compactBandIndex: probes identical, fewer files, params preserved") {
+    val dir = tmpDir("band")
+    Dedup.saveBandIndex(
+      Dedup.buildBandIndex(docs.filter($"doc_id" % 3 === 0), "doc_id", "text"), dir)
+    Dedup.appendBandIndex(spark, dir, docs.filter($"doc_id" % 3 === 1), "doc_id", "text")
+    Dedup.appendBandIndex(spark, dir, docs.filter($"doc_id" % 3 === 2), "doc_id", "text")
+    def probe = Dedup.minHashLshProbe(Dedup.loadBandIndex(spark, dir),
+        shifted, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val (before, filesBefore) = (probe, files(dir))
+    val params = spark.read.parquet(s"$dir/params").collect().toSeq
+    Dedup.compactBandIndex(spark, dir, setsFiles = 2)
+    assert(probe == before && before.nonEmpty)
+    assert(files(dir) < filesBefore, s"${files(dir)} !< $filesBefore")
+    assert(spark.read.parquet(s"$dir/params").collect().toSeq == params)
+  }
+
+  test("compactSimHashIndex: probes identical, fewer files, params preserved") {
+    val dir = tmpDir("simhash")
+    Dedup.saveSimHashIndex(
+      Dedup.buildSimHashIndex(docs.filter($"doc_id" % 3 === 0), "doc_id", "text"), dir)
+    Dedup.appendSimHashIndex(spark, dir, docs.filter($"doc_id" % 3 === 1), "doc_id", "text")
+    Dedup.appendSimHashIndex(spark, dir, docs.filter($"doc_id" % 3 === 2), "doc_id", "text")
+    def probe = Dedup.simHashProbe(Dedup.loadSimHashIndex(spark, dir),
+        shifted, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val (before, filesBefore) = (probe, files(dir))
+    val params = spark.read.parquet(s"$dir/params").collect().toSeq
+    Dedup.compactSimHashIndex(spark, dir)
+    assert(probe == before && before.nonEmpty)
+    assert(files(dir) < filesBefore, s"${files(dir)} !< $filesBefore")
+    assert(spark.read.parquet(s"$dir/params").collect().toSeq == params)
+  }
+
+  test("compactBloomIndex: merged bitmap identical, fewer files, params preserved") {
+    val dir = tmpDir("bloom")
+    val fp = graft.functions.TextAnalysis.fingerprint($"text")
+    def keys(m: Int) = docs.filter($"doc_id" % 3 === m).select(fp.as("fp"))
+    Dedup.saveBloomIndex(Dedup.buildBloomIndex(keys(0), "fp"), dir)
+    Dedup.appendBloomIndex(spark, dir, keys(1), "fp")
+    Dedup.appendBloomIndex(spark, dir, keys(2), "fp")
+    def loaded = {
+      val ix = Dedup.loadBloomIndex(spark, dir)
+      (ix.words.as[(Long, Long)].collect().toSet, ix.mBits, ix.kHashes)
+    }
+    val (before, filesBefore) = (loaded, files(dir))
+    Dedup.compactBloomIndex(spark, dir)
+    assert(loaded == before && before._1.nonEmpty)
+    assert(files(dir) < filesBefore, s"${files(dir)} !< $filesBefore")
+    // compaction materialized the lazy OR: one row per word on disk now
+    val disk = spark.read.parquet(s"$dir/words")
+    assert(disk.count() == disk.select($"word").distinct().count())
+  }
+
+  test("compactIvfIndex: served top-k identical, fewer files, centroids preserved") {
+    val dir = tmpDir("ivf")
+    Similarity.saveIvfIndex(
+      Similarity.buildIvfIndex(emb.filter($"vec_id" % 10 =!= 0),
+        "vec_id", "embedding"), dir)
+    Similarity.appendIvfIndex(spark, dir,
+      emb.filter($"vec_id" % 10 === 0), "vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    def served = Similarity.ivfSearchIndex(queries,
+        Similarity.loadIvfIndex(spark, dir), "vec_id", "embedding", 10)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val (before, filesBefore) = (served, files(dir))
+    val cents = spark.read.parquet(s"$dir/centroids").collect().toSeq
+    Similarity.compactIvfIndex(spark, dir)
+    assert(served == before && before.nonEmpty)
+    assert(files(dir) < filesBefore, s"${files(dir)} !< $filesBefore")
+    assert(spark.read.parquet(s"$dir/centroids").collect().toSeq == cents)
+  }
+
+  test("compactPqIndex: served top-k identical, fewer files, codebooks preserved") {
+    val dir = tmpDir("pq")
+    Similarity.savePqIndex(
+      Similarity.buildPqIndex(emb.filter($"vec_id" % 10 =!= 0),
+        "vec_id", "embedding"), dir)
+    Similarity.appendPqIndex(spark, dir,
+      emb.filter($"vec_id" % 10 === 0), "vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    def served = Similarity.pqSearchIndex(queries,
+        Similarity.loadPqIndex(spark, dir), "vec_id", "embedding", 10)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val (before, filesBefore) = (served, files(dir))
+    val books = spark.read.parquet(s"$dir/codebooks").collect().toSeq
+    Similarity.compactPqIndex(spark, dir)
+    assert(served == before && before.nonEmpty)
+    assert(files(dir) < filesBefore, s"${files(dir)} !< $filesBefore")
+    assert(spark.read.parquet(s"$dir/codebooks").collect().toSeq == books)
+  }
+
+  test("compactPostingsIndex: serve identical, fewer files, stats collapse to one row") {
+    val dir = tmpDir("postings")
+    Retrieval.savePostingsIndex(
+      Retrieval.buildPostingsIndex(docs.filter($"doc_id" % 3 === 0),
+        "doc_id", "text"), dir)
+    Retrieval.appendPostingsIndex(spark, dir,
+      docs.filter($"doc_id" % 3 === 1), "doc_id", "text")
+    Retrieval.appendPostingsIndex(spark, dir,
+      docs.filter($"doc_id" % 3 === 2), "doc_id", "text")
+    val queries = docs.filter($"doc_id" % 50 === 7)
+      .select($"doc_id".as("qid"),
+        array_distinct(slice(split($"text", " "), 1, 4)).as("qterms"))
+    def served = Retrieval.bm25SearchIndex(queries,
+        Retrieval.loadPostingsIndex(spark, dir), "qid", "qterms", k = 5)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val (before, filesBefore) = (served, files(dir))
+    val params = spark.read.parquet(s"$dir/params").collect().toSeq
+    Retrieval.compactPostingsIndex(spark, dir)
+    assert(served == before && before.nonEmpty)
+    assert(files(dir) < filesBefore, s"${files(dir)} !< $filesBefore")
+    assert(spark.read.parquet(s"$dir/params").collect().toSeq == params)
+    assert(spark.read.parquet(s"$dir/stats").count() == 1)
+  }
+}
