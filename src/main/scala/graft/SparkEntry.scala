@@ -1441,17 +1441,10 @@ object SparkEntry {
     // integer-vs-double space (|x − med| vs 2·mad to avoid
     // engine-specific double literals).
     "q138_robust_outliers" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
-      val med = docs.groupBy(col("source"))
-        .agg(percentile(col("tok"), lit(0.5)).as("med"))
-      val mad = docs.join(med, "source")
-        .groupBy(col("source"))
-        .agg(percentile(abs(col("tok") - col("med")), lit(0.5)).as("mad"),
-          first(col("med")).as("med"))
-      docs.join(mad, "source")
-        .filter(abs(col("tok") - col("med")) > lit(2) * col("mad"))
+      Curation.robustOutlierGate(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("tok")),
+          "source", "tok", nMads = 2)
         .select(col("doc_id"), col("source"), col("tok"),
           col("med"), col("mad"))
     }),
@@ -1462,14 +1455,10 @@ object SparkEntry {
     // construction (q92's weights decide budgets; this row executes a
     // draw). One window per source, no global sort.
     "q137_token_budget_mix" -> ((s, dir) => {
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("h").asc, col("doc_id").asc)
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
-        .withColumn("h", Curation.md5Micro("mix:", col("doc_id")))
-        .withColumn("cum_tok", sum(col("tok")).over(w))
-        .filter(col("cum_tok") <= 800)
+      Curation.tokenBudgetMix(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("tok")),
+          "doc_id", "source", "tok", budgetTokens = 800L)
         .select(col("doc_id"), col("source"), col("tok"), col("cum_tok"))
     }),
 
@@ -2899,7 +2888,7 @@ object SparkEntry {
          |        AND id_a % 10 <> 5 AND id_b % 10 <> 5)
          |   OR ((id_a % 10 = 5) <> (id_b % 10 = 5))""".stripMargin,
     // robust-outlier mirror: same interpolating medians, same MAD, same
-    // 3-MAD cut
+    // 2-MAD cut
     "q138_robust_outliers" ->
       """WITH d AS (SELECT doc_id, source,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok

@@ -399,6 +399,53 @@ object Curation {
       seedTag: String = "wsmp:"): DataFrame =
     df.filter(md5Micro(seedTag, col(idCol)) < weightMicro)
 
+  /** Token-BUDGET mixture draw: per `groupCol`, take rows in
+    * (md5-hash, id) order until the group's running `tokCol` sum
+    * exceeds `budgetTokens` — the reproducible "draw N tokens per
+    * source" primitive behind mixture construction (mixWeights decides
+    * budgets; this executes a draw). The hash order is a deterministic
+    * shuffle (pure function of the id), so the draw is engine- and
+    * partitioning-reproducible, and a re-run with a larger budget
+    * EXTENDS the smaller draw rather than resampling. Adds `cum_tok`
+    * (the running sum including the row). Scale shape: one ranking
+    * window per group, no global sort.
+    */
+  def tokenBudgetMix(df: DataFrame, idCol: String, groupCol: String,
+      tokCol: String, budgetTokens: Long,
+      seedTag: String = "mix:"): DataFrame = {
+    require(budgetTokens >= 1,
+      s"budgetTokens must be >= 1, got $budgetTokens")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    df.withColumn("__h", md5Micro(seedTag, col(idCol)))
+      .withColumn("cum_tok", sum(col(tokCol)).over(w))
+      .filter(col("cum_tok") <= budgetTokens)
+      .drop("__h")
+  }
+
+  /** Robust per-group OUTLIER gate: flag rows whose `valueCol` sits
+    * more than `nMads` MADs (median absolute deviations) from the
+    * group median — the median/MAD filter that survives the heavy
+    * tails a mean/stddev gate is wrecked by. Returns the flagged rows
+    * with `med` and `mad` attached. The comparison stays in
+    * |x − med| > n·mad space (exact-integer vs double product), no
+    * engine-specific double literals. Scale shape: two grouped
+    * percentile aggregations plus an equi-join on the group key —
+    * per-group state is O(1), no window over the corpus.
+    */
+  def robustOutlierGate(df: DataFrame, groupCol: String,
+      valueCol: String, nMads: Int = 2): DataFrame = {
+    require(nMads >= 1, s"nMads must be >= 1, got $nMads")
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+    val mad = df.join(med, groupCol)
+      .groupBy(col(groupCol))
+      .agg(percentile(abs(col(valueCol) - col("med")), lit(0.5)).as("mad"),
+        first(col("med")).as("med"))
+    df.join(mad, groupCol)
+      .filter(abs(col(valueCol) - col("med")) > lit(nMads) * col("mad"))
+  }
+
   /** ExactSubstr-style dup-span REMOVAL (the action behind
     * [[dupNgramStats]]'s fractions — Lee et al.'s "train on text with
     * the duplicated spans cut out"): a token is removed iff some `n`-gram

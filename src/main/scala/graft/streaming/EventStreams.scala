@@ -49,18 +49,32 @@ object EventStreams {
   def readEvents(spark: SparkSession, path: String,
       maxFilesPerTrigger: Option[Int] = None,
       tsType: Option[org.apache.spark.sql.types.DataType] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     // the file's own ts mapping: LongType for TIMESTAMP(NANOS) files
     // (via nanosAsLong), TimestampNTZType for TIMESTAMP(MICROS,
-    // isAdjustedToUTC=false) — request exactly it, then normalize
+    // isAdjustedToUTC=false) — request exactly it, then normalize.
+    // The probe needs nanosAsLong (a NANOS footer fails schema
+    // resolution without it), but the setting is SESSION-GLOBAL, so it
+    // is restored right after: a micros-era stream must not silently
+    // change how every later parquet read in the session surfaces
+    // NANOS columns.
     val fileTsType = tsType.getOrElse {
+      val prev = spark.conf.getOption(nanosKey)
+      spark.conf.set(nanosKey, "true")
       try spark.read.parquet(path).schema("ts").dataType
       catch { case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalArgumentException(
           s"readEvents: cannot probe the ts unit of $path (no files yet?) — " +
             s"pass tsType explicitly for an empty landing dir", e)
+      } finally prev match {
+        case Some(v) => spark.conf.set(nanosKey, v)
+        case None => spark.conf.unset(nanosKey)
       }
     }
+    // for NANOS files the STREAM itself needs the flag too — that set
+    // is lasting and deliberate (there is no per-read switch), and only
+    // happens when the landing dir actually holds nanos files
+    if (fileTsType == LongType) spark.conf.set(nanosKey, "true")
     val r = spark.readStream.schema(eventsFileSchema(fileTsType))
     val r2 = maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
     val raw = r2.parquet(path)

@@ -379,4 +379,59 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("tokenBudgetMix draws per-group hash-order prefixes within budget, extensibly") {
+    val rows = Seq(
+      (1L, "a", 30L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 30L),
+      (10L, "b", 50L), (11L, "b", 50L), (12L, "b", 500L))
+      .toDF("doc_id", "source", "tok")
+    val got = Curation.tokenBudgetMix(rows, "doc_id", "source", "tok", 100L)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._4)).toSet
+    // reference: same md5 order, driver-side
+    def draw(budget: Long): Set[(Long, String, Long)] = {
+      val byGroup = rows.as[(Long, String, Long)].collect()
+        .groupBy(_._2)
+      byGroup.toSeq.flatMap { case (_, rs) =>
+        val ordered = rs.toSeq.sortBy { case (id, _, _) =>
+          (java.lang.Long.parseLong(
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(s"mix:$id".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString.take(15), 16) % 1000000L, id)
+        }
+        ordered.scanLeft((0L, "", 0L, 0L)) { case ((_, _, _, cum), (id, s2, tk)) =>
+          (id, s2, tk, cum + tk)
+        }.drop(1).takeWhile(_._4 <= budget)
+          .map { case (id, s2, _, cum) => (id, s2, cum) }
+      }.toSet
+    }
+    assert(got == draw(100L) && got.nonEmpty)
+    // per-group budget: every group's kept sum is within budget
+    got.groupBy(_._2).foreach { case (_, ks) =>
+      assert(ks.map(_._3).max <= 100L)
+    }
+    // a larger budget EXTENDS the draw (prefix property), never resamples
+    val bigger = Curation.tokenBudgetMix(rows, "doc_id", "source", "tok", 160L)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._4)).toSet
+    assert(got.subsetOf(bigger) && bigger.size > got.size)
+  }
+
+  test("robustOutlierGate flags beyond n MADs of the group median, robust to the tail") {
+    // group g: values 10×100 and one 1000 — median 100, MAD 0: the
+    // outlier is flagged (|1000-100| > n·0) and the bulk is not
+    val g = (1L to 10L).map(i => (i, "g", 100L)) :+ (99L, "g", 1000L)
+    // group h: symmetric spread, MAD 10 — only ±>2 MADs flag
+    val h = Seq((201L, "h", 80L), (202L, "h", 90L), (203L, "h", 100L),
+      (204L, "h", 110L), (205L, "h", 120L), (206L, "h", 145L))
+    val df = (g ++ h).toDF("doc_id", "source", "tok")
+    val out = Curation.robustOutlierGate(df, "source", "tok", nMads = 2)
+      .select($"doc_id").as[Long].collect().toSet
+    // h: median 105, deviations (25,15,5,5,15,40) → mad 15; cut 30 → 145 flags (40)
+    assert(out == Set(99L, 206L))
+    // a 3-MAD gate keeps 206 (40 <= 45)
+    val strict = Curation.robustOutlierGate(df, "source", "tok", nMads = 3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(strict == Set(99L))
+  }
 }
