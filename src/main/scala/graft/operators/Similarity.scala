@@ -806,6 +806,45 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
 
+  /** Codebook-STALENESS metric: the exact-integer ADC reconstruction
+    * error of `df` under the STORED codebooks at `dir` — one row
+    * (n, sum_dist2, mean_dist2), where each vector's dist² is its
+    * self-ADC distance ([[adcDist2]] against its own [[pqEncode]]
+    * codes: Σ over subspaces of the exact integer distance to the
+    * chosen sub-centroid) and the mean is the floor integer division.
+    * All-BIGINT, so the report is engine- and partitioning-exact.
+    *
+    * [[appendPqIndex]] deliberately encodes drift batches with stored
+    * codebooks (correct — drift accumulates in quantizer FIT, never in
+    * the stored codes), but nothing else measures that fit decaying;
+    * this is the number an operator watches to decide when to retrain
+    * offline: flat across appends = in-distribution, rising = the
+    * codebooks no longer describe the incoming data.
+    */
+  def pqCodingError(spark: org.apache.spark.sql.SparkSession, dir: String,
+      df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val (_, books) = loadPqParams(spark, dir)
+    df.select(col(idCol).as("id"), quantize(col(vecCol)).as("cv"))
+      .select(adcDist2(col("cv"), pqEncode(col("cv"), books), books)
+        .as("dist2"))
+      .agg(count(lit(1)).as("n"), sum(col("dist2")).as("sum_dist2"))
+      .select(col("n"), col("sum_dist2"),
+        expr("sum_dist2 DIV n").as("mean_dist2"))
+  }
+
+  /** [[appendPqIndex]] plus one staleness-ledger row: the batch's
+    * [[pqCodingError]] appended as a new file of `dir/coding_error`
+    * (same new-files-only contract as the codes append) — the
+    * per-append relation a monitoring job reads to plot coding-error
+    * growth across appends.
+    */
+  def appendPqIndexReported(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    appendPqIndex(spark, dir, batch, idCol, vecCol)
+    pqCodingError(spark, dir, batch, idCol, vecCol)
+      .coalesce(1).write.mode("append").parquet(s"$dir/coding_error")
+  }
+
   /** Nightly small-file compaction for a stored PQ index: one file per
     * cell partition of the codes table, guarded temp-swap, ADC results
     * unchanged; the two params tables are untouched.

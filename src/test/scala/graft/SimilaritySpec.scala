@@ -467,4 +467,41 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(neighbor_id), LessThanOrEqual(neighbor_id,100)")
       || plan.contains("LessThanOrEqual(neighbor_id,100)"), plan.take(3000))
   }
+
+  test("pqCodingError: flat for in-distribution appends, rises for shifted batches") {
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batch = emb.filter($"vec_id" % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("pq_stale").toString
+    Similarity.savePqIndex(
+      Similarity.buildPqIndex(corpus, "vec_id", "embedding"), dir)
+    def err(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) =
+      Similarity.pqCodingError(spark, dir, df, "vec_id", "embedding")
+        .as[(Long, Long, Long)].head()
+    val base = err(corpus)
+    val inDist = err(batch)
+    // deterministic exact-integer report
+    assert(err(batch) == inDist)
+    assert(inDist._1 > 0 && base._3 > 0)
+    // in-distribution: same synthetic cloud, coding error stays in the
+    // corpus's own band
+    assert(inDist._3 < 2 * base._3,
+      s"in-distribution mean ${inDist._3} vs corpus ${base._3}")
+    // shifted distribution: every coordinate pushed far off the trained
+    // cloud — the metric must scream
+    val shifted = batch.withColumn("embedding",
+      expr("transform(embedding, x -> x * CAST(3.0 AS FLOAT) + CAST(2.0 AS FLOAT))"))
+    val drift = err(shifted)
+    assert(drift._3 > 4 * base._3,
+      s"shifted mean ${drift._3} not above 4x corpus ${base._3}")
+    // the reported append writes the ledger row without touching the
+    // metric's inputs: K reported appends = K rows, codes still serve
+    Similarity.appendPqIndexReported(spark, dir, batch, "vec_id", "embedding")
+    Similarity.appendPqIndexReported(spark, dir,
+      shifted.withColumn("vec_id", $"vec_id" + 1000000L), "vec_id", "embedding")
+    val ledger = spark.read.parquet(s"$dir/coding_error")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(ledger.size == 2)
+    assert(ledger.map(_._3).max > 4 * base._3 &&
+      ledger.map(_._3).min < 2 * base._3)
+  }
 }
