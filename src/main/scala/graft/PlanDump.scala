@@ -54,7 +54,12 @@ object PlanDump {
       "q131_incremental_components", "q132_countmin_tokens",
       "q133_media_neardup", "q134_ann_lsh_multiprobe",
       "q135_strip_dup_spans", "q136_simhash_stream_ingest",
-      "q137_token_budget_mix", "q138_robust_outliers")
+      "q137_token_budget_mix", "q138_robust_outliers",
+      "q139_bm25_index_serve", "q140_label_stream_ingest",
+      "q141_interval_overlap", "q142_bm25_stream_serve",
+      "q143_incremental_agg", "q144_kmv_source_overlap",
+      "q145_editdist_neardup", "q146_bigram_surprisal",
+      "q147_contamination_frac", "q148_agg_stream")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))

@@ -1736,6 +1736,175 @@ object SparkEntry {
         "qid", "qterms", k = 10)
     }),
 
+    // Streaming RETRIEVAL maintenance — q139's postings index kept live
+    // by a stream (the 5th stored family with a streaming twin): the
+    // corpus seeds the stored index batch-side, two drops stream in and
+    // each writes ONLY ITS OWN postings + one-row stats delta to its
+    // batch partition (stateless per drop → replay-idempotent with no
+    // exclusions); serve answers q124's queries over seed ∪ committed
+    // deltas with zero corpus-tokenize jobs. Full corpus indexed ⇒
+    // identical rows to q124/q139, which is what the oracle checks.
+    "q142_bm25_stream_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = scratchDir("graft_postings_stream", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      val idxDir = s"$base/idx$run"
+      graft.operators.Retrieval.savePostingsIndex(
+        graft.operators.Retrieval.buildPostingsIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"), idxDir)
+      val out = s"$base/out$run"
+      val q = graft.streaming.DocumentStreams.postingsIngest(s,
+        landing.toString, idxDir, out, s"$base/ckpt$run",
+        maxFilesPerTrigger = Some(1))
+      for ((m, i) <- Seq(0, 10).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        docs.filter(col("doc_id") % 20 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      val queries = docs.filter(col("doc_id") % 200 === 7)
+        .select(col("doc_id").as("qid"),
+          array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+      graft.operators.Retrieval.bm25SearchIndex(queries,
+        graft.streaming.DocumentStreams.livePostingsIndex(s, idxDir, out),
+        "qid", "qterms", k = 10)
+    }),
+
+    // Incremental MATERIALIZED AGGREGATE — the eighth stored-state
+    // family (operators/MatView.scala): per-(lang, source) token stats
+    // maintained as mergeable partial-aggregate DELTA rows. The corpus
+    // seeds the state with its one scan; two nightly drops append ONLY
+    // their own partials as new files; serve merges the deltas (sum of
+    // counts/sums, min of mins, max of maxs, mean DERIVED as the exact
+    // integer ratio) with zero corpus re-reads. Oracle: the plain
+    // GROUP BY over everything — which is exactly the claim.
+    "q143_incremental_agg" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+      val mvDir = scratchDir("graft_matview", dir)
+      graft.operators.MatView.saveAggState(
+        graft.operators.MatView.buildAggState(
+          docs.filter(col("doc_id") % 10 =!= 0), Seq("lang", "source"), "tok"),
+        mvDir)
+      graft.operators.MatView.appendAggState(s, mvDir,
+        docs.filter(col("doc_id") % 20 === 0))
+      graft.operators.MatView.appendAggState(s, mvDir,
+        docs.filter(col("doc_id") % 20 === 10))
+      graft.operators.MatView.serveAgg(
+        graft.operators.MatView.loadAggState(s, mvDir))
+    }),
+
+    // KMV SET ALGEBRA — pairwise source-overlap audit from sketches
+    // alone (which sources share 3-gram content, estimated WITHOUT an
+    // all-pairs document comparison): each source's shingle set reduces
+    // to its k smallest md5 hashes (Curation.kmvSketch, ≤ k rows per
+    // source); kmvJaccard then estimates |A∩B|/|A∪B| for every source
+    // pair from the sketch rows only — U = k-min of the sketch union
+    // (itself a valid union sketch), estimate = fraction of U present
+    // on both sides (Beyer et al. SIGMOD'07), exact integer ratio. The
+    // pair relation comes from the driver-bounded group list (20
+    // sources → 190 pairs) and joins sketches by EQUALITY — no cross
+    // product. The oracle replays every hash, rank, and division.
+    "q144_kmv_source_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = docs.select(col("source"),
+        explode(TextAnalysis.wordNGrams(col("text"), 3)).as("shingle"))
+      graft.operators.Curation.kmvJaccard(
+          graft.operators.Curation.kmvSketch(sh, Seq("source"),
+            col("shingle"), 128),
+          "source", 128)
+        .select(col("g_a").as("src_a"), col("g_b").as("src_b"),
+          col("u_n"), col("inter_n"), col("jaccard_micro"))
+    }),
+
+    // EDIT-DISTANCE near-dup pairs (the character-level dedup member —
+    // typo/OCR-noise duplicates that token-set similarity misses):
+    // document heads (first 5 tokens) within Levenshtein distance 3,
+    // found via the LOSSLESS q-gram count filter (operators/
+    // EditDist.scala: ed ≤ d ⇒ shared-gram bag ≥ max(len)−q+1−d·q) —
+    // an inverted 2-gram index join + count filter prunes to
+    // candidates, only survivors pay the exact levenshtein. The oracle
+    // is the naive all-pairs form, which is the losslessness claim.
+    "q145_editdist_neardup" -> ((s, dir) => {
+      val heads = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("head"))
+      graft.operators.EditDist.editDistancePairs(heads, "doc_id", "head",
+        maxDist = 3, q = 2)
+    }),
+
+    // BIGRAM SURPRISAL quality score — the model-based (perplexity)
+    // filter signal with NO transcendentals: train bigram counts on
+    // the corpus, score each doc by mean −log₂ p(w₂|w₁) where the log
+    // is the binary-string length both engines compute identically
+    // (length(bin(x)), the logHistSketch idiom) — high mean = rare/
+    // garbled text, low mean = boilerplate, integer-exact throughout.
+    "q146_bigram_surprisal" -> ((s, dir) =>
+      graft.operators.Curation.bigramSurprisal(
+        t(s, dir, "documents"), "doc_id", "text")),
+
+    // Streaming AGGREGATE maintenance — q143's materialized aggregate
+    // kept live by a stream (the 6th streaming twin): the corpus seeds
+    // the stored state, two drops each write ONLY their own partial-
+    // aggregate delta rows to their batch partitions (stateless ⇒
+    // replay-idempotent), and the serve merges seed ∪ deltas with zero
+    // corpus re-reads. Full corpus covered ⇒ identical rows to q143's
+    // oracle (the plain GROUP BY over everything).
+    "q148_agg_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = scratchDir("graft_agg_stream", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      val mvDir = s"$base/mv$run"
+      graft.operators.MatView.saveAggState(
+        graft.operators.MatView.buildAggState(
+          docs.filter(col("doc_id") % 10 =!= 0)
+            .withColumn("tok", size(split(col("text"), " ")).cast("long")),
+          Seq("lang", "source"), "tok"),
+        mvDir)
+      val out = s"$base/out$run"
+      val q = graft.streaming.DocumentStreams.aggIngest(s,
+        landing.toString, mvDir, out, s"$base/ckpt$run",
+        maxFilesPerTrigger = Some(1))
+      for ((m, i) <- Seq(0, 10).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        docs.filter(col("doc_id") % 20 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      graft.operators.MatView.serveAgg(
+        graft.streaming.DocumentStreams.liveAggState(s, mvDir, out))
+    }),
+
+    // Contamination FRACTION (q83's graded sibling): per corpus doc,
+    // the share of its distinct 3-grams present in the benchmark set
+    // (docs ≡ 7 mod 10 play the benchmark) — the thresholdable signal
+    // real decontamination policies cut on, as an exact integer ratio.
+    // Benchmark n-grams broadcast; the corpus is never shuffled by the
+    // benchmark side.
+    "q147_contamination_frac" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Curation.contaminationFraction(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", n = 3)
+    }),
+
     // Interval-containment JOIN (matched pairs, not q74's counts): every
     // error event opens a 30-min per-user incident window; emit each
     // same-user event inside a window with its offset. The tile trick
@@ -1896,6 +2065,19 @@ object SparkEntry {
          |  SELECT id_a, id_b, 'embedding' AS signal FROM ($embPairs) bp
          |) u GROUP BY id_a, id_b""".stripMargin
     })
+
+  /** Shared mergeable-aggregate mirror (q143 batch lifecycle, q148
+    * streaming twin — both serve the same full-corpus grouped stats).
+    */
+  private val aggOracleSql: String =
+    """WITH d AS (SELECT lang, source,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |           FROM documents)
+      |SELECT lang, source, count(*) AS cnt,
+      |  CAST(sum(tok) AS BIGINT) AS sum_v,
+      |  min(tok) AS min_v, max(tok) AS max_v,
+      |  CAST((sum(tok) * 1000000) // count(*) AS BIGINT) AS avg_micro
+      |FROM d GROUP BY lang, source""".stripMargin
 
   /** Shared BM25 mirror (q124 in-flight build, q139 stored-index serve
     * over the same corpus): replays the identical BIGINT products,
@@ -3068,6 +3250,79 @@ object SparkEntry {
     // form answers q124's oracle verbatim — any postings drift (missed
     // append, stale stats, bucket mismatch) breaks the hash
     "q139_bm25_index_serve" -> bm25OracleSql,
+    "q142_bm25_stream_serve" -> bm25OracleSql,
+    "q147_contamination_frac" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id AS id,
+        |         unnest(list_distinct([w.w[i] || ' ' || w.w[i+1] || ' ' || w.w[i+2]
+        |                               FOR i IN range(1, greatest(len(w.w)-2, 0)+1)])) AS shingle
+        |       FROM w),
+        |bs AS (SELECT DISTINCT shingle FROM sh WHERE id % 10 = 7),
+        |cs AS (SELECT id, shingle FROM sh WHERE id % 10 <> 7)
+        |SELECT cs.id AS doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN bs.shingle IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_shared,
+        |  CAST((sum(CASE WHEN bs.shingle IS NOT NULL THEN 1 ELSE 0 END)
+        |        * 1000000) // count(*) AS BIGINT) AS frac_micro
+        |FROM cs LEFT JOIN bs ON bs.shingle = cs.shingle
+        |GROUP BY cs.id""".stripMargin,
+    "q146_bigram_surprisal" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest([w.w[i] || ' ' || w.w[i+1]
+        |                 FOR i IN range(1, greatest(len(w.w)-1, 0)+1)]) AS g
+        |       FROM w),
+        |cb AS (SELECT g, count(*) AS cg FROM bg GROUP BY g),
+        |cp AS (SELECT split_part(g, ' ', 1) AS w1,
+        |         CAST(sum(cg) AS BIGINT) AS cw FROM cb GROUP BY 1),
+        |sc AS (SELECT bg.doc_id,
+        |         length(bin(cp.cw)) - length(bin(cb.cg)) AS bits
+        |       FROM bg JOIN cb ON cb.g = bg.g
+        |         JOIN cp ON cp.w1 = split_part(bg.g, ' ', 1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(bits) AS BIGINT) AS sum_bits,
+        |  CAST((sum(bits) * 1000000) // count(*) AS BIGINT) AS mean_bits_micro
+        |FROM sc GROUP BY doc_id""".stripMargin,
+    "q145_editdist_neardup" ->
+      """WITH s AS (SELECT doc_id,
+        |             array_to_string((string_split(text, ' '))[1:5], ' ') AS s
+        |           FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM s a JOIN s b
+        |  ON a.doc_id < b.doc_id AND abs(len(a.s) - len(b.s)) <= 3
+        |WHERE levenshtein(a.s, b.s) <= 3""".stripMargin,
+    "q144_kmv_source_overlap" ->
+      s"""WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         |sg AS (SELECT source,
+         |         unnest([w.w[i] || ' ' || w.w[i+1] || ' ' || w.w[i+2]
+         |                 FOR i IN range(1, greatest(len(w.w)-2, 0)+1)]) AS shingle
+         |       FROM w),
+         |sh AS (SELECT DISTINCT source,
+         |         ${hexToLongSql("md5(shingle)", 1, 15)} AS h
+         |       FROM sg),
+         |sk AS (SELECT source, h FROM
+         |        (SELECT source, h, row_number() OVER
+         |           (PARTITION BY source ORDER BY h ASC) AS rk FROM sh)
+         |       WHERE rk <= 128),
+         |p AS (SELECT a.source AS g_a, b.source AS g_b
+         |      FROM (SELECT DISTINCT source FROM documents) a
+         |      JOIN (SELECT DISTINCT source FROM documents) b
+         |        ON a.source < b.source),
+         |u AS (SELECT p.g_a, p.g_b, sk.h,
+         |        max(CASE WHEN sk.source = p.g_a THEN 1 ELSE 0 END) AS in_a,
+         |        max(CASE WHEN sk.source = p.g_b THEN 1 ELSE 0 END) AS in_b
+         |      FROM p JOIN sk ON sk.source = p.g_a OR sk.source = p.g_b
+         |      GROUP BY p.g_a, p.g_b, sk.h),
+         |r AS (SELECT g_a, g_b, in_a, in_b, row_number() OVER
+         |        (PARTITION BY g_a, g_b ORDER BY h ASC) AS rk FROM u)
+         |SELECT g_a AS src_a, g_b AS src_b, count(*) AS u_n,
+         |  CAST(sum(in_a * in_b) AS BIGINT) AS inter_n,
+         |  CAST((sum(in_a * in_b) * 1000000) // count(*) AS BIGINT)
+         |    AS jaccard_micro
+         |FROM r WHERE rk <= 128 GROUP BY g_a, g_b""".stripMargin,
+    "q143_incremental_agg" -> aggOracleSql,
+    "q148_agg_stream" -> aggOracleSql,
     // the streaming gate admits a drop doc iff NO banding pair links it
     // to the corpus (drop 1) or to corpus ∪ drop-1 admissions (drop 2);
     // the pair SQL replays the banding, the two CTEs replay the

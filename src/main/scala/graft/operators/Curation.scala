@@ -45,6 +45,35 @@ object Curation {
     corpus.join(contaminatedIds(corpus, benchmark, idCol, textCol, n),
       Seq(idCol), "left_anti")
 
+  /** Per-document contamination FRACTION — the graded signal behind
+    * [[contaminatedIds]]'s binary any-shared-n-gram rule, for
+    * thresholded policies ("drop if ≥ τ of the document's n-grams
+    * appear in the benchmark", the form public pipelines actually
+    * apply — one stray collocation shouldn't cost a whole document).
+    * Share = over each corpus doc's DISTINCT word n-grams, the portion
+    * present in the benchmark's n-gram set, as the exact integer ratio
+    * `frac_micro = (n_shared · 10⁶) div n_grams`.
+    *
+    * Same plan shape as [[contaminatedIds]]: the (tiny) benchmark
+    * n-gram set broadcasts; the corpus postings take a broadcast LEFT
+    * join for the hit flag and one groupBy(doc) — the corpus is never
+    * shuffled by the benchmark. Documents shorter than n tokens have
+    * no n-grams and are absent (no evidence either way).
+    */
+  def contaminationFraction(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val corpusSh = Dedup.shingles(corpus, idCol, textCol, n)
+    val benchSh = Dedup.shingles(benchmark, idCol, textCol, n)
+      .select(col("shingle")).distinct().withColumn("hit", lit(1L))
+    corpusSh
+      .join(broadcast(benchSh), Seq("shingle"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .withColumn("frac_micro", expr("(n_shared * 1000000L) div n_grams"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch per group: hash each
     * key to a uniform 60-bit integer (top 15 hex chars of md5), keep the
     * k smallest distinct hashes per group, and estimate
@@ -76,6 +105,76 @@ object Curation {
       .withColumn("est_distinct",
         when(col("n_seen") < k, col("n_seen").cast("double"))
           .otherwise(lit((k - 1).toDouble * two60) / col("kth_hash").cast("double")))
+  }
+
+  /** Per-group KMV sketch RELATION — (groupCols…, h): the k smallest
+    * distinct 60-bit md5 hashes of `key` per group, the mergeable state
+    * behind [[kmvDistinct]] exposed as rows so SET ALGEBRA can run on
+    * sketches alone. The k-min of a union is computable from the unions
+    * of k-mins (every union k-min is a k-min of its own side), which is
+    * what [[kmvJaccard]] exploits. ≤ k rows per group; same
+    * WindowGroupLimit-pruned rank filter as [[kmvDistinct]].
+    */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], key: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    val h = conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+    val gs = groupCols.map(col)
+    val w = Window.partitionBy(gs: _*).orderBy(col("h").asc)
+    df.select(gs :+ h.as("h"): _*)
+      .distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** Pairwise SET-OVERLAP estimates between every two groups, computed
+    * from their [[kmvSketch]] rows alone — the data is never re-read
+    * (corpus-overlap auditing: which sources share content, roughly how
+    * much, without an all-pairs document comparison). For a group pair
+    * (a, b): U = the k smallest distinct hashes of sketch(a) ∪
+    * sketch(b) — a valid KMV sketch of the union — and the Jaccard
+    * estimate is the fraction of U's members present in BOTH side
+    * sketches (the standard KMV set-operation estimator, Beyer et al.
+    * SIGMOD'07), emitted as the exact integer ratio
+    * `jaccard_micro = (inter_n · 10⁶) div u_n` plus the raw counts, so
+    * the whole computation is engine-reproducible.
+    *
+    * Plan shape: the group list (one row per group — sources,
+    * languages) is collected to the driver to emit the tiny pair
+    * relation (bounded like the IVF centroid collects; G groups →
+    * G·(G−1)/2 pairs), which then BROADCASTS and joins the sketch rows
+    * by EQUALITY on the group key — never a cross product, and the
+    * sketch side (≤ G·k rows) is the only shuffle input. Scale-safe
+    * whenever the number of GROUPS is driver-small, which is the
+    * operator's domain (corpus sources), not the corpus itself.
+    */
+  def kmvJaccard(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val groups = sketch.select(col(groupCol).cast("string")).distinct()
+      .as[String].collect().sorted.toIndexedSeq
+    // internal names are __-prefixed so a user group column named
+    // g/g_a/g_b can never collide (ambiguous-reference guard)
+    val pairSides = (for {
+      i <- groups.indices; j <- (i + 1) until groups.size
+      g <- Seq(groups(i), groups(j))
+    } yield (groups(i), groups(j), g)).toDF("__ga", "__gb", "__g")
+    val w = Window.partitionBy(col("g_a"), col("g_b"))
+      .orderBy(col("h").asc)
+    sketch.join(broadcast(pairSides), sketch(groupCol) === pairSides("__g"))
+      .groupBy(col("__ga").as("g_a"), col("__gb").as("g_b"), col("h"))
+      .agg(
+        max(when(col(groupCol) === col("__ga"), 1).otherwise(0)).as("in_a"),
+        max(when(col(groupCol) === col("__gb"), 1).otherwise(0)).as("in_b"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("u_n"),
+        sum((col("in_a") * col("in_b")).cast("long")).as("inter_n"))
+      .withColumn("jaccard_micro",
+        expr("(inter_n * 1000000L) div u_n"))
   }
 
   /** Sliding-window chunking: split each document into fixed-size token
@@ -564,6 +663,56 @@ object Curation {
       .select(col(groupCol), col("r"), col("n_r"),
         expr("(r + 1) * coalesce(n_r1, 0) * 1000000 DIV n_r")
           .as("r_star_micro"))
+  }
+
+  /** Per-document BIGRAM SURPRISAL — the model-based quality-filter
+    * signal (the KenLM/CCNet perplexity-filtering idea, reduced to a
+    * bigram LM and integer arithmetic): train bigram counts on the
+    * corpus, score each document by its mean per-bigram surprisal
+    * −log₂ p(w₂ | w₁) with p = c(w₁w₂) / c(w₁·). An unusual
+    * word-to-word transition costs many bits; boilerplate costs few —
+    * so a HIGH mean flags rare/garbled text and a LOW mean flags
+    * repetitive boilerplate, the two tails a perplexity filter cuts.
+    *
+    * The log is the FLOOR-log₂ both engines compute identically as the
+    * binary-string length (`length(bin(x))` = ⌊log₂ x⌋ + 1 for x ≥ 1 —
+    * the logHistSketch idiom), so
+    * `bits = length(bin(c_prev)) − length(bin(c_bigram))` approximates
+    * log₂(c_prev/c_big) within ±1 bit with NO transcendentals: the
+    * whole score is integer-exact and engine-reproducible (ln/log2 on
+    * doubles differ in ulps across libms; bin() cannot).
+    *
+    * c_prev counts w₁ as a bigram PREFIX (= Σ over bigrams starting
+    * with w₁), so p sums to 1 per prefix and bits ≥ 0.
+    *
+    * Plan shape: one explode of the bigram stream (scan), one count
+    * shuffle keyed by bigram, a prefix re-aggregation of the
+    * (vocabulary²-bounded) count relation, and one join of per-doc
+    * bigrams to the counts on the bigram key — scan-linear in the
+    * corpus, never quadratic. Documents with < 2 tokens have no
+    * bigrams and are absent from the output (undefined perplexity).
+    *
+    * @return (doc_id, n_bigrams, sum_bits, mean_bits_micro) with
+    *         mean_bits_micro = (sum_bits · 10⁶) div n_bigrams
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val bg = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextAnalysis.wordNGrams(col(textCol), 2))
+        .as("g"))
+    val cb = bg.groupBy(col("g")).agg(count(lit(1)).as("cg"))
+    val cp = cb
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .groupBy(col("w1")).agg(sum(col("cg")).as("cw"))
+    bg.join(cb, Seq("g"))
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .join(cp, Seq("w1"))
+      .withColumn("bits",
+        (length(bin(col("cw"))) - length(bin(col("cg")))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+      .withColumn("mean_bits_micro",
+        expr("(sum_bits * 1000000L) div n_bigrams"))
   }
 
   /** Bucket counts per group: bucket = length of the value's binary

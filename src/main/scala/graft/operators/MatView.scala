@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental MATERIALIZED AGGREGATE maintenance — the relational
+  * sibling of the sketch lifecycles (extension surface; the reference's
+  * closest analog is re-running its report SQL from scratch every day,
+  * `aupostgres.sql:102-129`).
+  *
+  * A grouped aggregate over an append-only corpus never needs to re-read
+  * the corpus: `count/sum/min/max` are MERGEABLE, so the stored state is
+  * DELTA rows — each batch contributes its own partial aggregate
+  * (`(keys…, cnt, sum_v, min_v, max_v)`) and the live aggregate at any
+  * time is one merge pass over the deltas (`sum` of counts and sums,
+  * `min` of mins, `max` of maxs; the mean is DERIVED at serve time as
+  * the exact integer ratio `avg_micro = (sum_v · 10⁶) div cnt`, never
+  * stored — a stored mean would not merge). Same additive-state idea as
+  * the q130 sketch partitions and the postings stats rows, generalized
+  * to the full mergeable-aggregate surface.
+  *
+  * Lifecycle (the stored-family contract shared with bands/IVF/PQ/
+  * Bloom/SimHash/labels/postings): [[buildAggState]] pays the one
+  * corpus scan; [[saveAggState]] persists state + a params row (group
+  * keys and value column travel with the store, so an append can never
+  * aggregate a different grouping); [[appendAggState]] aggregates ONLY
+  * the batch and appends NEW files; [[serveAgg]] merges deltas with
+  * zero corpus re-reads; [[compactAggState]] squashes the delta pile
+  * back to one row per key ([[StoreFiles.swapIn]] guarded swap).
+  *
+  * Scale shape: state size is O(distinct keys · committed batches)
+  * rows of 5 columns — independent of corpus row count; serve is one
+  * shuffle of the state, never of the data. Appends are embarrassingly
+  * small jobs (aggregate the batch, write its partials).
+  *
+  * Overflow bound (BIGINT): `avg_micro` computes `sum_v · 10⁶`, exact
+  * while `sum_v < 2⁶³/10⁶ ≈ 9.2 · 10¹²` — ~9 trillion tokens per key
+  * group; past that move the ratio to DECIMAL(38,0).
+  */
+object MatView {
+
+  /** A stored-or-in-memory aggregate state: `state` holds delta rows
+    * (keys…, cnt, sum_v, min_v, max_v); the live aggregate is their
+    * merge ([[serveAgg]]).
+    */
+  final case class AggState(state: DataFrame, keys: Seq[String],
+      valueCol: String)
+
+  /** The partial-aggregate rows one slice of data contributes. */
+  private def delta(df: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valueCol)).as("sum_v"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+
+  /** Aggregate the corpus into fresh state — the one full scan of the
+    * lifecycle. `valueCol` must be integral (LongType contract: the
+    * serve-side mean is an exact integer ratio).
+    */
+  def buildAggState(df: DataFrame, keys: Seq[String],
+      valueCol: String): AggState = {
+    require(keys.nonEmpty, "at least one group key")
+    AggState(delta(df, keys, valueCol), keys, valueCol)
+  }
+
+  /** Persist: delta rows + a one-row params parquet (keys CSV, value
+    * column) so appends can only ever aggregate the stored grouping.
+    */
+  def saveAggState(st: AggState, dir: String): Unit = {
+    val spark = st.state.sparkSession
+    import spark.implicits._
+    st.state.write.mode("overwrite").parquet(s"$dir/state")
+    Seq((st.keys.mkString(","), st.valueCol)).toDF("keys", "value_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  private def readParams(spark: SparkSession,
+      dir: String): (Seq[String], String) = {
+    val row = spark.read.parquet(s"$dir/params").head()
+    (row.getString(0).split(",").toIndexedSeq, row.getString(1))
+  }
+
+  /** The partial-aggregate rows one batch contributes to a STORED
+    * state, under the store's own params (shared by [[appendAggState]]
+    * and the streaming twin
+    * [[graft.streaming.DocumentStreams.aggIngestBatch]]).
+    */
+  def aggDelta(spark: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    val (keys, valueCol) = readParams(spark, dir)
+    delta(batch, keys, valueCol)
+  }
+
+  /** Append one batch's partial-aggregate rows as NEW files (existing
+    * files are never rewritten; grouping read from the stored params).
+    * Unlike the index families there is no disjoint-ids contract —
+    * re-aggregating keys already present just adds more delta rows,
+    * which is exactly what the merge absorbs.
+    */
+  def appendAggState(spark: SparkSession, dir: String,
+      batch: DataFrame): Unit =
+    aggDelta(spark, dir, batch)
+      .write.mode("append").parquet(s"$dir/state")
+
+  def loadAggState(spark: SparkSession, dir: String): AggState = {
+    val (keys, valueCol) = readParams(spark, dir)
+    AggState(spark.read.parquet(s"$dir/state"), keys, valueCol)
+  }
+
+  /** The live aggregate: merge the delta rows. Output (keys…, cnt,
+    * sum_v, min_v, max_v, avg_micro) with the mean as the exact
+    * integer ratio floor(sum_v · 10⁶ / cnt) — engine-reproducible
+    * (both operands non-negative under the LongType value contract
+    * makes `div`'s truncation identical to floor division).
+    */
+  def serveAgg(st: AggState): DataFrame =
+    st.state.groupBy(st.keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+      .withColumn("avg_micro",
+        expr("(sum_v * 1000000L) div cnt"))
+
+  /** Nightly maintenance: squash the delta pile into one row per key
+    * (the merged partials are themselves valid delta rows), via the
+    * guarded temp-swap. Serve results are unchanged; params untouched.
+    */
+  def compactAggState(spark: SparkSession, dir: String): Unit =
+    StoreFiles.swapIn(spark, s"$dir/state") { tmp =>
+      val (keys, _) = readParams(spark, dir)
+      spark.read.parquet(s"$dir/state")
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col("cnt")).as("cnt"),
+          sum(col("sum_v")).as("sum_v"),
+          min(col("min_v")).as("min_v"),
+          max(col("max_v")).as("max_v"))
+        .write.parquet(tmp)
+    }
+}

@@ -123,24 +123,39 @@ object Retrieval {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
   }
 
+  /** The postings + stats DELTA a batch of NEW documents contributes to
+    * a stored index: only the batch is tokenized, bucketed with the
+    * index's OWN nBuckets (read from the params file — a mismatched
+    * bucketing can't happen). Shared by [[appendPostingsIndex]] (batch
+    * append-as-new-files) and the streaming twin
+    * ([[graft.streaming.DocumentStreams.postingsIngestBatch]], which
+    * writes the same delta to the micro-batch's own partition).
+    */
+  def postingsDelta(spark: SparkSession, dir: String,
+      batch: DataFrame, idCol: String, textCol: String): PostingsIndex = {
+    val nBuckets = spark.read.parquet(s"$dir/params").head().getInt(0)
+    PostingsIndex(
+      tokenize(batch, idCol, textCol)
+        .withColumn("bucket", tokenBucket(col("token"), nBuckets)),
+      batch.select(col(idCol),
+          size(split(col(textCol), " ")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")),
+      nBuckets)
+  }
+
   /** Incrementally add a batch of NEW documents to a stored index:
-    * tokenize ONLY the batch (with the index's own nBuckets, read from
-    * the params file — a mismatched append can't happen), append its
-    * postings as new files to the bucket-partitioned table, and append
-    * one stats delta row. Existing files are never rewritten. Ids must
-    * be new — re-appending a stored doc_id would double its postings
-    * (same disjoint-ids contract as the band/PQ appends).
+    * tokenize ONLY the batch ([[postingsDelta]]), append its postings
+    * as new files to the bucket-partitioned table, and append one stats
+    * delta row. Existing files are never rewritten. Ids must be new —
+    * re-appending a stored doc_id would double its postings (same
+    * disjoint-ids contract as the band/PQ appends).
     */
   def appendPostingsIndex(spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String, textCol: String): Unit = {
-    val nBuckets = spark.read.parquet(s"$dir/params").head().getInt(0)
-    tokenize(batch, idCol, textCol)
-      .withColumn("bucket", tokenBucket(col("token"), nBuckets))
+    val delta = postingsDelta(spark, dir, batch, idCol, textCol)
+    delta.postings
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
-    batch.select(col(idCol),
-        size(split(col(textCol), " ")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
-      .write.mode("append").parquet(s"$dir/stats")
+    delta.stats.write.mode("append").parquet(s"$dir/stats")
   }
 
   def loadPostingsIndex(spark: SparkSession, dir: String): PostingsIndex =

@@ -350,6 +350,115 @@ object DocumentStreams {
       .groupBy(col("lang"), col("bucket"))
       .agg(sum(col("n")).as("n"))
 
+  /** Incremental AGGREGATE maintenance — the MatView-family streaming
+    * twin (q143's store kept live by a stream): each micro-batch
+    * reduces to its own partial-aggregate delta rows under the STORED
+    * params ([[graft.operators.MatView.aggDelta]] — a drop can never
+    * aggregate a different grouping than the seed) written to the
+    * batch's own partition; the live aggregate at any time is
+    * [[liveAggState]] served through the unchanged merge
+    * ([[graft.operators.MatView.serveAgg]]) with zero corpus re-reads.
+    * Stateless per batch ⇒ replay-idempotent with no exclusions. Binds
+    * to the documents schema like the other twins (value = whitespace
+    * token count, the q143 instantiation).
+    */
+  def aggIngest(spark: SparkSession, landingDir: String, mvDir: String,
+      outPath: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readDocuments(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        aggIngestBatch(spark, mvDir, outPath)(batch.toDF(), batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One [[aggIngest]] trigger, exposed for the replay spec. */
+  def aggIngestBatch(spark: SparkSession, mvDir: String,
+      outPath: String)(batch: DataFrame, batchId: Long): Unit =
+    graft.operators.MatView.aggDelta(spark, mvDir,
+        batch.withColumn("tok", size(split(col("text"), " ")).cast("long")))
+      .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+
+  /** The stream's live aggregate state: stored seed ∪ committed delta
+    * partitions (the empty-sink schema comes from the seed itself, so
+    * this stays generic over the store's grouping).
+    */
+  def liveAggState(spark: SparkSession, mvDir: String,
+      outPath: String): graft.operators.MatView.AggState = {
+    val seed = graft.operators.MatView.loadAggState(spark, mvDir)
+    seed.copy(state = seed.state.unionByName(readParts(spark,
+      committedParts(spark, outPath, -1L), seed.state.schema)))
+  }
+
+  /** Delta-row schemas of the postings stream — must match what
+    * [[graft.operators.Retrieval.postingsDelta]] produces, so a sink no
+    * batch has written yet reads as EMPTY with the right shape.
+    */
+  private val postingsDeltaSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("dl", LongType),
+    StructField("token", StringType), StructField("tf", LongType),
+    StructField("bucket", IntegerType)))
+  private val statsDeltaSchema = StructType(Seq(
+    StructField("n", LongType), StructField("t", LongType)))
+
+  /** Incremental RETRIEVAL maintenance — the postings-family streaming
+    * twin (the 5th stored family to get one, after Bloom/band/SimHash/
+    * sketch): each micro-batch tokenizes ONLY its own documents with
+    * the stored index's nBuckets
+    * ([[graft.operators.Retrieval.postingsDelta]] — the params read
+    * means a drop can never bucket differently from the seed) and
+    * writes the batch's postings rows and its one-row (n, t) stats
+    * delta to the batch's OWN `batch_id=N` partitions. The live index
+    * at any time is [[livePostingsIndex]]: stored seed ∪ committed
+    * deltas — postings union and additive stats, exactly the stored
+    * form's own append contract, so serving is unchanged
+    * ([[graft.operators.Retrieval.bm25SearchIndex]]) and pays ZERO
+    * corpus-tokenize jobs. Stateless per batch (the outputs are a pure
+    * function of batch content + stored params), so a re-executed
+    * batch overwrites its partitions with identical rows —
+    * replay-idempotent with no exclusions needed.
+    */
+  def postingsIngest(spark: SparkSession, landingDir: String,
+      idxDir: String, outPath: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readDocuments(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        postingsIngestBatch(spark, idxDir, outPath)(batch.toDF(), batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One [[postingsIngest]] trigger, exposed for the replay spec. */
+  def postingsIngestBatch(spark: SparkSession, idxDir: String,
+      outPath: String)(batch: DataFrame, batchId: Long): Unit = {
+    val delta = graft.operators.Retrieval.postingsDelta(spark, idxDir,
+      batch.select(col("doc_id"), col("text")), "doc_id", "text")
+    delta.postings.select(col("doc_id"), col("dl"), col("token"),
+        col("tf"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$outPath/postings/batch_id=$batchId")
+    delta.stats
+      .write.mode("overwrite").parquet(s"$outPath/stats/batch_id=$batchId")
+  }
+
+  /** The stream's live inverted index: stored seed ∪ committed postings
+    * and stats deltas (stats totals are a SUM over delta rows by the
+    * stored form's own contract, so no merge step is needed here).
+    */
+  def livePostingsIndex(spark: SparkSession, idxDir: String,
+      outPath: String): graft.operators.Retrieval.PostingsIndex = {
+    val seed = graft.operators.Retrieval.loadPostingsIndex(spark, idxDir)
+    seed.copy(
+      postings = seed.postings.select(col("doc_id"), col("dl"),
+          col("token"), col("tf"), col("bucket"))
+        .unionByName(readParts(spark,
+          committedParts(spark, s"$outPath/postings", -1L),
+          postingsDeltaSchema)),
+      stats = seed.stats.unionByName(readParts(spark,
+        committedParts(spark, s"$outPath/stats", -1L), statsDeltaSchema)))
+  }
+
   /** Read committed part files (possibly none) with an explicit schema —
     * a batch partition whose write committed zero files, or a sink no
     * batch has written yet, must read as EMPTY, not throw.

@@ -434,4 +434,82 @@ class CurationSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(strict == Set(99L))
   }
+
+  test("kmvJaccard: exact when k covers the union; u_n bounded by k; all pairs emitted") {
+    // three groups over a 30-key universe with known overlaps
+    val rows =
+      (1 to 20).map(i => ("a", s"key$i")) ++
+      (11 to 30).map(i => ("b", s"key$i")) ++   // |a∩b|=10, |a∪b|=30
+      (1 to 5).map(i => ("c", s"key$i"))        // |a∩c|=5, |b∩c|=0
+    val df = rows.toDF("g", "k")
+    // k ≥ any union size ⇒ sketches are complete sets ⇒ estimates exact
+    val exact = Curation.kmvJaccard(
+        Curation.kmvSketch(df, Seq("g"), $"k", 64), "g", 64)
+      .select($"g_a", $"g_b", $"u_n", $"inter_n", $"jaccard_micro")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(exact.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(exact(("a", "b")) == ((30L, 10L, 10L * 1000000L / 30L)))
+    assert(exact(("a", "c")) == ((20L, 5L, 250000L)))
+    assert(exact(("b", "c")) == ((25L, 0L, 0L)))
+    // small k: u_n capped at k, estimate still a valid ratio in [0, 1e6]
+    val capped = Curation.kmvJaccard(
+        Curation.kmvSketch(df, Seq("g"), $"k", 8), "g", 8)
+      .select($"u_n", $"inter_n", $"jaccard_micro")
+      .as[(Long, Long, Long)].collect()
+    assert(capped.length == 3)
+    capped.foreach { case (u, i, j) =>
+      assert(u <= 8 && i <= u && j >= 0 && j <= 1000000L)
+    }
+  }
+
+  test("contaminationFraction: exact shares; positives ≡ the binary rule") {
+    val corpus = Seq((1L, "a b c d e"), (2L, "x y z w"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "b c d e f")).toDF("doc_id", "text")
+    val got = Curation.contaminationFraction(corpus, bench, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc1 grams {a b c, b c d, c d e}: 2 of 3 in bench {b c d, c d e, d e f}
+    assert(got.keySet == Set(1L, 2L), "gram-less doc absent")
+    assert(got(1L) == ((3L, 2L, 2000000L / 3L)))
+    assert(got(2L) == ((2L, 0L, 0L)))
+    val binary = Curation.contaminatedIds(corpus, bench, "doc_id", "text", 3)
+      .as[Long].collect().toSet
+    assert(got.filter(_._2._2 > 0).keySet == binary)
+  }
+
+  test("bigramSurprisal: hand-checked bits, prefix-normalized, short docs absent") {
+    // corpus bigram counts: doc1 "a a"×3; doc2 "a b"×2, "b a"×1
+    // prefix counts: a → 5, b → 1
+    // bits("a a") = len(bin 5) − len(bin 3) = 3 − 2 = 1
+    // bits("a b") = len(bin 5) − len(bin 2) = 3 − 2 = 1
+    // bits("b a") = len(bin 1) − len(bin 1) = 0
+    val df = Seq((1L, "a a a a"), (2L, "a b a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = Curation.bigramSurprisal(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L), "single-token doc has no bigrams")
+    assert(got(1L) == ((3L, 3L, 1000000L)))
+    assert(got(2L) == ((3L, 2L, 2000000L / 3L)))
+  }
+
+  test("kmvSketch merges: k-min of unioned slice sketches ≡ bulk sketch") {
+    val docs = Tables(spark, sf, "documents")
+      .select($"source", explode(split($"text", " ")).as("tok"))
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      Curation.kmvSketch(df, Seq("source"), $"tok", 16)
+    val bulk = sk(docs).as[(String, Long)].collect().toSet
+    // slice sketches union → re-sketch (rank the union's hashes) — the
+    // mergeability kmvJaccard's union-sketch step relies on
+    val s1 = sk(docs.filter($"tok".startsWith("a") || $"tok" < "m"))
+    val s2 = sk(docs.filter(!($"tok".startsWith("a") || $"tok" < "m")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"h".asc)
+    val merged = s1.unionByName(s2).distinct()
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 16).drop("rk")
+      .as[(String, Long)].collect().toSet
+    assert(merged == bulk && bulk.nonEmpty)
+  }
 }

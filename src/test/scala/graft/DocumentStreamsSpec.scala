@@ -449,4 +449,94 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("agg ingest: live merged state ≡ bulk aggregate; replay overwrites identically") {
+    import graft.operators.MatView
+    val docs = Tables(spark, sf, "documents")
+      .withColumn("tok", size(split($"text", " ")).cast("long"))
+    val base = java.nio.file.Files.createTempDirectory("agg_ingest").toString
+    val landing = s"$base/landing"; new java.io.File(landing).mkdirs()
+    val mvDir = s"$base/mv"; val out = s"$base/out"
+    MatView.saveAggState(
+      MatView.buildAggState(docs.filter($"doc_id" % 3 === 0),
+        Seq("lang", "source"), "tok"), mvDir)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(s"$landing/$name.parquet"))
+    }
+    val q = DocumentStreams.aggIngest(spark, landing, mvDir, out,
+      s"$base/ckpt", maxFilesPerTrigger = Some(1))
+    land(Tables(spark, sf, "documents").filter($"doc_id" % 3 === 1), "drop_00")
+    q.processAllAvailable()
+    land(Tables(spark, sf, "documents").filter($"doc_id" % 3 === 2), "drop_01")
+    q.processAllAvailable()
+    q.stop()
+    def rows(st: MatView.AggState) =
+      MatView.serveAgg(st)
+        .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+    val live = rows(DocumentStreams.liveAggState(spark, mvDir, out))
+    val bulk = rows(MatView.buildAggState(docs, Seq("lang", "source"), "tok"))
+    assert(live == bulk && bulk.nonEmpty)
+    // replay: stateless trigger overwrites its own partition identically
+    val before = spark.read.parquet(s"$out/batch_id=0").collect().toSet
+    DocumentStreams.aggIngestBatch(spark, mvDir, out)(
+      Tables(spark, sf, "documents").filter($"doc_id" % 3 === 1), 0L)
+    assert(spark.read.parquet(s"$out/batch_id=0").collect().toSet == before)
+    assert(rows(DocumentStreams.liveAggState(spark, mvDir, out)) == bulk)
+  }
+
+  test("postings ingest: live-index serve ≡ in-flight bm25; replay overwrites identically") {
+    import graft.operators.Retrieval
+    val docs = Tables(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("postings_ingest").toString
+    val landing = s"$base/landing"; new java.io.File(landing).mkdirs()
+    val idxDir = s"$base/idx"; val out = s"$base/out"
+    Retrieval.savePostingsIndex(
+      Retrieval.buildPostingsIndex(
+        docs.filter($"doc_id" % 10 =!= 0), "doc_id", "text"), idxDir)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(s"$landing/$name.parquet"))
+    }
+    val q = DocumentStreams.postingsIngest(spark, landing, idxDir, out,
+      s"$base/ckpt", maxFilesPerTrigger = Some(1))
+    land(docs.filter($"doc_id" % 20 === 0), "drop_00"); q.processAllAvailable()
+    land(docs.filter($"doc_id" % 20 === 10), "drop_01"); q.processAllAvailable()
+    q.stop()
+    val queries = docs.filter($"doc_id" % 100 === 7)
+      .select($"doc_id".as("qid"),
+        array_distinct(slice(split($"text", " "), 1, 4)).as("qterms"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Int)].collect().toSet
+    val served = rows(Retrieval.bm25SearchIndex(queries,
+      DocumentStreams.livePostingsIndex(spark, idxDir, out),
+      "qid", "qterms", k = 10))
+    val bulk = rows(Retrieval.bm25TopK(docs, queries,
+      "doc_id", "text", "qid", "qterms", k = 10))
+    assert(served == bulk && bulk.nonEmpty)
+    // replay: re-executing a committed trigger is stateless — it
+    // overwrites the batch's own partitions with identical rows and the
+    // serve result is unchanged (foreachBatch is at-least-once)
+    val postingsBefore = spark.read.parquet(s"$out/postings/batch_id=0")
+      .collect().toSet
+    val statsBefore = spark.read.parquet(s"$out/stats/batch_id=0")
+      .collect().toSet
+    DocumentStreams.postingsIngestBatch(spark, idxDir, out)(
+      docs.filter($"doc_id" % 20 === 0), 0L)
+    assert(spark.read.parquet(s"$out/postings/batch_id=0")
+      .collect().toSet == postingsBefore)
+    assert(spark.read.parquet(s"$out/stats/batch_id=0")
+      .collect().toSet == statsBefore)
+    assert(rows(Retrieval.bm25SearchIndex(queries,
+      DocumentStreams.livePostingsIndex(spark, idxDir, out),
+      "qid", "qterms", k = 10)) == bulk)
+  }
 }

@@ -107,12 +107,13 @@ class ValidateConstraintsSpec extends SparkSpec {
     assert(r.failed == Seq("q99_boom_query"))
     assert(r.times.keySet == Set("q98_ok_query"))
     assert(r.total == r.times("q98_ok_query"))
-    // render emits the qNN short key (full names overflow the driver's
-    // tail window — see Bench.shortKey)
+    // render emits the bare-number short key (even qNN keys overflow
+    // the driver's 2000-char tail window at 140+ rows — see
+    // Bench.shortKey)
     val json = Bench.render(r, sf)
-    assert(json.contains("\"q99\":-1"))
-    assert(json.contains("\"failed\":[\"q99\"]"))
-    assert(json.contains("\"q98\":"))
+    assert(json.contains("\"99\":-1"))
+    assert(json.contains("\"failed\":[\"99\"]"))
+    assert(json.contains("\"98\":"))
   }
 
   test("Dedup.CacheHandle.release unpersists the tracked shingle sets") {
