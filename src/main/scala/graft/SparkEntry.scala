@@ -1891,6 +1891,19 @@ object SparkEntry {
         graft.streaming.DocumentStreams.liveAggState(s, mvDir, out))
     }),
 
+    // Mergeable MISRA-GRIES heavy hitters (count-min q132's dual:
+    // k-bounded UNDERestimates, no second data pass): token stream
+    // sliced deterministically by md5(doc_id), per-slice exact counts
+    // reduced to MG_20 summaries, summaries merged by counter addition
+    // + one more reduce (Agarwal et al. PODS'12). Guarantees spec-
+    // pinned: est ≤ truth, truth − est ≤ N/21, every token above N/21
+    // present. The oracle replays every hash, rank, and subtraction.
+    "q149_heavy_tokens" -> ((s, dir) =>
+      graft.operators.Curation.heavyHitters(
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok")),
+        "tok", col("doc_id"), k = 20, nSlices = 8)),
+
     // Contamination FRACTION (q83's graded sibling): per corpus doc,
     // the share of its distinct 3-grams present in the benchmark set
     // (docs ≡ 7 mod 10 play the benchmark) — the thresholdable signal
@@ -3251,6 +3264,29 @@ object SparkEntry {
     // append, stale stats, bucket mismatch) breaks the hash
     "q139_bm25_index_serve" -> bm25OracleSql,
     "q142_bm25_stream_serve" -> bm25OracleSql,
+    "q149_heavy_tokens" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS item
+         |            FROM documents),
+         |sl AS (SELECT item,
+         |         (${hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, 15)}) % 8
+         |           AS slice
+         |       FROM tok),
+         |c AS (SELECT slice, item, count(*) AS c FROM sl GROUP BY 1, 2),
+         |r AS (SELECT slice, item, c, row_number() OVER
+         |        (PARTITION BY slice ORDER BY c DESC, item ASC) AS rk
+         |      FROM c),
+         |t AS (SELECT slice,
+         |        coalesce(max(CASE WHEN rk = 21 THEN c END), 0) AS t
+         |      FROM r GROUP BY slice),
+         |red AS (SELECT r.item, r.c - t.t AS c FROM r JOIN t USING (slice)
+         |        WHERE r.rk <= 20 AND r.c - t.t > 0),
+         |m AS (SELECT item, CAST(sum(c) AS BIGINT) AS c FROM red GROUP BY item),
+         |r2 AS (SELECT item, c, row_number() OVER
+         |         (ORDER BY c DESC, item ASC) AS rk FROM m),
+         |t2 AS (SELECT coalesce(max(CASE WHEN rk = 21 THEN c END), 0) AS t
+         |       FROM r2)
+         |SELECT item, c - t2.t AS est_min FROM r2, t2
+         |WHERE rk <= 20 AND c - t2.t > 0""".stripMargin,
     "q147_contamination_frac" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id AS id,

@@ -636,6 +636,62 @@ object Curation {
       .groupBy(col("k"))
       .agg(min(coalesce(col("n"), lit(0L))).as("est"))
 
+  /** Mergeable MISRA-GRIES heavy hitters — the deterministic top-item
+    * summary completing the mergeable-summary family (count-min q132
+    * OVERestimates any key; this UNDERestimates but is k-bounded and
+    * self-contained: no second pass over the data to read an estimate).
+    * The occurrence stream is split into `nSlices` deterministic slices
+    * by the md5 of `sliceKey` (e.g. the doc id — the stand-in for "which
+    * worker saw this occurrence", pinned to data not to partitioning so
+    * every engine builds the identical summary); each slice reduces its
+    * exact counts to an MG_k summary (keep the k largest counters,
+    * subtract the (k+1)-th largest); summaries merge by adding counters
+    * and reducing once more (Agarwal et al., Mergeable Summaries,
+    * PODS'12 — the merged summary keeps the MG guarantee).
+    *
+    * Guarantees (spec-pinned): est ≤ true count for every emitted item;
+    * true − est ≤ N/(k+1) for every item (emitted or not, reading a
+    * missing item as 0); hence any item with true count > N/(k+1) is
+    * PRESENT. Ties break deterministically by (count desc, item asc).
+    *
+    * Plan shape: one (slice, item) count shuffle, per-slice ranking
+    * windows, then a FINAL reduce over the ≤ nSlices·k surviving
+    * counters — summary-sized, so its global window is one small task
+    * by construction, never a data-sized sort.
+    */
+  def heavyHitters(df: DataFrame, itemCol: String, sliceKey: Column,
+      k: Int, nSlices: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nSlices >= 1, s"nSlices must be >= 1, got $nSlices")
+    val slice = conv(substring(md5(sliceKey.cast("string")), 1, 15),
+      16, 10).cast("long") % nSlices
+    val counts = df.select(col(itemCol).as("item"), slice.as("slice"))
+      .groupBy(col("slice"), col("item"))
+      .agg(count(lit(1)).as("c"))
+    val wRank = Window.partitionBy(col("slice"))
+      .orderBy(col("c").desc, col("item").asc)
+    val wSlice = Window.partitionBy(col("slice"))
+    val reduced = counts
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("t",
+        max(when(col("rk") === k + 1, col("c")).otherwise(lit(0L)))
+          .over(wSlice))
+      .filter(col("rk") <= k && col("c") - col("t") > 0)
+      .select(col("item"), (col("c") - col("t")).as("c"))
+    // merged counters: ≤ nSlices·k rows — the global window below runs
+    // over a summary, not the data
+    val merged = reduced.groupBy(col("item")).agg(sum(col("c")).as("c"))
+    val wgRank = Window.orderBy(col("c").desc, col("item").asc)
+    val wgAll = Window.partitionBy()
+    merged
+      .withColumn("rk", row_number().over(wgRank))
+      .withColumn("t",
+        max(when(col("rk") === k + 1, col("c")).otherwise(lit(0L)))
+          .over(wgAll))
+      .filter(col("rk") <= k && col("c") - col("t") > 0)
+      .select(col("item"), (col("c") - col("t")).as("est_min"))
+  }
+
   /** Good-Turing bigram count-of-counts per group — the frequency
     * spectrum an n-gram LM smoother (and an LM-perplexity quality
     * filter) is built from. For each group: `r` = a bigram's corpus

@@ -463,6 +463,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters: underestimates within N/(k+1); heavy items always present; exact when k covers") {
+    val tok = Tables(spark, sf, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val truth = tok.groupBy("tok").count()
+      .as[(String, Long)].collect().toMap
+    val n = truth.values.sum
+    val k = 10
+    val hh = Curation.heavyHitters(tok, "tok", $"doc_id", k, nSlices = 4)
+      .as[(String, Long)].collect().toMap
+    assert(hh.nonEmpty && hh.size <= k)
+    val bound = n / (k + 1)
+    hh.foreach { case (item, est) =>
+      assert(est <= truth(item), s"$item overestimated")
+    }
+    truth.foreach { case (item, c) =>
+      assert(c - hh.getOrElse(item, 0L) <= bound,
+        s"$item error beyond N/(k+1)")
+    }
+    val heavy = truth.filter(_._2 > bound).keySet
+    assert(heavy.subsetOf(hh.keySet), "a heavy item is missing")
+    // k covering every distinct item per slice and globally ⇒ exact
+    val all = Curation.heavyHitters(tok, "tok", $"doc_id",
+      k = truth.size, nSlices = 4).as[(String, Long)].collect().toMap
+    assert(all == truth)
+  }
+
   test("contaminationFraction: exact shares; positives ≡ the binary rule") {
     val corpus = Seq((1L, "a b c d e"), (2L, "x y z w"), (3L, "a b"))
       .toDF("doc_id", "text")
