@@ -1891,6 +1891,46 @@ object SparkEntry {
         graft.streaming.DocumentStreams.liveAggState(s, mvDir, out))
     }),
 
+    // Streaming VECTOR-INDEX maintenance — q119's IVF-PQ index kept
+    // live by a stream of embedding drops (the 7th streaming twin;
+    // every probe-serving family now has one): the corpus seeds the
+    // stored index, two drops each encode themselves with the STORED
+    // centroids/codebooks (zero training jobs) into their own batch
+    // partitions (stateless ⇒ replay-idempotent), and the serve runs
+    // q119's search over stored ∪ streamed codes. Same train/search
+    // split as q119 ⇒ same oracle (quantizers trained on the seed,
+    // search over everything).
+    "q150_pq_stream_serve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = scratchDir("graft_pq_stream", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      val idxDir = s"$base/idx$run"
+      Similarity.savePqIndex(
+        Similarity.buildPqIndex(emb.filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding"), idxDir)
+      val out = s"$base/out$run"
+      val q = graft.streaming.DocumentStreams.pqIngest(s,
+        landing.toString, idxDir, out, s"$base/ckpt$run",
+        maxFilesPerTrigger = Some(1))
+      for ((m, i) <- Seq(0, 10).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        emb.filter(col("vec_id") % 20 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      Similarity.pqSearchIndex(emb.filter(col("vec_id") % 25 === 0),
+        graft.streaming.DocumentStreams.livePqIndex(s, idxDir, out),
+        "vec_id", "embedding", k = 10)
+    }),
+
     // Mergeable MISRA-GRIES heavy hitters (count-min q132's dual:
     // k-bounded UNDERestimates, no second data pass): token stream
     // sliced deterministically by md5(doc_id), per-slice exact counts
@@ -2044,6 +2084,10 @@ object SparkEntry {
     "q67_neardup_lsh_banded" -> SimilarityOracle.bandedNearDupSql(spark, dir, threshold = 0.45),
     "q116_ann_ivf_pq_topk" -> SimilarityOracle.ivfPqTopKSql(spark, dir),
     "q119_pq_index_append" -> SimilarityOracle.ivfPqTopKSql(spark, dir,
+      trainWhere = Some("vec_id % 10 <> 0")),
+    // the streaming twin keeps q119's exact train/search split, so the
+    // mirror is identical (quantizers from the seed, search everything)
+    "q150_pq_stream_serve" -> SimilarityOracle.ivfPqTopKSql(spark, dir,
       trainWhere = Some("vec_id % 10 <> 0")),
     "q121_pq_refined_topk" -> SimilarityOracle.ivfPqTopKSql(spark, dir,
       refineShortlist = Some(50)),

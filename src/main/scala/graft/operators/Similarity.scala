@@ -797,13 +797,24 @@ object Similarity {
     * files are never rewritten. Reads only the two tiny params tables.
     */
   def appendPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      batch: DataFrame, idCol: String, vecCol: String): Unit = {
+      batch: DataFrame, idCol: String, vecCol: String): Unit =
+    pqCodesDelta(spark, dir, batch, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+
+  /** The encoded-codes delta a batch contributes under a STORED index's
+    * params — routed and encoded with the stored centroids/codebooks
+    * (reads only the two tiny params tables). Shared by
+    * [[appendPqIndex]] (batch append-as-new-files) and the streaming
+    * twin ([[graft.streaming.DocumentStreams.pqIngestBatch]], which
+    * writes the same delta to the micro-batch's own partition).
+    */
+  def pqCodesDelta(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val (cents, books) = loadPqParams(spark, dir)
     batch.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
       .select(col("neighbor_id"),
         nearestCell(col("cv"), cents).as("cell"),
         pqEncode(col("cv"), books).as("codes"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
 
   /** Codebook-STALENESS metric: the exact-integer ADC reconstruction

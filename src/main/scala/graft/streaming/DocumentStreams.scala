@@ -350,6 +350,66 @@ object DocumentStreams {
       .groupBy(col("lang"), col("bucket"))
       .agg(sum(col("n")).as("n"))
 
+  /** embeddings parquet schema as stored by the driver. */
+  val embeddingsFileSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** File-source stream over an embeddings landing dir (the vector-drop
+    * sibling of [[readDocuments]]).
+    */
+  def readEmbeddings(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(embeddingsFileSchema)
+    val r2 = maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
+    r2.parquet(path)
+  }
+
+  /** Incremental VECTOR-INDEX maintenance — the IVF-PQ streaming twin
+    * (with this one, every stored family that serves probes has a
+    * streaming ingest path): each micro-batch of embedding drops is
+    * routed and encoded with the STORED centroids/codebooks
+    * ([[graft.operators.Similarity.pqCodesDelta]] — only the two tiny
+    * params tables are read, ZERO training jobs, the drift-accumulates-
+    * in-fit-only contract of the batch append) and written as the
+    * batch's OWN codes partition. The live index is [[livePqIndex]]:
+    * stored codes ∪ committed deltas under the same params, served by
+    * the unchanged [[graft.operators.Similarity.pqSearchIndex]].
+    * Stateless per batch ⇒ replay-idempotent with no exclusions.
+    */
+  def pqIngest(spark: SparkSession, landingDir: String, idxDir: String,
+      outPath: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readEmbeddings(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        pqIngestBatch(spark, idxDir, outPath)(batch.toDF(), batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One [[pqIngest]] trigger, exposed for the replay spec. */
+  def pqIngestBatch(spark: SparkSession, idxDir: String,
+      outPath: String)(batch: DataFrame, batchId: Long): Unit =
+    graft.operators.Similarity.pqCodesDelta(spark, idxDir,
+        batch.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding")
+      .select(col("neighbor_id"), col("cell"), col("codes"))
+      .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+
+  /** The stream's live PQ index: stored codes ∪ committed code deltas
+    * under the stored params (empty-sink schema from the seed itself).
+    */
+  def livePqIndex(spark: SparkSession, idxDir: String,
+      outPath: String): graft.operators.Similarity.PqIndex = {
+    val seed = graft.operators.Similarity.loadPqIndex(spark, idxDir)
+    val aligned = seed.codes.select(col("neighbor_id"), col("cell"),
+      col("codes"))
+    seed.copy(codes = aligned.unionByName(readParts(spark,
+      committedParts(spark, outPath, -1L), aligned.schema)))
+  }
+
   /** Incremental AGGREGATE maintenance — the MatView-family streaming
     * twin (q143's store kept live by a stream): each micro-batch
     * reduces to its own partial-aggregate delta rows under the STORED

@@ -450,6 +450,53 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("pq ingest: live-index serve ≡ batch append lifecycle; replay overwrites identically") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sf, "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("pq_ingest").toString
+    val landing = s"$base/landing"; new java.io.File(landing).mkdirs()
+    val idxDir = s"$base/idx"; val out = s"$base/out"
+    val seed = emb.filter($"vec_id" % 3 === 0)
+    Similarity.savePqIndex(
+      Similarity.buildPqIndex(seed, "vec_id", "embedding"), idxDir)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(s"$landing/$name.parquet"))
+    }
+    val q = DocumentStreams.pqIngest(spark, landing, idxDir, out,
+      s"$base/ckpt", maxFilesPerTrigger = Some(1))
+    land(emb.filter($"vec_id" % 3 === 1), "drop_00"); q.processAllAvailable()
+    land(emb.filter($"vec_id" % 3 === 2), "drop_01"); q.processAllAvailable()
+    q.stop()
+    val queries = emb.filter($"vec_id" % 10 === 5)
+    def rows(idx: Similarity.PqIndex) =
+      Similarity.pqSearchIndex(queries, idx, "vec_id", "embedding", k = 5)
+        .collect().map(_.toSeq).toSet
+    val live = rows(DocumentStreams.livePqIndex(spark, idxDir, out))
+    // the batch lifecycle over the same drops (q119's shape)
+    val idxDir2 = s"$base/idx2"
+    Similarity.savePqIndex(
+      Similarity.buildPqIndex(seed, "vec_id", "embedding"), idxDir2)
+    Similarity.appendPqIndex(spark, idxDir2,
+      emb.filter($"vec_id" % 3 === 1), "vec_id", "embedding")
+    Similarity.appendPqIndex(spark, idxDir2,
+      emb.filter($"vec_id" % 3 === 2), "vec_id", "embedding")
+    val batch = rows(Similarity.loadPqIndex(spark, idxDir2))
+    assert(live == batch && live.nonEmpty)
+    // replay: stateless trigger overwrites its own partition identically
+    val before = spark.read.parquet(s"$out/batch_id=0")
+      .collect().map(_.toSeq).toSet
+    DocumentStreams.pqIngestBatch(spark, idxDir, out)(
+      emb.filter($"vec_id" % 3 === 1), 0L)
+    assert(spark.read.parquet(s"$out/batch_id=0")
+      .collect().map(_.toSeq).toSet == before)
+    assert(rows(DocumentStreams.livePqIndex(spark, idxDir, out)) == live)
+  }
+
   test("agg ingest: live merged state ≡ bulk aggregate; replay overwrites identically") {
     import graft.operators.MatView
     val docs = Tables(spark, sf, "documents")
