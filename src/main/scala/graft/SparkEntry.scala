@@ -1891,6 +1891,43 @@ object SparkEntry {
         graft.streaming.DocumentStreams.liveAggState(s, mvDir, out))
     }),
 
+    // Streaming IVF maintenance — q106's index kept live by a stream
+    // (the plain-IVF sibling of q150: assignments keep the quantized
+    // vector, serve is exact cosine in probed cells): drops assign to
+    // the STORED centroids (no retrain) into their own batch
+    // partitions; serve = q106's search over stored ∪ streamed
+    // assignments. Same train/search split as q106 ⇒ same oracle.
+    "q151_ivf_stream_serve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = scratchDir("graft_ivf_stream", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      val idxDir = s"$base/idx$run"
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding"), idxDir)
+      val out = s"$base/out$run"
+      val q = graft.streaming.DocumentStreams.ivfIngest(s,
+        landing.toString, idxDir, out, s"$base/ckpt$run",
+        maxFilesPerTrigger = Some(1))
+      for ((m, i) <- Seq(0, 10).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        emb.filter(col("vec_id") % 20 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      Similarity.ivfSearchIndex(emb.filter(col("vec_id") % 25 === 0),
+        graft.streaming.DocumentStreams.liveIvfIndex(s, idxDir, out),
+        "vec_id", "embedding", k = 10)
+    }),
+
     // Streaming VECTOR-INDEX maintenance — q119's IVF-PQ index kept
     // live by a stream of embedding drops (the 7th streaming twin;
     // every probe-serving family now has one): the corpus seeds the
@@ -2080,6 +2117,9 @@ object SparkEntry {
     "q56_ann_lsh_topk" -> SimilarityOracle.lshTopKSql(spark, dir),
     "q57_ann_ivf_topk" -> SimilarityOracle.ivfTopKSql(spark, dir),
     "q106_ivf_index_append" -> SimilarityOracle.ivfTopKSql(spark, dir,
+      trainWhere = Some("vec_id % 10 <> 0")),
+    // the streaming twin keeps q106's exact train/search split
+    "q151_ivf_stream_serve" -> SimilarityOracle.ivfTopKSql(spark, dir,
       trainWhere = Some("vec_id % 10 <> 0")),
     "q67_neardup_lsh_banded" -> SimilarityOracle.bandedNearDupSql(spark, dir, threshold = 0.45),
     "q116_ann_ivf_pq_topk" -> SimilarityOracle.ivfPqTopKSql(spark, dir),

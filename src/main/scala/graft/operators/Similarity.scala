@@ -527,11 +527,20 @@ object Similarity {
     * story (`Dedup.minHashLshProbe`).
     */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      batch: DataFrame, idCol: String, vecCol: String): Unit = {
+      batch: DataFrame, idCol: String, vecCol: String): Unit =
+    ivfAssignDelta(spark, dir, batch, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
+
+  /** The assignment-rows delta a batch contributes under a STORED
+    * index's centroids (no retrain). Shared by [[appendIvfIndex]] and
+    * the streaming twin
+    * ([[graft.streaming.DocumentStreams.ivfIngestBatch]]).
+    */
+  def ivfAssignDelta(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val idx = loadIvfIndex(spark, dir)
     batch.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
       .withColumn("cell", nearestCell(col("cv"), idx.centroids))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
   }
 
   /** Nightly small-file compaction for a stored IVF index: rewrite the

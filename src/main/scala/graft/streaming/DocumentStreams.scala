@@ -410,6 +410,44 @@ object DocumentStreams {
       committedParts(spark, outPath, -1L), aligned.schema)))
   }
 
+  /** The plain-IVF sibling of [[pqIngest]] (same stateless-delta idiom;
+    * assignments keep the quantized vector, so serving is exact cosine
+    * within probed cells rather than ADC): drops assign to the STORED
+    * centroids ([[graft.operators.Similarity.ivfAssignDelta]], no
+    * retrain) into their own batch partitions; [[liveIvfIndex]] serves
+    * stored ∪ streamed assignments through the unchanged
+    * [[graft.operators.Similarity.ivfSearchIndex]].
+    */
+  def ivfIngest(spark: SparkSession, landingDir: String, idxDir: String,
+      outPath: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readEmbeddings(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ivfIngestBatch(spark, idxDir, outPath)(batch.toDF(), batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One [[ivfIngest]] trigger, exposed for the replay spec. */
+  def ivfIngestBatch(spark: SparkSession, idxDir: String,
+      outPath: String)(batch: DataFrame, batchId: Long): Unit =
+    graft.operators.Similarity.ivfAssignDelta(spark, idxDir,
+        batch.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding")
+      .select(col("neighbor_id"), col("cv"), col("cell"))
+      .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+
+  /** The stream's live IVF index: stored ∪ committed assignment deltas. */
+  def liveIvfIndex(spark: SparkSession, idxDir: String,
+      outPath: String): graft.operators.Similarity.IvfIndex = {
+    val seed = graft.operators.Similarity.loadIvfIndex(spark, idxDir)
+    val aligned = seed.assignments.select(col("neighbor_id"), col("cv"),
+      col("cell"))
+    seed.copy(assignments = aligned.unionByName(readParts(spark,
+      committedParts(spark, outPath, -1L), aligned.schema)))
+  }
+
   /** Incremental AGGREGATE maintenance — the MatView-family streaming
     * twin (q143's store kept live by a stream): each micro-batch
     * reduces to its own partial-aggregate delta rows under the STORED

@@ -450,6 +450,51 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("ivf ingest: live-index serve ≡ batch append lifecycle; replay overwrites identically") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sf, "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("ivf_ingest").toString
+    val landing = s"$base/landing"; new java.io.File(landing).mkdirs()
+    val idxDir = s"$base/idx"; val out = s"$base/out"
+    val seed = emb.filter($"vec_id" % 3 === 0)
+    Similarity.saveIvfIndex(
+      Similarity.buildIvfIndex(seed, "vec_id", "embedding"), idxDir)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(s"$landing/$name.parquet"))
+    }
+    val q = DocumentStreams.ivfIngest(spark, landing, idxDir, out,
+      s"$base/ckpt", maxFilesPerTrigger = Some(1))
+    land(emb.filter($"vec_id" % 3 === 1), "drop_00"); q.processAllAvailable()
+    land(emb.filter($"vec_id" % 3 === 2), "drop_01"); q.processAllAvailable()
+    q.stop()
+    val queries = emb.filter($"vec_id" % 10 === 5)
+    def rows(idx: Similarity.IvfIndex) =
+      Similarity.ivfSearchIndex(queries, idx, "vec_id", "embedding", k = 5)
+        .collect().map(_.toSeq).toSet
+    val live = rows(DocumentStreams.liveIvfIndex(spark, idxDir, out))
+    val idxDir2 = s"$base/idx2"
+    Similarity.saveIvfIndex(
+      Similarity.buildIvfIndex(seed, "vec_id", "embedding"), idxDir2)
+    Similarity.appendIvfIndex(spark, idxDir2,
+      emb.filter($"vec_id" % 3 === 1), "vec_id", "embedding")
+    Similarity.appendIvfIndex(spark, idxDir2,
+      emb.filter($"vec_id" % 3 === 2), "vec_id", "embedding")
+    assert(live == rows(Similarity.loadIvfIndex(spark, idxDir2)) &&
+      live.nonEmpty)
+    val before = spark.read.parquet(s"$out/batch_id=0")
+      .collect().map(_.toSeq).toSet
+    DocumentStreams.ivfIngestBatch(spark, idxDir, out)(
+      emb.filter($"vec_id" % 3 === 1), 0L)
+    assert(spark.read.parquet(s"$out/batch_id=0")
+      .collect().map(_.toSeq).toSet == before)
+    assert(rows(DocumentStreams.liveIvfIndex(spark, idxDir, out)) == live)
+  }
+
   test("pq ingest: live-index serve ≡ batch append lifecycle; replay overwrites identically") {
     import graft.operators.Similarity
     val emb = Tables(spark, sf, "embeddings")
