@@ -60,7 +60,8 @@ object PlanDump {
       "q143_incremental_agg", "q144_kmv_source_overlap",
       "q145_editdist_neardup", "q146_bigram_surprisal",
       "q147_contamination_frac", "q148_agg_stream", "q149_heavy_tokens",
-      "q150_pq_stream_serve", "q151_ivf_stream_serve")
+      "q150_pq_stream_serve", "q151_ivf_stream_serve",
+      "q152_bm25_absorb_serve")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))

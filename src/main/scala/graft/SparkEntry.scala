@@ -1778,6 +1778,48 @@ object SparkEntry {
         "qid", "qterms", k = 10)
     }),
 
+    // L0 → base ABSORB, end-to-end under the oracle: q142's streamed
+    // postings deltas are PROMOTED into the stored index
+    // (absorbPostingsDeltas — same write path as the batch append, then
+    // the sink and checkpoint are cleared) and the serve runs from the
+    // STORE ALONE (loadPostingsIndex, not the live view). Identical
+    // rows to q124/q139/q142 ⇒ same oracle: the promotion moved the
+    // deltas without changing a single posting.
+    "q152_bm25_absorb_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = scratchDir("graft_postings_absorb", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      val idxDir = s"$base/idx$run"
+      graft.operators.Retrieval.savePostingsIndex(
+        graft.operators.Retrieval.buildPostingsIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"), idxDir)
+      val out = s"$base/out$run"
+      val ckpt = s"$base/ckpt$run"
+      val q = graft.streaming.DocumentStreams.postingsIngest(s,
+        landing.toString, idxDir, out, ckpt, maxFilesPerTrigger = Some(1))
+      for ((m, i) <- Seq(0, 10).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        docs.filter(col("doc_id") % 20 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      graft.streaming.DocumentStreams.absorbPostingsDeltas(s, idxDir, out, ckpt)
+      val queries = docs.filter(col("doc_id") % 200 === 7)
+        .select(col("doc_id").as("qid"),
+          array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+      graft.operators.Retrieval.bm25SearchIndex(queries,
+        graft.operators.Retrieval.loadPostingsIndex(s, idxDir),
+        "qid", "qterms", k = 10)
+    }),
+
     // Incremental MATERIALIZED AGGREGATE — the eighth stored-state
     // family (operators/MatView.scala): per-(lang, source) token stats
     // maintained as mergeable partial-aggregate DELTA rows. The corpus
@@ -3348,6 +3390,7 @@ object SparkEntry {
     // append, stale stats, bucket mismatch) breaks the hash
     "q139_bm25_index_serve" -> bm25OracleSql,
     "q142_bm25_stream_serve" -> bm25OracleSql,
+    "q152_bm25_absorb_serve" -> bm25OracleSql,
     "q149_heavy_tokens" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS item
          |            FROM documents),

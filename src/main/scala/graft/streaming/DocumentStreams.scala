@@ -489,6 +489,89 @@ object DocumentStreams {
       committedParts(spark, outPath, -1L), seed.state.schema)))
   }
 
+  // ------------------------------------------------------------------
+  // L0 → base ABSORB — the promotion step the stateless twins need for
+  // long-lived sinks: every trigger writes its own `batch_id=N`
+  // partition, so a long-running ingest accumulates one L0 partition
+  // per batch without bound (the streaming analog of the small-file
+  // problem the compact* ops fix for batch appends). absorb*Deltas
+  // reads the committed sink partitions, appends their rows to the
+  // stored structure through the SAME write path as the batch append
+  // (new files, partitioned identically), then deletes the sink and
+  // its checkpoint — the live view is unchanged throughout (deltas in
+  // the sink before, in the store after; parity spec-pinned per
+  // family). Contract: run BETWEEN streaming runs only
+  // (single-nightly-writer, like every store maintenance op); the next
+  // run starts with a fresh landing dir and checkpoint, as the catalog
+  // rows already do.
+  // ------------------------------------------------------------------
+
+  private def deleteDirs(spark: SparkSession, dirs: String*): Unit =
+    dirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
+
+  /** Promote a postings stream's committed deltas into the stored
+    * index ([[postingsIngest]]'s sink → q139's store), then clear the
+    * sink + checkpoint.
+    */
+  def absorbPostingsDeltas(spark: SparkSession, idxDir: String,
+      outPath: String, checkpointDir: String): Unit = {
+    val pParts = committedParts(spark, s"$outPath/postings", -1L)
+    if (pParts.nonEmpty)
+      spark.read.parquet(pParts: _*)
+        .select(col("doc_id"), col("dl"), col("token"), col("tf"),
+          col("bucket"))
+        .write.mode("append").partitionBy("bucket")
+        .parquet(s"$idxDir/postings")
+    val sParts = committedParts(spark, s"$outPath/stats", -1L)
+    if (sParts.nonEmpty)
+      spark.read.parquet(sParts: _*)
+        .write.mode("append").parquet(s"$idxDir/stats")
+    deleteDirs(spark, outPath, checkpointDir)
+  }
+
+  /** Promote an aggregate stream's committed deltas into the stored
+    * state ([[aggIngest]]'s sink → q143's store).
+    */
+  def absorbAggDeltas(spark: SparkSession, mvDir: String,
+      outPath: String, checkpointDir: String): Unit = {
+    val parts = committedParts(spark, outPath, -1L)
+    if (parts.nonEmpty)
+      spark.read.parquet(parts: _*)
+        .write.mode("append").parquet(s"$mvDir/state")
+    deleteDirs(spark, outPath, checkpointDir)
+  }
+
+  /** Promote a PQ stream's committed code deltas into the stored index
+    * ([[pqIngest]]'s sink → q119's store).
+    */
+  def absorbPqDeltas(spark: SparkSession, idxDir: String,
+      outPath: String, checkpointDir: String): Unit = {
+    val parts = committedParts(spark, outPath, -1L)
+    if (parts.nonEmpty)
+      spark.read.parquet(parts: _*)
+        .select(col("neighbor_id"), col("cell"), col("codes"))
+        .write.mode("append").partitionBy("cell").parquet(s"$idxDir/codes")
+    deleteDirs(spark, outPath, checkpointDir)
+  }
+
+  /** Promote an IVF stream's committed assignment deltas into the
+    * stored index ([[ivfIngest]]'s sink → q106's store).
+    */
+  def absorbIvfDeltas(spark: SparkSession, idxDir: String,
+      outPath: String, checkpointDir: String): Unit = {
+    val parts = committedParts(spark, outPath, -1L)
+    if (parts.nonEmpty)
+      spark.read.parquet(parts: _*)
+        .select(col("neighbor_id"), col("cv"), col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$idxDir/assignments")
+    deleteDirs(spark, outPath, checkpointDir)
+  }
+
   /** Delta-row schemas of the postings stream — must match what
     * [[graft.operators.Retrieval.postingsDelta]] produces, so a sink no
     * batch has written yet reads as EMPTY with the right shape.
