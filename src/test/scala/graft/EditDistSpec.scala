@@ -20,15 +20,20 @@ class EditDistSpec extends SparkSpec {
       .select($"id_a", $"id_b", levenshtein($"s_a", $"s_b").cast("long"))
       .as[(Long, Long, Long)].collect().toSet
 
-  test("hand fixture: substitutions, indels, shorts, and non-matches") {
+  test("hand fixture: substitutions, indels, shorts, repetitive strings, non-matches") {
     val df = Seq(
       1L -> "the quick brown fox",   // vs 2: one substitution
       2L -> "the quick crown fox",
       3L -> "the quick brown foxes", // vs 1: 2 inserts
-      4L -> "ab",                    // short bucket (len < q(d+1) = 9)
+      4L -> "ab",                    // bucket (no 3-grams at all)
       5L -> "abc",                   // vs 4: dist 1
       6L -> "completely different text here",
-      7L -> "xy"                     // vs 4/5: dist 2
+      7L -> "xy",                    // vs 4/5: dist 2
+      // long-but-repetitive: 2 distinct grams ≪ d·q+1 — outside the
+      // prefix theorem, must flow through the degenerate bucket
+      8L -> "abababababab",
+      9L -> "ababababab",            // vs 8: dist 2
+      10L -> "abababababbb"          // vs 8: dist 1 (one substitution)
     ).toDF("id", "s")
     val got = EditDist.editDistancePairs(df, "id", "s", maxDist = 2, q = 3)
       .as[(Long, Long, Long)].collect()
@@ -38,6 +43,8 @@ class EditDistSpec extends SparkSpec {
     assert(got.toSet.contains((1L, 3L, 2L)))
     assert(got.toSet.contains((4L, 5L, 1L)))
     assert(got.toSet.contains((4L, 7L, 2L)))
+    assert(got.toSet.contains((8L, 9L, 2L)))
+    assert(got.toSet.contains((8L, 10L, 1L)))
   }
 
   test("lossless on real document heads ≡ naive all-pairs; exactly-once bag") {
