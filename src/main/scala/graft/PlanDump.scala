@@ -61,7 +61,8 @@ object PlanDump {
       "q145_editdist_neardup", "q146_bigram_surprisal",
       "q147_contamination_frac", "q148_agg_stream", "q149_heavy_tokens",
       "q150_pq_stream_serve", "q151_ivf_stream_serve",
-      "q152_bm25_absorb_serve")
+      "q152_bm25_absorb_serve", "q153_semdedup", "q154_diverse_sample",
+      "q155_hll_distinct", "q156_dsir_weights", "q157_bm25_log_topk")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))

@@ -282,4 +282,73 @@ object SimilarityOracle {
        |            JOIN e eb ON eb.vec_id = cand.id_b)
        |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= $threshold""".stripMargin
   }
+
+  /** Shared assignment CTE prefix: milli vectors, per-cell integer dot
+    * scores, argmax cell by the crn = 1 rule (first max wins — exactly
+    * `Similarity.nearestCell` / `array_position(max)`), and the cosine
+    * to the assigned centroid from the exact ∑c² literals. Ends with a
+    * CTE named `a`: (vec_id, vm, cell, s, csim).
+    */
+  private def assignCte(cents: Array[Array[Long]]): String = {
+    val sl = cents.map(c => s"list_dot_product(vm, ${longList(c)})")
+      .mkString("[\n    ", ",\n    ", "]")
+    val normSq = longList(cents.map(c => c.map(x => x * x).sum))
+    s"""WITH e AS (SELECT vec_id, $vMilli AS vm FROM embeddings),
+       |sc AS (SELECT vec_id, vm, $sl AS sl FROM e),
+       |cells AS (SELECT vec_id, vm, CAST(t.cell AS INT) AS cell,
+       |            sl[CAST(t.cell AS INT) + 1] AS s
+       |          FROM sc CROSS JOIN (SELECT unnest(range(${cents.length})) AS cell) t),
+       |a AS (SELECT vec_id, vm, cell, s,
+       |        s / (sqrt(list_dot_product(vm, vm)) *
+       |             sqrt(CAST(($normSq)[cell + 1] AS DOUBLE))) AS csim
+       |      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |              ORDER BY s DESC, cell ASC) AS crn FROM cells)
+       |      WHERE crn = 1)""".stripMargin
+  }
+
+  /** Mirror of q153 (SemDeDup): replays the trained centroids, the
+    * argmax assignment with centroid cosine, the within-cell pair
+    * comparisons, and the lower-centroid-cosine-survives domination
+    * rule. Every dot is exact-integer; csim/cosine are one IEEE
+    * sqrt/divide each, engine-identical.
+    */
+  def semDedupSql(spark: SparkSession, dir: String, threshold: Double,
+      nlist: Int = 16, iters: Int = 3): String = {
+    val cents = Similarity.trainCentroids(
+      Tables(spark, dir, "embeddings"), "vec_id", "embedding", nlist, iters)
+    s"""${assignCte(cents)},
+       |dom AS (SELECT DISTINCT x.vec_id
+       |        FROM a x JOIN a y ON x.cell = y.cell
+       |          AND x.vec_id <> y.vec_id
+       |          AND list_dot_product(x.vm, y.vm) /
+       |              (sqrt(list_dot_product(x.vm, x.vm)) *
+       |               sqrt(list_dot_product(y.vm, y.vm))) >= $threshold
+       |          AND (y.csim < x.csim OR
+       |               (y.csim = x.csim AND y.vec_id < x.vec_id)))
+       |SELECT a.vec_id, a.cell, a.csim AS centroid_sim,
+       |  CASE WHEN dom.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+       |FROM a LEFT JOIN dom ON dom.vec_id = a.vec_id""".stripMargin
+  }
+
+  /** Mirror of q154: argmax assignment + per-cell md5-ordered
+    * row_number capped at `quota` (the md5 micro-uniform is the same
+    * `Curation.md5Micro("divs:", id)` hash).
+    */
+  def diverseSampleSql(spark: SparkSession, dir: String, quota: Int,
+      nlist: Int = 16, iters: Int = 3): String = {
+    val cents = Similarity.trainCentroids(
+      Tables(spark, dir, "embeddings"), "vec_id", "embedding", nlist, iters)
+    // DuckDB twin of Curation.md5Micro("divs:", vec_id) — the per-nibble
+    // hexToLong rendering SparkEntry's oracles use (DuckDB has no conv)
+    val hex = "md5('divs:' || CAST(vec_id AS VARCHAR))"
+    val h60 = (0 until 15).map { k =>
+      s"(strpos('0123456789abcdef', substr($hex, ${1 + k}, 1)) - 1) * ${1L << (4 * (14 - k))}"
+    }.mkString(" + ")
+    val micro = s"($h60) % 1000000"
+    s"""${assignCte(cents)},
+       |r AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+       |        ORDER BY $micro ASC, vec_id ASC) AS pos FROM a)
+       |SELECT vec_id, cell, CAST(pos AS INT) AS pos FROM r
+       |WHERE pos <= $quota""".stripMargin
+  }
 }

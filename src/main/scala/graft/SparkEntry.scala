@@ -2147,6 +2147,72 @@ object SparkEntry {
       s.read.parquet(s"$idxDir/probe1").unionByName(
         Dedup.simHashProbe(Dedup.loadSimHashIndex(s, idxDir), drop2,
           "doc_id", "text"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023): SEMANTIC dedup — k-means cells
+    // bound the comparison scope, within-cell pairs at cosine ≥ τ form
+    // domination edges, and the endpoint FARTHER from the centroid
+    // survives (the paper's keep policy, made deterministic). τ = 0.35
+    // sits at the synthetic embeddings' near-dup knee (the top ~0.2% of
+    // pair cosines; the paper's 0.95+ presumes real encoder geometry —
+    // τ is the operator's parameter either way). Integer k-means +
+    // exact-integer dots ⇒ the oracle replays the trained centroids as
+    // literals (SimilarityOracle.semDedupSql). The self-join is an
+    // equi-join on the cell key — per-cell work stays bounded when
+    // nlist grows with the corpus.
+    "q153_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35)),
+
+    // Cluster-quota DIVERSITY sample: cap every k-means cell at 10 docs
+    // in deterministic md5 order — shed mass from over-dense embedding
+    // regions, keep coverage of sparse ones. One scan + one bounded
+    // per-cell window; oracle replays centroids + the md5 order
+    // (SimilarityOracle.diverseSampleSql).
+    "q154_diverse_sample" -> ((s, dir) =>
+      Similarity.diverseSample(t(s, dir, "embeddings"), "vec_id",
+        "embedding", quota = 10)),
+
+    // HyperLogLog distinct 3-gram shingles per source — the industry-
+    // standard mergeable cardinality sketch as a 64-register relation;
+    // the '__all__' row is produced BY MERGING the per-source registers
+    // (per-bucket max), so the oracle hash-checks mergeability itself
+    // (the q125 pattern). Raw estimator, no transcendentals beyond one
+    // IEEE divide; per-source truth ~1.2-1.5k ≫ 2.5·m, the raw regime.
+    "q155_hll_distinct" -> ((s, dir) => {
+      val sh = t(s, dir, "documents").select(col("source"),
+        explode(TextAnalysis.wordNGrams(col("text"), 3)).as("sh"))
+      val perSrc = Curation.hllSketch(sh, Seq("source"), "sh")
+      val merged = Curation.hllMerge(
+        perSrc.withColumn("source", lit("__all__")), Seq("source"))
+      Curation.hllEstimate(perSrc.unionByName(merged), Seq("source"))
+    }),
+
+    // DSIR importance scores (Xie et al. 2023): score every doc by the
+    // log-likelihood ratio of its hashed-unigram stream under the
+    // TARGET (English docs) vs RAW distribution — the data-selection
+    // signal for matching a pretraining mix to a quality domain. The
+    // per-bucket log weights are computed ONCE on the driver from the
+    // bounded count relation (StrictMath, the trained-centroid literal
+    // pattern) and broadcast; the oracle consumes the SAME literals
+    // (dsirOracleSql), so no engine ever runs its own log.
+    "q156_dsir_weights" -> ((s, dir) =>
+      Curation.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en", nBuckets = 1024)),
+
+    // TRUE-log Okapi BM25 (q124's companion): the real logarithmic idf
+    // ln(1 + (N − df + ½)/(df + ½)), computed once on the driver with
+    // StrictMath over the bounded queried-token df relation and joined
+    // in as micro literals — no engine runs its own ln (the DSIR/
+    // centroid literal pattern). Same postings/query shape as q124;
+    // multi-term rankings now damp rare terms logarithmically.
+    "q157_bm25_log_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 200 === 7)
+        .select(col("doc_id").as("qid"),
+          array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+      graft.operators.Retrieval.bm25TopKLog(docs, queries,
+        "doc_id", "text", "qid", "qterms", k = 10)
     })
   )
 
@@ -2177,6 +2243,10 @@ object SparkEntry {
       corpusWhere = Some("vec_id % 2 = 0")),
     "q133_media_neardup" -> SimilarityOracle.mediaNearDupSql(threshold = 0.999,
       nPlanes = 10, nTables = 2),
+    "q153_semdedup" -> SimilarityOracle.semDedupSql(spark, dir, threshold = 0.35),
+    "q154_diverse_sample" -> SimilarityOracle.diverseSampleSql(spark, dir, quota = 10),
+    "q156_dsir_weights" -> dsirOracleSql(spark, dir),
+    "q157_bm25_log_topk" -> bm25LogOracleSql(spark, dir),
     "q134_ann_lsh_multiprobe" -> SimilarityOracle.lshTopKSql(spark, dir,
       multiProbe = true),
     // the streaming bloom gate is LOSSLESS (no false negatives, exact
@@ -2204,6 +2274,73 @@ object SparkEntry {
          |  SELECT id_a, id_b, 'embedding' AS signal FROM ($embPairs) bp
          |) u GROUP BY id_a, id_b""".stripMargin
     })
+
+  /** Mirror of q156: re-derives the SAME driver-computed DSIR bucket
+    * weights (deterministic: bounded exact-count collect + StrictMath)
+    * and renders them as a VALUES table — the trained-centroid pattern,
+    * so neither engine runs its own log. Token hashing replays the
+    * md5-mod-buckets feature extraction per-nibble.
+    */
+  private def dsirOracleSql(spark: SparkSession, dir: String): String = {
+    val wts = Curation.dsirBucketWeights(Tables(spark, dir, "documents"),
+      "doc_id", "text", isTarget = col("lang") === "en", nBuckets = 1024)
+    val values = wts.map { case (b, w) => s"($b, CAST($w AS BIGINT))" }
+      .mkString(",\n         ")
+    val b = hexToLongSql("md5('dsir:' || wd)", 1, 15)
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+       |             FROM documents),
+       |tb AS (SELECT doc_id, ($b) % 1024 AS b FROM tok),
+       |wt(b, bits_micro) AS (VALUES
+       |         $values)
+       |SELECT tb.doc_id, count(*) AS n_feats,
+       |  CAST(sum(wt.bits_micro) AS BIGINT) AS sum_bits_micro,
+       |  CAST(CAST(sum(wt.bits_micro) AS BIGINT) // count(*) AS BIGINT)
+       |    AS mean_bits_micro
+       |FROM tb JOIN wt USING (b) GROUP BY tb.doc_id""".stripMargin
+  }
+
+  /** Mirror of q157: the bm25OracleSql CTE shape with (N, T) as
+    * literals and the driver-computed StrictMath idf as a VALUES table
+    * (re-derived via [[graft.operators.Retrieval.bm25LogIdf]] —
+    * deterministic, so the mirror consumes the EXACT literals the Spark
+    * query joined in). Scoring: (idf_micro · (22·tf·T)) / den in
+    * DOUBLE, two correctly-rounded IEEE ops then floor — identical to
+    * the Spark expression's grouping.
+    */
+  private def bm25LogOracleSql(spark: SparkSession, dir: String): String = {
+    val docs = Tables(spark, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 200 === 7)
+      .select(col("doc_id").as("qid"),
+        array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+    val (n, t, idf) = graft.operators.Retrieval.bm25LogIdf(
+      docs, queries, "doc_id", "text", "qterms")
+    val values = idf.map { case (tok, w) =>
+      s"('${tok.replace("'", "''")}', CAST($w AS BIGINT))"
+    }.mkString(",\n       ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+       |tok AS (SELECT doc_id, unnest(w.w) AS token FROM w),
+       |postings AS (SELECT tok.doc_id, dl.dl, tok.token, count(*) AS tf
+       |             FROM tok JOIN dl ON dl.doc_id = tok.doc_id
+       |             GROUP BY tok.doc_id, dl.dl, tok.token),
+       |q AS (SELECT doc_id AS qid, unnest(list_distinct(list_slice(w.w, 1, 4))) AS term
+       |      FROM w WHERE doc_id % 200 = 7),
+       |idf(token, idf_micro) AS (VALUES
+       |       $values),
+       |hit AS (SELECT * FROM postings WHERE token IN (SELECT term FROM q)),
+       |scored AS (SELECT q.qid, h.doc_id,
+       |    CAST(sum(CAST(floor(
+       |      CAST(i.idf_micro AS DOUBLE) * CAST(22 * h.tf * $t AS DOUBLE)
+       |      / CAST(10 * h.tf * $t + 3 * $t + 9 * h.dl * $n AS DOUBLE))
+       |      AS BIGINT)) AS BIGINT) AS score_micro
+       |  FROM hit h JOIN q ON q.term = h.token
+       |  JOIN idf i ON i.token = h.token
+       |  GROUP BY q.qid, h.doc_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |             ORDER BY score_micro DESC, doc_id ASC) AS rn FROM scored)
+       |SELECT qid, doc_id, score_micro, CAST(rn AS INT) AS rn
+       |FROM ranked WHERE rn <= 10""".stripMargin
+  }
 
   /** Shared mergeable-aggregate mirror (q143 batch lifecycle, q148
     * streaming twin — both serve the same full-corpus grouped stats).
@@ -3446,6 +3583,31 @@ object SparkEntry {
         |  CAST(sum(bits) AS BIGINT) AS sum_bits,
         |  CAST((sum(bits) * 1000000) // count(*) AS BIGINT) AS mean_bits_micro
         |FROM sc GROUP BY doc_id""".stripMargin,
+    // HLL registers replayed per-nibble md5 → 60-bit h; the '__all__'
+    // row comes from the unioned shingle stream — identical to merging
+    // per-source registers by max (max over a union = merged max)
+    "q155_hll_distinct" -> {
+      val h = hexToLongSql("md5('hll:' || sh)", 1, 15)
+      val c = 0.709 * Curation.HllM * Curation.HllM * math.pow(2, 55)
+      s"""WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         |sg AS (SELECT source,
+         |         unnest([w.w[i] || ' ' || w.w[i+1] || ' ' || w.w[i+2]
+         |                 FOR i IN range(1, greatest(len(w.w)-2, 0)+1)]) AS sh
+         |       FROM w),
+         |g AS (SELECT source, sh FROM sg
+         |      UNION ALL SELECT '__all__' AS source, sh FROM sg),
+         |h AS (SELECT source, $h AS h FROM g),
+         |reg AS (SELECT source, h % 64 AS bucket,
+         |          max(55 - length(bin(h // 64))) AS r
+         |        FROM h GROUP BY source, h % 64),
+         |est AS (SELECT source, count(*) AS hll_buckets,
+         |          CAST(sum(CAST(1 AS BIGINT) << (55 - r)) AS BIGINT) AS s_occ
+         |        FROM reg GROUP BY source)
+         |SELECT source, hll_buckets,
+         |  CAST(floor($c / CAST(s_occ + (64 - hll_buckets) *
+         |    (CAST(1 AS BIGINT) << 55) AS DOUBLE)) AS BIGINT) AS hll_est
+         |FROM est""".stripMargin
+    },
     "q145_editdist_neardup" ->
       """WITH s AS (SELECT doc_id,
         |             array_to_string((string_split(text, ' '))[1:5], ' ') AS s

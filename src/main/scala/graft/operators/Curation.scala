@@ -822,4 +822,157 @@ object Curation {
     }
     est.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  // ------------------------------------------------------------------
+  // HyperLogLog registers (Flajolet et al. 2007) — the industry-standard
+  // mergeable distinct-count sketch, here as a plain (group, bucket,
+  // r) relation: m = 64 registers per group, register = max leading-run
+  // length. Merge = per-bucket MAX (associative/idempotent), so
+  // per-partition partial sketches union into the corpus sketch with no
+  // second data pass — the property that makes it the 100 TB shape.
+  // ------------------------------------------------------------------
+
+  /** Register count: fixed m = 64 (p = 6 bucket bits). Plenty for the
+    * catalog's per-group estimates (±1.04/√64 ≈ 13% standard error) and
+    * keeps the register relation trivially broadcastable.
+    */
+  val HllM = 64
+
+  /** HLL register relation for the distinct values of `itemCol` per
+    * group: h = 60-bit md5 integer; bucket = h mod 64; r = position of
+    * the highest set bit in the remaining 54 bits counted from the top
+    * = 55 − bitlen(h div 64) (an all-zero remainder maps to 54 — the
+    * bin('0') = '0' convention both engines share; the ideal-HLL 55 is
+    * unreachable and irrelevant at any real cardinality). Only occupied
+    * buckets appear; [[hllEstimate]] supplies the 2⁰ mass of absent
+    * ones.
+    * @return (groupCols..., bucket, r)
+    */
+  def hllSketch(df: DataFrame, groupCols: Seq[String], itemCol: String,
+      seedTag: String = "hll:"): DataFrame = {
+    val h = conv(substring(md5(concat(lit(seedTag), col(itemCol))), 1, 15),
+      16, 10).cast("long")
+    val gcols = groupCols.map(col)
+    df.select(gcols :+ h.as("h"): _*)
+      .select(gcols :+ pmod(col("h"), lit(HllM.toLong)).cast("int").as("bucket")
+        :+ (lit(55) - length(bin(expr(s"h div $HllM")))).cast("int").as("r"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("r")).as("r"))
+  }
+
+  /** Merge register relations (possibly re-grouped): per-bucket MAX. */
+  def hllMerge(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("r")).as("r"))
+
+  /** Raw HLL estimate per group: E = α₆₄·m² / Σⱼ 2^(−Mⱼ) with
+    * Σ 2^(−Mⱼ) scaled by 2⁵⁵ into an exact BIGINT (register terms
+    * shiftleft(1, 55 − r); absent buckets contribute 2⁵⁵ each), then
+    * ONE IEEE divide + floor — engine-identical. α₆₄·m²·2⁵⁵ is a
+    * precomputed double literal. Raw estimator only (no linear-counting
+    * small-range correction — that needs ln(); callers counting
+    * n ≲ 2.5·m distinct items should read n from an exact count
+    * instead). Standard error ≈ 13% at m = 64.
+    * @return (groupCols..., hll_buckets, hll_est)
+    */
+  def hllEstimate(sketch: DataFrame, groupCols: Seq[String]): DataFrame = {
+    // 0.709 * 64² * 2⁵⁵ rendered once; double literal round-trips
+    val c = 0.709 * HllM * HllM * math.pow(2, 55)
+    val gcols = groupCols.map(col)
+    sketch.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("hll_buckets"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - r)")).as("s_occ"))
+      .withColumn("s_all",
+        col("s_occ") +
+          (lit(HllM.toLong) - col("hll_buckets")) * lit(1L << 55))
+      .select(gcols :+ col("hll_buckets")
+        :+ floor(lit(c) / col("s_all").cast("double")).cast("long")
+          .as("hll_est"): _*)
+  }
+
+  // ------------------------------------------------------------------
+  // DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+  // score every document by how much more likely its hashed-token
+  // stream is under a TARGET distribution than under the RAW one —
+  // the data-selection signal for matching a pretraining mix to a
+  // high-quality target domain.
+  // ------------------------------------------------------------------
+
+  /** Hashed-unigram token stream: (doc_id, b) with
+    * b = md5("dsir:" ‖ token) mod nBuckets, WITH multiplicity — the
+    * feature extraction both the count pass and the score pass share.
+    */
+  private def dsirTokenBuckets(docs: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int,
+      extra: Seq[(String, Column)] = Nil): DataFrame =
+    docs.select(col(idCol).as("doc_id") +:
+        extra.map { case (n, c) => c.as(n) } :+
+        explode(split(col(textCol), " ")).as("wd"): _*)
+      .withColumn("b", pmod(
+        conv(substring(md5(concat(lit("dsir:"), col("wd"))), 1, 15), 16, 10)
+          .cast("long"), lit(nBuckets.toLong)))
+      .drop("wd")
+
+  /** Per-bucket DSIR log-ratio weights, computed ON THE DRIVER from the
+    * bucket-count relation (≤ nBuckets rows — the same bounded-collect
+    * contract as IVF centroid training):
+    *   bits_micro(b) = round(10⁶ · log₂(p̂_tgt(b) / p̂_raw(b)))
+    * with add-one smoothing on both sides. Logs use [[StrictMath]]
+    * (fdlibm, bit-identical on every JVM); determinism across ENGINES is
+    * by construction — the weights are literals that both the Spark plan
+    * and the DuckDB mirror consume (the trained-centroid pattern), never
+    * recomputed in either engine's math library.
+    * @return (bucket, bits_micro) sorted by bucket
+    */
+  def dsirBucketWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int = 1024): Seq[(Long, Long)] = {
+    require(nBuckets >= 2, s"dsirWeights: nBuckets must be >= 2, got $nBuckets")
+    val counts = dsirTokenBuckets(docs, idCol, textCol, nBuckets,
+        extra = Seq("tgt" -> isTarget))
+      .groupBy(col("b")).agg(
+        (sum(when(col("tgt"), 1L).otherwise(0L)) + 1L).as("ct"),
+        (sum(when(col("tgt"), 0L).otherwise(1L)) + 1L).as("cr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val tt = counts.map(_._2).sum.toDouble
+    val tr = counts.map(_._3).sum.toDouble
+    val ln2 = StrictMath.log(2.0)
+    counts.toSeq.map { case (b, ct, cr) =>
+      val w = (StrictMath.log(ct / tt) - StrictMath.log(cr / tr)) / ln2
+      (b, Math.round(w * 1e6))
+    }
+  }
+
+  /** DSIR importance scores (Xie et al. 2023, arXiv:2302.03169): every
+    * document scored by the log-likelihood ratio of its hashed-unigram
+    * stream under the TARGET vs the RAW distribution — the
+    * data-selection signal for matching a pretraining mix to a quality
+    * domain. Per-doc score = Σ bits_micro(b) over the token stream
+    * (positive = target-like), using [[dsirBucketWeights]]'s
+    * driver-computed literal weight table (broadcast; the corpus
+    * shuffles only for its own per-doc aggregate).
+    *
+    * mean_bits_micro divides with `div`: the sum can be NEGATIVE
+    * (raw-like docs), and both engines truncate integer division
+    * toward zero (Spark `div`, DuckDB `//` — verified on negative
+    * operands), so the quotient matches bit-for-bit.
+    *
+    * @param isTarget row predicate choosing the target subset; all rows
+    *                 (target included) are scored
+    * @return (doc_id, n_feats, sum_bits_micro, mean_bits_micro)
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int = 1024): DataFrame = {
+    val wts = dsirBucketWeights(docs, idCol, textCol, isTarget, nBuckets)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = wts.toDF("b", "bits_micro")
+    dsirTokenBuckets(docs, idCol, textCol, nBuckets)
+      .join(broadcast(wdf), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("bits_micro")).as("sum_bits_micro"))
+      .withColumn("mean_bits_micro",
+        expr("sum_bits_micro div n_feats"))
+  }
 }

@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
   * aggressively (~N/df, linear, vs Okapi's logarithmic damping). The
   * trade is deliberate: ln is not IEEE-reproducible across engines
   * (Spark vs DuckDB libm differ in ulps), while the ratio clears to one
-  * exact rational. The formula clears to the single rational A/B with
+  * exact rational. ([[bm25TopKLog]] restores the true logarithmic idf
+  * without giving that up — the per-queried-token idf is computed once
+  * on the driver with StrictMath and consumed as literals by BOTH
+  * engines, so no engine runs its own ln.) The formula clears to the
+  * single rational A/B with
   *
   *   A = (2N - 2df + 1) · 22 · tf · T
   *   B = (2df + 1) · (10·tf·T + 3·T + 9·dl·N)
@@ -237,6 +241,89 @@ object Retrieval {
       broadcast(qterms.select(col("token")).distinct()),
       Seq("token"), "left_semi")
     scoreHits(hit, qterms, stats, k)
+  }
+
+  /** Okapi BM25 with the REAL logarithmic idf — the companion to
+    * [[bm25TopK]]'s documented log-free variant, restoring Okapi's
+    * multi-term semantics (rare terms damped logarithmically, not
+    * ~N/df). idf uses the non-negative Robertson/Spärck Jones form
+    *
+    *   idf(t) = ln(1 + (N − df + ½)/(df + ½))
+    *
+    * computed ONCE on the driver with [[StrictMath]] (fdlibm,
+    * bit-identical on every JVM) over the per-queried-token df relation
+    * — a collect bounded by the query side's distinct terms, the same
+    * driver-literal pattern as IVF centroid training. Neither engine
+    * ever runs its own `ln`: the micro-scaled idf values join in as
+    * literals (and render into the DuckDB mirror as a VALUES table).
+    *
+    * Per-term score: floor(idf_micro · tf_norm) with the exact rational
+    * tf_norm = 22·tf·T / (10·tf·T + 3·T + 9·dl·N) (k1 = 6/5, b = 3/4 —
+    * the same clearing as [[bm25TopK]]'s B), evaluated as
+    * (idf_micro · (22·tf·T)) / den in DOUBLE — each factor is an exact
+    * BIGINT below 2⁵³ at any realistic scale (22·tf·T ≤ 2.2·10¹² at
+    * T = 10⁸, tf = 10³), and the two IEEE ops are correctly rounded,
+    * so the floor is engine-identical. Per-doc score = exact integer
+    * sum of term micro-scores.
+    *
+    * @return (qid, doc_id, score_micro, rn) — top `k` per query by
+    *         (score desc, doc_id asc), score in 1e-6·idf-nat units
+    */
+  /** The driver-computed pieces of [[bm25TopKLog]]: corpus totals
+    * (N, T) and the micro-scaled StrictMath idf per queried token
+    * (sorted by token). Public so the DuckDB mirror generator replays
+    * the IDENTICAL literals.
+    */
+  def bm25LogIdf(corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String,
+      qtermsCol: String): (Long, Long, Seq[(String, Long)]) = {
+    val docs = corpus.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("dl"))
+    val statsRow = docs.agg(count(lit(1)), sum(col("dl"))).head()
+    val (n, t) = (statsRow.getLong(0), statsRow.getLong(1))
+    val terms = queries.select(explode(col(qtermsCol)).as("token")).distinct()
+    // df only for queried tokens; the collect is bounded by the query
+    // side's distinct terms (which broadcasts anyway)
+    val idf = tokenize(corpus, idCol, textCol)
+      .join(broadcast(terms), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .collect().map { r =>
+        val df = r.getLong(1)
+        val w = StrictMath.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        (r.getString(0), Math.round(w * 1e6))
+      }.toSeq.sortBy(_._1)
+    (n, t, idf)
+  }
+
+  def bm25TopKLog(corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String,
+      qidCol: String, qtermsCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (n, t, idf) = bm25LogIdf(corpus, queries, idCol, textCol, qtermsCol)
+    val qterms = queries.select(col(qidCol).as("qid"),
+      explode(col(qtermsCol)).as("token"))
+    val hit = tokenize(corpus, idCol, textCol).join(
+      broadcast(qterms.select(col("token")).distinct()),
+      Seq("token"), "left_semi")
+    val idfDf = idf.toDF("token", "idf_micro")
+    val den = lit(10L) * col("tf") * lit(t) + lit(3L) * lit(t) +
+      lit(9L) * col("dl") * lit(n)
+    val termMicro = floor(
+      (col("idf_micro").cast("double") *
+        (lit(22L) * col("tf") * lit(t)).cast("double")) /
+        den.cast("double")).cast("long")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    hit.join(broadcast(idfDf), "token")
+      .join(broadcast(qterms), "token")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(termMicro).as("score_micro"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("doc_id"), col("score_micro"),
+        col("rn").cast("int").as("rn"))
   }
 
   /** Serve BM25 top-k from a stored index with ZERO postings-build jobs:

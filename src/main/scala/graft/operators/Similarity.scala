@@ -961,4 +961,102 @@ object Similarity {
            sqrt(dotLong(col("cv"), col("cv")).cast("double")))).as("cosine"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  // ------------------------------------------------------------------
+  // Semantic dedup & diversity sampling over the IVF cell structure —
+  // the k-means cells double as the comparison scope (SemDeDup) and
+  // the strata (cluster-quota sampling), so the quadratic work is
+  // bounded per cell, never corpus-wide.
+  // ------------------------------------------------------------------
+
+  /** (id, vm, cell, csim): milli-quantized corpus with its argmax cell
+    * and cosine to that cell's centroid. The cell dot is `array_max` of
+    * the per-cell scores (the assignment IS the argmax, so no second
+    * pass); centroid norms enter as exact ∑c² long literals, one IEEE
+    * sqrt each — engine-identical, the oracle replays the same integers.
+    */
+  private def assignWithCentroidSim(corpus: DataFrame, idCol: String,
+      vecCol: String, cents: Array[Array[Long]]): DataFrame = {
+    val normSq = longLit(cents.map(c => c.map(x => x * x).sum))
+    corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("vm"))
+      .withColumn("sl", cellScores(col("vm"), cents))
+      .withColumn("cell",
+        (array_position(col("sl"), array_max(col("sl"))) - 1).cast("int"))
+      .withColumn("csim",
+        array_max(col("sl")) /
+          (sqrt(dotLong(col("vm"), col("vm")).cast("double")) *
+           sqrt(element_at(normSq, col("cell") + 1).cast("double"))))
+      .drop("sl")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus
+    * with the integer k-means coarse quantizer, compare embeddings ONLY
+    * within their cluster, and drop a document when a sufficiently-
+    * similar cluster-mate dominates it. Deterministic form of the
+    * paper's keep-the-point-farthest-from-the-centroid policy: for each
+    * within-cell pair with cosine ≥ `threshold`, the endpoint with the
+    * LOWER centroid cosine survives (ties break to the lower id); the
+    * kept set is the docs with no dominating partner.
+    *
+    * Scale: nlist grows with the corpus (nlist ≈ N/targetCellSize), so
+    * per-cell pair work stays bounded — the published algorithm's
+    * intent. The self-join is an equi-join on the cell key, never a
+    * cartesian; integer-deterministic k-means means the oracle replays
+    * the trained centroids as SQL literals, and every comparison is an
+    * integer dot + one IEEE sqrt/divide, engine-identical.
+    *
+    * @return one row per corpus doc: (vec_id, cell, centroid_sim,
+    *         kept 1/0)
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, iters: Int = 3): DataFrame = {
+    val cents = trainCentroids(corpus, idCol, vecCol, nlist, iters)
+    if (cents.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_id"), lit(0).as("cell"),
+          lit(0.0).as("centroid_sim"), lit(1).as("kept")).limit(0)
+    val assigned = assignWithCentroidSim(corpus, idCol, vecCol, cents)
+    val l = assigned.select(col("cell"), col("id").as("id_a"),
+      col("vm").as("va"), col("csim").as("ca"))
+    val r = assigned.select(col("cell"), col("id").as("id_b"),
+      col("vm").as("vb"), col("csim").as("cb"))
+    val dominated = l.join(r, Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(cosineQuantized(col("va"), col("vb")) >= threshold)
+      .filter(col("cb") < col("ca") ||
+        (col("cb") === col("ca") && col("id_b") < col("id_a")))
+      .select(col("id_a").as("id")).distinct()
+    assigned
+      .join(dominated.withColumn("dom", lit(1)), Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cell"),
+        col("csim").as("centroid_sim"),
+        when(col("dom").isNotNull, lit(0)).otherwise(lit(1)).as("kept"))
+  }
+
+  /** Cluster-quota DIVERSITY sample: assign docs to their k-means cell
+    * and cap each cell at `quota` rows chosen by a deterministic md5
+    * order — the cluster-balanced subset shape (shed mass from over-
+    * dense regions of embedding space while keeping coverage of sparse
+    * ones). One scan + one per-cell bounded window; order is a pure
+    * function of the id, so the sample is reproducible across engines
+    * and partitionings.
+    *
+    * @return kept rows only: (vec_id, cell, pos) with pos = 1..quota
+    */
+  def diverseSample(corpus: DataFrame, idCol: String, vecCol: String,
+      quota: Int, nlist: Int = 16, iters: Int = 3): DataFrame = {
+    require(quota >= 1, s"diverseSample: quota must be >= 1, got $quota")
+    val cents = trainCentroids(corpus, idCol, vecCol, nlist, iters)
+    if (cents.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_id"), lit(0).as("cell"),
+          lit(0).as("pos")).limit(0)
+    val m = graft.operators.Curation.md5Micro("divs:", col("id"))
+    val w = Window.partitionBy(col("cell")).orderBy(m.asc, col("id").asc)
+    corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("vm"))
+      .withColumn("cell", nearestCell(col("vm"), cents))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= quota)
+      .select(col("id").as("vec_id"), col("cell"), col("pos"))
+  }
 }

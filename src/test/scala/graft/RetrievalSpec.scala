@@ -78,6 +78,81 @@ class RetrievalSpec extends SparkSpec {
     assert(base == shuffled)
   }
 
+  /** Driver reference for [[Retrieval.bm25TopKLog]]: StrictMath idf,
+    * then floor((idf_micro · 22·tf·T) / den) with the operator's exact
+    * operation order.
+    */
+  private def referenceBm25Log(
+      docs: Seq[(Long, String)], queries: Seq[(Long, Seq[String])],
+      k: Int): Set[(Long, Long, Long, Int)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = docs.size.toLong
+    val t = toks.values.map(_.size.toLong).sum
+    val tf = toks.map { case (id, ts) =>
+      id -> ts.groupBy(identity).map { case (w, os) => w -> os.size.toLong } }
+    def idfMicro(term: String): Long = {
+      val df = tf.values.count(_.contains(term)).toLong
+      Math.round(StrictMath.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e6)
+    }
+    val out = for {
+      (qid, terms) <- queries
+      scored = toks.keys.toSeq.flatMap { d =>
+        val s = terms.flatMap { term =>
+          tf(d).get(term).map { f =>
+            val dl = toks(d).size.toLong
+            val num = 22L * f * t
+            val den = 10L * f * t + 3L * t + 9L * dl * n
+            math.floor(idfMicro(term).toDouble * num.toDouble /
+              den.toDouble).toLong
+          }
+        }
+        if (s.isEmpty) None else Some(d -> s.sum)
+      }
+      ((d, sc), i) <- scored.sortBy { case (d, sc) => (-sc, d) }.take(k).zipWithIndex
+    } yield (qid, d, sc, i + 1)
+    out.toSet
+  }
+
+  test("bm25TopKLog equals the driver-side reference (real log idf)") {
+    val queries = Seq(
+      (100L, Seq("spark", "data")),
+      (200L, Seq("pond", "water", "columnar")),
+      (300L, Seq("the", "spark")) // common + rare term in one query
+    )
+    val qdf = queries.toDF("qid", "qterms")
+    val got = Retrieval.bm25TopKLog(corpus, qdf, "doc_id", "text",
+        "qid", "qterms", k = 3)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val want = referenceBm25Log(
+      corpus.as[(Long, String)].collect().toSeq, queries, k = 3)
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("bm25LogIdf: non-negative, strictly decreasing in df") {
+    val qdf = Seq((1L, Seq("spark", "data", "the", "zzz")))
+      .toDF("qid", "qterms")
+    val (n, _, idf) = Retrieval.bm25LogIdf(corpus, qdf, "doc_id", "text",
+      "qterms")
+    assert(n == 5)
+    val m = idf.toMap
+    assert(!m.contains("zzz")) // absent term: no idf row, never scored
+    assert(m.values.forall(_ >= 0)) // ln(1 + x), x > 0 — never negative
+    // df("the") = 2 > df("spark") = 3? recount: "the" in docs 3,5; spark
+    // in 1,2,5 — so df(spark)=3 > df(the)=2 ⇒ idf(spark) < idf(the)
+    assert(m("spark") < m("the"))
+  }
+
+  test("bm25TopKLog is invariant under repartitioning") {
+    val queries = Seq((1L, Seq("spark", "data", "the", "water"))).toDF("qid", "qterms")
+    val base = Retrieval.bm25TopKLog(corpus, queries, "doc_id", "text",
+        "qid", "qterms").as[(Long, Long, Long, Int)].collect().toSet
+    val shuffled = Retrieval.bm25TopKLog(corpus.repartition(7), queries,
+        "doc_id", "text", "qid", "qterms")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(base == shuffled)
+  }
+
   // ------------------------------------------------------------------
   // Persisted postings lifecycle (the sixth stored-index family)
   // ------------------------------------------------------------------
