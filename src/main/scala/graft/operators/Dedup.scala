@@ -1051,31 +1051,92 @@ object Dedup {
     * (id, label) / (old_label, new_label) relations — also the view
     * step of the streaming twin, whose labels and remaps live as
     * per-batch sink partitions rather than store files.
+    *
+    * Small-remap fast path (the [[connectedComponents]] bounded-collect
+    * pattern): the remap relation is one row per label MERGE since the
+    * last compaction — orders of magnitude smaller than the labels —
+    * so when it fits `driverRemapBudget` the chains are closed on the
+    * driver (memoized chase; remaps strictly decrease the label, so no
+    * cycles) and applied in ONE broadcast join, replacing the
+    * ~2·chain-length jobs of the iterative loop. An over-budget remap
+    * takes the iterative path unchanged; both paths compute the same
+    * fixpoint. Set the budget to 0 to force the loop.
     */
   def resolveLabelChains(labels: DataFrame, remap: DataFrame,
-      maxChain: Int = 64): DataFrame = {
-    var cur = labels
-    var changed = true
-    var i = 0
-    while (changed && i < maxChain) {
-      // localCheckpoint truncates the per-pass join lineage — without it
-      // pass i's changed-check re-executes all i prior joins from
-      // parquet (O(chain²) total) and the caller's first action replays
-      // the whole chain once more
-      val step = cur.join(remap, cur("label") === remap("old_label"), "left")
-        .select(cur("id"),
-          coalesce(col("new_label"), cur("label")).as("label"))
+      maxChain: Int = 64, driverRemapBudget: Long = 1L << 20): DataFrame = {
+    val pairs = remap.select(col("old_label"), col("new_label"))
+    val nRemap = pairs.count()
+    // path taken is printed so bench logs can PROVE what a measurement
+    // measured (same contract as the components fast path)
+    System.err.println(
+      s"[resolve] remaps=$nRemap budget=$driverRemapBudget path=" +
+        (if (nRemap <= driverRemapBudget) "driver-closure" else "iterative"))
+    if (nRemap <= driverRemapBudget) {
+      // localCheckpoint on both returns: callers consume the resolved
+      // view several times (both contracted-join sides, flood, writes),
+      // and the iterative path always handed them a MATERIALIZED
+      // relation — returning a lazy scan+join here re-plans those
+      // consumers with extra exchanges (measured: q131 137 → 181 jobs
+      // without it)
+      if (nRemap == 0)
+        return labels.select(col("id"), col("label").as("component"))
+          .localCheckpoint(true)
+      val m = scala.collection.mutable.HashMap.empty[Long, Long]
+      pairs.collect().foreach(r => m(r.getLong(0)) = r.getLong(1))
+      // memoized chase carrying (root, hops-to-root): the depth is each
+      // label's TRUE chain length even when a chase stops early at an
+      // already-closed suffix, so the maxChain contract matches the
+      // iterative path exactly (≤ maxChain resolves, beyond fails)
+      val closed = scala.collection.mutable.HashMap.empty[Long, (Long, Int)]
+      def chase(x: Long): (Long, Int) = closed.getOrElse(x, {
+        val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var cur = x
+        while (m.contains(cur) && !closed.contains(cur)) {
+          seen += cur
+          cur = m(cur)
+        }
+        val (root, baseDepth) = closed.getOrElse(cur, (cur, 0))
+        val depth = baseDepth + seen.length
+        require(depth <= maxChain,
+          s"remap chains exceed $maxChain — compact the label store")
+        seen.zipWithIndex.foreach { case (s, i) =>
+          closed(s) = (root, baseDepth + seen.length - i)
+        }
+        (root, depth)
+      })
+      val spark = labels.sparkSession
+      import spark.implicits._
+      val cdf = m.keys.toSeq.sorted.map(k => (k, chase(k)._1))
+        .toDF("old_label", "new_label")
+      labels.join(broadcast(cdf),
+          labels("label") === cdf("old_label"), "left")
+        .select(labels("id"),
+          coalesce(col("new_label"), labels("label")).as("component"))
         .localCheckpoint(true)
-      // one driver count per pass: cheap against the labels scan, and it
-      // is what bounds the loop deterministically
-      changed = step.join(remap, step("label") === remap("old_label"), "left_semi")
-        .limit(1).count() > 0
-      cur = step
-      i += 1
+    } else {
+      var cur = labels
+      var changed = true
+      var i = 0
+      while (changed && i < maxChain) {
+        // localCheckpoint truncates the per-pass join lineage — without
+        // it pass i's changed-check re-executes all i prior joins from
+        // parquet (O(chain²) total) and the caller's first action
+        // replays the whole chain once more
+        val step = cur.join(remap, cur("label") === remap("old_label"), "left")
+          .select(cur("id"),
+            coalesce(col("new_label"), cur("label")).as("label"))
+          .localCheckpoint(true)
+        // one driver count per pass: cheap against the labels scan, and
+        // it is what bounds the loop deterministically
+        changed = step.join(remap, step("label") === remap("old_label"), "left_semi")
+          .limit(1).count() > 0
+        cur = step
+        i += 1
+      }
+      require(i < maxChain || !changed,
+        s"remap chains exceed $maxChain — compact the label store")
+      cur.select(col("id"), col("label").as("component"))
     }
-    require(i < maxChain || !changed,
-      s"remap chains exceed $maxChain — compact the label store")
-    cur.select(col("id"), col("label").as("component"))
   }
 
   /** Offline compaction: squash remap chains into the labels table and

@@ -449,6 +449,30 @@ class DedupSpec extends SparkSpec {
     assert(afterMore == got ++ Map(7L -> 2L))
   }
 
+  test("resolveLabelChains: driver-closure path equals the forced-iterative path") {
+    val labels = Seq((10L, 9L), (11L, 9L), (20L, 7L), (30L, 5L), (40L, 40L))
+      .toDF("id", "label")
+    // chains: 9→7→5→3 (length 3), 40 untouched, 5→3 (length 1)
+    val remap = Seq((9L, 7L), (7L, 5L), (5L, 3L)).toDF("old_label", "new_label")
+    val fast = Dedup.resolveLabelChains(labels, remap)
+      .as[(Long, Long)].collect().toMap
+    val iterative = Dedup.resolveLabelChains(labels, remap,
+        driverRemapBudget = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == iterative)
+    assert(fast == Map(10L -> 3L, 11L -> 3L, 20L -> 3L, 30L -> 3L, 40L -> 40L))
+    // both paths enforce the chain bound with the same failure
+    intercept[IllegalArgumentException] {
+      Dedup.resolveLabelChains(labels, remap, maxChain = 2)
+        .as[(Long, Long)].collect()
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.resolveLabelChains(labels, remap, maxChain = 2,
+          driverRemapBudget = 0L)
+        .as[(Long, Long)].collect()
+    }
+  }
+
   test("simhash index: appends never touch files; probe of appended index is EXACT") {
     val corpus = Tables(spark, sf, "documents")
     val seed = corpus.filter($"doc_id" % 10 =!= 0 && $"doc_id" % 10 =!= 5)
