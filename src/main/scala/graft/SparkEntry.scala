@@ -1736,6 +1736,59 @@ object SparkEntry {
         "qid", "qterms", k = 10)
     }),
 
+    // DELETE lifecycle for the postings index — the LSM tombstone path
+    // every 100 TB store eventually needs (GDPR/right-to-be-forgotten):
+    // build + append as q139, then DELETE doc_id % 7 == 3 — ONE append
+    // write of (doc_id, dl) tombstone rows, committed postings files
+    // untouched — and delete them AGAIN (idempotence exercised under
+    // the oracle: the second call appends nothing). Serve anti-joins
+    // the tombstones lazily and shrinks live (N, T) by the tombstones'
+    // (count, Σdl), so scores re-rank exactly as if the corpus never
+    // held those docs — which is exactly what the oracle computes.
+    // Queries keep the full q124 query set (a deleted doc may still
+    // QUERY; it can never be RETURNED).
+    "q158_bm25_delete_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = scratchDir("graft_postings_delete", dir)
+      graft.operators.Retrieval.savePostingsIndex(
+        graft.operators.Retrieval.buildPostingsIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"), idxDir)
+      graft.operators.Retrieval.appendPostingsIndex(s, idxDir,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      val victims = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+      graft.operators.Retrieval.deleteFromPostingsIndex(s, idxDir,
+        victims, "doc_id")
+      graft.operators.Retrieval.deleteFromPostingsIndex(s, idxDir,
+        victims, "doc_id")
+      val queries = docs.filter(col("doc_id") % 200 === 7)
+        .select(col("doc_id").as("qid"),
+          array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+      graft.operators.Retrieval.bm25SearchIndex(queries,
+        graft.operators.Retrieval.loadPostingsIndex(s, idxDir),
+        "qid", "qterms", k = 10)
+    }),
+
+    // DELETE lifecycle for the PQ index — same tombstone idiom on the
+    // vector side: build on the seed, append the drift batch (stored
+    // codebooks), DELETE vec_id % 7 == 3 (one append of tombstoned
+    // neighbor_ids; no stats to adjust — ADC has no corpus-total term),
+    // then serve q119's queries. Deleted vectors can never be returned;
+    // ranks close over the survivors. Oracle: q119's mirror with the
+    // corpus CTE restricted to the survivors.
+    "q159_pq_delete_serve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxDir = scratchDir("graft_pq_delete", dir)
+      Similarity.savePqIndex(
+        Similarity.buildPqIndex(emb.filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding"), idxDir)
+      Similarity.appendPqIndex(s, idxDir,
+        emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding")
+      Similarity.deleteFromPqIndex(s, idxDir,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
+      Similarity.pqSearchIndex(emb.filter(col("vec_id") % 25 === 0),
+        Similarity.loadPqIndex(s, idxDir), "vec_id", "embedding", k = 10)
+    }),
+
     // Streaming RETRIEVAL maintenance — q139's postings index kept live
     // by a stream (the 5th stored family with a streaming twin): the
     // corpus seeds the stored index batch-side, two drops stream in and
@@ -2233,6 +2286,11 @@ object SparkEntry {
     "q116_ann_ivf_pq_topk" -> SimilarityOracle.ivfPqTopKSql(spark, dir),
     "q119_pq_index_append" -> SimilarityOracle.ivfPqTopKSql(spark, dir,
       trainWhere = Some("vec_id % 10 <> 0")),
+    // tombstone-deleted serve ≡ a corpus that never held the deleted
+    // vectors (same train/search split as q119, survivors only)
+    "q159_pq_delete_serve" -> SimilarityOracle.ivfPqTopKSql(spark, dir,
+      trainWhere = Some("vec_id % 10 <> 0"),
+      corpusWhere = Some("vec_id % 7 <> 3")),
     // the streaming twin keeps q119's exact train/search split, so the
     // mirror is identical (quantizers from the seed, search everything)
     "q150_pq_stream_serve" -> SimilarityOracle.ivfPqTopKSql(spark, dir,
@@ -2370,6 +2428,40 @@ object SparkEntry {
       |             GROUP BY tok.doc_id, dl.dl, tok.token),
       |q AS (SELECT doc_id AS qid, unnest(list_distinct(list_slice(w.w, 1, 4))) AS term
       |      FROM w WHERE doc_id % 200 = 7),
+      |hit AS (SELECT * FROM postings WHERE token IN (SELECT term FROM q)),
+      |dfreq AS (SELECT token, count(*) AS df FROM hit GROUP BY token),
+      |scored AS (SELECT q.qid, h.doc_id,
+      |    CAST(sum(CAST(floor(
+      |      CAST((2*s.n - 2*f.df + 1) * 22 * h.tf * s.t AS DOUBLE)
+      |      / CAST((2*f.df + 1) * (10*h.tf*s.t + 3*s.t + 9*h.dl*s.n) AS DOUBLE)
+      |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+      |  FROM hit h JOIN q ON q.term = h.token
+      |  JOIN dfreq f ON f.token = h.token
+      |  CROSS JOIN stats s
+      |  GROUP BY q.qid, h.doc_id),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+      |             ORDER BY score_micro DESC, doc_id ASC) AS rn FROM scored)
+      |SELECT qid, doc_id, score_micro, CAST(rn AS INT) AS rn
+      |FROM ranked WHERE rn <= 10""".stripMargin
+
+  /** Mirror of q158: [[bm25OracleSql]] with the CORPUS side (w → dl,
+    * stats, postings) restricted to the surviving docs — scoring a
+    * tombstone-deleted index must equal scoring a corpus that never
+    * held the deleted docs. The QUERY side reads the unrestricted
+    * split (`wq`): a deleted doc may still query, never be returned.
+    */
+  private val bm25DeleteOracleSql: String =
+    """WITH wq AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |w AS (SELECT * FROM wq WHERE doc_id % 7 <> 3),
+      |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |                 CAST(sum(dl) AS BIGINT) AS t FROM dl),
+      |tok AS (SELECT doc_id, unnest(w.w) AS token FROM w),
+      |postings AS (SELECT tok.doc_id, dl.dl, tok.token, count(*) AS tf
+      |             FROM tok JOIN dl ON dl.doc_id = tok.doc_id
+      |             GROUP BY tok.doc_id, dl.dl, tok.token),
+      |q AS (SELECT doc_id AS qid, unnest(list_distinct(list_slice(wq.w, 1, 4))) AS term
+      |      FROM wq WHERE doc_id % 200 = 7),
       |hit AS (SELECT * FROM postings WHERE token IN (SELECT term FROM q)),
       |dfreq AS (SELECT token, count(*) AS df FROM hit GROUP BY token),
       |scored AS (SELECT q.qid, h.doc_id,
@@ -3526,6 +3618,7 @@ object SparkEntry {
     // form answers q124's oracle verbatim — any postings drift (missed
     // append, stale stats, bucket mismatch) breaks the hash
     "q139_bm25_index_serve" -> bm25OracleSql,
+    "q158_bm25_delete_serve" -> bm25DeleteOracleSql,
     "q142_bm25_stream_serve" -> bm25OracleSql,
     "q152_bm25_absorb_serve" -> bm25OracleSql,
     "q149_heavy_tokens" ->

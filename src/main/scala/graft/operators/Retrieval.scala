@@ -120,6 +120,7 @@ object Retrieval {
   def savePostingsIndex(index: PostingsIndex, dir: String): Unit = {
     val spark = index.postings.sparkSession
     import spark.implicits._
+    StoreFiles.clearTombstones(spark, s"$dir/tombstones")
     index.postings.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
     index.stats.write.mode("overwrite").parquet(s"$dir/stats")
@@ -162,27 +163,99 @@ object Retrieval {
     delta.stats.write.mode("append").parquet(s"$dir/stats")
   }
 
-  def loadPostingsIndex(spark: SparkSession, dir: String): PostingsIndex =
-    PostingsIndex(spark.read.parquet(s"$dir/postings"),
+  /** Delete documents from a stored index — the LSM tombstone path
+    * (committed postings files are NEVER rewritten; that's what
+    * [[compactPostingsIndex]] is for). The delete is ONE append write
+    * of (doc_id, dl) tombstone rows: dl travels with the tombstone so
+    * the serve-side stats adjustment (live N, T must shrink with the
+    * deleted docs) is a tiny aggregate over the tombstone relation —
+    * never a postings scan at serve, and no negative stats rows to
+    * keep consistent with a second write. Ids are restricted to docs
+    * actually live in the index (semi join against the stored
+    * doc-lengths), so deleting an absent id is a no-op, and
+    * [[StoreFiles.appendTombstones]] drops already-tombstoned ids, so
+    * the delete is idempotent.
+    *
+    * Cost shape: one column-pruned scan of the stored postings'
+    * (doc_id, dl) pair — the price of not maintaining a separate
+    * doc-length table. A deployment deleting constantly would add one;
+    * nightly GDPR batches amortize the scan across the batch.
+    */
+  def deleteFromPostingsIndex(spark: SparkSession, dir: String,
+      ids: DataFrame, idCol: String): Unit = {
+    val victims = spark.read.parquet(s"$dir/postings")
+      .select(col("doc_id"), col("dl")).distinct()
+      .join(ids.select(col(idCol).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+    StoreFiles.appendTombstones(spark, s"$dir/tombstones", victims,
+      "doc_id")
+  }
+
+  /** Load a stored index. With tombstones present, the served relations
+    * are delete-adjusted LAZILY: postings anti-join the tombstoned
+    * doc_ids (the bucket partition-pruning filter still reaches the
+    * scan below the join), and the stats deltas gain ONE negative row
+    * aggregated from the tombstones' (count, Σdl). Stores that never
+    * saw a delete load exactly as before — same plan, same counters.
+    */
+  def loadPostingsIndex(spark: SparkSession, dir: String): PostingsIndex = {
+    val raw = PostingsIndex(spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/stats"),
       spark.read.parquet(s"$dir/params").head().getInt(0))
+    StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(raw) { tombs =>
+      raw.copy(
+        postings = raw.postings.join(broadcast(tombs.select(col("doc_id"))),
+          Seq("doc_id"), "left_anti"),
+        stats = raw.stats.unionByName(tombs.agg(
+          (count(lit(1)) * lit(-1L)).as("n"),
+          (coalesce(sum(col("dl")), lit(0L)) * lit(-1L)).as("t"))))
+    }
+  }
 
   /** Nightly small-file compaction for a stored postings index: one
     * file per bucket partition, and the K stats delta rows collapsed
     * into their single-row sum, both via the guarded temp-swap
-    * ([[graft.operators.StoreFiles.swapIn]]). Serve results are
-    * unchanged — the relations are identical (stats totals are the sum
-    * either way); params are untouched.
+    * ([[graft.operators.StoreFiles.swapIn]]). Tombstones (if any) are
+    * APPLIED here — deleted docs' postings physically dropped, their
+    * (count, Σdl) folded into the single stats row, the tombstones
+    * directory removed — so the nightly pass also bounds tombstone
+    * growth. Serve results are unchanged throughout (the loaded
+    * relations are equal before and after); params are untouched.
+    *
+    * Sequencing note (single-nightly-writer contract, like every
+    * `compact*`): the postings swap and the stats swap each leave a
+    * consistent store if the process dies between them (tombstones
+    * still present ⇒ the load-time adjustment still applies, and
+    * anti-joining already-removed postings is a no-op) — the ONE
+    * unsafe window is between the stats swap and the tombstone
+    * delete, where a serve would subtract the deleted docs twice.
+    * Rerunning the compaction from the top repairs nothing by itself
+    * (the stats row is already net), so a crash there needs the
+    * tombstone directory removed manually before serving resumes.
     */
   def compactPostingsIndex(spark: SparkSession, dir: String): Unit = {
+    val tombs = StoreFiles.readTombstones(spark, s"$dir/tombstones")
+      .map(_.select(col("doc_id"), col("dl")).localCheckpoint())
     StoreFiles.swapIn(spark, s"$dir/postings") { tmp =>
-      spark.read.parquet(s"$dir/postings").repartition(col("bucket"))
+      val raw = spark.read.parquet(s"$dir/postings")
+      tombs.fold(raw)(t => raw.join(broadcast(t.select(col("doc_id"))),
+          Seq("doc_id"), "left_anti"))
+        .repartition(col("bucket"))
         .write.partitionBy("bucket").parquet(tmp)
     }
     StoreFiles.swapIn(spark, s"$dir/stats") { tmp =>
-      spark.read.parquet(s"$dir/stats")
+      val base = spark.read.parquet(s"$dir/stats")
+      tombs.fold(base)(t => base.unionByName(t.agg(
+          (count(lit(1)) * lit(-1L)).as("n"),
+          (coalesce(sum(col("dl")), lit(0L)) * lit(-1L)).as("t"))))
         .agg(sum(col("n")).as("n"), sum(col("t")).as("t"))
         .coalesce(1).write.parquet(tmp)
+    }
+    if (tombs.nonEmpty) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      require(p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true),
+        s"compact: could not delete $dir/tombstones")
     }
   }
 

@@ -763,6 +763,7 @@ object Similarity {
     */
   def savePqIndex(index: PqIndex, dir: String): Unit = {
     val spark = index.codes.sparkSession
+    StoreFiles.clearTombstones(spark, s"$dir/tombstones")
     import scala.jdk.CollectionConverters._
     val centRows = index.centroids.zipWithIndex.map { case (c, i) =>
       org.apache.spark.sql.Row(i, 0, c.toSeq)
@@ -794,9 +795,30 @@ object Similarity {
     (cents, books)
   }
 
+  /** Delete vectors from a stored PQ index — the LSM tombstone path
+    * (committed code files are never rewritten). ONE append write of
+    * tombstoned neighbor_ids; no stats to adjust (ADC scoring has no
+    * corpus-total term), so unlike the postings delete this touches
+    * nothing else. Idempotent (already-tombstoned ids are dropped by
+    * [[StoreFiles.appendTombstones]]); absent ids tombstone harmlessly.
+    */
+  def deleteFromPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame, idCol: String): Unit =
+    StoreFiles.appendTombstones(spark, s"$dir/tombstones",
+      ids.select(col(idCol).as("neighbor_id")).distinct(), "neighbor_id")
+
+  /** Load a stored index. With tombstones present the codes relation
+    * anti-joins them lazily (cell partition pruning still reaches the
+    * scan below the join); a store that never saw a delete loads with
+    * its exact pre-tombstone plan.
+    */
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): PqIndex = {
     val (cents, books) = loadPqParams(spark, dir)
-    PqIndex(cents, books, spark.read.parquet(s"$dir/codes"))
+    val codes = spark.read.parquet(s"$dir/codes")
+    PqIndex(cents, books,
+      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(codes)(t =>
+        codes.join(broadcast(t.select(col("neighbor_id"))),
+          Seq("neighbor_id"), "left_anti")))
   }
 
   /** Incrementally add a batch to a STORED PQ index: encode the new
@@ -867,14 +889,30 @@ object Similarity {
 
   /** Nightly small-file compaction for a stored PQ index: one file per
     * cell partition of the codes table, guarded temp-swap, ADC results
-    * unchanged; the two params tables are untouched.
+    * unchanged; the two params tables are untouched. Tombstones (if
+    * any) are applied physically — deleted ids' codes dropped, the
+    * tombstones directory removed — bounding tombstone growth. Safe to
+    * die between the swap and the tombstone delete (the load-time
+    * anti join over already-removed codes is a no-op).
     */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit =
+      dir: String): Unit = {
+    val tombs = StoreFiles.readTombstones(spark, s"$dir/tombstones")
+      .map(_.select(col("neighbor_id")).localCheckpoint())
     StoreFiles.swapIn(spark, s"$dir/codes") { tmp =>
-      spark.read.parquet(s"$dir/codes").repartition(col("cell"))
+      val raw = spark.read.parquet(s"$dir/codes")
+      tombs.fold(raw)(t => raw.join(broadcast(t), Seq("neighbor_id"),
+          "left_anti"))
+        .repartition(col("cell"))
         .write.partitionBy("cell").parquet(tmp)
     }
+    if (tombs.nonEmpty) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      require(p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true),
+        s"compact: could not delete $dir/tombstones")
+    }
+  }
 
   /** Serve IVF-PQ top-k against a stored index — q116's ADC scan with
     * ZERO training jobs: queries rank cells against the loaded centroids

@@ -1,0 +1,151 @@
+package graft
+
+import graft.operators.{Retrieval, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Tombstone-delete lifecycle over the stored postings and PQ indexes:
+  * a delete is ONE append write (committed data files never touched), a
+  * deleted id can never be served, stats shrink as if the corpus never
+  * held the doc, deletes are idempotent, and compaction applies the
+  * tombstones physically then removes them — with serve results
+  * identical before and after.
+  */
+class TombstoneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark runs distributed queries over columnar data"),
+    (2L, "spark queries shuffle data between executors"),
+    (3L, "ducks swim over the pond water"),
+    (4L, "columnar data formats compress well"),
+    (5L, "the pond water reflects the spark of dawn light"),
+    (6L, "executors cache columnar data for spark queries")
+  ).toDF("doc_id", "text")
+
+  private val queries = Seq(
+    (100L, Seq("spark", "data")),
+    (200L, Seq("pond", "water", "columnar"))
+  ).toDF("qid", "qterms")
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def serve(dir: String): Set[(Long, Long, Long, Int)] =
+    Retrieval.bm25SearchIndex(queries,
+        Retrieval.loadPostingsIndex(spark, dir), "qid", "qterms", k = 3)
+      .as[(Long, Long, Long, Int)].collect().toSet
+
+  private def freshPostings(dir: String): Unit =
+    Retrieval.savePostingsIndex(
+      Retrieval.buildPostingsIndex(corpus, "doc_id", "text", nBuckets = 4),
+      dir)
+
+  test("postings: deleted serve equals an index built without the docs") {
+    val dir = tmpDir("graft_tomb_posts")
+    freshPostings(dir)
+    Retrieval.deleteFromPostingsIndex(spark, dir,
+      Seq(2L, 4L).toDF("doc_id"), "doc_id")
+    val survivors = corpus.filter(!col("doc_id").isin(2L, 4L))
+    val want = Retrieval.bm25TopK(survivors, queries, "doc_id", "text",
+        "qid", "qterms", k = 3)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(serve(dir) == want)
+    // live (N, T) shrank to the survivors' totals
+    val live = Retrieval.loadPostingsIndex(spark, dir).stats
+      .agg(sum("n"), sum("t")).as[(Long, Long)].head()
+    val wantNT = survivors
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)), sum("dl")).as[(Long, Long)].head()
+    assert(live == wantNT)
+  }
+
+  test("postings: delete never rewrites committed files and is idempotent") {
+    val dir = tmpDir("graft_tomb_idem")
+    freshPostings(dir)
+    val before = parquetStamps(s"$dir/postings", s"$dir/stats")
+    val victims = Seq(2L, 4L).toDF("doc_id")
+    Retrieval.deleteFromPostingsIndex(spark, dir, victims, "doc_id")
+    assert(parquetStamps(s"$dir/postings", s"$dir/stats") == before)
+    val afterOnce = serve(dir)
+    val tombRows = spark.read.parquet(s"$dir/tombstones").count()
+    assert(tombRows == 2)
+    // re-issuing the same delete appends nothing and changes nothing
+    Retrieval.deleteFromPostingsIndex(spark, dir, victims, "doc_id")
+    assert(spark.read.parquet(s"$dir/tombstones").count() == 2)
+    assert(serve(dir) == afterOnce)
+    // deleting an id the index never held is a no-op too
+    Retrieval.deleteFromPostingsIndex(spark, dir,
+      Seq(99L).toDF("doc_id"), "doc_id")
+    assert(spark.read.parquet(s"$dir/tombstones").count() == 2)
+  }
+
+  test("postings: compaction applies tombstones physically, serve unchanged") {
+    val dir = tmpDir("graft_tomb_compact")
+    freshPostings(dir)
+    Retrieval.deleteFromPostingsIndex(spark, dir,
+      Seq(2L, 4L).toDF("doc_id"), "doc_id")
+    val before = serve(dir)
+    Retrieval.compactPostingsIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    // the deleted docs are physically gone from the stored postings
+    assert(spark.read.parquet(s"$dir/postings")
+      .filter(col("doc_id").isin(2L, 4L)).count() == 0)
+    // stats collapsed to one NET row
+    val stats = spark.read.parquet(s"$dir/stats")
+    assert(stats.count() == 1)
+    assert(serve(dir) == before)
+    // later deletes keep working against the compacted store
+    Retrieval.deleteFromPostingsIndex(spark, dir,
+      Seq(1L).toDF("doc_id"), "doc_id")
+    val want = Retrieval.bm25TopK(
+        corpus.filter(!col("doc_id").isin(1L, 2L, 4L)), queries,
+        "doc_id", "text", "qid", "qterms", k = 3)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(serve(dir) == want)
+  }
+
+  test("postings: a fresh save never inherits a previous index's deletes") {
+    val dir = tmpDir("graft_tomb_fresh")
+    freshPostings(dir)
+    Retrieval.deleteFromPostingsIndex(spark, dir,
+      Seq(2L, 4L).toDF("doc_id"), "doc_id")
+    freshPostings(dir) // overwrite-in-place, as a rebuild job would
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    val want = Retrieval.bm25TopK(corpus, queries, "doc_id", "text",
+        "qid", "qterms", k = 3)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(serve(dir) == want)
+  }
+
+  private def pqServe(dir: String,
+      emb: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Int)] =
+    Similarity.pqSearchIndex(emb.filter(col("vec_id") % 25 === 0),
+        Similarity.loadPqIndex(spark, dir), "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long, Int)].collect().toSet
+
+  test("pq: deleted serve equals the same params over the surviving codes") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = tmpDir("graft_tomb_pq")
+    Similarity.savePqIndex(
+      Similarity.buildPqIndex(emb, "vec_id", "embedding"), dir)
+    val raw = Similarity.loadPqIndex(spark, dir) // pre-delete view
+    val expected = Similarity.pqSearchIndex(
+        emb.filter(col("vec_id") % 25 === 0),
+        raw.copy(codes = raw.codes.filter(col("neighbor_id") % 7 =!= 3)),
+        "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val stamps = parquetStamps(s"$dir/codes")
+    Similarity.deleteFromPqIndex(spark, dir,
+      emb.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
+    assert(parquetStamps(s"$dir/codes") == stamps) // append-only delete
+    assert(pqServe(dir, emb) == expected)
+    // no served neighbor is a deleted id
+    assert(pqServe(dir, emb).forall { case (_, n, _, _) => n % 7 != 3 })
+    // compaction: tombstones applied physically, serve identical
+    Similarity.compactPqIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(spark.read.parquet(s"$dir/codes")
+      .filter(col("neighbor_id") % 7 === 3).count() == 0)
+    assert(pqServe(dir, emb) == expected)
+  }
+}
