@@ -1789,6 +1789,30 @@ object SparkEntry {
         Similarity.loadPqIndex(s, idxDir), "vec_id", "embedding", k = 10)
     }),
 
+    // DELETE lifecycle on a DEDUP GATE — where tombstones are
+    // load-bearing beyond storage: after a right-to-be-forgotten
+    // delete, a future near-duplicate of the deleted doc MUST be
+    // admitted, so the tombstoned corpus ids may no longer produce
+    // candidate pairs. Build+save the band index, DELETE corpus ids
+    // % 7 == 3 (one append of bare ids; band/sets files untouched),
+    // probe tonight's drop: the verified pairs are exactly the full
+    // pair set minus pairs whose corpus side was deleted — which is
+    // what the oracle computes. (Bloom needs NO tombstones for this:
+    // its confirm relation is the source of truth — documented at the
+    // Bloom section head.)
+    "q160_band_delete_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = scratchDir("graft_band_delete", dir)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val drop = docs.filter(col("doc_id") % 10 === 0)
+      Dedup.saveBandIndex(Dedup.buildBandIndex(corpus, "doc_id", "text"),
+        idxDir)
+      Dedup.deleteFromBandIndex(s, idxDir,
+        corpus.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id")
+      Dedup.minHashLshProbe(Dedup.loadBandIndex(s, idxDir), drop,
+        "doc_id", "text")
+    }),
+
     // Streaming RETRIEVAL maintenance — q139's postings index kept live
     // by a stream (the 5th stored family with a streaming twin): the
     // corpus seeds the stored index batch-side, two drops stream in and
@@ -3437,6 +3461,14 @@ object SparkEntry {
          |WHERE ((id_a % 10 = 0) <> (id_b % 10 = 0)
          |        AND id_a % 10 <> 5 AND id_b % 10 <> 5)
          |   OR ((id_a % 10 = 5) <> (id_b % 10 = 5))""".stripMargin,
+    // delete-probe mirror: cross pairs (one side the drop) whose
+    // CORPUS side survived the delete — a drop doc with % 7 = 3 is
+    // untouched (only corpus ids were deleted)
+    "q160_band_delete_probe" ->
+      s"""SELECT id_a, id_b, jaccard FROM ($minhashOracleSql) p
+         |WHERE ((id_a % 10 = 0) <> (id_b % 10 = 0))
+         |  AND NOT (id_a % 10 <> 0 AND id_a % 7 = 3)
+         |  AND NOT (id_b % 10 <> 0 AND id_b % 7 = 3)""".stripMargin,
     // robust-outlier mirror: same interpolating medians, same MAD, same
     // 2-MAD cut
     "q138_robust_outliers" ->

@@ -268,6 +268,7 @@ object Dedup {
   def saveBandIndex(index: BandIndex, dir: String): Unit = {
     val spark = index.bands.sparkSession
     import spark.implicits._
+    StoreFiles.clearTombstones(spark, s"$dir/tombstones")
     index.bands.write.mode("overwrite").partitionBy("band")
       .parquet(s"$dir/bands")
     index.sets.write.mode("overwrite").parquet(s"$dir/sets")
@@ -276,12 +277,37 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
   }
 
+  /** Delete documents from a stored band index — the LSM tombstone path
+    * (committed band/sets files never rewritten; applied physically by
+    * [[compactBandIndex]]). For a DEDUP gate this is load-bearing
+    * beyond storage hygiene: after a right-to-be-forgotten delete, a
+    * future near-duplicate of the deleted doc MUST be admitted — the
+    * tombstoned id can no longer produce candidate pairs, so it can't
+    * block an ingest. ONE append write of bare ids; idempotent; absent
+    * ids tombstone harmlessly.
+    */
+  def deleteFromBandIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame, idCol: String): Unit =
+    StoreFiles.appendTombstones(spark, s"$dir/tombstones",
+      ids.select(col(idCol).as("id")).distinct(), "id")
+
+  /** Load a stored index. With tombstones present, BOTH relations
+    * (bands and sets) anti-join the tombstoned ids lazily; a store
+    * that never saw a delete loads with its exact pre-tombstone plan.
+    */
   def loadBandIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): BandIndex = {
     val p = spark.read.parquet(s"$dir/params").head()
-    BandIndex(spark.read.parquet(s"$dir/bands"),
-      spark.read.parquet(s"$dir/sets"),
-      p.getInt(0), p.getInt(1), p.getInt(2))
+    val (bands, sets) = StoreFiles.readTombstones(spark, s"$dir/tombstones")
+      .fold((spark.read.parquet(s"$dir/bands"),
+             spark.read.parquet(s"$dir/sets"))) { t =>
+        val ids = broadcast(t.select(col("id")))
+        (spark.read.parquet(s"$dir/bands")
+           .join(ids, Seq("id"), "left_anti"),
+         spark.read.parquet(s"$dir/sets")
+           .join(ids, Seq("id"), "left_anti"))
+      }
+    BandIndex(bands, sets, p.getInt(0), p.getInt(1), p.getInt(2))
   }
 
   /** Incrementally add an ACCEPTED batch to a stored index: shingle +
@@ -322,13 +348,20 @@ object Dedup {
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, setsFiles: Int = 8): Unit = {
     require(setsFiles >= 1, s"setsFiles must be >= 1, got $setsFiles")
+    val tombs = StoreFiles.readTombstones(spark, s"$dir/tombstones")
+      .map(_.select(col("id")).localCheckpoint())
     StoreFiles.swapIn(spark, s"$dir/bands") { tmp =>
-      spark.read.parquet(s"$dir/bands").repartition(col("band"))
+      val raw = spark.read.parquet(s"$dir/bands")
+      tombs.fold(raw)(t => raw.join(broadcast(t), Seq("id"), "left_anti"))
+        .repartition(col("band"))
         .write.partitionBy("band").parquet(tmp)
     }
     StoreFiles.swapIn(spark, s"$dir/sets") { tmp =>
-      spark.read.parquet(s"$dir/sets").coalesce(setsFiles).write.parquet(tmp)
+      val raw = spark.read.parquet(s"$dir/sets")
+      tombs.fold(raw)(t => raw.join(broadcast(t), Seq("id"), "left_anti"))
+        .coalesce(setsFiles).write.parquet(tmp)
     }
+    tombs.foreach(_ => StoreFiles.clearTombstones(spark, s"$dir/tombstones"))
   }
 
   /** Probe a (possibly loaded) band index with a new batch: only the
@@ -372,6 +405,13 @@ object Dedup {
   // negatives, and every positive is exact-verified against the
   // corpus, so the gated result EQUALS the plain anti join — which is
   // exactly what q117's plain-SQL oracle checks.
+  //
+  // DELETES need no tombstones here, unlike the band/SimHash/IVF/PQ/
+  // postings families: bits can't be unset (that's a counting filter),
+  // but they don't have to be — the confirm relation is the source of
+  // truth, so removing a key from the CORPUS side is sufficient. The
+  // deleted key's stale bits cost exactly one extra confirm lookup if
+  // the same fingerprint ever arrives again, never a wrong answer.
   // ------------------------------------------------------------------
 
   /** The kHashes bit positions of a key in an mBits-bit Bloom filter:
@@ -937,16 +977,31 @@ object Dedup {
   def saveSimHashIndex(index: SimHashIndex, dir: String): Unit = {
     val spark = index.banded.sparkSession
     import spark.implicits._
+    StoreFiles.clearTombstones(spark, s"$dir/tombstones")
     index.banded.write.mode("overwrite").partitionBy("band")
       .parquet(s"$dir/banded")
     Seq(index.maxHamming).toDF("max_hamming")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
   }
 
+  /** Delete documents from a stored SimHash index — same tombstone
+    * contract as [[deleteFromBandIndex]], and the same dedup-gate
+    * consequence: a tombstoned id stops producing candidate pairs, so
+    * it can no longer block a future ingest of similar content.
+    */
+  def deleteFromSimHashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame, idCol: String): Unit =
+    StoreFiles.appendTombstones(spark, s"$dir/tombstones",
+      ids.select(col(idCol).as("id")).distinct(), "id")
+
   def loadSimHashIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): SimHashIndex = {
     val p = spark.read.parquet(s"$dir/params").head()
-    SimHashIndex(spark.read.parquet(s"$dir/banded"), p.getInt(0))
+    val banded = spark.read.parquet(s"$dir/banded")
+    SimHashIndex(
+      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(banded)(t =>
+        banded.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")),
+      p.getInt(0))
   }
 
   /** Incrementally add an ACCEPTED batch: fingerprint + band with the
@@ -968,11 +1023,17 @@ object Dedup {
     * [[compactBandIndex]] contract on the `banded` table.
     */
   def compactSimHashIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit =
+      dir: String): Unit = {
+    val tombs = StoreFiles.readTombstones(spark, s"$dir/tombstones")
+      .map(_.select(col("id")).localCheckpoint())
     StoreFiles.swapIn(spark, s"$dir/banded") { tmp =>
-      spark.read.parquet(s"$dir/banded").repartition(col("band"))
+      val raw = spark.read.parquet(s"$dir/banded")
+      tombs.fold(raw)(t => raw.join(broadcast(t), Seq("id"), "left_anti"))
+        .repartition(col("band"))
         .write.partitionBy("band").parquet(tmp)
     }
+    tombs.foreach(_ => StoreFiles.clearTombstones(spark, s"$dir/tombstones"))
+  }
 
   /** Probe a (possibly loaded) SimHash index with a new batch: only the
     * batch is fingerprinted; candidates are cross-side band-bucket

@@ -508,15 +508,30 @@ object Similarity {
           org.apache.spark.sql.types.LongType), nullable = false)))
     spark.createDataFrame(centRows, centSchema)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    StoreFiles.clearTombstones(spark, s"$dir/tombstones")
     index.assignments.write.mode("overwrite")
       .partitionBy("cell").parquet(s"$dir/assignments")
   }
+
+  /** Delete vectors from a stored IVF index — the PQ tombstone contract
+    * ([[deleteFromPqIndex]]) on the assignments table: one append of
+    * bare neighbor_ids, idempotent, applied physically by
+    * [[compactIvfIndex]].
+    */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame, idCol: String): Unit =
+    StoreFiles.appendTombstones(spark, s"$dir/tombstones",
+      ids.select(col(idCol).as("neighbor_id")).distinct(), "neighbor_id")
 
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Long](1).toArray)
-    IvfIndex(cents, spark.read.parquet(s"$dir/assignments"))
+    val assigns = spark.read.parquet(s"$dir/assignments")
+    IvfIndex(cents,
+      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(assigns)(t =>
+        assigns.join(broadcast(t.select(col("neighbor_id"))),
+          Seq("neighbor_id"), "left_anti")))
   }
 
   /** Incrementally add a batch to a STORED index: assign the new vectors
@@ -549,11 +564,18 @@ object Similarity {
     * results are unchanged, the centroids params table is untouched.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit =
+      dir: String): Unit = {
+    val tombs = StoreFiles.readTombstones(spark, s"$dir/tombstones")
+      .map(_.select(col("neighbor_id")).localCheckpoint())
     StoreFiles.swapIn(spark, s"$dir/assignments") { tmp =>
-      spark.read.parquet(s"$dir/assignments").repartition(col("cell"))
+      val raw = spark.read.parquet(s"$dir/assignments")
+      tombs.fold(raw)(t => raw.join(broadcast(t), Seq("neighbor_id"),
+          "left_anti"))
+        .repartition(col("cell"))
         .write.partitionBy("cell").parquet(tmp)
     }
+    tombs.foreach(_ => StoreFiles.clearTombstones(spark, s"$dir/tombstones"))
+  }
 
   // ------------------------------------------------------------------
   // Product quantization (PQ) — the memory side of billion-vector ANN

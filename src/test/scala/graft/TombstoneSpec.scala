@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Retrieval, Similarity}
+import graft.operators.{Dedup, Retrieval, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Tombstone-delete lifecycle over the stored postings and PQ indexes:
@@ -147,5 +147,97 @@ class TombstoneSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/codes")
       .filter(col("neighbor_id") % 7 === 3).count() == 0)
     assert(pqServe(dir, emb) == expected)
+  }
+
+  test("band: a tombstoned doc stops producing pairs — the gate unblocks") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val dir = tmpDir("graft_tomb_band")
+    Dedup.saveBandIndex(
+      Dedup.buildBandIndex(corpus, "doc_id", "text"), dir)
+    val full = Dedup.minHashLshProbe(Dedup.loadBandIndex(spark, dir),
+        batch, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full.nonEmpty) // planted near-dups must cross the split
+    // pick a corpus member of a known pair and delete it
+    val victim = full.map { case (a, b, _) => if (a % 10 == 0) b else a }.head
+    Dedup.deleteFromBandIndex(spark, dir,
+      Seq(victim).toDF("doc_id"), "doc_id")
+    val after = Dedup.minHashLshProbe(Dedup.loadBandIndex(spark, dir),
+        batch, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(after == full.filterNot { case (a, b, _) =>
+      a == victim || b == victim })
+    // and equals a probe of an index built without the victim
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_tomb_band_rb").toString
+    Dedup.saveBandIndex(Dedup.buildBandIndex(
+      corpus.filter(col("doc_id") =!= victim), "doc_id", "text"), rebuilt)
+    val want = Dedup.minHashLshProbe(Dedup.loadBandIndex(spark, rebuilt),
+        batch, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(after == want)
+    // compaction drops the victim physically; probe unchanged
+    Dedup.compactBandIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(spark.read.parquet(s"$dir/bands")
+      .filter(col("id") === victim).count() == 0)
+    assert(spark.read.parquet(s"$dir/sets")
+      .filter(col("id") === victim).count() == 0)
+    assert(Dedup.minHashLshProbe(Dedup.loadBandIndex(spark, dir),
+        batch, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet == after)
+  }
+
+  test("simhash: delete ≡ index built without the docs; compaction parity") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val dir = tmpDir("graft_tomb_sh")
+    Dedup.saveSimHashIndex(
+      Dedup.buildSimHashIndex(corpus, "doc_id", "text"), dir)
+    Dedup.deleteFromSimHashIndex(spark, dir,
+      corpus.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id")
+    val after = Dedup.simHashProbe(Dedup.loadSimHashIndex(spark, dir),
+        batch, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    val rebuilt = tmpDir("graft_tomb_sh_rb")
+    Dedup.saveSimHashIndex(Dedup.buildSimHashIndex(
+      corpus.filter(col("doc_id") % 7 =!= 3), "doc_id", "text"), rebuilt)
+    val want = Dedup.simHashProbe(Dedup.loadSimHashIndex(spark, rebuilt),
+        batch, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(after == want)
+    Dedup.compactSimHashIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(Dedup.simHashProbe(Dedup.loadSimHashIndex(spark, dir),
+        batch, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet == after)
+  }
+
+  test("ivf: delete ≡ same centroids over surviving assignments") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = tmpDir("graft_tomb_ivf")
+    Similarity.saveIvfIndex(
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding"), dir)
+    val raw = Similarity.loadIvfIndex(spark, dir)
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val expected = Similarity.ivfSearchIndex(queries,
+        raw.copy(assignments =
+          raw.assignments.filter(col("neighbor_id") % 7 =!= 3)),
+        "vec_id", "embedding", k = 5)
+      .collect().toSet
+    Similarity.deleteFromIvfIndex(spark, dir,
+      emb.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
+    assert(Similarity.ivfSearchIndex(queries,
+        Similarity.loadIvfIndex(spark, dir), "vec_id", "embedding", k = 5)
+      .collect().toSet == expected)
+    Similarity.compactIvfIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(spark.read.parquet(s"$dir/assignments")
+      .filter(col("neighbor_id") % 7 === 3).count() == 0)
+    assert(Similarity.ivfSearchIndex(queries,
+        Similarity.loadIvfIndex(spark, dir), "vec_id", "embedding", k = 5)
+      .collect().toSet == expected)
   }
 }
