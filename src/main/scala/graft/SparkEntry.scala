@@ -2265,6 +2265,46 @@ object SparkEntry {
       Curation.hllEstimate(perSrc.unionByName(merged), Seq("source"))
     }),
 
+    // Streaming CARDINALITY maintenance — q155's HLL kept live by a
+    // stream (q130's additive-sketch idiom with a MAX-mergeable sketch):
+    // the corpus seeds a register partition batch-side, two drops
+    // stream in and each writes ONLY ITS OWN per-source registers to
+    // its batch partition; the live registers are the per-(source,
+    // bucket) MAX over committed partitions, with zero document
+    // re-reads. Seed ∪ drops = the full table and max is associative/
+    // commutative/idempotent, so the served estimates are IDENTICAL to
+    // q155's — which is what the shared oracle checks.
+    "q161_hll_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = scratchDir("graft_hll_stream", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      val outPath = s"$base/out$run"
+      graft.streaming.DocumentStreams.hllBatchRegisters(
+          docs.filter(col("doc_id") % 20 =!= 0 && col("doc_id") % 20 =!= 10))
+        .write.mode("overwrite").parquet(s"$outPath/batch_id=-1")
+      val q = graft.streaming.DocumentStreams.hllIngest(s,
+        landing.toString, outPath, s"$base/ckpt$run",
+        maxFilesPerTrigger = Some(1))
+      for ((m, i) <- Seq(0, 10).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        docs.filter(col("doc_id") % 20 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      val live = graft.streaming.DocumentStreams.loadHll(s, outPath)
+      val merged = Curation.hllMerge(
+        live.withColumn("source", lit("__all__")), Seq("source"))
+      Curation.hllEstimate(live.unionByName(merged), Seq("source"))
+    }),
+
     // DSIR importance scores (Xie et al. 2023): score every doc by the
     // log-likelihood ratio of its hashed-unigram stream under the
     // TARGET (English docs) vs RAW distribution — the data-selection
@@ -2501,6 +2541,34 @@ object SparkEntry {
       |             ORDER BY score_micro DESC, doc_id ASC) AS rn FROM scored)
       |SELECT qid, doc_id, score_micro, CAST(rn AS INT) AS rn
       |FROM ranked WHERE rn <= 10""".stripMargin
+
+  /** Shared HLL mirror (q155 batch build, q161 streaming twin — seed ∪
+    * drops cover the full table and per-bucket max is idempotent, so
+    * both serve identical estimates): same md5 register hash, same raw
+    * estimator with the 2⁵⁵-scaled BIGINT sum and one IEEE divide.
+    */
+  private lazy val hllOracleSql: String = {
+    val h = hexToLongSql("md5('hll:' || sh)", 1, 15)
+    val c = 0.709 * Curation.HllM * Curation.HllM * math.pow(2, 55)
+    s"""WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+       |sg AS (SELECT source,
+       |         unnest([w.w[i] || ' ' || w.w[i+1] || ' ' || w.w[i+2]
+       |                 FOR i IN range(1, greatest(len(w.w)-2, 0)+1)]) AS sh
+       |       FROM w),
+       |g AS (SELECT source, sh FROM sg
+       |      UNION ALL SELECT '__all__' AS source, sh FROM sg),
+       |h AS (SELECT source, $h AS h FROM g),
+       |reg AS (SELECT source, h % 64 AS bucket,
+       |          max(55 - length(bin(h // 64))) AS r
+       |        FROM h GROUP BY source, h % 64),
+       |est AS (SELECT source, count(*) AS hll_buckets,
+       |          CAST(sum(CAST(1 AS BIGINT) << (55 - r)) AS BIGINT) AS s_occ
+       |        FROM reg GROUP BY source)
+       |SELECT source, hll_buckets,
+       |  CAST(floor($c / CAST(s_occ + (64 - hll_buckets) *
+       |    (CAST(1 AS BIGINT) << 55) AS DOUBLE)) AS BIGINT) AS hll_est
+       |FROM est""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3711,28 +3779,10 @@ object SparkEntry {
     // HLL registers replayed per-nibble md5 → 60-bit h; the '__all__'
     // row comes from the unioned shingle stream — identical to merging
     // per-source registers by max (max over a union = merged max)
-    "q155_hll_distinct" -> {
-      val h = hexToLongSql("md5('hll:' || sh)", 1, 15)
-      val c = 0.709 * Curation.HllM * Curation.HllM * math.pow(2, 55)
-      s"""WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents),
-         |sg AS (SELECT source,
-         |         unnest([w.w[i] || ' ' || w.w[i+1] || ' ' || w.w[i+2]
-         |                 FOR i IN range(1, greatest(len(w.w)-2, 0)+1)]) AS sh
-         |       FROM w),
-         |g AS (SELECT source, sh FROM sg
-         |      UNION ALL SELECT '__all__' AS source, sh FROM sg),
-         |h AS (SELECT source, $h AS h FROM g),
-         |reg AS (SELECT source, h % 64 AS bucket,
-         |          max(55 - length(bin(h // 64))) AS r
-         |        FROM h GROUP BY source, h % 64),
-         |est AS (SELECT source, count(*) AS hll_buckets,
-         |          CAST(sum(CAST(1 AS BIGINT) << (55 - r)) AS BIGINT) AS s_occ
-         |        FROM reg GROUP BY source)
-         |SELECT source, hll_buckets,
-         |  CAST(floor($c / CAST(s_occ + (64 - hll_buckets) *
-         |    (CAST(1 AS BIGINT) << 55) AS DOUBLE)) AS BIGINT) AS hll_est
-         |FROM est""".stripMargin
-    },
+    "q155_hll_distinct" -> hllOracleSql,
+    // the streaming twin's seed ∪ drops = the full table and HLL merge
+    // is max (idempotent), so the served estimates are identical
+    "q161_hll_stream" -> hllOracleSql,
     "q145_editdist_neardup" ->
       """WITH s AS (SELECT doc_id,
         |             array_to_string((string_split(text, ' '))[1:5], ' ') AS s

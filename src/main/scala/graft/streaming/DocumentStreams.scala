@@ -350,6 +350,45 @@ object DocumentStreams {
       .groupBy(col("lang"), col("bucket"))
       .agg(sum(col("n")).as("n"))
 
+  /** Streaming DISTINCT-COUNT maintenance — [[sketchIngest]]'s idiom
+    * with a MAX-mergeable sketch instead of a SUM-mergeable one: each
+    * micro-batch writes its own per-source HLL register partition
+    * (3-word shingle stream → (source, bucket, max rank)); the corpus
+    * registers at any time are the per-(source, bucket) MAX over
+    * committed partitions ([[loadHll]]), with zero document re-reads.
+    * Stateless per batch (registers are a pure function of batch
+    * content) → replay-idempotent with no exclusions.
+    */
+  def hllIngest(spark: SparkSession, landingDir: String,
+      outPath: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readDocuments(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        hllBatchRegisters(batch.toDF())
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One batch's per-source HLL registers — shared by [[hllIngest]] and
+    * the seed write (and by the replay spec, which re-executes it
+    * against a committed batch and asserts byte-identical registers).
+    */
+  def hllBatchRegisters(batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.operators.Curation.hllSketch(
+      batch.select(col("source"),
+        explode(graft.functions.TextAnalysis.wordNGrams(col("text"), 3))
+          .as("sh")),
+      Seq("source"), "sh")
+
+  /** The live corpus registers: per-(source, bucket) MAX over every
+    * committed partition.
+    */
+  def loadHll(spark: SparkSession, outPath: String): DataFrame =
+    graft.operators.Curation.hllMerge(
+      spark.read.parquet(outPath), Seq("source"))
+
   /** embeddings parquet schema as stored by the driver. */
   val embeddingsFileSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),

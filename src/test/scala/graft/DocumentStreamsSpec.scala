@@ -275,6 +275,38 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(afterReplay == bulk)
   }
 
+  test("hll ingest: merged streamed registers ≡ bulk sketch; replay overwrites identically") {
+    import graft.operators.Curation
+    val docs = Tables(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("hll_ingest").toString
+    val landing = s"$base/landing"; new java.io.File(landing).mkdirs()
+    val outPath = s"$base/out"
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(s"$landing/$name.parquet"))
+    }
+    val q = DocumentStreams.hllIngest(spark, landing, outPath,
+      s"$base/ckpt", maxFilesPerTrigger = Some(1))
+    land(docs.filter($"doc_id" % 3 === 0), "drop_00"); q.processAllAvailable()
+    land(docs.filter($"doc_id" % 3 =!= 0), "drop_01"); q.processAllAvailable()
+    q.stop()
+    val merged = DocumentStreams.loadHll(spark, outPath)
+      .as[(String, Int, Int)].collect().toSet
+    val bulk = DocumentStreams.hllBatchRegisters(docs)
+      .as[(String, Int, Int)].collect().toSet
+    assert(merged == bulk && bulk.nonEmpty)
+    // replay: registers are a pure function of batch content — the
+    // re-executed batch overwrites its partition with identical rows
+    DocumentStreams.hllBatchRegisters(docs.filter($"doc_id" % 3 === 0))
+      .write.mode("overwrite").parquet(s"$outPath/batch_id=0")
+    assert(DocumentStreams.loadHll(spark, outPath)
+      .as[(String, Int, Int)].collect().toSet == bulk)
+  }
+
   test("band ingest: near-dup gate vs corpus and earlier drops; replay-idempotent") {
     import graft.operators.Dedup
     def mkDocs(rows: Seq[(Long, String)]) =
