@@ -1596,6 +1596,29 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("component"))
     }),
 
+    // DELETE lifecycle for the CLUSTER-STATE store: bulk-seed the label
+    // store from the corpus flood, DELETE doc_id % 9 == 4 (one append
+    // of bare ids), resolve — tombstoned ids leave every resolved view
+    // before the chain chase. Components do NOT re-split on delete
+    // (decremental connectivity needs the edge set the store
+    // deliberately drops; offline rebuild recovers splits) and a
+    // deleted id may persist as an opaque LABEL value — the oracle is
+    // the full-graph flood with MEMBERSHIP restricted to survivors,
+    // which is exactly those semantics.
+    "q162_label_delete" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val store = scratchDir("graft_label_delete", dir)
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      Dedup.saveLabelStore(
+        Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id",
+          pairs), store)
+      Dedup.deleteFromLabelStore(s, store,
+        docs.filter(col("doc_id") % 9 === 4).select("doc_id"), "doc_id")
+      Dedup.resolveLabels(s, store)
+        .select(col("id").as("doc_id"), col("component"))
+    }),
+
     // INCREMENTAL connected components run as a STREAM — q131's nightly
     // lifecycle with the drops arriving through a real file-source
     // query: the corpus seeds bulk labels + the band index ONCE; each
@@ -2919,6 +2942,25 @@ object SparkEntry {
          |  SELECT e.dst AS id, r.m FROM r JOIN edges e ON e.src = r.id
          |)
          |SELECT id AS doc_id, min(m) AS component FROM r GROUP BY id""".stripMargin,
+    // delete-resolve mirror: full-graph components (a deleted bridge
+    // still merges; its id may still label the cluster), membership
+    // restricted to the survivors
+    "q162_label_delete" ->
+      s"""WITH RECURSIVE mh AS (
+         |  SELECT id_a, id_b FROM ($minhashOracleSql) mhp
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mh
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM mh
+         |),
+         |r AS (
+         |  SELECT doc_id AS id, doc_id AS m FROM documents
+         |  UNION
+         |  SELECT e.dst AS id, r.m FROM r JOIN edges e ON e.src = r.id
+         |)
+         |SELECT id AS doc_id, min(m) AS component FROM r
+         |WHERE id % 9 <> 4 GROUP BY id""".stripMargin,
     // the streaming lifecycle (q140) folds the same drops through the
     // same min-id flood, so it answers the identical bulk SQL
     "q140_label_stream_ingest" ->

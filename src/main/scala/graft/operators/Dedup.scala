@@ -1088,13 +1088,40 @@ object Dedup {
     * over the corpus): `labels` must be (id, component) min-id labels.
     */
   def saveLabelStore(labels: DataFrame, dir: String): Unit = {
+    val spark = labels.sparkSession
+    StoreFiles.clearTombstones(spark, s"$dir/tombstones")
     labels.select(col("id"), col("component").as("label"))
       .write.mode("overwrite").parquet(s"$dir/labels")
-    val spark = labels.sparkSession
     spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], remapSchema)
       .write.mode("overwrite").parquet(s"$dir/remap")
   }
+
+  /** Delete documents from the label store — tombstoned ids disappear
+    * from every [[resolveLabels]] view (one append write of bare ids;
+    * committed label/remap files untouched; applied physically by
+    * [[compactLabelStore]]). Two DOCUMENTED semantic bounds, both the
+    * standard LSM-store trade:
+    *
+    *   - components never RE-SPLIT: if the deleted doc was the bridge
+    *     between two sub-clusters, the survivors keep one component —
+    *     decremental connectivity needs the edge set, which this store
+    *     deliberately does not keep (an offline rebuild from the band
+    *     index recovers exact splits);
+    *   - a deleted id may persist as a LABEL value (labels are
+    *     canonical min-member ids, kept as opaque surrogates — the
+    *     deleted doc's CONTENT is gone from every relation; only its
+    *     numeric id may still name the cluster it once anchored).
+    *
+    * Pair-source contract: edges fed to a later [[appendLabels]] must
+    * come from a probe structure that saw the SAME delete (the band
+    * index's [[deleteFromBandIndex]]) — an edge naming a deleted id
+    * would link the batch to that id's old component label.
+    */
+  def deleteFromLabelStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame, idCol: String): Unit =
+    StoreFiles.appendTombstones(spark, s"$dir/tombstones",
+      ids.select(col(idCol).as("id")).distinct(), "id")
 
   /** Current (id, component) view: stored labels with remap chains
     * followed to fixpoint. Each pass rewrites every label that still has
@@ -1103,10 +1130,16 @@ object Dedup {
     * chains are short by construction; compact if they are not).
     */
   def resolveLabels(spark: org.apache.spark.sql.SparkSession,
-      dir: String, maxChain: Int = 64): DataFrame =
+      dir: String, maxChain: Int = 64): DataFrame = {
+    val labels = spark.read.parquet(s"$dir/labels")
     resolveLabelChains(
-      spark.read.parquet(s"$dir/labels"),
+      // tombstoned ids leave the view BEFORE the chase (fewer rows
+      // through the chain resolution); remap rows stay — surviving
+      // members keep resolving through merges the deleted doc caused
+      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(labels)(t =>
+        labels.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")),
       spark.read.schema(remapSchema).parquet(s"$dir/remap"), maxChain)
+  }
 
   /** The resolution engine behind [[resolveLabels]], over EXPLICIT
     * (id, label) / (old_label, new_label) relations — also the view
@@ -1227,6 +1260,9 @@ object Dedup {
     spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], remapSchema)
       .write.mode("overwrite").parquet(s"$dir/remap")
+    // the resolved view already excluded tombstoned ids, so the rewrite
+    // APPLIED the deletes — the ledger is spent
+    StoreFiles.clearTombstones(spark, s"$dir/tombstones")
   }
 
   /** Fold one batch into the store. `batchIds` are the new ids (absent

@@ -215,6 +215,39 @@ class TombstoneSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet == after)
   }
 
+  test("label store: delete hides members, never re-splits; compaction applies") {
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val dir = tmpDir("graft_tomb_labels")
+    Dedup.saveLabelStore(
+      Dedup.connectedComponents(nodes, "id", edges), dir)
+    // delete the BRIDGE doc 2: members 1 and 3 keep ONE component (no
+    // re-split — documented), labeled by the full-graph min 1
+    Dedup.deleteFromLabelStore(spark, dir, Seq(2L).toDF("id"), "id")
+    val view = Dedup.resolveLabels(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(view == Set((1L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
+    // deleting the min-id anchor: its id survives as an opaque label
+    Dedup.deleteFromLabelStore(spark, dir, Seq(5L).toDF("id"), "id")
+    assert(Dedup.resolveLabels(spark, dir)
+      .as[(Long, Long)].collect().toSet ==
+      Set((1L, 1L), (3L, 1L), (6L, 5L)))
+    // compaction applies the tombstones and spends the ledger
+    Dedup.compactLabelStore(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(spark.read.parquet(s"$dir/labels")
+      .filter(col("id").isin(2L, 5L)).count() == 0)
+    assert(Dedup.resolveLabels(spark, dir)
+      .as[(Long, Long)].collect().toSet ==
+      Set((1L, 1L), (3L, 1L), (6L, 5L)))
+    // later increments keep working against the compacted store
+    Dedup.appendLabels(spark, dir, Seq(7L).toDF("id"), "id",
+      Seq((7L, 3L)).toDF("id_a", "id_b"))
+    assert(Dedup.resolveLabels(spark, dir)
+      .as[(Long, Long)].collect().toSet ==
+      Set((1L, 1L), (3L, 1L), (6L, 5L), (7L, 1L)))
+  }
+
   test("ivf: delete ≡ same centroids over surviving assignments") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val dir = tmpDir("graft_tomb_ivf")
