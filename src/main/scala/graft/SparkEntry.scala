@@ -1791,6 +1791,35 @@ object SparkEntry {
         "qid", "qterms", k = 10)
     }),
 
+    // SNAPSHOT-manifest serve — reader isolation for the stored index
+    // (the minimum of the Iceberg/Delta commit idea): every committed
+    // batch appends ONE manifest row-file listing its data files AFTER
+    // the data lands, and a snapshot load reads exactly the union of
+    // manifested files. Here the seed and one append COMMIT, then a
+    // TORN batch (% 20 == 10) lands data files with NO manifest row —
+    // a crashed writer mid-append. The snapshot serve never sees it:
+    // scores equal a corpus that excludes the torn docs, which is what
+    // the oracle computes. (A plain directory load WOULD see the torn
+    // files — that contrast is spec-pinned in ManifestSpec.)
+    "q163_bm25_snapshot_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = scratchDir("graft_postings_snapshot", dir)
+      graft.operators.Retrieval.savePostingsIndexCommitted(
+        graft.operators.Retrieval.buildPostingsIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"), idxDir)
+      graft.operators.Retrieval.appendPostingsIndexCommitted(s, idxDir,
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text")
+      // the torn writer: data files land, the manifest row never does
+      graft.operators.Retrieval.appendPostingsIndex(s, idxDir,
+        docs.filter(col("doc_id") % 20 === 10), "doc_id", "text")
+      val queries = docs.filter(col("doc_id") % 200 === 7)
+        .select(col("doc_id").as("qid"),
+          array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+      graft.operators.Retrieval.bm25SearchIndex(queries,
+        graft.operators.Retrieval.loadPostingsIndexSnapshot(s, idxDir),
+        "qid", "qterms", k = 10)
+    }),
+
     // DELETE lifecycle for the PQ index — same tombstone idiom on the
     // vector side: build on the seed, append the drift batch (stored
     // codebooks), DELETE vec_id % 7 == 3 (one append of tombstoned
@@ -2531,15 +2560,16 @@ object SparkEntry {
       |SELECT qid, doc_id, score_micro, CAST(rn AS INT) AS rn
       |FROM ranked WHERE rn <= 10""".stripMargin
 
-  /** Mirror of q158: [[bm25OracleSql]] with the CORPUS side (w → dl,
-    * stats, postings) restricted to the surviving docs — scoring a
-    * tombstone-deleted index must equal scoring a corpus that never
-    * held the deleted docs. The QUERY side reads the unrestricted
-    * split (`wq`): a deleted doc may still query, never be returned.
+  /** [[bm25OracleSql]] with the CORPUS side (w → dl, stats, postings)
+    * restricted by a predicate — q158 scores a tombstone-deleted index
+    * (≡ a corpus that never held the deleted docs), q163 a snapshot
+    * load (≡ a corpus that never saw the torn batch). The QUERY side
+    * reads the unrestricted split (`wq`): an excluded doc may still
+    * query, never be returned.
     */
-  private val bm25DeleteOracleSql: String =
-    """WITH wq AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |w AS (SELECT * FROM wq WHERE doc_id % 7 <> 3),
+  private def bm25RestrictedOracleSql(corpusWhere: String): String =
+    s"""WITH wq AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |w AS (SELECT * FROM wq WHERE $corpusWhere),
       |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
       |                 CAST(sum(dl) AS BIGINT) AS t FROM dl),
@@ -3760,7 +3790,11 @@ object SparkEntry {
     // form answers q124's oracle verbatim — any postings drift (missed
     // append, stale stats, bucket mismatch) breaks the hash
     "q139_bm25_index_serve" -> bm25OracleSql,
-    "q158_bm25_delete_serve" -> bm25DeleteOracleSql,
+    "q158_bm25_delete_serve" -> bm25RestrictedOracleSql("doc_id % 7 <> 3"),
+    // snapshot serve: the committed set is seed ∪ the manifested
+    // append; the torn batch (% 20 = 10, data files without a manifest
+    // row) is invisible
+    "q163_bm25_snapshot_serve" -> bm25RestrictedOracleSql("doc_id % 20 <> 10"),
     "q142_bm25_stream_serve" -> bm25OracleSql,
     "q152_bm25_absorb_serve" -> bm25OracleSql,
     "q149_heavy_tokens" ->

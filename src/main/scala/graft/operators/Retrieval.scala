@@ -212,6 +212,106 @@ object Retrieval {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Snapshot manifests — reader isolation for the store. The plain
+  // lifecycle above is single-WRITER safe but not single-READER safe:
+  // a serve that lists the directory while an append is mid-write sees
+  // a TORN batch (some of its files, not all) — wrong df counts, wrong
+  // stats. The manifest closes that: every committed batch appends one
+  // manifest row-file LISTING its data files (written AFTER the data),
+  // and a snapshot load reads exactly the union of manifested files —
+  // an append that died mid-write left data files but no manifest row,
+  // so no reader ever sees it. This is the core of the Iceberg/Delta
+  // commit idea reduced to its minimum: the manifest write is the
+  // commit point, and it is one file. (The tombstones ledger needs no
+  // manifest — a delete is already a single-append-file commit.)
+  // ------------------------------------------------------------------
+
+  /** Every parquet data file under `subdirs`, via the Hadoop FS API
+    * (works on HDFS/object stores, not just local disk).
+    */
+  private def listDataFiles(spark: SparkSession,
+      subdirs: Seq[String]): Set[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    subdirs.flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq.empty
+      else {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next().getPath
+          if (f.getName.endsWith(".parquet")) buf += f.toString
+        }
+        buf.toSeq
+      }
+    }.toSet
+  }
+
+  private def writeManifest(spark: SparkSession, dir: String,
+      paths: Set[String], mode: String): Unit = {
+    import spark.implicits._
+    paths.toSeq.sorted.toDF("path")
+      .coalesce(1).write.mode(mode).parquet(s"$dir/manifest")
+  }
+
+  /** [[savePostingsIndex]] plus the initial manifest: the full data-file
+    * listing becomes manifest generation 0 (replacing any previous
+    * manifest, like the save replaces the data).
+    */
+  def savePostingsIndexCommitted(index: PostingsIndex, dir: String): Unit = {
+    val spark = index.postings.sparkSession
+    savePostingsIndex(index, dir)
+    writeManifest(spark, dir,
+      listDataFiles(spark, Seq(s"$dir/postings", s"$dir/stats")),
+      "overwrite")
+  }
+
+  /** [[appendPostingsIndex]] with a COMMIT POINT: the batch's data files
+    * land first, then ONE manifest row-file listing exactly those files
+    * — the single-writer contract makes the before/after listing diff
+    * the batch's files. A crash before the manifest write leaves the
+    * data files invisible to every [[loadPostingsIndexSnapshot]] reader
+    * (re-run the append; the orphaned files are dead weight until the
+    * next compaction rewrites the store).
+    */
+  def appendPostingsIndexCommitted(spark: SparkSession, dir: String,
+      batch: DataFrame, idCol: String, textCol: String): Unit = {
+    val dataDirs = Seq(s"$dir/postings", s"$dir/stats")
+    val before = listDataFiles(spark, dataDirs)
+    appendPostingsIndex(spark, dir, batch, idCol, textCol)
+    writeManifest(spark, dir, listDataFiles(spark, dataDirs) -- before,
+      "append")
+  }
+
+  /** Load exactly the COMMITTED file set — the union of every manifest
+    * row — so a concurrent or torn append is never visible. basePath
+    * keeps the bucket partition column (and its pruning) intact when
+    * reading explicit leaf files. Tombstones apply as in
+    * [[loadPostingsIndex]].
+    */
+  def loadPostingsIndexSnapshot(spark: SparkSession,
+      dir: String): PostingsIndex = {
+    val paths = spark.read.parquet(s"$dir/manifest")
+      .collect().map(_.getString(0))
+    val (postPaths, statPaths) =
+      paths.partition(_.contains("/postings/"))
+    val raw = PostingsIndex(
+      spark.read.option("basePath", s"$dir/postings")
+        .parquet(postPaths.toSeq: _*),
+      spark.read.parquet(statPaths.toSeq: _*),
+      spark.read.parquet(s"$dir/params").head().getInt(0))
+    StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(raw) { tombs =>
+      raw.copy(
+        postings = raw.postings.join(broadcast(tombs.select(col("doc_id"))),
+          Seq("doc_id"), "left_anti"),
+        stats = raw.stats.unionByName(tombs.agg(
+          (count(lit(1)) * lit(-1L)).as("n"),
+          (coalesce(sum(col("dl")), lit(0L)) * lit(-1L)).as("t"))))
+    }
+  }
+
   /** Nightly small-file compaction for a stored postings index: one
     * file per bucket partition, and the K stats delta rows collapsed
     * into their single-row sum, both via the guarded temp-swap
@@ -236,27 +336,38 @@ object Retrieval {
   def compactPostingsIndex(spark: SparkSession, dir: String): Unit = {
     val tombs = StoreFiles.readTombstones(spark, s"$dir/tombstones")
       .map(_.select(col("doc_id"), col("dl")).localCheckpoint())
+    // a manifested store compacts its COMMITTED snapshot, never the
+    // raw directory — a torn append's orphaned files must be dropped
+    // by the rewrite, not resurrected into the committed set
+    val manifested = StoreFiles.dirExists(spark, s"$dir/manifest")
+    val (srcPostings, srcStats) =
+      if (manifested) {
+        val snap = loadPostingsIndexSnapshot(spark, dir)
+        // snapshot already applies tombstones — use its relations as-is
+        (snap.postings.localCheckpoint(), snap.stats.localCheckpoint())
+      } else {
+        val rawP = spark.read.parquet(s"$dir/postings")
+        val rawS = spark.read.parquet(s"$dir/stats")
+        (tombs.fold(rawP)(t => rawP.join(broadcast(t.select(col("doc_id"))),
+            Seq("doc_id"), "left_anti")),
+         tombs.fold(rawS)(t => rawS.unionByName(t.agg(
+            (count(lit(1)) * lit(-1L)).as("n"),
+            (coalesce(sum(col("dl")), lit(0L)) * lit(-1L)).as("t")))))
+      }
     StoreFiles.swapIn(spark, s"$dir/postings") { tmp =>
-      val raw = spark.read.parquet(s"$dir/postings")
-      tombs.fold(raw)(t => raw.join(broadcast(t.select(col("doc_id"))),
-          Seq("doc_id"), "left_anti"))
-        .repartition(col("bucket"))
+      srcPostings.repartition(col("bucket"))
         .write.partitionBy("bucket").parquet(tmp)
     }
     StoreFiles.swapIn(spark, s"$dir/stats") { tmp =>
-      val base = spark.read.parquet(s"$dir/stats")
-      tombs.fold(base)(t => base.unionByName(t.agg(
-          (count(lit(1)) * lit(-1L)).as("n"),
-          (coalesce(sum(col("dl")), lit(0L)) * lit(-1L)).as("t"))))
-        .agg(sum(col("n")).as("n"), sum(col("t")).as("t"))
+      srcStats.agg(sum(col("n")).as("n"), sum(col("t")).as("t"))
         .coalesce(1).write.parquet(tmp)
     }
-    if (tombs.nonEmpty) {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-      require(p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true),
-        s"compact: could not delete $dir/tombstones")
-    }
+    if (tombs.nonEmpty)
+      StoreFiles.clearTombstones(spark, s"$dir/tombstones")
+    if (manifested)
+      writeManifest(spark, dir,
+        listDataFiles(spark, Seq(s"$dir/postings", s"$dir/stats")),
+        "overwrite")
   }
 
   /** The shared scoring tail: `hit` is postings already restricted to

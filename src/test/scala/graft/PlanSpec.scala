@@ -154,7 +154,8 @@ class PlanSpec extends SparkSpec {
     // all-pairs nested loop to one of these plans still fails here.
     val bnljOneOk = Set("q47_scalar_subquery", "q124_bm25_topk",
       "q139_bm25_index_serve", "q142_bm25_stream_serve",
-      "q152_bm25_absorb_serve", "q158_bm25_delete_serve")
+      "q152_bm25_absorb_serve", "q158_bm25_delete_serve",
+      "q163_bm25_snapshot_serve")
     // each physical instance appears exactly once as a "(NN) Broadcast-
     // NestedLoopJoin" detail header in formatted mode (tree lines
     // repeat the name without the id)
