@@ -150,7 +150,7 @@ object Bench {
     * recorded `parsed: null` for exactly this reason); at 123 queries
     * even the `qNN` form reached 1,684 chars, two rounds of growth away
     * from the cliff, so the keys are now bare numbers and the per-query
-    * values 2-decimal ([[render]]) — spec-asserted < 1,800 chars at 140
+    * values 1-decimal ([[render]]) — spec-asserted < 1,600 chars at 140
     * simulated rows. Full names and 3-decimal timings are printed as
     * separate per-query detail lines by [[main]].
     */
@@ -161,10 +161,12 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale would render 1.234 as
     // "1,234" and corrupt the JSON
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // per-query values at 2 decimals: 10 ms resolution is below the
-    // ambient noise band anyway, and the char saved per entry is what
-    // keeps 140 rows inside the driver's tail window
-    def fmtQ(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // per-query values at 1 decimal: 100 ms resolution is still inside
+    // the ambient noise band (the counters in PLANS.md carry the real
+    // precision), and the char saved per entry is what keeps ~175 rows
+    // inside the driver's 2,000-char tail window (154 rows measured
+    // 1,628 chars at 1 decimal vs 1,782 at 2)
+    def fmtQ(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     val entries = (r.times.map { case (k, v) => shortKey(k) -> fmtQ(v) } ++
       r.failed.map(shortKey(_) -> "-1")).toSeq.sortBy(_._1)
     val qs = entries.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")

@@ -351,4 +351,27 @@ object SimilarityOracle {
        |SELECT vec_id, cell, CAST(pos AS INT) AS pos FROM r
        |WHERE pos <= $quota""".stripMargin
   }
+
+  /** Mirror of q168: PCA projection. FITS the model HERE (the same
+    * deterministic moment pass + driver Jacobi the Spark side runs —
+    * [[graft.operators.Pca.fit]]), renders the milli mean and micro
+    * basis as literals, and replays the centered integer dot products.
+    * Every term < 2⁴² and the 64-term sums < 2⁵³, so DuckDB's double
+    * `list_dot_product` is exact and the BIGINT cast lossless.
+    */
+  def pcaProjectSql(spark: SparkSession, dir: String, r: Int): String = {
+    val model = graft.operators.Pca.fit(
+      Tables(spark, dir, "embeddings"), "embedding", r)
+    val projCols = model.basisMicro.zipWithIndex.map { case (b, j) =>
+      s"  CAST(list_dot_product(cv, ${longList(b)}) AS BIGINT) AS p$j"
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, $vMilli AS vm FROM embeddings),
+       |c AS (SELECT vec_id,
+       |        [vm[i] - (${longList(model.meanMilli)})[i]
+       |         FOR i IN range(1, len(vm)+1)] AS cv
+       |      FROM e)
+       |SELECT vec_id,
+       |$projCols
+       |FROM c""".stripMargin
+  }
 }

@@ -1820,6 +1820,142 @@ object SparkEntry {
         "qid", "qterms", k = 10)
     }),
 
+    // TIME TRAVEL + optimistic concurrency on the manifested store —
+    // the rest of the commit-log surface q163 opened. Generations: save
+    // commits gen 0 (seed), two appends commit gens 1 and 2 (each
+    // OCC-guarded with the generation its writer read — both win). A
+    // THIRD writer re-uses the stale gen-0 expectation: its data files
+    // land but its commit is REFUSED (the OCC loser), and vacuum
+    // physically reclaims exactly those orphans. The serve then reads
+    // AS OF generation 0 — the index as it stood after the save — so
+    // scores equal the seed-only corpus, which is what the oracle
+    // computes. (Deletes would apply even to historical reads — the
+    // ledger is unversioned by design, right-to-be-forgotten; that
+    // composition is ManifestSpec-pinned.)
+    "q164_bm25_time_travel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = scratchDir("graft_postings_timetravel", dir)
+      graft.operators.Retrieval.savePostingsIndexCommitted(
+        graft.operators.Retrieval.buildPostingsIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"), idxDir)
+      val g0 = graft.operators.Retrieval.postingsGen(s, idxDir)
+      graft.operators.Retrieval.appendPostingsIndexCommitted(s, idxDir,
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+        expectedGen = Some(g0))
+      graft.operators.Retrieval.appendPostingsIndexCommitted(s, idxDir,
+        docs.filter(col("doc_id") % 20 === 10), "doc_id", "text",
+        expectedGen = Some(g0 + 1))
+      // the OCC loser: read gen 0 long ago, appends now — data files
+      // land, the commit refuses, no snapshot ever sees them
+      val lost = scala.util.Try(
+        graft.operators.Retrieval.appendPostingsIndexCommitted(s, idxDir,
+          docs.filter(col("doc_id") % 20 === 10), "doc_id", "text",
+          expectedGen = Some(g0)))
+      require(lost.isFailure, "stale optimistic commit must refuse")
+      require(graft.operators.Retrieval.vacuumPostingsIndex(s, idxDir)
+        .nonEmpty, "the lost commit's orphans must be reclaimable")
+      val queries = docs.filter(col("doc_id") % 200 === 7)
+        .select(col("doc_id").as("qid"),
+          array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+      graft.operators.Retrieval.bm25SearchIndex(queries,
+        graft.operators.Retrieval.loadPostingsIndexSnapshot(s, idxDir,
+          asOf = Some(0L)),
+        "qid", "qterms", k = 10)
+    }),
+
+    // Snapshot-manifest commits on the VECTOR index — the commit log
+    // generalized off the postings family (shared StoreFiles manifest
+    // machinery) onto the family whose serving path matters most: a
+    // reader listing the codes directory mid-append would ADC-score a
+    // torn batch. Committed save (gen 0) + one OCC-guarded committed
+    // append, then a TORN append (crashed writer: code files land, no
+    // manifest row). The snapshot serve never sees the torn vectors —
+    // scores equal a corpus that excludes them, which is what the
+    // oracle computes (quantizers still trained on the seed only, the
+    // q119 split).
+    "q165_pq_snapshot_serve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxDir = scratchDir("graft_pq_snapshot", dir)
+      Similarity.savePqIndexCommitted(
+        Similarity.buildPqIndex(emb.filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding"), idxDir)
+      Similarity.appendPqIndexCommitted(s, idxDir,
+        emb.filter(col("vec_id") % 20 === 0), "vec_id", "embedding",
+        expectedGen = Some(Similarity.pqGen(s, idxDir)))
+      // the torn writer: data files land, the manifest row never does
+      Similarity.appendPqIndex(s, idxDir,
+        emb.filter(col("vec_id") % 20 === 10), "vec_id", "embedding")
+      Similarity.pqSearchIndex(emb.filter(col("vec_id") % 25 === 0),
+        Similarity.loadPqIndexSnapshot(s, idxDir),
+        "vec_id", "embedding", k = 10)
+    }),
+
+    // Pseudo-relevance-feedback QUERY EXPANSION (Rocchio-weighted RM3
+    // reading): round 1 ranks the original terms, each query's top-10
+    // docs donate their most-frequent unseen tokens (summed-tf weight,
+    // exact integer) as 5 expansion terms, and round 2 rescores with
+    // 10:4 original:expansion weights. One postings build serves both
+    // rounds; query/expansion sides broadcast throughout; df only
+    // counted for queried tokens. The retrieval-quality op a raw BM25
+    // box is missing — vocabulary-mismatch queries recall docs that
+    // share no original term.
+    "q166_bm25_expand" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 200 === 7)
+        .select(col("doc_id").as("qid"),
+          array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+      graft.operators.Retrieval.bm25Expand(docs, queries,
+        "doc_id", "text", "qid", "qterms",
+        k = 10, fbDocs = 10, fbTerms = 5,
+        origWeight = 10L, expWeight = 4L)
+    }),
+
+    // POSITIONAL exact-phrase search: every (phrase, doc) pair where
+    // the 3-token phrase occurs consecutively, with the overlapping-
+    // inclusive occurrence count. One broadcast equi-join on token +
+    // one aggregation — the corpus's positional token stream never
+    // shuffles; only matched rows do. Phrases: tokens 3-5 of every
+    // doc_id % 2000 == 11 document (each source doc matches itself,
+    // so the result is never vacuous).
+    "q167_phrase_match" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val phrases = docs
+        .filter(col("doc_id") % 2000 === 11 &&
+          size(split(col("text"), " ")) >= 5)
+        .select(col("doc_id").as("pid"),
+          slice(split(col("text"), " "), 3, 3).as("pterms"))
+      graft.operators.Retrieval.phraseMatch(docs, phrases,
+        "doc_id", "text", "pid", "pterms")
+    }),
+
+    // Exact-integer PCA — dimensionality reduction ahead of indexing
+    // (the PCA-before-PQ step of Jégou et al.; SemDeDup projects before
+    // clustering). Fit = ONE distributed pass of exact integer moments
+    // (d(d+1)/2 upper-triangle sums, ~2k-row shuffle regardless of
+    // corpus size) + a driver-side deterministic Jacobi eigensolve;
+    // the milli mean and micro basis then travel as LITERALS, so the
+    // data-touching projection is an exact integer dot product both
+    // engines reproduce bit-for-bit (the trained-centroid idiom).
+    // Output: every vector's 8 principal coordinates.
+    "q168_pca_project" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Pca.project(emb, "vec_id", "embedding",
+        graft.operators.Pca.fit(emb, "embedding", r = 8))
+    }),
+
+    // TEMPERATURE-scaled language mix (Lample & Conneau's p_i ∝ n_i^α,
+    // the mC4/XLM-R up-sample-the-tail rule) at α = 0.5 over a
+    // 300-doc budget: quotas are driver StrictMath literals over the
+    // bounded per-lang count relation (pow never runs in an engine),
+    // the draw is one md5-order ranking window per lang. The en head
+    // gets a SMALLER share than its corpus share, tail langs larger —
+    // without flattening the distribution.
+    "q169_temperature_mix" -> ((s, dir) => {
+      Curation.temperatureMix(t(s, dir, "documents"),
+        "doc_id", "lang", alpha = 0.5, budget = 300L)
+        .select(col("doc_id"), col("lang"), col("source"), col("pos"))
+    }),
+
     // DELETE lifecycle for the PQ index — same tombstone idiom on the
     // vector side: build on the seed, append the drift batch (stored
     // codebooks), DELETE vec_id % 7 == 3 (one append of tombstoned
@@ -2407,6 +2543,11 @@ object SparkEntry {
     "q159_pq_delete_serve" -> SimilarityOracle.ivfPqTopKSql(spark, dir,
       trainWhere = Some("vec_id % 10 <> 0"),
       corpusWhere = Some("vec_id % 7 <> 3")),
+    // snapshot serve ≡ a corpus that never saw the torn batch (same
+    // train split; committed set = seed ∪ the one committed append)
+    "q165_pq_snapshot_serve" -> SimilarityOracle.ivfPqTopKSql(spark, dir,
+      trainWhere = Some("vec_id % 10 <> 0"),
+      corpusWhere = Some("vec_id % 20 <> 10")),
     // the streaming twin keeps q119's exact train/search split, so the
     // mirror is identical (quantizers from the seed, search everything)
     "q150_pq_stream_serve" -> SimilarityOracle.ivfPqTopKSql(spark, dir,
@@ -2418,8 +2559,10 @@ object SparkEntry {
     "q133_media_neardup" -> SimilarityOracle.mediaNearDupSql(threshold = 0.999,
       nPlanes = 10, nTables = 2),
     "q153_semdedup" -> SimilarityOracle.semDedupSql(spark, dir, threshold = 0.35),
+    "q168_pca_project" -> SimilarityOracle.pcaProjectSql(spark, dir, r = 8),
     "q154_diverse_sample" -> SimilarityOracle.diverseSampleSql(spark, dir, quota = 10),
     "q156_dsir_weights" -> dsirOracleSql(spark, dir),
+    "q169_temperature_mix" -> temperatureOracleSql(spark, dir),
     "q157_bm25_log_topk" -> bm25LogOracleSql(spark, dir),
     "q134_ann_lsh_multiprobe" -> SimilarityOracle.lshTopKSql(spark, dir,
       multiProbe = true),
@@ -2471,6 +2614,30 @@ object SparkEntry {
        |  CAST(CAST(sum(wt.bits_micro) AS BIGINT) // count(*) AS BIGINT)
        |    AS mean_bits_micro
        |FROM tb JOIN wt USING (b) GROUP BY tb.doc_id""".stripMargin
+  }
+
+  /** Mirror of q169: temperature quotas re-derived via
+    * [[Curation.temperatureQuotas]] (deterministic driver StrictMath,
+    * so the mirror consumes the EXACT literals the Spark query joined
+    * in as a VALUES table), then the same md5-order per-group ranking.
+    */
+  private def temperatureOracleSql(spark: SparkSession, dir: String): String = {
+    val quotas = Curation.temperatureQuotas(Tables(spark, dir, "documents"),
+      "lang", alpha = 0.5, budget = 300L)
+    val values = quotas.map { case (g, q) => s"('$g', CAST($q AS BIGINT))" }
+      .mkString(",\n         ")
+    val h = hexToLongSql("md5('temp:' || CAST(doc_id AS VARCHAR))", 1, 15)
+    s"""WITH d AS (SELECT doc_id, lang, source,
+       |             CAST($h AS BIGINT) % 1000000 AS h
+       |           FROM documents),
+       |r AS (SELECT doc_id, lang, source,
+       |        CAST(row_number() OVER (PARTITION BY lang
+       |          ORDER BY h ASC, doc_id ASC) AS INT) AS pos
+       |      FROM d),
+       |qq(lang, quota) AS (VALUES
+       |         $values)
+       |SELECT doc_id, lang, source, pos
+       |FROM r JOIN qq USING (lang) WHERE pos <= quota""".stripMargin
   }
 
   /** Mirror of q157: the bm25OracleSql CTE shape with (N, T) as
@@ -2592,6 +2759,66 @@ object SparkEntry {
       |  GROUP BY q.qid, h.doc_id),
       |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
       |             ORDER BY score_micro DESC, doc_id ASC) AS rn FROM scored)
+      |SELECT qid, doc_id, score_micro, CAST(rn AS INT) AS rn
+      |FROM ranked WHERE rn <= 10""".stripMargin
+
+  /** Mirror of q166: Rocchio-weighted pseudo-relevance feedback. Round
+    * 1 is [[bm25OracleSql]]'s scoring kept to the top-10 feedback docs;
+    * expansion terms are the feedback docs' tokens minus the original
+    * terms, ranked by summed tf (desc, token asc) to 5 per query at
+    * weight 4; round 2 rescores the weighted union (originals at 10)
+    * with the same exact-integer term micro-scores.
+    */
+  private val bm25ExpandOracleSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |                 CAST(sum(dl) AS BIGINT) AS t FROM dl),
+      |tok AS (SELECT doc_id, unnest(w.w) AS token FROM w),
+      |postings AS (SELECT tok.doc_id, dl.dl, tok.token, count(*) AS tf
+      |             FROM tok JOIN dl ON dl.doc_id = tok.doc_id
+      |             GROUP BY tok.doc_id, dl.dl, tok.token),
+      |q AS (SELECT doc_id AS qid, unnest(list_distinct(list_slice(w.w, 1, 4))) AS term
+      |      FROM w WHERE doc_id % 200 = 7),
+      |hit1 AS (SELECT * FROM postings WHERE token IN (SELECT term FROM q)),
+      |df1 AS (SELECT token, count(*) AS df FROM hit1 GROUP BY token),
+      |scored1 AS (SELECT q.qid, h.doc_id,
+      |    CAST(sum(CAST(floor(
+      |      CAST((2*s.n - 2*f.df + 1) * 22 * h.tf * s.t AS DOUBLE)
+      |      / CAST((2*f.df + 1) * (10*h.tf*s.t + 3*s.t + 9*h.dl*s.n) AS DOUBLE)
+      |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+      |  FROM hit1 h JOIN q ON q.term = h.token
+      |  JOIN df1 f ON f.token = h.token
+      |  CROSS JOIN stats s
+      |  GROUP BY q.qid, h.doc_id),
+      |fb AS (SELECT qid, doc_id FROM (
+      |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+      |      ORDER BY score_micro DESC, doc_id ASC) AS rn FROM scored1) r
+      |  WHERE rn <= 10),
+      |expw AS (SELECT fb.qid, p.token, CAST(sum(p.tf) AS BIGINT) AS wsum
+      |         FROM postings p JOIN fb ON fb.doc_id = p.doc_id
+      |         WHERE NOT EXISTS (SELECT 1 FROM q
+      |                           WHERE q.qid = fb.qid AND q.term = p.token)
+      |         GROUP BY fb.qid, p.token),
+      |expsel AS (SELECT qid, token AS term, CAST(4 AS BIGINT) AS wq FROM (
+      |    SELECT qid, token, row_number() OVER (PARTITION BY qid
+      |      ORDER BY wsum DESC, token ASC) AS ern FROM expw) e
+      |  WHERE ern <= 5),
+      |q2 AS (SELECT qid, term, CAST(10 AS BIGINT) AS wq FROM q
+      |       UNION ALL SELECT qid, term, wq FROM expsel),
+      |hit2 AS (SELECT * FROM postings WHERE token IN (SELECT term FROM q2)),
+      |df2 AS (SELECT token, count(*) AS df FROM hit2 GROUP BY token),
+      |scored2 AS (SELECT q2.qid, h.doc_id,
+      |    CAST(sum(q2.wq * CAST(floor(
+      |      CAST((2*s.n - 2*f.df + 1) * 22 * h.tf * s.t AS DOUBLE)
+      |      / CAST((2*f.df + 1) * (10*h.tf*s.t + 3*s.t + 9*h.dl*s.n) AS DOUBLE)
+      |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+      |  FROM hit2 h JOIN q2 ON q2.term = h.token
+      |  JOIN df2 f ON f.token = h.token
+      |  CROSS JOIN stats s
+      |  GROUP BY q2.qid, h.doc_id),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+      |             ORDER BY score_micro DESC, doc_id ASC) AS rn FROM scored2)
       |SELECT qid, doc_id, score_micro, CAST(rn AS INT) AS rn
       |FROM ranked WHERE rn <= 10""".stripMargin
 
@@ -3795,6 +4022,33 @@ object SparkEntry {
     // append; the torn batch (% 20 = 10, data files without a manifest
     // row) is invisible
     "q163_bm25_snapshot_serve" -> bm25RestrictedOracleSql("doc_id % 20 <> 10"),
+    // time travel to generation 0 = the seed-only corpus (the two
+    // committed appends exist but are past the as-of bound; the lost
+    // commit never existed to any reader)
+    "q164_bm25_time_travel" -> bm25RestrictedOracleSql("doc_id % 10 <> 0"),
+    "q166_bm25_expand" -> bm25ExpandOracleSql,
+    // positional phrase search: same join-on-token + all-offsets-
+    // witnessed plan (1-based positions vs Spark's 0-based cancel in
+    // the start-offset grouping key)
+    "q167_phrase_match" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, s.pos AS pos, s.tok AS token FROM
+        |  (SELECT doc_id, unnest([{'pos': i, 'tok': w.w[i]}
+        |                          FOR i IN range(1, len(w.w)+1)]) AS s
+        |   FROM w) t),
+        |q AS (SELECT doc_id AS pid, list_slice(w.w, 3, 5) AS qt
+        |      FROM w WHERE doc_id % 2000 = 11 AND len(w.w) >= 5),
+        |qtok AS (SELECT pid, s.off AS off, s.tok AS token FROM
+        |  (SELECT pid, unnest([{'off': i, 'tok': qt[i]}
+        |                       FOR i IN range(1, len(qt)+1)]) AS s
+        |   FROM q) t),
+        |plen AS (SELECT pid, len(qt) AS plen FROM q),
+        |m AS (SELECT qtok.pid, tok.doc_id, tok.pos - qtok.off AS start,
+        |        count(*) AS c
+        |      FROM tok JOIN qtok USING (token) GROUP BY 1, 2, 3)
+        |SELECT m.pid, m.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+        |FROM m JOIN plen ON plen.pid = m.pid WHERE m.c = plen.plen
+        |GROUP BY m.pid, m.doc_id""".stripMargin,
     "q142_bm25_stream_serve" -> bm25OracleSql,
     "q152_bm25_absorb_serve" -> bm25OracleSql,
     "q149_heavy_tokens" ->

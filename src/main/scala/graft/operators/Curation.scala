@@ -522,6 +522,53 @@ object Curation {
       .drop("__h")
   }
 
+  /** TEMPERATURE-scaled group quotas — the multilingual-LM α-sampling
+    * rule (Lample & Conneau 2019's p_i ∝ n_i^α; mC4/XLM-R use
+    * α ≈ 0.3–0.7 to up-sample tail languages without flattening the
+    * head): given per-group sizes n_i, group i's share of `budget` rows
+    * is n_i^α / Σ_j n_j^α, capped at n_i. Computed ONCE on the driver
+    * with [[StrictMath]] over the bounded group-count relation (the
+    * trained-centroid/DSIR literal pattern — the only non-rational op,
+    * pow, never runs inside an engine), floor-rounded, deterministic.
+    */
+  def temperatureQuotas(df: DataFrame, groupCol: String, alpha: Double,
+      budget: Long): Seq[(String, Long)] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+      .sortBy(_._1)
+    val w = counts.map { case (_, n) => StrictMath.pow(n.toDouble, alpha) }
+    val sumW = w.sum
+    counts.zip(w).map { case ((g, n), wi) =>
+      (g, math.min(n, math.floor(budget * wi / sumW).toLong))
+    }.toSeq
+  }
+
+  /** Execute a temperature draw: group i keeps its first
+    * [[temperatureQuotas]] rows in deterministic (md5-hash, id) order —
+    * tail groups keep a LARGER fraction of themselves than head groups
+    * (α < 1 up-samples the tail relatively), and a re-run with a larger
+    * budget extends the draw ([[tokenBudgetMix]]'s property). One
+    * ranking window per group over a broadcast quota relation; no
+    * global sort.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, groupCol: String,
+      alpha: Double, budget: Long, seedTag: String = "temp:"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val quotas = temperatureQuotas(df, groupCol, alpha, budget)
+      .toDF(groupCol, "quota")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    df.withColumn("__h", md5Micro(seedTag, col(idCol)))
+      .withColumn("pos", row_number().over(w).cast("int"))
+      .join(broadcast(quotas), Seq(groupCol))
+      .filter(col("pos") <= col("quota"))
+      .drop("__h", "quota")
+  }
+
   /** Robust per-group OUTLIER gate: flag rows whose `valueCol` sits
     * more than `nMads` MADs (median absolute deviations) from the
     * group median — the median/MAD filter that survives the heavy

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact-integer PCA over an embedding column — the dimensionality-
+  * reduction step a 100 TB embedding pipeline runs before indexing
+  * (Jégou et al. use a PCA rotation ahead of PQ; SemDeDup-style
+  * pipelines project before clustering). Extension surface: the
+  * reference has no vector operators at all.
+  *
+  * Split the classic way for engine-exactness, like IVF/PQ training
+  * ([[Similarity.trainCentroids]]) and the DSIR weights: the FIT is a
+  * driver-side eigendecomposition of a d×d matrix accumulated from ONE
+  * distributed pass of exact integer moments, and the learned basis
+  * then travels as micro-quantized integer LITERALS — so the projection
+  * itself (the part that touches all the data) is an exact integer dot
+  * product any engine reproduces bit-for-bit.
+  *
+  *  - moments: vectors milli-quantize ([[Similarity.quantize]]); the
+  *    pass emits the d(d+1)/2 upper-triangle second moments and the d
+  *    first moments as integer sums (partial aggregation makes the
+  *    shuffle ~2 k rows regardless of corpus size; terms < 2²³·n, so
+  *    BIGINT holds to n ≈ 10¹² vectors — past that swap the sums to
+  *    DECIMAL(38,0));
+  *  - fit (driver): covariance from the exact sums, then a CYCLIC
+  *    JACOBI eigensolver (deterministic: fixed sweep order, fixed
+  *    rotation formulas, IEEE sqrt only — no libm transcendentals);
+  *    eigenvectors ordered by (eigenvalue desc, index asc), sign-fixed
+  *    so each vector's largest-|component| entry is positive;
+  *  - project: p_j = Σ_k (vm_k − mean_k)·b_jk with the milli mean and
+  *    micro basis as literals — every term < 2⁴², the sum exact in
+  *    BIGINT and below 2⁵³ (so a DuckDB double `list_dot_product`
+  *    reproduces it losslessly).
+  */
+object Pca {
+
+  /** A fitted model: milli-quantized mean, micro-quantized basis rows
+    * (r × d, row j = component j), and the eigenvalues (milli² units)
+    * for variance-explained reporting.
+    */
+  final case class PcaModel(meanMilli: Array[Long],
+      basisMicro: Array[Array[Long]], eigvals: Array[Double])
+
+  /** One distributed pass of exact integer moments, then the driver
+    * eigensolve. `r` = number of components to keep (1 ≤ r ≤ d).
+    */
+  def fit(df: DataFrame, vecCol: String, r: Int): PcaModel = {
+    require(r >= 1, s"r must be >= 1, got $r")
+    val vm = df.select(Similarity.quantize(col(vecCol)).as("vm"))
+      .where(col("vm").isNotNull)
+    // first moments: (k, sum x_k) — d rows after partial agg
+    val firsts = vm.select(posexplode(col("vm")).as(Seq("i", "xi")))
+      .groupBy(col("i")).agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    require(firsts.nonEmpty, "fit: no vectors")
+    val d = firsts.length
+    require(r <= d, s"r=$r exceeds dim $d")
+    val n = firsts.head.getLong(2)
+    require(firsts.forall(_.getLong(2) == n),
+      "fit: ragged vector dimensions — every vector must have the same dim")
+    val sums = Array.ofDim[Long](d)
+    firsts.foreach(row => sums(row.getInt(0)) = row.getLong(1))
+    // upper-triangle second moments: (i, j ≥ i, sum x_i·x_j)
+    val seconds = vm
+      .select(col("vm"), posexplode(col("vm")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"),
+        posexplode(col("vm")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xi") * col("xj")).as("sxx"))
+      .collect()
+    val sxx = Array.ofDim[Long](d, d)
+    seconds.foreach { row =>
+      val (i, j) = (row.getInt(0), row.getInt(1))
+      sxx(i)(j) = row.getLong(2); sxx(j)(i) = row.getLong(2)
+    }
+    // covariance in doubles from the exact sums (driver-only — the
+    // result becomes literals, so cross-engine floating repro is moot)
+    val nd = n.toDouble
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      sxx(i)(j) / nd - (sums(i) / nd) * (sums(j) / nd)
+    }
+    val (vals, vecs) = jacobi(cov)
+    val order = vals.indices.sortBy(i => (-vals(i), i)).take(r)
+    val basis = order.map { c =>
+      val v = Array.tabulate(d)(k => vecs(k)(c))
+      // deterministic sign: largest-|entry| positive, first index wins
+      val pivot = v.indices.maxBy(k => (math.abs(v(k)), -k))
+      val s = if (v(pivot) < 0) -1.0 else 1.0
+      v.map(x => math.round(x * s * 1e6))
+    }.toArray
+    PcaModel(sums.map(s => math.round(s.toDouble / nd)), basis,
+      order.map(vals).toArray)
+  }
+
+  /** Project onto the fitted basis: (idCol, p_0 … p_{r−1}) exact-integer
+    * coordinates (milli·micro units). Scan-linear, no shuffle; the
+    * model is literals, so the projection inlines into whole-stage
+    * codegen.
+    */
+  def project(df: DataFrame, idCol: String, vecCol: String,
+      model: PcaModel): DataFrame = {
+    val vm = Similarity.quantize(col(vecCol))
+    val centered = zip_with(vm,
+      array(model.meanMilli.map(lit(_)): _*), (x, m) => x - m)
+    val cols = model.basisMicro.zipWithIndex.map { case (b, j) =>
+      aggregate(
+        zip_with(centered, array(b.map(lit(_)): _*), (x, w) => x * w),
+        lit(0L), (acc: Column, x: Column) => acc + x).as(s"p$j")
+    }
+    df.select(col(idCol) +: cols: _*)
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix — deterministic:
+    * fixed (p, q) sweep order, the standard stable rotation
+    * (Golub & Van Loan §8.4), IEEE sqrt only. Returns (eigenvalues,
+    * eigenvector matrix with vectors in COLUMNS).
+    */
+  private[graft] def jacobi(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (off > 1e-12 && sweep < 64) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            rotate(a, v, p, q, c, s)
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    for (i <- a.indices; j <- a.indices if i != j) s += a(i)(j) * a(i)(j)
+    math.sqrt(s)
+  }
+
+  private def rotate(a: Array[Array[Double]], v: Array[Array[Double]],
+      p: Int, q: Int, c: Double, s: Double): Unit = {
+    val d = a.length
+    var k = 0
+    while (k < d) {
+      val akp = a(k)(p); val akq = a(k)(q)
+      a(k)(p) = c * akp - s * akq
+      a(k)(q) = s * akp + c * akq
+      k += 1
+    }
+    k = 0
+    while (k < d) {
+      val apk = a(p)(k); val aqk = a(q)(k)
+      a(p)(k) = c * apk - s * aqk
+      a(q)(k) = s * apk + c * aqk
+      k += 1
+    }
+    k = 0
+    while (k < d) {
+      val vkp = v(k)(p); val vkq = v(k)(q)
+      v(k)(p) = c * vkp - s * vkq
+      v(k)(q) = s * vkp + c * vkq
+      k += 1
+    }
+  }
+}

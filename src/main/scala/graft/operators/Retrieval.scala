@@ -227,34 +227,8 @@ object Retrieval {
   // manifest — a delete is already a single-append-file commit.)
   // ------------------------------------------------------------------
 
-  /** Every parquet data file under `subdirs`, via the Hadoop FS API
-    * (works on HDFS/object stores, not just local disk).
-    */
-  private def listDataFiles(spark: SparkSession,
-      subdirs: Seq[String]): Set[String] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    subdirs.flatMap { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) Seq.empty
-      else {
-        val it = fs.listFiles(p, true)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (it.hasNext) {
-          val f = it.next().getPath
-          if (f.getName.endsWith(".parquet")) buf += f.toString
-        }
-        buf.toSeq
-      }
-    }.toSet
-  }
-
-  private def writeManifest(spark: SparkSession, dir: String,
-      paths: Set[String], mode: String): Unit = {
-    import spark.implicits._
-    paths.toSeq.sorted.toDF("path")
-      .coalesce(1).write.mode(mode).parquet(s"$dir/manifest")
-  }
+  private def dataDirs(dir: String): Seq[String] =
+    Seq(s"$dir/postings", s"$dir/stats")
 
   /** [[savePostingsIndex]] plus the initial manifest: the full data-file
     * listing becomes manifest generation 0 (replacing any previous
@@ -263,9 +237,8 @@ object Retrieval {
   def savePostingsIndexCommitted(index: PostingsIndex, dir: String): Unit = {
     val spark = index.postings.sparkSession
     savePostingsIndex(index, dir)
-    writeManifest(spark, dir,
-      listDataFiles(spark, Seq(s"$dir/postings", s"$dir/stats")),
-      "overwrite")
+    StoreFiles.writeManifest(spark, dir, 0L,
+      StoreFiles.listDataFiles(spark, dataDirs(dir)), "overwrite")
   }
 
   /** [[appendPostingsIndex]] with a COMMIT POINT: the batch's data files
@@ -273,28 +246,49 @@ object Retrieval {
     * — the single-writer contract makes the before/after listing diff
     * the batch's files. A crash before the manifest write leaves the
     * data files invisible to every [[loadPostingsIndexSnapshot]] reader
-    * (re-run the append; the orphaned files are dead weight until the
-    * next compaction rewrites the store).
+    * (re-run the append; the orphaned files are dead weight until
+    * [[vacuumPostingsIndex]] or the next compaction). With
+    * `expectedGen` set (from [[postingsGen]]) the commit is OPTIMISTIC:
+    * it refuses if another writer committed in between, leaving this
+    * batch's files as reclaimable orphans — redo the append against the
+    * new snapshot. Returns the committed generation.
     */
   def appendPostingsIndexCommitted(spark: SparkSession, dir: String,
-      batch: DataFrame, idCol: String, textCol: String): Unit = {
-    val dataDirs = Seq(s"$dir/postings", s"$dir/stats")
-    val before = listDataFiles(spark, dataDirs)
-    appendPostingsIndex(spark, dir, batch, idCol, textCol)
-    writeManifest(spark, dir, listDataFiles(spark, dataDirs) -- before,
-      "append")
-  }
+      batch: DataFrame, idCol: String, textCol: String,
+      expectedGen: Option[Long] = None): Long =
+    StoreFiles.commitAppend(spark, dir, dataDirs(dir), expectedGen) {
+      appendPostingsIndex(spark, dir, batch, idCol, textCol)
+    }
+
+  /** Latest committed generation of a stored index (-1 if it was never
+    * committed) — what an optimistic writer reads before its append.
+    */
+  def postingsGen(spark: SparkSession, dir: String): Long =
+    StoreFiles.manifestGen(spark, dir)
+
+  /** Delete data files no committed snapshot references — torn appends
+    * and lost optimistic commits. Serve results are unchanged (no
+    * snapshot ever saw the orphans); a RAW [[loadPostingsIndex]]
+    * converges to the committed state. Returns the deleted paths.
+    */
+  def vacuumPostingsIndex(spark: SparkSession, dir: String): Seq[String] =
+    StoreFiles.vacuumStore(spark, dir, dataDirs(dir))
 
   /** Load exactly the COMMITTED file set — the union of every manifest
-    * row — so a concurrent or torn append is never visible. basePath
-    * keeps the bucket partition column (and its pruning) intact when
-    * reading explicit leaf files. Tombstones apply as in
-    * [[loadPostingsIndex]].
+    * row — so a concurrent or torn append is never visible. With
+    * `asOf`, only generations ≤ that bound: TIME TRAVEL to the index as
+    * it stood after that commit (generation 0 is the save; each
+    * committed append adds one). basePath keeps the bucket partition
+    * column (and its pruning) intact when reading explicit leaf files.
+    * Tombstones apply as in [[loadPostingsIndex]] — the delete ledger
+    * is deliberately UNVERSIONED, so deletes are retroactive across
+    * snapshots: a forgotten document must not resurface through a
+    * historical read (the right-to-be-forgotten reading of time
+    * travel; Delta/Iceberg choose the opposite).
     */
-  def loadPostingsIndexSnapshot(spark: SparkSession,
-      dir: String): PostingsIndex = {
-    val paths = spark.read.parquet(s"$dir/manifest")
-      .collect().map(_.getString(0))
+  def loadPostingsIndexSnapshot(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): PostingsIndex = {
+    val paths = StoreFiles.manifestPaths(spark, dir, asOf)
     val (postPaths, statPaths) =
       paths.partition(_.contains("/postings/"))
     val raw = PostingsIndex(
@@ -365,9 +359,11 @@ object Retrieval {
     if (tombs.nonEmpty)
       StoreFiles.clearTombstones(spark, s"$dir/tombstones")
     if (manifested)
-      writeManifest(spark, dir,
-        listDataFiles(spark, Seq(s"$dir/postings", s"$dir/stats")),
-        "overwrite")
+      // history collapses to a fresh generation 0 — compaction rewrote
+      // every committed file, so older snapshots no longer exist to
+      // time-travel to (the Delta/Iceberg vacuum-horizon trade)
+      StoreFiles.writeManifest(spark, dir, 0L,
+        StoreFiles.listDataFiles(spark, dataDirs(dir)), "overwrite")
   }
 
   /** The shared scoring tail: `hit` is postings already restricted to
@@ -504,6 +500,144 @@ object Retrieval {
       .join(broadcast(qterms), "token")
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(termMicro).as("score_micro"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("doc_id"), col("score_micro"),
+        col("rn").cast("int").as("rn"))
+  }
+
+  /** BM25 with PSEUDO-RELEVANCE-FEEDBACK query expansion — the
+    * Rocchio-weighted reading of RM3 (Rocchio 1971; Abdul-Jaleel et
+    * al.'s RM3 is the probabilistic form), kept integer-exact:
+    *
+    *  1. round 1: score the original terms with the log-free BM25
+    *     ([[bm25TopK]]'s formula) and keep each query's top `fbDocs`
+    *     FEEDBACK documents;
+    *  2. expansion: candidate terms are the feedback docs' tokens minus
+    *     the original terms, weighted by their summed tf across the
+    *     feedback docs (an exact integer); the top `fbTerms` per query
+    *     (weight desc, token asc) join the query;
+    *  3. round 2: rescore with per-term weights — original terms
+    *     multiplied by `origWeight`, expansion terms by `expWeight`
+    *     (the Rocchio α/β as integer micro-multipliers, default 10:4)
+    *     — and return the weighted top `k`.
+    *
+    * Every stage is relational and deterministic: term weights are
+    * integer sums, both rankings break ties on (value desc, key asc),
+    * and the round-2 score is Σ w·termMicro — exact BIGINT products
+    * (termMicro < 2⁴² at any realistic scale, so the weighted sum
+    * stays far under 2⁶³).
+    *
+    * Scale shape: ONE postings build shared by both rounds (the
+    * token-stream shuffle; localCheckpoint'd so round 2 reuses round
+    * 1's materialization instead of re-tokenizing), query sides always
+    * broadcast, df only ever counted for queried/expanded tokens, and
+    * the expansion candidate set is bounded by fbDocs·|doc| per query.
+    */
+  def bm25Expand(corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, qidCol: String, qtermsCol: String,
+      k: Int = 10, fbDocs: Int = 10, fbTerms: Int = 5,
+      origWeight: Long = 10L, expWeight: Long = 4L): DataFrame = {
+    require(k >= 1 && fbDocs >= 1 && fbTerms >= 0,
+      s"need k >= 1, fbDocs >= 1, fbTerms >= 0; got $k/$fbDocs/$fbTerms")
+    require(origWeight >= 1 && expWeight >= 0,
+      s"need origWeight >= 1, expWeight >= 0; got $origWeight/$expWeight")
+    val docs = corpus.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+    val qterms = queries.select(col(qidCol).as("qid"),
+      explode(col(qtermsCol)).as("token"))
+    // one postings build for both rounds
+    val postings = tokenize(corpus, idCol, textCol).localCheckpoint()
+    val hit1 = postings.join(
+      broadcast(qterms.select(col("token")).distinct()),
+      Seq("token"), "left_semi")
+    val fb = scoreHits(hit1, qterms, stats, fbDocs)
+      .select(col("qid"), col("doc_id"))
+    // candidate expansion terms: feedback docs' tokens minus the
+    // original terms, weighted by summed tf (exact integer)
+    val expSel = postings.join(broadcast(fb), Seq("doc_id"))
+      .join(broadcast(qterms.select("qid", "token")),
+        Seq("qid", "token"), "left_anti")
+      .groupBy(col("qid"), col("token"))
+      .agg(sum(col("tf")).as("wsum"))
+      .withColumn("ern", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("wsum").desc, col("token").asc)))
+      .filter(col("ern") <= fbTerms)
+      .select(col("qid"), col("token"), lit(expWeight).as("wq"))
+    val q2 = qterms.select(col("qid"), col("token"),
+        lit(origWeight).as("wq"))
+      .unionByName(expSel)
+    val hit2 = postings.join(
+      broadcast(q2.select(col("token")).distinct()),
+      Seq("token"), "left_semi")
+    scoreHitsWeighted(hit2, q2, stats, k)
+  }
+
+  /** POSITIONAL exact-phrase search: which documents contain each
+    * multi-token phrase as consecutive tokens, and how many times
+    * (overlapping occurrences counted — "a a a" holds "a a" twice).
+    * The classic positional-postings query, run as ONE equi-join plus
+    * one aggregation instead of a per-phrase scan:
+    *
+    *  - corpus side: (doc_id, pos, token) from `posexplode` — the
+    *    positional token stream, never shuffled (the phrase side
+    *    broadcasts into a scan-side hash join);
+    *  - phrase side: (pid, off, token) per phrase term, broadcast;
+    *  - a corpus token at `pos` matching phrase term at `off` witnesses
+    *    a candidate start `pos − off`; a start with ALL `plen` offsets
+    *    witnessed is an occurrence — `count(*) = plen` per
+    *    (pid, doc_id, start), since each (start, off) pair can match at
+    *    most one corpus row. The only shuffle is the matched-row
+    *    aggregation, bounded by occurrences of phrase TOKENS (not
+    *    corpus size).
+    *
+    * @param phrases (pidCol, ptermsCol: array<string>) — each phrase a
+    *                non-empty token array
+    * @return (pid, doc_id, n_matches ≥ 1) — one row per phrase ×
+    *         matching document
+    */
+  def phraseMatch(corpus: DataFrame, phrases: DataFrame,
+      idCol: String, textCol: String,
+      pidCol: String, ptermsCol: String): DataFrame = {
+    val tok = corpus
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+    val ptok = phrases.select(col(pidCol).as("pid"),
+        posexplode(col(ptermsCol)).as(Seq("off", "token")))
+    val plen = phrases.select(col(pidCol).as("pid"),
+      size(col(ptermsCol)).cast("long").as("plen"))
+    tok.join(broadcast(ptok), Seq("token"))
+      .groupBy(col("pid"), col("doc_id"),
+        (col("pos") - col("off")).as("start"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(plen), Seq("pid"))
+      .filter(col("c") === col("plen"))
+      .groupBy(col("pid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** [[scoreHits]] with a per-(qid, token) weight column `wq`: per-doc
+    * score = Σ wq·termMicro (exact integer). Shared tail of
+    * [[bm25Expand]]'s round 2.
+    */
+  private def scoreHitsWeighted(hit: DataFrame, qtermsW: DataFrame,
+      stats: DataFrame, k: Int): DataFrame = {
+    val dfreq = hit.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val a = (lit(2L) * col("n") - lit(2L) * col("df") + lit(1L)) *
+      lit(22L) * col("tf") * col("t")
+    val b = (lit(2L) * col("df") + lit(1L)) *
+      (lit(10L) * col("tf") * col("t") + lit(3L) * col("t") +
+        lit(9L) * col("dl") * col("n"))
+    val termMicro = floor(a.cast("double") / b.cast("double") *
+      lit(1000000.0)).cast("long")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    hit.join(broadcast(dfreq), "token")
+      .join(broadcast(qtermsW), "token")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("wq") * termMicro).as("score_micro"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("doc_id"), col("score_micro"),

@@ -921,12 +921,18 @@ object Similarity {
       dir: String): Unit = {
     val tombs = StoreFiles.readTombstones(spark, s"$dir/tombstones")
       .map(_.select(col("neighbor_id")).localCheckpoint())
-    StoreFiles.swapIn(spark, s"$dir/codes") { tmp =>
-      val raw = spark.read.parquet(s"$dir/codes")
-      tombs.fold(raw)(t => raw.join(broadcast(t), Seq("neighbor_id"),
+    // a manifested store compacts its COMMITTED snapshot — a torn
+    // append's orphans are dropped by the rewrite, never resurrected
+    val manifested = StoreFiles.dirExists(spark, s"$dir/manifest")
+    val src =
+      if (manifested) loadPqIndexSnapshot(spark, dir).codes.localCheckpoint()
+      else {
+        val raw = spark.read.parquet(s"$dir/codes")
+        tombs.fold(raw)(t => raw.join(broadcast(t), Seq("neighbor_id"),
           "left_anti"))
-        .repartition(col("cell"))
-        .write.partitionBy("cell").parquet(tmp)
+      }
+    StoreFiles.swapIn(spark, s"$dir/codes") { tmp =>
+      src.repartition(col("cell")).write.partitionBy("cell").parquet(tmp)
     }
     if (tombs.nonEmpty) {
       val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
@@ -934,6 +940,72 @@ object Similarity {
           .delete(p, true),
         s"compact: could not delete $dir/tombstones")
     }
+    if (manifested)
+      // history collapses to a fresh generation 0 (older snapshots'
+      // files no longer exist — the vacuum-horizon trade)
+      StoreFiles.writeManifest(spark, dir, 0L,
+        StoreFiles.listDataFiles(spark, Seq(s"$dir/codes")), "overwrite")
+  }
+
+  // ------------------------------------------------------------------
+  // Snapshot-manifest commits for the PQ index — the same generation-
+  // numbered commit log the postings family carries
+  // ([[graft.operators.StoreFiles]] manifest section), on the family
+  // whose serving path matters most: a vector index whose reader lists
+  // the codes directory mid-append would score a TORN batch. Only the
+  // codes table is manifested (appends write nothing else; the params
+  // tables are save-time-immutable, the tombstone ledger and the
+  // coding-error ledger are each single-append-file commits already).
+  // ------------------------------------------------------------------
+
+  /** [[savePqIndex]] plus the initial manifest (generation 0). */
+  def savePqIndexCommitted(index: PqIndex, dir: String): Unit = {
+    val spark = index.codes.sparkSession
+    savePqIndex(index, dir)
+    StoreFiles.writeManifest(spark, dir, 0L,
+      StoreFiles.listDataFiles(spark, Seq(s"$dir/codes")), "overwrite")
+  }
+
+  /** [[appendPqIndex]] with the commit point (and, with `expectedGen`
+    * from [[pqGen]], optimistic concurrency — a stale expectation
+    * refuses and leaves the batch's files as vacuum-reclaimable
+    * orphans). Returns the committed generation.
+    */
+  def appendPqIndexCommitted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, vecCol: String,
+      expectedGen: Option[Long] = None): Long =
+    StoreFiles.commitAppend(spark, dir, Seq(s"$dir/codes"), expectedGen) {
+      appendPqIndex(spark, dir, batch, idCol, vecCol)
+    }
+
+  /** Latest committed generation (-1 if never committed). */
+  def pqGen(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
+    StoreFiles.manifestGen(spark, dir)
+
+  /** Physically delete unmanifested codes files (torn appends, lost
+    * optimistic commits). Returns the deleted paths.
+    */
+  def vacuumPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] =
+    StoreFiles.vacuumStore(spark, dir, Seq(s"$dir/codes"))
+
+  /** Load exactly the committed codes file set — torn appends invisible;
+    * with `asOf`, time travel to that generation. basePath keeps the
+    * cell partition column (and probe pruning) intact. The tombstone
+    * ledger is unversioned, so deletes apply to historical reads too
+    * (right-to-be-forgotten — a forgotten vector never resurfaces
+    * through an as-of load).
+    */
+  def loadPqIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
+      dir: String, asOf: Option[Long] = None): PqIndex = {
+    val (cents, books) = loadPqParams(spark, dir)
+    val paths = StoreFiles.manifestPaths(spark, dir, asOf)
+    val codes = spark.read.option("basePath", s"$dir/codes")
+      .parquet(paths: _*)
+    PqIndex(cents, books,
+      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(codes)(t =>
+        codes.join(broadcast(t.select(col("neighbor_id"))),
+          Seq("neighbor_id"), "left_anti")))
   }
 
   /** Serve IVF-PQ top-k against a stored index — q116's ADC scan with

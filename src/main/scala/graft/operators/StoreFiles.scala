@@ -88,4 +88,124 @@ private[graft] object StoreFiles {
     if (fs.exists(p))
       require(fs.delete(p, true), s"clearTombstones: could not delete $dir")
   }
+
+  // ------------------------------------------------------------------
+  // Snapshot manifests — generation-numbered commit log for a stored
+  // family's data subdirectories (the Iceberg/Delta commit idea reduced
+  // to its minimum). A committed batch appends ONE manifest row-file of
+  // (gen, path) rows listing its data files AFTER they land; the
+  // manifest write IS the commit point. Snapshot readers take the union
+  // of manifested paths (optionally only generations ≤ an as-of bound —
+  // time travel), so a torn append (crashed writer: data files, no
+  // manifest row) is invisible, and [[vacuumStore]] physically removes
+  // such orphans. Shared by the postings and PQ families; any other
+  // append-only store can adopt it unchanged.
+  // ------------------------------------------------------------------
+
+  /** Every parquet data file under `subdirs`, via the Hadoop FS API
+    * (works on HDFS/object stores, not just local disk).
+    */
+  def listDataFiles(spark: SparkSession,
+      subdirs: Seq[String]): Set[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    subdirs.flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq.empty
+      else {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next().getPath
+          if (f.getName.endsWith(".parquet")) buf += f.toString
+        }
+        buf.toSeq
+      }
+    }.toSet
+  }
+
+  /** One manifest generation: (gen, path) rows under `dir/manifest`.
+    * `overwrite` resets the commit log (a fresh save, or a compaction
+    * collapsing history to a new generation 0).
+    */
+  def writeManifest(spark: SparkSession, dir: String, gen: Long,
+      paths: Set[String], mode: String): Unit = {
+    import spark.implicits._
+    paths.toSeq.sorted.map((gen, _)).toDF("gen", "path")
+      .coalesce(1).write.mode(mode).parquet(s"$dir/manifest")
+  }
+
+  /** Latest committed generation, or -1 for a store with no manifest
+    * (never committed, or pre-manifest layout).
+    */
+  def manifestGen(spark: SparkSession, dir: String): Long =
+    if (!dirExists(spark, s"$dir/manifest")) -1L
+    else spark.read.parquet(s"$dir/manifest")
+      .agg(org.apache.spark.sql.functions.max("gen")).head().getLong(0)
+
+  /** The committed file set: union of every manifest row with
+    * gen ≤ `asOf` (defaults to all — the latest snapshot). Collected on
+    * the driver (bounded: one row per data file, the same scale as any
+    * file listing).
+    */
+  def manifestPaths(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): Seq[String] = {
+    val m = spark.read.parquet(s"$dir/manifest")
+    asOf.fold(m)(g =>
+        m.filter(org.apache.spark.sql.functions.col("gen") <= g))
+      .select("path").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Run a family's append under the commit protocol: data files land
+    * first (`append`), then the before/after listing diff — exactly the
+    * batch's files under the single-writer contract — commits as one
+    * manifest row-file at generation `manifestGen + 1`. With
+    * `expectedGen` set, the commit is OPTIMISTIC: if another writer
+    * committed since the caller read that generation, the manifest
+    * write is refused and the batch's data files are left ORPHANED —
+    * invisible to every snapshot reader, reclaimed by [[vacuumStore]]
+    * or the next compaction — which is the standard OCC loser outcome
+    * (redo the append against the new snapshot). Returns the committed
+    * generation.
+    */
+  def commitAppend(spark: SparkSession, dir: String,
+      dataDirs: Seq[String], expectedGen: Option[Long] = None)(
+      append: => Unit): Long = {
+    val before = listDataFiles(spark, dataDirs)
+    append
+    val cur = manifestGen(spark, dir)
+    expectedGen.foreach { e =>
+      if (cur != e)
+        throw new IllegalStateException(
+          s"commitAppend: store $dir is at generation $cur, expected $e — " +
+            s"a concurrent commit won; this batch's data files are " +
+            s"orphaned (vacuum reclaims them); re-read and retry")
+    }
+    writeManifest(spark, dir, cur + 1L,
+      listDataFiles(spark, dataDirs) -- before, "append")
+    cur + 1L
+  }
+
+  /** Physically delete data files NOT in the committed set — the
+    * leftovers of torn appends and lost optimistic commits. Returns the
+    * deleted paths. Single-nightly-writer contract: must not race an
+    * in-flight append (whose files are legitimately unmanifested until
+    * its commit point).
+    */
+  def vacuumStore(spark: SparkSession, dir: String,
+      dataDirs: Seq[String]): Seq[String] = {
+    require(dirExists(spark, s"$dir/manifest"),
+      s"vacuumStore: $dir has no manifest — nothing defines the " +
+        s"committed set")
+    val committed = manifestPaths(spark, dir).toSet
+    val orphans =
+      (listDataFiles(spark, dataDirs) -- committed).toSeq.sorted
+    val conf = spark.sparkContext.hadoopConfiguration
+    orphans.foreach { s =>
+      val p = new org.apache.hadoop.fs.Path(s)
+      require(p.getFileSystem(conf).delete(p, false),
+        s"vacuumStore: could not delete orphan $s")
+    }
+    orphans
+  }
 }

@@ -29,10 +29,10 @@ class BenchRenderSpec extends AnyFunSuite {
       calibCpuSec = 0.091, calibShuffleSec = 0.346)
   }
 
-  test("one-line JSON stays under 1,800 chars at 140 simulated rows") {
+  test("one-line JSON stays under 1,600 chars at 140 simulated rows") {
     val line = Bench.render(simulated, "/root/testdata/sf0.1")
     assert(!line.contains("\n"))
-    assert(line.length < 1800,
+    assert(line.length < 1600,
       s"bench line is ${line.length} chars — driver tail window is 2,000")
   }
 
@@ -45,8 +45,8 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(!line.contains("\"q1"), "keys must not keep the q prefix")
     assert(line.contains("\"14\":-1"), "failed q14 must appear as -1")
     assert(line.contains("\"failed\":[\"108\",\"14\",\"61\"]"))
-    // per-query values are 2-decimal: no 3-decimal value inside queries{}
+    // per-query values are 1-decimal: no 2-decimal value inside queries{}
     val qs = line.substring(line.indexOf("\"queries\":{"))
-    assert(!qs.substring(0, qs.indexOf("}")).matches(".*:\\d+\\.\\d{3}[,}].*"))
+    assert(!qs.substring(0, qs.indexOf("}")).matches(".*:\\d+\\.\\d{2}[,}].*"))
   }
 }

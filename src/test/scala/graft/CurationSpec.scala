@@ -538,4 +538,31 @@ class CurationSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     assert(merged == bulk && bulk.nonEmpty)
   }
+
+  test("temperatureQuotas: shares follow n^alpha — tail keeps a larger fraction of itself") {
+    val docs = Tables(spark, sf, "documents")
+    val quotas = Curation.temperatureQuotas(docs, "lang", 0.5, 100L).toMap
+    val counts = docs.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(quotas.values.sum <= 100L)
+    quotas.foreach { case (g, q) => assert(q <= counts(g)) }
+    // alpha < 1: every tail group's keep-fraction strictly exceeds the
+    // head's (en is the largest group in the fixture)
+    val headFrac = quotas("en").toDouble / counts("en")
+    counts.keys.filter(_ != "en").foreach { g =>
+      assert(quotas(g).toDouble / counts(g) > headFrac,
+        s"$g keep-fraction not above head's $headFrac")
+    }
+  }
+
+  test("temperatureMix: a larger budget extends the draw; repartition-invariant") {
+    val docs = Tables(spark, sf, "documents")
+    def draw(df: org.apache.spark.sql.DataFrame, b: Long) =
+      Curation.temperatureMix(df, "doc_id", "lang", 0.5, b)
+        .select($"doc_id").as[Long].collect().toSet
+    val small = draw(docs, 60L)
+    val big = draw(docs, 200L)
+    assert(small.subsetOf(big) && small.nonEmpty && big.size > small.size)
+    assert(draw(docs.repartition(17), 200L) == big)
+  }
 }

@@ -81,6 +81,106 @@ class ManifestSpec extends SparkSpec {
     assert(serveSnap(dir) == inflight(corpus))
   }
 
+  test("time travel: as-of generation g serves the first g+1 committed batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_tt").toString
+    Retrieval.savePostingsIndexCommitted(
+      Retrieval.buildPostingsIndex(corpus.filter(col("doc_id") <= 2),
+        "doc_id", "text", nBuckets = 4), dir)
+    Retrieval.appendPostingsIndexCommitted(spark, dir,
+      corpus.filter(col("doc_id").isin(3L, 4L)), "doc_id", "text")
+    Retrieval.appendPostingsIndexCommitted(spark, dir,
+      corpus.filter(col("doc_id") > 4), "doc_id", "text")
+    assert(Retrieval.postingsGen(spark, dir) == 2L)
+    def at(g: Long) =
+      Retrieval.bm25SearchIndex(queries,
+          Retrieval.loadPostingsIndexSnapshot(spark, dir, Some(g)),
+          "qid", "qterms", k = 6)
+        .as[(Long, Long, Long, Int)].collect().toSet
+    assert(at(0L) == inflight(corpus.filter(col("doc_id") <= 2)))
+    assert(at(1L) == inflight(corpus.filter(col("doc_id") <= 4)))
+    assert(at(2L) == inflight(corpus))
+    assert(serveSnap(dir) == inflight(corpus))
+    // the delete ledger is unversioned: a forgotten doc never
+    // resurfaces through a historical read
+    Retrieval.deleteFromPostingsIndex(spark, dir, Seq(2L).toDF("doc_id"),
+      "doc_id")
+    assert(at(0L) ==
+      inflight(corpus.filter(col("doc_id") === 1L)))
+  }
+
+  test("optimistic commit: a stale expected generation refuses; vacuum reclaims the loser's orphans") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_occ").toString
+    Retrieval.savePostingsIndexCommitted(
+      Retrieval.buildPostingsIndex(corpus.filter(col("doc_id") <= 4),
+        "doc_id", "text", nBuckets = 4), dir)
+    val g = Retrieval.postingsGen(spark, dir)
+    assert(Retrieval.appendPostingsIndexCommitted(spark, dir,
+      corpus.filter(col("doc_id") === 5L), "doc_id", "text",
+      expectedGen = Some(g)) == g + 1)
+    // the loser read generation g before the winner committed
+    intercept[IllegalStateException] {
+      Retrieval.appendPostingsIndexCommitted(spark, dir,
+        corpus.filter(col("doc_id") === 6L), "doc_id", "text",
+        expectedGen = Some(g))
+    }
+    // no snapshot sees the loser's files; the winner's state serves
+    val want = inflight(corpus.filter(col("doc_id") <= 5))
+    assert(serveSnap(dir) == want)
+    // vacuum physically removes exactly the orphans; serve unchanged
+    // and the raw directory load converges to the committed state
+    assert(Retrieval.vacuumPostingsIndex(spark, dir).nonEmpty)
+    assert(Retrieval.vacuumPostingsIndex(spark, dir).isEmpty)
+    assert(serveSnap(dir) == want)
+    assert(serveRaw(dir) == want)
+  }
+
+  test("PQ index: torn append invisible to snapshot, time travel, vacuum, compaction collapses history") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sf, "embeddings")
+    val seed = emb.filter(col("vec_id") < 40)
+    val batchA = emb.filter(col("vec_id") >= 40 && col("vec_id") < 60)
+    val torn = emb.filter(col("vec_id") >= 60 && col("vec_id") < 80)
+    val queries = emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 40)
+    def rows(idx: Similarity.PqIndex): Set[(Long, Long, Long, Int)] =
+      Similarity.pqSearchIndex(queries, idx, "vec_id", "embedding", k = 5)
+        .as[(Long, Long, Long, Int)].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_manifest").toString
+    Similarity.savePqIndexCommitted(
+      Similarity.buildPqIndex(seed, "vec_id", "embedding"), dir)
+    Similarity.appendPqIndexCommitted(spark, dir, batchA, "vec_id",
+      "embedding", expectedGen = Some(Similarity.pqGen(spark, dir)))
+    Similarity.appendPqIndex(spark, dir, torn, "vec_id", "embedding")
+
+    // the committed reference states, built independently
+    val refDir = java.nio.file.Files.createTempDirectory("graft_pq_ref").toString
+    Similarity.savePqIndex(
+      Similarity.buildPqIndex(seed, "vec_id", "embedding"), refDir)
+    val seedOnly = rows(Similarity.loadPqIndex(spark, refDir))
+    Similarity.appendPqIndex(spark, refDir, batchA, "vec_id", "embedding")
+    val committed = rows(Similarity.loadPqIndex(spark, refDir))
+
+    assert(rows(Similarity.loadPqIndexSnapshot(spark, dir)) == committed)
+    // time travel to the save; the raw load DOES see the torn batch
+    assert(rows(Similarity.loadPqIndexSnapshot(spark, dir, Some(0L))) ==
+      seedOnly)
+    assert(rows(Similarity.loadPqIndex(spark, dir)) != committed)
+    // vacuum reclaims the torn files; raw converges to committed
+    assert(Similarity.vacuumPqIndex(spark, dir).nonEmpty)
+    assert(Similarity.vacuumPqIndex(spark, dir).isEmpty)
+    assert(rows(Similarity.loadPqIndex(spark, dir)) == committed)
+    // OCC: a stale expectation refuses
+    intercept[IllegalStateException] {
+      Similarity.appendPqIndexCommitted(spark, dir, torn, "vec_id",
+        "embedding", expectedGen = Some(0L))
+    }
+    Similarity.vacuumPqIndex(spark, dir)
+    // compaction rewrites the committed snapshot and collapses history
+    Similarity.compactPqIndex(spark, dir)
+    assert(Similarity.pqGen(spark, dir) == 0L)
+    assert(rows(Similarity.loadPqIndexSnapshot(spark, dir)) == committed)
+  }
+
   test("tombstone deletes compose with snapshot loads") {
     val dir = java.nio.file.Files.createTempDirectory("graft_manifest_del").toString
     Retrieval.savePostingsIndexCommitted(

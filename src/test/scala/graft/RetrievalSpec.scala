@@ -241,4 +241,67 @@ class RetrievalSpec extends SparkSpec {
     assert(served.count() > 0)
     oneQ.unpersist()
   }
+
+  test("bm25Expand with no expansion terms and unit weight degenerates to bm25TopK") {
+    val qdf = Seq((100L, Seq("spark", "data")),
+      (200L, Seq("pond", "water", "columnar"))).toDF("qid", "qterms")
+    val plain = Retrieval.bm25TopK(corpus, qdf, "doc_id", "text",
+        "qid", "qterms", k = 3)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val exp = Retrieval.bm25Expand(corpus, qdf, "doc_id", "text",
+        "qid", "qterms", k = 3, fbDocs = 3, fbTerms = 0,
+        origWeight = 1L, expWeight = 0L)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(exp == plain)
+  }
+
+  test("bm25Expand recalls a vocabulary-mismatch doc that shares no original term") {
+    // doc 6 shares NO term with the query, but the feedback docs (1, 2
+    // — both "spark ... data") are full of "queries"/"columnar", which
+    // expansion adds; doc 6 is then reachable in round 2
+    val c2 = corpus.unionByName(
+      Seq((6L, "queries columnar queries columnar queries"))
+        .toDF("doc_id", "text"))
+    val qdf = Seq((100L, Seq("spark", "data"))).toDF("qid", "qterms")
+    val plain = Retrieval.bm25TopK(c2, qdf, "doc_id", "text",
+        "qid", "qterms", k = 6)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(!plain.exists(_._2 == 6L), "doc 6 must be unreachable without expansion")
+    val exp = Retrieval.bm25Expand(c2, qdf, "doc_id", "text",
+        "qid", "qterms", k = 6, fbDocs = 2, fbTerms = 3)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(exp.exists(_._2 == 6L), s"expansion must recall doc 6, got $exp")
+  }
+
+  test("bm25Expand expansion terms are deterministic: weight desc, token asc ties") {
+    // two runs produce identical rows (ranking ties broken on doc_id,
+    // expansion ties on token — no nondeterministic surface)
+    val qdf = Seq((100L, Seq("spark")), (200L, Seq("pond"))).toDF("qid", "qterms")
+    def run() = Retrieval.bm25Expand(corpus, qdf, "doc_id", "text",
+        "qid", "qterms", k = 5, fbDocs = 2, fbTerms = 2)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(run() == run())
+  }
+
+  test("phraseMatch: consecutive-only, overlapping counts, repeated-token phrases") {
+    val docs = Seq(
+      (1L, "a a a b"),          // "a a" overlaps twice; "a b" once
+      (2L, "a b a b a"),        // "a b a" at starts 0 and 2
+      (3L, "a c b"),            // has a and b, never consecutive
+      (4L, "x y z")
+    ).toDF("doc_id", "text")
+    val phrases = Seq(
+      (10L, Seq("a", "a")),
+      (20L, Seq("a", "b")),
+      (30L, Seq("a", "b", "a"))
+    ).toDF("pid", "pterms")
+    val got = Retrieval.phraseMatch(docs, phrases, "doc_id", "text",
+        "pid", "pterms")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (10L, 1L, 2L),           // overlapping "a a" in "a a a"
+      (20L, 1L, 1L), (20L, 2L, 2L),
+      (30L, 2L, 2L)            // overlapping repeated-token phrase
+    ), s"got $got")
+  }
 }
