@@ -1943,6 +1943,65 @@ object SparkEntry {
         graft.operators.Pca.fit(emb, "embedding", r = 8))
     }),
 
+    // ROLLUP — the multi-level aggregation surface (GROUPING SETS
+    // family): per-(flag, status) totals, per-flag subtotals, and the
+    // grand total in ONE pass (Spark plans a single Expand + aggregate,
+    // not three scans). grouping_id disambiguates rolled-up NULLs from
+    // data NULLs; money in exact cents, quantities as exact longs.
+    "q171_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+          grouping_id().cast("int").as("gid"))
+    }),
+
+    // PIVOT — long-to-wide reshape with a PINNED value list (an
+    // inferred list would make the schema data-dependent): order counts
+    // per status × priority, absent cells as explicit zeros. One
+    // aggregation pass; the five output columns are conditional counts.
+    "q172_pivot" -> ((s, dir) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val wide = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)))
+      prios.zipWithIndex.foldLeft(wide) { case (df, (p, i)) =>
+        df.withColumn(s"p${i + 1}", coalesce(col(s"`$p`"), lit(0L)))
+          .drop(p)
+      }
+    }),
+
+    // PERSISTED POSITIONAL index — the stored lifecycle behind q167
+    // (phrase/proximity queries need per-OCCURRENCE postings, which the
+    // q139 index's (doc, token, tf) rows can't answer): build the
+    // positional stream once (zero shuffles — the position rides the
+    // explode), save partitioned by token-hash bucket, append tonight's
+    // drop (only the batch tokenizes, new files only), then serve the
+    // q167 phrase set from the LOADED index — the scan prunes to the
+    // phrase terms' bucket partitions and the corpus is never
+    // re-tokenized. Index corpus = all documents ⇒ identical rows to
+    // q167, which is what the oracle checks.
+    "q170_phrase_index_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = scratchDir("graft_positional_index", dir)
+      graft.operators.Retrieval.savePositionalIndex(
+        graft.operators.Retrieval.buildPositionalIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"), idxDir)
+      graft.operators.Retrieval.appendPositionalIndex(s, idxDir,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      val phrases = docs
+        .filter(col("doc_id") % 2000 === 11 &&
+          size(split(col("text"), " ")) >= 5)
+        .select(col("doc_id").as("pid"),
+          slice(split(col("text"), " "), 3, 3).as("pterms"))
+      graft.operators.Retrieval.phraseSearchIndex(phrases,
+        graft.operators.Retrieval.loadPositionalIndex(s, idxDir),
+        "pid", "pterms")
+    }),
+
     // TEMPERATURE-scaled language mix (Lample & Conneau's p_i ∝ n_i^α,
     // the mC4/XLM-R up-sample-the-tail rule) at α = 0.5 over a
     // 300-doc budget: quotas are driver StrictMath literals over the
@@ -2615,6 +2674,31 @@ object SparkEntry {
        |    AS mean_bits_micro
        |FROM tb JOIN wt USING (b) GROUP BY tb.doc_id""".stripMargin
   }
+
+  /** Shared phrase-search mirror (q167 in-flight, q170 stored-index
+    * serve over the same corpus): the join-on-token + all-offsets-
+    * witnessed plan (1-based positions vs Spark's 0-based cancel in
+    * the start-offset grouping key).
+    */
+  private val phraseOracleSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tok AS (SELECT doc_id, s.pos AS pos, s.tok AS token FROM
+      |  (SELECT doc_id, unnest([{'pos': i, 'tok': w.w[i]}
+      |                          FOR i IN range(1, len(w.w)+1)]) AS s
+      |   FROM w) t),
+      |q AS (SELECT doc_id AS pid, list_slice(w.w, 3, 5) AS qt
+      |      FROM w WHERE doc_id % 2000 = 11 AND len(w.w) >= 5),
+      |qtok AS (SELECT pid, s.off AS off, s.tok AS token FROM
+      |  (SELECT pid, unnest([{'off': i, 'tok': qt[i]}
+      |                       FOR i IN range(1, len(qt)+1)]) AS s
+      |   FROM q) t),
+      |plen AS (SELECT pid, len(qt) AS plen FROM q),
+      |m AS (SELECT qtok.pid, tok.doc_id, tok.pos - qtok.off AS start,
+      |        count(*) AS c
+      |      FROM tok JOIN qtok USING (token) GROUP BY 1, 2, 3)
+      |SELECT m.pid, m.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+      |FROM m JOIN plen ON plen.pid = m.pid WHERE m.c = plen.plen
+      |GROUP BY m.pid, m.doc_id""".stripMargin
 
   /** Mirror of q169: temperature quotas re-derived via
     * [[Curation.temperatureQuotas]] (deterministic driver StrictMath,
@@ -4027,28 +4111,30 @@ object SparkEntry {
     // commit never existed to any reader)
     "q164_bm25_time_travel" -> bm25RestrictedOracleSql("doc_id % 10 <> 0"),
     "q166_bm25_expand" -> bm25ExpandOracleSql,
-    // positional phrase search: same join-on-token + all-offsets-
-    // witnessed plan (1-based positions vs Spark's 0-based cancel in
-    // the start-offset grouping key)
-    "q167_phrase_match" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |tok AS (SELECT doc_id, s.pos AS pos, s.tok AS token FROM
-        |  (SELECT doc_id, unnest([{'pos': i, 'tok': w.w[i]}
-        |                          FOR i IN range(1, len(w.w)+1)]) AS s
-        |   FROM w) t),
-        |q AS (SELECT doc_id AS pid, list_slice(w.w, 3, 5) AS qt
-        |      FROM w WHERE doc_id % 2000 = 11 AND len(w.w) >= 5),
-        |qtok AS (SELECT pid, s.off AS off, s.tok AS token FROM
-        |  (SELECT pid, unnest([{'off': i, 'tok': qt[i]}
-        |                       FOR i IN range(1, len(qt)+1)]) AS s
-        |   FROM q) t),
-        |plen AS (SELECT pid, len(qt) AS plen FROM q),
-        |m AS (SELECT qtok.pid, tok.doc_id, tok.pos - qtok.off AS start,
-        |        count(*) AS c
-        |      FROM tok JOIN qtok USING (token) GROUP BY 1, 2, 3)
-        |SELECT m.pid, m.doc_id, CAST(count(*) AS BIGINT) AS n_matches
-        |FROM m JOIN plen ON plen.pid = m.pid WHERE m.c = plen.plen
-        |GROUP BY m.pid, m.doc_id""".stripMargin,
+    "q167_phrase_match" -> phraseOracleSql,
+    // stored-positional-index serve over the full corpus ≡ the
+    // in-flight q167 — same mirror
+    "q170_phrase_index_serve" -> phraseOracleSql,
+    // gid bit order matches Spark's grouping_id(): first rollup column
+    // is the most significant bit
+    "q171_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+        |    AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q172_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS p1,
+        |  CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS p2,
+        |  CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3,
+        |  CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4,
+        |  CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS p5
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q142_bm25_stream_serve" -> bm25OracleSql,
     "q152_bm25_absorb_serve" -> bm25OracleSql,
     "q149_heavy_tokens" ->

@@ -565,9 +565,14 @@ object Retrieval {
         .orderBy(col("wsum").desc, col("token").asc)))
       .filter(col("ern") <= fbTerms)
       .select(col("qid"), col("token"), lit(expWeight).as("wq"))
+    // materialize the tiny weighted query side ONCE: it feeds three
+    // places in round 2 (the semi join, the score join, and df), and
+    // without the cut each would re-plan the whole round-1 subtree —
+    // three extra executions of the feedback scoring
     val q2 = qterms.select(col("qid"), col("token"),
         lit(origWeight).as("wq"))
       .unionByName(expSel)
+      .localCheckpoint()
     val hit2 = postings.join(
       broadcast(q2.select(col("token")).distinct()),
       Seq("token"), "left_semi")
@@ -607,6 +612,16 @@ object Retrieval {
         posexplode(col(ptermsCol)).as(Seq("off", "token")))
     val plen = phrases.select(col(pidCol).as("pid"),
       size(col(ptermsCol)).cast("long").as("plen"))
+    matchPhrases(tok, ptok, plen)
+  }
+
+  /** The shared phrase-match tail: `ptoks` is the exploded broadcast
+    * (pid, off, token) phrase side, `plen` the (pid, plen) lengths,
+    * `tok` a positional token stream (doc_id, pos, token). A start with
+    * all plen offsets witnessed is one occurrence.
+    */
+  private def matchPhrases(tok: DataFrame, ptok: DataFrame,
+      plen: DataFrame): DataFrame =
     tok.join(broadcast(ptok), Seq("token"))
       .groupBy(col("pid"), col("doc_id"),
         (col("pos") - col("off")).as("start"))
@@ -615,6 +630,76 @@ object Retrieval {
       .filter(col("c") === col("plen"))
       .groupBy(col("pid"), col("doc_id"))
       .agg(count(lit(1)).as("n_matches"))
+
+  /** A stored POSITIONAL inverted index: (bucket, token, doc_id, pos)
+    * — one row per token OCCURRENCE (vs [[PostingsIndex]]'s one per
+    * distinct (doc, token)), what phrase/proximity queries need.
+    * `nBuckets` travels with the index ([[PostingsIndex]] contract).
+    */
+  final case class PositionalIndex(postings: DataFrame, nBuckets: Int)
+
+  /** Tokenize the corpus into the positional stream — ZERO shuffles
+    * (no aggregation; the position column rides the explode).
+    */
+  def buildPositionalIndex(corpus: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 64): PositionalIndex = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    PositionalIndex(
+      corpus.select(col(idCol).as("doc_id"),
+          posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+        .withColumn("bucket", tokenBucket(col("token"), nBuckets)),
+      nBuckets)
+  }
+
+  /** Persist partitioned by token-hash bucket (a phrase serve prunes to
+    * its terms' buckets) plus the one-row params parquet.
+    */
+  def savePositionalIndex(index: PositionalIndex, dir: String): Unit = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    index.postings.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    Seq(index.nBuckets).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** Append a batch of NEW documents: tokenize ONLY the batch, bucket
+    * with the index's stored nBuckets, new files only (ids must be new
+    * — the family's disjoint-ids contract).
+    */
+  def appendPositionalIndex(spark: SparkSession, dir: String,
+      batch: DataFrame, idCol: String, textCol: String): Unit = {
+    val nBuckets = spark.read.parquet(s"$dir/params").head().getInt(0)
+    batch.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+      .withColumn("bucket", tokenBucket(col("token"), nBuckets))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+  }
+
+  def loadPositionalIndex(spark: SparkSession,
+      dir: String): PositionalIndex =
+    PositionalIndex(spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/params").head().getInt(0))
+
+  /** Serve phrase queries from the stored index with ZERO corpus
+    * tokenize jobs: the scan reads only the phrase terms' bucket
+    * partitions (literal pruning via the index's own [[tokenBucket]]),
+    * then the [[phraseMatch]] tail. Same output contract:
+    * (pid, doc_id, n_matches ≥ 1), overlapping occurrences counted.
+    */
+  def phraseSearchIndex(phrases: DataFrame, index: PositionalIndex,
+      pidCol: String, ptermsCol: String): DataFrame = {
+    val ptok = phrases.select(col(pidCol).as("pid"),
+      posexplode(col(ptermsCol)).as(Seq("off", "token")))
+    val plen = phrases.select(col(pidCol).as("pid"),
+      size(col(ptermsCol)).cast("long").as("plen"))
+    val buckets = ptok
+      .select(tokenBucket(col("token"), index.nBuckets).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    matchPhrases(
+      index.postings.filter(col("bucket").isin(buckets: _*))
+        .select(col("doc_id"), col("pos"), col("token")),
+      ptok, plen)
   }
 
   /** [[scoreHits]] with a per-(qid, token) weight column `wq`: per-doc

@@ -304,4 +304,34 @@ class RetrievalSpec extends SparkSpec {
       (30L, 2L, 2L)            // overlapping repeated-token phrase
     ), s"got $got")
   }
+
+  test("positional index: appends equal the bulk build; serve matches in-flight; bucket-pruned scan") {
+    val phrases = Seq((100L, Seq("spark", "queries")),
+      (200L, Seq("pond", "water"))).toDF("pid", "pterms")
+    val want = Retrieval.phraseMatch(corpus, phrases, "doc_id", "text",
+        "pid", "pterms")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_posidx").toString
+    Retrieval.savePositionalIndex(
+      Retrieval.buildPositionalIndex(corpus.filter(col("doc_id") <= 3),
+        "doc_id", "text", nBuckets = 4), dir)
+    // append must not rewrite committed files
+    val before = new java.io.File(s"$dir/postings").listFiles().toSeq
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .map(f => f.getPath -> f.lastModified()).toMap
+    Retrieval.appendPositionalIndex(spark, dir,
+      corpus.filter(col("doc_id") > 3), "doc_id", "text")
+    val after = new java.io.File(s"$dir/postings").listFiles().toSeq
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .map(f => f.getPath -> f.lastModified()).toMap
+    before.foreach { case (p, m) =>
+      assert(after.get(p).contains(m), s"append rewrote committed file $p") }
+    val idx = Retrieval.loadPositionalIndex(spark, dir)
+    val served = Retrieval.phraseSearchIndex(phrases, idx, "pid", "pterms")
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"bucket partition filter missing on positional scan:\n$plan")
+    assert(served.as[(Long, Long, Long)].collect().toSet == want)
+  }
 }
