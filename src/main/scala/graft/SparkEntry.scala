@@ -2002,6 +2002,36 @@ object SparkEntry {
         "pid", "pterms")
     }),
 
+    // DELETE lifecycle for the positional index — the simplest
+    // tombstone shape (no corpus-total stats to adjust): build + append
+    // as q170, DELETE doc_id % 7 == 3 twice (idempotence under the
+    // oracle — the second call appends nothing), serve the q167 phrase
+    // set. Deleted docs can never match; a deleted doc may still QUERY
+    // (phrases come from the unrestricted set). Oracle: the phrase
+    // mirror with the corpus side restricted to survivors.
+    "q173_phrase_delete_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = scratchDir("graft_positional_delete", dir)
+      graft.operators.Retrieval.savePositionalIndex(
+        graft.operators.Retrieval.buildPositionalIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"), idxDir)
+      graft.operators.Retrieval.appendPositionalIndex(s, idxDir,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      val victims = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+      graft.operators.Retrieval.deleteFromPositionalIndex(s, idxDir,
+        victims, "doc_id")
+      graft.operators.Retrieval.deleteFromPositionalIndex(s, idxDir,
+        victims, "doc_id")
+      val phrases = docs
+        .filter(col("doc_id") % 2000 === 11 &&
+          size(split(col("text"), " ")) >= 5)
+        .select(col("doc_id").as("pid"),
+          slice(split(col("text"), " "), 3, 3).as("pterms"))
+      graft.operators.Retrieval.phraseSearchIndex(phrases,
+        graft.operators.Retrieval.loadPositionalIndex(s, idxDir),
+        "pid", "pterms")
+    }),
+
     // TEMPERATURE-scaled language mix (Lample & Conneau's p_i ∝ n_i^α,
     // the mC4/XLM-R up-sample-the-tail rule) at α = 0.5 over a
     // 300-doc budget: quotas are driver StrictMath literals over the
@@ -2676,18 +2706,26 @@ object SparkEntry {
   }
 
   /** Shared phrase-search mirror (q167 in-flight, q170 stored-index
-    * serve over the same corpus): the join-on-token + all-offsets-
-    * witnessed plan (1-based positions vs Spark's 0-based cancel in
-    * the start-offset grouping key).
+    * serve over the same corpus, q173 via [[phraseRestrictedOracleSql]]):
+    * the join-on-token + all-offsets-witnessed plan (1-based positions
+    * vs Spark's 0-based cancel in the start-offset grouping key).
     */
-  private val phraseOracleSql: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  private val phraseOracleSql: String = phraseRestrictedOracleSql("TRUE")
+
+  /** [[phraseOracleSql]] with the CORPUS token stream restricted by a
+    * predicate (the tombstone-delete serve: matches come from
+    * survivors only); the PHRASE side reads the unrestricted split
+    * (`wq`) — a deleted doc may still query, never match.
+    */
+  private def phraseRestrictedOracleSql(corpusWhere: String): String =
+    s"""WITH wq AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |w AS (SELECT * FROM wq WHERE $corpusWhere),
       |tok AS (SELECT doc_id, s.pos AS pos, s.tok AS token FROM
       |  (SELECT doc_id, unnest([{'pos': i, 'tok': w.w[i]}
       |                          FOR i IN range(1, len(w.w)+1)]) AS s
       |   FROM w) t),
-      |q AS (SELECT doc_id AS pid, list_slice(w.w, 3, 5) AS qt
-      |      FROM w WHERE doc_id % 2000 = 11 AND len(w.w) >= 5),
+      |q AS (SELECT doc_id AS pid, list_slice(wq.w, 3, 5) AS qt
+      |      FROM wq WHERE doc_id % 2000 = 11 AND len(wq.w) >= 5),
       |qtok AS (SELECT pid, s.off AS off, s.tok AS token FROM
       |  (SELECT pid, unnest([{'off': i, 'tok': qt[i]}
       |                       FOR i IN range(1, len(qt)+1)]) AS s
@@ -4115,6 +4153,9 @@ object SparkEntry {
     // stored-positional-index serve over the full corpus ≡ the
     // in-flight q167 — same mirror
     "q170_phrase_index_serve" -> phraseOracleSql,
+    // tombstone-deleted serve ≡ a corpus that never held the deleted
+    // docs; phrases still come from the full set
+    "q173_phrase_delete_serve" -> phraseRestrictedOracleSql("doc_id % 7 <> 3"),
     // gid bit order matches Spark's grouping_id(): first rollup column
     // is the most significant bit
     "q171_rollup" ->

@@ -657,6 +657,7 @@ object Retrieval {
   def savePositionalIndex(index: PositionalIndex, dir: String): Unit = {
     val spark = index.postings.sparkSession
     import spark.implicits._
+    StoreFiles.clearTombstones(spark, s"$dir/tombstones")
     index.postings.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
     Seq(index.nBuckets).toDF("n_buckets")
@@ -676,10 +677,49 @@ object Retrieval {
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
   }
 
+  /** Delete documents — the LSM tombstone path, in its simplest form:
+    * phrase matching has no corpus-total term (unlike BM25's (N, T)),
+    * so the delete is ONE append of bare doc_id tombstone rows and the
+    * serve-side adjustment is just the anti join. Idempotent; absent
+    * ids tombstone harmlessly.
+    */
+  def deleteFromPositionalIndex(spark: SparkSession, dir: String,
+      ids: DataFrame, idCol: String): Unit =
+    StoreFiles.appendTombstones(spark, s"$dir/tombstones",
+      ids.select(col(idCol).as("doc_id")).distinct(), "doc_id")
+
+  /** Load; with tombstones present the postings anti-join them lazily
+    * (bucket partition pruning still reaches the scan below the join);
+    * a store that never saw a delete keeps its exact pre-tombstone
+    * plan.
+    */
   def loadPositionalIndex(spark: SparkSession,
-      dir: String): PositionalIndex =
-    PositionalIndex(spark.read.parquet(s"$dir/postings"),
+      dir: String): PositionalIndex = {
+    val raw = spark.read.parquet(s"$dir/postings")
+    PositionalIndex(
+      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(raw)(t =>
+        raw.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"),
+          "left_anti")),
       spark.read.parquet(s"$dir/params").head().getInt(0))
+  }
+
+  /** Nightly small-file compaction: one file per bucket partition via
+    * the guarded temp-swap; tombstones (if any) applied physically and
+    * the ledger cleared. Serve results identical before and after.
+    */
+  def compactPositionalIndex(spark: SparkSession, dir: String): Unit = {
+    val tombs = StoreFiles.readTombstones(spark, s"$dir/tombstones")
+      .map(_.select(col("doc_id")).localCheckpoint())
+    StoreFiles.swapIn(spark, s"$dir/postings") { tmp =>
+      val raw = spark.read.parquet(s"$dir/postings")
+      tombs.fold(raw)(t => raw.join(broadcast(t), Seq("doc_id"),
+          "left_anti"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(tmp)
+    }
+    if (tombs.nonEmpty)
+      StoreFiles.clearTombstones(spark, s"$dir/tombstones")
+  }
 
   /** Serve phrase queries from the stored index with ZERO corpus
     * tokenize jobs: the scan reads only the phrase terms' bucket

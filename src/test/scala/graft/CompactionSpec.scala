@@ -143,4 +143,31 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/params").collect().toSeq == params)
     assert(spark.read.parquet(s"$dir/stats").count() == 1)
   }
+
+  test("compactPositionalIndex: serve identical, fewer files, tombstones applied and cleared") {
+    val dir = tmpDir("positional")
+    Retrieval.savePositionalIndex(
+      Retrieval.buildPositionalIndex(docs.filter($"doc_id" % 3 === 0),
+        "doc_id", "text"), dir)
+    Retrieval.appendPositionalIndex(spark, dir,
+      docs.filter($"doc_id" % 3 === 1), "doc_id", "text")
+    Retrieval.appendPositionalIndex(spark, dir,
+      docs.filter($"doc_id" % 3 === 2), "doc_id", "text")
+    Retrieval.deleteFromPositionalIndex(spark, dir,
+      docs.filter($"doc_id" % 7 === 3).select("doc_id"), "doc_id")
+    val phrases = docs.filter($"doc_id" % 100 === 11 &&
+        size(split($"text", " ")) >= 5)
+      .select($"doc_id".as("pid"), slice(split($"text", " "), 3, 3).as("pterms"))
+    def served = Retrieval.phraseSearchIndex(phrases,
+        Retrieval.loadPositionalIndex(spark, dir), "pid", "pterms")
+      .as[(Long, Long, Long)].collect().toSet
+    val (before, filesBefore) = (served, files(dir))
+    Retrieval.compactPositionalIndex(spark, dir)
+    assert(served == before && before.nonEmpty)
+    assert(files(dir) < filesBefore, s"${files(dir)} !< $filesBefore")
+    // tombstones applied physically and the ledger cleared
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(spark.read.parquet(s"$dir/postings")
+      .filter($"doc_id" % 7 === 3).count() == 0)
+  }
 }
