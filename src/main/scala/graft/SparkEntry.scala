@@ -2032,6 +2032,19 @@ object SparkEntry {
         "pid", "pterms")
     }),
 
+    // DoReMi-STYLE domain reweighting (Xie et al. 2023 on the engine's
+    // own proxy signal): each source's mixture weight is its doc share
+    // multiplicatively boosted by exp(η · excess bigram surprisal) —
+    // high-surprisal (hard/rare) domains sample UP, boilerplate down.
+    // The per-source stats are exact integers in-engine (the q146
+    // machinery rolled up by source); the exp runs once on the driver
+    // and the micro weights join as literals (the DSIR pattern). Output
+    // is the stats + weight relation a sampler consumes.
+    "q174_doremi_weights" -> ((s, dir) => {
+      Curation.doremiWeights(t(s, dir, "documents"),
+        "doc_id", "text", "source", eta = 1.0)
+    }),
+
     // TEMPERATURE-scaled language mix (Lample & Conneau's p_i ∝ n_i^α,
     // the mC4/XLM-R up-sample-the-tail rule) at α = 0.5 over a
     // 300-doc budget: quotas are driver StrictMath literals over the
@@ -2652,6 +2665,7 @@ object SparkEntry {
     "q154_diverse_sample" -> SimilarityOracle.diverseSampleSql(spark, dir, quota = 10),
     "q156_dsir_weights" -> dsirOracleSql(spark, dir),
     "q169_temperature_mix" -> temperatureOracleSql(spark, dir),
+    "q174_doremi_weights" -> doremiOracleSql(spark, dir),
     "q157_bm25_log_topk" -> bm25LogOracleSql(spark, dir),
     "q134_ann_lsh_multiprobe" -> SimilarityOracle.lshTopKSql(spark, dir,
       multiProbe = true),
@@ -2760,6 +2774,45 @@ object SparkEntry {
        |         $values)
        |SELECT doc_id, lang, source, pos
        |FROM r JOIN qq USING (lang) WHERE pos <= quota""".stripMargin
+  }
+
+  /** Mirror of q174: per-source surprisal stats re-aggregated from the
+    * q146 bigram-LM CTEs, with the driver-computed DoReMi weights
+    * (re-derived via [[Curation.doremiWeightLiterals]] over the SAME
+    * stats — deterministic) consumed as a VALUES table.
+    */
+  private def doremiOracleSql(spark: SparkSession, dir: String): String = {
+    val stats = Curation.sourceSurprisalStats(
+      Tables(spark, dir, "documents"), "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    val values = Curation.doremiWeightLiterals(stats, eta = 1.0)
+      .map { case (src, w) => s"('$src', CAST($w AS BIGINT))" }
+      .mkString(",\n         ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT doc_id,
+       |         unnest([w.w[i] || ' ' || w.w[i+1]
+       |                 FOR i IN range(1, greatest(len(w.w)-1, 0)+1)]) AS g
+       |       FROM w),
+       |cb AS (SELECT g, count(*) AS cg FROM bg GROUP BY g),
+       |cp AS (SELECT split_part(g, ' ', 1) AS w1,
+       |         CAST(sum(cg) AS BIGINT) AS cw FROM cb GROUP BY 1),
+       |sc AS (SELECT bg.doc_id,
+       |         length(bin(cp.cw)) - length(bin(cb.cg)) AS bits
+       |       FROM bg JOIN cb ON cb.g = bg.g
+       |         JOIN cp ON cp.w1 = split_part(bg.g, ' ', 1)),
+       |per_doc AS (SELECT doc_id, count(*) AS nb,
+       |              CAST(sum(bits) AS BIGINT) AS sb
+       |            FROM sc GROUP BY doc_id),
+       |per_src AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |              CAST(sum(p.nb) AS BIGINT) AS n_bigrams,
+       |              CAST(sum(p.sb) AS BIGINT) AS sum_bits
+       |            FROM per_doc p JOIN documents d USING (doc_id)
+       |            GROUP BY d.source),
+       |wt(source, weight_micro) AS (VALUES
+       |         $values)
+       |SELECT per_src.*, wt.weight_micro
+       |FROM per_src JOIN wt USING (source)""".stripMargin
   }
 
   /** Mirror of q157: the bm25OracleSql CTE shape with (N, T) as

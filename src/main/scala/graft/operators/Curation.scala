@@ -522,6 +522,68 @@ object Curation {
       .drop("__h")
   }
 
+  /** Per-source corpus-LM surprisal stats — [[bigramSurprisal]]'s
+    * per-doc signal rolled up by `srcCol`: (source, n_docs, n_bigrams,
+    * sum_bits), all exact integers. The per-domain "loss" proxy
+    * [[doremiWeights]] feeds on.
+    */
+  def sourceSurprisalStats(docs: DataFrame, idCol: String,
+      textCol: String, srcCol: String): DataFrame =
+    bigramSurprisal(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(srcCol)), Seq("doc_id"))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("sum_bits")).as("sum_bits"))
+
+  /** DoReMi-STYLE domain reweighting (Xie et al. 2023, reduced to the
+    * engine's own signal): DoReMi multiplicatively up-weights domains
+    * with EXCESS proxy-model loss — here the proxy loss is the corpus
+    * bigram-LM surprisal ([[bigramSurprisal]], no transcendentals in
+    * the engine), so domain i's weight is
+    *
+    *   w_i ∝ share_i · exp(η · (bits_i − min_j bits_j))
+    *
+    * with share_i the domain's doc share and bits_i its mean surprisal.
+    * The exp runs ONCE on the driver ([[StrictMath]], over the bounded
+    * per-source stats — the DSIR/centroid literal pattern); weights are
+    * micro-normalized to sum ≈ 1e6 (floor rounding). Returns the
+    * per-source stats relation with `weight_micro` joined on — the
+    * mixture a training-data sampler consumes (e.g. via
+    * [[weightedSample]] or budget draws).
+    */
+  def doremiWeights(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, eta: Double = 1.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stats = sourceSurprisalStats(docs, idCol, textCol, srcCol)
+    val lits = doremiWeightLiterals(
+      stats.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq, eta)
+      .toDF(srcCol, "weight_micro")
+    stats.join(broadcast(lits), Seq(srcCol))
+  }
+
+  /** The driver half of [[doremiWeights]], public so the DuckDB mirror
+    * generator replays the identical literals: takes the collected
+    * (source, n_docs, n_bigrams, sum_bits) rows, returns micro weights
+    * sorted by source.
+    */
+  def doremiWeightLiterals(stats: Seq[(String, Long, Long, Long)],
+      eta: Double): Seq[(String, Long)] = {
+    require(stats.nonEmpty, "doremiWeights: no sources")
+    require(eta >= 0.0, s"eta must be >= 0, got $eta")
+    val nTotal = stats.map(_._2).sum.toDouble
+    val bits = stats.map { case (_, _, nb, sb) =>
+      if (nb == 0) 0.0 else sb.toDouble / nb }
+    val minBits = bits.min
+    val raw = stats.zip(bits).map { case ((_, nd, _, _), b) =>
+      (nd / nTotal) * StrictMath.exp(eta * (b - minBits)) }
+    val z = raw.sum
+    stats.map(_._1).zip(raw).map { case (s, w) =>
+      (s, math.floor(w / z * 1e6).toLong) }.sortBy(_._1)
+  }
+
   /** TEMPERATURE-scaled group quotas — the multilingual-LM α-sampling
     * rule (Lample & Conneau 2019's p_i ∝ n_i^α; mC4/XLM-R use
     * α ≈ 0.3–0.7 to up-sample tail languages without flattening the

@@ -539,6 +539,31 @@ class CurationSpec extends SparkSpec {
     assert(merged == bulk && bulk.nonEmpty)
   }
 
+  test("doremiWeightLiterals: eta=0 degenerates to doc shares; excess surprisal boosts; sums ~1e6") {
+    val stats = Seq(("a", 60L, 100L, 500L),   // 5.0 bits mean
+      ("b", 30L, 100L, 800L),                  // 8.0 bits — the hard domain
+      ("c", 10L, 100L, 500L))                  // 5.0 bits
+    val flat = Curation.doremiWeightLiterals(stats, eta = 0.0).toMap
+    assert(flat("a") == 600000L && flat("b") == 300000L && flat("c") == 100000L)
+    val boosted = Curation.doremiWeightLiterals(stats, eta = 1.0).toMap
+    assert(boosted.values.sum <= 1000000L &&
+      boosted.values.sum > 1000000L - stats.size)
+    // b's weight grows past its doc share; a and c shrink proportionally
+    assert(boosted("b") > 300000L)
+    assert(boosted("a") < 600000L && boosted("c") < 100000L)
+    // a and c share mean bits, so their boosted ratio stays 6:1
+    assert(math.abs(boosted("a").toDouble / boosted("c") - 6.0) < 0.01)
+  }
+
+  test("doremiWeights: relation carries exact stats and the literal weights") {
+    val docs = Tables(spark, sf, "documents")
+    val out = Curation.doremiWeights(docs, "doc_id", "text", "source")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.length == docs.select($"source").distinct().count())
+    assert(out.map(_._5).sum <= 1000000L)
+    assert(out.forall(_._5 > 0))
+  }
+
   test("temperatureQuotas: shares follow n^alpha — tail keeps a larger fraction of itself") {
     val docs = Tables(spark, sf, "documents")
     val quotas = Curation.temperatureQuotas(docs, "lang", 0.5, 100L).toMap
