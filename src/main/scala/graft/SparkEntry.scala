@@ -2032,6 +2032,49 @@ object SparkEntry {
         "pid", "pterms")
     }),
 
+    // Streaming POSITIONAL-index maintenance — q170's family kept live
+    // by a stream (the q142 shape on per-occurrence rows): seed the
+    // stored index batch-side, stream two drops (each writes only its
+    // own positional rows to its batch partition, stateless ⇒
+    // replay-idempotent), serve the q167 phrase set over seed ∪
+    // committed deltas with zero corpus-tokenize jobs. Full corpus
+    // covered ⇒ identical rows to q167/q170, the shared oracle.
+    "q175_phrase_stream_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = scratchDir("graft_positional_stream", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      val idxDir = s"$base/idx$run"
+      graft.operators.Retrieval.savePositionalIndex(
+        graft.operators.Retrieval.buildPositionalIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"), idxDir)
+      val out = s"$base/out$run"
+      val q = graft.streaming.DocumentStreams.positionalIngest(s,
+        landing.toString, idxDir, out, s"$base/ckpt$run",
+        maxFilesPerTrigger = Some(1))
+      for ((m, i) <- Seq(0, 10).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        docs.filter(col("doc_id") % 20 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      val phrases = docs
+        .filter(col("doc_id") % 2000 === 11 &&
+          size(split(col("text"), " ")) >= 5)
+        .select(col("doc_id").as("pid"),
+          slice(split(col("text"), " "), 3, 3).as("pterms"))
+      graft.operators.Retrieval.phraseSearchIndex(phrases,
+        graft.streaming.DocumentStreams.livePositionalIndex(s, idxDir, out),
+        "pid", "pterms")
+    }),
+
     // DoReMi-STYLE domain reweighting (Xie et al. 2023 on the engine's
     // own proxy signal): each source's mixture weight is its doc share
     // multiplicatively boosted by exp(η · excess bigram surprisal) —
@@ -4209,6 +4252,8 @@ object SparkEntry {
     // tombstone-deleted serve ≡ a corpus that never held the deleted
     // docs; phrases still come from the full set
     "q173_phrase_delete_serve" -> phraseRestrictedOracleSql("doc_id % 7 <> 3"),
+    // the streaming twin's seed ∪ drops = the full corpus — same mirror
+    "q175_phrase_stream_serve" -> phraseOracleSql,
     // gid bit order matches Spark's grouping_id(): first rollup column
     // is the most significant bit
     "q171_rollup" ->

@@ -664,18 +664,28 @@ object Retrieval {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
   }
 
+  /** The positional rows a batch of NEW documents contributes under a
+    * stored index's params — only the batch tokenizes, bucketed with
+    * the index's OWN nBuckets. Shared by [[appendPositionalIndex]] and
+    * the streaming twin
+    * ([[graft.streaming.DocumentStreams.positionalIngestBatch]]).
+    */
+  def positionalDelta(spark: SparkSession, dir: String,
+      batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nBuckets = spark.read.parquet(s"$dir/params").head().getInt(0)
+    batch.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+      .withColumn("bucket", tokenBucket(col("token"), nBuckets))
+  }
+
   /** Append a batch of NEW documents: tokenize ONLY the batch, bucket
     * with the index's stored nBuckets, new files only (ids must be new
     * — the family's disjoint-ids contract).
     */
   def appendPositionalIndex(spark: SparkSession, dir: String,
-      batch: DataFrame, idCol: String, textCol: String): Unit = {
-    val nBuckets = spark.read.parquet(s"$dir/params").head().getInt(0)
-    batch.select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
-      .withColumn("bucket", tokenBucket(col("token"), nBuckets))
+      batch: DataFrame, idCol: String, textCol: String): Unit =
+    positionalDelta(spark, dir, batch, idCol, textCol)
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
-  }
 
   /** Delete documents — the LSM tombstone path, in its simplest form:
     * phrase matching has no corpus-total term (unlike BM25's (N, T)),

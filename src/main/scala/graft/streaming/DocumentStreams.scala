@@ -679,6 +679,49 @@ object DocumentStreams {
         committedParts(spark, s"$outPath/stats", -1L), statsDeltaSchema)))
   }
 
+  private val positionalDeltaSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("pos", IntegerType),
+    StructField("token", StringType), StructField("bucket", IntegerType)))
+
+  /** Streaming POSITIONAL-index maintenance — q170's stored family kept
+    * live by a stream (the [[postingsIngest]] shape on per-occurrence
+    * rows): each drop writes ONLY its own positional rows to its batch
+    * partition, bucketed with the stored index's own nBuckets.
+    * Stateless per batch ⇒ replay overwrites identically.
+    */
+  def positionalIngest(spark: SparkSession, landingDir: String,
+      idxDir: String, outPath: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readDocuments(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        positionalIngestBatch(spark, idxDir, outPath)(batch.toDF(), batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One [[positionalIngest]] trigger, exposed for the replay spec. */
+  def positionalIngestBatch(spark: SparkSession, idxDir: String,
+      outPath: String)(batch: DataFrame, batchId: Long): Unit =
+    graft.operators.Retrieval.positionalDelta(spark, idxDir,
+        batch.select(col("doc_id"), col("text")), "doc_id", "text")
+      .select(col("doc_id"), col("pos"), col("token"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$outPath/postings/batch_id=$batchId")
+
+  /** The stream's live positional index: stored seed ∪ committed
+    * per-batch positional rows, served by the unchanged
+    * [[graft.operators.Retrieval.phraseSearchIndex]].
+    */
+  def livePositionalIndex(spark: SparkSession, idxDir: String,
+      outPath: String): graft.operators.Retrieval.PositionalIndex = {
+    val seed = graft.operators.Retrieval.loadPositionalIndex(spark, idxDir)
+    seed.copy(postings = seed.postings
+      .select(col("doc_id"), col("pos"), col("token"), col("bucket"))
+      .unionByName(readParts(spark,
+        committedParts(spark, s"$outPath/postings", -1L),
+        positionalDeltaSchema)))
+  }
+
   /** Read committed part files (possibly none) with an explicit schema —
     * a batch partition whose write committed zero files, or a sink no
     * batch has written yet, must read as EMPTY, not throw.

@@ -663,4 +663,48 @@ class DocumentStreamsSpec extends SparkSpec {
       DocumentStreams.livePostingsIndex(spark, idxDir, out),
       "qid", "qterms", k = 10)) == bulk)
   }
+
+  test("positional ingest: live-index phrase serve ≡ in-flight; replay overwrites identically") {
+    import graft.operators.Retrieval
+    val docs = Tables(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("positional_ingest").toString
+    val landing = s"$base/landing"; new java.io.File(landing).mkdirs()
+    val idxDir = s"$base/idx"; val out = s"$base/out"
+    Retrieval.savePositionalIndex(
+      Retrieval.buildPositionalIndex(
+        docs.filter($"doc_id" % 10 =!= 0), "doc_id", "text"), idxDir)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(s"$landing/$name.parquet"))
+    }
+    val q = DocumentStreams.positionalIngest(spark, landing, idxDir, out,
+      s"$base/ckpt", maxFilesPerTrigger = Some(1))
+    land(docs.filter($"doc_id" % 20 === 0), "drop_00"); q.processAllAvailable()
+    land(docs.filter($"doc_id" % 20 === 10), "drop_01"); q.processAllAvailable()
+    q.stop()
+    val phrases = docs.filter($"doc_id" % 100 === 11 &&
+        size(split($"text", " ")) >= 5)
+      .select($"doc_id".as("pid"), slice(split($"text", " "), 3, 3).as("pterms"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val served = rows(Retrieval.phraseSearchIndex(phrases,
+      DocumentStreams.livePositionalIndex(spark, idxDir, out),
+      "pid", "pterms"))
+    val bulk = rows(Retrieval.phraseMatch(docs, phrases, "doc_id", "text",
+      "pid", "pterms"))
+    assert(served == bulk && bulk.nonEmpty)
+    val before = spark.read.parquet(s"$out/postings/batch_id=0")
+      .collect().toSet
+    DocumentStreams.positionalIngestBatch(spark, idxDir, out)(
+      docs.filter($"doc_id" % 20 === 0), 0L)
+    assert(spark.read.parquet(s"$out/postings/batch_id=0")
+      .collect().toSet == before)
+    assert(rows(Retrieval.phraseSearchIndex(phrases,
+      DocumentStreams.livePositionalIndex(spark, idxDir, out),
+      "pid", "pterms")) == bulk)
+  }
 }
