@@ -2075,6 +2075,48 @@ object SparkEntry {
         "pid", "pterms")
     }),
 
+    // Streaming MODEL-STATISTICS maintenance — PCA's sufficient
+    // statistics kept live (the q130 additive-state idiom on a model):
+    // the seed corpus's exact-integer moment relation lands batch-side,
+    // two embedding drops stream in writing only their own moment rows
+    // (stateless ⇒ replay-idempotent), and the serve eigensolves the
+    // MERGED moments (one driver Jacobi, zero vector re-reads) and
+    // projects the full corpus. Seed ∪ drops = the full table and
+    // moments merge by exact integer sum, so the fitted basis — and
+    // every projection — is bit-identical to q168's batch fit, which
+    // is what the shared oracle checks.
+    "q176_pca_stream_fit" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = scratchDir("graft_moments_stream", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      val seedPath = s"$base/seed$run"
+      graft.operators.Pca.momentsOf(
+          emb.filter(col("vec_id") % 10 =!= 0), "embedding")
+        .write.mode("overwrite").parquet(seedPath)
+      val out = s"$base/out$run"
+      val q = graft.streaming.DocumentStreams.momentsIngest(s,
+        landing.toString, out, s"$base/ckpt$run",
+        maxFilesPerTrigger = Some(1))
+      for ((m, i) <- Seq(0, 10).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        emb.filter(col("vec_id") % 20 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      graft.operators.Pca.project(emb, "vec_id", "embedding",
+        graft.operators.Pca.fitFromMoments(
+          graft.streaming.DocumentStreams.liveMoments(s, seedPath, out),
+          r = 8))
+    }),
+
     // DoReMi-STYLE domain reweighting (Xie et al. 2023 on the engine's
     // own proxy signal): each source's mixture weight is its doc share
     // multiplicatively boosted by exp(η · excess bigram surprisal) —
@@ -2705,6 +2747,9 @@ object SparkEntry {
       nPlanes = 10, nTables = 2),
     "q153_semdedup" -> SimilarityOracle.semDedupSql(spark, dir, threshold = 0.35),
     "q168_pca_project" -> SimilarityOracle.pcaProjectSql(spark, dir, r = 8),
+    // the streaming twin's seed ∪ drops = the full table and moments
+    // merge by exact integer sum ⇒ identical fitted basis, same mirror
+    "q176_pca_stream_fit" -> SimilarityOracle.pcaProjectSql(spark, dir, r = 8),
     "q154_diverse_sample" -> SimilarityOracle.diverseSampleSql(spark, dir, quota = 10),
     "q156_dsir_weights" -> dsirOracleSql(spark, dir),
     "q169_temperature_mix" -> temperatureOracleSql(spark, dir),

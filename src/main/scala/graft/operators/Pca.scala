@@ -42,38 +42,69 @@ object Pca {
   final case class PcaModel(meanMilli: Array[Long],
       basisMicro: Array[Array[Long]], eigvals: Array[Double])
 
-  /** One distributed pass of exact integer moments, then the driver
-    * eigensolve. `r` = number of components to keep (1 ≤ r ≤ d).
+  /** The exact integer MOMENT relation of an embedding column — the
+    * sufficient statistics of [[fit]] as mergeable rows (i, j, v):
+    *
+    *   (i,  j, Σ x_i·x_j)  for 0 ≤ i ≤ j   (upper-triangle seconds)
+    *   (i, −1, Σ x_i)                       (firsts)
+    *   (−1, −1, n)                          (the count)
+    *
+    * Merge = SUM of `v` per (i, j) — integer addition, so K slice
+    * moments merged equal the bulk pass exactly (the q130/q143
+    * additive-state idea applied to model sufficient statistics; this
+    * is what the streaming twin writes per batch).
     */
-  def fit(df: DataFrame, vecCol: String, r: Int): PcaModel = {
-    require(r >= 1, s"r must be >= 1, got $r")
+  def momentsOf(df: DataFrame, vecCol: String): DataFrame = {
     val vm = df.select(Similarity.quantize(col(vecCol)).as("vm"))
       .where(col("vm").isNotNull)
-    // first moments: (k, sum x_k) — d rows after partial agg
-    val firsts = vm.select(posexplode(col("vm")).as(Seq("i", "xi")))
-      .groupBy(col("i")).agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
-      .collect()
-    require(firsts.nonEmpty, "fit: no vectors")
-    val d = firsts.length
-    require(r <= d, s"r=$r exceeds dim $d")
-    val n = firsts.head.getLong(2)
-    require(firsts.forall(_.getLong(2) == n),
-      "fit: ragged vector dimensions — every vector must have the same dim")
-    val sums = Array.ofDim[Long](d)
-    firsts.foreach(row => sums(row.getInt(0)) = row.getLong(1))
-    // upper-triangle second moments: (i, j ≥ i, sum x_i·x_j)
     val seconds = vm
       .select(col("vm"), posexplode(col("vm")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"),
         posexplode(col("vm")).as(Seq("j", "xj")))
       .filter(col("j") >= col("i"))
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("xi") * col("xj")).as("sxx"))
-      .collect()
+      .agg(sum(col("xi") * col("xj")).as("v"))
+    // firsts carry their per-dim counts as (i, −2, c) rows so a merged
+    // fit can still reject ragged vector dimensions
+    val firsts = vm.select(posexplode(col("vm")).as(Seq("i", "xi")))
+      .groupBy(col("i"))
+      .agg(sum(col("xi")).as("s"), count(lit(1)).as("c"))
+    val n = vm.agg(count(lit(1)).as("v"))
+      .select(lit(-1).as("i"), lit(-1).as("j"), col("v"))
+    seconds
+      .unionByName(firsts.select(col("i"), lit(-1).as("j"), col("s").as("v")))
+      .unionByName(firsts.select(col("i"), lit(-2).as("j"), col("c").as("v")))
+      .unionByName(n)
+  }
+
+  /** One distributed pass of exact integer moments, then the driver
+    * eigensolve. `r` = number of components to keep (1 ≤ r ≤ d).
+    */
+  def fit(df: DataFrame, vecCol: String, r: Int): PcaModel =
+    fitFromMoments(momentsOf(df, vecCol), r)
+
+  /** The driver eigensolve over a (possibly merged) moment relation —
+    * rows are summed per (i, j) first, so per-batch moment partitions
+    * feed in unmerged.
+    */
+  def fitFromMoments(moments: DataFrame, r: Int): PcaModel = {
+    require(r >= 1, s"r must be >= 1, got $r")
+    val rows = moments.groupBy(col("i"), col("j"))
+      .agg(sum(col("v")).as("v")).collect()
+      .map(row => ((row.getInt(0), row.getInt(1)), row.getLong(2))).toMap
+    require(rows.nonEmpty, "fit: no vectors")
+    val n = rows.getOrElse((-1, -1),
+      throw new IllegalArgumentException("fit: count row missing"))
+    require(n > 0, "fit: no vectors")
+    val d = rows.keys.collect { case (i, -1) if i >= 0 => i }.max + 1
+    require(r <= d, s"r=$r exceeds dim $d")
+    require((0 until d).forall(i => rows.getOrElse((i, -2), -1L) == n),
+      "fit: ragged vector dimensions — every vector must have the same dim")
+    val sums = Array.tabulate(d)(i => rows.getOrElse((i, -1), 0L))
     val sxx = Array.ofDim[Long](d, d)
-    seconds.foreach { row =>
-      val (i, j) = (row.getInt(0), row.getInt(1))
-      sxx(i)(j) = row.getLong(2); sxx(j)(i) = row.getLong(2)
+    for (i <- 0 until d; j <- i until d) {
+      val v = rows.getOrElse((i, j), 0L)
+      sxx(i)(j) = v; sxx(j)(i) = v
     }
     // covariance in doubles from the exact sums (driver-only — the
     // result becomes literals, so cross-engine floating repro is moot)

@@ -449,6 +449,47 @@ object DocumentStreams {
       committedParts(spark, outPath, -1L), aligned.schema)))
   }
 
+  private val momentsSchema = StructType(Seq(
+    StructField("i", IntegerType), StructField("j", IntegerType),
+    StructField("v", LongType)))
+
+  /** Streaming MODEL-STATISTICS maintenance — the PCA moment relation
+    * ([[graft.operators.Pca.momentsOf]]) kept live by a stream: each
+    * embedding drop writes ONLY its own exact-integer moment rows
+    * (upper-triangle seconds + firsts + count) to its batch partition.
+    * Moments merge by per-(i, j) SUM, so the live sufficient statistics
+    * are seed ∪ committed deltas with zero vector re-reads — the q130
+    * sketch idiom applied to a MODEL's sufficient statistics; a
+    * refreshed PCA basis is one driver eigensolve away at any time
+    * ([[graft.operators.Pca.fitFromMoments]]), never a corpus repass.
+    * Stateless per batch ⇒ replay overwrites identically.
+    */
+  def momentsIngest(spark: SparkSession, landingDir: String,
+      outPath: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readEmbeddings(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        momentsIngestBatch(spark, outPath)(batch.toDF(), batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One [[momentsIngest]] trigger, exposed for the replay spec. */
+  def momentsIngestBatch(spark: SparkSession, outPath: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    graft.operators.Pca.momentsOf(batch, "embedding")
+      .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+
+  /** The live moment relation: seed moments ∪ committed per-batch
+    * deltas (callers merge by summing per (i, j) — fitFromMoments does
+    * this itself).
+    */
+  def liveMoments(spark: SparkSession, seedPath: String,
+      outPath: String): DataFrame =
+    spark.read.parquet(seedPath).unionByName(readParts(spark,
+      committedParts(spark, outPath, -1L), momentsSchema))
+
   /** The plain-IVF sibling of [[pqIngest]] (same stateless-delta idiom;
     * assignments keep the quantized vector, so serving is exact cosine
     * within probed cells rather than ADC): drops assign to the STORED

@@ -57,6 +57,45 @@ class PcaSpec extends SparkSpec {
     assert(proj.map(r => math.abs(r._3)).max < 0.01 * p0spread)
   }
 
+  test("momentsOf: K slice moments merged equal the bulk pass; fitFromMoments ≡ fit") {
+    def summed(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"i", $"j").agg(sum($"v").as("v"))
+        .as[(Int, Int, Long)].collect().toSet
+    val bulk = summed(Pca.momentsOf(emb, "embedding"))
+    val merged = summed(
+      Pca.momentsOf(emb.filter($"vec_id" % 3 === 0), "embedding")
+        .unionByName(Pca.momentsOf(emb.filter($"vec_id" % 3 === 1), "embedding"))
+        .unionByName(Pca.momentsOf(emb.filter($"vec_id" % 3 === 2), "embedding")))
+    assert(merged == bulk && bulk.nonEmpty)
+    val m1 = Pca.fit(emb, "embedding", r = 4)
+    val m2 = Pca.fitFromMoments(
+      Pca.momentsOf(emb.filter($"vec_id" % 3 === 0), "embedding")
+        .unionByName(Pca.momentsOf(emb.filter($"vec_id" % 3 =!= 0), "embedding")),
+      r = 4)
+    assert(m1.meanMilli.toSeq == m2.meanMilli.toSeq)
+    assert(m1.basisMicro.map(_.toSeq).toSeq == m2.basisMicro.map(_.toSeq).toSeq)
+  }
+
+  test("moments stream: replayed trigger overwrites identically; live fit ≡ bulk fit") {
+    import graft.streaming.DocumentStreams
+    val base = java.nio.file.Files.createTempDirectory("moments_ingest").toString
+    val seedPath = s"$base/seed"; val out = s"$base/out"
+    Pca.momentsOf(emb.filter($"vec_id" % 10 =!= 0), "embedding")
+      .write.mode("overwrite").parquet(seedPath)
+    DocumentStreams.momentsIngestBatch(spark, out)(
+      emb.filter($"vec_id" % 10 === 0), 0L)
+    val before = spark.read.parquet(s"$out/batch_id=0").collect().toSet
+    DocumentStreams.momentsIngestBatch(spark, out)(
+      emb.filter($"vec_id" % 10 === 0), 0L)
+    assert(spark.read.parquet(s"$out/batch_id=0").collect().toSet == before)
+    val live = Pca.fitFromMoments(
+      DocumentStreams.liveMoments(spark, seedPath, out), r = 4)
+    val bulk = Pca.fit(emb, "embedding", r = 4)
+    assert(live.meanMilli.toSeq == bulk.meanMilli.toSeq)
+    assert(live.basisMicro.map(_.toSeq).toSeq ==
+      bulk.basisMicro.map(_.toSeq).toSeq)
+  }
+
   test("projection is invariant under repartitioning and sorted by variance") {
     val m = Pca.fit(emb, "embedding", r = 4)
     val a = Pca.project(emb, "vec_id", "embedding", m)
