@@ -84,7 +84,8 @@ object SimilarityOracle {
     */
   def ivfTopKSql(spark: SparkSession, dir: String, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
-      trainWhere: Option[String] = None): String = {
+      trainWhere: Option[String] = None,
+      queryWhere: String = "vec_id % 25 = 0"): String = {
     // trainWhere restricts the TRAINING corpus only (the incremental-add
     // case: centroids from the original corpus, search over everything —
     // appended vectors assign by the same crn = 1 rule the CTE replays)
@@ -104,7 +105,7 @@ object SimilarityOracle {
        |  FROM cells),
        |corpus AS (SELECT vec_id AS neighbor_id, vm AS cv, cell FROM ranked WHERE crn = 1),
        |queries AS (SELECT vec_id AS query_id, vm AS qv, cell FROM ranked
-       |            WHERE crn <= $nprobe AND vec_id % 25 = 0),
+       |            WHERE crn <= $nprobe AND ($queryWhere)),
        |scored AS (SELECT query_id, neighbor_id,
        |    list_dot_product(qv, cv) /
        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine

@@ -1910,6 +1910,47 @@ object SparkEntry {
         origWeight = 10L, expWeight = 4L)
     }),
 
+    // HYBRID retrieval — BM25 ∪ vector ANN fused by RECIPROCAL RANK
+    // FUSION (Cormack et al. SIGIR'09), the modern hybrid-search
+    // default (no score calibration between runs, only ranks): the
+    // text run is q124's BM25, the vector run is q57's IVF with the
+    // SAME query ids (vec_id ≡ doc_id — the embeddings of the
+    // documents), and the fused score is Σ 1e6 DIV (60 + rank) — pure
+    // integer division, engine-exact. Docs that both modalities like
+    // float to the top; either alone can still surface a hit.
+    "q178_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val queries = docs.filter(col("doc_id") % 200 === 7)
+        .select(col("doc_id").as("qid"),
+          array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+      val textRun = graft.operators.Retrieval.bm25TopK(docs, queries,
+        "doc_id", "text", "qid", "qterms", k = 10)
+      val vecRun = Similarity.ivfTopK(
+          emb.filter(col("vec_id") % 200 === 7), emb,
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id").as("qid"),
+          col("neighbor_id").as("doc_id"), col("rank").as("rn"))
+      graft.operators.Retrieval.rrfFuse(Seq(textRun, vecRun), k = 10)
+    }),
+
+    // Ranking-AGREEMENT eval — the offline metric a ranker change ships
+    // with: how far does pseudo-relevance expansion (q166) move the
+    // plain BM25 ranking (q124)? Per query: overlap@10 and the L1 rank
+    // displacement over the common docs, exact integers. One join +
+    // one aggregation over the two runs.
+    "q177_rank_agreement" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 200 === 7)
+        .select(col("doc_id").as("qid"),
+          array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+      graft.operators.Retrieval.rankAgreement(
+        graft.operators.Retrieval.bm25TopK(docs, queries,
+          "doc_id", "text", "qid", "qterms", k = 10),
+        graft.operators.Retrieval.bm25Expand(docs, queries,
+          "doc_id", "text", "qid", "qterms", k = 10))
+    }),
+
     // POSITIONAL exact-phrase search: every (phrase, doc) pair where
     // the 3-token phrase occurs consecutively, with the overlapping-
     // inclusive occurrence count. One broadcast equi-join on token +
@@ -2754,6 +2795,7 @@ object SparkEntry {
     "q156_dsir_weights" -> dsirOracleSql(spark, dir),
     "q169_temperature_mix" -> temperatureOracleSql(spark, dir),
     "q174_doremi_weights" -> doremiOracleSql(spark, dir),
+    "q178_hybrid_rrf" -> hybridRrfOracleSql(spark, dir),
     "q157_bm25_log_topk" -> bm25LogOracleSql(spark, dir),
     "q134_ann_lsh_multiprobe" -> SimilarityOracle.lshTopKSql(spark, dir,
       multiProbe = true),
@@ -2862,6 +2904,32 @@ object SparkEntry {
        |         $values)
        |SELECT doc_id, lang, source, pos
        |FROM r JOIN qq USING (lang) WHERE pos <= quota""".stripMargin
+  }
+
+  /** Mirror of q178: both runs replayed as derived tables (the text run
+    * is [[bm25OracleSql]]; the vector run re-derives the SAME trained
+    * centroids via [[SimilarityOracle.ivfTopKSql]] with the hybrid
+    * query predicate), then the integer-division RRF fold.
+    */
+  private def hybridRrfOracleSql(spark: SparkSession, dir: String): String = {
+    val ivf = SimilarityOracle.ivfTopKSql(spark, dir,
+      queryWhere = "vec_id % 200 = 7")
+    s"""WITH fused AS (
+       |SELECT qid, doc_id, rn FROM (
+       |$bm25OracleSql
+       |) t
+       |UNION ALL
+       |SELECT query_id AS qid, neighbor_id AS doc_id, rank AS rn FROM (
+       |$ivf
+       |) v
+       |),
+       |sc AS (SELECT qid, doc_id,
+       |         CAST(sum(1000000 // (60 + rn)) AS BIGINT) AS rrf_micro
+       |       FROM fused GROUP BY qid, doc_id)
+       |SELECT qid, doc_id, rrf_micro, CAST(rn AS INT) AS rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY rrf_micro DESC, doc_id ASC) AS rn FROM sc) r
+       |WHERE rn <= 10""".stripMargin
   }
 
   /** Mirror of q174: per-source surprisal stats re-aggregated from the
@@ -4290,6 +4358,19 @@ object SparkEntry {
     // commit never existed to any reader)
     "q164_bm25_time_travel" -> bm25RestrictedOracleSql("doc_id % 10 <> 0"),
     "q166_bm25_expand" -> bm25ExpandOracleSql,
+    // the two runs replayed as derived tables (DuckDB allows WITH
+    // inside a subquery), then the same left-join aggregation; sum()
+    // skips the unmatched rows' null rank deltas on both engines
+    "q177_rank_agreement" ->
+      s"""SELECT a.qid, CAST(count(*) AS BIGINT) AS k_a,
+         |  CAST(count(b.rn) AS BIGINT) AS n_common,
+         |  CAST(sum(abs(a.rn - b.rn)) AS BIGINT) AS rank_l1
+         |FROM (
+         |$bm25OracleSql
+         |) a LEFT JOIN (
+         |$bm25ExpandOracleSql
+         |) b USING (qid, doc_id)
+         |GROUP BY a.qid""".stripMargin,
     "q167_phrase_match" -> phraseOracleSql,
     // stored-positional-index serve over the full corpus ≡ the
     // in-flight q167 — same mirror

@@ -579,6 +579,58 @@ object Retrieval {
     scoreHitsWeighted(hit2, q2, stats, k)
   }
 
+  /** RECIPROCAL RANK FUSION (Cormack et al. SIGIR'09) — the standard
+    * hybrid-search combiner: each run contributes 1/(kRrf + rank) per
+    * (query, doc), fused docs rank by the summed score. Kept
+    * integer-exact as micro-units via INTEGER division
+    * (1e6 DIV (kRrf + rn) — no floating point at all), so fusion is
+    * engine- and partitioning-reproducible. Runs are (qid, doc_id, rn)
+    * relations — e.g. a BM25 run and an ANN run over the same query
+    * set; RRF needs no score calibration between them, which is
+    * exactly why it is the hybrid default.
+    *
+    * Scale shape: rank lists are k rows per query, so the union
+    * aggregates tiny relations; one ranking window per query.
+    */
+  def rrfFuse(runs: Seq[DataFrame], k: Int = 10, kRrf: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse: no runs")
+    require(k >= 1 && kRrf >= 1, s"need k, kRrf >= 1; got $k/$kRrf")
+    val all = runs.map(_.select(col("qid"), col("doc_id"), col("rn")))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    all
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(expr(s"1000000L div (${kRrf}L + rn)")).as("rrf_micro"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("doc_id"), col("rrf_micro"),
+        col("rn").cast("int").as("rn"))
+  }
+
+  /** Offline ranking-AGREEMENT metrics between two retrieval runs — the
+    * eval harness a ranker change ships with (is the log idf, an
+    * expansion round, or a new index changing what users see, and by
+    * how much?). Inputs are two (qid, doc_id, rn) runs; output one row
+    * per qid of run `a`:
+    *
+    *   k_a      — run a's result count for the query
+    *   n_common — how many of a's docs b also returned (overlap@k)
+    *   rank_l1  — Σ |rn_a − rn_b| over the common docs (0 = identical
+    *              ordering on the overlap; null when no overlap)
+    *
+    * One broadcast-friendly equi-join + one aggregation; exact
+    * integers throughout.
+    */
+  def rankAgreement(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("qid"), col("doc_id"), col("rn"))
+      .join(b.select(col("qid"), col("doc_id"), col("rn").as("rn_b")),
+        Seq("qid", "doc_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k_a"),
+        count(col("rn_b")).as("n_common"),
+        sum(abs(col("rn") - col("rn_b"))).as("rank_l1"))
+
   /** POSITIONAL exact-phrase search: which documents contain each
     * multi-token phrase as consecutive tokens, and how many times
     * (overlapping occurrences counted — "a a a" holds "a a" twice).

@@ -305,6 +305,32 @@ class RetrievalSpec extends SparkSpec {
     ), s"got $got")
   }
 
+  test("rankAgreement: identical runs score zero displacement; disjoint runs share nothing") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1)).toDF("qid", "doc_id", "rn")
+    val same = Retrieval.rankAgreement(a, a)
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(same == Set((1L, 2L, 2L, Some(0L)), (2L, 1L, 1L, Some(0L))))
+    val b = Seq((1L, 99L, 1), (2L, 20L, 3)).toDF("qid", "doc_id", "rn")
+    val diff = Retrieval.rankAgreement(a, b)
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(diff == Set((1L, 2L, 0L, None), (2L, 1L, 1L, Some(2L))))
+  }
+
+  test("rrfFuse: hand-checked fusion — consensus beats either single top") {
+    // doc 5 is rank 2 in BOTH runs: 1e6/62 + 1e6/62 = 32258 micro
+    // doc 1 tops run A only: 1e6/61 = 16393; doc 9 tops run B only
+    val a = Seq((1L, 1L, 1), (1L, 5L, 2), (1L, 3L, 3)).toDF("qid", "doc_id", "rn")
+    val b = Seq((1L, 9L, 1), (1L, 5L, 2)).toDF("qid", "doc_id", "rn")
+    val fused = Retrieval.rrfFuse(Seq(a, b), k = 4)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(fused.map(_._2).toSeq == Seq(5L, 1L, 9L, 3L))
+    assert(fused.head._3 == 1000000L / 62 * 2)
+    // reproducible under run order and repartitioning
+    val swapped = Retrieval.rrfFuse(Seq(b.repartition(7), a), k = 4)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(swapped.toSeq == fused.toSeq)
+  }
+
   test("positional index: appends equal the bulk build; serve matches in-flight; bucket-pruned scan") {
     val phrases = Seq((100L, Seq("spark", "queries")),
       (200L, Seq("pond", "water"))).toDF("pid", "pterms")
