@@ -1910,6 +1910,44 @@ object SparkEntry {
         origWeight = 10L, expWeight = 4L)
     }),
 
+    // KWIC SNIPPETS — the display pass after ranking: each BM25 hit
+    // gets the ±3-token window around the earliest occurrence of any
+    // query term (min position over terms — deterministic), rebuilt as
+    // text. The positional stream joins broadcast terms and hits, one
+    // min per hit, then the tiny per-hit relation broadcasts back onto
+    // a second corpus scan for the token-array slice — the corpus
+    // never shuffles.
+    "q180_kwic_snippets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 200 === 7)
+        .select(col("doc_id").as("qid"),
+          array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+      graft.operators.Retrieval.kwicSnippets(
+        graft.operators.Retrieval.bm25TopK(docs, queries,
+          "doc_id", "text", "qid", "qterms", k = 10),
+        docs, queries, "doc_id", "text", "qid", "qterms", window = 3)
+    }),
+
+    // Search-time RESULT DEDUP — the SERP-dedup pass every production
+    // search runs: the fixture corpus contains shared-prefix near-dups
+    // by construction (q82's clusters), and ranking by a doc's own
+    // leading tokens surfaces them together — so within each result
+    // list, hits sharing the 8-word prefix fingerprint keep only their
+    // best-ranked copy and survivors re-rank densely (one suppression
+    // fires at sf0.01). Two windows over 10-row-per-query lists; the
+    // corpus is touched only for the signature join.
+    "q179_result_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 200 === 7)
+        .select(col("doc_id").as("qid"),
+          array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+      graft.operators.Retrieval.dedupResults(
+        graft.operators.Retrieval.bm25TopK(docs, queries,
+          "doc_id", "text", "qid", "qterms", k = 10),
+        docs.select(col("doc_id"),
+          TextAnalysis.prefixFingerprint(col("text"), 8).as("sig")))
+    }),
+
     // HYBRID retrieval — BM25 ∪ vector ANN fused by RECIPROCAL RANK
     // FUSION (Cormack et al. SIGIR'09), the modern hybrid-search
     // default (no score calibration between runs, only ranks): the
@@ -4358,6 +4396,51 @@ object SparkEntry {
     // commit never existed to any reader)
     "q164_bm25_time_travel" -> bm25RestrictedOracleSql("doc_id % 10 <> 0"),
     "q166_bm25_expand" -> bm25ExpandOracleSql,
+    // KWIC over the replayed BM25 run: same earliest-term-position
+    // rule (1-based both sides), same clamped ±3 token slice
+    "q180_kwic_snippets" ->
+      s"""WITH run AS (
+         |SELECT qid, doc_id, rn FROM (
+         |$bm25OracleSql
+         |) t),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tok AS (SELECT doc_id, s.pos AS pos, s.tok AS token FROM
+         |  (SELECT doc_id, unnest([{'pos': i, 'tok': w.w[i]}
+         |                          FOR i IN range(1, len(w.w)+1)]) AS s
+         |   FROM w) t),
+         |q AS (SELECT doc_id AS qid,
+         |        unnest(list_distinct(list_slice(w.w, 1, 4))) AS token
+         |      FROM w WHERE doc_id % 200 = 7),
+         |fp AS (SELECT run.qid, run.doc_id, run.rn,
+         |         CAST(min(tok.pos) AS INT) AS first_pos
+         |       FROM run JOIN q ON q.qid = run.qid
+         |         JOIN tok ON tok.doc_id = run.doc_id
+         |                 AND tok.token = q.token
+         |       GROUP BY run.qid, run.doc_id, run.rn)
+         |SELECT fp.qid, fp.doc_id, fp.rn, fp.first_pos,
+         |  array_to_string(list_slice(w.w,
+         |    greatest(fp.first_pos - 3, 1), fp.first_pos + 3), ' ')
+         |    AS snippet
+         |FROM fp JOIN w ON w.doc_id = fp.doc_id""".stripMargin,
+    // SERP dedup over the replayed BM25 run: same fingerprint, same
+    // min-per-(qid, sig) keep rule, same dense re-rank
+    "q179_result_dedup" ->
+      s"""WITH run AS (
+         |SELECT qid, doc_id, rn AS rn_orig FROM (
+         |$bm25OracleSql
+         |) t),
+         |sig AS (SELECT doc_id,
+         |          md5(array_to_string((string_split(text, ' '))[1:8], ' '))
+         |            AS sig
+         |        FROM documents),
+         |keep AS (SELECT run.qid, run.doc_id, run.rn_orig,
+         |           min(run.rn_orig) OVER (PARTITION BY run.qid, sig.sig)
+         |             AS keep_rn
+         |         FROM run JOIN sig USING (doc_id))
+         |SELECT qid, doc_id, rn_orig,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY rn_orig ASC)
+         |    AS INT) AS rn
+         |FROM keep WHERE rn_orig = keep_rn""".stripMargin,
     // the two runs replayed as derived tables (DuckDB allows WITH
     // inside a subquery), then the same left-join aggregation; sum()
     // skips the unmatched rows' null rank deltas on both engines

@@ -579,6 +579,71 @@ object Retrieval {
     scoreHitsWeighted(hit2, q2, stats, k)
   }
 
+  /** KWIC SNIPPET extraction — the keyword-in-context display pass a
+    * search result page runs after ranking: for each hit, the token
+    * window of width `window` around the EARLIEST occurrence of any
+    * query term (deterministic: min position over all terms), rebuilt
+    * as text. Relational end-to-end: the corpus's positional stream
+    * joins the broadcast query terms, restricts to the broadcast hit
+    * pairs, takes one min per hit, and slices the document's token
+    * array — the corpus is scanned once and never shuffled (hits and
+    * terms broadcast).
+    *
+    * @param run (qid, doc_id, rn) — the ranked hits to decorate
+    * @return (qid, doc_id, rn, first_pos [1-based], snippet)
+    */
+  def kwicSnippets(run: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, qidCol: String, qtermsCol: String,
+      window: Int = 3): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val qterms = queries.select(col(qidCol).as("qid"),
+      explode(col(qtermsCol)).as("token"))
+    // the positional stream does NOT carry the doc array (a long doc
+    // would duplicate it per matched occurrence); the tiny per-hit
+    // first-position relation broadcasts back onto a second corpus
+    // scan instead
+    val tok = corpus.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+    val firstPos = tok
+      .join(broadcast(qterms), Seq("token"))
+      .join(broadcast(run.select(col("qid"), col("doc_id"))),
+        Seq("qid", "doc_id"), "left_semi")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg((min(col("pos")) + 1).as("first_pos"))
+      .join(broadcast(run), Seq("qid", "doc_id"))
+    val start = greatest(col("first_pos") - window, lit(1))
+    corpus.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("arr"))
+      .join(broadcast(firstPos), Seq("doc_id"))
+      .select(col("qid"), col("doc_id"), col("rn"),
+        col("first_pos").cast("int").as("first_pos"),
+        concat_ws(" ", slice(col("arr"), start,
+          col("first_pos") + window - start + 1)).as("snippet"))
+  }
+
+  /** Search-time RESULT DEDUP — suppress lower-ranked hits that carry
+    * the same content signature as a higher-ranked hit in the same
+    * result list (the SERP-dedup every production search runs; without
+    * it a duplicated document fills the page). `docSig` maps doc_id →
+    * an equality signature (e.g. the normalized-text fingerprint for
+    * exact dups, or a band key for near-dups); within each (qid, sig)
+    * group only the best-ranked survivor stays, and survivors re-rank
+    * densely. Two windows over k-row-per-query relations — the corpus
+    * is never touched beyond the signature join.
+    *
+    * @return (qid, doc_id, rn_orig, rn) — rn dense over survivors
+    */
+  def dedupResults(run: DataFrame, docSig: DataFrame): DataFrame = {
+    val keepW = Window.partitionBy(col("qid"), col("sig"))
+    val rerankW = Window.partitionBy(col("qid")).orderBy(col("rn_orig").asc)
+    run.select(col("qid"), col("doc_id"), col("rn").as("rn_orig"))
+      .join(docSig.select(col("doc_id"), col("sig")), Seq("doc_id"))
+      .withColumn("keep_rn", min(col("rn_orig")).over(keepW))
+      .filter(col("rn_orig") === col("keep_rn"))
+      .withColumn("rn", row_number().over(rerankW).cast("int"))
+      .select(col("qid"), col("doc_id"), col("rn_orig"), col("rn"))
+  }
+
   /** RECIPROCAL RANK FUSION (Cormack et al. SIGIR'09) — the standard
     * hybrid-search combiner: each run contributes 1/(kRrf + rank) per
     * (query, doc), fused docs rank by the summed score. Kept

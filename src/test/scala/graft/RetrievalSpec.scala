@@ -331,6 +331,37 @@ class RetrievalSpec extends SparkSpec {
     assert(swapped.toSeq == fused.toSeq)
   }
 
+  test("dedupResults: lower-ranked duplicate signatures suppressed, survivors re-rank densely") {
+    val run = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4),
+      (2L, 10L, 1)).toDF("qid", "doc_id", "rn")
+    val sig = Seq((10L, "A"), (11L, "A"), (12L, "B"), (13L, "A"))
+      .toDF("doc_id", "sig")
+    val got = Retrieval.dedupResults(run, sig)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(got == Set(
+      (1L, 10L, 1, 1),   // best A survives
+      (1L, 12L, 3, 2),   // B re-ranks densely behind it
+      (2L, 10L, 1, 1)))  // suppression is per-query, not global
+  }
+
+  test("kwicSnippets: earliest term wins, window clamps at both edges") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x x x x x x x x target")
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, Seq("e", "c")), (200L, Seq("target")))
+      .toDF("qid", "qterms")
+    val run = Seq((100L, 1L, 1), (200L, 2L, 1)).toDF("qid", "doc_id", "rn")
+    val got = Retrieval.kwicSnippets(run, docs, queries,
+        "doc_id", "text", "qid", "qterms", window = 3)
+      .as[(Long, Long, Int, Int, String)].collect().toSet
+    assert(got == Set(
+      // earliest of {e@5, c@3} is c at pos 3: window [1, 6] clamps left
+      (100L, 1L, 1, 3, "a b c d e f"),
+      // target at pos 9: window [6, 12] clamps right
+      (200L, 2L, 1, 9, "x x x target")), s"got $got")
+  }
+
   test("positional index: appends equal the bulk build; serve matches in-flight; bucket-pruned scan") {
     val phrases = Seq((100L, Seq("spark", "queries")),
       (200L, Seq("pond", "water"))).toDF("pid", "pterms")
