@@ -2375,6 +2375,35 @@ object SparkEntry {
         graft.operators.MatView.loadAggState(s, mvDir))
     }),
 
+    // DELETE lifecycle for the aggregate store — RETRACTION rows (the
+    // classic incremental-view-maintenance move): the deleted slice
+    // lands as negative (cnt, sum) deltas with null extremes — counts,
+    // sums, and the derived mean are exact IMMEDIATELY; min/max (which
+    // cannot retract — a min only widens) are repaired by
+    // refreshExtremes, which recomputes extremes for TOUCHED KEYS ONLY
+    // from the surviving corpus and squashes their delta piles. The
+    // serve must equal the from-scratch aggregate over the survivors —
+    // which is what the oracle computes.
+    "q181_agg_retract_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+      val mvDir = scratchDir("graft_matview_retract", dir)
+      graft.operators.MatView.saveAggState(
+        graft.operators.MatView.buildAggState(
+          docs.filter(col("doc_id") % 10 =!= 0), Seq("lang", "source"), "tok"),
+        mvDir)
+      graft.operators.MatView.appendAggState(s, mvDir,
+        docs.filter(col("doc_id") % 20 === 0))
+      graft.operators.MatView.appendAggState(s, mvDir,
+        docs.filter(col("doc_id") % 20 === 10))
+      val survivors = docs.filter(col("doc_id") % 7 =!= 3)
+      graft.operators.MatView.retractAggState(s, mvDir,
+        docs.filter(col("doc_id") % 7 === 3))
+      graft.operators.MatView.refreshExtremes(s, mvDir, survivors)
+      graft.operators.MatView.serveAgg(
+        graft.operators.MatView.loadAggState(s, mvDir))
+    }),
+
     // KMV SET ALGEBRA — pairwise source-overlap audit from sketches
     // alone (which sources share 3-gram content, estimated WITHOUT an
     // all-pairs document comparison): each source's shingle set reduces
@@ -3055,10 +3084,16 @@ object SparkEntry {
   /** Shared mergeable-aggregate mirror (q143 batch lifecycle, q148
     * streaming twin — both serve the same full-corpus grouped stats).
     */
-  private val aggOracleSql: String =
-    """WITH d AS (SELECT lang, source,
+  private val aggOracleSql: String = aggRestrictedOracleSql("TRUE")
+
+  /** [[aggOracleSql]] with the corpus restricted — q181 serves a
+    * retracted-and-repaired store, which must equal the from-scratch
+    * aggregate over the survivors.
+    */
+  private def aggRestrictedOracleSql(where: String): String =
+    s"""WITH d AS (SELECT lang, source,
       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
-      |           FROM documents)
+      |           FROM documents WHERE $where)
       |SELECT lang, source, count(*) AS cnt,
       |  CAST(sum(tok) AS BIGINT) AS sum_v,
       |  min(tok) AS min_v, max(tok) AS max_v,
@@ -4587,6 +4622,9 @@ object SparkEntry {
          |FROM r WHERE rk <= 128 GROUP BY g_a, g_b""".stripMargin,
     "q143_incremental_agg" -> aggOracleSql,
     "q148_agg_stream" -> aggOracleSql,
+    // retraction + extreme repair ≡ a corpus that never held the
+    // deleted rows
+    "q181_agg_retract_serve" -> aggRestrictedOracleSql("doc_id % 7 <> 3"),
     // the streaming gate admits a drop doc iff NO banding pair links it
     // to the corpus (drop 1) or to corpus ∪ drop-1 admissions (drop 2);
     // the pair SQL replays the banding, the two CTEs replay the

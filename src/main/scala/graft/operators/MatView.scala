@@ -113,7 +113,11 @@ object MatView {
     * sum_v, min_v, max_v, avg_micro) with the mean as the exact
     * integer ratio floor(sum_v · 10⁶ / cnt) — engine-reproducible
     * (both operands non-negative under the LongType value contract
-    * makes `div`'s truncation identical to floor division).
+    * makes `div`'s truncation identical to floor division). Keys whose
+    * counts merge to zero — fully [[retractAggState]]-retracted before
+    * any [[refreshExtremes]] — are dropped: a from-scratch aggregate
+    * would not have the key, and the filter makes the mean's division
+    * structurally safe.
     */
   def serveAgg(st: AggState): DataFrame =
     st.state.groupBy(st.keys.map(col): _*)
@@ -121,8 +125,67 @@ object MatView {
         sum(col("sum_v")).as("sum_v"),
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))
+      .filter(col("cnt") > 0)
       .withColumn("avg_micro",
         expr("(sum_v * 1000000L) div cnt"))
+
+  /** RETRACT deleted rows from the stored aggregate — the delete path
+    * of the mergeable-aggregate family, as RETRACTION rows (the classic
+    * incremental-view-maintenance move): the deleted slice aggregates
+    * to NEGATIVE (cnt, sum_v) deltas with NULL min/max, appended as new
+    * files. Counts, sums, and the derived mean are exact again
+    * immediately (negative deltas merge like any other); `min_v`/
+    * `max_v` CANNOT retract — a min only widens monotonically — so
+    * after a retraction they are conservative BOUNDS (the true extreme
+    * is ≥ min_v / ≤ max_v) until [[refreshExtremes]] repairs the
+    * touched keys from the surviving corpus. This split is the honest
+    * production contract: the cheap exact part lands with the delete;
+    * the part that genuinely needs data lands with the next
+    * maintenance pass, priced by touched keys, never the corpus.
+    */
+  def retractAggState(spark: SparkSession, dir: String,
+      deleted: DataFrame): Unit = {
+    val (keys, valueCol) = readParams(spark, dir)
+    deleted.groupBy(keys.map(col): _*)
+      .agg((count(lit(1)) * lit(-1L)).as("cnt"),
+        (coalesce(sum(col(valueCol)), lit(0L)) * lit(-1L)).as("sum_v"),
+        lit(null).cast("long").as("min_v"),
+        lit(null).cast("long").as("max_v"))
+      .write.mode("append").parquet(s"$dir/state")
+  }
+
+  /** Repair min/max for every key touched by a retraction: keys with a
+    * negative-count delta row get their extremes RECOMPUTED from the
+    * (surviving) corpus — one scan filtered to the touched keys — and
+    * their delta pile squashed to a single corrected row; untouched
+    * keys keep their rows byte-identical. Guarded temp-swap; a key
+    * retracted to zero rows disappears (matching what a from-scratch
+    * aggregate would produce). After this pass [[serveAgg]] is exact
+    * on every column again.
+    */
+  def refreshExtremes(spark: SparkSession, dir: String,
+      corpus: DataFrame): Unit = {
+    val (keys, valueCol) = readParams(spark, dir)
+    val kc = keys.map(col)
+    val state = spark.read.parquet(s"$dir/state").localCheckpoint()
+    val touched = state.filter(col("cnt") < 0).select(kc: _*).distinct()
+      .localCheckpoint()
+    val untouched = state.join(broadcast(touched), keys, "left_anti")
+    val merged = state.join(broadcast(touched), keys, "left_semi")
+      .groupBy(kc: _*)
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sum_v")).as("sum_v"))
+      .filter(col("cnt") > 0)
+    val fresh = corpus.join(broadcast(touched), keys, "left_semi")
+      .groupBy(kc: _*)
+      .agg(min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))
+    val repaired = merged.join(fresh, keys)
+      .select((kc :+ col("cnt") :+ col("sum_v") :+ col("min_v")
+        :+ col("max_v")): _*)
+      .localCheckpoint()
+    StoreFiles.swapIn(spark, s"$dir/state") { tmp =>
+      untouched.unionByName(repaired).write.parquet(tmp)
+    }
+  }
 
   /** Nightly maintenance: squash the delta pile into one row per key
     * (the merged partials are themselves valid delta rows), via the

@@ -76,4 +76,51 @@ class MatViewSpec extends SparkSpec {
       docs.filter($"doc_id" % 4 === 0)) // duplicate keys merge, not break
     assert(served(dir) != before) // counts doubled for the %4==0 slice
   }
+
+  test("retraction: counts/sums/mean exact immediately; extremes repaired by refreshExtremes") {
+    val dir = tmpDir("retract")
+    MatView.saveAggState(
+      MatView.buildAggState(docs, Seq("lang", "source"), "tok"), dir)
+    val survivors = docs.filter($"doc_id" % 7 =!= 3)
+    MatView.retractAggState(spark, dir, docs.filter($"doc_id" % 7 === 3))
+    val want = MatView.serveAgg(
+        MatView.buildAggState(survivors, Seq("lang", "source"), "tok"))
+      .select($"lang", $"source", $"cnt", $"sum_v", $"min_v", $"max_v",
+        $"avg_micro")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+    // before the repair: counts/sums/mean already exact, extremes are
+    // conservative bounds (min_v ≤ true min, max_v ≥ true max)
+    val interim = served(dir)
+    val wantByKey = want.map(r => (r._1, r._2) -> r).toMap
+    interim.foreach { r =>
+      wantByKey.get((r._1, r._2)).foreach { w =>
+        assert(r._3 == w._3 && r._4 == w._4 && r._7 == w._7,
+          s"cnt/sum/avg must be exact pre-repair: $r vs $w")
+        assert(r._5 <= w._5 && r._6 >= w._6,
+          s"pre-repair extremes must bound the truth: $r vs $w")
+      }
+    }
+    MatView.refreshExtremes(spark, dir, survivors)
+    assert(served(dir) == want)
+    // untouched after a no-retraction refresh: idempotent
+    MatView.refreshExtremes(spark, dir, survivors)
+    assert(served(dir) == want)
+  }
+
+  test("retraction to zero rows removes the key after refreshExtremes") {
+    val dir = tmpDir("retract_zero")
+    MatView.saveAggState(
+      MatView.buildAggState(docs, Seq("lang", "source"), "tok"), dir)
+    // wipe out one entire (lang, source) group
+    val victimKeys = docs.groupBy($"lang", $"source").count()
+      .orderBy($"lang", $"source").limit(1)
+      .select($"lang", $"source")
+    val victims = docs.join(victimKeys, Seq("lang", "source"), "left_semi")
+    MatView.retractAggState(spark, dir, victims)
+    MatView.refreshExtremes(spark, dir,
+      docs.join(victimKeys, Seq("lang", "source"), "left_anti"))
+    val keys = served(dir).map(r => (r._1, r._2))
+    val gone = victimKeys.as[(String, String)].head()
+    assert(!keys.contains(gone), s"zeroed key $gone must disappear")
+  }
 }
