@@ -1910,6 +1910,26 @@ object SparkEntry {
         origWeight = 10L, expWeight = 4L)
     }),
 
+    // MMR diversified re-rank (Carbonell & Goldstein SIGIR'98) — the
+    // anti-redundancy pass: from each query's BM25 top-10, greedily
+    // pick 5 maximizing λ·relevance − (1−λ)·max-similarity-to-selected
+    // (λ = 0.7; rank-linear relevance, floor-micro quantized-cosine
+    // similarity over the docs' embeddings, doc_id ties). The greedy
+    // loop unrolls into 5 relational steps — one ranking window each
+    // over ≤10 rows/query — no driver iteration, no UDFs; the oracle
+    // unrolls the same 5 steps as chained CTEs.
+    "q182_mmr_rerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 200 === 7)
+        .select(col("doc_id").as("qid"),
+          array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+      graft.operators.Retrieval.mmrRerank(
+        graft.operators.Retrieval.bm25TopK(docs, queries,
+          "doc_id", "text", "qid", "qterms", k = 10),
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, lambdaTenths = 7)
+    }),
+
     // KWIC SNIPPETS — the display pass after ranking: each BM25 hit
     // gets the ±3-token window around the earliest occurrence of any
     // query term (min position over terms — deterministic), rebuilt as
@@ -2971,6 +2991,68 @@ object SparkEntry {
        |         $values)
        |SELECT doc_id, lang, source, pos
        |FROM r JOIN qq USING (lang) WHERE pos <= quota""".stripMargin
+  }
+
+  /** Mirror of q182: the BM25 run replayed as a derived table, then the
+    * SAME k greedy MMR steps unrolled as chained CTEs — per step, the
+    * max-sim-to-selected join, the λ-weighted score, and the one-row
+    * argmax window (mmr desc, doc_id asc), exactly the Spark unroll.
+    * Similarity is the identical floor-micro quantized-cosine
+    * expression shape (dot·1e6 / (√·√), one rounding per op).
+    */
+  // lazy: references bm25OracleSql, declared later in this object
+  private lazy val mmrOracleSql: String = {
+    val k = 5; val lam = 7
+    val steps = (1 to k).map { i =>
+      val (scored, selPrev) =
+        if (i == 1)
+          (s"SELECT qid, doc_id, CAST($lam * rel AS BIGINT) AS mmr_micro FROM cand",
+            "")
+        else {
+          val prev = s"sel${i - 1}"
+          (s"""SELECT r.qid, r.doc_id,
+              |    CAST($lam * r.rel - ${10 - lam} * coalesce(ms.max_sim, 0)
+              |      AS BIGINT) AS mmr_micro
+              |  FROM (SELECT cand.* FROM cand
+              |        WHERE NOT EXISTS (SELECT 1 FROM $prev p
+              |          WHERE p.qid = cand.qid AND p.doc_id = cand.doc_id)) r
+              |  LEFT JOIN (SELECT sims.qid, sims.a AS doc_id,
+              |               max(sims.s) AS max_sim
+              |             FROM sims JOIN $prev p
+              |               ON p.qid = sims.qid AND p.doc_id = sims.b
+              |             GROUP BY sims.qid, sims.a) ms
+              |    ON ms.qid = r.qid AND ms.doc_id = r.doc_id""".stripMargin,
+            s"SELECT qid, doc_id, pick, mmr_micro FROM sel${i - 1} UNION ALL ")
+        }
+      s"""p$i AS (SELECT qid, doc_id, $i AS pick, mmr_micro FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY mmr_micro DESC, doc_id ASC) AS prn FROM (
+         |$scored
+         |) s) t WHERE prn = 1),
+         |sel$i AS ($selPrev
+         |SELECT qid, doc_id, pick, mmr_micro FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH run AS (
+       |SELECT qid, doc_id, rn FROM (
+       |$bm25OracleSql
+       |) t),
+       |e AS (SELECT vec_id AS doc_id,
+       |        list_transform(embedding,
+       |          x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS vm
+       |      FROM embeddings),
+       |cand AS (SELECT run.qid, run.doc_id,
+       |           CAST(1000000 - (run.rn - 1) * 100000 AS BIGINT) AS rel,
+       |           e.vm
+       |         FROM run JOIN e USING (doc_id)),
+       |sims AS (SELECT c1.qid, c1.doc_id AS a, c2.doc_id AS b,
+       |    CAST(floor(list_dot_product(c1.vm, c2.vm) * 1000000.0 /
+       |      (sqrt(list_dot_product(c1.vm, c1.vm)) *
+       |       sqrt(list_dot_product(c2.vm, c2.vm)))) AS BIGINT) AS s
+       |  FROM cand c1 JOIN cand c2
+       |    ON c1.qid = c2.qid AND c1.doc_id <> c2.doc_id),
+       |$steps
+       |SELECT qid, doc_id, CAST(pick AS INT) AS pick, mmr_micro
+       |FROM sel$k""".stripMargin
   }
 
   /** Mirror of q178: both runs replayed as derived tables (the text run
@@ -4431,6 +4513,7 @@ object SparkEntry {
     // commit never existed to any reader)
     "q164_bm25_time_travel" -> bm25RestrictedOracleSql("doc_id % 10 <> 0"),
     "q166_bm25_expand" -> bm25ExpandOracleSql,
+    "q182_mmr_rerank" -> mmrOracleSql,
     // KWIC over the replayed BM25 run: same earliest-term-position
     // rule (1-based both sides), same clamped ±3 token slice
     "q180_kwic_snippets" ->

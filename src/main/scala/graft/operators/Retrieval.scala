@@ -579,6 +579,83 @@ object Retrieval {
     scoreHitsWeighted(hit2, q2, stats, k)
   }
 
+  /** MMR diversified RE-RANKING (Maximal Marginal Relevance, Carbonell
+    * & Goldstein SIGIR'98) — the anti-redundancy re-ranker: picks are
+    * greedy by
+    *
+    *   mmr(c) = λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+    *
+    * so each next result is relevant AND unlike what's already shown.
+    * Deterministic integer form: relevance is rank-linear
+    * (1e6 − (rn−1)·1e5 micro — scale-free, no cross-run calibration),
+    * similarity is the floor-micro quantized cosine of the docs'
+    * embeddings, λ = lambdaTenths/10, ties break on doc_id. The greedy
+    * loop UNROLLS into k relational steps (argmax = one ranking window
+    * per step over ≤|run| rows per query; each step localCheckpoints
+    * so plans stay flat) — no driver iteration over queries, no UDFs;
+    * candidate pair sims are |run|² per query, bounded by k'·k' of the
+    * base ranker, never corpus-sized.
+    *
+    * @param run     (qid, doc_id, rn) — the base ranking to diversify
+    * @param vectors (idCol, vecCol) — embeddings; candidates without a
+    *                vector are dropped (inner-join contract)
+    * @return (qid, doc_id, pick [1..k], mmr_micro at selection time)
+    */
+  def mmrRerank(run: DataFrame, vectors: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5, lambdaTenths: Int = 7): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"lambdaTenths must be in [0, 10], got $lambdaTenths")
+    val dot = org.apache.spark.sql.graft.VectorExpressions.dot_long _
+    val vm = vectors.select(col(idCol).as("doc_id"),
+      Similarity.quantize(col(vecCol)).as("vm"))
+    val cand = run.select(col("qid"), col("doc_id"),
+        (lit(1000000L) - (col("rn") - 1) * lit(100000L)).as("rel_micro"))
+      .join(vm, Seq("doc_id"))
+      .localCheckpoint()
+    val a = cand.select(col("qid"), col("doc_id").as("a"), col("vm").as("va"))
+    val b = cand.select(col("qid"), col("doc_id").as("b"), col("vm").as("vb"))
+    val sims = a.join(b, Seq("qid")).filter(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        floor(dot(col("va"), col("vb")).cast("double") * lit(1000000.0) /
+          (sqrt(dot(col("va"), col("va")).cast("double")) *
+            sqrt(dot(col("vb"), col("vb")).cast("double"))))
+          .cast("long").as("s"))
+      .localCheckpoint()
+    val pickW = Window.partitionBy(col("qid"))
+      .orderBy(col("mmr_micro").desc, col("doc_id").asc)
+    var allPicks: Option[DataFrame] = None
+    var remaining = cand.select(col("qid"), col("doc_id"), col("rel_micro"))
+    for (step <- 1 to k) {
+      val withSim = allPicks match {
+        case None => remaining.withColumn("max_sim", lit(0L))
+        case Some(p) =>
+          val simToSel = sims
+            .join(p.select(col("qid"), col("doc_id").as("b")), Seq("qid", "b"))
+            .groupBy(col("qid"), col("a"))
+            .agg(max(col("s")).as("max_sim"))
+            .withColumnRenamed("a", "doc_id")
+          remaining.join(simToSel, Seq("qid", "doc_id"), "left")
+            .withColumn("max_sim", coalesce(col("max_sim"), lit(0L)))
+      }
+      val pick = withSim
+        .withColumn("mmr_micro",
+          lit(lambdaTenths.toLong) * col("rel_micro") -
+            lit((10 - lambdaTenths).toLong) * col("max_sim"))
+        .withColumn("prn", row_number().over(pickW))
+        .filter(col("prn") === 1)
+        .select(col("qid"), col("doc_id"), lit(step).as("pick"),
+          col("mmr_micro"))
+        .localCheckpoint()
+      allPicks = Some(allPicks.fold(pick)(_ unionByName pick))
+      remaining = remaining
+        .join(pick.select(col("qid"), col("doc_id")), Seq("qid", "doc_id"),
+          "left_anti")
+        .localCheckpoint()
+    }
+    allPicks.get
+  }
+
   /** KWIC SNIPPET extraction — the keyword-in-context display pass a
     * search result page runs after ranking: for each hit, the token
     * window of width `window` around the EARLIEST occurrence of any

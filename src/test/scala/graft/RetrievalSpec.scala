@@ -344,6 +344,29 @@ class RetrievalSpec extends SparkSpec {
       (2L, 10L, 1, 1)))  // suppression is per-query, not global
   }
 
+  test("mmrRerank: redundant runner-up demoted below a diverse lower-ranked doc") {
+    // docs 1 and 2 are identical vectors (sim 1.0); doc 3 is orthogonal.
+    // Pure relevance order is 1, 2, 3 — MMR at λ=0.7 must pick 1, then
+    // prefer 3 (rel 800k, sim 0) over 2 (rel 900k, sim 1e6):
+    // 7·9e5 − 3·1e6 = 3.3e6  <  7·8e5 − 0 = 5.6e6
+    val run = Seq((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3)).toDF("qid", "doc_id", "rn")
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f))
+    ).toDF("doc_id", "embedding")
+    val got = Retrieval.mmrRerank(run, vecs, "doc_id", "embedding",
+        k = 3, lambdaTenths = 7)
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._3)
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L), s"got ${got.toSeq}")
+    assert(got(0)._4 == 7000000L)           // 7·1e6, nothing selected yet
+    assert(got(1)._4 == 7L * 800000L)       // doc 3: sim to doc 1 is 0
+    assert(got(2)._4 == 7L * 900000L - 3L * 1000000L) // doc 2 vs its twin
+    // λ = 10 degenerates to pure relevance order
+    val pure = Retrieval.mmrRerank(run, vecs, "doc_id", "embedding",
+        k = 3, lambdaTenths = 10)
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._3)
+    assert(pure.map(_._2).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("kwicSnippets: earliest term wins, window clamps at both edges") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),
