@@ -62,7 +62,17 @@ object PlanDump {
       "q147_contamination_frac", "q148_agg_stream", "q149_heavy_tokens",
       "q150_pq_stream_serve", "q151_ivf_stream_serve",
       "q152_bm25_absorb_serve", "q153_semdedup", "q154_diverse_sample",
-      "q155_hll_distinct", "q156_dsir_weights", "q157_bm25_log_topk")
+      "q155_hll_distinct", "q156_dsir_weights", "q157_bm25_log_topk",
+      "q158_bm25_delete_serve", "q159_pq_delete_serve",
+      "q160_band_delete_probe", "q161_hll_stream", "q162_label_delete",
+      "q163_bm25_snapshot_serve", "q164_bm25_time_travel",
+      "q165_pq_snapshot_serve", "q166_bm25_expand", "q167_phrase_match",
+      "q168_pca_project", "q169_temperature_mix",
+      "q170_phrase_index_serve", "q171_rollup", "q172_pivot",
+      "q173_phrase_delete_serve", "q174_doremi_weights",
+      "q175_phrase_stream_serve", "q176_pca_stream_fit",
+      "q177_rank_agreement", "q178_hybrid_rrf", "q179_result_dedup",
+      "q180_kwic_snippets", "q181_agg_retract_serve", "q182_mmr_rerank")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))

@@ -1910,6 +1910,24 @@ object SparkEntry {
         origWeight = 10L, expWeight = 4L)
     }),
 
+    // HARD-NEGATIVE mining (the DPR BM25-negatives recipe, Karpukhin
+    // et al. EMNLP'20): from each query's BM25 top-10, keep the docs
+    // whose embedding cosine to the query is below 0.35 — lexically
+    // plausible, semantically far, the contrastive pairs a dense
+    // retriever trains on. Cosine is the floor-micro quantized form
+    // (engine-hash-matched); self-pairs dropped.
+    "q183_hard_negatives" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 200 === 7)
+        .select(col("doc_id").as("qid"),
+          array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+      graft.operators.Retrieval.hardNegatives(
+        graft.operators.Retrieval.bm25TopK(docs, queries,
+          "doc_id", "text", "qid", "qterms", k = 10).localCheckpoint(),
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        simThresholdMicro = 350000L)
+    }),
+
     // MMR diversified re-rank (Carbonell & Goldstein SIGIR'98) — the
     // anti-redundancy pass: from each query's BM25 top-10, greedily
     // pick 5 maximizing λ·relevance − (1−λ)·max-similarity-to-selected
@@ -1944,7 +1962,7 @@ object SparkEntry {
           array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
       graft.operators.Retrieval.kwicSnippets(
         graft.operators.Retrieval.bm25TopK(docs, queries,
-          "doc_id", "text", "qid", "qterms", k = 10),
+          "doc_id", "text", "qid", "qterms", k = 10).localCheckpoint(),
         docs, queries, "doc_id", "text", "qid", "qterms", window = 3)
     }),
 
@@ -1963,7 +1981,7 @@ object SparkEntry {
           array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
       graft.operators.Retrieval.dedupResults(
         graft.operators.Retrieval.bm25TopK(docs, queries,
-          "doc_id", "text", "qid", "qterms", k = 10),
+          "doc_id", "text", "qid", "qterms", k = 10).localCheckpoint(),
         docs.select(col("doc_id"),
           TextAnalysis.prefixFingerprint(col("text"), 8).as("sig")))
     }),
@@ -1983,7 +2001,7 @@ object SparkEntry {
         .select(col("doc_id").as("qid"),
           array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
       val textRun = graft.operators.Retrieval.bm25TopK(docs, queries,
-        "doc_id", "text", "qid", "qterms", k = 10)
+        "doc_id", "text", "qid", "qterms", k = 10).localCheckpoint()
       val vecRun = Similarity.ivfTopK(
           emb.filter(col("vec_id") % 200 === 7), emb,
           "vec_id", "embedding", k = 10)
@@ -2004,9 +2022,9 @@ object SparkEntry {
           array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
       graft.operators.Retrieval.rankAgreement(
         graft.operators.Retrieval.bm25TopK(docs, queries,
-          "doc_id", "text", "qid", "qterms", k = 10),
+          "doc_id", "text", "qid", "qterms", k = 10).localCheckpoint(),
         graft.operators.Retrieval.bm25Expand(docs, queries,
-          "doc_id", "text", "qid", "qterms", k = 10))
+          "doc_id", "text", "qid", "qterms", k = 10).localCheckpoint())
     }),
 
     // POSITIONAL exact-phrase search: every (phrase, doc) pair where
@@ -4514,6 +4532,26 @@ object SparkEntry {
     "q164_bm25_time_travel" -> bm25RestrictedOracleSql("doc_id % 10 <> 0"),
     "q166_bm25_expand" -> bm25ExpandOracleSql,
     "q182_mmr_rerank" -> mmrOracleSql,
+    // the run replayed, the same floor-micro cosine expression shape,
+    // the same threshold cut
+    "q183_hard_negatives" ->
+      s"""WITH run AS (
+         |SELECT qid, doc_id, rn FROM (
+         |$bm25OracleSql
+         |) t),
+         |e AS (SELECT vec_id AS id,
+         |        list_transform(embedding,
+         |          x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS vm
+         |      FROM embeddings),
+         |s AS (SELECT run.qid, run.doc_id, run.rn,
+         |    CAST(floor(list_dot_product(q.vm, d.vm) * 1000000.0 /
+         |      (sqrt(list_dot_product(q.vm, q.vm)) *
+         |       sqrt(list_dot_product(d.vm, d.vm)))) AS BIGINT) AS sim_micro
+         |  FROM run JOIN e q ON q.id = run.qid
+         |           JOIN e d ON d.id = run.doc_id
+         |  WHERE run.qid <> run.doc_id)
+         |SELECT qid, doc_id, rn, sim_micro FROM s
+         |WHERE sim_micro < 350000""".stripMargin,
     // KWIC over the replayed BM25 run: same earliest-term-position
     // rule (1-based both sides), same clamped ±3 token slice
     "q180_kwic_snippets" ->

@@ -579,6 +579,37 @@ object Retrieval {
     scoreHitsWeighted(hit2, q2, stats, k)
   }
 
+  /** HARD-NEGATIVE mining for retrieval-model training (the BM25-
+    * negatives recipe of DPR, Karpukhin et al. EMNLP'20): a hard
+    * negative is a document the LEXICAL ranker scores highly that the
+    * query's EMBEDDING disagrees with — lexically plausible,
+    * semantically far — which is exactly the contrastive signal a
+    * dense retriever trains on. Takes a (qid, doc_id, rn) run whose
+    * qids share the vector id space, attaches the floor-micro
+    * quantized cosine between query and doc embeddings, and keeps
+    * pairs below `simThresholdMicro` (self-pairs dropped). The run
+    * broadcasts onto the vector scan twice; the corpus never shuffles.
+    *
+    * @return (qid, doc_id, rn, sim_micro < threshold)
+    */
+  def hardNegatives(run: DataFrame, vectors: DataFrame, idCol: String,
+      vecCol: String, simThresholdMicro: Long): DataFrame = {
+    val dot = org.apache.spark.sql.graft.VectorExpressions.dot_long _
+    val vm = vectors.select(col(idCol).as("id"),
+      Similarity.quantize(col(vecCol)).as("vm"))
+    run.filter(col("qid") =!= col("doc_id"))
+      .join(broadcast(vm.select(col("id").as("qid"), col("vm").as("qv"))),
+        Seq("qid"))
+      .join(vm.select(col("id").as("doc_id"), col("vm").as("dv")),
+        Seq("doc_id"))
+      .withColumn("sim_micro",
+        floor(dot(col("qv"), col("dv")).cast("double") * lit(1000000.0) /
+          (sqrt(dot(col("qv"), col("qv")).cast("double")) *
+            sqrt(dot(col("dv"), col("dv")).cast("double")))).cast("long"))
+      .filter(col("sim_micro") < simThresholdMicro)
+      .select(col("qid"), col("doc_id"), col("rn"), col("sim_micro"))
+  }
+
   /** MMR diversified RE-RANKING (Maximal Marginal Relevance, Carbonell
     * & Goldstein SIGIR'98) — the anti-redundancy re-ranker: picks are
     * greedy by

@@ -344,6 +344,19 @@ class RetrievalSpec extends SparkSpec {
       (2L, 10L, 1, 1)))  // suppression is per-query, not global
   }
 
+  test("hardNegatives: keeps below-threshold pairs only, drops self, exact micro cosine") {
+    val run = Seq((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3)).toDF("qid", "doc_id", "rn")
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // the query
+      (2L, Seq(1.0f, 0.0f)),   // cosine 1.0 — not a negative
+      (3L, Seq(0.0f, 1.0f))    // cosine 0.0 — hard negative
+    ).toDF("id", "embedding")
+    val got = Retrieval.hardNegatives(run, vecs, "id", "embedding",
+        simThresholdMicro = 500000L)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 3, 0L)), s"got $got")
+  }
+
   test("mmrRerank: redundant runner-up demoted below a diverse lower-ranked doc") {
     // docs 1 and 2 are identical vectors (sim 1.0); doc 3 is orthogonal.
     // Pure relevance order is 1, 2, 3 — MMR at λ=0.7 must pick 1, then
