@@ -72,7 +72,8 @@ object PlanDump {
       "q173_phrase_delete_serve", "q174_doremi_weights",
       "q175_phrase_stream_serve", "q176_pca_stream_fit",
       "q177_rank_agreement", "q178_hybrid_rrf", "q179_result_dedup",
-      "q180_kwic_snippets", "q181_agg_retract_serve", "q182_mmr_rerank")
+      "q180_kwic_snippets", "q181_agg_retract_serve", "q182_mmr_rerank",
+      "q183_hard_negatives")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))
