@@ -73,7 +73,7 @@ object PlanDump {
       "q175_phrase_stream_serve", "q176_pca_stream_fit",
       "q177_rank_agreement", "q178_hybrid_rrf", "q179_result_dedup",
       "q180_kwic_snippets", "q181_agg_retract_serve", "q182_mmr_rerank",
-      "q183_hard_negatives")
+      "q183_hard_negatives", "q184_search_stack", "q185_source_drift")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))

@@ -1910,6 +1910,48 @@ object SparkEntry {
         origWeight = 10L, expWeight = 4L)
     }),
 
+    // Distribution-DRIFT monitor — the nightly data-quality alarm of a
+    // multi-source ingest: each source's hashed-token histogram (64
+    // md5 buckets, the DSIR feature idea) vs the corpus baseline by
+    // total variation distance — PURE integer division, not one IEEE
+    // op, engine- and partitioning-exact. A source whose crawl
+    // behavior, encoding, or spam mix shifts rises with no model in
+    // the loop. One token-stream aggregation; the histograms are tiny.
+    "q185_source_drift" -> ((s, dir) => {
+      Curation.bucketDriftTvd(t(s, dir, "documents"), "text", "source")
+    }),
+
+    // THE SERVING STACK in one row — what a production search system
+    // actually executes per query batch, every stage already proven
+    // alone: the text run serves from the STORED postings index (q139's
+    // zero-build serve), the vector run from IVF cell routing (q57),
+    // the two fuse by reciprocal rank (q178), and MMR diversifies the
+    // fused page (q182). End-to-end integer-exact; the oracle composes
+    // the same mirrors (fused CTEs feeding the unrolled MMR steps).
+    "q184_search_stack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val idxDir = scratchDir("graft_stack_postings", dir)
+      graft.operators.Retrieval.savePostingsIndex(
+        graft.operators.Retrieval.buildPostingsIndex(docs,
+          "doc_id", "text"), idxDir)
+      val queries = docs.filter(col("doc_id") % 200 === 7)
+        .select(col("doc_id").as("qid"),
+          array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+      val textRun = graft.operators.Retrieval.bm25SearchIndex(queries,
+        graft.operators.Retrieval.loadPostingsIndex(s, idxDir),
+        "qid", "qterms", k = 10).localCheckpoint()
+      val vecRun = Similarity.ivfTopK(
+          emb.filter(col("vec_id") % 200 === 7), emb,
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id").as("qid"),
+          col("neighbor_id").as("doc_id"), col("rank").as("rn"))
+        .localCheckpoint()
+      graft.operators.Retrieval.mmrRerank(
+        graft.operators.Retrieval.rrfFuse(Seq(textRun, vecRun), k = 10),
+        emb, "vec_id", "embedding", k = 5, lambdaTenths = 7)
+    }),
+
     // HARD-NEGATIVE mining (the DPR BM25-negatives recipe, Karpukhin
     // et al. EMNLP'20): from each query's BM25 top-10, keep the docs
     // whose embedding cosine to the query is below 0.35 — lexically
@@ -2901,6 +2943,13 @@ object SparkEntry {
     "q169_temperature_mix" -> temperatureOracleSql(spark, dir),
     "q174_doremi_weights" -> doremiOracleSql(spark, dir),
     "q178_hybrid_rrf" -> hybridRrfOracleSql(spark, dir),
+    // the stack = the hybrid-fused run (stored-index text serve ≡ the
+    // same bm25 mirror, q139's proven equivalence) feeding the
+    // unrolled MMR steps
+    "q184_search_stack" -> mmrOracleSqlFor(
+      s"""SELECT qid, doc_id, rn FROM (
+         |${hybridRrfOracleSql(spark, dir)}
+         |) h""".stripMargin),
     "q157_bm25_log_topk" -> bm25LogOracleSql(spark, dir),
     "q134_ann_lsh_multiprobe" -> SimilarityOracle.lshTopKSql(spark, dir,
       multiProbe = true),
@@ -3019,7 +3068,16 @@ object SparkEntry {
     * expression shape (dot·1e6 / (√·√), one rounding per op).
     */
   // lazy: references bm25OracleSql, declared later in this object
-  private lazy val mmrOracleSql: String = {
+  private lazy val mmrOracleSql: String =
+    mmrOracleSqlFor(s"""SELECT qid, doc_id, rn FROM (
+       |$bm25OracleSql
+       |) t""".stripMargin)
+
+  /** The k greedy MMR steps unrolled over an arbitrary
+    * (qid, doc_id, rn) run SQL — shared by q182 (BM25 run) and q184
+    * (the hybrid-fused run).
+    */
+  private def mmrOracleSqlFor(runSql: String): String = {
     val k = 5; val lam = 7
     val steps = (1 to k).map { i =>
       val (scored, selPrev) =
@@ -3051,9 +3109,7 @@ object SparkEntry {
          |SELECT qid, doc_id, pick, mmr_micro FROM p$i)""".stripMargin
     }.mkString(",\n")
     s"""WITH run AS (
-       |SELECT qid, doc_id, rn FROM (
-       |$bm25OracleSql
-       |) t),
+       |$runSql),
        |e AS (SELECT vec_id AS doc_id,
        |        list_transform(embedding,
        |          x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS vm
@@ -4552,6 +4608,30 @@ object SparkEntry {
          |  WHERE run.qid <> run.doc_id)
          |SELECT qid, doc_id, rn, sim_micro FROM s
          |WHERE sim_micro < 350000""".stripMargin,
+    "q185_source_drift" -> {
+      val h = hexToLongSql("md5('drift:' || tok)", 1, 15)
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+         |             FROM documents),
+         |b AS (SELECT source, CAST($h AS BIGINT) % 64 AS bucket FROM tok),
+         |bg AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS o
+         |       FROM b GROUP BY source, bucket),
+         |tot AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_tokens
+         |        FROM bg GROUP BY source),
+         |corp AS (SELECT bucket, CAST(sum(o) AS BIGINT) AS c FROM bg
+         |         GROUP BY bucket),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM corp),
+         |grid AS (SELECT tot.source, tot.n_tokens, k.bucket
+         |         FROM tot CROSS JOIN (SELECT unnest(range(64)) AS bucket) k)
+         |SELECT g.source, g.n_tokens,
+         |  CAST(sum(abs(coalesce(bg.o, 0) * 1000000 // g.n_tokens
+         |               - corp.c * 1000000 // n.n_total)) AS BIGINT)
+         |    AS tvd_micro
+         |FROM grid g
+         |LEFT JOIN bg ON bg.source = g.source AND bg.bucket = g.bucket
+         |JOIN corp ON corp.bucket = g.bucket
+         |CROSS JOIN n
+         |GROUP BY g.source, g.n_tokens""".stripMargin
+    },
     // KWIC over the replayed BM25 run: same earliest-term-position
     // rule (1-based both sides), same clamped ±3 token slice
     "q180_kwic_snippets" ->

@@ -522,6 +522,58 @@ object Curation {
       .drop("__h")
   }
 
+  /** Per-group DISTRIBUTION-DRIFT monitor — the data-quality alarm a
+    * multi-source ingest pipeline runs nightly: how far does each
+    * source's token distribution sit from the corpus baseline? Tokens
+    * hash into `nBuckets` md5 buckets (the DSIR hashed-feature idea;
+    * md5 so the DuckDB mirror replays identical bucket ids), each
+    * group's bucket histogram compares to the corpus histogram by
+    * TOTAL VARIATION DISTANCE in micro units:
+    *
+    *   tvd_micro(g) = Σ_b |o_b·10⁶ DIV n_g − c_b·10⁶ DIV N|
+    *
+    * — pure INTEGER division throughout (not even an IEEE op), so the
+    * report is engine- and partitioning-exact. 0 = identical mix,
+    * 2·10⁶ = disjoint support (the metric is 2× the classic TVD).
+    * A drifting source (new crawl behavior, encoding bug, spam influx)
+    * rises without any model in the loop. Scale: one token-stream
+    * aggregation to (group, bucket) — nBuckets·groups rows — then a
+    * broadcast join of two tiny histograms. Overflow: o_b·10⁶ needs
+    * o_b < 9.2·10¹² tokens per (group, bucket); past that swap to
+    * DECIMAL(38,0).
+    *
+    * @return (groupCol, n_tokens, tvd_micro) per group
+    */
+  def bucketDriftTvd(docs: DataFrame, textCol: String, groupCol: String,
+      nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val tok = docs.select(col(groupCol),
+      explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("drift:"), col("tok"))), 1, 15),
+          16, 10).cast("long") % nBuckets.toLong)
+    val byGroup = tok.groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("o"))
+    val totals = byGroup.groupBy(col(groupCol))
+      .agg(sum(col("o")).as("n_tokens"))
+    val corpus = byGroup.groupBy(col("bucket")).agg(sum(col("o")).as("c"))
+      .withColumn("n_total", sum(col("c")).over(Window.partitionBy()))
+    // the full (group × bucket) grid via a STATIC bucket explode — a
+    // bucket the group never hits still contributes |0 − c·1e6 DIV N|;
+    // no cross join, the bucket list is a literal array
+    val grid = totals.withColumn("bucket",
+      explode(lit((0L until nBuckets.toLong).toArray)))
+    grid
+      .join(byGroup, Seq(groupCol, "bucket"), "left")
+      .join(broadcast(corpus), Seq("bucket"))
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .groupBy(col(groupCol), col("n_tokens"))
+      .agg(sum(abs(
+        expr("o * 1000000L div n_tokens") -
+          expr("c * 1000000L div n_total"))).as("tvd_micro"))
+      .select(col(groupCol), col("n_tokens"), col("tvd_micro"))
+  }
+
   /** Per-source corpus-LM surprisal stats — [[bigramSurprisal]]'s
     * per-doc signal rolled up by `srcCol`: (source, n_docs, n_bigrams,
     * sum_bits), all exact integers. The per-domain "loss" proxy

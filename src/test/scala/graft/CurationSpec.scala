@@ -539,6 +539,31 @@ class CurationSpec extends SparkSpec {
     assert(merged == bulk && bulk.nonEmpty)
   }
 
+  test("bucketDriftTvd: clone of the corpus mix scores near 0, disjoint vocabulary near 2e6") {
+    // two groups with the SAME text → identical mixes; one group with
+    // completely different tokens → disjoint support
+    val docs = Seq(
+      ("same1", "alpha beta gamma delta epsilon zeta"),
+      ("same2", "alpha beta gamma delta epsilon zeta"),
+      ("weird", "zzz yyy xxx www vvv uuu")
+    ).toDF("source", "text")
+    val out = Curation.bucketDriftTvd(docs, "text", "source")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(out("same1") == out("same2"))
+    assert(out("weird") > out("same1"),
+      s"disjoint group must drift more: $out")
+    // the baseline INCLUDES each group's own mass: with weird at 1/3 of
+    // the corpus, weird-vs-corpus = (2/3)·TVD(w, s) and
+    // same-vs-corpus = (1/3)·TVD(w, s) — the disjoint group scores
+    // exactly twice the clones (floor rounding aside)
+    assert(math.abs(out("weird").toDouble / out("same1") - 2.0) < 0.01,
+      s"self-inclusion ratio must be ~2: $out")
+    // partition-invariant (pure integer divisions)
+    val out2 = Curation.bucketDriftTvd(docs.repartition(7), "text", "source")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(out2 == out)
+  }
+
   test("doremiWeightLiterals: eta=0 degenerates to doc shares; excess surprisal boosts; sums ~1e6") {
     val stats = Seq(("a", 60L, 100L, 500L),   // 5.0 bits mean
       ("b", 30L, 100L, 800L),                  // 8.0 bits — the hard domain
