@@ -147,31 +147,57 @@ object Bench {
     * the `q` stripped (so `q124_bm25_topk` → `"124"`). The full names
     * make the line ~1,900 chars, which overflows the 2,000-char tail
     * window the driver parses the line out of (both prior rounds
-    * recorded `parsed: null` for exactly this reason); at 123 queries
-    * even the `qNN` form reached 1,684 chars, two rounds of growth away
-    * from the cliff, so the keys are now bare numbers and the per-query
-    * values 1-decimal ([[render]]) — spec-asserted < 1,600 chars at 140
-    * simulated rows. Full names and 3-decimal timings are printed as
-    * separate per-query detail lines by [[main]].
+    * recorded `parsed: null` for exactly this reason). Full names and
+    * 3-decimal timings are printed as separate per-query detail lines
+    * by [[main]].
     */
   private def shortKey(name: String): String =
     name.takeWhile(_ != '_').stripPrefix("q")
 
+  /** How many slowest queries keep a full `"queries"` map entry (in
+    * seconds); the complete per-query record rides in the positional
+    * `"qds"` list.
+    */
+  private val TopN = 12
+
+  /** One-line JSON, built to stay FAR inside the driver's 2,000-char
+    * tail window as the catalog keeps growing (the r8→r9 map-of-all-
+    * queries form crossed 1,900 chars at 185 rows — one round from the
+    * r1/r2 `parsed: null` cliff). Per-query data is split in two:
+    *
+    *  - `"queries"`: the [[TopN]] slowest queries only, short key →
+    *    1-decimal SECONDS (plus every failed query as -1) — the at-a-
+    *    glance map, and a dict under the `queries` field for anything
+    *    driver-side that expects one;
+    *  - `"qds"`: ALL queries as a comma-joined list of integer
+    *    DECISECONDS (failed = -1), in lexicographic order of the FULL
+    *    catalog names — the same `sorted(SparkEntry.queries.keys)`
+    *    order any reader can reproduce from the committed code. ~2.6
+    *    chars/query keeps 300+ rows inside the window; `"n"` is the
+    *    list length as a zip check.
+    *
+    * Full precision per query lives in the stderr detail lines and the
+    * committed PLANS.md counter sections.
+    */
   def render(r: Result, sfDir: String): String = {
     // Locale.ROOT: a comma-decimal default locale would render 1.234 as
     // "1,234" and corrupt the JSON
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // per-query values at 1 decimal: 100 ms resolution is still inside
-    // the ambient noise band (the counters in PLANS.md carry the real
-    // precision), and the char saved per entry is what keeps ~175 rows
-    // inside the driver's 2,000-char tail window (154 rows measured
-    // 1,628 chars at 1 decimal vs 1,782 at 2)
     def fmtQ(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
-    val entries = (r.times.map { case (k, v) => shortKey(k) -> fmtQ(v) } ++
-      r.failed.map(shortKey(_) -> "-1")).toSeq.sortBy(_._1)
+    val failedSet = r.failed.toSet
+    val allNames = (r.times.keySet ++ failedSet).toSeq.sorted
+    val qds = allNames.map { n =>
+      if (failedSet(n)) "-1"
+      else math.round(r.times(n) * 10).toString
+    }.mkString(",")
+    val top = r.times.toSeq.sortBy(-_._2).take(TopN)
+      .map { case (n, v) => shortKey(n) -> fmtQ(v) }
+    val entries = (top ++ r.failed.map(shortKey(_) -> "-1"))
+      .sortBy(_._1)
     val qs = entries.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val failedJson = r.failed.sorted.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":${fmt(r.total)},"unit":"sec","gc_sec":${fmt(r.totalGcSec)},"jobs":${r.totalJobs},"calib_cpu":${fmt(r.calibCpuSec)},"calib_shuffle":${fmt(r.calibShuffleSec)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    s"""{"metric":"total","value":${fmt(r.total)},"unit":"sec","gc_sec":${fmt(r.totalGcSec)},"jobs":${r.totalJobs},"calib_cpu":${fmt(r.calibCpuSec)},"calib_shuffle":${fmt(r.calibShuffleSec)},"n":${allNames.size},"queries":$qs,"qds":"$qds","failed":$failedJson,"sf":"$sfShort"}"""
   }
 
   private def mb(b: Long): String =

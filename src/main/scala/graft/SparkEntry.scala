@@ -2893,6 +2893,175 @@ object SparkEntry {
           array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
       graft.operators.Retrieval.bm25TopKLog(docs, queries,
         "doc_id", "text", "qid", "qterms", k = 10)
+    }),
+
+    // CUBE — q171's rollup completed to all 2^k grouping combinations
+    // (the missing (∅, l_linestatus) slice); same single Expand pass,
+    // same grouping_id() disambiguation of real vs subtotal NULLs.
+    "q186_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+          grouping_id().cast("int").as("gid"))
+    }),
+
+    // GROUPING SETS — the general form rollup/cube are sugar for: an
+    // explicit set list that is NEITHER (two disjoint single-column
+    // sets, no combined or grand-total slice). Still one Expand pass —
+    // rows replicate once per set, not once per pass over the table.
+    "q187_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("sum_cents"),
+          grouping_id().cast("int").as("gid"))
+    }),
+
+    // UNPIVOT — wide-to-long reshape (q172's inverse): the three metric
+    // columns of a keyed aggregate melt into (key, metric, value) rows.
+    // Native Dataset.unpivot (an Expand under the hood — one pass, no
+    // union-of-selects re-scan).
+    "q188_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"))
+      wide.unpivot(Array(col("l_returnflag")),
+        Array(col("n_rows"), col("sum_qty"), col("sum_price_cents")),
+        "metric", "value")
+    }),
+
+    // Per-user time-series windows: inter-event gaps (lag/lead in exact
+    // epoch micros) and a 3-row rolling spend — one shuffle keyed on
+    // user, row-bounded frames (O(frame) state per key, no self-join).
+    // Restricted to a deterministic user slice to keep the result
+    // relation-sized; the windows run over each kept user's FULL stream
+    // either way (user_id is the partition key, so filtering commutes).
+    "q189_event_deltas" -> ((s, dir) => {
+      graft.operators.TimeSeries.eventDeltas(
+          t(s, dir, "events"), "user_id", "ts", "event_id", "value")
+        .filter(col("user_id") % 50 === 7)
+        .select(col("user_id"), col("event_id"), col("seq"),
+          col("gap_us"), col("next_gap_us"), col("mov3_cents"))
+    }),
+
+    // PAGERANK over the customer↔supplier trade graph (bidirectional
+    // edges from order lines), 6 power iterations of FLOOR-DIVISION
+    // fixed-point arithmetic — engine- and partitioning-exact, no IEEE
+    // op anywhere (operators/Graph.scala). Node ids disambiguate the
+    // two key spaces (cust → 2k, supp → 2k+1). Top 20 by (rank desc,
+    // node asc) — a total order, so the limit is deterministic.
+    "q190_pagerank" -> ((s, dir) => {
+      val fwd = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = fwd.union(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6)
+        .orderBy(col("rank").desc, col("node").asc)
+        .limit(20)
+    }),
+
+    // RIDGE REGRESSION fit + worst-fit report: exact-integer normal-
+    // equation moments in one pass, driver solve, micro-literal weights
+    // (operators/Regression.scala — the PCA discipline applied to
+    // supervised fitting), then the 50 order lines the price model
+    // misses worst — regression-as-anomaly-detection. The oracle
+    // rescores with the SAME literals (the fit is deterministic, so the
+    // generator's refit reproduces them bit-for-bit).
+    "q191_ridge_residuals" -> ((s, dir) => {
+      val joined = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"),
+          cents(col("p_retailprice")).as("price_cents"),
+          cents(col("l_extendedprice")).as("y_cents"))
+      val fit = graft.operators.Regression.fitRidge(joined, "y_cents",
+        Seq("qty", "price_cents"), lambda = 1e6)
+      graft.operators.Regression.scoreResiduals(joined, "y_cents", fit)
+        .orderBy(abs(col("resid_micro")).desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .limit(50)
+        .select(col("l_orderkey"), col("l_linenumber"), col("y_cents"),
+          col("pred_micro"), col("resid_micro"))
+    }),
+
+    // Hashed NAIVE BAYES language id (operators/Classify.scala): train
+    // on 90% of docs (counts → driver StrictMath log-likelihood micro
+    // literals, the bm25LogIdf pattern), classify the held-out 10% by
+    // exact-integer argmax. The oracle replays the IDENTICAL literal
+    // table — no engine runs its own ln.
+    "q192_nb_language" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.Classify.fitHashedNb(
+        docs.filter(col("doc_id") % 10 =!= 0), "text", "lang",
+        nBuckets = 64)
+      graft.operators.Classify.scoreHashedNb(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", model)
+    }),
+
+    // CHANGE FEED on the committed postings store: save (gen 0) + two
+    // committed appends, then read the (0, 2] incremental window — the
+    // docs each generation added, from ONLY that window's manifested
+    // files (the Delta table_changes idea on the manifest log). The
+    // consumer-side half of the commit-log story: q163/q164 proved
+    // writers and snapshot readers; this is how a downstream index
+    // replica catches up without rescanning the store.
+    "q193_postings_changes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = scratchDir("graft_postings_cdc", dir)
+      graft.operators.Retrieval.savePostingsIndexCommitted(
+        graft.operators.Retrieval.buildPostingsIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"), idxDir)
+      graft.operators.Retrieval.appendPostingsIndexCommitted(s, idxDir,
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text")
+      graft.operators.Retrieval.appendPostingsIndexCommitted(s, idxDir,
+        docs.filter(col("doc_id") % 20 === 10), "doc_id", "text")
+      graft.operators.Retrieval.postingsAdditions(s, idxDir,
+        fromGen = 0L, toGen = 2L)
+    }),
+
+    // PARETO FRONTIER (2-D skyline, both maximized) of parts by
+    // (size, price): the multi-objective filter a curation pipeline
+    // runs ("biggest AND most valuable candidates"). Sort-based — one
+    // keyed agg + a window over the DISTINCT-x relation — while the
+    // oracle is the O(n²) NOT-EXISTS dominance definition, so the
+    // check is genuinely independent of the algorithm.
+    "q194_pareto_parts" -> ((s, dir) => {
+      graft.operators.Relational.paretoFrontier2(
+        t(s, dir, "part").select(col("p_partkey"),
+          col("p_size").cast("long").as("size_l"),
+          cents(col("p_retailprice")).as("price_cents")),
+        "size_l", "price_cents")
+        .select(col("p_partkey"), col("size_l"), col("price_cents"))
+    }),
+
+    // EXACT grouped median without floats: median2x = the sum of the
+    // two middle order statistics (2× the middle for odd counts) of
+    // per-flag quantities — integer-exact, so no half-point rounding
+    // convention can diverge between engines. One shuffle: both the
+    // rank and the partition count come from the same window partition.
+    "q195_grouped_median" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      val wp = Window.partitionBy(col("l_returnflag"))
+      val ranked = li
+        .withColumn("rn", row_number().over(wp.orderBy(col("qty").asc)))
+        .withColumn("cnt", count(lit(1)).over(wp))
+      ranked.groupBy(col("l_returnflag"), col("cnt"))
+        .agg((sum(when(col("rn") === expr("(cnt + 1) div 2"), col("qty"))
+            .otherwise(0L)) +
+          sum(when(col("rn") === expr("cnt div 2 + 1"), col("qty"))
+            .otherwise(0L))).as("median2x"))
+        .select(col("l_returnflag"), col("cnt").as("n_rows"),
+          col("median2x"))
     })
   )
 
@@ -2902,6 +3071,8 @@ object SparkEntry {
     * driver's oracle run replays exactly what the Spark queries computed.
     */
   def oracleSqlDynamic(spark: SparkSession, dir: String): Map[String, String] = Map(
+    "q191_ridge_residuals" -> ridgeOracleSql(spark, dir),
+    "q192_nb_language" -> nbOracleSql(spark, dir),
     "q56_ann_lsh_topk" -> SimilarityOracle.lshTopKSql(spark, dir),
     "q57_ann_ivf_topk" -> SimilarityOracle.ivfTopKSql(spark, dir),
     "q106_ivf_index_append" -> SimilarityOracle.ivfTopKSql(spark, dir,
@@ -3413,7 +3584,198 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** q190's mirror: the same floor-division power iteration UNROLLED as
+    * `iters` chained CTEs (DuckDB's recursive CTEs disallow the
+    * aggregation each step needs). Every op is BIGINT `//` over
+    * non-negative values — identical to Spark's `div` — so the two
+    * engines agree bit-for-bit; no literals needed, the node count
+    * comes from a CTE.
+    */
+  private def pageRankOracleSql(iters: Int, dampBp: Int): String = {
+    val chain = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT nd.node,
+         |    CAST((${10000 - dampBp} * (1000000000000 // nn.n)) // 10000
+         |      + ($dampBp * coalesce(c.contrib, 0)) // 10000 AS BIGINT) AS r
+         |  FROM nodes nd CROSS JOIN nn
+         |  LEFT JOIN (SELECT e.dst AS node,
+         |               CAST(sum(p.r // o.d) AS BIGINT) AS contrib
+         |             FROM e JOIN r${i - 1} p ON e.src = p.node
+         |             JOIN outd o ON e.src = o.node
+         |             GROUP BY e.dst) c ON c.node = nd.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH fwd AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT DISTINCT src, dst FROM
+       |        (SELECT src, dst FROM fwd
+       |         UNION ALL SELECT dst AS src, src AS dst FROM fwd) u),
+       |nodes AS (SELECT DISTINCT node FROM
+       |            (SELECT src AS node FROM e
+       |             UNION ALL SELECT dst FROM e) v),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |outd AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+       |         FROM e GROUP BY src),
+       |r0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS r
+       |       FROM nodes CROSS JOIN nn),
+       |$chain
+       |SELECT node, r AS "rank" FROM r$iters
+       |ORDER BY r DESC, node ASC LIMIT 20""".stripMargin
+  }
+
+  /** q191's mirror: refit the ridge model with the IDENTICAL exact-
+    * integer moments + deterministic driver solve (so the micro weight
+    * literals reproduce bit-for-bit), then rescore in pure BIGINT.
+    */
+  private def ridgeOracleSql(spark: SparkSession, dir: String): String = {
+    val joined = Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"),
+        cents(col("p_retailprice")).as("price_cents"),
+        cents(col("l_extendedprice")).as("y_cents"))
+    val fit = graft.operators.Regression.fitRidge(joined, "y_cents",
+      Seq("qty", "price_cents"), lambda = 1e6)
+    val Seq(w0, w1, w2) = fit.wMicro
+    s"""WITH j AS (SELECT l_orderkey, l_linenumber,
+       |             CAST(l_quantity AS BIGINT) AS qty,
+       |             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+       |             CAST(round(l_extendedprice * 100) AS BIGINT) AS y_cents
+       |           FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |s AS (SELECT l_orderkey, l_linenumber, y_cents,
+       |        CAST(($w0) + ($w1) * qty + ($w2) * price_cents AS BIGINT)
+       |          AS pred_micro
+       |      FROM j)
+       |SELECT l_orderkey, l_linenumber, y_cents, pred_micro,
+       |  CAST(y_cents * 1000000 - pred_micro AS BIGINT) AS resid_micro
+       |FROM s
+       |ORDER BY abs(y_cents * 1000000 - pred_micro) DESC,
+       |  l_orderkey ASC, l_linenumber ASC
+       |LIMIT 50""".stripMargin
+  }
+
+  /** q192's mirror: refit the hashed NB model (exact integer counts →
+    * identical StrictMath literals), render the classes×buckets table
+    * as VALUES, and replay the integer argmax.
+    */
+  private def nbOracleSql(spark: SparkSession, dir: String): String = {
+    val docs = Tables(spark, dir, "documents")
+    val model = graft.operators.Classify.fitHashedNb(
+      docs.filter(col("doc_id") % 10 =!= 0), "text", "lang", nBuckets = 64)
+    val likeVals = model.likeMicro.map { case (l, b, lp) =>
+      s"('${l.replace("'", "''")}', $b, CAST($lp AS BIGINT))"
+    }.mkString(",\n       ")
+    val priorVals = model.labels.map { l =>
+      s"('${l.replace("'", "''")}', CAST(${model.priorMicro(l)} AS BIGINT))"
+    }.mkString(", ")
+    val h = hexToLongSql("md5('nb:' || tok)", 1, 15)
+    s"""WITH test AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM test),
+       |bc AS (SELECT doc_id, CAST($h AS BIGINT) % 64 AS bucket,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |       FROM tok GROUP BY 1, 2),
+       |lik(label, bucket, lp_micro) AS (VALUES
+       |       $likeVals),
+       |pri(label, prior_micro) AS (VALUES $priorVals),
+       |sc AS (SELECT bc.doc_id, lik.label,
+       |         CAST(sum(bc.cnt * lik.lp_micro) AS BIGINT) AS ll_micro
+       |       FROM bc JOIN lik ON lik.bucket = bc.bucket
+       |       GROUP BY bc.doc_id, lik.label),
+       |tot AS (SELECT sc.doc_id, sc.label,
+       |          CAST(pri.prior_micro + sc.ll_micro AS BIGINT) AS score_micro
+       |        FROM sc JOIN pri ON pri.label = sc.label),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |             ORDER BY score_micro DESC, label ASC) AS rn FROM tot)
+       |SELECT doc_id, label AS pred_label, score_micro
+       |FROM ranked WHERE rn = 1""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // gid bit order matches Spark grouping_id(): first cube column MSB
+    "q186_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+        |    AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q187_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT)
+        |    AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
+    // the independent mirror of unpivot is the union-of-selects it
+    // replaces
+    "q188_unpivot" ->
+      """WITH wide AS (SELECT l_returnflag,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_price_cents
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_qty', sum_qty FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM wide""".stripMargin,
+    "q189_event_deltas" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER win AS seq,
+        |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER win AS gap_us,
+        |    lead(epoch_us(ts), 1) OVER win - epoch_us(ts) AS next_gap_us,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS mov3_cents
+        |  FROM events WHERE user_id % 50 = 7
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, CAST(seq AS INT) AS seq,
+        |  gap_us, next_gap_us, mov3_cents
+        |FROM w""".stripMargin,
+    "q190_pagerank" -> pageRankOracleSql(iters = 6, dampBp = 8500),
+    // the change feed must equal each append batch exactly
+    "q193_postings_changes" ->
+      """SELECT CAST(1 AS BIGINT) AS gen, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |FROM documents WHERE doc_id % 20 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT)
+        |FROM documents WHERE doc_id % 20 = 10""".stripMargin,
+    // the O(n²) dominance DEFINITION — deliberately not the sort-based
+    // algorithm the operator uses
+    "q194_pareto_parts" ->
+      """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS size_l,
+        |             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+        |           FROM part)
+        |SELECT p_partkey, size_l, price_cents FROM p q
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p d
+        |  WHERE d.size_l >= q.size_l AND d.price_cents >= q.price_cents
+        |    AND (d.size_l > q.size_l OR d.price_cents > q.price_cents))""".stripMargin,
+    "q195_grouped_median" ->
+      """WITH li AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty
+        |            FROM lineitem),
+        |r AS (SELECT l_returnflag, qty,
+        |        row_number() OVER (PARTITION BY l_returnflag ORDER BY qty)
+        |          AS rn,
+        |        count(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |      FROM li)
+        |SELECT l_returnflag, CAST(cnt AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN qty ELSE 0 END) +
+        |       sum(CASE WHEN rn = cnt // 2 + 1 THEN qty ELSE 0 END)
+        |    AS BIGINT) AS median2x
+        |FROM r GROUP BY l_returnflag, cnt""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hashed multinomial Naive Bayes — the quality/language classifier a
+  * curation pipeline runs over every document (the CCNet/fastText role,
+  * reduced to engine-native relational form). Extension surface: the
+  * reference has no classifiers.
+  *
+  * The hashing trick (Weinberger et al., ICML'09) makes the model
+  * BOUNDED: tokens hash into a fixed bucket count, so the fitted model
+  * is classes × buckets counts — collectable to the driver no matter
+  * the corpus size, exactly like the BM25 queried-term idf relation.
+  * The TRAIN pass is one keyed aggregation of exact integer counts; the
+  * driver turns counts into micro-quantized [[StrictMath]] log-
+  * likelihoods (fdlibm — bit-identical on every JVM, the
+  * [[Retrieval.bm25LogIdf]] pattern); SCORING is then an exact integer
+  * dot product of per-doc bucket counts with broadcast literals that
+  * any engine replays bit-for-bit. Neither engine ever runs its own
+  * `ln`.
+  */
+object Classify {
+
+  /** A fitted model: per-class micro log-prior and the classes×buckets
+    * micro log-likelihood table (Laplace +1 smoothing over buckets).
+    */
+  final case class NbModel(labels: Seq[String], nBuckets: Int,
+      priorMicro: Map[String, Long],
+      likeMicro: Seq[(String, Long, Long)]) // (label, bucket, lp_micro)
+
+  /** Stable token → bucket: leading 15 hex digits of
+    * md5("nb:" ‖ token) mod nBuckets — the same engine-portable hash
+    * family as the DSIR features and the drift monitor (a DuckDB
+    * mirror reproduces it from the md5 hex string).
+    */
+  def tokenBucket(token: Column, nBuckets: Int): Column =
+    conv(substring(md5(concat(lit("nb:"), token)), 1, 15), 16, 10)
+      .cast("long") % nBuckets.toLong
+
+  private def bucketCounts(docs: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("bucket", tokenBucket(col("tok"), nBuckets))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Fit on labelled documents. The collect is classes × nBuckets rows
+    * (+ one per class) — model-sized, not data-sized.
+    *
+    *   prior(c) = ln(docs_c / docs_total)
+    *   lp(c, b) = ln((tok_{c,b} + 1) / (tok_c + nBuckets))
+    *
+    * both micro-rounded.
+    */
+  def fitHashedNb(train: DataFrame, textCol: String, labelCol: String,
+      nBuckets: Int = 64): NbModel = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val byClass = train
+      .select(col(labelCol).as("label"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("bucket", tokenBucket(col("tok"), nBuckets))
+      .groupBy(col("label"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docCounts = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docCounts.values.sum
+    val labels = docCounts.keys.toSeq.sorted
+    val tokTotals = byClass.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toMap
+    val counts = byClass.map { case (l, b, c) => (l, b) -> c }.toMap
+    val like = for {
+      l <- labels
+      b <- 0L until nBuckets.toLong
+    } yield {
+      val c = counts.getOrElse((l, b), 0L)
+      val lp = StrictMath.log(
+        (c + 1.0) / (tokTotals.getOrElse(l, 0L) + nBuckets.toDouble))
+      (l, b, Math.round(lp * 1e6))
+    }
+    val prior = labels.map { l =>
+      l -> Math.round(StrictMath.log(docCounts(l).toDouble / total) * 1e6)
+    }.toMap
+    NbModel(labels, nBuckets, prior, like)
+  }
+
+  /** Score documents: per (doc, class),
+    * score = prior_micro(c) + Σ_b cnt(doc,b) · lp_micro(c,b) — exact
+    * BIGINT; prediction = argmax, ties broken by label asc. The model
+    * joins in as a BROADCAST literal relation; one shuffle keyed on the
+    * doc id.
+    *
+    * @return (idCol, pred_label, score_micro)
+    */
+  def scoreHashedNb(docs: DataFrame, idCol: String, textCol: String,
+      model: NbModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val likeDf = model.likeMicro.toDF("label", "bucket", "lp_micro")
+    val priorDf = model.priorMicro.toSeq.sorted
+      .toDF("label", "prior_micro")
+    val scored = bucketCounts(docs, idCol, textCol, model.nBuckets)
+      .join(broadcast(likeDf), Seq("bucket"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("cnt") * col("lp_micro")).as("ll_micro"))
+      .join(broadcast(priorDf), Seq("label"))
+      .withColumn("score_micro", col("prior_micro") + col("ll_micro"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_micro").desc, col("label").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("label").as("pred_label"),
+        col("score_micro"))
+  }
+}

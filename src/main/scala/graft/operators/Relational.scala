@@ -125,4 +125,31 @@ object Relational {
     val w = Window.partitionBy(partitionCols: _*).orderBy(order: _*)
     df.withColumn(rankName, row_number().over(w)).filter(col(rankName) <= k)
   }
+
+  /** 2-D Pareto frontier (skyline), both dimensions MAXIMIZED: keep the
+    * rows no other row dominates, where p dominates q iff p.x ≥ q.x,
+    * p.y ≥ q.y, and at least one is strict. Identical (x, y) duplicates
+    * don't dominate each other, so ties on the frontier all survive.
+    *
+    * Sort-based, NOT the quadratic NOT-EXISTS: per-x max(y), then a
+    * running max of that over x DESCENDING — a frontier x is one whose
+    * ymax strictly exceeds every ymax at larger x, and within a
+    * frontier x only the y = ymax rows are undominated. One keyed
+    * aggregation plus one window over the DISTINCT-x relation (the
+    * single-partition sort is |distinct x| rows, not |rows| — for an
+    * ultra-high-cardinality x, range-tile the x axis and merge tile
+    * frontiers, the same tiling idea as [[Intervals]]).
+    */
+  def paretoFrontier2(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val byX = df.groupBy(col(xCol)).agg(max(col(yCol)).as("__ymax"))
+    val wDesc = Window.orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontierX = byX
+      .withColumn("__prevmax", max(col("__ymax")).over(wDesc))
+      .filter(col("__prevmax").isNull || col("__ymax") > col("__prevmax"))
+      .select(col(xCol), col("__ymax"))
+    df.join(broadcast(frontierX), Seq(xCol))
+      .filter(col(yCol) === col("__ymax"))
+      .drop("__ymax")
+  }
 }

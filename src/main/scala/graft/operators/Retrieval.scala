@@ -306,6 +306,41 @@ object Retrieval {
     }
   }
 
+  /** CHANGE FEED over the commit log — the incremental-consumer read
+    * (Delta's table_changes / Iceberg's incremental scan, reduced to
+    * the manifest): the documents ADDED in each committed generation g
+    * with fromGen < g ≤ toGen, as distinct (gen, doc_id, dl) rows read
+    * from ONLY that window's manifested postings files — a downstream
+    * consumer (index replicator, materialized-view refresher, audit)
+    * catches up from generation f to t without rescanning the store.
+    * Deletes do NOT appear here: they ride the tombstone ledger, which
+    * a consumer reads separately ([[graft.operators.StoreFiles
+    * .readTombstones]]); additions-only matches the append-only commit
+    * semantics. Cost is proportional to the WINDOW's data, not the
+    * store: the scan list is exactly the window's manifest rows.
+    */
+  def postingsAdditions(spark: SparkSession, dir: String,
+      fromGen: Long, toGen: Long): DataFrame = {
+    require(fromGen <= toGen,
+      s"postingsAdditions: fromGen $fromGen > toGen $toGen")
+    val windows = spark.read.parquet(s"$dir/manifest")
+      .filter(col("gen") > fromGen && col("gen") <= toGen &&
+        col("path").contains("/postings/"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val perGen = windows.map { case (g, rows) =>
+      spark.read.option("basePath", s"$dir/postings")
+        .parquet(rows.map(_._2).toSeq: _*)
+        .select(lit(g).as("gen"), col("doc_id"), col("dl"))
+        .distinct()
+    }
+    if (perGen.isEmpty)
+      spark.emptyDataFrame
+        .select(lit(0L).as("gen"), lit(0L).as("doc_id"), lit(0L).as("dl"))
+        .limit(0)
+    else perGen.reduce(_.unionByName(_))
+  }
+
   /** Nightly small-file compaction for a stored postings index: one
     * file per bucket partition, and the K stats delta rows collapsed
     * into their single-row sum, both via the guarded temp-swap
