@@ -3043,6 +3043,43 @@ object SparkEntry {
         .select(col("p_partkey"), col("size_l"), col("price_cents"))
     }),
 
+    // STREAMING drift-monitor twin (q185's maintenance path): the
+    // per-(source, bucket) token histograms accumulate one micro-batch
+    // partition at a time (sum-mergeable exact counts, the q130/q161
+    // idiom), and the TVD report over the merged live histogram equals
+    // the batch report over the full corpus — same oracle as q185.
+    // Backfill partition = 90% of docs batch-side; the remaining 10%
+    // arrive as two streamed drops through a real AvailableNow query.
+    "q196_drift_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = scratchDir("graft_drift_stream", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      val outPath = s"$base/out$run"
+      Curation.driftBucketCounts(
+          docs.filter(col("doc_id") % 10 =!= 0), "text", "source")
+        .write.mode("overwrite").parquet(s"$outPath/batch_id=-1")
+      val q = graft.streaming.DocumentStreams.driftIngest(s,
+        landing.toString, outPath, s"$base/ckpt$run",
+        maxFilesPerTrigger = Some(1))
+      for ((m, i) <- Seq(0, 10).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        docs.filter(col("doc_id") % 20 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      Curation.driftTvdFromCounts(
+        graft.streaming.DocumentStreams.loadDriftCounts(s, outPath),
+        "source", nBuckets = 64)
+    }),
+
     // EXACT grouped median without floats: median2x = the sum of the
     // two middle order statistics (2× the middle for odd counts) of
     // per-flag quantities — integer-exact, so no half-point rounding
@@ -4970,6 +5007,32 @@ object SparkEntry {
          |  WHERE run.qid <> run.doc_id)
          |SELECT qid, doc_id, rn, sim_micro FROM s
          |WHERE sim_micro < 350000""".stripMargin,
+    // the streaming twin maintains sum-mergeable histograms whose merged
+    // state equals the full-corpus counts — same mirror as q185
+    "q196_drift_stream" -> {
+      val h = hexToLongSql("md5('drift:' || tok)", 1, 15)
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+         |             FROM documents),
+         |b AS (SELECT source, CAST($h AS BIGINT) % 64 AS bucket FROM tok),
+         |bg AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS o
+         |       FROM b GROUP BY source, bucket),
+         |tot AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_tokens
+         |        FROM bg GROUP BY source),
+         |corp AS (SELECT bucket, CAST(sum(o) AS BIGINT) AS c FROM bg
+         |         GROUP BY bucket),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM corp),
+         |grid AS (SELECT tot.source, tot.n_tokens, k.bucket
+         |         FROM tot CROSS JOIN (SELECT unnest(range(64)) AS bucket) k)
+         |SELECT g.source, g.n_tokens,
+         |  CAST(sum(abs(coalesce(bg.o, 0) * 1000000 // g.n_tokens
+         |               - corp.c * 1000000 // n.n_total)) AS BIGINT)
+         |    AS tvd_micro
+         |FROM grid g
+         |LEFT JOIN bg ON bg.source = g.source AND bg.bucket = g.bucket
+         |JOIN corp ON corp.bucket = g.bucket
+         |CROSS JOIN n
+         |GROUP BY g.source, g.n_tokens""".stripMargin
+    },
     "q185_source_drift" -> {
       val h = hexToLongSql("md5('drift:' || tok)", 1, 15)
       s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok

@@ -545,15 +545,36 @@ object Curation {
     * @return (groupCol, n_tokens, tvd_micro) per group
     */
   def bucketDriftTvd(docs: DataFrame, textCol: String, groupCol: String,
-      nBuckets: Int = 64): DataFrame = {
+      nBuckets: Int = 64): DataFrame =
+    driftTvdFromCounts(
+      driftBucketCounts(docs, textCol, groupCol, nBuckets),
+      groupCol, nBuckets)
+
+  /** The SUM-MERGEABLE half of [[bucketDriftTvd]]: per-(group, bucket)
+    * token counts. Counts over a union of slices equal the summed
+    * counts of each slice (exact integer addition), which is what lets
+    * a streaming ingest maintain them one micro-batch partition at a
+    * time and still serve the batch-identical drift report.
+    */
+  def driftBucketCounts(docs: DataFrame, textCol: String,
+      groupCol: String, nBuckets: Int = 64): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
-    val tok = docs.select(col(groupCol),
-      explode(split(col(textCol), " ")).as("tok"))
+    docs.select(col(groupCol),
+        explode(split(col(textCol), " ")).as("tok"))
       .withColumn("bucket",
         conv(substring(md5(concat(lit("drift:"), col("tok"))), 1, 15),
           16, 10).cast("long") % nBuckets.toLong)
-    val byGroup = tok.groupBy(col(groupCol), col("bucket"))
+      .groupBy(col(groupCol), col("bucket"))
       .agg(count(lit(1)).as("o"))
+  }
+
+  /** The SCORING half of [[bucketDriftTvd]], over an already-reduced
+    * (group, bucket, o) count relation (merge slices by summing `o`
+    * first — [[driftBucketCounts]]).
+    */
+  def driftTvdFromCounts(byGroup: DataFrame, groupCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     val totals = byGroup.groupBy(col(groupCol))
       .agg(sum(col("o")).as("n_tokens"))
     val corpus = byGroup.groupBy(col("bucket")).agg(sum(col("o")).as("c"))

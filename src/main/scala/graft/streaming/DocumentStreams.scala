@@ -389,6 +389,39 @@ object DocumentStreams {
     graft.operators.Curation.hllMerge(
       spark.read.parquet(outPath), Seq("source"))
 
+  /** Streaming DRIFT-MONITOR maintenance — [[sketchIngest]]'s idiom on
+    * the source-drift histograms: each micro-batch writes its own
+    * per-(source, bucket) token-count partition
+    * ([[graft.operators.Curation.driftBucketCounts]]); the live corpus
+    * histogram at any time is the per-key SUM over committed partitions
+    * ([[loadDriftCounts]]), and the TVD report over it
+    * ([[graft.operators.Curation.driftTvdFromCounts]]) is exactly the
+    * batch q185 report — integer count addition is associative, so the
+    * batch split can't move a single count. Stateless per batch
+    * (partition content is a pure function of batch content) →
+    * replay-idempotent with no exclusions.
+    */
+  def driftIngest(spark: SparkSession, landingDir: String,
+      outPath: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readDocuments(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Curation.driftBucketCounts(
+            batch.toDF(), "text", "source")
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** The live per-(source, bucket) histogram: SUM over every committed
+    * partition.
+    */
+  def loadDriftCounts(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(outPath)
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(col("o")).as("o"))
+
   /** embeddings parquet schema as stored by the driver. */
   val embeddingsFileSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),

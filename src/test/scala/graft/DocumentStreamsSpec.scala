@@ -707,4 +707,39 @@ class DocumentStreamsSpec extends SparkSpec {
       DocumentStreams.livePositionalIndex(spark, idxDir, out),
       "pid", "pterms")) == bulk)
   }
+
+  test("drift ingest: merged streamed histograms ≡ bulk TVD report; replay overwrites identically") {
+    import graft.operators.Curation
+    val docs = Tables(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("drift_ingest").toString
+    val landing = s"$base/landing"; new java.io.File(landing).mkdirs()
+    val outPath = s"$base/out"
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(s"$landing/$name.parquet"))
+    }
+    val q = DocumentStreams.driftIngest(spark, landing, outPath,
+      s"$base/ckpt", maxFilesPerTrigger = Some(1))
+    land(docs.filter($"doc_id" % 3 === 0), "drop_00"); q.processAllAvailable()
+    land(docs.filter($"doc_id" % 3 =!= 0), "drop_01"); q.processAllAvailable()
+    q.stop()
+    val report = Curation.driftTvdFromCounts(
+        DocumentStreams.loadDriftCounts(spark, outPath), "source", 64)
+      .as[(String, Long, Long)].collect().toSet
+    val bulk = Curation.bucketDriftTvd(docs, "text", "source")
+      .as[(String, Long, Long)].collect().toSet
+    assert(report == bulk && bulk.nonEmpty)
+    // replay: counts are a pure function of batch content — the
+    // re-executed batch overwrites its partition with identical rows
+    Curation.driftBucketCounts(docs.filter($"doc_id" % 3 === 0),
+        "text", "source")
+      .write.mode("overwrite").parquet(s"$outPath/batch_id=0")
+    assert(Curation.driftTvdFromCounts(
+        DocumentStreams.loadDriftCounts(spark, outPath), "source", 64)
+      .as[(String, Long, Long)].collect().toSet == bulk)
+  }
 }
