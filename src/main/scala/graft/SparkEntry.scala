@@ -3043,6 +3043,71 @@ object SparkEntry {
         .select(col("p_partkey"), col("size_l"), col("price_cents"))
     }),
 
+    // HITS hubs & authorities over the DIRECTED customer→supplier
+    // trade graph — the bipartite reading where buyers are pure hubs
+    // and suppliers pure authorities (Kleinberg's shape). 4 fixed-point
+    // iterations, max-normalized by integer division; the per-round max
+    // is one scalar collect (the bounded-literal pattern), and the
+    // oracle recomputes it as a scalar subquery — identical integers.
+    "q197_hits" -> ((s, dir) => {
+      val fwd = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.operators.Graph.hits(fwd, "src", "dst", iters = 4)
+        .orderBy(col("auth").desc, col("hub").desc, col("node").asc)
+        .limit(20)
+    }),
+
+    // Multi-source BFS: exact hop distance from a seed set of customers
+    // through the bidirectional trade graph, 4 relaxation rounds. The
+    // per-round state holds only REACHED nodes; each round is one
+    // edge-keyed join + a min-aggregation (the frontier never collects
+    // to the driver).
+    "q198_bfs_hops" -> ((s, dir) => {
+      val fwd = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = fwd.union(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_custkey") % 500 === 1)
+        .select((col("c_custkey") * 2).as("node"))
+      graft.operators.Graph.bfsHops(edges, "src", "dst", seeds, "node",
+        maxHops = 4)
+    }),
+
+    // Per-node TRIANGLE counts over the co-supplier graph (suppliers
+    // sharing ≥ 5 orders): ordered (a < b < c) enumeration — each
+    // triangle found once through two joins on the canonical edge list,
+    // the node-ordering trick that bounds the wedge explosion — then
+    // credited to all three corners. The oracle replays the same triple
+    // join declaratively.
+    "q199_triangles" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+        .distinct()
+      val e = pairs.as("x").join(pairs.as("y"),
+          col("x.ok") === col("y.ok") && col("x.s") < col("y.s"))
+        .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 5)
+        .select(col("a"), col("b"))
+      graft.operators.Graph.triangleCounts(e, "a", "b")
+    }),
+
+    // COHORT-RETENTION matrix: users bucketed by first-active week
+    // (integer epoch-micros div 7 days — no calendar function, engine-
+    // identical bins), each cohort's distinct active users per week of
+    // age. Two partial-aggregated keyed aggs, no window, no self-join.
+    "q200_cohort_retention" -> ((s, dir) => {
+      graft.operators.TimeSeries.cohortRetention(
+        t(s, dir, "events"), "user_id", "ts")
+    }),
+
     // STREAMING drift-monitor twin (q185's maintenance path): the
     // per-(source, bucket) token histograms accumulate one micro-batch
     // partition at a time (sum-mergeable exact counts, the q130/q161
@@ -3630,7 +3695,7 @@ object SparkEntry {
     */
   private def pageRankOracleSql(iters: Int, dampBp: Int): String = {
     val chain = (1 to iters).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
          |  SELECT nd.node,
          |    CAST((${10000 - dampBp} * (1000000000000 // nn.n)) // 10000
          |      + ($dampBp * coalesce(c.contrib, 0)) // 10000 AS BIGINT) AS r
@@ -3644,20 +3709,85 @@ object SparkEntry {
     }.mkString(",\n")
     s"""WITH fwd AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-       |e AS (SELECT DISTINCT src, dst FROM
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM
        |        (SELECT src, dst FROM fwd
        |         UNION ALL SELECT dst AS src, src AS dst FROM fwd) u),
-       |nodes AS (SELECT DISTINCT node FROM
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
        |            (SELECT src AS node FROM e
        |             UNION ALL SELECT dst FROM e) v),
-       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-       |outd AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |outd AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
        |         FROM e GROUP BY src),
        |r0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS r
        |       FROM nodes CROSS JOIN nn),
        |$chain
        |SELECT node, r AS "rank" FROM r$iters
        |ORDER BY r DESC, node ASC LIMIT 20""".stripMargin
+  }
+
+  /** q197's mirror: the HITS fixed-point iteration unrolled; the
+    * per-round max-normalizer is a scalar subquery over the same exact
+    * integers Spark collects to the driver.
+    */
+  private def hitsOracleSql(iters: Int): String = {
+    val s = graft.operators.Graph.HitsScale
+    // every CTE level is referenced more than once (the scalar-subquery
+    // normalizer plus the next level); MATERIALIZED stops DuckDB from
+    // inlining each reference, which would re-evaluate the whole chain
+    // exponentially
+    val chain = (1 to iters).map { i =>
+      s"""a${i}r AS MATERIALIZED (SELECT nd.node, coalesce(v.v, 0) AS auth
+         |  FROM nodes nd LEFT JOIN
+         |    (SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS v
+         |     FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst) v
+         |    ON v.node = nd.node),
+         |a$i AS MATERIALIZED (SELECT node,
+         |  (auth * $s) // (SELECT max(auth) FROM a${i}r) AS auth
+         |  FROM a${i}r),
+         |h${i}r AS MATERIALIZED (SELECT nd.node, coalesce(v.v, 0) AS hub
+         |  FROM nodes nd LEFT JOIN
+         |    (SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS v
+         |     FROM e JOIN a$i a ON e.dst = a.node GROUP BY e.src) v
+         |    ON v.node = nd.node),
+         |h$i AS MATERIALIZED (SELECT node,
+         |  (hub * $s) // (SELECT max(hub) FROM h${i}r) AS hub
+         |  FROM h${i}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src,
+       |             l_suppkey * 2 + 1 AS dst
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       |            (SELECT src AS node FROM e
+       |             UNION ALL SELECT dst FROM e) v),
+       |h0 AS (SELECT node, CAST($s AS BIGINT) AS hub FROM nodes),
+       |$chain
+       |SELECT h$iters.node AS node, CAST(h$iters.hub AS BIGINT) AS hub,
+       |  CAST(a$iters.auth AS BIGINT) AS auth
+       |FROM h$iters JOIN a$iters ON h$iters.node = a$iters.node
+       |ORDER BY auth DESC, hub DESC, h$iters.node ASC LIMIT 20""".stripMargin
+  }
+
+  /** q198's mirror: BFS relaxation unrolled — round k's relation is the
+    * min over (previous, previous-via-one-edge + 1).
+    */
+  private def bfsOracleSql(maxHops: Int): String = {
+    val chain = (1 to maxHops).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |  SELECT node, dist FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS node, p.dist + 1 AS dist
+         |  FROM e JOIN d${i - 1} p ON e.src = p.node) u
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH fwd AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+       |        (SELECT src, dst FROM fwd
+       |         UNION ALL SELECT dst AS src, src AS dst FROM fwd) u),
+       |d0 AS (SELECT DISTINCT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+       |       FROM customer WHERE c_custkey % 500 = 1),
+       |$chain
+       |SELECT node, dist FROM d$maxHops""".stripMargin
   }
 
   /** q191's mirror: refit the ridge model with the IDENTICAL exact-
@@ -3780,6 +3910,33 @@ object SparkEntry {
         |  gap_us, next_gap_us, mov3_cents
         |FROM w""".stripMargin,
     "q190_pagerank" -> pageRankOracleSql(iters = 6, dampBp = 8500),
+    "q197_hits" -> hitsOracleSql(iters = 4),
+    "q198_bfs_hops" -> bfsOracleSql(maxHops = 4),
+    // the triple self-join triangle definition over the same
+    // support-thresholded co-supplier edges
+    "q199_triangles" ->
+      """WITH p AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+        |           FROM lineitem),
+        |e AS (SELECT x.s AS a, y.s AS b
+        |      FROM p x JOIN p y ON x.ok = y.ok AND x.s < y.s
+        |      GROUP BY x.s, y.s HAVING count(*) >= 5),
+        |tri AS (SELECT ab.a AS x, ab.b AS y, bc.b AS z
+        |        FROM e ab JOIN e bc ON ab.b = bc.a
+        |        JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+        |corners AS (SELECT x AS node FROM tri
+        |            UNION ALL SELECT y FROM tri
+        |            UNION ALL SELECT z FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        |FROM corners GROUP BY node""".stripMargin,
+    "q200_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |             epoch_us(ts) // 604800000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM a
+        |      GROUP BY user_id)
+        |SELECT c.cohort_wk, a.wk - c.cohort_wk AS age_wk,
+        |  CAST(count(*) AS BIGINT) AS n_active
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY c.cohort_wk, a.wk - c.cohort_wk""".stripMargin,
     // the change feed must equal each append batch exactly
     "q193_postings_changes" ->
       """SELECT CAST(1 AS BIGINT) AS gen, doc_id,

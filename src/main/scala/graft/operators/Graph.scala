@@ -86,4 +86,113 @@ object Graph {
     }
     r
   }
+
+  /** Scale of [[hits]] scores: max-normalized to 1e6 ("micro of the top
+    * node") so the normalization multiply a·S stays inside BIGINT even
+    * at degree 10⁹ (a_raw ≤ d_max·S ≤ 10¹⁵; ·S = 10²¹ would overflow —
+    * hence S = 10⁶, giving a_raw·S ≤ 10²¹⁻⁶ = safely bounded for
+    * d_max ≤ 10⁶; document-scale graphs with larger hubs should bucket
+    * first).
+    */
+  val HitsScale: Long = 1000000L
+
+  /** HITS hubs & authorities (Kleinberg 1999) in fixed-point integers:
+    * per iteration, authority(v) = Σ_{u→v} hub(u) then hub(u) =
+    * Σ_{u→v} authority(v), each MAX-normalized to [[HitsScale]] by
+    * integer division (x·S div max_x) — the classic power iteration
+    * with max- instead of L2-normalization, chosen because it needs no
+    * square root and keeps every intermediate an exact BIGINT both
+    * engines reproduce. The per-iteration max is ONE scalar collect
+    * (the bounded-driver-literal pattern); 4-6 iterations separate
+    * hubs from authorities on link-shaped graphs.
+    *
+    * Scale shape per iteration: two edge-keyed join+aggregations (the
+    * PageRank step shape, twice) plus a scalar agg; ranks
+    * localCheckpoint per iteration to keep lineage flat.
+    *
+    * @return (node, hub, auth) in [[HitsScale]] units (top node = S)
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    def maxNorm(df: DataFrame, c: String): DataFrame = {
+      val m = df.agg(max(col(c))).head().getLong(0)
+      require(m > 0L, s"hits: degenerate graph, max $c = $m")
+      df.select(col("node"),
+        expr(s"($c * ${HitsScale}L) div ${m}L").as(c))
+    }
+    var h = nodes.withColumn("hub", lit(HitsScale))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      a = maxNorm(nodes.join(
+          e.join(h.withColumnRenamed("node", "src"), Seq("src"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("hub")).as("auth")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth")),
+        "auth").localCheckpoint()
+      h = maxNorm(nodes.join(
+          e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
+            .groupBy(col("src").as("node"))
+            .agg(sum(col("auth")).as("hub")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub")),
+        "hub").localCheckpoint()
+    }
+    h.join(a, Seq("node")).select(col("node"), col("hub"), col("auth"))
+  }
+
+  /** Multi-source BFS: exact hop distance from the nearest seed, up to
+    * `maxHops`. Iteration k relaxes every edge once —
+    * dist'(v) = min(dist(v), min_{u→v} dist(u) + 1) — so after k
+    * rounds every node within k hops carries its true distance.
+    * Pure integer min/join arithmetic; the per-round relation holds
+    * only REACHED nodes (frontier-bounded state, not |V|).
+    *
+    * @return (node, dist) for every node within `maxHops` of a seed
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val relaxed = e
+        .join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** Per-node TRIANGLE counts over an UNDIRECTED edge list given as
+    * canonical (a < b) pairs: each triangle {a,b,c} is found exactly
+    * once through its ordered form a < b < c (two joins on the ordered
+    * list — the standard node-ordering trick that caps the wedge
+    * explosion at Σ d_fwd², far below Σ d² on skewed graphs), then
+    * credited to all three corners.
+    *
+    * @param edges distinct (aCol, bCol) rows with aCol < bCol
+    * @return (node, triangles) for nodes in ≥ 1 triangle
+    */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") < col("b")).distinct().localCheckpoint()
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.b") === col("bc.a"))
+      .join(e.as("ac"),
+        col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+      .select(col("ab.a").as("x"), col("ab.b").as("y"),
+        col("bc.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
 }

@@ -40,4 +40,32 @@ object TimeSeries {
         sum(cents).over(w.rowsBetween(-2, Window.currentRow)))
       .withColumn("seq", row_number().over(w))
   }
+
+  /** Classic COHORT-RETENTION matrix: entities grouped by the week of
+    * their first event, each cohort's active-entity count tracked per
+    * week of age. Weeks are integer epoch-micros div (7 days of
+    * micros) — no calendar/timezone function, so any engine buckets
+    * identically (the bucket boundary is the Unix epoch, not Monday;
+    * fine for retention, which only needs CONSISTENT 7-day bins).
+    *
+    * Two keyed aggregations (first-week per entity; distinct
+    * entity-weeks) and one broadcast-sized join — no window, no
+    * self-join; at 100 TB both aggs partial-aggregate before the
+    * shuffle.
+    *
+    * @return (cohort_wk, age_wk, n_active) — age 0 row = cohort size
+    */
+  def cohortRetention(events: DataFrame, entityCol: String,
+      tsCol: String): DataFrame = {
+    val wk = expr(s"unix_micros($tsCol) div ${7L * 86400 * 1000000}L")
+    val activity = events
+      .select(col(entityCol).as("entity"), wk.as("wk"))
+      .distinct()
+    val cohorts = activity.groupBy(col("entity"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    activity.join(cohorts, Seq("entity"))
+      .groupBy(col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).as("age_wk"))
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

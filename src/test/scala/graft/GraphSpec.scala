@@ -63,4 +63,63 @@ class GraphSpec extends SparkSpec {
     assert(r.values.sum < Graph.Scale, "dangling mass must evaporate")
     assert(r(3L) > r(1L), "sink accumulates more than the source")
   }
+
+  test("hits: the double-cited page is the top authority, the double-citer the top hub") {
+    // 1 → 3, 2 → 3, 1 → 4: 3 is cited twice, 1 cites twice
+    val edges = Seq((1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    val out = Graph.hits(edges, "src", "dst", iters = 4)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // max normalization pins the top of each side to exactly HitsScale
+    assert(out(3L)._2 == Graph.HitsScale, "3 is the top authority")
+    assert(out(1L)._1 == Graph.HitsScale, "1 is the top hub")
+    assert(out(3L)._2 > out(4L)._2)
+    assert(out(1L)._1 > out(2L)._1)
+    // pure sources have no authority; pure sinks no hub score
+    assert(out(1L)._2 == 0L && out(3L)._1 == 0L)
+  }
+
+  test("hits is deterministic across partitionings") {
+    val edges = (1L to 30L).flatMap(i => Seq((i, (i * 3) % 30 + 31)))
+    val a = Graph.hits(edges.toDF("src", "dst"), "src", "dst", 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Graph.hits(edges.toDF("src", "dst").repartition(7),
+        "src", "dst", 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("bfsHops: exact hop distances on a path graph, min over multiple seeds") {
+    // path 1-2-3-4-5 (bidirectional), seeds {1, 5}
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val seeds = Seq(1L, 5L).toDF("node")
+    val d = Graph.bfsHops(e.toDF("src", "dst"), "src", "dst",
+        seeds, "node", maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("bfsHops: maxHops truncates the reach; unreachable nodes are absent") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
+    val d = Graph.bfsHops(e.toDF("src", "dst"), "src", "dst",
+        Seq(1L).toDF("node"), "node", maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("triangleCounts: K4 gives every node 3 triangles; an appended tail adds none") {
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val withTail = k4 ++ Seq((4L, 9L))
+    val t = Graph.triangleCounts(withTail.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(t == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts counts each triangle once regardless of duplicate edges") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val t = Graph.triangleCounts((tri ++ tri).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(t == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }

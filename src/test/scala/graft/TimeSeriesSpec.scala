@@ -62,4 +62,21 @@ class TimeSeriesSpec extends SparkSpec {
     val firsts = fast.collect { case (id, None) => id }.toSet
     assert(firsts.size + prev.size == fast.size)
   }
+
+  test("cohortRetention: crafted cohorts, age-0 equals cohort size, revisits dedup") {
+    def ev(id: Long, user: Long, day: Long) =
+      (id, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(day * 86400)), user, 1.0)
+    // users 1,2 first active in week 0; user 1 returns twice in week 1
+    // (dedups to one active mark); user 3 first active in week 2
+    val rows = Seq(
+      ev(1, 1L, 0), ev(2, 2L, 3),
+      ev(3, 1L, 7), ev(4, 1L, 8),
+      ev(5, 3L, 14), ev(6, 2L, 15)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val m = TimeSeries.cohortRetention(rows, "user_id", "ts")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(m == Set((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L),
+      (2L, 0L, 1L)))
+  }
 }
