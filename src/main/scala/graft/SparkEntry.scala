@@ -3145,6 +3145,117 @@ object SparkEntry {
         "source", nBuckets = 64)
     }),
 
+    // EXACT interpolated quantiles (percentile_cont) in pure integer
+    // micro units — q195's median machinery generalized to an
+    // arbitrary quantile list; position split exactly into
+    // (lo, frac-bp) so the interpolation never runs an IEEE multiply.
+    "q201_exact_quantiles" -> ((s, dir) => {
+      Curation.exactQuantiles(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity").cast("long").as("v")),
+        Seq("l_returnflag"), "v",
+        Seq(("p25", 2500), ("p50", 5000), ("p90", 9000)))
+    }),
+
+    // L0→base ABSORB on the drift store (the q152 promotion applied to
+    // the stats-store family): stream a drop, absorb every batch
+    // partition into one merged base, then stream ANOTHER drop through
+    // a fresh landing/checkpoint — the served TVD report is the full-
+    // corpus q185 report throughout (counts sum exactly), which is what
+    // the shared oracle checks.
+    "q202_drift_absorb" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = scratchDir("graft_drift_absorb", dir)
+      val run = streamRuns.incrementAndGet()
+      val outPath = s"$base/out$run"
+      Curation.driftBucketCounts(
+          docs.filter(col("doc_id") % 10 =!= 0), "text", "source")
+        .write.mode("overwrite").parquet(s"$outPath/batch_id=-1")
+      def streamDrop(phase: Int, m: Int): Unit = {
+        val landing = new java.io.File(s"$base/landing$run-$phase")
+        landing.mkdirs()
+        val q = graft.streaming.DocumentStreams.driftIngest(s,
+          landing.toString, outPath, s"$base/ckpt$run-$phase",
+          maxFilesPerTrigger = Some(1))
+        val stage = s"$base/stage$run-$phase"
+        docs.filter(col("doc_id") % 20 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop.parquet"))
+        q.processAllAvailable()
+        q.stop()
+      }
+      streamDrop(0, 0)
+      graft.streaming.DocumentStreams.absorbDriftPartitions(s, outPath,
+        s"$base/ckpt$run-0")
+      streamDrop(1, 10)
+      Curation.driftTvdFromCounts(
+        graft.streaming.DocumentStreams.loadDriftCounts(s, outPath),
+        "source", nBuckets = 64)
+    }),
+
+    // Integer rank-percentile FEATURES (percent_rank + decile binning
+    // in exact arithmetic): the rank-normalization a feature pipeline
+    // applies before training, with a total-order tiebreak so both
+    // engines assign identical ranks. Windows run over each event
+    // type's FULL stream; the event_id slice only bounds the output.
+    "q203_rank_features" -> ((s, dir) => {
+      Curation.rankFeatures(
+          t(s, dir, "events")
+            .select(col("event_id"), col("event_type"),
+              cents(col("value")).as("value_cents")),
+          Seq("event_type"), "value_cents", Seq("event_id"))
+        .filter(col("event_id") % 37 === 0)
+        .select(col("event_id"), col("event_type"), col("value_cents"),
+          col("rn"), col("n_rows"), col("pct_micro"), col("decile"))
+    }),
+
+    // TYPE-2 SCD history: each user's event_type stream collapsed to
+    // versioned validity intervals (a new version only on CHANGE) —
+    // the Kimball dimension-history build as one keyed window pass.
+    "q204_scd2_history" -> ((s, dir) => {
+      graft.operators.Cdc.scd2History(
+          t(s, dir, "events")
+            .filter(col("user_id") % 7 === 0)
+            .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type")),
+          Seq("user_id"), "ts", "event_id", Seq("event_type"))
+        .select(col("user_id"), col("event_type"), col("valid_from_us"),
+          col("valid_to_us"), col("version"), col("is_current"))
+    }),
+
+    // CDC latest-wins APPLY, replayed in two stages: a base snapshot
+    // built from the pre-cutoff log slice, then the post-cutoff slice
+    // applied onto it — the oracle computes the end state in ONE pass
+    // over the whole log, so the row genuinely checks that staged
+    // replay ≡ recompute (the slice boundary respects timestamp order,
+    // the composition contract). error events act as deletes.
+    "q205_cdc_apply" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+        col("event_id"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("event_type"), cents(col("value")).as("value_cents"))
+      val cut = lit("2024-01-08").cast("timestamp")
+      val payload = Seq("event_type", "value_cents")
+      val empty = ev.select(("user_id" +: payload).map(col): _*).limit(0)
+      val base = graft.operators.Cdc.cdcApply(empty,
+        ev.filter(col("ts") < cut), Seq("user_id"), "ts", "event_id",
+        "op", payload)
+      graft.operators.Cdc.cdcApply(base, ev.filter(col("ts") >= cut),
+        Seq("user_id"), "ts", "event_id", "op", payload)
+    }),
+
+    // Word2vec phrase detection: top-50 collocations by the discounted
+    // integer lift score — the pre-tokenization pass that merges
+    // "new york"-style pairs before training.
+    "q206_collocations" -> ((s, dir) => {
+      Curation.collocations(t(s, dir, "documents"), "text",
+        minCount = 5, topK = 50)
+    }),
+
     // EXACT grouped median without floats: median2x = the sum of the
     // two middle order statistics (2× the middle for odd counts) of
     // per-flag quantities — integer-exact, so no half-point rounding
@@ -3859,6 +3970,34 @@ object SparkEntry {
        |FROM ranked WHERE rn = 1""".stripMargin
   }
 
+  /** Shared drift-monitor mirror (q185 batch report, q196 streaming
+    * twin, q202 absorb lifecycle — all serve the full-corpus TVD).
+    */
+  private lazy val driftOracleSql: String = {
+    val h = hexToLongSql("md5('drift:' || tok)", 1, 15)
+    s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+       |             FROM documents),
+       |b AS (SELECT source, CAST($h AS BIGINT) % 64 AS bucket FROM tok),
+       |bg AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS o
+       |       FROM b GROUP BY source, bucket),
+       |tot AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_tokens
+       |        FROM bg GROUP BY source),
+       |corp AS (SELECT bucket, CAST(sum(o) AS BIGINT) AS c FROM bg
+       |         GROUP BY bucket),
+       |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM corp),
+       |grid AS (SELECT tot.source, tot.n_tokens, k.bucket
+       |         FROM tot CROSS JOIN (SELECT unnest(range(64)) AS bucket) k)
+       |SELECT g.source, g.n_tokens,
+       |  CAST(sum(abs(coalesce(bg.o, 0) * 1000000 // g.n_tokens
+       |               - corp.c * 1000000 // n.n_total)) AS BIGINT)
+       |    AS tvd_micro
+       |FROM grid g
+       |LEFT JOIN bg ON bg.source = g.source AND bg.bucket = g.bucket
+       |JOIN corp ON corp.bucket = g.bucket
+       |CROSS JOIN n
+       |GROUP BY g.source, g.n_tokens""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // gid bit order matches Spark grouping_id(): first cube column MSB
     "q186_cube" ->
@@ -3928,6 +4067,97 @@ object SparkEntry {
         |            UNION ALL SELECT z FROM tri)
         |SELECT node, CAST(count(*) AS BIGINT) AS triangles
         |FROM corners GROUP BY node""".stripMargin,
+    "q201_exact_quantiles" ->
+      """WITH li AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v
+        |            FROM lineitem),
+        |r AS (SELECT l_returnflag, v,
+        |        row_number() OVER (PARTITION BY l_returnflag ORDER BY v)
+        |          AS rn,
+        |        count(*) OVER (PARTITION BY l_returnflag) AS n FROM li),
+        |q(q_name, bp) AS (VALUES ('p25', 2500), ('p50', 5000),
+        |                         ('p90', 9000)),
+        |pos AS (SELECT r.l_returnflag, r.v, r.rn, q.q_name,
+        |          ((n - 1) * bp) // 10000 AS lo,
+        |          ((n - 1) * bp) % 10000 AS frac
+        |        FROM r CROSS JOIN q
+        |        WHERE rn = ((n - 1) * bp) // 10000 + 1
+        |           OR rn = least(((n - 1) * bp) // 10000 + 2, n))
+        |SELECT l_returnflag, q_name,
+        |  CAST(max(CASE WHEN rn = lo + 1 THEN v END) * 1000000 +
+        |    (coalesce(max(CASE WHEN rn = lo + 2 THEN v END),
+        |              max(CASE WHEN rn = lo + 1 THEN v END))
+        |     - max(CASE WHEN rn = lo + 1 THEN v END))
+        |    * max(frac) * 100 AS BIGINT) AS q_micro
+        |FROM pos GROUP BY l_returnflag, q_name""".stripMargin,
+    "q203_rank_features" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |             CAST(round(value * 100) AS BIGINT) AS value_cents
+        |           FROM events),
+        |r AS (SELECT event_id, event_type, value_cents,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY value_cents, event_id) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n_rows
+        |      FROM e)
+        |SELECT event_id, event_type, value_cents, CAST(rn AS INT) AS rn,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(CASE WHEN n_rows = 1 THEN 0
+        |       ELSE CAST(rn - 1 AS BIGINT) * 1000000 // (n_rows - 1) END
+        |    AS BIGINT) AS pct_micro,
+        |  CAST(((rn - 1) * 10) // n_rows AS BIGINT) AS decile
+        |FROM r WHERE event_id % 37 = 0""".stripMargin,
+    // same change-detection windows: version starts where the tracked
+    // attribute differs from its lag (rn = 1 covers the first row)
+    "q204_scd2_history" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        |           FROM events WHERE user_id % 7 = 0),
+        |o AS (SELECT user_id, us, event_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS prev,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS rn
+        |      FROM e),
+        |v AS (SELECT user_id, event_type, us AS valid_from_us FROM o
+        |      WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+        |SELECT user_id, event_type, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from_us) AS valid_to_us,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY valid_from_us) AS INT) AS version,
+        |  (lead(valid_from_us) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from_us) IS NULL) AS is_current
+        |FROM v""".stripMargin,
+    // ONE pass over the whole log — the staged Spark replay (base from
+    // the pre-cutoff slice, then apply) must land on exactly this state
+    "q205_cdc_apply" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END
+        |               AS op,
+        |             event_type,
+        |             CAST(round(value * 100) AS BIGINT) AS value_cents
+        |           FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY us DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, event_type, value_cents
+        |FROM r WHERE rn = 1 AND op = 'U'""".stripMargin,
+    // same two-step floor division, same discount, same total-order cut
+    "q206_collocations" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT unnest(w.w) AS w FROM w),
+        |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS t_total FROM tok),
+        |bg AS (SELECT unnest([w.w[i] || ' ' || w.w[i+1]
+        |                     FOR i IN range(1, greatest(len(w.w) - 1, 0) + 1)])
+        |         AS pair FROM w),
+        |cb AS (SELECT pair, CAST(count(*) AS BIGINT) AS c_xy FROM bg
+        |       GROUP BY pair HAVING count(*) > 5)
+        |SELECT pair, c_xy, cx.c AS c_x, cy.c AS c_y,
+        |  CAST(((c_xy - 5) * 1000000 // cx.c) * t_total // cy.c AS BIGINT)
+        |    AS score_micro
+        |FROM cb
+        |JOIN cu cx ON cx.w = string_split(pair, ' ')[1]
+        |JOIN cu cy ON cy.w = string_split(pair, ' ')[2]
+        |CROSS JOIN t
+        |ORDER BY score_micro DESC, pair ASC LIMIT 50""".stripMargin,
     "q200_cohort_retention" ->
       """WITH a AS (SELECT DISTINCT user_id,
         |             epoch_us(ts) // 604800000000 AS wk FROM events),
@@ -5166,54 +5396,11 @@ object SparkEntry {
          |WHERE sim_micro < 350000""".stripMargin,
     // the streaming twin maintains sum-mergeable histograms whose merged
     // state equals the full-corpus counts — same mirror as q185
-    "q196_drift_stream" -> {
-      val h = hexToLongSql("md5('drift:' || tok)", 1, 15)
-      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
-         |             FROM documents),
-         |b AS (SELECT source, CAST($h AS BIGINT) % 64 AS bucket FROM tok),
-         |bg AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS o
-         |       FROM b GROUP BY source, bucket),
-         |tot AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_tokens
-         |        FROM bg GROUP BY source),
-         |corp AS (SELECT bucket, CAST(sum(o) AS BIGINT) AS c FROM bg
-         |         GROUP BY bucket),
-         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM corp),
-         |grid AS (SELECT tot.source, tot.n_tokens, k.bucket
-         |         FROM tot CROSS JOIN (SELECT unnest(range(64)) AS bucket) k)
-         |SELECT g.source, g.n_tokens,
-         |  CAST(sum(abs(coalesce(bg.o, 0) * 1000000 // g.n_tokens
-         |               - corp.c * 1000000 // n.n_total)) AS BIGINT)
-         |    AS tvd_micro
-         |FROM grid g
-         |LEFT JOIN bg ON bg.source = g.source AND bg.bucket = g.bucket
-         |JOIN corp ON corp.bucket = g.bucket
-         |CROSS JOIN n
-         |GROUP BY g.source, g.n_tokens""".stripMargin
-    },
-    "q185_source_drift" -> {
-      val h = hexToLongSql("md5('drift:' || tok)", 1, 15)
-      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
-         |             FROM documents),
-         |b AS (SELECT source, CAST($h AS BIGINT) % 64 AS bucket FROM tok),
-         |bg AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS o
-         |       FROM b GROUP BY source, bucket),
-         |tot AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_tokens
-         |        FROM bg GROUP BY source),
-         |corp AS (SELECT bucket, CAST(sum(o) AS BIGINT) AS c FROM bg
-         |         GROUP BY bucket),
-         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM corp),
-         |grid AS (SELECT tot.source, tot.n_tokens, k.bucket
-         |         FROM tot CROSS JOIN (SELECT unnest(range(64)) AS bucket) k)
-         |SELECT g.source, g.n_tokens,
-         |  CAST(sum(abs(coalesce(bg.o, 0) * 1000000 // g.n_tokens
-         |               - corp.c * 1000000 // n.n_total)) AS BIGINT)
-         |    AS tvd_micro
-         |FROM grid g
-         |LEFT JOIN bg ON bg.source = g.source AND bg.bucket = g.bucket
-         |JOIN corp ON corp.bucket = g.bucket
-         |CROSS JOIN n
-         |GROUP BY g.source, g.n_tokens""".stripMargin
-    },
+    "q196_drift_stream" -> driftOracleSql,
+    // the absorb collapses partitions whose counts already sum to the
+    // full-corpus histogram — same mirror again
+    "q202_drift_absorb" -> driftOracleSql,
+    "q185_source_drift" -> driftOracleSql,
     // KWIC over the replayed BM25 run: same earliest-term-position
     // rule (1-based both sides), same clamped ±3 token slice
     "q180_kwic_snippets" ->

@@ -903,6 +903,60 @@ object Curation {
           .as("r_star_micro"))
   }
 
+  /** COLLOCATION mining — the word2vec phrase-detection score
+    * (Mikolov et al. NeurIPS'13, §4: score(wᵢ,wⱼ) =
+    * (c(wᵢwⱼ) − δ) / (c(wᵢ)·c(wⱼ)), scaled by corpus size): the
+    * pre-tokenization pass that decides which adjacent word pairs
+    * ("new york") merge into single tokens before training. The
+    * discount δ kills rare-pair noise; scaling by total tokens T makes
+    * the score a LIFT (≈ p(xy)/(p(x)p(y)), > 10⁶ micro ⇔ the pair
+    * co-occurs more than independence predicts).
+    *
+    * All-integer: score_micro = ((c_xy − δ)·10⁶ div c_x)·T div c_y —
+    * two floor divisions IN THIS ORDER (documented contract; the first
+    * quotient is ≤ 10⁶ since c_xy ≤ c_x, so the second product is
+    * ≤ 10⁶·T, far inside Long at any corpus size — one division would
+    * overflow at c_xy·T·10⁶). The oracle mirrors the same two-step
+    * floor, so engines agree bit-for-bit.
+    *
+    * Plan shape: one token-stream shuffle for unigram counts, one for
+    * bigram counts, two equi-joins of the (vocab-bounded) count
+    * relations, and a global top-k (TakeOrderedAndProject — never a
+    * full sort). Scan-linear; the corpus text never shuffles.
+    *
+    * @param minCount the discount δ; pairs with c_xy ≤ δ drop
+    * @param topK     result rows, ordered by (score desc, pair asc) —
+    *                 a total order, so the cut is deterministic
+    * @return (pair, c_xy, c_x, c_y, score_micro)
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5,
+      topK: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val tok = df.select(
+      explode(split(col(textCol), " ")).as("w"))
+    val cu = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // one-row token total rides in as the established single-row
+    // stats broadcast (the q47/BM25 shape; BNLJ-budgeted in PlanSpec)
+    val total = tok.agg(count(lit(1)).as("t_total"))
+    val cb = df.select(
+        explode(graft.functions.TextAnalysis.wordNGrams(col(textCol), 2))
+          .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") > minCount)
+    cb.withColumn("w1", split(col("pair"), " ").getItem(0))
+      .withColumn("w2", split(col("pair"), " ").getItem(1))
+      .join(cu.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(cu.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("score_micro",
+        expr(s"((c_xy - ${minCount}L) * 1000000L div c_x) * t_total div c_y"))
+      .select(col("pair"), col("c_xy"), col("c_x"), col("c_y"),
+        col("score_micro"))
+      .orderBy(col("score_micro").desc, col("pair").asc)
+      .limit(topK)
+  }
+
   /** Per-document BIGRAM SURPRISAL — the model-based quality-filter
     * signal (the KenLM/CCNet perplexity-filtering idea, reduced to a
     * bigram LM and integer arithmetic): train bigram counts on the
@@ -1003,6 +1057,78 @@ object Curation {
           .as(s"${name}_est")
     }
     est.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** EXACT linear-interpolated quantiles per group — the precise
+    * companion to [[logHistQuantiles]]'s sketch estimates, in pure
+    * integer arithmetic so both engines agree bit-for-bit. For
+    * quantile p (basis points) over n sorted values v₁..vₙ, the
+    * standard percentile_cont position is (n−1)·p/10⁴; split it
+    * exactly as lo = (n−1)·p DIV 10⁴ and frac = (n−1)·p MOD 10⁴,
+    * then
+    *
+    *   q_micro = v_{lo+1} · 10⁶ + (v_{lo+2} − v_{lo+1}) · frac · 100
+    *
+    * (v_{lo+2} clamped to vₙ) — percentile_cont with the interpolation
+    * carried in micro units instead of an IEEE multiply. Needs
+    * |v| < 9.2·10¹² (the cents discipline).
+    *
+    * One ranking window per group plus one broadcast of the (name, bp)
+    * literal list; each group contributes ≤ 2 rows per quantile to the
+    * final aggregation.
+    *
+    * @return one row per group × quantile: (group…, q_name, q_micro)
+    */
+  def exactQuantiles(df: DataFrame, groupCols: Seq[String],
+      valCol: String, quantilesBp: Seq[(String, Int)]): DataFrame = {
+    quantilesBp.foreach { case (name, bp) =>
+      require(bp >= 0 && bp <= 10000,
+        s"quantile $name: bp must be in [0, 10000], got $bp")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gcols = groupCols.map(col)
+    val wp = Window.partitionBy(gcols: _*)
+    val ranked = df
+      .withColumn("__v", col(valCol).cast("long"))
+      .withColumn("__rn", row_number().over(wp.orderBy(col("__v").asc)))
+      .withColumn("__n", count(lit(1)).over(wp))
+    val qs = broadcast(quantilesBp.toDF("q_name", "__bp"))
+    val pos = ranked.crossJoin(qs)
+      .withColumn("__lo", expr("((__n - 1) * __bp) div 10000"))
+      .withColumn("__frac", expr("((__n - 1) * __bp) % 10000"))
+      .filter(col("__rn") === col("__lo") + 1 ||
+        col("__rn") === least(col("__lo") + 2, col("__n")))
+    pos.groupBy((gcols :+ col("q_name")): _*)
+      .agg((max(when(col("__rn") === col("__lo") + 1, col("__v")))
+          * lit(1000000L) +
+        (coalesce(
+            max(when(col("__rn") === col("__lo") + 2, col("__v"))),
+            max(when(col("__rn") === col("__lo") + 1, col("__v"))))
+          - max(when(col("__rn") === col("__lo") + 1, col("__v"))))
+          * max(col("__frac")) * lit(100L))
+        .as("q_micro"))
+  }
+
+  /** Integer rank-percentile FEATURES per group — the rank-based
+    * normalization step (percent_rank / decile binning) a feature
+    * pipeline applies before training, in exact integer form:
+    * pct_micro = (rn−1)·10⁶ DIV (n−1) (0 for singleton groups) and
+    * decile = (rn−1)·10 DIV n, with rn ranked by (value, tiebreak…)
+    * — a TOTAL order, so ties get deterministic distinct ranks and
+    * both engines assign identical features. One shuffle on the group
+    * key.
+    */
+  def rankFeatures(df: DataFrame, groupCols: Seq[String], valCol: String,
+      tiebreak: Seq[String]): DataFrame = {
+    val wp = Window.partitionBy(groupCols.map(col): _*)
+    val order = (valCol +: tiebreak).map(c => col(c).asc)
+    df.withColumn("rn", row_number().over(wp.orderBy(order: _*)))
+      .withColumn("n_rows", count(lit(1)).over(wp))
+      .withColumn("pct_micro",
+        when(col("n_rows") === 1L, lit(0L)).otherwise(
+          expr("CAST((rn - 1) AS BIGINT) * 1000000 div (n_rows - 1)")))
+      .withColumn("decile", expr("((rn - 1) * 10) div n_rows"))
   }
 
   // ------------------------------------------------------------------

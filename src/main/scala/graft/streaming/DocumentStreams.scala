@@ -422,6 +422,28 @@ object DocumentStreams {
       .groupBy(col("source"), col("bucket"))
       .agg(sum(col("o")).as("o"))
 
+  /** L0 → base absorb for the drift store: collapse every accumulated
+    * `batch_id=N` partition (plus the old base) into ONE merged base
+    * partition — counts sum exactly, so the served histogram is
+    * unchanged — and clear the checkpoint so the next streaming run
+    * starts clean. The [[absorbPostingsDeltas]] contract: run BETWEEN
+    * streaming runs only (single-nightly-writer); bounds the
+    * partition-per-batch growth of a long-lived ingest. The whole-dir
+    * swap goes through the guarded temp-rename
+    * ([[graft.operators.StoreFiles.swapIn]]).
+    */
+  def absorbDriftPartitions(spark: SparkSession, outPath: String,
+      checkpointDir: String): Unit = {
+    val merged = loadDriftCounts(spark, outPath).coalesce(1)
+      .localCheckpoint() // materialize BEFORE the swap deletes the input
+    graft.operators.StoreFiles.swapIn(spark, outPath) { tmp =>
+      merged.write.mode("overwrite").parquet(s"$tmp/batch_id=-1")
+    }
+    val p = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
   /** embeddings parquet schema as stored by the driver. */
   val embeddingsFileSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),

@@ -615,4 +615,46 @@ class CurationSpec extends SparkSpec {
     assert(small.subsetOf(big) && small.nonEmpty && big.size > small.size)
     assert(draw(docs.repartition(17), 200L) == big)
   }
+
+  test("exactQuantiles: known interpolated values, edge quantiles, singleton group") {
+    // group A: 1..5 → p50 pos = 2.0 (0-based) → exactly 3;
+    //          p25 pos = 1.0 → 2; p90 pos = 3.6 → 4 + 0.6·(5−4)
+    // group B: {10, 20} → p50 pos = 0.5 → 15 exactly
+    // group C: {7} → every quantile = 7
+    val df = (Seq(("A", 1L), ("A", 2L), ("A", 3L), ("A", 4L), ("A", 5L),
+      ("B", 10L), ("B", 20L), ("C", 7L))).toDF("g", "v")
+    val out = Curation.exactQuantiles(df, Seq("g"), "v",
+        Seq(("p0", 0), ("p25", 2500), ("p50", 5000), ("p90", 9000),
+          ("p100", 10000)))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("A", "p0")) == 1000000L)
+    assert(out(("A", "p25")) == 2000000L)
+    assert(out(("A", "p50")) == 3000000L)
+    assert(out(("A", "p90")) == 4600000L)
+    assert(out(("A", "p100")) == 5000000L)
+    assert(out(("B", "p50")) == 15000000L)
+    assert(out(("C", "p50")) == 7000000L && out(("C", "p100")) == 7000000L)
+    // partitioning invariance
+    val again = Curation.exactQuantiles(df.repartition(7), Seq("g"), "v",
+        Seq(("p90", 9000)))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(again(("A", "p90")) == 4600000L)
+  }
+
+  test("rankFeatures: exact percent ranks and deciles with deterministic ties") {
+    val df = Seq((1L, "t", 10L), (2L, "t", 10L), (3L, "t", 30L),
+      (4L, "u", 5L)).toDF("id", "g", "v")
+    val out = Curation.rankFeatures(df, Seq("g"), "v", Seq("id"))
+      .select($"id", $"rn", $"n_rows", $"pct_micro", $"decile")
+      .as[(Long, Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // tie on v=10 breaks by id: 1 before 2
+    assert(out(1L) == ((1, 3L, 0L, 0L)))
+    assert(out(2L) == ((2, 3L, 500000L, 3L)))
+    assert(out(3L) == ((3, 3L, 1000000L, 6L)))
+    // singleton group: pct 0 by convention, decile 0
+    assert(out(4L) == ((1, 1L, 0L, 0L)))
+  }
 }

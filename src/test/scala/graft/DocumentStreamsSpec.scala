@@ -741,5 +741,17 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(Curation.driftTvdFromCounts(
         DocumentStreams.loadDriftCounts(spark, outPath), "source", 64)
       .as[(String, Long, Long)].collect().toSet == bulk)
+    // absorb: every batch partition collapses into one merged base —
+    // served counts identical, partition count down to one, checkpoint
+    // cleared for the next run
+    val before = DocumentStreams.loadDriftCounts(spark, outPath)
+      .as[(String, Long, Long)].collect().toSet
+    DocumentStreams.absorbDriftPartitions(spark, outPath, s"$base/ckpt")
+    val partDirs = new java.io.File(outPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(partDirs.map(_.getName).toSeq == Seq("batch_id=-1"))
+    assert(DocumentStreams.loadDriftCounts(spark, outPath)
+      .as[(String, Long, Long)].collect().toSet == before)
+    assert(!new java.io.File(s"$base/ckpt").exists())
   }
 }
