@@ -539,10 +539,20 @@ object SparkEntry {
     // (min-label propagation; component id = representative doc).
     "q68_dedup_components" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text")
+      // a real handle: connectedComponents materializes the edge
+      // relation eagerly (edges.count() pins its own cache), so the
+      // shingle-set cache is dead weight from that point — releasing it
+      // here keeps the pairs pipeline's GC load out of every later
+      // query in the session (the q68 bench-band fix)
+      val cache = new Dedup.CacheHandle()
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          cache = cache)
         .select(col("id_a"), col("id_b"))
-      Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id", pairs)
+      val out = Dedup.connectedComponents(docs.select(col("doc_id")),
+          "doc_id", pairs)
         .select(col("id").as("doc_id"), col("component"))
+      cache.release()
+      out
     }),
 
     // Skew-safe two-phase aggregation: group by (key, salt) then combine —
@@ -716,12 +726,16 @@ object SparkEntry {
         .withColumn("n_tokens", m("n_tokens"))
         .withColumn("uniq_ratio", m("uniq_token_ratio"))
         .filter(col("n_tokens") >= 20 && col("uniq_ratio") >= 0.2)
-      val pairs = Dedup.minHashLshPairs(gated, "doc_id", "text")
+      val cache = new Dedup.CacheHandle()
+      val pairs = Dedup.minHashLshPairs(gated, "doc_id", "text",
+          cache = cache)
         .select(col("id_a"), col("id_b"))
-      Dedup.dedupByComponents(gated, "doc_id", pairs)
+      val out = Dedup.dedupByComponents(gated, "doc_id", pairs)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"))
+      cache.release() // components ran eagerly above (q68 note)
+      out
     }),
 
     // Multimodal plumbing: opaque binary column + typed metadata (the
@@ -1095,12 +1109,17 @@ object SparkEntry {
     "q105_dedup_keep_best" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
-      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text")
+      val cache = new Dedup.CacheHandle()
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          cache = cache)
         .select(col("id_a"), col("id_b"))
-      Dedup.dedupByComponentsBest(docs, "doc_id", pairs, col("n_tokens"))
+      val out = Dedup.dedupByComponentsBest(docs, "doc_id", pairs,
+          col("n_tokens"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"))
+      cache.release() // components ran eagerly above (q68 note)
+      out
     }),
 
     // Incremental ANN index maintenance: build+persist IVF on the
@@ -1140,11 +1159,15 @@ object SparkEntry {
     // silently inflates eval numbers).
     "q108_leakage_safe_split" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text")
+      val cache = new Dedup.CacheHandle()
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          cache = cache)
         .select(col("id_a"), col("id_b"))
-      Curation.clusterAwareSplit(docs, "doc_id", pairs)
+      val out = Curation.clusterAwareSplit(docs, "doc_id", pairs)
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"))
+      cache.release() // components ran eagerly above (q68 note)
+      out
     }),
 
     // Rare-token quality gate — the log-free form of the CCNet-style
@@ -1576,14 +1599,17 @@ object SparkEntry {
       // probed and appended per drop — q112's lifecycle), the label
       // store folds them into cluster state incrementally
       val idxDir = s"$store/bands"
-      val cPairs = Dedup.minHashLshPairs(corpus, "doc_id", "text")
+      val cache = new Dedup.CacheHandle()
+      val cPairs = Dedup.minHashLshPairs(corpus, "doc_id", "text",
+          cache = cache)
         .select(col("id_a"), col("id_b"))
       Dedup.saveLabelStore(
         Dedup.connectedComponents(corpus.select(col("doc_id")), "doc_id",
           cPairs), store)
       Dedup.saveBandIndex(Dedup.buildBandIndex(corpus, "doc_id", "text"), idxDir)
       for (d <- Seq(drop1, drop2)) {
-        val within = Dedup.minHashLshPairs(d, "doc_id", "text")
+        val within = Dedup.minHashLshPairs(d, "doc_id", "text",
+            cache = cache)
           .select(col("id_a"), col("id_b"))
         val across = Dedup.minHashLshProbe(Dedup.loadBandIndex(s, idxDir),
             d, "doc_id", "text")
@@ -1592,6 +1618,7 @@ object SparkEntry {
           within.unionByName(across))
         Dedup.appendBandIndex(s, idxDir, d, "doc_id", "text")
       }
+      cache.release() // every append wrote; shingle caches are dead
       Dedup.resolveLabels(s, store)
         .select(col("id").as("doc_id"), col("component"))
     }),
@@ -1608,11 +1635,14 @@ object SparkEntry {
     "q162_label_delete" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val store = scratchDir("graft_label_delete", dir)
-      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text")
+      val cache = new Dedup.CacheHandle()
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          cache = cache)
         .select(col("id_a"), col("id_b"))
       Dedup.saveLabelStore(
         Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id",
           pairs), store)
+      cache.release() // store persisted; the pairs pipeline is done
       Dedup.deleteFromLabelStore(s, store,
         docs.filter(col("doc_id") % 9 === 4).select("doc_id"), "doc_id")
       Dedup.resolveLabels(s, store)
@@ -1638,11 +1668,14 @@ object SparkEntry {
       landing.mkdirs()
       val store = s"$base/store$run"
       val idxDir = s"$base/bands$run"
-      val cPairs = Dedup.minHashLshPairs(corpus, "doc_id", "text")
+      val cache = new Dedup.CacheHandle()
+      val cPairs = Dedup.minHashLshPairs(corpus, "doc_id", "text",
+          cache = cache)
         .select(col("id_a"), col("id_b"))
       Dedup.saveLabelStore(
         Dedup.connectedComponents(corpus.select(col("doc_id")), "doc_id",
           cPairs), store)
+      cache.release() // store persisted; the pairs pipeline is done
       Dedup.saveBandIndex(Dedup.buildBandIndex(corpus, "doc_id", "text"), idxDir)
       val out = s"$base/out$run"
       val q = graft.streaming.DocumentStreams.labelIngest(s,
@@ -4116,15 +4149,15 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY user_id
         |          ORDER BY us, event_id) AS rn
         |      FROM e),
-        |v AS (SELECT user_id, event_type, us AS valid_from_us FROM o
-        |      WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+        |v AS (SELECT user_id, event_type, us AS valid_from_us, event_id
+        |      FROM o WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
         |SELECT user_id, event_type, valid_from_us,
         |  lead(valid_from_us) OVER (PARTITION BY user_id
-        |    ORDER BY valid_from_us) AS valid_to_us,
+        |    ORDER BY valid_from_us, event_id) AS valid_to_us,
         |  CAST(row_number() OVER (PARTITION BY user_id
-        |    ORDER BY valid_from_us) AS INT) AS version,
+        |    ORDER BY valid_from_us, event_id) AS INT) AS version,
         |  (lead(valid_from_us) OVER (PARTITION BY user_id
-        |    ORDER BY valid_from_us) IS NULL) AS is_current
+        |    ORDER BY valid_from_us, event_id) IS NULL) AS is_current
         |FROM v""".stripMargin,
     // ONE pass over the whole log — the staged Spark replay (base from
     // the pre-cutoff slice, then apply) must land on exactly this state

@@ -55,15 +55,22 @@ object Cdc {
     // null-safe inequality: a run of NULL attr values is one version,
     // and the first row per key (lag = null) always opens one
     val changed = !(attrs <=> lag(attrs, 1).over(w))
-    val wk = Window.partitionBy(kc: _*).orderBy(col("valid_from_us").asc)
+    // the version-start rows keep idCol as the tiebreak, so the second
+    // window's order is the SAME total order (tsCol, idCol) as the
+    // change-detection pass — two version-opening rows at one timestamp
+    // get deterministic version/valid_to assignment on every engine
+    val wk = Window.partitionBy(kc: _*)
+      .orderBy(col("valid_from_us").asc, col("__vid").asc)
     changes.filter(col(tsCol).isNotNull)
       .withColumn("__chg", changed)
       .filter(col("__chg"))
-      .select(kc ++ attrCols.map(col) :+
-        unix_micros(col(tsCol)).as("valid_from_us"): _*)
+      .select(kc ++ attrCols.map(col) ++ Seq(
+        unix_micros(col(tsCol)).as("valid_from_us"),
+        col(idCol).as("__vid")): _*)
       .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wk))
       .withColumn("version", row_number().over(wk))
       .withColumn("is_current", col("valid_to_us").isNull)
+      .drop("__vid")
   }
 
   /** Latest-wins CDC APPLY: replay a change log onto a served base
@@ -98,18 +105,22 @@ object Cdc {
     val out = keys ++ payloadCols
     val opOk = assert_true(col(opCol).isin("U", "D"),
       concat(lit(s"cdcApply: bad $opCol: "), col(opCol).cast("string")))
+    // the tiebreak rides RAW (no cast): a lossy cast (e.g. a string
+    // UUID to long) would silently NULL every tiebreak and make
+    // latest-wins nondeterministic under equal timestamps
+    val idT = changes.schema(idCol).dataType
     val c = changes.filter(col(tsCol).isNotNull)
       .withColumn("__del", when(opOk.isNull, col(opCol) === "D"))
       .withColumn("__side", lit(1))
       .withColumn("__us", unix_micros(col(tsCol)))
-      .withColumn("__id", col(idCol).cast("long"))
+      .withColumn("__id", col(idCol))
       .select(kc ++ payloadCols.map(col) ++
         Seq(col("__del"), col("__side"), col("__us"), col("__id")): _*)
     val b = base
       .withColumn("__del", lit(false))
       .withColumn("__side", lit(0))
       .withColumn("__us", lit(null).cast("long"))
-      .withColumn("__id", lit(null).cast("long"))
+      .withColumn("__id", lit(null).cast(idT))
       .select(kc ++ payloadCols.map(col) ++
         Seq(col("__del"), col("__side"), col("__us"), col("__id")): _*)
     val w = Window.partitionBy(kc: _*)

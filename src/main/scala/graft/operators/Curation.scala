@@ -1128,7 +1128,8 @@ object Curation {
       .withColumn("pct_micro",
         when(col("n_rows") === 1L, lit(0L)).otherwise(
           expr("CAST((rn - 1) AS BIGINT) * 1000000 div (n_rows - 1)")))
-      .withColumn("decile", expr("((rn - 1) * 10) div n_rows"))
+      .withColumn("decile",
+        expr("(CAST((rn - 1) AS BIGINT) * 10) div n_rows"))
   }
 
   // ------------------------------------------------------------------

@@ -350,18 +350,87 @@ object Dedup {
     require(setsFiles >= 1, s"setsFiles must be >= 1, got $setsFiles")
     val tombs = StoreFiles.readTombstones(spark, s"$dir/tombstones")
       .map(_.select(col("id")).localCheckpoint())
+    // a manifested store compacts its COMMITTED snapshot (a torn
+    // append's orphans must be dropped, not resurrected); checkpointed
+    // because the swap deletes the files the snapshot relations read
+    val manifested = StoreFiles.dirExists(spark, s"$dir/manifest")
+    val (srcBands, srcSets) =
+      if (manifested) {
+        val snap = loadBandIndexSnapshot(spark, dir)
+        (snap.bands.localCheckpoint(), snap.sets.localCheckpoint())
+      } else {
+        val rawB = spark.read.parquet(s"$dir/bands")
+        val rawS = spark.read.parquet(s"$dir/sets")
+        (tombs.fold(rawB)(t => rawB.join(broadcast(t), Seq("id"), "left_anti")),
+         tombs.fold(rawS)(t => rawS.join(broadcast(t), Seq("id"), "left_anti")))
+      }
     StoreFiles.swapIn(spark, s"$dir/bands") { tmp =>
-      val raw = spark.read.parquet(s"$dir/bands")
-      tombs.fold(raw)(t => raw.join(broadcast(t), Seq("id"), "left_anti"))
-        .repartition(col("band"))
+      srcBands.repartition(col("band"))
         .write.partitionBy("band").parquet(tmp)
     }
     StoreFiles.swapIn(spark, s"$dir/sets") { tmp =>
-      val raw = spark.read.parquet(s"$dir/sets")
-      tombs.fold(raw)(t => raw.join(broadcast(t), Seq("id"), "left_anti"))
-        .coalesce(setsFiles).write.parquet(tmp)
+      srcSets.coalesce(setsFiles).write.parquet(tmp)
     }
     tombs.foreach(_ => StoreFiles.clearTombstones(spark, s"$dir/tombstones"))
+    if (manifested) // history collapses to a fresh generation 0
+      StoreFiles.writeManifest(spark, dir, 0L,
+        StoreFiles.listDataFiles(spark, bandDataDirs(dir)), "overwrite")
+  }
+
+  // --- snapshot-manifest commit log for the band family (the shared
+  // --- StoreFiles machinery; semantics identical to the postings
+  // --- family's: the manifest file is the commit point, a torn append
+  // --- is invisible to snapshot loads, OCC via expectedGen, vacuum
+  // --- reclaims orphans, asOf time-travels, deletes stay retroactive)
+
+  private def bandDataDirs(dir: String): Seq[String] =
+    Seq(s"$dir/bands", s"$dir/sets")
+
+  /** [[saveBandIndex]] plus the initial manifest (generation 0). */
+  def saveBandIndexCommitted(index: BandIndex, dir: String): Unit = {
+    val spark = index.bands.sparkSession
+    saveBandIndex(index, dir)
+    StoreFiles.writeManifest(spark, dir, 0L,
+      StoreFiles.listDataFiles(spark, bandDataDirs(dir)), "overwrite")
+  }
+
+  /** [[appendBandIndex]] with a commit point; with `expectedGen` the
+    * commit is optimistic (refuses if another writer committed since).
+    * Returns the committed generation.
+    */
+  def appendBandIndexCommitted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, textCol: String,
+      expectedGen: Option[Long] = None): Long =
+    StoreFiles.commitAppend(spark, dir, bandDataDirs(dir), expectedGen) {
+      appendBandIndex(spark, dir, batch, idCol, textCol)
+    }
+
+  /** Latest committed generation (-1 if never committed). */
+  def bandGen(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
+    StoreFiles.manifestGen(spark, dir)
+
+  /** Delete data files no committed snapshot references. */
+  def vacuumBandIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] =
+    StoreFiles.vacuumStore(spark, dir, bandDataDirs(dir))
+
+  /** Load exactly the COMMITTED file set (optionally as of a
+    * generation); tombstones apply as in [[loadBandIndex]] — the delete
+    * ledger is unversioned, so a forgotten doc never resurfaces through
+    * a historical read.
+    */
+  def loadBandIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
+      dir: String, asOf: Option[Long] = None): BandIndex = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    val rawB = StoreFiles.snapshotRead(spark, dir, "bands", asOf)
+    val rawS = StoreFiles.snapshotRead(spark, dir, "sets", asOf)
+    val (bands, sets) = StoreFiles.readTombstones(spark, s"$dir/tombstones")
+      .fold((rawB, rawS)) { t =>
+        val ids = broadcast(t.select(col("id")))
+        (rawB.join(ids, Seq("id"), "left_anti"),
+         rawS.join(ids, Seq("id"), "left_anti"))
+      }
+    BandIndex(bands, sets, p.getInt(0), p.getInt(1), p.getInt(2))
   }
 
   /** Probe a (possibly loaded) band index with a new batch: only the
@@ -563,11 +632,70 @@ object Dedup {
   def compactBloomIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, targetFiles: Int = 1): Unit = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val manifested = StoreFiles.dirExists(spark, s"$dir/manifest")
+    val src = // committed snapshot when manifested (postings contract)
+      if (manifested)
+        StoreFiles.snapshotRead(spark, dir, "words").localCheckpoint()
+      else spark.read.parquet(s"$dir/words")
     StoreFiles.swapIn(spark, s"$dir/words") { tmp =>
-      spark.read.parquet(s"$dir/words")
-        .groupBy(col("word")).agg(expr("bit_or(bits)").as("bits"))
+      src.groupBy(col("word")).agg(expr("bit_or(bits)").as("bits"))
         .coalesce(targetFiles).write.parquet(tmp)
     }
+    if (manifested)
+      StoreFiles.writeManifest(spark, dir, 0L,
+        StoreFiles.listDataFiles(spark, Seq(s"$dir/words")), "overwrite")
+  }
+
+  // --- snapshot-manifest commit log for the Bloom family (shared
+  // --- StoreFiles machinery; postings-family semantics — the lazy
+  // --- bit_or merge is order-insensitive, so the committed subset of
+  // --- word rows loads exactly like any other append order). No
+  // --- tombstone ledger: Bloom deletes are the documented stale-keys
+  // --- trade (extra candidates only, scrubbed by the exact confirm).
+
+  /** [[saveBloomIndex]] plus the initial manifest (generation 0). */
+  def saveBloomIndexCommitted(index: BloomIndex, dir: String): Unit = {
+    val spark = index.words.sparkSession
+    saveBloomIndex(index, dir)
+    StoreFiles.writeManifest(spark, dir, 0L,
+      StoreFiles.listDataFiles(spark, Seq(s"$dir/words")), "overwrite")
+  }
+
+  /** [[appendBloomIndex]] with a commit point (OCC via `expectedGen`);
+    * returns the committed generation.
+    */
+  def appendBloomIndexCommitted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, keyCol: String,
+      expectedGen: Option[Long] = None): Long =
+    StoreFiles.commitAppend(spark, dir, Seq(s"$dir/words"), expectedGen) {
+      appendBloomIndex(spark, dir, batch, keyCol)
+    }
+
+  /** Latest committed generation (-1 if never committed). */
+  def bloomGen(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
+    StoreFiles.manifestGen(spark, dir)
+
+  /** Delete data files no committed snapshot references. */
+  def vacuumBloomIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] =
+    StoreFiles.vacuumStore(spark, dir, Seq(s"$dir/words"))
+
+  /** Load exactly the COMMITTED word rows (optionally as of a
+    * generation), re-ORed at read like [[loadBloomIndex]]. Making a
+    * torn absorb invisible matters more here than for any other
+    * family: a partially-written batch leaves some of a key's k bit
+    * positions unset, so the key probes bloom-NEGATIVE, skips the
+    * exact confirm, and a later duplicate of it is silently admitted —
+    * the no-false-negative guarantee the whole gate rests on breaks.
+    * The committed set is always a whole number of absorbs, so the
+    * guarantee holds for exactly the keys of committed batches.
+    */
+  def loadBloomIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
+      dir: String, asOf: Option[Long] = None): BloomIndex = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    BloomIndex(StoreFiles.snapshotRead(spark, dir, "words", asOf)
+        .groupBy(col("word")).agg(expr("bit_or(bits)").as("bits")),
+      p.getLong(0), p.getInt(1))
   }
 
   /** [[bloomGatedAntiJoin]] against a STORED filter: the bitmap loads
@@ -1026,13 +1154,66 @@ object Dedup {
       dir: String): Unit = {
     val tombs = StoreFiles.readTombstones(spark, s"$dir/tombstones")
       .map(_.select(col("id")).localCheckpoint())
+    val manifested = StoreFiles.dirExists(spark, s"$dir/manifest")
+    val src = // committed snapshot when manifested (postings contract)
+      if (manifested) loadSimHashIndexSnapshot(spark, dir)
+        .banded.localCheckpoint()
+      else {
+        val raw = spark.read.parquet(s"$dir/banded")
+        tombs.fold(raw)(t => raw.join(broadcast(t), Seq("id"), "left_anti"))
+      }
     StoreFiles.swapIn(spark, s"$dir/banded") { tmp =>
-      val raw = spark.read.parquet(s"$dir/banded")
-      tombs.fold(raw)(t => raw.join(broadcast(t), Seq("id"), "left_anti"))
-        .repartition(col("band"))
-        .write.partitionBy("band").parquet(tmp)
+      src.repartition(col("band")).write.partitionBy("band").parquet(tmp)
     }
     tombs.foreach(_ => StoreFiles.clearTombstones(spark, s"$dir/tombstones"))
+    if (manifested)
+      StoreFiles.writeManifest(spark, dir, 0L,
+        StoreFiles.listDataFiles(spark, Seq(s"$dir/banded")), "overwrite")
+  }
+
+  // --- snapshot-manifest commit log for the SimHash family (shared
+  // --- StoreFiles machinery; postings-family semantics)
+
+  /** [[saveSimHashIndex]] plus the initial manifest (generation 0). */
+  def saveSimHashIndexCommitted(index: SimHashIndex, dir: String): Unit = {
+    val spark = index.banded.sparkSession
+    saveSimHashIndex(index, dir)
+    StoreFiles.writeManifest(spark, dir, 0L,
+      StoreFiles.listDataFiles(spark, Seq(s"$dir/banded")), "overwrite")
+  }
+
+  /** [[appendSimHashIndex]] with a commit point (OCC via `expectedGen`);
+    * returns the committed generation.
+    */
+  def appendSimHashIndexCommitted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, textCol: String,
+      expectedGen: Option[Long] = None): Long =
+    StoreFiles.commitAppend(spark, dir, Seq(s"$dir/banded"), expectedGen) {
+      appendSimHashIndex(spark, dir, batch, idCol, textCol)
+    }
+
+  /** Latest committed generation (-1 if never committed). */
+  def simHashGen(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long =
+    StoreFiles.manifestGen(spark, dir)
+
+  /** Delete data files no committed snapshot references. */
+  def vacuumSimHashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] =
+    StoreFiles.vacuumStore(spark, dir, Seq(s"$dir/banded"))
+
+  /** Load exactly the COMMITTED file set (optionally as of a
+    * generation); tombstones stay retroactive ([[loadBandIndexSnapshot]]
+    * contract).
+    */
+  def loadSimHashIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
+      dir: String, asOf: Option[Long] = None): SimHashIndex = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    val banded = StoreFiles.snapshotRead(spark, dir, "banded", asOf)
+    SimHashIndex(
+      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(banded)(t =>
+        banded.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")),
+      p.getInt(0))
   }
 
   /** Probe a (possibly loaded) SimHash index with a new batch: only the
@@ -1242,8 +1423,13 @@ object Dedup {
     */
   def compactLabelStore(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    val resolved = resolveLabels(spark, dir)
-      .select(col("id"), col("component").as("label"))
+    // a manifested store compacts its COMMITTED view (postings
+    // contract: torn-increment orphans are dropped, never resurrected)
+    val manifested = StoreFiles.dirExists(spark, s"$dir/manifest")
+    val resolved =
+      (if (manifested) resolveLabelsSnapshot(spark, dir)
+       else resolveLabels(spark, dir))
+        .select(col("id"), col("component").as("label"))
     resolved.write.mode("overwrite").parquet(s"$dir/labels_compact")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1263,6 +1449,9 @@ object Dedup {
     // the resolved view already excluded tombstoned ids, so the rewrite
     // APPLIED the deletes — the ledger is spent
     StoreFiles.clearTombstones(spark, s"$dir/tombstones")
+    if (manifested) // history collapses to a fresh generation 0
+      StoreFiles.writeManifest(spark, dir, 0L,
+        StoreFiles.listDataFiles(spark, labelDataDirs(dir)), "overwrite")
   }
 
   /** Fold one batch into the store. `batchIds` are the new ids (absent
@@ -1278,6 +1467,73 @@ object Dedup {
       lab.write.mode("append").parquet(s"$dir/labels")
       rem.write.mode("append").parquet(s"$dir/remap")
     } finally { resolved.unpersist(); () }
+  }
+
+  // --- snapshot-manifest commit log for the label store (shared
+  // --- StoreFiles machinery; postings-family semantics). An increment
+  // --- here is TWO relations (batch labels + merge remaps) — without
+  // --- the commit point a writer dying between them leaves labels
+  // --- whose merges never happened, a torn state a raw reader serves
+  // --- as wrongly-split clusters; the manifest makes both halves land
+  // --- or neither.
+
+  private def labelDataDirs(dir: String): Seq[String] =
+    Seq(s"$dir/labels", s"$dir/remap")
+
+  /** [[saveLabelStore]] plus the initial manifest (generation 0). */
+  def saveLabelStoreCommitted(labels: DataFrame, dir: String): Unit = {
+    val spark = labels.sparkSession
+    saveLabelStore(labels, dir)
+    StoreFiles.writeManifest(spark, dir, 0L,
+      StoreFiles.listDataFiles(spark, labelDataDirs(dir)), "overwrite")
+  }
+
+  /** [[appendLabels]] with a commit point (OCC via `expectedGen`): the
+    * increment computes against the COMMITTED resolved view, so a torn
+    * predecessor can't contaminate the contraction. Returns the
+    * committed generation.
+    */
+  def appendLabelsCommitted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batchIds: DataFrame, idCol: String, pairs: DataFrame,
+      expectedGen: Option[Long] = None): Long =
+    StoreFiles.commitAppend(spark, dir, labelDataDirs(dir), expectedGen) {
+      val resolved = resolveLabelsSnapshot(spark, dir).cache()
+      try incrementLabels(resolved, batchIds, idCol, pairs) { (lab, rem) =>
+        lab.write.mode("append").parquet(s"$dir/labels")
+        rem.write.mode("append").parquet(s"$dir/remap")
+      } finally { resolved.unpersist(); () }
+    }
+
+  /** Latest committed generation (-1 if never committed). */
+  def labelGen(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
+    StoreFiles.manifestGen(spark, dir)
+
+  /** Delete data files no committed snapshot references. */
+  def vacuumLabelStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] =
+    StoreFiles.vacuumStore(spark, dir, labelDataDirs(dir))
+
+  /** [[resolveLabels]] over exactly the COMMITTED file set (optionally
+    * as of a generation — the cluster state as it stood after that
+    * commit). The remap side may have no committed files (a store that
+    * never merged); tombstones stay retroactive, as everywhere.
+    */
+  def resolveLabelsSnapshot(spark: org.apache.spark.sql.SparkSession,
+      dir: String, asOf: Option[Long] = None,
+      maxChain: Int = 64): DataFrame = {
+    val labels = StoreFiles.snapshotRead(spark, dir, "labels", asOf)
+    val remapPaths = StoreFiles.manifestPaths(spark, dir, asOf)
+      .filter(_.contains("/remap/"))
+    val remap =
+      if (remapPaths.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], remapSchema)
+      else spark.read.schema(remapSchema)
+        .option("basePath", s"$dir/remap").parquet(remapPaths: _*)
+    resolveLabelChains(
+      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(labels)(t =>
+        labels.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")),
+      remap, maxChain)
   }
 
   /** Compute one batch's increment against an already-RESOLVED current

@@ -66,6 +66,7 @@ object Graph {
     // one scalar to the driver — the same bounded collect as the BM25
     // (N, T) stats row
     val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d")).localCheckpoint()
     val base = ((10000L - dampBp) * (Scale / n)) / 10000L

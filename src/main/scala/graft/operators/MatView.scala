@@ -167,7 +167,12 @@ object MatView {
       corpus: DataFrame): Unit = {
     val (keys, valueCol) = readParams(spark, dir)
     val kc = keys.map(col)
-    val state = spark.read.parquet(s"$dir/state").localCheckpoint()
+    // a committed store repairs its COMMITTED state — a torn append's
+    // orphan rows must not be baked into the rewritten generation 0
+    val state =
+      (if (StoreFiles.dirExists(spark, s"$dir/manifest"))
+         StoreFiles.snapshotRead(spark, dir, "state")
+       else spark.read.parquet(s"$dir/state")).localCheckpoint()
     val touched = state.filter(col("cnt") < 0).select(kc: _*).distinct()
       .localCheckpoint()
     val untouched = state.join(broadcast(touched), keys, "left_anti")
@@ -185,21 +190,91 @@ object MatView {
     StoreFiles.swapIn(spark, s"$dir/state") { tmp =>
       untouched.unionByName(repaired).write.parquet(tmp)
     }
+    // the swap replaced every state file — a committed store's manifest
+    // must collapse to a fresh generation 0 or it would reference
+    // deleted paths (same rule as compaction)
+    if (StoreFiles.dirExists(spark, s"$dir/manifest"))
+      StoreFiles.writeManifest(spark, dir, 0L,
+        StoreFiles.listDataFiles(spark, Seq(s"$dir/state")), "overwrite")
   }
+
+  /** [[retractAggState]] with a commit point: the retraction rows are a
+    * batch like any other, and a torn retraction is WORSE than a torn
+    * append (counts shrink for part of the deleted slice — the served
+    * aggregate lies in a direction no reader expects). Returns the
+    * committed generation.
+    */
+  def retractAggStateCommitted(spark: SparkSession, dir: String,
+      deleted: DataFrame, expectedGen: Option[Long] = None): Long =
+    StoreFiles.commitAppend(spark, dir, Seq(s"$dir/state"), expectedGen) {
+      retractAggState(spark, dir, deleted)
+    }
 
   /** Nightly maintenance: squash the delta pile into one row per key
     * (the merged partials are themselves valid delta rows), via the
     * guarded temp-swap. Serve results are unchanged; params untouched.
     */
-  def compactAggState(spark: SparkSession, dir: String): Unit =
+  def compactAggState(spark: SparkSession, dir: String): Unit = {
+    val manifested = StoreFiles.dirExists(spark, s"$dir/manifest")
+    val src = // committed snapshot when manifested (postings contract)
+      if (manifested)
+        StoreFiles.snapshotRead(spark, dir, "state").localCheckpoint()
+      else spark.read.parquet(s"$dir/state")
     StoreFiles.swapIn(spark, s"$dir/state") { tmp =>
       val (keys, _) = readParams(spark, dir)
-      spark.read.parquet(s"$dir/state")
-        .groupBy(keys.map(col): _*)
+      src.groupBy(keys.map(col): _*)
         .agg(sum(col("cnt")).as("cnt"),
           sum(col("sum_v")).as("sum_v"),
           min(col("min_v")).as("min_v"),
           max(col("max_v")).as("max_v"))
         .write.parquet(tmp)
     }
+    if (manifested)
+      StoreFiles.writeManifest(spark, dir, 0L,
+        StoreFiles.listDataFiles(spark, Seq(s"$dir/state")), "overwrite")
+  }
+
+  // --- snapshot-manifest commit log for the aggregate-state family
+  // --- (shared StoreFiles machinery; postings-family semantics). For
+  // --- MERGEABLE state a torn append is the quiet kind of wrong: the
+  // --- half-landed delta rows still merge into a plausible aggregate,
+  // --- just one that counts part of a batch — no reader could tell.
+  // --- The commit point restores all-or-nothing batches.
+
+  /** [[saveAggState]] plus the initial manifest (generation 0). */
+  def saveAggStateCommitted(st: AggState, dir: String): Unit = {
+    val spark = st.state.sparkSession
+    saveAggState(st, dir)
+    StoreFiles.writeManifest(spark, dir, 0L,
+      StoreFiles.listDataFiles(spark, Seq(s"$dir/state")), "overwrite")
+  }
+
+  /** [[appendAggState]] with a commit point (OCC via `expectedGen`);
+    * returns the committed generation.
+    */
+  def appendAggStateCommitted(spark: SparkSession, dir: String,
+      batch: DataFrame, expectedGen: Option[Long] = None): Long =
+    StoreFiles.commitAppend(spark, dir, Seq(s"$dir/state"), expectedGen) {
+      appendAggState(spark, dir, batch)
+    }
+
+  /** Latest committed generation (-1 if never committed). */
+  def aggGen(spark: SparkSession, dir: String): Long =
+    StoreFiles.manifestGen(spark, dir)
+
+  /** Delete data files no committed snapshot references. */
+  def vacuumAggState(spark: SparkSession, dir: String): Seq[String] =
+    StoreFiles.vacuumStore(spark, dir, Seq(s"$dir/state"))
+
+  /** Load exactly the COMMITTED delta rows (optionally as of a
+    * generation — the aggregate as it stood after that commit; the
+    * merge is order-insensitive, so any committed prefix is itself a
+    * valid state).
+    */
+  def loadAggStateSnapshot(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): AggState = {
+    val (keys, valueCol) = readParams(spark, dir)
+    AggState(StoreFiles.snapshotRead(spark, dir, "state", asOf),
+      keys, valueCol)
+  }
 }

@@ -323,14 +323,13 @@ object Retrieval {
       fromGen: Long, toGen: Long): DataFrame = {
     require(fromGen <= toGen,
       s"postingsAdditions: fromGen $fromGen > toGen $toGen")
-    val windows = spark.read.parquet(s"$dir/manifest")
-      .filter(col("gen") > fromGen && col("gen") <= toGen &&
-        col("path").contains("/postings/"))
-      .collect().map(r => (r.getLong(0), r.getString(1)))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-    val perGen = windows.map { case (g, rows) =>
+    val windows = StoreFiles.manifestEntries(spark, dir)
+      .filter { case (g, _) => g > fromGen && g <= toGen }
+      .map { case (g, ps) => (g, ps.filter(_.contains("/postings/"))) }
+      .filter(_._2.nonEmpty)
+    val perGen = windows.map { case (g, ps) =>
       spark.read.option("basePath", s"$dir/postings")
-        .parquet(rows.map(_._2).toSeq: _*)
+        .parquet(ps: _*)
         .select(lit(g).as("gen"), col("doc_id"), col("dl"))
         .distinct()
     }
@@ -980,15 +979,72 @@ object Retrieval {
   def compactPositionalIndex(spark: SparkSession, dir: String): Unit = {
     val tombs = StoreFiles.readTombstones(spark, s"$dir/tombstones")
       .map(_.select(col("doc_id")).localCheckpoint())
-    StoreFiles.swapIn(spark, s"$dir/postings") { tmp =>
-      val raw = spark.read.parquet(s"$dir/postings")
-      tombs.fold(raw)(t => raw.join(broadcast(t), Seq("doc_id"),
+    val manifested = StoreFiles.dirExists(spark, s"$dir/manifest")
+    val src = // committed snapshot when manifested (postings contract)
+      if (manifested)
+        loadPositionalIndexSnapshot(spark, dir).postings.localCheckpoint()
+      else {
+        val raw = spark.read.parquet(s"$dir/postings")
+        tombs.fold(raw)(t => raw.join(broadcast(t), Seq("doc_id"),
           "left_anti"))
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(tmp)
+      }
+    StoreFiles.swapIn(spark, s"$dir/postings") { tmp =>
+      src.repartition(col("bucket")).write.partitionBy("bucket").parquet(tmp)
     }
     if (tombs.nonEmpty)
       StoreFiles.clearTombstones(spark, s"$dir/tombstones")
+    if (manifested)
+      StoreFiles.writeManifest(spark, dir, 0L,
+        StoreFiles.listDataFiles(spark, Seq(s"$dir/postings")), "overwrite")
+  }
+
+  // --- snapshot-manifest commit log for the positional family (shared
+  // --- StoreFiles machinery; postings-family semantics — completing
+  // --- the family's lifecycle to parity with its BM25 sibling:
+  // --- serve/delete/stream/compact + commit/time-travel/OCC/vacuum)
+
+  /** [[savePositionalIndex]] plus the initial manifest (generation 0). */
+  def savePositionalIndexCommitted(index: PositionalIndex,
+      dir: String): Unit = {
+    val spark = index.postings.sparkSession
+    savePositionalIndex(index, dir)
+    StoreFiles.writeManifest(spark, dir, 0L,
+      StoreFiles.listDataFiles(spark, Seq(s"$dir/postings")), "overwrite")
+  }
+
+  /** [[appendPositionalIndex]] with a commit point (OCC via
+    * `expectedGen`); returns the committed generation.
+    */
+  def appendPositionalIndexCommitted(spark: SparkSession, dir: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      expectedGen: Option[Long] = None): Long =
+    StoreFiles.commitAppend(spark, dir, Seq(s"$dir/postings"),
+        expectedGen) {
+      appendPositionalIndex(spark, dir, batch, idCol, textCol)
+    }
+
+  /** Latest committed generation (-1 if never committed). */
+  def positionalGen(spark: SparkSession, dir: String): Long =
+    StoreFiles.manifestGen(spark, dir)
+
+  /** Delete data files no committed snapshot references. */
+  def vacuumPositionalIndex(spark: SparkSession, dir: String): Seq[String] =
+    StoreFiles.vacuumStore(spark, dir, Seq(s"$dir/postings"))
+
+  /** Load exactly the COMMITTED file set (optionally as of a generation
+    * — TIME TRAVEL to the phrase index as it stood after that commit).
+    * Tombstones stay retroactive: a forgotten document's phrases never
+    * resurface through a historical read ([[loadPostingsIndexSnapshot]]
+    * contract). Bucket pruning survives via basePath.
+    */
+  def loadPositionalIndexSnapshot(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): PositionalIndex = {
+    val raw = StoreFiles.snapshotRead(spark, dir, "postings", asOf)
+    PositionalIndex(
+      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(raw)(t =>
+        raw.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"),
+          "left_anti")),
+      spark.read.parquet(s"$dir/params").head().getInt(0))
   }
 
   /** Serve phrase queries from the stored index with ZERO corpus

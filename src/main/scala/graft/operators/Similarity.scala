@@ -567,14 +567,72 @@ object Similarity {
       dir: String): Unit = {
     val tombs = StoreFiles.readTombstones(spark, s"$dir/tombstones")
       .map(_.select(col("neighbor_id")).localCheckpoint())
-    StoreFiles.swapIn(spark, s"$dir/assignments") { tmp =>
-      val raw = spark.read.parquet(s"$dir/assignments")
-      tombs.fold(raw)(t => raw.join(broadcast(t), Seq("neighbor_id"),
+    val manifested = StoreFiles.dirExists(spark, s"$dir/manifest")
+    val src = // committed snapshot when manifested (postings contract)
+      if (manifested)
+        loadIvfIndexSnapshot(spark, dir).assignments.localCheckpoint()
+      else {
+        val raw = spark.read.parquet(s"$dir/assignments")
+        tombs.fold(raw)(t => raw.join(broadcast(t), Seq("neighbor_id"),
           "left_anti"))
-        .repartition(col("cell"))
-        .write.partitionBy("cell").parquet(tmp)
+      }
+    StoreFiles.swapIn(spark, s"$dir/assignments") { tmp =>
+      src.repartition(col("cell")).write.partitionBy("cell").parquet(tmp)
     }
     tombs.foreach(_ => StoreFiles.clearTombstones(spark, s"$dir/tombstones"))
+    if (manifested)
+      StoreFiles.writeManifest(spark, dir, 0L,
+        StoreFiles.listDataFiles(spark, Seq(s"$dir/assignments")),
+        "overwrite")
+  }
+
+  // --- snapshot-manifest commit log for the IVF family (shared
+  // --- StoreFiles machinery; postings-family semantics). Centroids are
+  // --- save-time-immutable — like the params tables they live outside
+  // --- the manifest; only the append-accumulating assignments commit.
+
+  /** [[saveIvfIndex]] plus the initial manifest (generation 0). */
+  def saveIvfIndexCommitted(index: IvfIndex, dir: String): Unit = {
+    val spark = index.assignments.sparkSession
+    saveIvfIndex(index, dir)
+    StoreFiles.writeManifest(spark, dir, 0L,
+      StoreFiles.listDataFiles(spark, Seq(s"$dir/assignments")), "overwrite")
+  }
+
+  /** [[appendIvfIndex]] with a commit point (OCC via `expectedGen`);
+    * returns the committed generation.
+    */
+  def appendIvfIndexCommitted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, vecCol: String,
+      expectedGen: Option[Long] = None): Long =
+    StoreFiles.commitAppend(spark, dir, Seq(s"$dir/assignments"),
+        expectedGen) {
+      appendIvfIndex(spark, dir, batch, idCol, vecCol)
+    }
+
+  /** Latest committed generation (-1 if never committed). */
+  def ivfGen(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
+    StoreFiles.manifestGen(spark, dir)
+
+  /** Delete data files no committed snapshot references. */
+  def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] =
+    StoreFiles.vacuumStore(spark, dir, Seq(s"$dir/assignments"))
+
+  /** Load exactly the COMMITTED assignments (optionally as of a
+    * generation); tombstones stay retroactive. The cell partition
+    * column (and a probe's pruning on it) survives via basePath.
+    */
+  def loadIvfIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
+      dir: String, asOf: Option[Long] = None): IvfIndex = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Long](1).toArray)
+    val assigns = StoreFiles.snapshotRead(spark, dir, "assignments", asOf)
+    IvfIndex(cents,
+      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(assigns)(t =>
+        assigns.join(broadcast(t.select(col("neighbor_id"))),
+          Seq("neighbor_id"), "left_anti")))
   }
 
   // ------------------------------------------------------------------

@@ -92,14 +92,24 @@ private[graft] object StoreFiles {
   // ------------------------------------------------------------------
   // Snapshot manifests — generation-numbered commit log for a stored
   // family's data subdirectories (the Iceberg/Delta commit idea reduced
-  // to its minimum). A committed batch appends ONE manifest row-file of
-  // (gen, path) rows listing its data files AFTER they land; the
-  // manifest write IS the commit point. Snapshot readers take the union
-  // of manifested paths (optionally only generations ≤ an as-of bound —
-  // time travel), so a torn append (crashed writer: data files, no
-  // manifest row) is invisible, and [[vacuumStore]] physically removes
-  // such orphans. Shared by the postings and PQ families; any other
+  // to its minimum). A committed batch writes ONE manifest text file
+  // (`<dir>/manifest/gen-<g>.txt`, one committed data-file path per
+  // line) listing its data files AFTER they land; the rename that
+  // publishes that file IS the commit point. Snapshot readers take the
+  // union of manifested paths (optionally only generations ≤ an as-of
+  // bound — time travel), so a torn append (crashed writer: data files,
+  // no manifest file) is invisible, and [[vacuumStore]] physically
+  // removes such orphans. Shared by every committed family; any other
   // append-only store can adopt it unchanged.
+  //
+  // The manifest is PLAIN TEXT written through the Hadoop FS API, not a
+  // parquet table: every metadata operation — current generation,
+  // committed file set, the commit write itself — is a bounded DRIVER
+  // FS call and launches ZERO Spark jobs (the Iceberg metadata-layer
+  // discipline; a commit log whose every read is a distributed job
+  // would dominate small appends, which is exactly what the r9 bench
+  // counters showed for the parquet-manifest predecessor). Bounded:
+  // one line per data file, the same scale as any directory listing.
   // ------------------------------------------------------------------
 
   /** Every parquet data file under `subdirs`, via the Hadoop FS API
@@ -124,36 +134,101 @@ private[graft] object StoreFiles {
     }.toSet
   }
 
-  /** One manifest generation: (gen, path) rows under `dir/manifest`.
+  private val GenFileName = "gen-(\\d{16})\\.txt".r
+
+  /** One manifest generation: the text file
+    * `dir/manifest/gen-<g 16-digit>.txt`, one path per line, published
+    * by write-to-temp + rename (all-or-nothing visibility — a reader
+    * listing the directory sees the whole generation or none of it).
     * `overwrite` resets the commit log (a fresh save, or a compaction
-    * collapsing history to a new generation 0).
+    * collapsing history to a new generation 0). Driver-only FS calls;
+    * no Spark job.
     */
   def writeManifest(spark: SparkSession, dir: String, gen: Long,
       paths: Set[String], mode: String): Unit = {
-    import spark.implicits._
-    paths.toSeq.sorted.map((gen, _)).toDF("gen", "path")
-      .coalesce(1).write.mode(mode).parquet(s"$dir/manifest")
+    val md = new org.apache.hadoop.fs.Path(s"$dir/manifest")
+    val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (mode == "overwrite" && fs.exists(md))
+      require(fs.delete(md, true),
+        s"writeManifest: could not reset manifest at $md")
+    fs.mkdirs(md)
+    val tmp = new org.apache.hadoop.fs.Path(md, f".tmp-gen-$gen%016d")
+    val out = fs.create(tmp, true)
+    try out.write(
+      paths.toSeq.sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fin = new org.apache.hadoop.fs.Path(md, f"gen-$gen%016d.txt")
+    require(fs.rename(tmp, fin),
+      s"writeManifest: commit rename to $fin failed")
+  }
+
+  /** Every committed generation with its file list, ascending — parsed
+    * from the manifest directory's text files on the driver (no job).
+    * Empty for a store with no manifest.
+    */
+  def manifestEntries(spark: SparkSession,
+      dir: String): Seq[(Long, Seq[String])] = {
+    val md = new org.apache.hadoop.fs.Path(s"$dir/manifest")
+    val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case GenFileName(g) => Some((g.toLong, st.getPath))
+        case _ => None // temp files of an in-flight commit
+      })
+      .sortBy(_._1)
+      .map { case (g, p) =>
+        val in = fs.open(p)
+        val text =
+          try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        (g, text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
+      }
   }
 
   /** Latest committed generation, or -1 for a store with no manifest
-    * (never committed, or pre-manifest layout).
+    * (never committed, or pre-manifest layout). Filename parse only —
+    * no file content is read, no job runs.
     */
-  def manifestGen(spark: SparkSession, dir: String): Long =
-    if (!dirExists(spark, s"$dir/manifest")) -1L
-    else spark.read.parquet(s"$dir/manifest")
-      .agg(org.apache.spark.sql.functions.max("gen")).head().getLong(0)
+  def manifestGen(spark: SparkSession, dir: String): Long = {
+    val md = new org.apache.hadoop.fs.Path(s"$dir/manifest")
+    val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(md)) -1L
+    else fs.listStatus(md).toSeq
+      .flatMap(_.getPath.getName match {
+        case GenFileName(g) => Some(g.toLong)
+        case _ => None
+      })
+      .foldLeft(-1L)(math.max)
+  }
 
-  /** The committed file set: union of every manifest row with
-    * gen ≤ `asOf` (defaults to all — the latest snapshot). Collected on
-    * the driver (bounded: one row per data file, the same scale as any
-    * file listing).
+  /** The committed file set: union of every manifest generation with
+    * gen ≤ `asOf` (defaults to all — the latest snapshot). Driver-side
+    * text parse (bounded: one line per data file, the same scale as any
+    * file listing); no job.
     */
   def manifestPaths(spark: SparkSession, dir: String,
-      asOf: Option[Long] = None): Seq[String] = {
-    val m = spark.read.parquet(s"$dir/manifest")
-    asOf.fold(m)(g =>
-        m.filter(org.apache.spark.sql.functions.col("gen") <= g))
-      .select("path").collect().map(_.getString(0)).toSeq
+      asOf: Option[Long] = None): Seq[String] =
+    manifestEntries(spark, dir)
+      .filter { case (g, _) => asOf.forall(g <= _) }
+      .flatMap(_._2)
+
+  /** Read one manifested subdirectory of a committed store as of a
+    * generation: the committed files under `$dir/$sub` as one relation.
+    * basePath keeps the subdirectory's partition columns (and their
+    * pruning) intact when reading explicit leaf files.
+    */
+  def snapshotRead(spark: SparkSession, dir: String, sub: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val paths = manifestPaths(spark, dir, asOf)
+      .filter(_.contains(s"/$sub/"))
+    require(paths.nonEmpty,
+      s"snapshotRead: no committed files under $dir/$sub" +
+        asOf.fold("")(g => s" as of generation $g"))
+    spark.read.option("basePath", s"$dir/$sub").parquet(paths: _*)
   }
 
   /** Run a family's append under the commit protocol: data files land

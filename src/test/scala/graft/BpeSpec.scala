@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE merge-table training: hand-checked merges on the classic
+  * low/lower/lowest-style fixture, the non-overlapping merge
+  * convention, determinism, and the ROUNDTRIP contract — applying the
+  * learned table (the k nested replaces the oracle also runs)
+  * reproduces the training loop's final segmentation exactly.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // word frequencies (via repetition): low×5, lower×2, newest×6,
+  // widest×3 — the Sennrich worked example's shape
+  private val docs = Seq(
+    "low low low low low",
+    "lower lower",
+    "newest newest newest newest newest newest",
+    "widest widest widest"
+  ).toDF("text")
+
+  test("training learns the hand-computed merge sequence") {
+    val merges = Bpe.train(docs, "text", nMerges = 4)
+    // pair counts, round 1: (e,s) 9, (s,t) 9, (l,o) 7, (o,w) 7,
+    // (w,e) 8, (n,e) 6, (e,w) 6 … tie (e,s)/(s,t) 9 breaks on a asc →
+    // (e,s); then (es,t) 9; then (w,es t)? no — recount: (l,o) 7,
+    // (o,w) 7, (w,est) 8 wait — after (es,t): newest = n e w est,
+    // widest = w i d est, so (w,est) 6+0 … verify the invariants
+    // rather than a fragile full-by-hand chain: first merge is (e,s),
+    // second (es,t) — the textbook start
+    assert(merges(0).a == "e" && merges(0).b == "s")
+    assert(merges(1).a == "es" && merges(1).b == "t")
+    assert(merges.length == 4)
+    // determinism: retraining yields the identical table
+    assert(Bpe.train(docs, "text", nMerges = 4) == merges)
+  }
+
+  test("merge application is leftmost non-overlapping (aaa → aa|a)") {
+    val d = Seq("aaa aaaa").toDF("text")
+    val merges = Seq(Bpe.Merge(0, "a", "a"))
+    val got = Bpe.segmentVocab(d, "text", merges)
+      .select(col("word"), col("n_subwords"))
+      .as[(String, Long)].collect().toMap
+    // aaa: (aa)(a) = 2 subwords; aaaa: (aa)(aa) = 2
+    assert(got("aaa") == 2L)
+    assert(got("aaaa") == 2L)
+  }
+
+  test("boundary alignment: a merge never fires inside a longer symbol") {
+    // learn nothing; apply a hand-built (a,b) merge to words where the
+    // pair only appears as a SUFFIX/PREFIX of other symbols after a
+    // first merge — xa|b must not merge via (a,b)
+    val d = Seq("xab xab ab ab ab").toDF("text")
+    val merges = Seq(Bpe.Merge(0, "x", "a"), Bpe.Merge(1, "a", "b"))
+    val got = Bpe.segmentVocab(d, "text", merges)
+      .select(col("word"), col("seg"), col("n_subwords"))
+      .as[(String, String, Long)].collect()
+      .map { case (w, s, n) => (w, (s, n)) }.toMap
+    // xab: (x,a) fires first → xa|b; then (a,b) must NOT match inside
+    // "xa"+"b" (the 'a' is not a whole symbol) → stays 2 subwords
+    assert(got("xab")._2 == 2L)
+    // ab: (a,b) fires → 1 subword
+    assert(got("ab")._2 == 1L)
+  }
+
+  test("roundtrip: applying the learned table reproduces the training segmentation") {
+    val merges = Bpe.train(docs, "text", nMerges = 5)
+    // rebuild the training loop's final state by explicit rounds
+    var vocab = Bpe.initialVocab(docs, "text")
+    merges.foreach { m =>
+      vocab = vocab.withColumn("seg", Bpe.applyMerge(col("seg"), m.a, m.b))
+    }
+    val trained = vocab.select(col("word"), col("seg"))
+      .as[(String, String)].collect().toMap
+    val applied = Bpe.segmentVocab(docs, "text", merges)
+      .select(col("word"), col("seg"))
+      .as[(String, String)].collect().toMap
+    assert(applied == trained)
+  }
+
+  test("corpus segmentation sums vocab subword counts per document") {
+    val d = Seq((1L, "ab ab xy"), (2L, "ab")).toDF("doc_id", "text")
+    val merges = Seq(Bpe.Merge(0, "a", "b"))
+    val got = Bpe.segmentCorpus(d, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, w, s) => (id, (w, s)) }.toMap
+    assert(got(1L) == ((3L, 4L))) // ab=1, ab=1, xy=2
+    assert(got(2L) == ((1L, 1L)))
+  }
+
+  test("early stop: minCount prunes pairs below the threshold") {
+    val d = Seq("ab cd").toDF("text") // every pair count = 1
+    assert(Bpe.train(d, "text", nMerges = 3, minCount = 2).isEmpty)
+  }
+}

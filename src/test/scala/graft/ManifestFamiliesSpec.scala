@@ -1,0 +1,297 @@
+package graft
+
+import graft.operators.{Dedup, MatView, Retrieval, Similarity, StoreFiles}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot-manifest commits for the families that gained them in r10
+  * (bands, SimHash, Bloom, IVF, label store, agg state, positional):
+  * per family, a torn append (data files, no manifest) is invisible to
+  * snapshot readers and visible to raw directory readers; OCC refuses
+  * stale generations; vacuum reclaims orphans; asOf time-travels.
+  * The postings/PQ originals are covered by ManifestSpec.
+  */
+class ManifestFamiliesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  // near-dup fixture: every probe is an exact text twin of its target
+  // (jaccard 1, hamming 0), every other text distinct
+  private val sA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val sB = "one two three four five six seven eight nine ten"
+  private val sC = "red orange yellow green blue indigo violet pink black white"
+  private val filler1 = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+  private val filler2 = "sphinx of black quartz judge my vow while zephyrs wake"
+  private val filler3 = "pack my box with five dozen liquor jugs tonight again"
+
+  test("band index: torn append invisible to snapshot; OCC; vacuum; time travel") {
+    val dir = tmp("graft_band_manifest")
+    val corpus = Seq((1L, sA), (2L, filler1), (3L, filler2), (4L, filler3))
+      .toDF("doc_id", "text")
+    val b1 = Seq((5L, sB)).toDF("doc_id", "text")
+    val torn = Seq((7L, sC)).toDF("doc_id", "text")
+    val probes = Seq((11L, sA), (12L, sB), (13L, sC)).toDF("doc_id", "text")
+    def pairs(idx: Dedup.BandIndex): Set[(Long, Long)] =
+      Dedup.minHashLshProbe(idx, probes, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+        .as[(Long, Long)].collect().toSet
+
+    Dedup.saveBandIndexCommitted(
+      Dedup.buildBandIndex(corpus, "doc_id", "text"), dir)
+    assert(Dedup.bandGen(spark, dir) == 0L)
+    assert(Dedup.appendBandIndexCommitted(spark, dir, b1, "doc_id", "text",
+      expectedGen = Some(0L)) == 1L)
+    Dedup.appendBandIndex(spark, dir, torn, "doc_id", "text") // torn
+    // snapshot: committed twins pair, the torn doc's twin does not
+    assert(pairs(Dedup.loadBandIndexSnapshot(spark, dir)) ==
+      Set((1L, 11L), (5L, 12L)))
+    // raw directory reader DOES see the torn batch
+    assert(pairs(Dedup.loadBandIndex(spark, dir)) ==
+      Set((1L, 11L), (5L, 12L), (7L, 13L)))
+    // time travel to the save
+    assert(pairs(Dedup.loadBandIndexSnapshot(spark, dir, Some(0L))) ==
+      Set((1L, 11L)))
+    // OCC: stale expectation refuses
+    intercept[IllegalStateException] {
+      Dedup.appendBandIndexCommitted(spark, dir, torn, "doc_id", "text",
+        expectedGen = Some(0L))
+    }
+    // vacuum reclaims the torn + OCC-loser orphans; raw converges
+    assert(Dedup.vacuumBandIndex(spark, dir).nonEmpty)
+    assert(Dedup.vacuumBandIndex(spark, dir).isEmpty)
+    assert(pairs(Dedup.loadBandIndex(spark, dir)) ==
+      Set((1L, 11L), (5L, 12L)))
+    // compaction collapses history to generation 0; snapshot unchanged
+    Dedup.compactBandIndex(spark, dir)
+    assert(Dedup.bandGen(spark, dir) == 0L)
+    assert(pairs(Dedup.loadBandIndexSnapshot(spark, dir)) ==
+      Set((1L, 11L), (5L, 12L)))
+  }
+
+  test("simhash index: torn append invisible to snapshot; vacuum converges raw") {
+    val dir = tmp("graft_simhash_manifest")
+    val corpus = Seq((1L, sA), (2L, filler1)).toDF("doc_id", "text")
+    val b1 = Seq((5L, sB)).toDF("doc_id", "text")
+    val torn = Seq((7L, sC)).toDF("doc_id", "text")
+    val probes = Seq((11L, sA), (12L, sB), (13L, sC)).toDF("doc_id", "text")
+    def pairs(idx: Dedup.SimHashIndex): Set[(Long, Long)] =
+      Dedup.simHashProbe(idx, probes, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+        .as[(Long, Long)].collect().toSet
+
+    Dedup.saveSimHashIndexCommitted(
+      Dedup.buildSimHashIndex(corpus, "doc_id", "text"), dir)
+    Dedup.appendSimHashIndexCommitted(spark, dir, b1, "doc_id", "text",
+      expectedGen = Some(0L))
+    Dedup.appendSimHashIndex(spark, dir, torn, "doc_id", "text") // torn
+    assert(pairs(Dedup.loadSimHashIndexSnapshot(spark, dir)) ==
+      Set((1L, 11L), (5L, 12L)))
+    assert(pairs(Dedup.loadSimHashIndex(spark, dir)) ==
+      Set((1L, 11L), (5L, 12L), (7L, 13L)))
+    assert(pairs(Dedup.loadSimHashIndexSnapshot(spark, dir, Some(0L))) ==
+      Set((1L, 11L)))
+    assert(Dedup.vacuumSimHashIndex(spark, dir).nonEmpty)
+    assert(pairs(Dedup.loadSimHashIndex(spark, dir)) ==
+      Set((1L, 11L), (5L, 12L)))
+    Dedup.compactSimHashIndex(spark, dir)
+    assert(Dedup.simHashGen(spark, dir) == 0L)
+    assert(pairs(Dedup.loadSimHashIndexSnapshot(spark, dir)) ==
+      Set((1L, 11L), (5L, 12L)))
+  }
+
+  test("bloom filter: a torn absorb cannot break the no-false-negative guarantee") {
+    val dir = tmp("graft_bloom_manifest")
+    val k14 = (1L to 4L).map(i => s"key$i").toDF("fp")
+    val k56 = Seq("key5", "key6").toDF("fp")
+    val k78 = Seq("key7", "key8").toDF("fp")
+    def bits(idx: Dedup.BloomIndex): Map[Long, Long] =
+      idx.words.select(col("word").cast("long"), col("bits"))
+        .as[(Long, Long)].collect().toMap
+
+    Dedup.saveBloomIndexCommitted(
+      Dedup.buildBloomIndex(k14, "fp"), dir)
+    Dedup.appendBloomIndexCommitted(spark, dir, k56, "fp",
+      expectedGen = Some(0L))
+    Dedup.appendBloomIndex(spark, dir, k78, "fp") // torn
+    // reference filters built in one shot over the committed key sets
+    val ref16 = bits(Dedup.buildBloomIndex(k14.unionByName(k56), "fp"))
+    val ref14 = bits(Dedup.buildBloomIndex(k14, "fp"))
+    assert(bits(Dedup.loadBloomIndexSnapshot(spark, dir)) == ref16)
+    assert(bits(Dedup.loadBloomIndexSnapshot(spark, dir, Some(0L))) == ref14)
+    // the raw load sees the torn partial bits
+    assert(bits(Dedup.loadBloomIndex(spark, dir)) != ref16)
+    intercept[IllegalStateException] {
+      Dedup.appendBloomIndexCommitted(spark, dir, k78, "fp",
+        expectedGen = Some(0L))
+    }
+    assert(Dedup.vacuumBloomIndex(spark, dir).nonEmpty)
+    assert(bits(Dedup.loadBloomIndex(spark, dir)) == ref16)
+    Dedup.compactBloomIndex(spark, dir)
+    assert(Dedup.bloomGen(spark, dir) == 0L)
+    assert(bits(Dedup.loadBloomIndexSnapshot(spark, dir)) == ref16)
+  }
+
+  test("ivf index: torn append invisible to snapshot; time travel; vacuum") {
+    val emb = Tables(spark, sf, "embeddings")
+    val seed = emb.filter(col("vec_id") < 40)
+    val batchA = emb.filter(col("vec_id") >= 40 && col("vec_id") < 60)
+    val torn = emb.filter(col("vec_id") >= 60 && col("vec_id") < 80)
+    val queries = emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 40)
+    def rows(idx: Similarity.IvfIndex): Set[(Long, Long, Int)] =
+      Similarity.ivfSearchIndex(queries, idx, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .as[(Long, Long, Int)].collect().toSet
+
+    val dir = tmp("graft_ivf_manifest")
+    Similarity.saveIvfIndexCommitted(
+      Similarity.buildIvfIndex(seed, "vec_id", "embedding"), dir)
+    Similarity.appendIvfIndexCommitted(spark, dir, batchA, "vec_id",
+      "embedding", expectedGen = Some(Similarity.ivfGen(spark, dir)))
+    Similarity.appendIvfIndex(spark, dir, torn, "vec_id", "embedding")
+
+    // committed reference states, built independently
+    val refDir = tmp("graft_ivf_ref")
+    Similarity.saveIvfIndex(
+      Similarity.buildIvfIndex(seed, "vec_id", "embedding"), refDir)
+    val seedOnly = rows(Similarity.loadIvfIndex(spark, refDir))
+    Similarity.appendIvfIndex(spark, refDir, batchA, "vec_id", "embedding")
+    val committed = rows(Similarity.loadIvfIndex(spark, refDir))
+
+    assert(rows(Similarity.loadIvfIndexSnapshot(spark, dir)) == committed)
+    assert(rows(Similarity.loadIvfIndexSnapshot(spark, dir, Some(0L))) ==
+      seedOnly)
+    assert(rows(Similarity.loadIvfIndex(spark, dir)) != committed)
+    assert(Similarity.vacuumIvfIndex(spark, dir).nonEmpty)
+    assert(rows(Similarity.loadIvfIndex(spark, dir)) == committed)
+    intercept[IllegalStateException] {
+      Similarity.appendIvfIndexCommitted(spark, dir, torn, "vec_id",
+        "embedding", expectedGen = Some(0L))
+    }
+    Similarity.vacuumIvfIndex(spark, dir)
+    Similarity.compactIvfIndex(spark, dir)
+    assert(Similarity.ivfGen(spark, dir) == 0L)
+    assert(rows(Similarity.loadIvfIndexSnapshot(spark, dir)) == committed)
+  }
+
+  test("label store: a torn increment (labels + remaps) is invisible as a unit") {
+    val dir = tmp("graft_label_manifest")
+    def cc(ids: Seq[Long], pairs: Seq[(Long, Long)]): DataFrame =
+      Dedup.connectedComponents(ids.toDF("id"), "id",
+        pairs.toDF("id_a", "id_b"))
+    def resolved(df: DataFrame): Map[Long, Long] =
+      df.select(col("id"), col("component"))
+        .as[(Long, Long)].collect().toMap
+
+    Dedup.saveLabelStoreCommitted(
+      cc(Seq(1L, 2L, 3L, 4L, 5L, 6L), Seq((1L, 2L), (3L, 4L))), dir)
+    assert(Dedup.labelGen(spark, dir) == 0L)
+    // committed increment: 7 joins component(1); 8 is a singleton
+    Dedup.appendLabelsCommitted(spark, dir, Seq(7L, 8L).toDF("id"), "id",
+      Seq((7L, 1L)).toDF("id_a", "id_b"), expectedGen = Some(0L))
+    // torn increment: 9 would MERGE components 1 and 3 — must not show
+    Dedup.appendLabels(spark, dir, Seq(9L).toDF("id"),
+      "id", Seq((9L, 1L), (9L, 3L)).toDF("id_a", "id_b"))
+    val committed = Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      5L -> 5L, 6L -> 6L, 7L -> 1L, 8L -> 8L)
+    assert(resolved(Dedup.resolveLabelsSnapshot(spark, dir)) == committed)
+    // the raw resolve sees the torn merge (9 present, 3/4 relabeled)
+    val raw = resolved(Dedup.resolveLabels(spark, dir))
+    assert(raw.contains(9L) && raw(3L) == 1L)
+    // time travel to the save
+    assert(resolved(Dedup.resolveLabelsSnapshot(spark, dir, Some(0L))) ==
+      committed -- Seq(7L, 8L))
+    intercept[IllegalStateException] {
+      Dedup.appendLabelsCommitted(spark, dir, Seq(10L).toDF("id"), "id",
+        spark.emptyDataFrame.select(lit(0L).as("id_a"), lit(0L).as("id_b"))
+          .limit(0), expectedGen = Some(0L))
+    }
+    assert(Dedup.vacuumLabelStore(spark, dir).nonEmpty)
+    assert(resolved(Dedup.resolveLabels(spark, dir)) == committed)
+    Dedup.compactLabelStore(spark, dir)
+    assert(Dedup.labelGen(spark, dir) == 0L)
+    assert(resolved(Dedup.resolveLabelsSnapshot(spark, dir)) == committed)
+  }
+
+  test("agg state: a torn delta batch is invisible; retraction commits like any batch") {
+    val dir = tmp("graft_agg_manifest")
+    val s1 = Seq(("en", 10L), ("en", 20L), ("fr", 7L)).toDF("lang", "tok")
+    val s2 = Seq(("en", 30L), ("de", 5L)).toDF("lang", "tok")
+    val s3 = Seq(("en", 100L), ("fr", 100L)).toDF("lang", "tok")
+    def served(st: MatView.AggState): Set[(String, Long, Long, Long, Long, Long)] =
+      MatView.serveAgg(st)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    def ref(df: DataFrame): Set[(String, Long, Long, Long, Long, Long)] =
+      served(MatView.buildAggState(df, Seq("lang"), "tok"))
+
+    MatView.saveAggStateCommitted(
+      MatView.buildAggState(s1, Seq("lang"), "tok"), dir)
+    MatView.appendAggStateCommitted(spark, dir, s2, expectedGen = Some(0L))
+    MatView.appendAggState(spark, dir, s3) // torn
+    assert(served(MatView.loadAggStateSnapshot(spark, dir)) ==
+      ref(s1.unionByName(s2)))
+    assert(served(MatView.loadAggStateSnapshot(spark, dir, Some(0L))) ==
+      ref(s1))
+    // raw load silently counts the torn half — the quiet wrong answer
+    assert(served(MatView.loadAggState(spark, dir)) !=
+      ref(s1.unionByName(s2)))
+    intercept[IllegalStateException] {
+      MatView.appendAggStateCommitted(spark, dir, s3, expectedGen = Some(0L))
+    }
+    assert(MatView.vacuumAggState(spark, dir).nonEmpty)
+    assert(served(MatView.loadAggState(spark, dir)) ==
+      ref(s1.unionByName(s2)))
+    // a committed retraction: counts/sums exact, extremes conservative
+    MatView.retractAggStateCommitted(spark, dir,
+      Seq(("en", 30L)).toDF("lang", "tok"), expectedGen = Some(1L))
+    val after = MatView.serveAgg(MatView.loadAggStateSnapshot(spark, dir))
+      .filter(col("lang") === "en")
+      .select(col("cnt"), col("sum_v")).as[(Long, Long)].head()
+    assert(after == ((2L, 30L)))
+    MatView.compactAggState(spark, dir)
+    assert(MatView.aggGen(spark, dir) == 0L)
+  }
+
+  test("positional index: torn append invisible; phrase time travel; vacuum") {
+    val dir = tmp("graft_pos_manifest")
+    val corpus = Seq((1L, sA), (2L, filler1)).toDF("doc_id", "text")
+    val b1 = Seq((3L, sA)).toDF("doc_id", "text")
+    val torn = Seq((4L, sA)).toDF("doc_id", "text")
+    val phrases = Seq((100L, Seq("beta", "gamma", "delta")))
+      .toDF("pid", "pterms")
+    def matches(idx: Retrieval.PositionalIndex): Set[(Long, Long, Long)] =
+      Retrieval.phraseSearchIndex(phrases, idx, "pid", "pterms")
+        .as[(Long, Long, Long)].collect().toSet
+
+    Retrieval.savePositionalIndexCommitted(
+      Retrieval.buildPositionalIndex(corpus, "doc_id", "text",
+        nBuckets = 4), dir)
+    Retrieval.appendPositionalIndexCommitted(spark, dir, b1, "doc_id",
+      "text", expectedGen = Some(0L))
+    Retrieval.appendPositionalIndex(spark, dir, torn, "doc_id", "text")
+    assert(matches(Retrieval.loadPositionalIndexSnapshot(spark, dir)) ==
+      Set((100L, 1L, 1L), (100L, 3L, 1L)))
+    assert(matches(Retrieval.loadPositionalIndex(spark, dir)) ==
+      Set((100L, 1L, 1L), (100L, 3L, 1L), (100L, 4L, 1L)))
+    assert(matches(
+      Retrieval.loadPositionalIndexSnapshot(spark, dir, Some(0L))) ==
+      Set((100L, 1L, 1L)))
+    intercept[IllegalStateException] {
+      Retrieval.appendPositionalIndexCommitted(spark, dir, torn, "doc_id",
+        "text", expectedGen = Some(0L))
+    }
+    assert(Retrieval.vacuumPositionalIndex(spark, dir).nonEmpty)
+    assert(matches(Retrieval.loadPositionalIndex(spark, dir)) ==
+      Set((100L, 1L, 1L), (100L, 3L, 1L)))
+    // deletes stay retroactive through historical reads
+    Retrieval.deleteFromPositionalIndex(spark, dir, Seq(1L).toDF("doc_id"),
+      "doc_id")
+    assert(matches(
+      Retrieval.loadPositionalIndexSnapshot(spark, dir, Some(0L))).isEmpty)
+    Retrieval.compactPositionalIndex(spark, dir)
+    assert(Retrieval.positionalGen(spark, dir) == 0L)
+    assert(matches(Retrieval.loadPositionalIndexSnapshot(spark, dir)) ==
+      Set((100L, 3L, 1L)))
+  }
+}

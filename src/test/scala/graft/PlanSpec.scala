@@ -160,7 +160,12 @@ class PlanSpec extends SparkSpec {
       // round 1 of the feedback loop materializes behind a
       // localCheckpoint, so only round 2's stats broadcast remains in
       // the served plan
-      "q166_bm25_expand" -> 1
+      "q166_bm25_expand" -> 1,
+      // ranked values × the 9-row quantile-spec literal broadcast:
+      // O(n·9), the same bounded-literal shape as the stats rows
+      "q201_exact_quantiles" -> 1,
+      // one-row corpus token total broadcast into the lift score
+      "q206_collocations" -> 1
     ).withDefaultValue(0)
     // each physical instance appears exactly once as a "(NN) Broadcast-
     // NestedLoopJoin" detail header in formatted mode (tree lines
