@@ -3308,7 +3308,113 @@ object SparkEntry {
             .otherwise(0L))).as("median2x"))
         .select(col("l_returnflag"), col("cnt").as("n_rows"),
           col("median2x"))
-    })
+    }),
+
+    // BPE VOCABULARY TRAINING (Sennrich 2016) under the oracle: k
+    // count-merge-recount rounds learn the merge table in Spark
+    // (Bpe.train — one corpus-sized pass builds the word-frequency
+    // vocab, every round after is vocab-sized), then the vocabulary is
+    // segmented under the learned table. The DuckDB mirror retrains
+    // NOTHING at query time: bpeOracleSql re-derives the merges
+    // deterministically (exact integer counts, total-order argmax
+    // tiebreak) and replays them as k nested boundary-aligned
+    // replace() literals — so the hash check proves the learned
+    // SEGMENTATION (exact subword boundaries, not just counts)
+    // transfers engines. seg_disp maps the u0001/u0002 wrappers to
+    // []: the control chars stay out of the output hash.
+    "q207_bpe_train" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, "text", nMerges = 20)
+      graft.operators.Bpe.segmentVocab(docs, "text", merges)
+        .select(col("word"), col("freq"),
+          translate(col("seg"), "\u0001\u0002", "[]").as("seg_disp"),
+          col("n_subwords"))
+    }),
+
+    // Snapshot-manifest commits on the BAND family (the r9 verdict's
+    // missing-#1, now shared StoreFiles machinery): committed save +
+    // one OCC-guarded committed append, then a TORN append (crashed
+    // writer — band/set files land, no manifest row ever does). The
+    // snapshot probe serves exactly the committed corpus, so the
+    // result equals q101's full-index probe — and a torn batch leaking
+    // into the snapshot would pair probe docs with each other, rows
+    // the oracle's cross-pair predicate excludes.
+    "q208_band_snapshot_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = scratchDir("graft_band_snapshot", dir)
+      Dedup.saveBandIndexCommitted(
+        Dedup.buildBandIndex(
+          docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
+          "doc_id", "text"), idxDir)
+      Dedup.appendBandIndexCommitted(s, idxDir,
+        docs.filter(col("doc_id") % 10 === 5), "doc_id", "text",
+        expectedGen = Some(Dedup.bandGen(s, idxDir)))
+      // the torn writer: data files land, the manifest row never does
+      Dedup.appendBandIndex(s, idxDir,
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text")
+      Dedup.minHashLshProbe(Dedup.loadBandIndexSnapshot(s, idxDir),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    }),
+
+    // TIME TRAVEL on the positional index (parity with its postings
+    // sibling q164): committed save (gen 0) + OCC-guarded committed
+    // append of the rest of the corpus (gen 1), then the phrase set
+    // served AS OF generation 0 — matches must come from the seed
+    // corpus alone, which is exactly what the restricted oracle
+    // computes. Bucket pruning survives the snapshot read (basePath).
+    "q209_phrase_time_travel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = scratchDir("graft_positional_tt", dir)
+      graft.operators.Retrieval.savePositionalIndexCommitted(
+        graft.operators.Retrieval.buildPositionalIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"), idxDir)
+      val g0 = graft.operators.Retrieval.positionalGen(s, idxDir)
+      graft.operators.Retrieval.appendPositionalIndexCommitted(s, idxDir,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        expectedGen = Some(g0))
+      val phrases = docs
+        .filter(col("doc_id") % 2000 === 11 &&
+          size(split(col("text"), " ")) >= 5)
+        .select(col("doc_id").as("pid"),
+          slice(split(col("text"), " "), 3, 3).as("pterms"))
+      graft.operators.Retrieval.phraseSearchIndex(phrases,
+        graft.operators.Retrieval.loadPositionalIndexSnapshot(s, idxDir,
+          asOf = Some(0L)),
+        "pid", "pterms")
+    }),
+
+    // ExactSubstr-style duplicated-substring SPANS (Lee et al. 2021):
+    // q90's dupNgramStats reports the per-doc duplicated FRACTION and
+    // q135's stripDupSpans cuts cross-doc boilerplate wholesale; this
+    // materializes WHERE the duplication sits — maximal merged token
+    // spans whose 5-grams occur ≥ 2 times corpus-wide (self-repeats
+    // included, unlike q135's df rule). One gram-count shuffle, one
+    // 1:1 fingerprint join back, one per-doc island-merge window.
+    "q210_dup_spans" -> ((s, dir) =>
+      Curation.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 5)),
+
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD 2003 —
+    // MOSS): per-window minimum k-gram hash, rightmost on ties, via a
+    // single struct-min window pass. The LOCAL fingerprint sketch that
+    // guarantees any shared run of ≥ w + k − 1 tokens is caught by a
+    // common selected fingerprint — position-robust where q60's
+    // whole-doc hash is all-or-nothing.
+    "q211_winnow_fingerprints" -> ((s, dir) =>
+      Curation.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+        k = 4, w = 4)),
+
+    // The ExactSubstr dedup APPLY step under the paper's KEEP-ONE-COPY
+    // policy (q135 removes ALL copies of cross-doc boilerplate; here
+    // exactly one occurrence survives and intra-doc repeats count):
+    // every duplicated 5-gram occurrence trims except the corpus-wide
+    // (doc_id, pos)-least canonical copy, and per-doc trimmed/kept
+    // token counts come out. One gram aggregate carries both the count
+    // and the struct-min owner (associative, map-side combined), so
+    // dedup policy adds no extra shuffle over q210.
+    "q212_span_trim" -> ((s, dir) =>
+      Curation.trimDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 5))
   )
 
   /** Oracle SQL that must be GENERATED against the data (embedding dim,
@@ -3394,7 +3500,34 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT id_a, id_b, 'embedding' AS signal FROM ($embPairs) bp
          |) u GROUP BY id_a, id_b""".stripMargin
-    })
+    },
+    "q207_bpe_train" -> bpeOracleSql(spark, dir))
+
+  /** Mirror of q207: the merge table is RE-LEARNED deterministically
+    * ([[graft.operators.Bpe.train]] — exact integer pair counts, the
+    * (count desc, a, b) total-order argmax), then replayed as nested
+    * boundary-aligned replace() literals over the initial character
+    * segmentation. DuckDB's replace shares Spark's left-to-right
+    * non-overlapping scan and chr(1)/chr(2) are the same wrappers, so
+    * the learned segmentation transfers bit-for-bit.
+    */
+  private def bpeOracleSql(spark: SparkSession, dir: String): String = {
+    val merges = graft.operators.Bpe.train(
+      Tables(spark, dir, "documents"), "text", nMerges = 20)
+    def sym(x: String) = "chr(1)||'" + x.replace("'", "''") + "'||chr(2)"
+    val seg0 = """regexp_replace(word, '(.)', chr(1) || '\1' || chr(2), 'g')"""
+    val segK = merges.sortBy(_.rank).foldLeft(seg0) { (acc, m) =>
+      s"replace($acc,\n      ${sym(m.a)}||${sym(m.b)}, ${sym(m.a + m.b)})"
+    }
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |      FROM w WHERE word <> '' GROUP BY word),
+       |s AS (SELECT word, freq, $segK AS seg FROM v)
+       |SELECT word, freq,
+       |  replace(replace(seg, chr(1), '['), chr(2), ']') AS seg_disp,
+       |  CAST(length(seg) - length(replace(seg, chr(1), '')) AS BIGINT) AS n_subwords
+       |FROM s""".stripMargin
+  }
 
   /** Mirror of q156: re-derives the SAME driver-computed DSIR bucket
     * weights (deterministic: bounded exact-count collect + StrictMath)
@@ -4233,6 +4366,106 @@ object SparkEntry {
         |       sum(CASE WHEN rn = cnt // 2 + 1 THEN qty ELSE 0 END)
         |    AS BIGINT) AS median2x
         |FROM r GROUP BY l_returnflag, cnt""".stripMargin,
+    // snapshot probe ≡ q101's full-index cross-pair probe: the
+    // committed set is exactly doc_id % 10 <> 0 (seed ∪ the committed
+    // % 10 = 5 append); torn % 20 = 0 files leaking in would emit
+    // probe-probe pairs the predicate excludes
+    "q208_band_snapshot_serve" ->
+      s"""SELECT id_a, id_b, jaccard FROM ($minhashOracleSql) p
+         |WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)""".stripMargin,
+    // as-of-gen-0 phrase serve ≡ the seed corpus alone; the phrase
+    // side reads the unrestricted split (a later-committed doc may
+    // query, never match at gen 0)
+    "q209_phrase_time_travel" ->
+      phraseRestrictedOracleSql("doc_id % 10 <> 0"),
+    // same gram text (space-joined 5-gram), same md5 fingerprint, same
+    // island-merge windows — engine-exact integers throughout
+    "q210_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, s.pos AS pos, s.fp AS fp FROM
+        |  (SELECT doc_id,
+        |     unnest([{'pos': i,
+        |              'fp': md5(array_to_string(list_slice(w, i, i + 4), ' '))}
+        |             FOR i IN range(1, len(w) - 5 + 2)]) AS s
+        |   FROM t) x),
+        |dup AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM g GROUP BY fp)
+        |        WHERE c >= 2),
+        |h AS (SELECT doc_id, pos, pos + 4 AS e FROM g JOIN dup USING (fp)),
+        |i1 AS (SELECT doc_id, pos, e,
+        |         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prev_end
+        |       FROM h),
+        |i2 AS (SELECT doc_id, pos, e,
+        |         CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+        |              THEN 1 ELSE 0 END AS brk
+        |       FROM i1),
+        |i3 AS (SELECT doc_id, pos, e,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |       FROM i2)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(e) AS BIGINT) AS span_end,
+        |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_grams
+        |FROM i3 GROUP BY doc_id, island""".stripMargin,
+    // same 60-bit md5-prefix hash, same (h, −pos) struct-min window —
+    // the rightmost-tie selection transfers because both engines order
+    // structs field-by-field
+    "q211_winnow_fingerprints" -> {
+      val h = hexToLongSql("md5(array_to_string(list_slice(w, i, i + 3), ' '))", 1, 15)
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM
+         |  (SELECT doc_id,
+         |     unnest([{'pos': i, 'h': CAST($h AS BIGINT)}
+         |             FOR i IN range(1, len(w) - 4 + 2)]) AS s
+         |   FROM t) x),
+         |sel AS (SELECT doc_id,
+         |        min({'h': h, 'np': -pos})
+         |          OVER (PARTITION BY doc_id ORDER BY pos
+         |                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+         |        count(*)
+         |          OVER (PARTITION BY doc_id ORDER BY pos
+         |                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c
+         |      FROM g)
+         |SELECT DISTINCT doc_id, CAST(-m.np AS BIGINT) AS fp_pos,
+         |  CAST(m.h AS BIGINT) AS fp
+         |FROM sel WHERE c = 4""".stripMargin
+    },
+    // same owner rule (struct-min over (doc_id, pos)), same island
+    // merge as q210, then the per-doc token charge with COALESCE 0
+    "q212_span_trim" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, s.pos AS pos, s.fp AS fp FROM
+        |  (SELECT doc_id,
+        |     unnest([{'pos': i,
+        |              'fp': md5(array_to_string(list_slice(w, i, i + 4), ' '))}
+        |             FOR i IN range(1, len(w) - 5 + 2)]) AS s
+        |   FROM t) x),
+        |o AS (SELECT fp, count(*) AS c, min({'d': doc_id, 'p': pos}) AS owner
+        |      FROM g GROUP BY fp),
+        |d AS (SELECT fp, owner FROM o WHERE c >= 2),
+        |f AS (SELECT doc_id, pos, pos + 4 AS e FROM g JOIN d USING (fp)
+        |      WHERE NOT (doc_id = owner.d AND pos = owner.p)),
+        |i1 AS (SELECT doc_id, pos, e,
+        |         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prev_end
+        |       FROM f),
+        |i2 AS (SELECT doc_id, pos, e,
+        |         CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+        |              THEN 1 ELSE 0 END AS brk
+        |       FROM i1),
+        |i3 AS (SELECT doc_id, pos, e,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |       FROM i2),
+        |sp AS (SELECT doc_id, max(e) - min(pos) + 1 AS span_tokens
+        |       FROM i3 GROUP BY doc_id, island),
+        |tr AS (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS trimmed
+        |       FROM sp GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  COALESCE(tr.trimmed, 0) AS trimmed_tokens,
+        |  CAST(len(t.w) AS BIGINT) - COALESCE(tr.trimmed, 0) AS kept_tokens
+        |FROM t LEFT JOIN tr USING (doc_id)""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

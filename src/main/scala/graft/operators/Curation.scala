@@ -284,6 +284,162 @@ object Curation {
       .withColumn("is_dup_heavy", col("dup_frac") >= dupFracMin)
   }
 
+  /** Maximal duplicated-substring SPANS per document (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * ExactSubstr, at word-n-gram granularity): a position is
+    * duplicated when its n-gram occurs ≥ `minCount` times in the
+    * corpus (any document, self included — unlike [[stripDupSpans]]'s
+    * cross-doc document-frequency rule); duplicated positions whose
+    * gram windows overlap or touch coalesce into maximal spans.
+    * Division of labor in the family: [[dupNgramStats]] reports the
+    * per-doc FRACTION, [[stripDupSpans]] cuts cross-doc boilerplate
+    * from every copy, this materializes WHERE the duplication sits
+    * (the span relation an auditor or a targeted trim consumes), and
+    * [[trimDuplicatedSpans]] applies the paper's keep-one-copy
+    * policy.
+    *
+    * Scale shape: explode → gram-fingerprint count (map-side combined)
+    * → join the postings back on the fingerprint (1:1 fan-out — one
+    * row per fingerprint, so a corpus-wide hot gram costs its posting
+    * count, never a quadratic bucket) → ONE per-doc window pass
+    * (running max end + cumulative break flag, the classic island
+    * merge) → span aggregate. All keyed shuffles, no driver state.
+    *
+    * @return (idCol, span_start, span_end, span_tokens, n_grams), one
+    *         row per maximal span, 1-based inclusive token positions
+    */
+  /** Positional n-gram fingerprints: (idCol, pos, fp) with 1-based
+    * token positions and md5-of-gram-text fingerprints (fixed-width
+    * shuffle keys).
+    */
+  private def positionalGrams(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol),
+        posexplode(graft.functions.TextAnalysis.wordNGrams(col(textCol), n))
+          .as(Seq("i0", "gram")))
+      .select(col(idCol), (col("i0") + 1).as("pos"),
+        md5(col("gram")).as("fp"))
+
+  /** Classic island merge over (idCol, pos, end) gram-hit rows: ONE
+    * per-doc window pass — running max end (frame ending 1 PRECEDING)
+    * + cumulative break flag. A gap strictly wider than adjacency
+    * breaks the island: pos ≤ prev_end merges overlap, pos = prev_end
+    * + 1 merges touching gram windows (the covered token run stays
+    * contiguous).
+    */
+  private def mergeSpans(hits: DataFrame, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    hits
+      .withColumn("prev_end", max(col("end"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("end")).as("e"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("s").cast("long").as("span_start"),
+        col("e").cast("long").as("span_end"),
+        (col("e") - col("s") + 1).cast("long").as("span_tokens"),
+        col("n_grams"))
+  }
+
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minCount: Long = 2L): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = positionalGrams(docs, idCol, textCol, n)
+    val dupFp = grams.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select(col("fp"))
+    val hits = grams.join(dupFp, Seq("fp"))
+      .select(col(idCol), col("pos"), (col("pos") + (n - 1)).as("end"))
+    mergeSpans(hits, idCol)
+  }
+
+  /** The ExactSubstr dedup APPLY step under the paper's KEEP-ONE-COPY
+    * policy (Lee et al. 2021): every occurrence of a duplicated n-gram
+    * is trimmed EXCEPT the corpus-wide canonical first occurrence —
+    * the (doc_id, pos)-least hit of its fingerprint, a deterministic
+    * stand-in for "keep one copy". Contrast [[stripDupSpans]], which
+    * removes ALL copies of cross-doc boilerplate (df > maxDf) and
+    * ignores within-doc repetition; here intra-doc repeats count and
+    * exactly one occurrence survives. Foreign hits island-merge per
+    * document ([[mergeSpans]]) and the covered token count is charged
+    * against the document's length.
+    *
+    * Scale shape: one gram aggregate carrying BOTH the count and the
+    * struct-min owner (map-side combined — min of (doc, pos) structs
+    * is associative), one 1:1 join back, one per-doc window, one
+    * per-doc sum, one left join against token counts. No driver
+    * state.
+    *
+    * @return one row per document: (idCol, n_tokens, trimmed_tokens,
+    *         kept_tokens) — trimmed_tokens 0 for untouched docs
+    */
+  def trimDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minCount: Long = 2L): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = positionalGrams(docs, idCol, textCol, n)
+    val owners = grams
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col(idCol).as("d"), col("pos").as("p"))).as("owner"))
+      .filter(col("c") >= minCount)
+      .select(col("fp"), col("owner"))
+    val foreign = grams.join(owners, Seq("fp"))
+      .filter(!(col(idCol) === col("owner.d") && col("pos") === col("owner.p")))
+      .select(col(idCol), col("pos"), (col("pos") + (n - 1)).as("end"))
+    val trimmed = mergeSpans(foreign, idCol)
+      .groupBy(col(idCol))
+      .agg(sum(col("span_tokens")).as("trimmed_tokens"))
+    docs.select(col(idCol),
+        size(graft.functions.TextAnalysis.tokens(col(textCol)))
+          .cast("long").as("n_tokens"))
+      .join(trimmed, Seq(idCol), "left")
+      .na.fill(0L, Seq("trimmed_tokens"))
+      .withColumn("kept_tokens", col("n_tokens") - col("trimmed_tokens"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash
+    * every word k-gram, slide a w-window over the hash sequence, keep
+    * each window's MINIMUM hash, rightmost position on ties.
+    * Guarantees: any shared substring of ≥ w + k − 1 tokens
+    * contributes at least one COMMON selected fingerprint, and ~2/(w+1)
+    * of positions are selected — the local, position-robust sketch
+    * whole-document hashing ([[graft.functions.TextAnalysis]]
+    * fingerprint) cannot give.
+    *
+    * The rightmost-tie rule rides the same min() as the hash itself:
+    * min of the struct (h, −pos) is the smallest hash then the largest
+    * position, and both Spark and DuckDB order structs field-by-field,
+    * so selection is deterministic cross-engine. One per-doc window
+    * pass; only full windows select (a doc shorter than w + k − 1
+    * tokens yields no fingerprints).
+    *
+    * @return distinct (idCol, fp_pos, fp) selected fingerprints,
+    *         1-based gram positions
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val grams = docs.select(col(idCol),
+        posexplode(graft.functions.TextAnalysis.wordNGrams(col(textCol), k))
+          .as(Seq("i0", "gram")))
+      .select(col(idCol), (col("i0") + 1).as("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("m", min(struct(col("h"), (-col("pos")).as("np"))).over(win))
+      .withColumn("n_in", count(lit(1)).over(win))
+      .filter(col("n_in") === w)
+      .select(col(idCol), (-col("m.np")).cast("long").as("fp_pos"),
+        col("m.h").as("fp"))
+      .distinct()
+  }
+
   /** Temperature-sampling mix weights per stratum — the corpus-mix
     * planning step before [[mixByEpochs]]: exact integer doc/token
     * counts, each stratum's token share, and the temperature-adjusted

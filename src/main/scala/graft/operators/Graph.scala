@@ -174,25 +174,48 @@ object Graph {
     dist
   }
 
+  /** Orient the canonical (a < b) edge list by DEGREE rank: each edge
+    * points from its (degree, id)-smaller endpoint to the larger — the
+    * Schank/Wagner orientation. Under it every node's FORWARD degree is
+    * O(√m) (a node with forward degree d has d neighbors of degree ≥ d,
+    * so d² ≤ 2m), which bounds the wedge relation at Σ d_fwd² ≤ 2m·√m
+    * REGARDLESS of how ids fall on the hubs. Raw-id orientation has no
+    * such bound: a hub whose neighbors straddle its id keeps ~d/2 edges
+    * on each side and generates ~d²/4 wedges.
+    */
+  private[graft] def orientByDegree(e: DataFrame): DataFrame = {
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val fwd = // true iff rank(a) < rank(b) in the (deg, id) total order
+      col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    e.join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("v"))
+  }
+
   /** Per-node TRIANGLE counts over an UNDIRECTED edge list given as
-    * canonical (a < b) pairs: each triangle {a,b,c} is found exactly
-    * once through its ordered form a < b < c (two joins on the ordered
-    * list — the standard node-ordering trick that caps the wedge
-    * explosion at Σ d_fwd², far below Σ d² on skewed graphs), then
-    * credited to all three corners.
+    * canonical (a < b) pairs: edges are re-oriented by DEGREE rank
+    * ([[orientByDegree]]), so each triangle is found exactly once
+    * through its rank-ordered form u→v→w (two joins on the oriented
+    * list), then credited to all three corners. Degree ordering — not
+    * raw ids — is what caps the wedge explosion at Σ d_fwd² = O(m^1.5)
+    * on skewed graphs (Schank & Wagner 2005): a high-degree hub sorts
+    * LAST, so all its edges point into it and it roots no wedges.
     *
     * @param edges distinct (aCol, bCol) rows with aCol < bCol
     * @return (node, triangles) for nodes in ≥ 1 triangle
     */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
-      .filter(col("a") < col("b")).distinct().localCheckpoint()
-    val tri = e.as("ab")
-      .join(e.as("bc"), col("ab.b") === col("bc.a"))
-      .join(e.as("ac"),
-        col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
-      .select(col("ab.a").as("x"), col("ab.b").as("y"),
-        col("bc.b").as("z"))
+      .filter(col("a") < col("b")).distinct()
+    val f = orientByDegree(e).localCheckpoint()
+    val tri = f.as("uv")
+      .join(f.as("vw"), col("uv.v") === col("vw.u"))
+      .join(f.as("uw"),
+        col("uw.u") === col("uv.u") && col("uw.v") === col("vw.v"))
+      .select(col("uv.u").as("x"), col("uv.v").as("y"),
+        col("vw.v").as("z"))
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }

@@ -657,4 +657,105 @@ class CurationSpec extends SparkSpec {
     // singleton group: pct 0 by convention, decile 0
     assert(out(4L) == ((1, 1L, 0L, 0L)))
   }
+
+  test("duplicatedSpans: shared run becomes one maximal span per doc; unique text none") {
+    // docs 1 and 2 share tokens 1..6 ("a b c d e f"); with n=3 the
+    // duplicated gram positions are 1..4, windows [1,3]..[4,6] all
+    // overlap → ONE island spanning 1..6 in each doc. doc 3 is unique.
+    val d = Seq(
+      (1L, "a b c d e f x1 y1 z1 w1"),
+      (2L, "a b c d e f x2 y2 z2 w2"),
+      (3L, "p q r s t u v w x y")
+    ).toDF("doc_id", "text")
+    val spans = Curation.duplicatedSpans(d, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((1L, 1L, 6L, 6L, 4L), (2L, 1L, 6L, 6L, 4L)))
+  }
+
+  test("duplicatedSpans: intra-doc repetition counts toward minCount; gaps split islands") {
+    // "a b c" appears twice INSIDE doc 1 (positions 1 and 7) with a
+    // 3-token unique gap between the covered runs [1,3] and [7,9]:
+    // pos 7 > 3 + 1 breaks the island → two separate spans.
+    val d = Seq((1L, "a b c g1 g2 g3 a b c t1 t2 t3")).toDF("doc_id", "text")
+    val spans = Curation.duplicatedSpans(d, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((1L, 1L, 3L, 3L, 1L), (1L, 7L, 9L, 3L, 1L)))
+  }
+
+  test("duplicatedSpans: token-adjacent gram hits coalesce into one span") {
+    // doc 1 shares grams with doc 2 at positions 1 and 4 only (token 7
+    // differs from everything): covered runs [1,3] and [4,6] touch
+    // (4 = 3 + 1) → one island 1..6 even though position 2,3 grams
+    // ("b c d", "c d e") are NOT duplicated... construct: doc2 contains
+    // "a b c" and "d e f" separated so its own islands also split.
+    val d = Seq(
+      (1L, "a b c d e f q1 q2 q3 q4"),
+      (2L, "a b c z1 z2 z3 d e f z4")
+    ).toDF("doc_id", "text")
+    val spans = Curation.duplicatedSpans(d, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // doc 1: hits at pos 1 ("a b c") and pos 4 ("d e f") → runs [1,3]
+    // ∪ [4,6] touch → single span 1..6 with 2 grams
+    assert(spans.contains((1L, 1L, 6L, 6L, 2L)))
+    // doc 2: hits at pos 1 and pos 7, gap → two spans
+    assert(spans.contains((2L, 1L, 3L, 3L, 1L)) &&
+      spans.contains((2L, 7L, 9L, 3L, 1L)))
+  }
+
+  test("trimDuplicatedSpans: owner doc keeps its copy, foreign docs are charged; untouched docs report 0") {
+    val d = Seq(
+      (1L, "a b c d e f x1 y1 z1 w1"),
+      (2L, "a b c d e f x2 y2 z2 w2"),
+      (3L, "p q r s t u v w x y")
+    ).toDF("doc_id", "text")
+    val out = Curation.trimDuplicatedSpans(d, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // every shared gram's owner is (doc 1, its pos): doc 1 trims
+    // nothing, doc 2 loses the whole shared run [1,6], doc 3 untouched
+    assert(out == Set((1L, 10L, 0L, 10L), (2L, 10L, 6L, 4L),
+      (3L, 10L, 0L, 10L)))
+  }
+
+  test("trimDuplicatedSpans: intra-doc repeat — the second occurrence trims, the first stays") {
+    val d = Seq((1L, "a b c g1 g2 g3 a b c t1 t2 t3")).toDF("doc_id", "text")
+    val out = Curation.trimDuplicatedSpans(d, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // owner of "a b c" is (1, 1); the pos-7 copy is foreign → 3 tokens
+    assert(out == Set((1L, 12L, 3L, 9L)))
+  }
+
+  test("winnowFingerprints: the MOSS guarantee — shared run >= w+k-1 yields a common fingerprint") {
+    // k=4, w=4: any shared substring of ≥ 7 tokens must contribute at
+    // least one common selected fingerprint. docs share exactly 7
+    // tokens embedded at different offsets in unrelated text.
+    val shared = "s1 s2 s3 s4 s5 s6 s7"
+    val d = Seq(
+      (1L, s"u1 u2 $shared u3 u4 u5"),
+      (2L, s"v1 v2 v3 v4 $shared v5")
+    ).toDF("doc_id", "text")
+    val fps = Curation.winnowFingerprints(d, "doc_id", "text", k = 4, w = 4)
+      .as[(Long, Long, Long)].collect()
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "a shared w+k-1 run must select a common fingerprint")
+  }
+
+  test("winnowFingerprints: short docs select nothing; selection is offset-robust") {
+    val d = Seq((1L, "a b c d e f")).toDF("doc_id", "text") // 3 grams < w
+    assert(Curation.winnowFingerprints(d, "doc_id", "text", k = 4, w = 4)
+      .count() == 0L)
+    // shifting a doc by a prefix preserves the selected HASHES: every
+    // full window of the base corresponds to a window of the shifted
+    // doc with the same hashes in the same relative order, so the same
+    // gram wins (positions shift, hashes don't) — the locality
+    // property that makes winnowing offset-robust
+    val base = "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 m11 m12"
+    val d2 = Seq((1L, base), (2L, s"pre1 pre2 pre3 $base")).toDF("doc_id", "text")
+    val fps = Curation.winnowFingerprints(d2, "doc_id", "text", k = 4, w = 4)
+      .as[(Long, Long, Long)].collect()
+    val h1 = fps.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = fps.filter(_._1 == 2L).map(_._3).toSet
+    assert(h1.nonEmpty && h1.subsetOf(h2),
+      s"interior fingerprints must survive an offset shift: $h1 vs $h2")
+  }
 }

@@ -122,4 +122,42 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(t == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("triangleCounts: degree orientation bounds the wedge relation on a mid-ID hub") {
+    // the skew case raw-ID orientation gets wrong: hub 100 with 100
+    // degree-1 neighbors straddling its id (0-99 below, 101-200 above).
+    // ID ordering keeps ~d/2 edges on each side of the hub, so the
+    // u→v→w wedge join roots 100·100 = 10,000 rows at the hub before
+    // the closing join prunes them all (no triangles exist). Degree
+    // ordering sorts the hub LAST: all 200 edges point INTO it, the hub
+    // roots zero wedges, and the wedge relation is empty.
+    val hub = 100L
+    val edges = ((0L until hub) ++ (hub + 1 to 2 * hub))
+      .map(n => if (n < hub) (n, hub) else (hub, n))
+    val e = edges.toDF("a", "b")
+    def wedges(fwd0: org.apache.spark.sql.DataFrame): Long = {
+      val fwd = fwd0.toDF("u", "v")
+      fwd.as("uv").join(fwd.as("vw"), col("uv.v") === col("vw.u")).count()
+    }
+    val idOriented = e // the old orientation: the raw a < b canonical form
+    assert(wedges(idOriented) == hub * hub,
+      "ID orientation must exhibit the d^2/4-shaped wedge blowup this spec guards against")
+    assert(wedges(Graph.orientByDegree(e)) == 0L,
+      "degree orientation must root no wedges at the hub")
+    assert(Graph.triangleCounts(e, "a", "b").count() == 0L)
+  }
+
+  test("triangleCounts: correct on a triangle-rich graph with a low-ID hub") {
+    // node 0 is a hub (connected to 1..8) and the rim 1..8 is an
+    // 8-cycle: triangles are exactly the 8 (0, i, i+1) fans. Every rim
+    // node is in 2 fans, the hub in all 8 — counts must survive the
+    // re-orientation.
+    val rim = (1L to 8L).map(i => (i, if (i == 8) 1L else i + 1))
+      .map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+    val spokes = (1L to 8L).map(i => (0L, i))
+    val t = Graph.triangleCounts((rim ++ spokes).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(t(0L) == 8L)
+    assert((1L to 8L).forall(t(_) == 2L), s"rim counts wrong: $t")
+  }
 }
