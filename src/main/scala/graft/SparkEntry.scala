@@ -3414,7 +3414,26 @@ object SparkEntry {
     // dedup policy adds no extra shuffle over q210.
     "q212_span_trim" -> ((s, dir) =>
       Curation.trimDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
-        n = 5))
+        n = 5)),
+
+    // Fertility of the LEARNED tokenizer by language — q96 divides by
+    // a rule-of-thumb estimate; this segments the corpus under the
+    // q207-trained merge table (segmentation work stays
+    // vocabulary-sized, the corpus only tokenizes and joins) and rolls
+    // subword counts up per language as an exact integer-micro ratio.
+    // The per-language fertility gap is the standard signal that a
+    // vocabulary under-serves a language.
+    "q213_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, "text", nMerges = 20)
+      graft.operators.Bpe.segmentCorpus(docs, "doc_id", "text", merges)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+          sum(col("n_subwords")).as("n_subwords"))
+        .withColumn("fertility_micro",
+          expr("n_subwords * 1000000 div n_words"))
+    })
   )
 
   /** Oracle SQL that must be GENERATED against the data (embedding dim,
@@ -3501,24 +3520,37 @@ object SparkEntry {
          |  SELECT id_a, id_b, 'embedding' AS signal FROM ($embPairs) bp
          |) u GROUP BY id_a, id_b""".stripMargin
     },
-    "q207_bpe_train" -> bpeOracleSql(spark, dir))
+    "q207_bpe_train" -> bpeOracleSql(spark, dir),
+    "q213_bpe_fertility" -> bpeFertilityOracleSql(spark, dir))
 
-  /** Mirror of q207: the merge table is RE-LEARNED deterministically
-    * ([[graft.operators.Bpe.train]] — exact integer pair counts, the
-    * (count desc, a, b) total-order argmax), then replayed as nested
-    * boundary-aligned replace() literals over the initial character
-    * segmentation. DuckDB's replace shares Spark's left-to-right
-    * non-overlapping scan and chr(1)/chr(2) are the same wrappers, so
-    * the learned segmentation transfers bit-for-bit.
+  /** The nested-replace replay of a TRAINED merge table: DuckDB's
+    * replace shares Spark's left-to-right non-overlapping scan and
+    * chr(1)/chr(2) are the same wrappers, so folding the k merges (in
+    * rank order, innermost first) over the initial character
+    * segmentation reproduces the learned segmentation bit-for-bit.
     */
-  private def bpeOracleSql(spark: SparkSession, dir: String): String = {
-    val merges = graft.operators.Bpe.train(
-      Tables(spark, dir, "documents"), "text", nMerges = 20)
+  private def bpeSegSql(merges: Seq[graft.operators.Bpe.Merge]): String = {
     def sym(x: String) = "chr(1)||'" + x.replace("'", "''") + "'||chr(2)"
     val seg0 = """regexp_replace(word, '(.)', chr(1) || '\1' || chr(2), 'g')"""
-    val segK = merges.sortBy(_.rank).foldLeft(seg0) { (acc, m) =>
+    merges.sortBy(_.rank).foldLeft(seg0) { (acc, m) =>
       s"replace($acc,\n      ${sym(m.a)}||${sym(m.b)}, ${sym(m.a + m.b)})"
     }
+  }
+
+  /** Oracle-side retraining, shared by the q207/q213 mirrors: the
+    * merge table is RE-LEARNED deterministically
+    * ([[graft.operators.Bpe.train]] — exact integer pair counts, the
+    * (count desc, a, b) total-order argmax), so the generated SQL
+    * replays exactly the literals the Spark queries learned.
+    */
+  private def bpeOracleMerges(spark: SparkSession,
+      dir: String): Seq[graft.operators.Bpe.Merge] =
+    graft.operators.Bpe.train(Tables(spark, dir, "documents"), "text",
+      nMerges = 20)
+
+  /** Mirror of q207: replay the learned table over the vocabulary. */
+  private def bpeOracleSql(spark: SparkSession, dir: String): String = {
+    val segK = bpeSegSql(bpeOracleMerges(spark, dir))
     s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
        |v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
        |      FROM w WHERE word <> '' GROUP BY word),
@@ -3527,6 +3559,31 @@ object SparkEntry {
        |  replace(replace(seg, chr(1), '['), chr(2), ']') AS seg_disp,
        |  CAST(length(seg) - length(replace(seg, chr(1), '')) AS BIGINT) AS n_subwords
        |FROM s""".stripMargin
+  }
+
+  /** Mirror of q213: the same replay, but segmentation stays
+    * vocabulary-sized and the corpus token stream JOINS it — per-doc
+    * word/subword sums roll up per language with an integer-micro
+    * fertility ratio (both engines truncate `div`).
+    */
+  private def bpeFertilityOracleSql(spark: SparkSession, dir: String): String = {
+    val segK = bpeSegSql(bpeOracleMerges(spark, dir))
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |           FROM documents),
+       |v AS (SELECT word FROM w WHERE word <> '' GROUP BY word),
+       |sv AS (SELECT word,
+       |         CAST(length(seg) - length(replace(seg, chr(1), '')) AS BIGINT)
+       |           AS n_subwords
+       |       FROM (SELECT word, $segK AS seg FROM v) x),
+       |d AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |        CAST(sum(sv.n_subwords) AS BIGINT) AS n_subwords
+       |      FROM w JOIN sv USING (word) GROUP BY w.doc_id)
+       |SELECT doc.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(d.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(d.n_subwords) AS BIGINT) AS n_subwords,
+       |  CAST(sum(d.n_subwords) * 1000000 // sum(d.n_words) AS BIGINT)
+       |    AS fertility_micro
+       |FROM d JOIN documents doc USING (doc_id) GROUP BY doc.lang""".stripMargin
   }
 
   /** Mirror of q156: re-derives the SAME driver-computed DSIR bucket
