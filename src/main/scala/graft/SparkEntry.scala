@@ -3433,6 +3433,32 @@ object SparkEntry {
           sum(col("n_subwords")).as("n_subwords"))
         .withColumn("fertility_micro",
           expr("n_subwords * 1000000 div n_words"))
+    }),
+
+    // The WINNOW fingerprint index — tenth persisted store family,
+    // manifest-committed from day one: committed save + OCC-guarded
+    // committed append + a TORN append the snapshot probe never sees
+    // (q208's lifecycle on the q211 sketch). The probe pairs the batch
+    // against the STORED fingerprints (corpus text never re-read),
+    // df-capping boilerplate fingerprints before pairing — the
+    // partial-overlap candidate generator whole-doc fingerprints and
+    // minhash-over-whole-docs both miss.
+    "q214_winnow_index_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = scratchDir("graft_winnow_index", dir)
+      Dedup.saveWinnowIndexCommitted(
+        Dedup.buildWinnowIndex(
+          docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
+          "doc_id", "text"), idxDir)
+      Dedup.appendWinnowIndexCommitted(s, idxDir,
+        docs.filter(col("doc_id") % 10 === 5), "doc_id", "text",
+        expectedGen = Some(Dedup.winnowGen(s, idxDir)))
+      // the torn writer: fp files land, the manifest row never does
+      Dedup.appendWinnowIndex(s, idxDir,
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text")
+      Dedup.winnowProbe(Dedup.loadWinnowIndexSnapshot(s, idxDir),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        minShared = 2L, maxDf = 50L)
     })
   )
 
@@ -4487,6 +4513,34 @@ object SparkEntry {
          |SELECT DISTINCT doc_id, CAST(-m.np AS BIGINT) AS fp_pos,
          |  CAST(m.h AS BIGINT) AS fp
          |FROM sel WHERE c = 4""".stripMargin
+    },
+    // q211's fingerprint SQL feeding the pair generator: index side =
+    // the committed corpus (doc_id % 10 <> 0 — the torn % 20 = 0 batch
+    // never commits), batch side = % 10 = 0, df-cap then shared-count
+    "q214_winnow_index_serve" -> {
+      val h = hexToLongSql("md5(array_to_string(list_slice(w, i, i + 3), ' '))", 1, 15)
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM
+         |  (SELECT doc_id,
+         |     unnest([{'pos': i, 'h': CAST($h AS BIGINT)}
+         |             FOR i IN range(1, len(w) - 4 + 2)]) AS s
+         |   FROM t) x),
+         |sel AS (SELECT doc_id,
+         |        min({'h': h, 'np': -pos})
+         |          OVER (PARTITION BY doc_id ORDER BY pos
+         |                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+         |        count(*)
+         |          OVER (PARTITION BY doc_id ORDER BY pos
+         |                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c
+         |      FROM g),
+         |f AS (SELECT DISTINCT doc_id, m.h AS fp FROM sel WHERE c = 4),
+         |idx AS (SELECT doc_id AS id_a, fp FROM f WHERE doc_id % 10 <> 0),
+         |keep AS (SELECT fp FROM (SELECT fp, count(*) AS c2 FROM idx GROUP BY fp)
+         |         WHERE c2 <= 50),
+         |b AS (SELECT doc_id AS id_b, fp FROM f WHERE doc_id % 10 = 0)
+         |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM idx JOIN keep USING (fp) JOIN b USING (fp)
+         |GROUP BY id_a, id_b HAVING count(*) >= 2""".stripMargin
     },
     // same owner rule (struct-min over (doc_id, pos)), same island
     // merge as q210, then the per-doc token charge with COALESCE 0

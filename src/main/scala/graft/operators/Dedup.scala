@@ -1587,4 +1587,175 @@ object Dedup {
       } finally { e.unpersist(); () }
     }
   }
+
+  // --- WINNOW fingerprint index — the tenth persisted store family
+  // --- (build → committed save → probe → committed append → delete →
+  // --- compact, snapshot-manifest commit log from day one). Backs the
+  // --- Schank-style local fingerprinting of
+  // --- [[graft.operators.Curation.winnowFingerprints]] (Schleimer,
+  // --- Wilkerson & Aiken, SIGMOD 2003) with the same lifecycle the
+  // --- band/SimHash/Bloom families have: a corpus is fingerprinted
+  // --- ONCE, and every nightly batch probes the stored sketch for
+  // --- partial-overlap candidates instead of re-reading the corpus.
+
+  /** A persisted winnow fingerprint relation plus the (k, w) that
+    * SHAPED it — traveling together so a probe can only winnow its
+    * batch the way the index was built (the BandIndex contract).
+    * `fps`: distinct (id, fp_pos, fp).
+    */
+  final case class WinnowIndex(fps: DataFrame, k: Int, w: Int)
+
+  private def winnowDataDirs(dir: String): Seq[String] = Seq(s"$dir/fps")
+
+  /** Fingerprint the corpus once ([[graft.operators.Curation.winnowFingerprints]]). */
+  def buildWinnowIndex(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): WinnowIndex =
+    WinnowIndex(
+      graft.operators.Curation.winnowFingerprints(corpus, idCol, textCol, k, w)
+        .select(col(idCol).as("id"), col("fp_pos"), col("fp")),
+      k, w)
+
+  /** Persist: the fingerprint relation plus a one-row params parquet. */
+  def saveWinnowIndex(index: WinnowIndex, dir: String): Unit = {
+    val spark = index.fps.sparkSession
+    import spark.implicits._
+    StoreFiles.clearTombstones(spark, s"$dir/tombstones")
+    index.fps.write.mode("overwrite").parquet(s"$dir/fps")
+    Seq((index.k, index.w)).toDF("k", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** [[saveWinnowIndex]] plus the initial manifest (generation 0). */
+  def saveWinnowIndexCommitted(index: WinnowIndex, dir: String): Unit = {
+    val spark = index.fps.sparkSession
+    saveWinnowIndex(index, dir)
+    StoreFiles.writeManifest(spark, dir, 0L,
+      StoreFiles.listDataFiles(spark, winnowDataDirs(dir)), "overwrite")
+  }
+
+  /** Fingerprint an accepted batch with the INDEX'S OWN (k, w) and
+    * append — existing files never rewritten. Probe before appending
+    * (the [[appendBandIndex]] ordering note).
+    */
+  def appendWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, textCol: String): Unit = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    graft.operators.Curation
+      .winnowFingerprints(batch, idCol, textCol, p.getInt(0), p.getInt(1))
+      .select(col(idCol).as("id"), col("fp_pos"), col("fp"))
+      .write.mode("append").parquet(s"$dir/fps")
+  }
+
+  /** [[appendWinnowIndex]] with a commit point (OCC via `expectedGen`);
+    * returns the committed generation.
+    */
+  def appendWinnowIndexCommitted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, textCol: String,
+      expectedGen: Option[Long] = None): Long =
+    StoreFiles.commitAppend(spark, dir, winnowDataDirs(dir), expectedGen) {
+      appendWinnowIndex(spark, dir, batch, idCol, textCol)
+    }
+
+  /** Latest committed generation (-1 if never committed). */
+  def winnowGen(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
+    StoreFiles.manifestGen(spark, dir)
+
+  /** Tombstone-delete documents — same re-admission semantics as
+    * [[deleteFromBandIndex]]: a forgotten doc's fingerprints can no
+    * longer produce candidate pairs, so its future near-duplicates
+    * are admitted.
+    */
+  def deleteFromWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame, idCol: String): Unit =
+    StoreFiles.appendTombstones(spark, s"$dir/tombstones",
+      ids.select(col(idCol).as("id")).distinct(), "id")
+
+  /** Raw directory load (tombstones anti-join lazily). */
+  def loadWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): WinnowIndex = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    val raw = spark.read.parquet(s"$dir/fps")
+    WinnowIndex(
+      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(raw)(t =>
+        raw.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")),
+      p.getInt(0), p.getInt(1))
+  }
+
+  /** Load exactly the COMMITTED file set (optionally as of a
+    * generation); tombstones stay retroactive — the delete ledger is
+    * unversioned, a forgotten doc never resurfaces through a
+    * historical read.
+    */
+  def loadWinnowIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
+      dir: String, asOf: Option[Long] = None): WinnowIndex = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    val raw = StoreFiles.snapshotRead(spark, dir, "fps", asOf)
+    WinnowIndex(
+      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(raw)(t =>
+        raw.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")),
+      p.getInt(0), p.getInt(1))
+  }
+
+  /** Delete data files no committed snapshot references. */
+  def vacuumWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] =
+    StoreFiles.vacuumStore(spark, dir, winnowDataDirs(dir))
+
+  /** Nightly compaction: rewrite `fps` into `nFiles` files with
+    * tombstones applied physically; a manifested store compacts its
+    * COMMITTED snapshot and history collapses to a fresh generation 0
+    * (the [[compactBandIndex]] semantics).
+    */
+  def compactWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nFiles: Int = 8): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val tombs = StoreFiles.readTombstones(spark, s"$dir/tombstones")
+      .map(_.select(col("id")).localCheckpoint())
+    val manifested = StoreFiles.dirExists(spark, s"$dir/manifest")
+    val src =
+      if (manifested) loadWinnowIndexSnapshot(spark, dir).fps.localCheckpoint()
+      else {
+        val raw = spark.read.parquet(s"$dir/fps")
+        tombs.fold(raw)(t => raw.join(broadcast(t), Seq("id"), "left_anti"))
+      }
+    StoreFiles.swapIn(spark, s"$dir/fps") { tmp =>
+      src.coalesce(nFiles).write.parquet(tmp)
+    }
+    tombs.foreach(_ => StoreFiles.clearTombstones(spark, s"$dir/tombstones"))
+    if (manifested)
+      StoreFiles.writeManifest(spark, dir, 0L,
+        StoreFiles.listDataFiles(spark, winnowDataDirs(dir)), "overwrite")
+  }
+
+  /** Probe a batch against the stored sketch: partial-overlap
+    * candidate pairs (id_a = index doc, id_b = batch doc, n_shared =
+    * distinct common fingerprints ≥ `minShared`). Fingerprints held by
+    * more than `maxDf` index documents are DROPPED before pairing —
+    * corpus-wide boilerplate selects the same minimum everywhere, and
+    * without the cap one hot fingerprint pairs every batch doc with
+    * its whole posting list (the quadratic-bucket guard; same role as
+    * the hot-gram caps elsewhere). The winnowing guarantee (a shared
+    * run of ≥ w + k − 1 tokens shares a fingerprint) holds for any
+    * run that is not itself df-capped boilerplate.
+    *
+    * Scale shape: one df aggregate over the index, one keyed join on
+    * the fingerprint (fan-out bounded by maxDf per fp), one pair
+    * aggregate. The corpus text is never re-read.
+    */
+  def winnowProbe(index: WinnowIndex, batch: DataFrame, idCol: String,
+      textCol: String, minShared: Long = 2L, maxDf: Long = 50L): DataFrame = {
+    require(minShared >= 1 && maxDf >= 1,
+      s"need minShared >= 1, maxDf >= 1; got $minShared/$maxDf")
+    val idxFps = index.fps.select(col("id"), col("fp")).distinct()
+    val keep = idxFps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("fp"))
+    val bFps = graft.operators.Curation
+      .winnowFingerprints(batch, idCol, textCol, index.k, index.w)
+      .select(col(idCol).as("id_b"), col("fp")).distinct()
+    idxFps.join(keep, Seq("fp"))
+      .join(bFps, Seq("fp"))
+      .groupBy(col("id").as("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -70,6 +70,64 @@ class ManifestFamiliesSpec extends SparkSpec {
       Set((1L, 11L), (5L, 12L)))
   }
 
+  test("winnow index: full lifecycle — torn invisible, OCC, vacuum, time travel, delete re-admits, compaction") {
+    val dir = tmp("graft_winnow_manifest")
+    val corpus = Seq((1L, sA), (2L, filler1), (3L, filler2), (4L, filler3))
+      .toDF("doc_id", "text")
+    val b1 = Seq((5L, sB)).toDF("doc_id", "text")
+    val torn = Seq((7L, sC)).toDF("doc_id", "text")
+    val probes = Seq((11L, sA), (12L, sB), (13L, sC)).toDF("doc_id", "text")
+    def pairs(idx: Dedup.WinnowIndex): Set[(Long, Long)] =
+      Dedup.winnowProbe(idx, probes, "doc_id", "text", minShared = 1L)
+        .select(col("id_a"), col("id_b"))
+        .as[(Long, Long)].collect().toSet
+
+    Dedup.saveWinnowIndexCommitted(
+      Dedup.buildWinnowIndex(corpus, "doc_id", "text"), dir)
+    assert(Dedup.winnowGen(spark, dir) == 0L)
+    assert(Dedup.appendWinnowIndexCommitted(spark, dir, b1, "doc_id", "text",
+      expectedGen = Some(0L)) == 1L)
+    Dedup.appendWinnowIndex(spark, dir, torn, "doc_id", "text") // torn
+    assert(pairs(Dedup.loadWinnowIndexSnapshot(spark, dir)) ==
+      Set((1L, 11L), (5L, 12L)))
+    assert(pairs(Dedup.loadWinnowIndex(spark, dir)) ==
+      Set((1L, 11L), (5L, 12L), (7L, 13L)))
+    assert(pairs(Dedup.loadWinnowIndexSnapshot(spark, dir, Some(0L))) ==
+      Set((1L, 11L)))
+    intercept[IllegalStateException] {
+      Dedup.appendWinnowIndexCommitted(spark, dir, torn, "doc_id", "text",
+        expectedGen = Some(0L))
+    }
+    assert(Dedup.vacuumWinnowIndex(spark, dir).nonEmpty)
+    assert(Dedup.vacuumWinnowIndex(spark, dir).isEmpty)
+    assert(pairs(Dedup.loadWinnowIndex(spark, dir)) ==
+      Set((1L, 11L), (5L, 12L)))
+    // right-to-be-forgotten: doc 1 out — its twin must re-admit
+    Dedup.deleteFromWinnowIndex(spark, dir,
+      Seq(1L).toDF("doc_id"), "doc_id")
+    assert(pairs(Dedup.loadWinnowIndexSnapshot(spark, dir)) ==
+      Set((5L, 12L)))
+    Dedup.compactWinnowIndex(spark, dir)
+    assert(Dedup.winnowGen(spark, dir) == 0L)
+    assert(pairs(Dedup.loadWinnowIndexSnapshot(spark, dir)) ==
+      Set((5L, 12L)))
+  }
+
+  test("winnowProbe: a df-capped hot fingerprint pairs nothing") {
+    val dir = tmp("graft_winnow_dfcap")
+    // the same boilerplate text in three index docs: every fingerprint
+    // is held by all three → df 3 > maxDf 2 → all dropped → no pairs,
+    // even for an exact twin probe
+    val corpus = Seq((1L, sA), (2L, sA), (3L, sA)).toDF("doc_id", "text")
+    Dedup.saveWinnowIndexCommitted(
+      Dedup.buildWinnowIndex(corpus, "doc_id", "text"), dir)
+    val probes = Seq((11L, sA)).toDF("doc_id", "text")
+    assert(Dedup.winnowProbe(Dedup.loadWinnowIndexSnapshot(spark, dir),
+      probes, "doc_id", "text", minShared = 1L, maxDf = 2L).count() == 0L)
+    assert(Dedup.winnowProbe(Dedup.loadWinnowIndexSnapshot(spark, dir),
+      probes, "doc_id", "text", minShared = 1L, maxDf = 3L).count() == 3L)
+  }
+
   test("simhash index: torn append invisible to snapshot; vacuum converges raw") {
     val dir = tmp("graft_simhash_manifest")
     val corpus = Seq((1L, sA), (2L, filler1)).toDF("doc_id", "text")
