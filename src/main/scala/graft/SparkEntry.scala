@@ -3459,6 +3459,43 @@ object SparkEntry {
       Dedup.winnowProbe(Dedup.loadWinnowIndexSnapshot(s, idxDir),
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
         minShared = 2L, maxDf = 50L)
+    }),
+
+    // STREAMING twin of the winnow gate — partial-overlap admission
+    // over a landing dir of drops: drop 2's probe sees the corpus AND
+    // drop 1's admitted rows (re-fingerprinted from committed
+    // partitions; the store itself is immutable), so the df-cap and
+    // the gate recompute exactly as the one-pass oracle replays them.
+    // Thirteenth streaming maintenance twin, first on the winnow
+    // family.
+    "q215_winnow_stream_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val base = scratchDir("graft_winnow_stream", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      val idxDir = s"$base/winnow$run"
+      Dedup.saveWinnowIndex(
+        Dedup.buildWinnowIndex(corpus, "doc_id", "text"), idxDir)
+      val q = graft.streaming.DocumentStreams.winnowIngest(s,
+        landing.toString, idxDir, s"$base/out$run", s"$base/ckpt$run",
+        maxFilesPerTrigger = Some(1))
+      for ((m, i) <- Seq(0, 10).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        docs.filter(col("doc_id") % 20 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      s.read.schema(graft.streaming.DocumentStreams.documentsFileSchema)
+        .parquet(s"$base/out$run")
+        .select(col("doc_id"))
     })
   )
 
@@ -4517,31 +4554,42 @@ object SparkEntry {
     // q211's fingerprint SQL feeding the pair generator: index side =
     // the committed corpus (doc_id % 10 <> 0 — the torn % 20 = 0 batch
     // never commits), batch side = % 10 = 0, df-cap then shared-count
-    "q214_winnow_index_serve" -> {
-      val h = hexToLongSql("md5(array_to_string(list_slice(w, i, i + 3), ' '))", 1, 15)
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |g AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM
-         |  (SELECT doc_id,
-         |     unnest([{'pos': i, 'h': CAST($h AS BIGINT)}
-         |             FOR i IN range(1, len(w) - 4 + 2)]) AS s
-         |   FROM t) x),
-         |sel AS (SELECT doc_id,
-         |        min({'h': h, 'np': -pos})
-         |          OVER (PARTITION BY doc_id ORDER BY pos
-         |                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
-         |        count(*)
-         |          OVER (PARTITION BY doc_id ORDER BY pos
-         |                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c
-         |      FROM g),
-         |f AS (SELECT DISTINCT doc_id, m.h AS fp FROM sel WHERE c = 4),
+    "q214_winnow_index_serve" ->
+      s"""WITH $winnowFpCtes,
          |idx AS (SELECT doc_id AS id_a, fp FROM f WHERE doc_id % 10 <> 0),
          |keep AS (SELECT fp FROM (SELECT fp, count(*) AS c2 FROM idx GROUP BY fp)
          |         WHERE c2 <= 50),
          |b AS (SELECT doc_id AS id_b, fp FROM f WHERE doc_id % 10 = 0)
          |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
          |FROM idx JOIN keep USING (fp) JOIN b USING (fp)
-         |GROUP BY id_a, id_b HAVING count(*) >= 2""".stripMargin
-    },
+         |GROUP BY id_a, id_b HAVING count(*) >= 2""".stripMargin,
+    // the winnow-gated ingest: a drop doc admits iff NO ≥2-shared-
+    // capped-fingerprint pair links it to the corpus (drop 1) / corpus
+    // ∪ drop-1 admissions (drop 2) — the df-cap recomputes per step
+    // exactly as the Spark gate's probe sees the index grow
+    "q215_winnow_stream_ingest" ->
+      s"""WITH $winnowFpCtes,
+         |cor AS (SELECT doc_id AS b, fp FROM f WHERE doc_id % 10 <> 0),
+         |k1 AS (SELECT fp FROM (SELECT fp, count(*) AS c2 FROM cor GROUP BY fp)
+         |       WHERE c2 <= 50),
+         |m1 AS (SELECT bf.doc_id AS a, cor.b AS b
+         |       FROM (SELECT doc_id, fp FROM f WHERE doc_id % 20 = 0) bf
+         |       JOIN k1 USING (fp) JOIN cor USING (fp)
+         |       GROUP BY bf.doc_id, cor.b HAVING count(*) >= 2),
+         |adm1 AS (SELECT doc_id FROM documents d WHERE doc_id % 20 = 0
+         |         AND NOT EXISTS (SELECT 1 FROM m1 WHERE m1.a = d.doc_id)),
+         |idx2 AS (SELECT b, fp FROM cor
+         |         UNION ALL SELECT doc_id AS b, fp FROM f
+         |         WHERE doc_id IN (SELECT doc_id FROM adm1)),
+         |k2 AS (SELECT fp FROM (SELECT fp, count(*) AS c2 FROM idx2 GROUP BY fp)
+         |       WHERE c2 <= 50),
+         |m2 AS (SELECT bf.doc_id AS a, idx2.b AS b
+         |       FROM (SELECT doc_id, fp FROM f WHERE doc_id % 20 = 10) bf
+         |       JOIN k2 USING (fp) JOIN idx2 USING (fp)
+         |       GROUP BY bf.doc_id, idx2.b HAVING count(*) >= 2),
+         |adm2 AS (SELECT doc_id FROM documents d WHERE doc_id % 20 = 10
+         |         AND NOT EXISTS (SELECT 1 FROM m2 WHERE m2.a = d.doc_id))
+         |SELECT doc_id FROM adm1 UNION ALL SELECT doc_id FROM adm2""".stripMargin,
     // same owner rule (struct-min over (doc_id, pos)), same island
     // merge as q210, then the per-doc token charge with COALESCE 0
     "q212_span_trim" ->
@@ -6126,6 +6174,30 @@ object SparkEntry {
   /** DuckDB rendering of Spark's `conv(substring(md5(x), start, len), 16, 10)`
     * — per-nibble positional arithmetic (DuckDB has no conv).
     */
+  /** The winnow fingerprint CTE chain over ALL documents — the DuckDB
+    * mirror of [[graft.operators.Curation.winnowFingerprints]] (k=4,
+    * w=4): relation `f` = distinct (doc_id, fp). Shared by the
+    * q211/q214/q215 mirrors; spliced after a WITH.
+    */
+  private lazy val winnowFpCtes: String = {
+    val h = hexToLongSql("md5(array_to_string(list_slice(w, i, i + 3), ' '))", 1, 15)
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM
+       |  (SELECT doc_id,
+       |     unnest([{'pos': i, 'h': CAST($h AS BIGINT)}
+       |             FOR i IN range(1, len(w) - 4 + 2)]) AS s
+       |   FROM t) x),
+       |sel AS (SELECT doc_id,
+       |        min({'h': h, 'np': -pos})
+       |          OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+       |        count(*)
+       |          OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c
+       |      FROM g),
+       |f AS (SELECT DISTINCT doc_id, m.h AS fp FROM sel WHERE c = 4)""".stripMargin
+  }
+
   private def hexToLongSql(hexExpr: String, start: Int, len: Int): String =
     (0 until len).map { k =>
       s"(strpos('0123456789abcdef', substr($hexExpr, ${start + k}, 1)) - 1) * ${1L << (4 * (len - 1 - k))}"

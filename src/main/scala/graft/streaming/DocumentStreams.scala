@@ -280,6 +280,49 @@ object DocumentStreams {
       .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
   }
 
+  /** Winnow-gated ingest — [[bandIngest]]'s twin on the WINNOW
+    * fingerprint store (partial-overlap gating: a drop doc is rejected
+    * when it shares ≥ 2 df-capped selected fingerprints with the
+    * corpus or an earlier admission — substantial copied RUNS block
+    * admission even when the whole document looks novel). Same
+    * replay-idempotent construction: the stored index is immutable,
+    * earlier drops re-fingerprint from committed partitions (own
+    * partition excluded), admitted rows land per batch_id.
+    */
+  def winnowIngest(spark: SparkSession, landingDir: String, idxDir: String,
+      outPath: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readDocuments(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        winnowIngestBatch(spark, idxDir, outPath)(batch.toDF(), batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One [[winnowIngest]] trigger, exposed for the replay spec. */
+  def winnowIngestBatch(spark: SparkSession, idxDir: String,
+      outPath: String)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.Dedup
+    val stored = Dedup.loadWinnowIndex(spark, idxDir)
+    val parts = committedParts(spark, outPath, batchId)
+    val index =
+      if (parts.isEmpty) stored
+      else {
+        val prior = Dedup.buildWinnowIndex(
+          spark.read.parquet(parts: _*).select(col("doc_id"), col("text")),
+          "doc_id", "text", stored.k, stored.w)
+        stored.copy(fps = stored.fps.unionByName(prior.fps))
+      }
+    // pairs are (id_a = index side, id_b = batch side) by contract, so
+    // the gate removes exactly the batch ids that matched
+    val pairs = Dedup.winnowProbe(index, batch, "doc_id", "text",
+      minShared = 2L, maxDf = 50L)
+    batch.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+  }
+
   /** SimHash-gated ingest — [[bandIngest]]'s twin on the SIMHASH index,
     * and the one gate whose probe is LOSSLESS (pigeonhole banding ⇒
     * probe ≡ exact cross-side hamming filter), so its oracle carries no

@@ -401,6 +401,78 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(!compacted.exists(p => p._1 == 9002L || p._2 == 9002L))
   }
 
+  test("winnow ingest: partial-overlap gate vs corpus and earlier drops; replay-idempotent") {
+    import graft.operators.Dedup
+    def mkDocs(rows: Seq[(Long, String)]) =
+      rows.map { case (id, tx) => (id, tx, "en", "syn", tx.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def body(i: Int) = s"unique corpus narrative number $i about spark engines " +
+      s"and data curation with several shared words in sequence $i"
+    val corpus = mkDocs((0 until 30).map(i => (i.toLong, body(i))))
+    // drop0: 5 fresh + 3 docs sharing a LONG RUN with corpus texts
+    // (one word swapped — the partial-overlap case the winnow
+    // guarantee is about: the ≥ w+k−1-token shared tail must select
+    // ≥ 2 common fingerprints)
+    val drop0 = mkDocs(
+      (100 until 105).map(i => (i.toLong, s"entirely fresh drop zero story $i with its own distinct vocabulary stream $i")) ++
+      (0 until 3).map(i => (1000L + i, body(i).replace("narrative", "account"))))
+    // drop1: 4 fresh + 2 sharing the drop0-fresh PREFIX run + 1 corpus overlap
+    val drop1 = mkDocs(
+      (200 until 204).map(i => (i.toLong, s"later drop one chronicle $i carrying different tokens entirely batch $i")) ++
+      (100 until 102).map(i => (2000L + i, s"entirely fresh drop zero story $i with its own distinct vocabulary river $i")) ++
+      Seq((3000L, body(7).replace("narrative", "report"))))
+    val base = java.nio.file.Files.createTempDirectory("winnow_ingest").toString
+    val landing = s"$base/landing"; new java.io.File(landing).mkdirs()
+    val idxDir = s"$base/winnow"; val outPath = s"$base/out"
+    Dedup.saveWinnowIndex(Dedup.buildWinnowIndex(corpus, "doc_id", "text"),
+      idxDir)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(s"$landing/$name.parquet"))
+    }
+    val q = DocumentStreams.winnowIngest(spark, landing, idxDir, outPath,
+      s"$base/ckpt", maxFilesPerTrigger = Some(1))
+    land(drop0, "drop_00"); q.processAllAvailable()
+    land(drop1, "drop_01"); q.processAllAvailable()
+    q.stop()
+    // batch twin: admitted1 = drop0 minus winnow matches vs the stored
+    // index; admitted2 = drop1 minus matches vs stored ∪ admitted1
+    val stored = Dedup.loadWinnowIndex(spark, idxDir)
+    def gate(idx: Dedup.WinnowIndex, batch: org.apache.spark.sql.DataFrame) = {
+      val pairs = Dedup.winnowProbe(idx, batch, "doc_id", "text",
+        minShared = 2L, maxDf = 50L)
+      batch.join(pairs.select($"id_b".as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    }
+    val adm1 = gate(stored, drop0)
+    val idx2 = stored.copy(fps = stored.fps.unionByName(
+      Dedup.buildWinnowIndex(adm1.select($"doc_id", $"text"),
+        "doc_id", "text", stored.k, stored.w).fps))
+    val adm2 = gate(idx2, drop1)
+    val expect = adm1.select($"doc_id").unionByName(adm2.select($"doc_id"))
+      .as[Long].collect().toSet
+    val got = spark.read.parquet(outPath).select($"doc_id")
+      .as[Long].collect().toSet
+    assert(got == expect)
+    // planted structure exercised: fresh admitted; long-run overlaps
+    // with corpus and with drop0 admissions rejected
+    assert(got.contains(100L) && got.contains(200L))
+    assert(!got.contains(1000L) && !got.contains(2100L) && !got.contains(3000L))
+    // FULL at-least-once replay of committed batch 1: own partition on
+    // disk, must reproduce identical rows (own partition excluded from
+    // the re-derived prior side — else its rows would self-reject)
+    val b1Before = spark.read.parquet(s"$outPath/batch_id=1")
+      .select($"doc_id").as[Long].collect().toSet
+    DocumentStreams.winnowIngestBatch(spark, idxDir, outPath)(drop1, 1L)
+    val b1After = spark.read.parquet(s"$outPath/batch_id=1")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(b1After == b1Before && b1Before.nonEmpty)
+  }
+
   test("label ingest stream equals the batch lifecycle and replays idempotently") {
     import graft.operators.Dedup
     val docs = Tables(spark, sf, "documents")
