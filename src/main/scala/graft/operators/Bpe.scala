@@ -113,6 +113,7 @@ object Bpe {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     var vocab = initialVocab(docs, textCol).localCheckpoint()
+    var pinned = vocab // the last checkpointed relation (freed on advance)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 0
     var done = false
@@ -128,13 +129,22 @@ object Bpe {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += Merge(rank, a, b)
-        val prev = vocab
         vocab = vocab.withColumn("seg", applyMerge(col("seg"), a, b))
-          .localCheckpoint()
-        prev.unpersist(blocking = false)
         rank += 1
+        // re-materialize every 4th round, not every round: unapplied
+        // merges are cheap stacked replace() projections on top of the
+        // last checkpoint (≤ 3 deep), while each localCheckpoint costs
+        // its own job — this is what keeps training at ~1 job per
+        // round instead of ~3. Results are bit-identical either way.
+        if (rank % 4 == 0) {
+          val prev = pinned
+          vocab = vocab.localCheckpoint()
+          pinned = vocab
+          prev.unpersist(blocking = false)
+        }
       }
     }
+    pinned.unpersist(blocking = false)
     merges.toSeq
   }
 
