@@ -3496,6 +3496,26 @@ object SparkEntry {
       s.read.schema(graft.streaming.DocumentStreams.documentsFileSchema)
         .parquet(s"$base/out$run")
         .select(col("doc_id"))
+    }),
+
+    // DELETE lifecycle on the winnow family (q160's shape): tombstone
+    // % 7 = 3 corpus docs TWICE (idempotence under the oracle — the
+    // second call appends nothing), then probe. A forgotten doc's
+    // fingerprints can no longer pair, so its near-duplicates re-admit
+    // — and the df-cap recomputes over SURVIVORS, exactly what the
+    // restricted mirror counts.
+    "q216_winnow_delete_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = scratchDir("graft_winnow_delete", dir)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      Dedup.saveWinnowIndex(
+        Dedup.buildWinnowIndex(corpus, "doc_id", "text"), idxDir)
+      val dead = corpus.filter(col("doc_id") % 7 === 3).select("doc_id")
+      Dedup.deleteFromWinnowIndex(s, idxDir, dead, "doc_id")
+      Dedup.deleteFromWinnowIndex(s, idxDir, dead, "doc_id") // idempotent
+      Dedup.winnowProbe(Dedup.loadWinnowIndex(s, idxDir),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        minShared = 2L, maxDf = 50L)
     })
   )
 
@@ -4590,6 +4610,18 @@ object SparkEntry {
          |adm2 AS (SELECT doc_id FROM documents d WHERE doc_id % 20 = 10
          |         AND NOT EXISTS (SELECT 1 FROM m2 WHERE m2.a = d.doc_id))
          |SELECT doc_id FROM adm1 UNION ALL SELECT doc_id FROM adm2""".stripMargin,
+    // q214's pair mirror with the index side restricted to delete
+    // SURVIVORS (% 7 <> 3) — the df-cap recomputes over survivors too
+    "q216_winnow_delete_probe" ->
+      s"""WITH $winnowFpCtes,
+         |idx AS (SELECT doc_id AS id_a, fp FROM f
+         |        WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 3),
+         |keep AS (SELECT fp FROM (SELECT fp, count(*) AS c2 FROM idx GROUP BY fp)
+         |         WHERE c2 <= 50),
+         |b AS (SELECT doc_id AS id_b, fp FROM f WHERE doc_id % 10 = 0)
+         |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM idx JOIN keep USING (fp) JOIN b USING (fp)
+         |GROUP BY id_a, id_b HAVING count(*) >= 2""".stripMargin,
     // same owner rule (struct-min over (doc_id, pos)), same island
     // merge as q210, then the per-doc token charge with COALESCE 0
     "q212_span_trim" ->
