@@ -220,6 +220,58 @@ object SimilarityOracle {
        |$finalSelect""".stripMargin
   }
 
+  /** Mirror of q223: IVF-SQ8. Trains the SAME coarse centroids and
+    * per-dimension (min, span) bounds the Spark operator trains (both
+    * integer-deterministic), renders them as literals, replays coarse
+    * routing, the per-dimension linear encode (`//` where the Spark
+    * side's double floor is provably identical), the 255-scaled
+    * reconstruction, and the exact integer L2 rerank — every term
+    * ≪ 2⁵³, so double list arithmetic is exact.
+    */
+  def ivfSq8TopKSql(spark: SparkSession, dir: String, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): String = {
+    val emb = Tables(spark, dir, "embeddings")
+    val coarse = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      nlist, iters)
+    val (mn, span) = Similarity.trainSq8Bounds(emb, "vec_id", "embedding")
+    val dim = mn.length
+    val mnl = longList(mn); val spl = longList(span)
+    val sl = coarse.map(c => s"list_dot_product(vm, ${longList(c)})")
+      .mkString("[\n    ", ",\n    ", "]")
+    s"""WITH e AS (SELECT vec_id, $vMilli AS vm FROM embeddings),
+       |sc AS (SELECT vec_id, vm, $sl AS sl FROM e),
+       |cells AS (SELECT vec_id, vm, CAST(t.cell AS INT) AS cell,
+       |            sl[CAST(t.cell AS INT) + 1] AS s
+       |          FROM sc CROSS JOIN (SELECT unnest(range(${coarse.length})) AS cell) t),
+       |ranked AS (SELECT vec_id, vm, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS crn
+       |  FROM cells),
+       |corpus AS (SELECT vec_id AS neighbor_id, vm AS cv, cell FROM ranked
+       |           WHERE crn = 1),
+       |enc AS (SELECT neighbor_id, cell,
+       |    [CASE WHEN ($spl)[i] > 0
+       |          THEN ((cv[i] - ($mnl)[i]) * 255) // ($spl)[i]
+       |          ELSE 0 END
+       |     FOR i IN range(1, $dim + 1)] AS codes
+       |  FROM corpus),
+       |queries AS (SELECT vec_id AS query_id, vm AS qv, cell FROM ranked
+       |            WHERE crn <= $nprobe AND vec_id % 25 = 0),
+       |scored AS (SELECT query_id, neighbor_id,
+       |    CAST(list_dot_product(
+       |      [255 * qv[i] - (255 * ($mnl)[i] + codes[i] * ($spl)[i])
+       |       FOR i IN range(1, $dim + 1)],
+       |      [255 * qv[i] - (255 * ($mnl)[i] + codes[i] * ($spl)[i])
+       |       FOR i IN range(1, $dim + 1)]) AS BIGINT) AS sq_dist2
+       |  FROM enc JOIN queries USING (cell)
+       |  WHERE query_id <> neighbor_id)
+       |SELECT query_id, neighbor_id, sq_dist2, CAST(rank AS INT) AS rank FROM (
+       |  SELECT query_id, neighbor_id, sq_dist2,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sq_dist2 ASC, neighbor_id ASC) AS rank
+       |  FROM scored) r
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** Mirror of q133: banded near-dup over MEDIA FEATURES. The demo
     * payload is the ASCII of `repeat(md5(text), 2)` and the stub decoder
     * derives feature i as float32(digestByte_i / 255) from the payload's

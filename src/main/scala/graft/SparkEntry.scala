@@ -3516,6 +3516,142 @@ object SparkEntry {
       Dedup.winnowProbe(Dedup.loadWinnowIndex(s, idxDir),
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
         minShared = 2L, maxDf = 50L)
+    }),
+
+    // k-CORE PEEL over the co-supplier support graph (the q199 edge
+    // relation): 4 rounds of "drop nodes with degree < 3", the classic
+    // link-farm / dense-cluster gate (Matula-Beck). Result is a pure
+    // function of (edges, k, rounds); the oracle unrolls the identical
+    // rounds (the q190 fixed-iteration discipline). GraphSpec proves a
+    // 5th round changes nothing on this graph shape.
+    "q217_kcore" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+        .distinct()
+      val e = pairs.as("x").join(pairs.as("y"),
+          col("x.ok") === col("y.ok") && col("x.s") < col("y.s"))
+        .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 5)
+        .select(col("a"), col("b"))
+      graft.operators.Graph.kCore(e, "a", "b", k = 3, rounds = 4)
+    }),
+
+    // GRADED-RELEVANCE RETRIEVAL EVAL (nDCG@10, MRR@10) in exact
+    // integer micro units: pool = BM25 top-20, run = its top-10, qrels
+    // = md5-graded pseudo-judgments over the pool (the TREC pooling
+    // shape). Discounts floor(1e6/log2(r+1)) are driver-generated
+    // literals BOTH engines join — no engine runs its own log.
+    "q218_ndcg_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 200 === 7)
+        .select(col("doc_id").as("qid"),
+          array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+      val pool = graft.operators.Retrieval.bm25TopK(docs, queries,
+        "doc_id", "text", "qid", "qterms", k = 20).localCheckpoint()
+      val qrels = pool.select(col("qid"), col("doc_id"),
+        (conv(substring(md5(concat(lit("qr:"), col("qid").cast("string"),
+          lit(":"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 4L).as("rel"))
+      graft.operators.Retrieval.ndcgMrrEval(
+        pool.filter(col("rn") <= 10), qrels, k = 10)
+    }),
+
+    // Streaming maintenance twin for the count-min sketch: seed cells
+    // + 2 real AvailableNow drops, each batch appending its OWN cell
+    // partition; the served estimate reads the per-(r,c) SUM — cells
+    // merge by addition, so the result is exactly q132's full-corpus
+    // estimate (same oracle).
+    "q220_cm_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = scratchDir("graft_cm_stream", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      val outPath = s"$base/out$run"
+      Curation.cmSketch(
+          docs.filter(col("doc_id") % 10 =!= 0)
+            .select(explode(split(col("text"), " ")).as("token")), "token")
+        .cells.write.mode("overwrite").parquet(s"$outPath/batch_id=-1")
+      val q = graft.streaming.DocumentStreams.cmIngest(s,
+        landing.toString, outPath, s"$base/ckpt$run",
+        maxFilesPerTrigger = Some(1))
+      for ((m, i) <- Seq(0, 10).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        docs.filter(col("doc_id") % 20 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      val probe = docs.filter(col("doc_id") % 250 === 3)
+        .select(explode(split(col("text"), " ")).as("token")).distinct()
+      Curation.cmEstimate(
+        Curation.CmSketch(
+          graft.streaming.DocumentStreams.loadCmCells(s, outPath),
+          depth = 4, width = 1024),
+        probe, "token")
+        .select(col("k").as("token"), col("est").as("est_count"))
+    }),
+
+    // Interpolated KNESER-NEY bigram model (d = 3/4 exact via
+    // multiply-by-4, continuation counts, micro fixed-point with two
+    // documented floor divisions) — the smoothing family behind
+    // KenLM-style quality-filter LMs. Completes the LM suite: q127
+    // Good-Turing spectrum, q128 surprisal scoring, now proper
+    // smoothed probabilities with backoff mass.
+    "q219_kneser_ney" -> ((s, dir) =>
+      Curation.kneserNeyBigrams(t(s, dir, "documents"), "text",
+        minCount = 3, topK = 300)),
+
+    // SymSpell spelling correction (symmetric delete neighborhoods,
+    // Garbe 2012): deterministic OCR-style corruptions (each ≥5-char
+    // vocabulary term with its 2nd character deleted) corrected back
+    // against the ≥5-count vocabulary via ONE equi-join on delete-1
+    // keys — scan-linear, never all-pairs — verified by levenshtein
+    // (integer DP, engine-identical), ranked most-frequent-first.
+    "q221_spell_correct" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // dict and queries both read it — one pass
+      val dict = counts.filter(col("c") >= 5)
+        .select(col("w").as("term"), col("c").as("freq"))
+      val queries = counts.filter(col("c") >= 5 && length(col("w")) >= 5)
+        .select(concat(col("w").substr(lit(1), lit(1)),
+          col("w").substr(lit(3), lit(1000000))).as("q"))
+      graft.operators.Spell.corrections(dict, "term", "freq",
+        queries, "q", topK = 3, minLen = 4)
+    }),
+
+    // ROC AUC (Mann-Whitney with ties, exact integer micros) of an
+    // English-stopword-count classifier against the lang label, per
+    // source — the threshold-free eval a quality/language filter gets
+    // before its cut is trusted. Two chained milli scalings keep every
+    // intermediate inside BIGINT; NULL where a source lacks a class.
+    "q222_roc_auc" -> ((s, dir) => {
+      val sw = Seq("the", "of", "and", "to", "in", "a", "is", "that")
+      graft.operators.Classify.rocAuc(
+        t(s, dir, "documents").select(col("source"),
+          size(filter(split(col("text"), " "), t => t.isin(sw: _*)))
+            .cast("long").as("score"),
+          (col("lang") === "en").cast("int").as("label")),
+        Seq("source"), "score", "label")
+    }),
+
+    // IVF-SQ8 ANN — the faiss middle ground the family was missing
+    // between raw IVF (q57, full vectors in-index) and IVF-PQ (q116,
+    // subspace codes): ONE linear byte code per dimension, exact
+    // integer L2 on the 255-scaled reconstruction, coarse-cell routing
+    // identical to q116. Generated mirror replays the trained bounds.
+    "q223_ann_ivf_sq8_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfSq8TopK(emb.filter(col("vec_id") % 25 === 0), emb,
+        "vec_id", "embedding", k = 10)
     })
   )
 
@@ -3536,6 +3672,7 @@ object SparkEntry {
       trainWhere = Some("vec_id % 10 <> 0")),
     "q67_neardup_lsh_banded" -> SimilarityOracle.bandedNearDupSql(spark, dir, threshold = 0.45),
     "q116_ann_ivf_pq_topk" -> SimilarityOracle.ivfPqTopKSql(spark, dir),
+    "q223_ann_ivf_sq8_topk" -> SimilarityOracle.ivfSq8TopKSql(spark, dir),
     "q119_pq_index_append" -> SimilarityOracle.ivfPqTopKSql(spark, dir,
       trainWhere = Some("vec_id % 10 <> 0")),
     // tombstone-deleted serve ≡ a corpus that never held the deleted
@@ -3950,8 +4087,12 @@ object SparkEntry {
     * over the same corpus): replays the identical BIGINT products,
     * single double division, floor-to-micro, and exact integer sum.
     */
-  private val bm25OracleSql: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  private val bm25OracleSql: String = bm25OracleSqlK(10)
+
+  /** [[bm25OracleSql]] with a caller-chosen rank cutoff (q218 pools
+    * judgments from the top 20 of the same run it evaluates at 10). */
+  private def bm25OracleSqlK(k: Int): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
       |                 CAST(sum(dl) AS BIGINT) AS t FROM dl),
@@ -3975,7 +4116,7 @@ object SparkEntry {
       |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
       |             ORDER BY score_micro DESC, doc_id ASC) AS rn FROM scored)
       |SELECT qid, doc_id, score_micro, CAST(rn AS INT) AS rn
-      |FROM ranked WHERE rn <= 10""".stripMargin
+      |FROM ranked WHERE rn <= $k""".stripMargin
 
   /** [[bm25OracleSql]] with the CORPUS side (w → dl, stats, postings)
     * restricted by a predicate — q158 scores a tombstone-deleted index
@@ -4110,6 +4251,77 @@ object SparkEntry {
     * engines agree bit-for-bit; no literals needed, the node count
     * comes from a CTE.
     */
+  /** Unrolled k-core peel (the q190 fixed-iteration oracle discipline):
+    * round i keeps nodes whose degree in e(i-1) is ≥ k, then restricts
+    * the edge relation to kept endpoints. Base graph = the q199
+    * co-supplier support edges, symmetrized (so out-count = degree). */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val chain = (1 to rounds).map { i =>
+      s"""k$i AS (SELECT src AS node FROM e${i - 1}
+         |        GROUP BY src HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+         |        JOIN k$i ka ON e.src = ka.node
+         |        JOIN k$i kb ON e.dst = kb.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+       |           FROM lineitem),
+       |base AS (SELECT x.s AS a, y.s AS b
+       |         FROM p x JOIN p y ON x.ok = y.ok AND x.s < y.s
+       |         GROUP BY x.s, y.s HAVING count(*) >= 5),
+       |e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM base
+       |         UNION SELECT b, a FROM base),
+       |$chain
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+       |FROM e$rounds GROUP BY src""".stripMargin
+  }
+
+  /** q218 mirror: pool = BM25 top-20, run = its top-10, qrels = the
+    * pool graded by an md5 hash of (qid, doc_id) — deterministic
+    * pseudo-judgments over a TREC-style pool — then the exact-integer
+    * nDCG/MRR arithmetic of [[graft.operators.Retrieval.ndcgMrrEval]]
+    * with the SAME driver-generated discount literals the Spark plan
+    * joined (floor(1e6/log2(r+1)), StrictMath, rendered once). */
+  private def ndcgEvalOracleSql(k: Int, poolK: Int): String = {
+    val disc = graft.operators.Retrieval.dcgDiscountMicros(k)
+      .map { case (r, d) => s"($r, $d)" }.mkString(", ")
+    val relHash = hexToLongSql(
+      "md5('qr:' || CAST(qid AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))",
+      1, 15)
+    s"""WITH pool AS MATERIALIZED (SELECT qid, doc_id, rn FROM (
+       |${bm25OracleSqlK(poolK)}
+       |)),
+       |run AS (SELECT * FROM pool WHERE rn <= $k),
+       |qrels AS (SELECT qid, doc_id,
+       |            CAST(($relHash) % 4 AS BIGINT) AS rel FROM pool),
+       |disc(rn, disc_micro) AS (VALUES $disc),
+       |gain AS (SELECT r.qid,
+       |    CAST(sum(COALESCE(q.rel, 0) * d.disc_micro) AS BIGINT)
+       |      AS dcg_micro,
+       |    min(CASE WHEN COALESCE(q.rel, 0) > 0 THEN r.rn END) AS first_rel
+       |  FROM run r
+       |  LEFT JOIN qrels q ON q.qid = r.qid AND q.doc_id = r.doc_id
+       |  JOIN disc d ON d.rn = r.rn
+       |  GROUP BY r.qid),
+       |ideal AS (SELECT qid,
+       |    CAST(count(CASE WHEN rel > 0 THEN 1 END) AS BIGINT) AS n_rel,
+       |    CAST(COALESCE(sum(CASE WHEN rel > 0 AND irn <= $k
+       |                       THEN rel * disc_micro END), 0) AS BIGINT)
+       |      AS idcg_micro
+       |  FROM (SELECT qid, doc_id, rel,
+       |          row_number() OVER (PARTITION BY qid
+       |            ORDER BY rel DESC, doc_id ASC) AS irn FROM qrels) i
+       |  LEFT JOIN disc d ON d.rn = i.irn
+       |  GROUP BY qid)
+       |SELECT g.qid, COALESCE(i.n_rel, 0) AS n_rel, g.dcg_micro,
+       |  COALESCE(i.idcg_micro, 0) AS idcg_micro,
+       |  CAST(COALESCE(1000000 // g.first_rel, 0) AS BIGINT) AS mrr_micro,
+       |  CAST(CASE WHEN COALESCE(i.idcg_micro, 0) > 0
+       |       THEN (g.dcg_micro * 1000000) // i.idcg_micro
+       |       ELSE 0 END AS BIGINT) AS ndcg_micro
+       |FROM gain g LEFT JOIN ideal i ON i.qid = g.qid""".stripMargin
+  }
+
   private def pageRankOracleSql(iters: Int, dampBp: Int): String = {
     val chain = (1 to iters).map { i =>
       s"""r$i AS MATERIALIZED (
@@ -4657,6 +4869,87 @@ object SparkEntry {
         |  COALESCE(tr.trimmed, 0) AS trimmed_tokens,
         |  CAST(len(t.w) AS BIGINT) - COALESCE(tr.trimmed, 0) AS kept_tokens
         |FROM t LEFT JOIN tr USING (doc_id)""".stripMargin,
+    "q217_kcore" -> kCoreOracleSql(k = 3, rounds = 4),
+    "q218_ndcg_eval" -> ndcgEvalOracleSql(k = 10, poolK = 20),
+    // same bigram-type relation, same continuation counts, same two
+    // floor divisions in the documented order
+    "q219_kneser_ney" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bgs AS (SELECT unnest([w.w[i] || ' ' || w.w[i+1]
+        |                      FOR i IN range(1, greatest(len(w.w) - 1, 0) + 1)])
+        |          AS pair FROM w),
+        |bg AS (SELECT pair, CAST(count(*) AS BIGINT) AS c_xy,
+        |         string_split(pair, ' ')[1] AS w1,
+        |         string_split(pair, ' ')[2] AS w2
+        |       FROM bgs GROUP BY pair),
+        |pre AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_prefix,
+        |          CAST(count(*) AS BIGINT) AS n_cont FROM bg GROUP BY w1),
+        |succ AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_pred
+        |         FROM bg GROUP BY w2),
+        |ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bg)
+        |SELECT pair, c_xy, c_prefix, n_cont,
+        |  CAST((n_pred * 1000000) // n_types AS BIGINT) AS cont_micro,
+        |  CAST((greatest(4 * c_xy - 3, 0) * 1000000) // (4 * c_prefix)
+        |     + (3 * n_cont * ((n_pred * 1000000) // n_types))
+        |       // (4 * c_prefix) AS BIGINT) AS p_micro
+        |FROM bg JOIN pre USING (w1) JOIN succ USING (w2) CROSS JOIN ty
+        |WHERE c_xy >= 3
+        |ORDER BY p_micro DESC, pair ASC LIMIT 300""".stripMargin,
+    // same delete-1 neighborhoods (list comprehension mirror of the
+    // transform/substr expansion), same 2nd-char corruption, same
+    // levenshtein verify, same (freq desc, term asc) ranking
+    "q221_spell_correct" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |counts AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+        |dict AS (SELECT w AS term, c AS freq FROM counts
+        |         WHERE c >= 5 AND len(w) >= 4),
+        |qs AS (SELECT w[1:1] || w[3:] AS q FROM counts
+        |       WHERE c >= 5 AND len(w) >= 5),
+        |dk AS (SELECT term, freq,
+        |         unnest(list_distinct([term] ||
+        |           [term[1:i-1] || term[i+1:]
+        |            FOR i IN range(1, len(term) + 1)])) AS key
+        |       FROM dict),
+        |qk AS (SELECT q,
+        |         unnest(list_distinct([q] ||
+        |           [q[1:i-1] || q[i+1:] FOR i IN range(1, len(q) + 1)])) AS key
+        |       FROM qs WHERE len(q) >= 4),
+        |cand AS (SELECT DISTINCT q, term, freq FROM qk JOIN dk USING (key)),
+        |v AS (SELECT q, term, freq,
+        |        CAST(levenshtein(q, term) AS INT) AS dist
+        |      FROM cand WHERE levenshtein(q, term) <= 1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q
+        |        ORDER BY freq DESC, term ASC) AS rn FROM v)
+        |SELECT q, term, freq, dist, CAST(rn AS INT) AS rn
+        |FROM r WHERE rn <= 3""".stripMargin,
+    // same per-(source, score) count relation, same 2U accumulation,
+    // same two chained milli floors
+    "q222_roc_auc" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','of','and','to','in','a','is','that')))
+        |      AS BIGINT) AS score,
+        |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS label
+        |  FROM documents),
+        |g AS (SELECT source, score, CAST(count(*) AS BIGINT) AS n_at,
+        |        CAST(sum(label) AS BIGINT) AS p_at
+        |      FROM d GROUP BY source, score),
+        |c AS (SELECT *, n_at - p_at AS neg_at,
+        |        CAST(sum(n_at - p_at) OVER (PARTITION BY source
+        |          ORDER BY score) AS BIGINT) AS cum_neg
+        |      FROM g),
+        |a AS (SELECT source, CAST(sum(p_at) AS BIGINT) AS n_pos,
+        |        CAST(sum(neg_at) AS BIGINT) AS n_neg,
+        |        CAST(sum(p_at * (2*(cum_neg - neg_at) + neg_at)) AS BIGINT)
+        |          AS u2
+        |      FROM c GROUP BY source)
+        |SELECT source, n_pos, n_neg,
+        |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    ((u2 * 1000) // (2 * n_pos * n_neg)) * 1000
+        |    + (((u2 * 1000) % (2 * n_pos * n_neg)) * 1000)
+        |      // (2 * n_pos * n_neg)
+        |  END AS BIGINT) AS auc_micro
+        |FROM a""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
@@ -5697,22 +5990,10 @@ object SparkEntry {
         |FROM w LEFT JOIN reb ON reb.doc_id = w.doc_id""".stripMargin,
     // count-min mirror: identical md5 row-hashes, cells, and min-over-
     // rows estimate
-    "q132_countmin_tokens" -> {
-      val h = hexToLongSql("md5(CAST(r AS VARCHAR) || ':' || k)", 1, 15)
-      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS k FROM documents),
-         |cells AS (SELECT k, CAST(r AS INT) AS r,
-         |            CAST(CAST($h AS BIGINT) % 1024 AS INT) AS c
-         |          FROM tok CROSS JOIN (SELECT unnest(range(4)) AS r) rs),
-         |sk AS (SELECT r, c, count(*) AS n FROM cells GROUP BY r, c),
-         |q AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS k
-         |      FROM documents WHERE doc_id % 250 = 3),
-         |qc AS (SELECT k, CAST(r AS INT) AS r,
-         |         CAST(CAST($h AS BIGINT) % 1024 AS INT) AS c
-         |       FROM q CROSS JOIN (SELECT unnest(range(4)) AS r) rs)
-         |SELECT qc.k AS token, CAST(min(coalesce(sk.n, 0)) AS BIGINT) AS est_count
-         |FROM qc LEFT JOIN sk ON sk.r = qc.r AND sk.c = qc.c
-         |GROUP BY qc.k""".stripMargin
-    },
+    "q132_countmin_tokens" -> cmOracleSql,
+    // the streamed cells sum to the full-corpus sketch (seed ∪ drops =
+    // every document; count-min cells merge by addition) — same mirror
+    "q220_cm_stream" -> cmOracleSql,
     // streamed-state mirror: corpus ∪ drops = every document, so the
     // merged-partition quantiles equal q125's per-lang arithmetic
     "q130_sketch_stream" ->
@@ -6228,6 +6509,25 @@ object SparkEntry {
        |                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c
        |      FROM g),
        |f AS (SELECT DISTINCT doc_id, m.h AS fp FROM sel WHERE c = 4)""".stripMargin
+  }
+
+  /** Shared count-min mirror (q132 batch sketch, q220 streamed cells —
+    * cells merge by addition, so both serve the full-corpus sketch). */
+  private lazy val cmOracleSql: String = {
+    val h = hexToLongSql("md5(CAST(r AS VARCHAR) || ':' || k)", 1, 15)
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS k FROM documents),
+       |cells AS (SELECT k, CAST(r AS INT) AS r,
+       |            CAST(CAST($h AS BIGINT) % 1024 AS INT) AS c
+       |          FROM tok CROSS JOIN (SELECT unnest(range(4)) AS r) rs),
+       |sk AS (SELECT r, c, count(*) AS n FROM cells GROUP BY r, c),
+       |q AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS k
+       |      FROM documents WHERE doc_id % 250 = 3),
+       |qc AS (SELECT k, CAST(r AS INT) AS r,
+       |         CAST(CAST($h AS BIGINT) % 1024 AS INT) AS c
+       |       FROM q CROSS JOIN (SELECT unnest(range(4)) AS r) rs)
+       |SELECT qc.k AS token, CAST(min(coalesce(sk.n, 0)) AS BIGINT) AS est_count
+       |FROM qc LEFT JOIN sk ON sk.r = qc.r AND sk.c = qc.c
+       |GROUP BY qc.k""".stripMargin
   }
 
   private def hexToLongSql(hexExpr: String, start: Int, len: Int): String =

@@ -96,6 +96,59 @@ object Classify {
     *
     * @return (idCol, pred_label, score_micro)
     */
+  /** Per-group ROC AUC of a scored binary classifier, as the
+    * Mann-Whitney U statistic (Hanley & McNeil 1982: AUC = P(random
+    * positive outranks random negative), ties count ½) in EXACT integer
+    * micro units — the eval every quality/language filter needs before
+    * its threshold is trusted.
+    *
+    * Arithmetic: per distinct score (ascending), with `neg_below` the
+    * negatives at strictly smaller scores and `neg_at` the tied ones,
+    * {{{
+    *   2U  = Σ p_at · (2·neg_below + neg_at)        — exact, ≤ 2·P·N
+    *   auc = 2U / (2·P·N)
+    * }}}
+    * rendered in micros by TWO chained milli scalings —
+    * `(2U·10³ div d)·10³ + ((2U·10³ mod d)·10³) div d`, d = 2·P·N —
+    * so no intermediate exceeds d·10³: exact for P·N ≤ ~9·10¹⁵
+    * (P, N per group up to ~10⁸ — a group needing more than 10⁸ judged
+    * eval rows should subsample first; a single 10⁶ multiply would
+    * already overflow at P·N > 4.6·10¹²). Both floors are part of the
+    * operator contract; the mirror replays them bit-for-bit.
+    *
+    * Plan shape: one keyed aggregation to the per-(group, score) count
+    * relation (score-cardinality-bounded, not row-bounded), one
+    * running-sum window over it, one keyed re-aggregation. The scored
+    * rows themselves shuffle once.
+    *
+    * @param labelCol 1/true = positive, 0/false = negative
+    * @return per group: (n_pos, n_neg, auc_micro) — auc_micro NULL
+    *         when a group has no positives or no negatives (AUC
+    *         undefined, not 0)
+    */
+  def rocAuc(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      labelCol: String): DataFrame = {
+    val gc = groupCols.map(col)
+    val g = df
+      .groupBy(gc :+ col(scoreCol).cast("long").as("score"): _*)
+      .agg(count(lit(1)).as("n_at"),
+        sum(col(labelCol).cast("long")).as("p_at"))
+      .withColumn("neg_at", col("n_at") - col("p_at"))
+    val w = Window.partitionBy(gc: _*).orderBy(col("score").asc)
+    g.withColumn("cum_neg", sum(col("neg_at")).over(w))
+      .groupBy(gc: _*)
+      .agg(sum(col("p_at")).as("n_pos"),
+        sum(col("neg_at")).as("n_neg"),
+        sum(col("p_at") * (lit(2L) * (col("cum_neg") - col("neg_at"))
+          + col("neg_at"))).as("u2"))
+      .withColumn("auc_micro",
+        when(col("n_pos") > 0L && col("n_neg") > 0L, expr(
+          "((u2 * 1000L) div (2L * n_pos * n_neg)) * 1000L" +
+            " + (((u2 * 1000L) % (2L * n_pos * n_neg)) * 1000L)" +
+            " div (2L * n_pos * n_neg)")))
+      .select(gc :+ col("n_pos") :+ col("n_neg") :+ col("auc_micro"): _*)
+  }
+
   def scoreHashedNb(docs: DataFrame, idCol: String, textCol: String,
       model: NbModel): DataFrame = {
     val spark = docs.sparkSession

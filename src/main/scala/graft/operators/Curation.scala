@@ -1113,6 +1113,76 @@ object Curation {
       .limit(topK)
   }
 
+  /** Interpolated KNESER-NEY smoothed bigram model (Kneser & Ney 1995;
+    * Chen & Goodman 1999 — the smoothing family behind the KenLM
+    * models CCNet-style quality filtering scores with). For each
+    * observed bigram (w₁ w₂):
+    *
+    *   P_KN(w₂|w₁) = max(c(w₁w₂) − d, 0)/c(w₁·)
+    *               + d·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··)
+    *
+    * with discount d = 3/4 and the characteristic CONTINUATION counts:
+    * N₁₊(w₁·) = distinct continuations of w₁ (how much mass w₁ lends
+    * to backoff), N₁₊(·w₂) = distinct predecessors of w₂ (how "novel-
+    * context-friendly" w₂ is — the insight that "Francisco" is frequent
+    * but only ever follows "San"), N₁₊(··) = distinct bigram types.
+    *
+    * Integer discipline: multiply through by 4 (d = 3/4 exact), micro
+    * units, TWO floor divisions in documented order:
+    * {{{
+    *   cont_micro = (N₁₊(·w₂) · 10⁶) div N₁₊(··)
+    *   p_micro    = (max(4·c_xy − 3, 0) · 10⁶) div (4·c_x)
+    *              + (3 · N₁₊(w₁·) · cont_micro) div (4·c_x)
+    * }}}
+    * Both terms bounded: first ≤ 10⁶; second ≤ 3·10⁶·N₁₊(w₁·)/(4·c_x)
+    * ≤ 10⁶ (N₁₊ ≤ c); products ≤ 3·10⁶·c far inside Long. The mirror
+    * replays the identical floors, so engines agree bit-for-bit.
+    *
+    * Plan shape: one bigram-stream explode (scan), one count shuffle
+    * keyed by bigram, then THREE re-aggregations of the vocab²-bounded
+    * bigram-type relation (prefix counts+continuations, predecessor
+    * counts, one scalar type total as the single-row stats broadcast),
+    * two equi-joins back on w₁/w₂, and a total-order top-k cut
+    * (TakeOrderedAndProject). Corpus text never shuffles; nothing is
+    * corpus-quadratic.
+    *
+    * @param minCount only bigrams with c_xy ≥ minCount are REPORTED
+    *                 (the model's counts still use every bigram)
+    * @param topK     rows, by (p_micro desc, pair asc) — total order
+    * @return (pair, c_xy, c_prefix, n_cont, cont_micro, p_micro)
+    */
+  def kneserNeyBigrams(docs: DataFrame, textCol: String,
+      minCount: Long = 3, topK: Int = 300): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val bg = docs.select(explode(
+        graft.functions.TextAnalysis.wordNGrams(col(textCol), 2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("c_xy"))
+      .withColumn("w1", split(col("pair"), " ").getItem(0))
+      .withColumn("w2", split(col("pair"), " ").getItem(1))
+    // prefix mass + distinct continuations per w1 — one pass over the
+    // bigram-TYPE relation (vocab-bounded, not corpus-bounded)
+    val pre = bg.groupBy(col("w1"))
+      .agg(sum(col("c_xy")).as("c_prefix"),
+        count(lit(1)).as("n_cont"))
+    // distinct predecessors per w2, and the single-row type total
+    val succ = bg.groupBy(col("w2")).agg(count(lit(1)).as("n_pred"))
+    val types = bg.agg(count(lit(1)).as("n_types"))
+    bg.join(pre, Seq("w1"))
+      .join(succ, Seq("w2"))
+      .crossJoin(broadcast(types)) // single-row stats broadcast (q47 shape)
+      .filter(col("c_xy") >= minCount)
+      .withColumn("cont_micro",
+        expr("(n_pred * 1000000L) div n_types"))
+      .withColumn("p_micro",
+        expr("(greatest(4L * c_xy - 3L, 0L) * 1000000L) div (4L * c_prefix)" +
+          " + (3L * n_cont * cont_micro) div (4L * c_prefix)"))
+      .select(col("pair"), col("c_xy"), col("c_prefix"), col("n_cont"),
+        col("cont_micro"), col("p_micro"))
+      .orderBy(col("p_micro").desc, col("pair").asc)
+      .limit(topK)
+  }
+
   /** Per-document BIGRAM SURPRISAL — the model-based quality-filter
     * signal (the KenLM/CCNet perplexity-filtering idea, reduced to a
     * bigram LM and integer arithmetic): train bigram counts on the

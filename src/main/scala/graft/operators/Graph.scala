@@ -174,6 +174,69 @@ object Graph {
     dist
   }
 
+  /** k-core peel: iteratively delete every node of degree < k (and its
+    * edges) for `rounds` rounds over an UNDIRECTED graph — the standard
+    * graph-curation gate for link-farm / spam subgraph detection (a
+    * dense scraped cluster survives a high-k peel; organic long-tail
+    * pages do not). Matula/Beck peeling run a bounded number of rounds
+    * so the result is a pure function of (edges, k, rounds) that any
+    * engine reproduces by unrolling the same rounds; callers pick
+    * `rounds` ≥ the graph's peel depth (typically ≤ 10-20 even on
+    * web-scale graphs — each round removes a full "onion layer") and
+    * [[kCoreFixpointReached]] checks one more round changes nothing.
+    *
+    * Scale shape per round: one keyed count aggregation (degrees) plus
+    * two left-semi joins of the edge relation against the surviving
+    * node set — all shuffles keyed on node id, no driver state at all
+    * (not even a scalar), edge relation only ever shrinks.
+    * localCheckpoint per round keeps the iterative lineage flat.
+    *
+    * @param edges  undirected edges as (aCol, bCol); orientation and
+    *               duplicates are normalized away (self-loops dropped —
+    *               a self-loop would let an isolated node count itself
+    *               toward k)
+    * @param k      minimum degree to survive a round
+    * @param rounds peel rounds (fixed, part of the result's identity)
+    * @return (node, degree) for nodes surviving all rounds, degree
+    *         within the surviving subgraph
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = symmetrize(edges, aCol, bCol).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("node"))
+      e = e.join(keep.withColumnRenamed("node", "src"), Seq("src"),
+          "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"),
+          "left_semi")
+        .select(col("src"), col("dst")).localCheckpoint()
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** True iff one more peel round would not change [[kCore]]'s result —
+    * i.e. `rounds` already reached the fixpoint (every surviving degree
+    * is ≥ k). One scalar aggregation. */
+  def kCoreFixpointReached(core: DataFrame, k: Int): Boolean = {
+    val m = core.agg(min(col("degree"))).head()
+    m.isNullAt(0) || m.getLong(0) >= k
+  }
+
+  /** Both directions of an undirected edge list, deduplicated, no
+    * self-loops: (a,b) → {(a,b), (b,a)}. In the symmetric relation a
+    * node's out-count IS its undirected degree. */
+  private def symmetrize(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val ab = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    ab.union(ab.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
   /** Orient the canonical (a < b) edge list by DEGREE rank: each edge
     * points from its (degree, id)-smaller endpoint to the larger — the
     * Schank/Wagner orientation. Under it every node's FORWARD degree is

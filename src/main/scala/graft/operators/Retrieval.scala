@@ -829,6 +829,79 @@ object Retrieval {
     * One broadcast-friendly equi-join + one aggregation; exact
     * integers throughout.
     */
+  /** DCG rank discounts as micro-fixed-point literals:
+    * floor(10⁶ / log₂(rank+1)) for rank 1..k. Generated ONCE on the
+    * driver (the BM25-log idf-literal discipline) and consumed by both
+    * the Spark plan and the DuckDB mirror as the same VALUES table — so
+    * no engine evaluates its own transcendental log and the eval below
+    * is bit-reproducible. */
+  def dcgDiscountMicros(k: Int): Seq[(Int, Long)] =
+    (1 to k).map { r =>
+      (r, math.floor(1e6 / (StrictMath.log(r + 1.0) / StrictMath.log(2.0)))
+        .toLong)
+    }
+
+  /** Graded-relevance retrieval eval — nDCG@k and MRR@k per query, in
+    * exact integer micro units (Järvelin & Kekäläinen 2002 /
+    * Voorhees 1999). Inputs: a run (qid, doc_id, rn ≤ k from a ranking
+    * operator) and qrels (qid, doc_id, rel ≥ 0 graded judgments;
+    * unjudged run docs count rel = 0, the TREC convention). Output one
+    * row per run qid:
+    *
+    *   n_rel      — judged-relevant count for the query (rel > 0)
+    *   dcg_micro  — Σ rel(doc@r) · disc(r) over the run's top k
+    *   idcg_micro — the same sum over the IDEAL ordering of the
+    *                query's qrels (rel desc, doc_id tiebreak), top k
+    *   mrr_micro  — 10⁶ div rank-of-first-relevant (0 if none in k)
+    *   ndcg_micro — (dcg · 10⁶) div idcg (0 when idcg = 0)
+    *
+    * with disc the shared [[dcgDiscountMicros]] literal table. Every
+    * step is integer: products, sums, and two floor divisions — any
+    * engine replaying the same literals agrees bit-for-bit.
+    *
+    * Scale shape: one broadcast join of the run against the (tiny)
+    * discount table, one keyed join run⋈qrels, one ranking window over
+    * qrels partitioned by qid (ideal ordering — judgment lists are
+    * bounded per query, so the window partitions are small), and two
+    * keyed aggregations. No driver state; everything shuffles on qid.
+    */
+  def ndcgMrrEval(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = run.sparkSession
+    val disc = spark.createDataFrame(dcgDiscountMicros(k))
+      .toDF("rn", "disc_micro")
+    val judged = qrels.select(col("qid"), col("doc_id"),
+      col("rel").cast("long").as("rel"))
+    val gain = run.select(col("qid"), col("doc_id"), col("rn"))
+      .filter(col("rn") <= k)
+      .join(judged, Seq("qid", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .join(broadcast(disc), Seq("rn"))
+      .groupBy(col("qid"))
+      .agg(sum(col("rel") * col("disc_micro")).as("dcg_micro"),
+        min(when(col("rel") > 0L, col("rn"))).as("first_rel"))
+    val ideal = judged
+      .withColumn("irn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("rel").desc, col("doc_id").asc)))
+      .join(broadcast(disc.withColumnRenamed("rn", "irn")),
+        Seq("irn"), "left")
+      .groupBy(col("qid"))
+      .agg(count(when(col("rel") > 0L, lit(1))).as("n_rel"),
+        sum(when(col("rel") > 0L && col("irn") <= k,
+          col("rel") * col("disc_micro")).otherwise(lit(0L)))
+          .as("idcg_micro"))
+    gain.join(ideal, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"),
+        coalesce(expr("1000000L div first_rel"), lit(0L)).as("mrr_micro"),
+        when(coalesce(col("idcg_micro"), lit(0L)) > 0L,
+          expr("(dcg_micro * 1000000L) div idcg_micro"))
+          .otherwise(lit(0L)).as("ndcg_micro"))
+  }
+
   def rankAgreement(a: DataFrame, b: DataFrame): DataFrame =
     a.select(col("qid"), col("doc_id"), col("rn"))
       .join(b.select(col("qid"), col("doc_id"), col("rn").as("rn_b")),

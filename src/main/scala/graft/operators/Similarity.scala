@@ -792,6 +792,94 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Per-dimension (min, span) of the milli-quantized corpus — the SQ8
+    * scalar quantizer's training statistics (the faiss
+    * `ScalarQuantizer` recipe: linear per-dimension range map). One
+    * keyed aggregation over the exploded dimension stream; the result
+    * is d rows → the bounded driver-literal pattern (same contract as
+    * centroids/codebooks). Integer min/max — deterministic and
+    * partition-invariant by construction.
+    */
+  def trainSq8Bounds(corpus: DataFrame, idCol: String,
+      vecCol: String): (Array[Long], Array[Long]) = {
+    val rows = corpus.select(quantize(col(vecCol)).as("vm"))
+      .select(posexplode(col("vm")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("i")).collect()
+    (rows.map(_.getLong(1)), rows.map(r => r.getLong(2) - r.getLong(1)))
+  }
+
+  /** SQ8-encode a milli vector: per dimension,
+    * code = ((x − min) · 255) div span ∈ [0, 255] (0 on a degenerate
+    * constant dimension). The floor is evaluated as a DOUBLE division —
+    * exact here: numerator ≤ span·255 and denominator = span are
+    * integers ≪ 2⁵³ whose true quotient is never within an ulp of the
+    * next integer unless it IS that integer, so `floor` agrees with
+    * integer division bit-for-bit (the mirror uses `//` directly).
+    */
+  def sq8Encode(vm: Column, mn: Array[Long], span: Array[Long]): Column = {
+    val mnL = longLit(mn); val spL = longLit(span)
+    transform(vm, (x, i) => {
+      val m = element_at(mnL, i + 1); val s = element_at(spL, i + 1)
+      when(s > 0L,
+        floor(((x - m) * lit(255L)).cast("double") / s.cast("double"))
+          .cast("long"))
+        .otherwise(lit(0L))
+    })
+  }
+
+  /** 255·(reconstructed milli vector) from SQ8 codes — integer exact:
+    * 255·x̂_d = 255·min_d + code_d·span_d.
+    */
+  private def sq8Recon255(codes: Column, mn: Array[Long],
+      span: Array[Long]): Column = {
+    val mnL = longLit(mn); val spL = longLit(span)
+    transform(codes, (c, i) =>
+      lit(255L) * element_at(mnL, i + 1) + c * element_at(spL, i + 1))
+  }
+
+  /** IVF-SQ8 search — the faiss middle ground between raw IVF (full
+    * vectors in the index) and IVF-PQ (aggressive subspace codes): the
+    * stored index keeps ONE BYTE per dimension (id, coarse cell,
+    * per-dimension linear codes), cutting index bytes 8× against
+    * float64/milli-long storage while ranking by near-exact L2.
+    * Distances are EXACT integers on the 255-scaled reconstruction:
+    * ‖255·q − 255·x̂‖² with 255·x̂ = 255·min + code⊙span — products
+    * ≤ (2·255·|milli|)²·d ≪ 2⁶³ (and ≪ 2⁵³, so the mirror's double
+    * list arithmetic is exact too).
+    *
+    * Scale shape: identical to [[ivfPqTopK]] — the coded corpus lives
+    * in its argmax cell, probed queries broadcast, candidates meet on
+    * the cell key (never all-pairs), one ranking window.
+    */
+  def ivfSq8TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 3): DataFrame = {
+    val coarse = trainCentroids(corpus, idCol, vecCol, nlist, iters)
+    if (coarse.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+          lit(0L).as("sq_dist2"), lit(0).as("rank")).limit(0)
+    val (mn, span) = trainSq8Bounds(corpus, idCol, vecCol)
+    val coded = corpus
+      .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+      .select(col("neighbor_id"),
+        nearestCell(col("cv"), coarse).as("cell"),
+        sq8Encode(col("cv"), mn, span).as("codes"))
+    val qb = cellRanked(queries, idCol, vecCol, coarse)
+      .filter(col("crn") <= nprobe)
+      .select(col("id").as("query_id"), col("vm").as("qv"), col("cell"))
+    val diff = zip_with(col("qv"), sq8Recon255(col("codes"), mn, span),
+      (q, y) => lit(255L) * q - y)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq_dist2").asc, col("neighbor_id").asc)
+    coded.join(broadcast(qb), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotLong(diff, diff).as("sq_dist2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   // ------------------------------------------------------------------
   // Persisted IVF-PQ index — the fourth stored-index lifecycle (after
   // MinHash bands, IVF and the Bloom membership filter): train ONCE

@@ -465,6 +465,41 @@ object DocumentStreams {
       .groupBy(col("source"), col("bucket"))
       .agg(sum(col("o")).as("o"))
 
+  /** Streaming maintenance twin for the COUNT-MIN sketch (q132's
+    * frequency store): each batch writes its own depth×width cell
+    * relation ([[graft.operators.Curation.cmSketch]] over the batch's
+    * token stream) as a `batch_id=N` partition; the live sketch is the
+    * per-(r, c) SUM over committed partitions ([[loadCmCells]]) —
+    * count-min cells merge by ADDITION, so the batch split cannot move
+    * a single counter and estimates over the live sketch equal the
+    * batch sketch over the union corpus exactly. Stateless per batch →
+    * replay-idempotent with no exclusions (the [[driftIngest]]
+    * contract).
+    */
+  def cmIngest(spark: SparkSession, landingDir: String,
+      outPath: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readDocuments(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Curation.cmSketch(
+            batch.toDF().select(
+              explode(split(col("text"), " ")).as("token")), "token")
+          .cells
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** The live count-min cell relation: per-(r, c) SUM over every
+    * committed partition — ≤ depth·width rows regardless of corpus or
+    * batch count.
+    */
+  def loadCmCells(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(outPath)
+      .groupBy(col("r"), col("c"))
+      .agg(sum(col("n")).as("n"))
+
   /** L0 → base absorb for the drift store: collapse every accumulated
     * `batch_id=N` partition (plus the old base) into ONE merged base
     * partition — counts sum exactly, so the served histogram is

@@ -62,4 +62,28 @@ class ClassifySpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSet
     assert(s1 == s2 && s1.size == 40)
   }
+
+  test("rocAuc: perfect, reversed, tied, mixed, and degenerate groups") {
+    val rows = Seq(
+      // perfect: every positive outranks every negative → 1e6
+      ("p", 10L, 1), ("p", 9L, 1), ("p", 2L, 0), ("p", 1L, 0),
+      // reversed: every negative on top → 0
+      ("r", 10L, 0), ("r", 9L, 0), ("r", 2L, 1), ("r", 1L, 1),
+      // all tied on one score → exactly 1/2
+      ("t", 5L, 1), ("t", 5L, 0),
+      // mixed with a tie: pos {4, 2}, neg {3, 2}: pairs (4,3)=1,
+      // (4,2)=1, (2,3)=0, (2,2)=½ → U = 2.5 of 4 → 625000
+      ("m", 4L, 1), ("m", 2L, 1), ("m", 3L, 0), ("m", 2L, 0),
+      // degenerate: no negatives → AUC undefined (NULL)
+      ("d", 7L, 1), ("d", 3L, 1)
+    ).toDF("g", "score", "label")
+    val got = Classify.rocAuc(rows, Seq("g"), "score", "label")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("p") == ((2L, 2L, Some(1000000L))))
+    assert(got("r") == ((2L, 2L, Some(0L))))
+    assert(got("t") == ((1L, 1L, Some(500000L))))
+    assert(got("m") == ((2L, 2L, Some(625000L))))
+    assert(got("d") == ((2L, 0L, None)))
+  }
 }

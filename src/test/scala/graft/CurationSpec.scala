@@ -758,4 +758,22 @@ class CurationSpec extends SparkSpec {
     assert(h1.nonEmpty && h1.subsetOf(h2),
       s"interior fingerprints must survive an offset shift: $h1 vs $h2")
   }
+
+  test("kneserNeyBigrams: hand-computed smoothed probabilities, exact mass accounting") {
+    // "a b a b a c": bigrams (a b)×2, (b a)×2, (a c)×1 → 3 types;
+    // prefixes: a → (c=3, cont=2), b → (2, 1); every w2 has n_pred=1 so
+    // cont_micro = 1e6 div 3 = 333333 for all.
+    val got = Curation.kneserNeyBigrams(Seq("a b a b a c").toDF("text"),
+        "text", minCount = 1, topK = 10)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    // P(a|b) = (8-3)/8 + (3·1·333333)/8; P(b|a) = 5/12 + (3·2·333333)/12;
+    // P(c|a) = 1/12 + same second term — floors per the documented order
+    assert(got == List(
+      ("b a", 2L, 2L, 1L, 333333L, 749999L),
+      ("a b", 2L, 3L, 2L, 333333L, 583332L),
+      ("a c", 1L, 3L, 2L, 333333L, 249999L)), s"got $got")
+    // discount conservation: P(b|a) + P(c|a) + the unseen (a a) backoff
+    // (3·2·333333) div 12 = 166666 sums to 1e6 within floor loss ≤ 3
+    assert(583332L + 249999L + 166666L > 1000000L - 4)
+  }
 }

@@ -826,4 +826,47 @@ class DocumentStreamsSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet == before)
     assert(!new java.io.File(s"$base/ckpt").exists())
   }
+
+  test("count-min ingest: summed streamed cells ≡ bulk sketch; replay overwrites identically") {
+    import graft.operators.Curation
+    import org.apache.spark.sql.functions.{explode, split}
+    val docs = Tables(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("cm_ingest").toString
+    val landing = s"$base/landing"; new java.io.File(landing).mkdirs()
+    val outPath = s"$base/out"
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(s"$landing/$name.parquet"))
+    }
+    def tokens(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(split($"text", " ")).as("token"))
+    val q = DocumentStreams.cmIngest(spark, landing, outPath,
+      s"$base/ckpt", maxFilesPerTrigger = Some(1))
+    land(docs.filter($"doc_id" % 3 === 0), "drop_00"); q.processAllAvailable()
+    land(docs.filter($"doc_id" % 3 =!= 0), "drop_01"); q.processAllAvailable()
+    q.stop()
+    val live = DocumentStreams.loadCmCells(spark, outPath)
+      .as[(Int, Int, Long)].collect().toSet
+    val bulk = Curation.cmSketch(tokens(docs), "token").cells
+      .as[(Int, Int, Long)].collect().toSet
+    assert(live == bulk && bulk.nonEmpty)
+    // estimates over the live sketch = estimates over the bulk sketch
+    val probe = tokens(docs.filter($"doc_id" % 50 === 1)).distinct()
+    val liveEst = Curation.cmEstimate(
+        Curation.CmSketch(DocumentStreams.loadCmCells(spark, outPath), 4, 1024),
+        probe, "token")
+      .as[(String, Long)].collect().toSet
+    assert(liveEst == Curation.cmEstimate(
+        Curation.cmSketch(tokens(docs), "token"), probe, "token")
+      .as[(String, Long)].collect().toSet && liveEst.nonEmpty)
+    // replay: cells are a pure function of batch content
+    Curation.cmSketch(tokens(docs.filter($"doc_id" % 3 === 0)), "token")
+      .cells.write.mode("overwrite").parquet(s"$outPath/batch_id=0")
+    assert(DocumentStreams.loadCmCells(spark, outPath)
+      .as[(Int, Int, Long)].collect().toSet == bulk)
+  }
 }

@@ -160,4 +160,46 @@ class GraphSpec extends SparkSpec {
     assert(t(0L) == 8L)
     assert((1L to 8L).forall(t(_) == 2L), s"rim counts wrong: $t")
   }
+
+  private def core(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int): Map[Long, Long] =
+    Graph.kCore(edges.toDF("a", "b"), "a", "b", k, rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("kCore: K4 plus a pendant chain peels to exactly the clique") {
+    // K4 on 1..4; chain 4-5-6 hangs off it. k=3: 6 peels first (deg 1),
+    // then 5, then the clique survives with internal degree 3 each.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val chain = Seq((4L, 5L), (5L, 6L))
+    val c = core(k4 ++ chain, k = 3, rounds = 3)
+    assert(c == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $c")
+  }
+
+  test("kCore: peeling cascades one onion layer per round") {
+    // chain 1-2-3-4-5 with k=2: endpoints peel each round, the whole
+    // chain dies — but only after enough rounds. After 1 round the
+    // middle still stands (deterministic intermediate state, the same
+    // relation the unrolled oracle computes).
+    val chain = (1L to 4L).map(i => (i, i + 1))
+    // round 1 drops the endpoints; survivors report their NEW degree
+    // within the peeled subgraph (2-3-4 path): 2:1, 3:2, 4:1
+    assert(core(chain, k = 2, rounds = 1) ==
+      Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
+    // round 2 peels the new endpoints, leaving node 3 edgeless → gone
+    assert(core(chain, k = 2, rounds = 2).isEmpty)
+  }
+
+  test("kCore: fixpoint check, self-loops ignored, duplicates collapse") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val noisy = k4 ++ k4.map(_.swap) ++ Seq((9L, 9L), (9L, 9L))
+    val c = Graph.kCore(noisy.toDF("a", "b"), "a", "b", k = 3, rounds = 2)
+    assert(c.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(Graph.kCoreFixpointReached(c, k = 3))
+    // a graph still mid-peel: chain endpoints drop but round 1 leaves
+    // degree-1 survivors → fixpoint NOT reached
+    val mid = Graph.kCore((1L to 4L).map(i => (i, i + 1)).toDF("a", "b"),
+      "a", "b", k = 2, rounds = 1)
+    assert(!Graph.kCoreFixpointReached(mid, k = 2))
+  }
 }

@@ -165,7 +165,10 @@ class PlanSpec extends SparkSpec {
       // O(n·9), the same bounded-literal shape as the stats rows
       "q201_exact_quantiles" -> 1,
       // one-row corpus token total broadcast into the lift score
-      "q206_collocations" -> 1
+      "q206_collocations" -> 1,
+      // one-row bigram-type total broadcast into the continuation
+      // probability (the same single-row stats shape)
+      "q219_kneser_ney" -> 1
     ).withDefaultValue(0)
     // each physical instance appears exactly once as a "(NN) Broadcast-
     // NestedLoopJoin" detail header in formatted mode (tree lines

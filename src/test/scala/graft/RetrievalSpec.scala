@@ -427,4 +427,33 @@ class RetrievalSpec extends SparkSpec {
       s"bucket partition filter missing on positional scan:\n$plan")
     assert(served.as[(Long, Long, Long)].collect().toSet == want)
   }
+
+  test("ndcgMrrEval: hand-computed nDCG/MRR, perfect ranking, no-relevant query") {
+    // discount literals at k=3: 1000000, 630929 (floor 1e6/log2 3), 500000
+    assert(Retrieval.dcgDiscountMicros(3) ==
+      Seq((1, 1000000L), (2, 630929L), (3, 500000L)))
+    val run = Seq( // (qid, doc_id, rn)
+      (1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3), // A: relevant at 2, 3
+      (2L, 21L, 1), (2L, 22L, 2),               // B: nothing relevant
+      (3L, 31L, 1), (3L, 32L, 2)                // C: perfect ordering
+    ).toDF("qid", "doc_id", "rn")
+    val qrels = Seq( // (qid, doc_id, rel) — 19 is judged but unretrieved
+      (1L, 12L, 2L), (1L, 13L, 1L), (1L, 19L, 3L),
+      (2L, 21L, 0L),
+      (3L, 31L, 2L), (3L, 32L, 1L)
+    ).toDF("qid", "doc_id", "rel")
+    val got = Retrieval.ndcgMrrEval(run, qrels, k = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // A: dcg = 2·630929 + 1·500000; ideal = 19(3), 12(2), 13(1)
+    val dcgA = 2L * 630929 + 500000
+    val idcgA = 3L * 1000000 + 2L * 630929 + 500000
+    assert(got(1L) == ((1L, 3L, dcgA, idcgA, 500000L,
+      dcgA * 1000000L / idcgA)))
+    // B: judged rel-0 only — everything zero
+    assert(got(2L) == ((2L, 0L, 0L, 0L, 0L, 0L)))
+    // C: run order IS the ideal order — ndcg exactly 1e6, mrr 1e6
+    val dcgC = 2L * 1000000 + 630929
+    assert(got(3L) == ((3L, 2L, dcgC, dcgC, 1000000L, 1000000L)))
+  }
 }

@@ -291,6 +291,50 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.15, s"IVF-PQ recall too low: $recall") // coded + probe-limited
   }
 
+  test("ivfSq8TopK: codes in byte range, reconstruction error bounded, recall beats IVF-PQ's floor") {
+    val (mn, span) = Similarity.trainSq8Bounds(emb, "vec_id", "embedding")
+    assert(mn.length == span.length && span.forall(_ >= 0L))
+    // codes stay in [0, 255]; per-dim reconstruction error < span/255 + 1
+    val enc = emb.select(Similarity.quantize($"embedding").as("vm"))
+      .select($"vm", Similarity.sq8Encode($"vm", mn, span).as("codes"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    enc.foreach { case (vm, codes) =>
+      codes.foreach(c => assert(c >= 0L && c <= 255L))
+      vm.indices.foreach { i =>
+        val recon255 = 255L * mn(i) + codes(i) * span(i)
+        assert(math.abs(255L * vm(i) - recon255) <= span(i) + 255L,
+          s"dim $i: vm=${vm(i)} recon255=$recon255 span=${span(i)}")
+      }
+    }
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    val out = Similarity.ivfSq8TopK(queries, emb, "vec_id", "embedding", 10)
+      .select($"query_id", $"neighbor_id", $"sq_dist2", $"rank")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(!out.exists(r => r._1 == r._2))
+    out.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._3).sliding(2).forall(p => p.head <= p.last))
+    }
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val sq8 = out.map(r => (r._1, r._2)).toSet
+    val recall = (brute & sq8).size.toDouble / brute.size
+    assert(recall > 0.15, s"IVF-SQ8 recall too low: $recall")
+    // one byte per DIMENSION retains more signal than PQ's one code per
+    // 8-dim subspace: same routing, so SQ8 recall must not fall below
+    val pq = Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding", 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val pqRecall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= pqRecall - 0.02,
+      s"IVF-SQ8 recall $recall fell below IVF-PQ's $pqRecall")
+    // determinism under repartition (training stats + routing integer)
+    val out2 = Similarity.ivfSq8TopK(queries, emb.repartition(7),
+        "vec_id", "embedding", 10)
+      .select($"query_id", $"neighbor_id", $"sq_dist2", $"rank")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.toSet == out2.toSet)
+  }
+
   test("pqSearchRefined recovers the PQ coding loss (recall ≥ plain IVF's floor)") {
     val queries = emb.filter($"vec_id" % 25 === 0)
     val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
