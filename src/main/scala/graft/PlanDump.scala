@@ -73,7 +73,20 @@ object PlanDump {
       "q175_phrase_stream_serve", "q176_pca_stream_fit",
       "q177_rank_agreement", "q178_hybrid_rrf", "q179_result_dedup",
       "q180_kwic_snippets", "q181_agg_retract_serve", "q182_mmr_rerank",
-      "q183_hard_negatives", "q184_search_stack", "q185_source_drift")
+      "q183_hard_negatives", "q184_search_stack", "q185_source_drift",
+      "q186_cube", "q188_unpivot", "q190_pagerank",
+      "q191_ridge_residuals", "q192_nb_language", "q193_postings_changes",
+      "q195_grouped_median", "q196_drift_stream", "q197_hits",
+      "q198_bfs_hops", "q199_triangles", "q200_cohort_retention",
+      "q201_exact_quantiles", "q203_rank_features", "q204_scd2_history",
+      "q205_cdc_apply", "q206_collocations", "q207_bpe_train",
+      "q208_band_snapshot_serve", "q209_phrase_time_travel",
+      "q210_dup_spans", "q211_winnow_fingerprints", "q212_span_trim",
+      "q213_bpe_fertility", "q214_winnow_index_serve",
+      "q215_winnow_stream_ingest", "q216_winnow_delete_probe",
+      "q217_kcore", "q218_ndcg_eval", "q219_kneser_ney",
+      "q220_cm_stream", "q221_spell_correct", "q222_roc_auc",
+      "q223_ann_ivf_sq8_topk")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))

@@ -3652,7 +3652,31 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfSq8TopK(emb.filter(col("vec_id") % 25 === 0), emb,
         "vec_id", "embedding", k = 10)
-    })
+    }),
+
+    // PRECISION/RECALL/F1 sweep over every observed threshold of the
+    // q222 stopword classifier — the operating-point picker (which cut
+    // do we actually filter at?) sharing q222's per-(source, score)
+    // count relation shape. Exact integer micros, divisions floored in
+    // the documented order.
+    "q224_pr_curve" -> ((s, dir) => {
+      val sw = Seq("the", "of", "and", "to", "in", "a", "is", "that")
+      graft.operators.Classify.prCurve(
+        t(s, dir, "documents").select(col("source"),
+          size(filter(split(col("text"), " "), t => t.isin(sw: _*)))
+            .cast("long").as("score"),
+          (col("lang") === "en").cast("int").as("label")),
+        Seq("source"), "score", "label")
+    }),
+
+    // T5-style SPAN CORRUPTION (Raffel et al. 2020): each document
+    // becomes a denoising training pair — input with md5-deterministic
+    // masked spans replaced by numbered sentinels, target spelling out
+    // the hidden tokens. Adjacent/overlapping masks merge (island
+    // windows); one ordered window pass + one reassembly agg per doc.
+    "q225_span_corruption" -> ((s, dir) =>
+      Curation.spanCorruption(t(s, dir, "documents"), "doc_id", "text",
+        startPct = 10, spanLen = 3))
   )
 
   /** Oracle SQL that must be GENERATED against the data (embedding dim,
@@ -4950,6 +4974,78 @@ object SparkEntry {
         |      // (2 * n_pos * n_neg)
         |  END AS BIGINT) AS auc_micro
         |FROM a""".stripMargin,
+    // same count relation, same descending cumulative sweep, same
+    // floored micro arithmetic (f1 from the already-floored P and R)
+    "q224_pr_curve" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','of','and','to','in','a','is','that')))
+        |      AS BIGINT) AS score,
+        |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS label
+        |  FROM documents),
+        |g AS (SELECT source, score AS threshold,
+        |        CAST(count(*) AS BIGINT) AS n_at,
+        |        CAST(sum(label) AS BIGINT) AS p_at
+        |      FROM d GROUP BY source, score),
+        |c AS (SELECT source, threshold,
+        |        CAST(sum(p_at) OVER (PARTITION BY source ORDER BY threshold DESC)
+        |          AS BIGINT) AS tp,
+        |        CAST(sum(n_at) OVER (PARTITION BY source ORDER BY threshold DESC)
+        |          AS BIGINT) AS pp,
+        |        CAST(sum(p_at) OVER (PARTITION BY source) AS BIGINT) AS n_pos
+        |      FROM g),
+        |m AS (SELECT *, CAST((tp * 1000000) // pp AS BIGINT) AS precision_micro,
+        |        CAST(CASE WHEN n_pos > 0 THEN (tp * 1000000) // n_pos END
+        |          AS BIGINT) AS recall_micro
+        |      FROM c)
+        |SELECT source, threshold, tp, pp, n_pos, precision_micro,
+        |  recall_micro,
+        |  CAST(CASE WHEN n_pos > 0 AND precision_micro + recall_micro > 0
+        |       THEN (2 * precision_micro * recall_micro)
+        |            // (precision_micro + recall_micro)
+        |       WHEN n_pos > 0 THEN 0 END AS BIGINT) AS f1_micro
+        |FROM m""".stripMargin,
+    // same md5 span starts, same 3-token spread window, same island
+    // merge, same sentinel numbering and sorted reassembly
+    "q225_span_corruption" -> {
+      val h = hexToLongSql(
+        "md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR))",
+        1, 15)
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tk AS (SELECT doc_id, s.pos AS pos, s.tok AS tokn FROM
+         |   (SELECT doc_id, unnest([{'pos': i - 1, 'tok': w[i]}
+         |                           FOR i IN range(1, len(w) + 1)]) AS s
+         |    FROM t) x),
+         |st AS (SELECT doc_id, pos, tokn,
+         |        CASE WHEN CAST($h AS BIGINT) % 100 < 10 THEN 1 ELSE 0 END
+         |          AS s FROM tk),
+         |mk AS (SELECT *, max(s) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS m
+         |       FROM st),
+         |ns AS (SELECT *, CASE WHEN m AND NOT coalesce(
+         |          lag(m) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+         |          THEN 1 ELSE 0 END AS new_span FROM mk),
+         |sp AS (SELECT *, CAST(sum(new_span) OVER (PARTITION BY doc_id
+         |          ORDER BY pos) AS BIGINT) AS span_id FROM ns),
+         |pc AS (SELECT doc_id, pos, m, span_id,
+         |        CASE WHEN NOT m THEN tokn
+         |             WHEN new_span = 1 THEN
+         |               '<extra_id_' || CAST(span_id - 1 AS VARCHAR) || '>'
+         |        END AS in_piece,
+         |        CASE WHEN m AND new_span = 1 THEN
+         |               '<extra_id_' || CAST(span_id - 1 AS VARCHAR) || '>'
+         |                 || ' ' || tokn
+         |             WHEN m THEN tokn END AS tgt_piece
+         |      FROM sp)
+         |SELECT doc_id,
+         |  COALESCE(array_to_string(list(in_piece ORDER BY pos)
+         |    FILTER (WHERE in_piece IS NOT NULL), ' '), '') AS input_text,
+         |  COALESCE(array_to_string(list(tgt_piece ORDER BY pos)
+         |    FILTER (WHERE tgt_piece IS NOT NULL), ' '), '') AS target_text,
+         |  CAST(max(span_id) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS masked_tokens
+         |FROM pc GROUP BY doc_id""".stripMargin
+    },
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

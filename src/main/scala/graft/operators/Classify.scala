@@ -149,6 +149,48 @@ object Classify {
       .select(gc :+ col("n_pos") :+ col("n_neg") :+ col("auc_micro"): _*)
   }
 
+  /** Per-group PRECISION/RECALL/F1 sweep over every observed score
+    * threshold — the operating-point picker that turns [[rocAuc]]'s
+    * threshold-free grade into an actual filter cut. For each distinct
+    * score s (predict positive ⇔ score ≥ s):
+    * {{{
+    *   tp(s) = positives with score ≥ s     pp(s) = rows with score ≥ s
+    *   precision = tp/pp   recall = tp/P    f1 = 2PR/(P+R)
+    * }}}
+    * all in exact integer micros (divisions floored, f1 from the
+    * already-floored micro P and R — documented order). One descending
+    * cumulative window over the per-(group, score) count relation —
+    * score-cardinality-bounded, like [[rocAuc]].
+    *
+    * @return (group…, threshold, tp, pp, n_pos, precision_micro,
+    *         recall_micro, f1_micro) — one row per observed score;
+    *         recall/f1 NULL when the group has no positives
+    */
+  def prCurve(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      labelCol: String): DataFrame = {
+    val gc = groupCols.map(col)
+    val g = df
+      .groupBy(gc :+ col(scoreCol).cast("long").as("threshold"): _*)
+      .agg(count(lit(1)).as("n_at"),
+        sum(col(labelCol).cast("long")).as("p_at"))
+    val w = Window.partitionBy(gc: _*).orderBy(col("threshold").desc)
+    val tot = Window.partitionBy(gc: _*)
+    g.withColumn("tp", sum(col("p_at")).over(w))
+      .withColumn("pp", sum(col("n_at")).over(w))
+      .withColumn("n_pos", sum(col("p_at")).over(tot))
+      .withColumn("precision_micro", expr("(tp * 1000000L) div pp"))
+      .withColumn("recall_micro",
+        when(col("n_pos") > 0L, expr("(tp * 1000000L) div n_pos")))
+      .withColumn("f1_micro",
+        when(col("n_pos") > 0L && col("precision_micro") + col("recall_micro") > 0L,
+          expr("(2L * precision_micro * recall_micro)" +
+            " div (precision_micro + recall_micro)"))
+          .otherwise(when(col("n_pos") > 0L, lit(0L))))
+      .select(gc ++ Seq(col("threshold"), col("tp"), col("pp"),
+        col("n_pos"), col("precision_micro"), col("recall_micro"),
+        col("f1_micro")): _*)
+  }
+
   def scoreHashedNb(docs: DataFrame, idCol: String, textCol: String,
       model: NbModel): DataFrame = {
     val spark = docs.sparkSession

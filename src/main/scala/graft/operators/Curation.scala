@@ -1113,6 +1113,72 @@ object Curation {
       .limit(topK)
   }
 
+  /** T5-style SPAN-CORRUPTION example construction (Raffel et al.
+    * JMLR 2020 §3.1.4): turn each document into a denoising training
+    * pair — the input with masked spans replaced by numbered sentinels,
+    * and the target spelling out each sentinel's hidden tokens:
+    * {{{
+    *   text   = "the quick brown fox jumps"
+    *   input  = "the <extra_id_0> jumps"
+    *   target = "<extra_id_0> quick brown fox"
+    * }}}
+    * Span STARTS are md5-deterministic per (doc, position)
+    * (`startPct`% of positions — reproducible across engines and
+    * partitionings, the [[md5Bucket]] discipline, NOT rand()); each
+    * start masks `spanLen` consecutive tokens; overlapping or adjacent
+    * masks merge into one span (island detection), exactly like the
+    * paper's corruption with mean span length ≈ spanLen.
+    *
+    * Plan shape: one posexplode of the token stream, ONE ordered
+    * window pass per doc (frame max for mask spread, lag for island
+    * starts, running sum for span numbering — all share the same
+    * (doc, pos) sort), and one keyed aggregation that reassembles both
+    * texts via sorted struct collect. Per-doc state only; nothing
+    * corpus-global.
+    *
+    * @return (doc_id, input_text, target_text, n_spans, masked_tokens)
+    */
+  def spanCorruption(docs: DataFrame, idCol: String, textCol: String,
+      startPct: Int = 10, spanLen: Int = 3): DataFrame = {
+    require(startPct >= 1 && startPct <= 100,
+      s"startPct must be in [1, 100], got $startPct")
+    require(spanLen >= 1, s"spanLen must be >= 1, got $spanLen")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tokn")))
+    val start = (conv(substring(md5(concat(lit("span:"),
+      col("doc_id").cast("string"), lit(":"), col("pos").cast("string"))),
+      1, 15), 16, 10).cast("long") % 100L) < startPct
+    val wSpread = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(spanLen - 1), 0)
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val flagged = tok
+      .withColumn("s", start.cast("int"))
+      .withColumn("m", max(col("s")).over(wSpread) === 1)
+      .withColumn("new_span",
+        (col("m") && !coalesce(lag(col("m"), 1).over(wOrd), lit(false)))
+          .cast("int"))
+      .withColumn("span_id", sum(col("new_span")).over(wOrd))
+    val sentinel = concat(lit("<extra_id_"),
+      (col("span_id") - 1).cast("string"), lit(">"))
+    val pieces = flagged.select(col("doc_id"), col("pos"), col("m"),
+      col("span_id"),
+      when(!col("m"), col("tokn"))
+        .when(col("new_span") === 1, sentinel).as("in_piece"),
+      when(col("m") && col("new_span") === 1,
+          concat(sentinel, lit(" "), col("tokn")))
+        .when(col("m"), col("tokn")).as("tgt_piece"))
+    def joined(piece: String) = array_join(
+      transform(
+        filter(array_sort(collect_list(struct(col("pos"), col(piece)))),
+          x => x.getField(piece).isNotNull),
+        x => x.getField(piece)), " ")
+    pieces.groupBy(col("doc_id"))
+      .agg(joined("in_piece").as("input_text"),
+        joined("tgt_piece").as("target_text"),
+        max(col("span_id")).cast("long").as("n_spans"),
+        sum(col("m").cast("long")).as("masked_tokens"))
+  }
+
   /** Interpolated KNESER-NEY smoothed bigram model (Kneser & Ney 1995;
     * Chen & Goodman 1999 — the smoothing family behind the KenLM
     * models CCNet-style quality filtering scores with). For each

@@ -86,4 +86,25 @@ class ClassifySpec extends SparkSpec {
     assert(got("m") == ((2L, 2L, Some(625000L))))
     assert(got("d") == ((2L, 0L, None)))
   }
+
+  test("prCurve: hand-computed sweep; no-positive group has NULL recall/f1") {
+    val rows = Seq(
+      ("g", 3L, 1), ("g", 2L, 0), ("g", 1L, 1),
+      ("z", 5L, 0), ("z", 4L, 0)
+    ).toDF("g", "score", "label")
+    val got = Classify.prCurve(rows, Seq("g"), "score", "label")
+      .as[(String, Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // cut at 3: P = 1/1, R = 1/2, F1 = floor(2·1e6·5e5 / 1.5e6)
+    assert(got(("g", 3L)) ==
+      (("g", 3L, 1L, 1L, 2L, 1000000L, Some(500000L), Some(666666L))))
+    // cut at 2: the false positive enters → P = R = 1/2
+    assert(got(("g", 2L)) ==
+      (("g", 2L, 1L, 2L, 2L, 500000L, Some(500000L), Some(500000L))))
+    // cut at 1: everything predicted positive → R = 1, P = 2/3
+    assert(got(("g", 1L)) ==
+      (("g", 1L, 2L, 3L, 2L, 666666L, Some(1000000L), Some(799999L))))
+    assert(got(("z", 5L)) ==
+      (("z", 5L, 0L, 1L, 0L, 0L, None, None)))
+  }
 }

@@ -759,6 +759,41 @@ class CurationSpec extends SparkSpec {
       s"interior fingerprints must survive an offset shift: $h1 vs $h2")
   }
 
+  test("spanCorruption: splicing targets back into inputs reconstructs every document") {
+    val orig = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toMap
+    def sentId(t: String): Int =
+      t.stripPrefix("<extra_id_").stripSuffix(">").toInt
+    val out = Curation.spanCorruption(docs, "doc_id", "text",
+        startPct = 30, spanLen = 3)
+      .as[(Long, String, String, Long, Long)].collect()
+    assert(out.length == orig.size)
+    out.foreach { case (id, in, tgt, nSpans, masked) =>
+      val spans = scala.collection.mutable.Map[Int, Vector[String]]()
+      var cur = -1
+      tgt.split(" ").filter(_.nonEmpty).foreach { t =>
+        if (t.startsWith("<extra_id_")) { cur = sentId(t); spans(cur) = Vector() }
+        else spans(cur) = spans(cur) :+ t
+      }
+      val rebuilt = in.split(" ").filter(_.nonEmpty).flatMap { t =>
+        if (t.startsWith("<extra_id_")) spans(sentId(t)) else Vector(t)
+      }.mkString(" ")
+      assert(rebuilt == orig(id), s"doc $id: splice-back diverged")
+      assert(nSpans == in.split(" ").count(_.startsWith("<extra_id_")))
+      val kept = in.split(" ").count(t => t.nonEmpty && !t.startsWith("<extra_id_"))
+      assert(masked + kept == orig(id).split(" ").length.toLong)
+    }
+    // degenerate: every position a span start → one span eats the doc
+    Curation.spanCorruption(docs, "doc_id", "text", startPct = 100,
+        spanLen = 3)
+      .as[(Long, String, String, Long, Long)].collect()
+      .foreach { case (id, in, tgt, n, m) =>
+        assert(in == "<extra_id_0>" && n == 1L)
+        assert(tgt == "<extra_id_0> " + orig(id))
+        assert(m == orig(id).split(" ").length.toLong)
+      }
+  }
+
   test("kneserNeyBigrams: hand-computed smoothed probabilities, exact mass accounting") {
     // "a b a b a c": bigrams (a b)×2, (b a)×2, (a c)×1 → 3 types;
     // prefixes: a → (c=3, cont=2), b → (2, 1); every w2 has n_pred=1 so
