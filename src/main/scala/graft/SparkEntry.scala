@@ -3676,7 +3676,23 @@ object SparkEntry {
     // windows); one ordered window pass + one reassembly agg per doc.
     "q225_span_corruption" -> ((s, dir) =>
       Curation.spanCorruption(t(s, dir, "documents"), "doc_id", "text",
-        startPct = 10, spanLen = 3))
+        startPct = 10, spanLen = 3)),
+
+    // RENDEZVOUS (highest-random-weight) shard map, 8 → 9 shards: the
+    // consistent-placement scheme that grows a 100 TB table's shard
+    // count moving only ~1/9 of keys (mod-N would reshuffle 8/9). Per
+    // old shard: how many docs, how many moved — every move lands on
+    // the NEW shard by the argmax property (RendezvousSpec asserts it).
+    "q226_rendezvous_shards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val s8 = graft.operators.Layout.rendezvousShards(docs, "doc_id", 8)
+      val s9 = graft.operators.Layout.rendezvousShards(docs, "doc_id", 9)
+        .withColumnRenamed("shard", "shard9")
+      s8.join(s9, Seq("doc_id"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("shard9") =!= col("shard")).cast("long")).as("n_moved"))
+    })
   )
 
   /** Oracle SQL that must be GENERATED against the data (embedding dim,
@@ -5045,6 +5061,29 @@ object SparkEntry {
          |  CAST(max(span_id) AS BIGINT) AS n_spans,
          |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS masked_tokens
          |FROM pc GROUP BY doc_id""".stripMargin
+    },
+    // same (key, shard) md5 weights, same argmax with the same
+    // (hrw desc, shard asc) tiebreak, shards 0..7 a prefix of 0..8
+    "q226_rendezvous_shards" -> {
+      val h = hexToLongSql(
+        "md5('rv:' || CAST(doc_id AS VARCHAR) || ':' || CAST(shard AS VARCHAR))",
+        1, 15)
+      s"""WITH ids AS (SELECT DISTINCT doc_id FROM documents),
+         |h AS (SELECT doc_id, s.shard AS shard, CAST($h AS BIGINT) AS hrw
+         |      FROM ids CROSS JOIN (SELECT unnest(range(9)) AS shard) s),
+         |r8 AS (SELECT doc_id, shard FROM (
+         |        SELECT doc_id, shard, row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY hrw DESC, shard ASC) AS rn
+         |        FROM h WHERE shard < 8) x WHERE rn = 1),
+         |r9 AS (SELECT doc_id, shard AS shard9 FROM (
+         |        SELECT doc_id, shard, row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY hrw DESC, shard ASC) AS rn
+         |        FROM h) x WHERE rn = 1)
+         |SELECT CAST(r8.shard AS INT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN r9.shard9 <> r8.shard THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_moved
+         |FROM r8 JOIN r9 USING (doc_id) GROUP BY r8.shard""".stripMargin
     },
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -40,4 +40,39 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** RENDEZVOUS (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar 1998 — the consistent-placement scheme behind cache
+    * rings and shard maps): a key's shard is the argmax over shards of
+    * an (key, shard) hash. The property that matters at 100 TB: growing
+    * N → N+1 shards moves EXACTLY the keys whose new shard wins the
+    * argmax — an expected 1/(N+1) of the data — while a mod-N
+    * assignment reshuffles (N−1)/N of everything. Fully deterministic
+    * (md5, the [[Curation.md5Bucket]] discipline): any engine, any
+    * partitioning, same map.
+    *
+    * Plan shape: one bounded explode (×nShards) and one per-key argmax
+    * window — scan-linear, shuffled on the key once. For the pure
+    * column form at fixed small N an unrolled greatest-of expression
+    * would avoid even that shuffle; the relational form keeps N a
+    * runtime parameter.
+    *
+    * @return (idCol, shard) — shard ∈ [0, nShards)
+    */
+  def rendezvousShards(df: DataFrame, idCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__hrw").desc, col("shard").asc)
+    df.select(col(idCol)).distinct()
+      .select(col(idCol),
+        explode(sequence(lit(0), lit(nShards - 1))).as("shard"))
+      .withColumn("__hrw",
+        conv(substring(md5(concat(lit("rv:"), col(idCol).cast("string"),
+          lit(":"), col("shard").cast("string"))), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("shard"))
+  }
 }

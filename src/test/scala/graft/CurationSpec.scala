@@ -759,6 +759,24 @@ class CurationSpec extends SparkSpec {
       s"interior fingerprints must survive an offset shift: $h1 vs $h2")
   }
 
+  test("rendezvousShards: growing 8 → 9 moves only argmax-won keys, all onto the new shard") {
+    val ids = (1L to 400L).toDF("doc_id")
+    val s8 = Layout.rendezvousShards(ids, "doc_id", 8)
+      .as[(Long, Int)].collect().toMap
+    val s9 = Layout.rendezvousShards(ids, "doc_id", 9)
+      .as[(Long, Int)].collect().toMap
+    val moved = (1L to 400L).filter(id => s8(id) != s9(id))
+    // every move lands on the NEW shard — the rendezvous property
+    assert(moved.forall(id => s9(id) == 8), "a key moved between OLD shards")
+    // expected 1/9 of keys move; allow a generous band on 400 keys
+    assert(moved.size > 10 && moved.size < 110,
+      s"moved ${moved.size}/400 — not ~1/9")
+    // all 8 old shards populated; deterministic under repartition
+    assert(s8.values.toSet == (0 until 8).toSet)
+    assert(Layout.rendezvousShards(ids.repartition(7), "doc_id", 8)
+      .as[(Long, Int)].collect().toMap == s8)
+  }
+
   test("spanCorruption: splicing targets back into inputs reconstructs every document") {
     val orig = docs.select($"doc_id", $"text").as[(Long, String)]
       .collect().toMap
