@@ -3692,6 +3692,23 @@ object SparkEntry {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum((col("shard9") =!= col("shard")).cast("long")).as("n_moved"))
+    }),
+
+    // CONFUSION MATRIX of the q192 NB language classifier on its held-
+    // out split — which languages leak into which predictions. Joins
+    // the argmax predictions back to true labels; one keyed count.
+    // Completes the eval family: AUC (q222), PR sweep (q224), now the
+    // per-class error structure.
+    "q227_confusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.Classify.fitHashedNb(
+        docs.filter(col("doc_id") % 10 =!= 0), "text", "lang",
+        nBuckets = 64)
+      graft.operators.Classify.scoreHashedNb(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", model)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
     })
   )
 
@@ -3703,6 +3720,13 @@ object SparkEntry {
   def oracleSqlDynamic(spark: SparkSession, dir: String): Map[String, String] = Map(
     "q191_ridge_residuals" -> ridgeOracleSql(spark, dir),
     "q192_nb_language" -> nbOracleSql(spark, dir),
+    // q192's argmax predictions joined back to true labels
+    "q227_confusion" ->
+      s"""SELECT d.lang, p.pred_label, CAST(count(*) AS BIGINT) AS n
+         |FROM (
+         |${nbOracleSql(spark, dir)}
+         |) p JOIN documents d USING (doc_id)
+         |GROUP BY d.lang, p.pred_label""".stripMargin,
     "q56_ann_lsh_topk" -> SimilarityOracle.lshTopKSql(spark, dir),
     "q57_ann_ivf_topk" -> SimilarityOracle.ivfTopKSql(spark, dir),
     "q106_ivf_index_append" -> SimilarityOracle.ivfTopKSql(spark, dir,
