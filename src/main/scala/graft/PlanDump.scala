@@ -86,7 +86,8 @@ object PlanDump {
       "q215_winnow_stream_ingest", "q216_winnow_delete_probe",
       "q217_kcore", "q218_ndcg_eval", "q219_kneser_ney",
       "q220_cm_stream", "q221_spell_correct", "q222_roc_auc",
-      "q223_ann_ivf_sq8_topk")
+      "q223_ann_ivf_sq8_topk", "q224_pr_curve", "q225_span_corruption",
+      "q226_rendezvous_shards", "q227_confusion")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))

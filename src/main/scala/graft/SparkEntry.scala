@@ -3709,6 +3709,38 @@ object SparkEntry {
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .groupBy(col("lang"), col("pred_label"))
         .agg(count(lit(1)).as("n"))
+    }),
+
+    // SIZE-TIERED (L0) compaction — the LSM move the full per-family
+    // compactions don't make. Seed commits gen 0 (the base, 90% of the
+    // corpus); FOUR small committed appends stack up as L0 runs (gens
+    // 1-4). Below the trigger the policy refuses (minRuns=5 → false:
+    // one hot batch never causes a rewrite); at minRuns=3 it merges
+    // ONLY the four appended runs into one fresh run per sub (postings
+    // re-bucketed, stats deltas summed) and re-bases the manifest —
+    // the generation-0 base files are NEVER rewritten, so at 100 TB
+    // the rewrite cost scales with the ingest, not the corpus. The
+    // serve afterwards scores the full corpus exactly as if compaction
+    // never ran — which is what the oracle computes.
+    "q228_postings_l0_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = scratchDir("graft_postings_l0", dir)
+      graft.operators.Retrieval.savePostingsIndexCommitted(
+        graft.operators.Retrieval.buildPostingsIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"), idxDir)
+      for (r <- 0 to 3)
+        graft.operators.Retrieval.appendPostingsIndexCommitted(s, idxDir,
+          docs.filter(col("doc_id") % 40 === r * 10L), "doc_id", "text")
+      require(!graft.operators.Retrieval.compactPostingsL0(s, idxDir,
+        minRuns = 5), "q228: 4 runs must not trigger a minRuns=5 compact")
+      require(graft.operators.Retrieval.compactPostingsL0(s, idxDir,
+        minRuns = 3), "q228: 4 runs must trigger a minRuns=3 compact")
+      val queries = docs.filter(col("doc_id") % 200 === 7)
+        .select(col("doc_id").as("qid"),
+          array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+      graft.operators.Retrieval.bm25SearchIndex(queries,
+        graft.operators.Retrieval.loadPostingsIndexSnapshot(s, idxDir),
+        "qid", "qterms", k = 10)
     })
   )
 
@@ -6260,6 +6292,8 @@ object SparkEntry {
     // form answers q124's oracle verbatim — any postings drift (missed
     // append, stale stats, bucket mismatch) breaks the hash
     "q139_bm25_index_serve" -> bm25OracleSql,
+    // L0 compaction is invisible to the serve: full corpus, same scores
+    "q228_postings_l0_compact" -> bm25OracleSql,
     "q158_bm25_delete_serve" -> bm25RestrictedOracleSql("doc_id % 7 <> 3"),
     // snapshot serve: the committed set is seed ∪ the manifested
     // append; the torn batch (% 20 = 10, data files without a manifest

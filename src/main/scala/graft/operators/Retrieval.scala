@@ -274,6 +274,29 @@ object Retrieval {
   def vacuumPostingsIndex(spark: SparkSession, dir: String): Seq[String] =
     StoreFiles.vacuumStore(spark, dir, dataDirs(dir))
 
+  /** Size-tiered L0 compaction for the postings store (see
+    * [[StoreFiles.compactL0]]): merge the appended runs into one fresh
+    * run per sub — postings re-bucketed into per-bucket files, the
+    * per-append stats DELTA rows summed into one delta row (total stats
+    * stay base + Σ deltas) — re-basing the manifest WITHOUT rewriting
+    * the generation-0 base. Returns false below `minRuns` appended
+    * generations. Serve ≡ before compaction (spec-pinned); the
+    * tombstone ledger survives (deleted docs may live in the untouched
+    * base — [[compactPostingsIndex]] is the full rewrite that clears it).
+    */
+  def compactPostingsL0(spark: SparkSession, dir: String,
+      minRuns: Int = 4): Boolean =
+    StoreFiles.compactL0(spark, dir, Seq("postings", "stats"), minRuns) {
+      case ("postings", l0) =>
+        l0.repartition(col("bucket")).write.mode("append")
+          .partitionBy("bucket").parquet(s"$dir/postings")
+      case ("stats", l0) =>
+        l0.agg(sum(col("n")).as("n"), sum(col("t")).as("t"))
+          .coalesce(1).write.mode("append").parquet(s"$dir/stats")
+      case (sub, _) =>
+        throw new IllegalStateException(s"unexpected postings sub $sub")
+    }
+
   /** Load exactly the COMMITTED file set — the union of every manifest
     * row — so a concurrent or torn append is never visible. With
     * `asOf`, only generations ≤ that bound: TIME TRAVEL to the index as

@@ -283,4 +283,57 @@ private[graft] object StoreFiles {
     }
     orphans
   }
+
+  /** SIZE-TIERED (L0) compaction — the LSM move the full per-family
+    * compactions don't make: merge ONLY the appended runs (manifest
+    * generations >= 1) into one fresh run per subdirectory and re-base
+    * the manifest, WITHOUT touching the generation-0 base files. At
+    * 100 TB the full compaction rewrites the whole corpus to absorb
+    * megabytes of appends; this rewrites only the appends, so its cost
+    * scales with the ingest rate, not the corpus.
+    *
+    * No-op (returns false) below `minRuns` appended generations — the
+    * trigger policy that keeps one hot batch from causing a rewrite.
+    * For each sub with L0 files, `rewrite(sub, l0)` must WRITE the
+    * merged relation back into `$dir/$sub` as new files (mode append,
+    * preserving the sub's partition layout); the listing diff under the
+    * single-writer contract is the compacted run. The manifest then
+    * re-bases in ONE overwrite — the commit point — to
+    * (base ∪ compacted − L0); history collapses to a fresh generation 0
+    * (the same vacuum-horizon trade as the full compaction). The old L0
+    * files are deleted AFTER the commit — a crash between commit and
+    * cleanup leaves them as orphans no snapshot references, reclaimed by
+    * [[vacuumStore]]. The tombstone ledger is deliberately NOT cleared:
+    * deleted docs may live in the untouched base, so serves keep the
+    * lazy anti-join; only the full compaction (which rewrites the base)
+    * clears it.
+    */
+  def compactL0(spark: SparkSession, dir: String, subs: Seq[String],
+      minRuns: Int)(rewrite: (String, org.apache.spark.sql.DataFrame) => Unit): Boolean = {
+    require(minRuns >= 1, s"compactL0: minRuns must be >= 1, got $minRuns")
+    val entries = manifestEntries(spark, dir)
+    require(entries.nonEmpty,
+      s"compactL0: $dir has no manifest — commit the store first")
+    val l0Gens = entries.filter(_._1 >= 1L)
+    if (l0Gens.size < minRuns) return false
+    val l0 = l0Gens.flatMap(_._2).toSet
+    var committed = entries.flatMap(_._2).toSet -- l0
+    for (sub <- subs) {
+      val dataDir = s"$dir/$sub"
+      val subL0 = l0.filter(_.contains(s"/$sub/")).toSeq.sorted
+      if (subL0.nonEmpty) {
+        val before = listDataFiles(spark, Seq(dataDir))
+        rewrite(sub,
+          spark.read.option("basePath", dataDir).parquet(subL0: _*))
+        committed ++= listDataFiles(spark, Seq(dataDir)) -- before
+      }
+    }
+    writeManifest(spark, dir, 0L, committed, "overwrite")
+    val conf = spark.sparkContext.hadoopConfiguration
+    l0.foreach { s =>
+      val p = new org.apache.hadoop.fs.Path(s)
+      p.getFileSystem(conf).delete(p, false); ()
+    }
+    true
+  }
 }

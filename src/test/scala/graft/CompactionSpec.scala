@@ -170,4 +170,60 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/postings")
       .filter($"doc_id" % 7 === 3).count() == 0)
   }
+
+  test("compactPostingsL0: merges ONLY the appended runs — base files " +
+      "untouched (path+mtime), serve identical, tombstones survive, " +
+      "store stays appendable") {
+    import graft.operators.StoreFiles
+    val dir = tmpDir("postings_l0")
+    Retrieval.savePostingsIndexCommitted(
+      Retrieval.buildPostingsIndex(docs.filter($"doc_id" % 3 === 0),
+        "doc_id", "text"), dir)
+    val baseStamps = parquetStamps(s"$dir/postings", s"$dir/stats")
+    for (r <- Seq(1, 4, 7))
+      Retrieval.appendPostingsIndexCommitted(spark, dir,
+        docs.filter($"doc_id" % 9 === r), "doc_id", "text")
+    // tombstone docs that live in the BASE — the ledger must survive an
+    // L0 compaction (the base is never rewritten, so the physical apply
+    // is impossible; only the full compaction clears it)
+    Retrieval.deleteFromPostingsIndex(spark, dir,
+      docs.filter($"doc_id" % 30 === 3).select("doc_id"), "doc_id")
+    val queries = docs.filter($"doc_id" % 50 === 7)
+      .select($"doc_id".as("qid"),
+        array_distinct(slice(split($"text", " "), 1, 4)).as("qterms"))
+    def served = Retrieval.bm25SearchIndex(queries,
+        Retrieval.loadPostingsIndexSnapshot(spark, dir),
+        "qid", "qterms", k = 5)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val before = served
+    val l0Files = StoreFiles.manifestPaths(spark, dir).toSet --
+      baseStamps.keySet.map("file:" + _)
+    assert(l0Files.nonEmpty)
+    // below the run-count trigger the policy REFUSES (no rewrite)
+    assert(!Retrieval.compactPostingsL0(spark, dir, minRuns = 4))
+    assert(StoreFiles.manifestGen(spark, dir) == 3L)
+    assert(Retrieval.compactPostingsL0(spark, dir, minRuns = 3))
+    // manifest re-based to a fresh generation 0
+    assert(StoreFiles.manifestGen(spark, dir) == 0L)
+    val after = StoreFiles.manifestPaths(spark, dir).toSet
+    // every base file is still committed, byte-identical (same mtime)
+    assert(baseStamps.keySet.map("file:" + _).subsetOf(after))
+    val nowStamps = parquetStamps(s"$dir/postings", s"$dir/stats")
+    baseStamps.foreach { case (p, ts) =>
+      assert(nowStamps.get(p).contains(ts), s"base file rewritten: $p")
+    }
+    // no old L0 run survives in the committed set, and the replaced
+    // files are physically gone (post-commit cleanup)
+    assert((after & l0Files).isEmpty)
+    l0Files.foreach { f =>
+      assert(!new java.io.File(f.stripPrefix("file:")).exists(),
+        s"replaced L0 file still on disk: $f")
+    }
+    // serve is bit-identical (tombstones still anti-joined lazily)
+    assert(served == before && before.nonEmpty)
+    assert(new java.io.File(s"$dir/tombstones").exists())
+    // and the compacted store accepts the next committed append
+    assert(Retrieval.appendPostingsIndexCommitted(spark, dir,
+      docs.filter($"doc_id" % 9 === 2), "doc_id", "text") == 1L)
+  }
 }

@@ -157,6 +157,8 @@ class PlanSpec extends SparkSpec {
       "q139_bm25_index_serve" -> 1, "q142_bm25_stream_serve" -> 1,
       "q152_bm25_absorb_serve" -> 1, "q158_bm25_delete_serve" -> 1,
       "q163_bm25_snapshot_serve" -> 1, "q164_bm25_time_travel" -> 1,
+      // same one-row (N, T) stats broadcast as every BM25 serve row
+      "q228_postings_l0_compact" -> 1,
       // round 1 of the feedback loop materializes behind a
       // localCheckpoint, so only round 2's stats broadcast remains in
       // the served plan

@@ -88,4 +88,87 @@ class SkewSpec extends SparkSpec {
       .as[(String, Double, Long)].collect().sorted.toSeq
     assert(split == plain)
   }
+
+  /** Max shuffle-read RECORDS any single task of `action` performed —
+    * the per-task load a skewed exchange concentrates. Scoped listener;
+    * bus drained before reading (same discipline as Bench).
+    */
+  private def maxTaskShuffleRecords(action: => Unit): Long = {
+    val sc = spark.sparkContext
+    val max = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics.recordsRead
+          max.getAndUpdate(c => math.max(c, r)); ()
+        }
+      }
+    }
+    sc.addSparkListener(l)
+    try { action; org.apache.spark.graft.ListenerBusDrain.drain(sc) }
+    finally sc.removeSparkListener(l)
+    max.get()
+  }
+
+  test("Zipf fixture: salting and hot/cold split BOUND the per-task " +
+      "shuffle read of a skewed join (measured, not claimed)") {
+    // The scale claim under test: on a Zipf-skewed key, a shuffled join
+    // concentrates every hot-key row on ONE reducer task (the straggler
+    // that kills a 1000-executor job), while saltedJoin spreads it over
+    // `salts` tasks and hotColdJoin keeps hot rows out of the exchange
+    // entirely. Measured via per-task shuffle-read records. AQE is
+    // disabled for the measurement (its skew-join split thresholds are
+    // MB-scale, so at test scale it neither helps nor interferes
+    // deterministically) and the broadcast threshold is zeroed so the
+    // plain join actually shuffles, as it would at 100 TB where the dim
+    // exceeds the broadcast budget.
+    val nHot = 20000L
+    val zipf = spark.range(2L * nHot).select(
+      when($"id" % 2 === 0, lit("hot"))
+        .otherwise(concat(lit("k"), ($"id" % 499).cast("string"))).as("k"),
+      ($"id" % 1000).cast("int").as("v"))
+    val dim = zipf.groupBy($"k").agg(count(lit(1)).as("ctf"))
+
+    val conf = spark.conf
+    val aqeBefore = conf.get("spark.sql.adaptive.enabled")
+    val abtBefore = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val sp = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the shared test session runs 4 shuffle partitions (local[4]);
+    // per-task load comparisons need reducer counts representative of a
+    // real cluster, where the salt cells hash across many partitions —
+    // with 4 reducers the whole join lands on a handful of tasks and
+    // the measurement saturates regardless of salting
+    conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val plainMax = maxTaskShuffleRecords {
+        zipf.join(dim, Seq("k")).count(); ()
+      }
+      val saltedMax = maxTaskShuffleRecords {
+        Skew.saltedJoin(zipf, dim, "k", 32).count(); ()
+      }
+      val hotColdMax = maxTaskShuffleRecords {
+        Skew.hotColdJoin(zipf, dim, "k", isHot = $"ctf" >= 1000L).count(); ()
+      }
+      // the unsalted join really did concentrate the hot key on one task
+      assert(plainMax >= nHot,
+        s"fixture not skewed enough: plain max/task $plainMax < $nHot")
+      // salting spreads it ~32x; assert a conservative 4x bound so the
+      // test never flakes on scheduler noise
+      assert(saltedMax * 4 <= plainMax,
+        s"saltedJoin did not bound the per-task read: max/task " +
+          s"$saltedMax vs plain $plainMax")
+      // the hot/cold split keeps hot rows out of the exchange entirely
+      assert(hotColdMax * 4 <= plainMax,
+        s"hotColdJoin did not bound the per-task read: max/task " +
+          s"$hotColdMax vs plain $plainMax")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", abtBefore)
+      conf.set("spark.sql.shuffle.partitions", sp)
+    }
+  }
 }
