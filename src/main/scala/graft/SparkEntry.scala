@@ -3741,6 +3741,56 @@ object SparkEntry {
       graft.operators.Retrieval.bm25SearchIndex(queries,
         graft.operators.Retrieval.loadPostingsIndexSnapshot(s, idxDir),
         "qid", "qterms", k = 10)
+    }),
+
+    // RELIABILITY DIAGRAM / calibration bins (Guo et al. ICML'17) —
+    // completes the eval family around threshold-free AUC (q222), the
+    // operating-point sweep (q224), and per-class errors (q227): does
+    // the score's VALUE mean anything? The stopword-ratio en-detector
+    // claims confidence = ratio in micros; per (source, decile bin)
+    // the mean claimed confidence vs the observed en-rate and their
+    // gap (the bin's ECE contribution) — one keyed aggregation,
+    // ≤ groups × 10 output rows at any corpus size.
+    "q229_calibration_bins" -> ((s, dir) => {
+      val sw = Seq("the", "of", "and", "to", "in", "a", "is", "that")
+      graft.operators.Classify.calibrationBins(
+        t(s, dir, "documents").select(col("source"),
+            size(filter(split(col("text"), " "), w => w.isin(sw: _*)))
+              .cast("long").as("nsw"),
+            size(split(col("text"), " ")).cast("long").as("nt"),
+            (col("lang") === "en").cast("long").as("label"))
+          .select(col("source"), expr("(nsw * 1000000L) div nt").as("score"),
+            col("label")),
+        Seq("source"), "score", "label", nBins = 10)
+    }),
+
+    // DIRECTIONAL containment dedup — the subset-duplication signal
+    // (a quote/excerpt pasted into a larger doc) that symmetric
+    // Jaccard (q52) misses whenever |B| >> |A|: C(a->b) = |A∩B|/|A|
+    // in exact integer micros, PPJoin prefix shortened on the PROBE
+    // side only (the index side must keep full postings — no size
+    // bound on B is the point), hot shingles through the ordered-pair
+    // tile grid. The oracle recomputes every co-shingled ordered pair.
+    "q230_containment_dedup" -> ((s, dir) =>
+      graft.operators.Dedup.containmentPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, thresholdMicro = 800000L)),
+
+    // BATCHED BPE training (the SentencePiece speedup): one pair count
+    // feeds up to 5 conflict-free merges per round, so the 20-merge
+    // table trains in ~4 vocab recounts instead of 20 — the move that
+    // makes a 32k-merge vocabulary trainable. A DIFFERENT published
+    // variant, not a fast path to q207's table (classic BPE recounts
+    // after every merge); the mirror re-learns the SAME batched table
+    // deterministically and replays it as nested replaces, so the
+    // hash check proves the batched segmentation transfers engines.
+    "q231_bpe_train_batched" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.trainBatched(docs, "text",
+        nMerges = 20, batchSize = 5)
+      graft.operators.Bpe.segmentVocab(docs, "text", merges)
+        .select(col("word"), col("freq"),
+          translate(col("seg"), "\u0001\u0002", "[]").as("seg_disp"),
+          col("n_subwords"))
     })
   )
 
@@ -3837,7 +3887,22 @@ object SparkEntry {
          |) u GROUP BY id_a, id_b""".stripMargin
     },
     "q207_bpe_train" -> bpeOracleSql(spark, dir),
-    "q213_bpe_fertility" -> bpeFertilityOracleSql(spark, dir))
+    "q213_bpe_fertility" -> bpeFertilityOracleSql(spark, dir),
+    // the batched table re-learned deterministically, replayed the
+    // same way (q207's mirror with trainBatched literals)
+    "q231_bpe_train_batched" -> {
+      val segK = bpeSegSql(graft.operators.Bpe.trainBatched(
+        Tables(spark, dir, "documents"), "text", nMerges = 20,
+        batchSize = 5))
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         |v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |      FROM w WHERE word <> '' GROUP BY word),
+         |s AS (SELECT word, freq, $segK AS seg FROM v)
+         |SELECT word, freq,
+         |  replace(replace(seg, chr(1), '['), chr(2), ']') AS seg_disp,
+         |  CAST(length(seg) - length(replace(seg, chr(1), '')) AS BIGINT) AS n_subwords
+         |FROM s""".stripMargin
+    })
 
   /** The nested-replace replay of a TRAINED merge table: DuckDB's
     * replace shares Spark's left-to-right non-overlapping scan and
@@ -5046,6 +5111,29 @@ object SparkEntry {
         |      // (2 * n_pos * n_neg)
         |  END AS BIGINT) AS auc_micro
         |FROM a""".stripMargin,
+    // decile confidence bins over the micro stopword-ratio score; mean
+    // claimed confidence vs observed positive rate, both floored micros
+    "q229_calibration_bins" ->
+      """WITH d AS (SELECT source,
+        |    (CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','of','and','to','in','a','is','that')))
+        |      AS BIGINT) * 1000000)
+        |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS score,
+        |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+        |      AS label
+        |  FROM documents),
+        |b AS (SELECT source,
+        |    LEAST((score * 10) // 1000000, 9) AS bin, score, label
+        |  FROM d),
+        |g AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(score) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |      AS conf_micro,
+        |    (CAST(sum(label) AS BIGINT) * 1000000)
+        |      // CAST(count(*) AS BIGINT) AS acc_micro
+        |  FROM b GROUP BY source, bin)
+        |SELECT source, bin, n, conf_micro, acc_micro,
+        |  abs(conf_micro - acc_micro) AS gap_micro
+        |FROM g""".stripMargin,
     // same count relation, same descending cumulative sweep, same
     // floored micro arithmetic (f1 from the already-floored P and R)
     "q224_pr_curve" ->
@@ -5377,6 +5465,23 @@ object SparkEntry {
         |GROUP BY fp HAVING count(*) > 1""".stripMargin,
     "q51_dedup_minhash_lsh" -> minhashOracleSql,
     "q52_dedup_ngram_jaccard" -> oracleJaccardPairs(0.5),
+    // every co-shingled ORDERED pair, exact |A∩B|·1e6 div |A| (the
+    // all-pairs mirror of the prefix-filtered operator)
+    "q230_containment_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id AS id,
+        |         unnest(list_distinct([w.w[i] || ' ' || w.w[i+1] || ' ' || w.w[i+2]
+        |                               FOR i IN range(1, greatest(len(w.w)-2, 0)+1)])) AS shingle
+        |       FROM w),
+        |sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY id),
+        |common AS (SELECT a.id AS id_a, b.id AS id_b,
+        |             CAST(count(*) AS BIGINT) AS n_common
+        |           FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |             AND a.id <> b.id
+        |           GROUP BY a.id, b.id)
+        |SELECT id_a, id_b, (n_common * 1000000) // za.n AS cont_micro
+        |FROM common JOIN sz za ON za.id = id_a
+        |WHERE (n_common * 1000000) // za.n >= 800000""".stripMargin,
     "q53_dedup_simhash" -> simhashOracleSql,
     "q54_ann_brute_topk" ->
       """WITH e AS (SELECT vec_id,

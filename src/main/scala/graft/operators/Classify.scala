@@ -191,6 +191,40 @@ object Classify {
         col("f1_micro")): _*)
   }
 
+  /** Per-group RELIABILITY DIAGRAM (calibration bins) + expected
+    * calibration error contributions — the eval that tells you whether
+    * a classifier's confidence MEANS anything before you threshold it
+    * (Guo et al., ICML'17 reduced to exact integers): scores already in
+    * micros [0, 1e6] land in `nBins` equal-width confidence bins; per
+    * (group, bin) the mean claimed confidence and the observed positive
+    * rate are floored micro divisions, and their absolute gap weighted
+    * by the bin count is the bin's ECE contribution. ECE itself is
+    * Σ gap·n / N — one more floored division the caller (or the oracle)
+    * applies over the bounded bin relation. One keyed aggregation;
+    * bin-cardinality-bounded output (≤ groups × nBins rows).
+    *
+    * @param df       (group…, scoreCol in [0, 1e6], labelCol 0/1)
+    * @return (group…, bin, n, conf_micro, acc_micro, gap_micro)
+    */
+  def calibrationBins(df: DataFrame, groupCols: Seq[String],
+      scoreCol: String, labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"calibrationBins: nBins must be >= 1, got $nBins")
+    val gc = groupCols.map(col)
+    df
+      .withColumn("__bin", expr(
+        s"least((CAST($scoreCol AS BIGINT) * ${nBins}L) div 1000000L, " +
+          s"${nBins - 1}L)"))
+      .groupBy(gc :+ col("__bin").as("bin"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(scoreCol).cast("long")).as("__sum_score"),
+        sum(col(labelCol).cast("long")).as("__sum_pos"))
+      .withColumn("conf_micro", expr("__sum_score div n"))
+      .withColumn("acc_micro", expr("(__sum_pos * 1000000L) div n"))
+      .withColumn("gap_micro", abs(col("conf_micro") - col("acc_micro")))
+      .select(gc ++ Seq(col("bin"), col("n"), col("conf_micro"),
+        col("acc_micro"), col("gap_micro")): _*)
+  }
+
   def scoreHashedNb(docs: DataFrame, idCol: String, textCol: String,
       model: NbModel): DataFrame = {
     val spark = docs.sparkSession

@@ -815,6 +815,83 @@ object Dedup {
     verifyJaccard(sets, pairs).filter(col("jaccard") >= threshold)
   }
 
+  /** DIRECTIONAL n-gram containment pairs: C(a→b) = |A∩B| / |A| ≥ t —
+    * the asymmetric cousin of [[ngramJaccardPairs]] that catches SUBSET
+    * duplication (a quote, an excerpt, a doc pasted inside a larger
+    * one), which symmetric Jaccard misses whenever |B| ≫ |A|. Exact, in
+    * integer micros (cont_micro = ⌊|A∩B|·1e6 / |A|⌋, engine-portable).
+    *
+    * Candidate generation adapts the PPJoin prefix rule to the
+    * asymmetric threshold: C(a→b) ≥ t forces |A∩B| ≥ ⌈t·|A|⌉, so at
+    * most |A| − ⌈t·|A|⌉ of A's shingles miss B — A's rarest-first
+    * prefix of length |A| − ⌈t·|A|⌉ + 1 must contain a witness shared
+    * with B. Only the PROBE side shortens; the index side must carry
+    * B's FULL posting list (any shingle of B can be the witness — there
+    * is no size-ratio bound on |B|, that asymmetry is the point). The
+    * ceil runs in exact integers: ⌈sz·t⌉ = (sz·tm + 999999) div 1e6.
+    *
+    * Hot shingles split per-shingle by df exactly like the Jaccard
+    * path — cold buckets bound fan-out by `maxShingleDf`; hot postings
+    * go through an ORDERED-pair tile grid (probe keeps its tile and
+    * replicates over index tiles, index vice versa, join on
+    * (shingle, ta, tb)) so a stopword shingle spreads its candidates
+    * over tiles² tasks instead of one reducer. The per-shingle split
+    * keeps the union exhaustive: a witness shingle is cold on both
+    * sides or hot on both.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, thresholdMicro: Long = 800000L,
+      cache: CacheHandle = CacheHandle.untracked,
+      maxShingleDf: Long = 256, nTiles: Int = 0): DataFrame = {
+    require(thresholdMicro >= 1L && thresholdMicro <= 1000000L,
+      s"containmentPairs: thresholdMicro in [1, 1e6], got $thresholdMicro")
+    val sets = cache.track(shingleSets(df, idCol, textCol, n))
+    val tiles =
+      if (nTiles > 0) nTiles
+      else Similarity.autoTiles(sets.count(), 80L,
+        df.sparkSession.sparkContext.defaultParallelism)
+    val sh = sets.select(col("id"), size(col("shset")).cast("long").as("sz"),
+      explode(col("shset")).as("shingle"))
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
+    val shf = sh.join(freq, "shingle")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("f").asc, col("shingle").asc)
+    val prefix = shf
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("sz") - expr(s"(sz * ${thresholdMicro}L + 999999L) div 1000000L")
+          + lit(1L))
+      .select(col("id"), col("shingle"), col("f"))
+
+    val coldPairs = prefix.filter(col("f") <= maxShingleDf)
+      .select(col("id").as("id_a"), col("shingle"))
+      .join(shf.filter(col("f") <= maxShingleDf)
+        .select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+
+    val hotA = prefix.filter(col("f") > maxShingleDf)
+      .select(col("id").as("id_a"), col("shingle"),
+        pmod(xxhash64(col("id")), lit(tiles)).cast("int").as("ta"),
+        explode(sequence(lit(0), lit(tiles - 1))).as("tb"))
+    val hotB = shf.filter(col("f") > maxShingleDf)
+      .select(col("id").as("id_b"), col("shingle"),
+        explode(sequence(lit(0), lit(tiles - 1))).as("ta"),
+        pmod(xxhash64(col("id")), lit(tiles)).cast("int").as("tb"))
+    val hotPairs = hotA.join(hotB, Seq("shingle", "ta", "tb"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+
+    val pairs = coldPairs.unionByName(hotPairs).distinct()
+    val a = sets.select(col("id").as("id_a"), col("shset").as("set_a"))
+    val b = sets.select(col("id").as("id_b"), col("shset").as("set_b"))
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), expr(
+        "(CAST(size(array_intersect(set_a, set_b)) AS BIGINT) * 1000000L)" +
+          " div CAST(size(set_a) AS BIGINT)").as("cont_micro"))
+      .filter(col("cont_micro") >= thresholdMicro)
+  }
+
   /** Connected components over an undirected near-dup pair graph — the
     * clustering step that turns pairwise signals (minhash/simhash/
     * embedding) into dedup groups. Iterative min-label propagation WITH

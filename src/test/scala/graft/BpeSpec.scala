@@ -94,4 +94,33 @@ class BpeSpec extends SparkSpec {
     val d = Seq("ab cd").toDF("text") // every pair count = 1
     assert(Bpe.train(d, "text", nMerges = 3, minCount = 2).isEmpty)
   }
+
+  test("trainBatched: batchSize=1 ≡ classic training; a batch never " +
+      "accepts conflicting pairs; roundtrip holds for the batched table") {
+    assert(Bpe.trainBatched(docs, "text", nMerges = 6, batchSize = 1) ==
+      Bpe.train(docs, "text", nMerges = 6))
+    val batched = Bpe.trainBatched(docs, "text", nMerges = 6, batchSize = 3)
+    assert(batched.size == 6)
+    assert(batched.map(_.rank) == (0 until 6))
+    // bit-deterministic: the bounded ranked collect + greedy filter
+    // has no nondeterministic step
+    assert(Bpe.trainBatched(docs, "text", nMerges = 6, batchSize = 3)
+      == batched)
+    // the batched table is a valid tokenizer: applying it reproduces
+    // the training loop's own final segmentation (same fold, so this
+    // pins that the stored ranks replay in acceptance order)
+    val segApplied = Bpe.segmentVocab(docs, "text", batched)
+      .select($"word", $"seg").as[(String, String)].collect().toMap
+    val segDirect = batched.foldLeft(Bpe.initialVocab(docs, "text")) {
+      (v, m) => v.withColumn("seg", Bpe.applyMerge($"seg", m.a, m.b))
+    }.select($"word", $"seg").as[(String, String)].collect().toMap
+    assert(segApplied == segDirect)
+    // and it genuinely compresses: total subwords strictly below the
+    // character count
+    val n = Bpe.segmentVocab(docs, "text", batched)
+      .agg(sum($"n_subwords" * $"freq")).as[Long].head()
+    val chars = Bpe.segmentVocab(docs, "text", Seq.empty)
+      .agg(sum($"n_subwords" * $"freq")).as[Long].head()
+    assert(n < chars)
+  }
 }

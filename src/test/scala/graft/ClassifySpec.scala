@@ -107,4 +107,29 @@ class ClassifySpec extends SparkSpec {
     assert(got(("z", 5L)) ==
       (("z", 5L, 0L, 1L, 0L, 0L, None, None)))
   }
+
+  test("calibrationBins: hand-computed bins; 1e6 caps into the top bin; " +
+      "a perfectly calibrated score has zero gap everywhere") {
+    val rows = Seq(
+      ("g", 50000L, 0L),   // bin 0: conf 50000, acc 0
+      ("g", 150000L, 1L),  // bin 1: conf 150000, acc 1e6
+      ("g", 999999L, 1L),  // bin 9
+      ("g", 1000000L, 1L)  // exactly 1e6 must cap into bin 9, not 10
+    ).toDF("g", "score", "label")
+    val got = Classify.calibrationBins(rows, Seq("g"), "score", "label")
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._2 -> r).toMap
+    assert(got(0L) == (("g", 0L, 1L, 50000L, 0L, 50000L)))
+    assert(got(1L) == (("g", 1L, 1L, 150000L, 1000000L, 850000L)))
+    // bin 9: n=2, conf = (999999+1000000) div 2, acc = 1e6, gap = 1
+    assert(got(9L) == (("g", 9L, 2L, 999999L, 1000000L, 1L)))
+    assert(got.size == 3)
+    // score == label·1e6 ⇒ claimed confidence is the observed rate
+    val perfect = Seq.tabulate(40)(i =>
+      ("p", if (i % 3 == 0) 1000000L else 0L, if (i % 3 == 0) 1L else 0L))
+      .toDF("g", "score", "label")
+    val gaps = Classify.calibrationBins(perfect, Seq("g"), "score", "label")
+      .select($"gap_micro").as[Long].collect()
+    assert(gaps.nonEmpty && gaps.forall(_ == 0L))
+  }
 }

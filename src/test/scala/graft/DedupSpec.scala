@@ -515,4 +515,45 @@ class DedupSpec extends SparkSpec {
     assert(probed == exact)
     assert(probed.nonEmpty, "the planted exact copies must surface")
   }
+
+  test("containmentPairs: directional subset duplication found, Jaccard " +
+      "blind to it; hot-path tiling exact") {
+    // doc 1 is pasted verbatim inside doc 2 (which is 4x longer), so
+    // C(1->2) = 1.0 while Jaccard(1,2) ~ 0.25 — the pair symmetric
+    // dedup misses by construction
+    val small = (1 to 8).map(i => s"tok$i").mkString(" ")
+    val big = small + " " + (9 to 32).map(i => s"pad$i").mkString(" ")
+    val other = (1 to 20).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, thresholdMicro = 800000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L, 1000000L)),
+      s"subset direction 1->2 must be found: $got")
+    assert(!got.exists(p => p._1 == 2L && p._2 == 1L),
+      s"2->1 direction must miss the 0.8 cut (big is not inside small): $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+    // the symmetric operator at the same cut is blind to the pair
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)))
+    // brute-force every ordered pair: the prefix filter is exact
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val brute = sets.select($"id".as("id_a"), $"shset".as("sa"))
+      .crossJoin(sets.select($"id".as("id_b"), $"shset".as("sb")))
+      .filter($"id_a" =!= $"id_b")
+      .select($"id_a", $"id_b", expr(
+        "(CAST(size(array_intersect(sa, sb)) AS BIGINT) * 1000000L)" +
+          " div CAST(size(sa) AS BIGINT)").as("cm"))
+      .filter($"cm" >= 800000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute)
+    // forcing every shingle through the hot tile grid changes nothing
+    val hot = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, thresholdMicro = 800000L, maxShingleDf = 0, nTiles = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hot == brute)
+  }
 }
