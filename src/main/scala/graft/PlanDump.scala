@@ -87,7 +87,9 @@ object PlanDump {
       "q217_kcore", "q218_ndcg_eval", "q219_kneser_ney",
       "q220_cm_stream", "q221_spell_correct", "q222_roc_auc",
       "q223_ann_ivf_sq8_topk", "q224_pr_curve", "q225_span_corruption",
-      "q226_rendezvous_shards", "q227_confusion")
+      "q226_rendezvous_shards", "q227_confusion",
+      "q228_postings_l0_compact", "q229_calibration_bins",
+      "q230_containment_dedup", "q231_bpe_train_batched")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))
