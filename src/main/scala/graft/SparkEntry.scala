@@ -3791,6 +3791,28 @@ object SparkEntry {
         .select(col("word"), col("freq"),
           translate(col("seg"), "\u0001\u0002", "[]").as("seg_disp"),
           col("n_subwords"))
+    }),
+
+    // TREC-convention retrieval eval (q218's full-outer sibling): the
+    // run SKIPS every qid % 3 == 0 query, so a mean nDCG over q218's
+    // run-seeded output would silently inflate; this variant seeds
+    // from qrels ∪ run and scores the skipped-but-judged queries 0
+    // (dcg/mrr/ndcg) with their real n_rel/idcg — averages over the
+    // relation are trustworthy. Same discount literals both engines.
+    "q232_ndcg_eval_full" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 200 === 7)
+        .select(col("doc_id").as("qid"),
+          array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+      val pool = graft.operators.Retrieval.bm25TopK(docs, queries,
+        "doc_id", "text", "qid", "qterms", k = 20).localCheckpoint()
+      val qrels = pool.select(col("qid"), col("doc_id"),
+        (conv(substring(md5(concat(lit("qr:"), col("qid").cast("string"),
+          lit(":"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 4L).as("rel"))
+      graft.operators.Retrieval.ndcgMrrEvalFull(
+        pool.filter(col("rn") <= 10 && col("qid") % 3 =!= 0), qrels,
+        k = 10)
     })
   )
 
@@ -4442,17 +4464,23 @@ object SparkEntry {
     * pseudo-judgments over a TREC-style pool — then the exact-integer
     * nDCG/MRR arithmetic of [[graft.operators.Retrieval.ndcgMrrEval]]
     * with the SAME driver-generated discount literals the Spark plan
-    * joined (floor(1e6/log2(r+1)), StrictMath, rendered once). */
-  private def ndcgEvalOracleSql(k: Int, poolK: Int): String = {
+    * joined (floor(1e6/log2(r+1)), StrictMath, rendered once).
+    * `runWhere` drops queries from the run (q232's judged-but-skipped
+    * shape); `full = true` switches the final qid join to FULL OUTER
+    * so run-absent judged queries score 0 — the TREC convention,
+    * mirroring [[graft.operators.Retrieval.ndcgMrrEvalFull]]. */
+  private def ndcgEvalOracleSql(k: Int, poolK: Int,
+      runWhere: Option[String] = None, full: Boolean = false): String = {
     val disc = graft.operators.Retrieval.dcgDiscountMicros(k)
       .map { case (r, d) => s"($r, $d)" }.mkString(", ")
     val relHash = hexToLongSql(
       "md5('qr:' || CAST(qid AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))",
       1, 15)
+    val runPred = runWhere.fold("")(w => s" AND ($w)")
     s"""WITH pool AS MATERIALIZED (SELECT qid, doc_id, rn FROM (
        |${bm25OracleSqlK(poolK)}
        |)),
-       |run AS (SELECT * FROM pool WHERE rn <= $k),
+       |run AS (SELECT * FROM pool WHERE rn <= $k$runPred),
        |qrels AS (SELECT qid, doc_id,
        |            CAST(($relHash) % 4 AS BIGINT) AS rel FROM pool),
        |disc(rn, disc_micro) AS (VALUES $disc),
@@ -4474,13 +4502,26 @@ object SparkEntry {
        |            ORDER BY rel DESC, doc_id ASC) AS irn FROM qrels) i
        |  LEFT JOIN disc d ON d.rn = i.irn
        |  GROUP BY qid)
-       |SELECT g.qid, COALESCE(i.n_rel, 0) AS n_rel, g.dcg_micro,
-       |  COALESCE(i.idcg_micro, 0) AS idcg_micro,
-       |  CAST(COALESCE(1000000 // g.first_rel, 0) AS BIGINT) AS mrr_micro,
-       |  CAST(CASE WHEN COALESCE(i.idcg_micro, 0) > 0
-       |       THEN (g.dcg_micro * 1000000) // i.idcg_micro
-       |       ELSE 0 END AS BIGINT) AS ndcg_micro
-       |FROM gain g LEFT JOIN ideal i ON i.qid = g.qid""".stripMargin
+       |${
+      if (full)
+        s"""SELECT COALESCE(g.qid, i.qid) AS qid,
+           |  COALESCE(i.n_rel, 0) AS n_rel,
+           |  CAST(COALESCE(g.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+           |  COALESCE(i.idcg_micro, 0) AS idcg_micro,
+           |  CAST(COALESCE(1000000 // g.first_rel, 0) AS BIGINT) AS mrr_micro,
+           |  CAST(CASE WHEN COALESCE(i.idcg_micro, 0) > 0
+           |       THEN (COALESCE(g.dcg_micro, 0) * 1000000) // i.idcg_micro
+           |       ELSE 0 END AS BIGINT) AS ndcg_micro
+           |FROM gain g FULL JOIN ideal i ON i.qid = g.qid""".stripMargin
+      else
+        s"""SELECT g.qid, COALESCE(i.n_rel, 0) AS n_rel, g.dcg_micro,
+           |  COALESCE(i.idcg_micro, 0) AS idcg_micro,
+           |  CAST(COALESCE(1000000 // g.first_rel, 0) AS BIGINT) AS mrr_micro,
+           |  CAST(CASE WHEN COALESCE(i.idcg_micro, 0) > 0
+           |       THEN (g.dcg_micro * 1000000) // i.idcg_micro
+           |       ELSE 0 END AS BIGINT) AS ndcg_micro
+           |FROM gain g LEFT JOIN ideal i ON i.qid = g.qid""".stripMargin
+    }""".stripMargin
   }
 
   private def pageRankOracleSql(iters: Int, dampBp: Int): String = {
@@ -5032,6 +5073,10 @@ object SparkEntry {
         |FROM t LEFT JOIN tr USING (doc_id)""".stripMargin,
     "q217_kcore" -> kCoreOracleSql(k = 3, rounds = 4),
     "q218_ndcg_eval" -> ndcgEvalOracleSql(k = 10, poolK = 20),
+    // q218's TREC-convention sibling: run skips qid % 3 == 0, final
+    // join FULL OUTER so judged-but-skipped queries score 0
+    "q232_ndcg_eval_full" -> ndcgEvalOracleSql(k = 10, poolK = 20,
+      runWhere = Some("qid % 3 <> 0"), full = true),
     // same bigram-type relation, same continuation counts, same two
     // floor divisions in the documented order
     "q219_kneser_ney" ->
@@ -5105,7 +5150,8 @@ object SparkEntry {
         |          AS u2
         |      FROM c GROUP BY source)
         |SELECT source, n_pos, n_neg,
-        |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+        |    AND 2 * n_pos * n_neg <= 9223372036854775 THEN
         |    ((u2 * 1000) // (2 * n_pos * n_neg)) * 1000
         |    + (((u2 * 1000) % (2 * n_pos * n_neg)) * 1000)
         |      // (2 * n_pos * n_neg)

@@ -110,11 +110,15 @@ object Classify {
     * }}}
     * rendered in micros by TWO chained milli scalings —
     * `(2U·10³ div d)·10³ + ((2U·10³ mod d)·10³) div d`, d = 2·P·N —
-    * so no intermediate exceeds d·10³: exact for P·N ≤ ~9·10¹⁵
-    * (P, N per group up to ~10⁸ — a group needing more than 10⁸ judged
-    * eval rows should subsample first; a single 10⁶ multiply would
-    * already overflow at P·N > 4.6·10¹²). Both floors are part of the
-    * operator contract; the mirror replays them bit-for-bit.
+    * so the largest intermediate is d·10³ = 2·P·N·10³: exact while
+    * 2·P·N ≤ Long.MaxValue/10³, i.e. P·N ≤ ~4.6·10¹⁵ (P, N per group
+    * up to ~6.7·10⁷ — a group needing more judged eval rows than that
+    * should subsample first; a single 10⁶ multiply would already
+    * overflow at P·N > 4.6·10¹²). Beyond the envelope `auc_micro` is
+    * NULL, never silently wrong — the same guard is in the SQL mirror,
+    * so both engines agree bit-for-bit inside and outside it. Both
+    * floors are part of the operator contract; the mirror replays them
+    * bit-for-bit.
     *
     * Plan shape: one keyed aggregation to the per-(group, score) count
     * relation (score-cardinality-bounded, not row-bounded), one
@@ -124,7 +128,8 @@ object Classify {
     * @param labelCol 1/true = positive, 0/false = negative
     * @return per group: (n_pos, n_neg, auc_micro) — auc_micro NULL
     *         when a group has no positives or no negatives (AUC
-    *         undefined, not 0)
+    *         undefined, not 0), or when 2·P·N exceeds the exactness
+    *         envelope Long.MaxValue/10³ (overflow would be silent)
     */
   def rocAuc(df: DataFrame, groupCols: Seq[String], scoreCol: String,
       labelCol: String): DataFrame = {
@@ -142,7 +147,9 @@ object Classify {
         sum(col("p_at") * (lit(2L) * (col("cum_neg") - col("neg_at"))
           + col("neg_at"))).as("u2"))
       .withColumn("auc_micro",
-        when(col("n_pos") > 0L && col("n_neg") > 0L, expr(
+        when(col("n_pos") > 0L && col("n_neg") > 0L
+            && lit(2L) * col("n_pos") * col("n_neg")
+              <= lit(Long.MaxValue / 1000L), expr(
           "((u2 * 1000L) div (2L * n_pos * n_neg)) * 1000L" +
             " + (((u2 * 1000L) % (2L * n_pos * n_neg)) * 1000L)" +
             " div (2L * n_pos * n_neg)")))

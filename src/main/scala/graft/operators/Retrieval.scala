@@ -887,8 +887,29 @@ object Retrieval {
     * qrels partitioned by qid (ideal ordering — judgment lists are
     * bounded per query, so the window partitions are small), and two
     * keyed aggregations. No driver state; everything shuffles on qid.
+    *
+    * CAVEAT — one row per RUN qid only: a query that is in qrels but
+    * for which the run returned nothing is silently absent, so a mean
+    * nDCG over this output is inflated relative to the TREC convention
+    * (missing queries score 0). Averages you intend to trust should be
+    * taken over [[ndcgMrrEvalFull]], which seeds from qrels ∪ run.
     */
-  def ndcgMrrEval(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+  def ndcgMrrEval(run: DataFrame, qrels: DataFrame, k: Int): DataFrame =
+    ndcgMrrEvalJoined(run, qrels, k, "left")
+
+  /** [[ndcgMrrEval]] over the FULL query set qrels ∪ run: a judged
+    * query the run skipped still gets its row, with dcg_micro = 0,
+    * mrr_micro = 0, ndcg_micro = 0 (and its real n_rel/idcg_micro) —
+    * the TREC convention, so a mean over this relation is trustworthy.
+    * Same plan shape; the final qid join is full-outer instead of
+    * left.
+    */
+  def ndcgMrrEvalFull(run: DataFrame, qrels: DataFrame,
+      k: Int): DataFrame =
+    ndcgMrrEvalJoined(run, qrels, k, "full")
+
+  private def ndcgMrrEvalJoined(run: DataFrame, qrels: DataFrame,
+      k: Int, joinType: String): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = run.sparkSession
     val disc = spark.createDataFrame(dcgDiscountMicros(k))
@@ -914,14 +935,19 @@ object Retrieval {
         sum(when(col("rel") > 0L && col("irn") <= k,
           col("rel") * col("disc_micro")).otherwise(lit(0L)))
           .as("idcg_micro"))
-    gain.join(ideal, Seq("qid"), "left")
+    // the run-absent-qid coalesces exist only on the full path so the
+    // one-row-per-run-qid variant keeps its exact original plan
+    val full = joinType == "full"
+    gain.join(ideal, Seq("qid"), joinType)
       .select(col("qid"),
         coalesce(col("n_rel"), lit(0L)).as("n_rel"),
-        col("dcg_micro"),
+        (if (full) coalesce(col("dcg_micro"), lit(0L))
+         else col("dcg_micro")).as("dcg_micro"),
         coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"),
         coalesce(expr("1000000L div first_rel"), lit(0L)).as("mrr_micro"),
         when(coalesce(col("idcg_micro"), lit(0L)) > 0L,
-          expr("(dcg_micro * 1000000L) div idcg_micro"))
+          if (full) expr("(coalesce(dcg_micro, 0L) * 1000000L) div idcg_micro")
+          else expr("(dcg_micro * 1000000L) div idcg_micro"))
           .otherwise(lit(0L)).as("ndcg_micro"))
   }
 

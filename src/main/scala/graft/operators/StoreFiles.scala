@@ -135,47 +135,98 @@ private[graft] object StoreFiles {
   }
 
   private val GenFileName = "gen-(\\d{16})\\.txt".r
+  private val EpochDirName = "epoch-(\\d{8})".r
 
-  /** One manifest generation: the text file
-    * `dir/manifest/gen-<g 16-digit>.txt`, one path per line, published
-    * by write-to-temp + rename (all-or-nothing visibility — a reader
-    * listing the directory sees the whole generation or none of it).
-    * `overwrite` resets the commit log (a fresh save, or a compaction
-    * collapsing history to a new generation 0). Driver-only FS calls;
-    * no Spark job.
+  /** The active epoch of a manifest directory: the highest epoch
+    * holding at least one committed gen file. Bare `gen-*.txt` files
+    * directly under `manifest/` are epoch 0 (the fresh-save layout);
+    * `epoch-<e>/` subdirectories hold the logs of later overwrite
+    * re-bases. An epoch directory with NO gen file (a torn overwrite
+    * that crashed before its commit rename) is ignored — readers fall
+    * through to the previous epoch, which is exactly the atomicity the
+    * epoch scheme buys. Returns (epoch, dirHoldingItsGenFiles);
+    * (0, manifest dir) for a store that has never committed.
+    */
+  private def activeEpoch(fs: org.apache.hadoop.fs.FileSystem,
+      md: org.apache.hadoop.fs.Path): (Long, org.apache.hadoop.fs.Path) = {
+    if (!fs.exists(md)) return (0L, md)
+    val sts = fs.listStatus(md).toSeq
+    val hasBare = sts.exists(_.getPath.getName match {
+      case GenFileName(_) => true; case _ => false })
+    val epochs = sts.flatMap(st => st.getPath.getName match {
+      case EpochDirName(e) if fs.listStatus(st.getPath).exists(
+          _.getPath.getName match {
+            case GenFileName(_) => true; case _ => false }) =>
+        Some((e.toLong, st.getPath))
+      case _ => None
+    })
+    ((if (hasBare) Seq((0L, md)) else Seq.empty) ++ epochs)
+      .sortBy(_._1).lastOption.getOrElse((0L, md))
+  }
+
+  /** One manifest generation: the text file `gen-<g 16-digit>.txt`
+    * (one committed data-file path per line) under the manifest's
+    * active epoch, published by write-to-temp + rename — all-or-nothing
+    * visibility; a reader listing the directory sees the whole
+    * generation or none of it. `overwrite` resets the commit log (a
+    * fresh save, or a compaction collapsing history to a new
+    * generation 0): when a committed log already exists, the new log
+    * is written as generation 0 of a NEW epoch directory — the rename
+    * publishing its gen file is the commit point, so a reader always
+    * sees either the old epoch's complete log or the new one, never a
+    * window with no manifest at all (the old delete-then-rewrite reset
+    * had exactly that window). Superseded epochs are removed
+    * best-effort AFTER the commit; a crash mid-cleanup leaves stale
+    * lower epochs that every reader ignores and the next overwrite
+    * retries. Driver-only FS calls; no Spark job.
     */
   def writeManifest(spark: SparkSession, dir: String, gen: Long,
       paths: Set[String], mode: String): Unit = {
     val md = new org.apache.hadoop.fs.Path(s"$dir/manifest")
     val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (mode == "overwrite" && fs.exists(md))
-      require(fs.delete(md, true),
-        s"writeManifest: could not reset manifest at $md")
-    fs.mkdirs(md)
-    val tmp = new org.apache.hadoop.fs.Path(md, f".tmp-gen-$gen%016d")
+    val (curEpoch, curDir) = activeEpoch(fs, md)
+    val hasLog = fs.exists(md) && fs.listStatus(curDir).exists(
+      _.getPath.getName match {
+        case GenFileName(_) => true; case _ => false })
+    val target =
+      if (mode == "overwrite" && hasLog)
+        new org.apache.hadoop.fs.Path(md, f"epoch-${curEpoch + 1L}%08d")
+      else curDir
+    fs.mkdirs(target)
+    val tmp = new org.apache.hadoop.fs.Path(target, f".tmp-gen-$gen%016d")
     val out = fs.create(tmp, true)
     try out.write(
       paths.toSeq.sorted.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val fin = new org.apache.hadoop.fs.Path(md, f"gen-$gen%016d.txt")
+    val fin = new org.apache.hadoop.fs.Path(target, f"gen-$gen%016d.txt")
     require(fs.rename(tmp, fin),
       s"writeManifest: commit rename to $fin failed")
+    if (mode == "overwrite" && hasLog) {
+      // committed — now retire the superseded log (best-effort; stale
+      // epochs are invisible to activeEpoch readers either way)
+      fs.listStatus(md).foreach(st => st.getPath.getName match {
+        case GenFileName(_) => fs.delete(st.getPath, false); ()
+        case EpochDirName(e) if e.toLong <= curEpoch =>
+          fs.delete(st.getPath, true); ()
+        case _ => ()
+      })
+    }
   }
 
-  /** Every committed generation with its file list, ascending — parsed
-    * from the manifest directory's text files on the driver (no job).
-    * Empty for a store with no manifest.
+  /** Every committed generation of the ACTIVE epoch with its file
+    * list, ascending — parsed from the manifest's text files on the
+    * driver (no job). Empty for a store with no manifest.
     */
   def manifestEntries(spark: SparkSession,
       dir: String): Seq[(Long, Seq[String])] = {
     val md = new org.apache.hadoop.fs.Path(s"$dir/manifest")
     val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(md)) Seq.empty
-    else fs.listStatus(md).toSeq
+    else fs.listStatus(activeEpoch(fs, md)._2).toSeq
       .flatMap(st => st.getPath.getName match {
         case GenFileName(g) => Some((g.toLong, st.getPath))
-        case _ => None // temp files of an in-flight commit
+        case _ => None // temp files of an in-flight commit, epoch dirs
       })
       .sortBy(_._1)
       .map { case (g, p) =>
@@ -189,15 +240,15 @@ private[graft] object StoreFiles {
       }
   }
 
-  /** Latest committed generation, or -1 for a store with no manifest
-    * (never committed, or pre-manifest layout). Filename parse only —
-    * no file content is read, no job runs.
+  /** Latest committed generation of the active epoch, or -1 for a
+    * store with no manifest (never committed, or pre-manifest layout).
+    * Filename parse only — no file content is read, no job runs.
     */
   def manifestGen(spark: SparkSession, dir: String): Long = {
     val md = new org.apache.hadoop.fs.Path(s"$dir/manifest")
     val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(md)) -1L
-    else fs.listStatus(md).toSeq
+    else fs.listStatus(activeEpoch(fs, md)._2).toSeq
       .flatMap(_.getPath.getName match {
         case GenFileName(g) => Some(g.toLong)
         case _ => None
@@ -298,7 +349,9 @@ private[graft] object StoreFiles {
     * merged relation back into `$dir/$sub` as new files (mode append,
     * preserving the sub's partition layout); the listing diff under the
     * single-writer contract is the compacted run. The manifest then
-    * re-bases in ONE overwrite — the commit point — to
+    * re-bases in ONE overwrite — the commit point, atomic via
+    * [[writeManifest]]'s new-epoch publish (a reader always sees the
+    * old log or the new one, never neither) — to
     * (base ∪ compacted − L0); history collapses to a fresh generation 0
     * (the same vacuum-horizon trade as the full compaction). The old L0
     * files are deleted AFTER the commit — a crash between commit and

@@ -181,6 +181,42 @@ class ManifestSpec extends SparkSpec {
     assert(rows(Similarity.loadPqIndexSnapshot(spark, dir)) == committed)
   }
 
+  test("overwrite re-base is atomic: a torn re-base leaves the old log active; a real one retires it") {
+    import graft.operators.StoreFiles
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_atomic").toString
+    Retrieval.savePostingsIndexCommitted(
+      Retrieval.buildPostingsIndex(corpus.filter(col("doc_id") <= 4),
+        "doc_id", "text", nBuckets = 4), dir)
+    Retrieval.appendPostingsIndexCommitted(spark, dir,
+      corpus.filter(col("doc_id") > 4), "doc_id", "text")
+    val want = inflight(corpus)
+    assert(StoreFiles.manifestGen(spark, dir) == 1L)
+    // TORN overwrite: a re-base that crashed before its commit rename —
+    // new epoch dir exists, its gen file only as a temp. Readers must
+    // still see the OLD complete log (the pre-fix delete-then-rewrite
+    // window would have left NO manifest at all here).
+    val torn = new java.io.File(s"$dir/manifest/epoch-00000001")
+    torn.mkdirs()
+    java.nio.file.Files.write(
+      torn.toPath.resolve(".tmp-gen-0000000000000000"),
+      "half-written".getBytes)
+    assert(StoreFiles.manifestGen(spark, dir) == 1L)
+    assert(serveSnap(dir) == want)
+    // a real re-base (the full compaction) commits atomically as the
+    // next epoch and retires the superseded log
+    Retrieval.compactPostingsIndex(spark, dir)
+    assert(StoreFiles.manifestGen(spark, dir) == 0L)
+    assert(serveSnap(dir) == want)
+    val names = new java.io.File(s"$dir/manifest").listFiles()
+      .map(_.getName).toSet
+    assert(!names.exists(_.matches("gen-\\d{16}\\.txt")),
+      s"superseded bare gen files must be retired: $names")
+    // the store keeps working on its new epoch: append + serve
+    Retrieval.appendPostingsIndexCommitted(spark, dir,
+      corpus.filter(col("doc_id") === 1L), "doc_id", "text")
+    assert(StoreFiles.manifestGen(spark, dir) == 1L)
+  }
+
   test("tombstone deletes compose with snapshot loads") {
     val dir = java.nio.file.Files.createTempDirectory("graft_manifest_del").toString
     Retrieval.savePostingsIndexCommitted(

@@ -456,4 +456,30 @@ class RetrievalSpec extends SparkSpec {
     val dcgC = 2L * 1000000 + 630929
     assert(got(3L) == ((3L, 2L, dcgC, dcgC, 1000000L, 1000000L)))
   }
+
+  test("ndcgMrrEvalFull: a judged query the run skipped scores 0, not absent") {
+    val run = Seq( // qid 1 judged but NOT run — the TREC missing-query case
+      (2L, 21L, 1), (2L, 22L, 2),
+      (3L, 31L, 1), (3L, 32L, 2)
+    ).toDF("qid", "doc_id", "rn")
+    val qrels = Seq(
+      (1L, 12L, 2L), (1L, 13L, 1L), (1L, 19L, 3L),
+      (2L, 21L, 0L),
+      (3L, 31L, 2L), (3L, 32L, 1L)
+    ).toDF("qid", "doc_id", "rel")
+    // the run-seeded variant silently drops qid 1 — the documented caveat
+    assert(!Retrieval.ndcgMrrEval(run, qrels, k = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().exists(_._1 == 1L))
+    val got = Retrieval.ndcgMrrEvalFull(run, qrels, k = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    // qid 1: real n_rel/idcg (ideal = 19(3), 12(2), 13(1)), zeros elsewhere
+    val idcg1 = 3L * 1000000 + 2L * 630929 + 500000
+    assert(got(1L) == ((1L, 3L, 0L, idcg1, 0L, 0L)))
+    // run qids keep their exact run-seeded rows
+    assert(got(2L) == ((2L, 0L, 0L, 0L, 0L, 0L)))
+    val dcgC = 2L * 1000000 + 630929
+    assert(got(3L) == ((3L, 2L, dcgC, dcgC, 1000000L, 1000000L)))
+  }
 }
