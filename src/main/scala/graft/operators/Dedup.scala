@@ -268,7 +268,7 @@ object Dedup {
   def saveBandIndex(index: BandIndex, dir: String): Unit = {
     val spark = index.bands.sparkSession
     import spark.implicits._
-    StoreFiles.clearTombstones(spark, s"$dir/tombstones")
+    Stores.band.clearLedger(spark, dir)
     index.bands.write.mode("overwrite").partitionBy("band")
       .parquet(s"$dir/bands")
     index.sets.write.mode("overwrite").parquet(s"$dir/sets")
@@ -288,27 +288,25 @@ object Dedup {
     */
   def deleteFromBandIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, ids: DataFrame, idCol: String): Unit =
-    StoreFiles.appendTombstones(spark, s"$dir/tombstones",
-      ids.select(col(idCol).as("id")).distinct(), "id")
+    Stores.band.delete(spark, dir, ids, idCol)
 
-  /** Load a stored index. With tombstones present, BOTH relations
-    * (bands and sets) anti-join the tombstoned ids lazily; a store
-    * that never saw a delete loads with its exact pre-tombstone plan.
+  /** Assemble a [[BandIndex]] under a per-sub reader (raw or
+    * snapshot); with tombstones present BOTH relations anti-join the
+    * ledger lazily, a store that never saw a delete keeps its exact
+    * pre-tombstone plan.
     */
-  def loadBandIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): BandIndex = {
+  private def mkBandIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, rd: String => DataFrame): BandIndex = {
     val p = spark.read.parquet(s"$dir/params").head()
-    val (bands, sets) = StoreFiles.readTombstones(spark, s"$dir/tombstones")
-      .fold((spark.read.parquet(s"$dir/bands"),
-             spark.read.parquet(s"$dir/sets"))) { t =>
-        val ids = broadcast(t.select(col("id")))
-        (spark.read.parquet(s"$dir/bands")
-           .join(ids, Seq("id"), "left_anti"),
-         spark.read.parquet(s"$dir/sets")
-           .join(ids, Seq("id"), "left_anti"))
-      }
-    BandIndex(bands, sets, p.getInt(0), p.getInt(1), p.getInt(2))
+    BandIndex(Stores.band.dropDeleted(spark, dir, rd("bands")),
+      Stores.band.dropDeleted(spark, dir, rd("sets")),
+      p.getInt(0), p.getInt(1), p.getInt(2))
   }
+
+  /** Load a stored index from the raw directories. */
+  def loadBandIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): BandIndex =
+    mkBandIndex(spark, dir, Stores.band.raw(spark, dir))
 
   /** Incrementally add an ACCEPTED batch to a stored index: shingle +
     * sign + band the batch with the INDEX'S OWN parameters (loaded from
@@ -348,71 +346,54 @@ object Dedup {
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, setsFiles: Int = 8): Unit = {
     require(setsFiles >= 1, s"setsFiles must be >= 1, got $setsFiles")
-    val tombs = StoreFiles.readTombstones(spark, s"$dir/tombstones")
-      .map(_.select(col("id")).localCheckpoint())
-    // a manifested store compacts its COMMITTED snapshot (a torn
-    // append's orphans must be dropped, not resurrected); checkpointed
-    // because the swap deletes the files the snapshot relations read
-    val manifested = StoreFiles.dirExists(spark, s"$dir/manifest")
-    val (srcBands, srcSets) =
+    Stores.band.compactScaffold(spark, dir) { (manifested, tombs) =>
       if (manifested) {
         val snap = loadBandIndexSnapshot(spark, dir)
-        (snap.bands.localCheckpoint(), snap.sets.localCheckpoint())
+        Map("bands" -> snap.bands.localCheckpoint(),
+          "sets" -> snap.sets.localCheckpoint())
       } else {
         val rawB = spark.read.parquet(s"$dir/bands")
         val rawS = spark.read.parquet(s"$dir/sets")
-        (tombs.fold(rawB)(t => rawB.join(broadcast(t), Seq("id"), "left_anti")),
-         tombs.fold(rawS)(t => rawS.join(broadcast(t), Seq("id"), "left_anti")))
+        Map(
+          "bands" -> tombs.fold(rawB)(t =>
+            rawB.join(broadcast(t), Seq("id"), "left_anti")),
+          "sets" -> tombs.fold(rawS)(t =>
+            rawS.join(broadcast(t), Seq("id"), "left_anti")))
       }
-    StoreFiles.swapIn(spark, s"$dir/bands") { tmp =>
-      srcBands.repartition(col("band"))
-        .write.partitionBy("band").parquet(tmp)
+    } {
+      case ("bands", src, tmp) =>
+        src.repartition(col("band")).write.partitionBy("band").parquet(tmp)
+      case (_, src, tmp) => src.coalesce(setsFiles).write.parquet(tmp)
     }
-    StoreFiles.swapIn(spark, s"$dir/sets") { tmp =>
-      srcSets.coalesce(setsFiles).write.parquet(tmp)
-    }
-    tombs.foreach(_ => StoreFiles.clearTombstones(spark, s"$dir/tombstones"))
-    if (manifested) // history collapses to a fresh generation 0
-      StoreFiles.writeManifest(spark, dir, 0L,
-        StoreFiles.listDataFiles(spark, bandDataDirs(dir)), "overwrite")
   }
 
-  // --- snapshot-manifest commit log for the band family (the shared
-  // --- StoreFiles machinery; semantics identical to the postings
-  // --- family's: the manifest file is the commit point, a torn append
-  // --- is invisible to snapshot loads, OCC via expectedGen, vacuum
-  // --- reclaims orphans, asOf time-travels, deletes stay retroactive)
-
-  private def bandDataDirs(dir: String): Seq[String] =
-    Seq(s"$dir/bands", s"$dir/sets")
+  // --- committed lifecycle: [[Stores.band]] (manifest commit point,
+  // --- OCC, vacuum, time travel, retroactive deletes)
 
   /** [[saveBandIndex]] plus the initial manifest (generation 0). */
-  def saveBandIndexCommitted(index: BandIndex, dir: String): Unit = {
-    val spark = index.bands.sparkSession
-    saveBandIndex(index, dir)
-    StoreFiles.writeManifest(spark, dir, 0L,
-      StoreFiles.listDataFiles(spark, bandDataDirs(dir)), "overwrite")
-  }
+  def saveBandIndexCommitted(index: BandIndex, dir: String): Unit =
+    Stores.band.saveCommitted(index.bands.sparkSession, dir) {
+      saveBandIndex(index, dir)
+    }
 
-  /** [[appendBandIndex]] with a commit point; with `expectedGen` the
-    * commit is optimistic (refuses if another writer committed since).
-    * Returns the committed generation.
+  /** [[appendBandIndex]] with a commit point (OCC via `expectedGen`);
+    * returns the committed generation.
     */
   def appendBandIndexCommitted(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, textCol: String,
       expectedGen: Option[Long] = None): Long =
-    StoreFiles.commitAppend(spark, dir, bandDataDirs(dir), expectedGen) {
+    Stores.band.appendCommitted(spark, dir, expectedGen) {
       appendBandIndex(spark, dir, batch, idCol, textCol)
     }
 
   /** Latest committed generation (-1 if never committed). */
   def bandGen(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
-    StoreFiles.manifestGen(spark, dir)
+    Stores.band.gen(spark, dir)
 
   /** Delete data files no committed snapshot references. */
   def vacuumBandIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[String] =
-    StoreFiles.vacuumStore(spark, dir, bandDataDirs(dir))
+    Stores.band.vacuum(spark, dir)
 
   /** Load exactly the COMMITTED file set (optionally as of a
     * generation); tombstones apply as in [[loadBandIndex]] — the delete
@@ -420,18 +401,8 @@ object Dedup {
     * a historical read.
     */
   def loadBandIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
-      dir: String, asOf: Option[Long] = None): BandIndex = {
-    val p = spark.read.parquet(s"$dir/params").head()
-    val rawB = StoreFiles.snapshotRead(spark, dir, "bands", asOf)
-    val rawS = StoreFiles.snapshotRead(spark, dir, "sets", asOf)
-    val (bands, sets) = StoreFiles.readTombstones(spark, s"$dir/tombstones")
-      .fold((rawB, rawS)) { t =>
-        val ids = broadcast(t.select(col("id")))
-        (rawB.join(ids, Seq("id"), "left_anti"),
-         rawS.join(ids, Seq("id"), "left_anti"))
-      }
-    BandIndex(bands, sets, p.getInt(0), p.getInt(1), p.getInt(2))
-  }
+      dir: String, asOf: Option[Long] = None): BandIndex =
+    mkBandIndex(spark, dir, Stores.band.snapshot(spark, dir, asOf))
 
   /** Probe a (possibly loaded) band index with a new batch: only the
     * batch is shingled and signed; candidates are cross-side bucket
@@ -632,34 +603,27 @@ object Dedup {
   def compactBloomIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, targetFiles: Int = 1): Unit = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
-    val manifested = StoreFiles.dirExists(spark, s"$dir/manifest")
-    val src = // committed snapshot when manifested (postings contract)
-      if (manifested)
-        StoreFiles.snapshotRead(spark, dir, "words").localCheckpoint()
-      else spark.read.parquet(s"$dir/words")
-    StoreFiles.swapIn(spark, s"$dir/words") { tmp =>
+    Stores.bloom.compactScaffold(spark, dir) { (manifested, _) =>
+      Map("words" ->
+        (if (manifested)
+           StoreFiles.snapshotRead(spark, dir, "words").localCheckpoint()
+         else spark.read.parquet(s"$dir/words")))
+    } { (_, src, tmp) =>
       src.groupBy(col("word")).agg(expr("bit_or(bits)").as("bits"))
         .coalesce(targetFiles).write.parquet(tmp)
     }
-    if (manifested)
-      StoreFiles.writeManifest(spark, dir, 0L,
-        StoreFiles.listDataFiles(spark, Seq(s"$dir/words")), "overwrite")
   }
 
-  // --- snapshot-manifest commit log for the Bloom family (shared
-  // --- StoreFiles machinery; postings-family semantics — the lazy
-  // --- bit_or merge is order-insensitive, so the committed subset of
-  // --- word rows loads exactly like any other append order). No
-  // --- tombstone ledger: Bloom deletes are the documented stale-keys
-  // --- trade (extra candidates only, scrubbed by the exact confirm).
+  // --- committed lifecycle: [[Stores.bloom]] (the lazy bit_or merge
+  // --- is order-insensitive, so the committed subset of word rows
+  // --- loads exactly like any other append order; no tombstone
+  // --- ledger — Bloom deletes are the documented stale-keys trade)
 
   /** [[saveBloomIndex]] plus the initial manifest (generation 0). */
-  def saveBloomIndexCommitted(index: BloomIndex, dir: String): Unit = {
-    val spark = index.words.sparkSession
-    saveBloomIndex(index, dir)
-    StoreFiles.writeManifest(spark, dir, 0L,
-      StoreFiles.listDataFiles(spark, Seq(s"$dir/words")), "overwrite")
-  }
+  def saveBloomIndexCommitted(index: BloomIndex, dir: String): Unit =
+    Stores.bloom.saveCommitted(index.words.sparkSession, dir) {
+      saveBloomIndex(index, dir)
+    }
 
   /** [[appendBloomIndex]] with a commit point (OCC via `expectedGen`);
     * returns the committed generation.
@@ -667,18 +631,18 @@ object Dedup {
   def appendBloomIndexCommitted(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, keyCol: String,
       expectedGen: Option[Long] = None): Long =
-    StoreFiles.commitAppend(spark, dir, Seq(s"$dir/words"), expectedGen) {
+    Stores.bloom.appendCommitted(spark, dir, expectedGen) {
       appendBloomIndex(spark, dir, batch, keyCol)
     }
 
   /** Latest committed generation (-1 if never committed). */
   def bloomGen(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
-    StoreFiles.manifestGen(spark, dir)
+    Stores.bloom.gen(spark, dir)
 
   /** Delete data files no committed snapshot references. */
   def vacuumBloomIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[String] =
-    StoreFiles.vacuumStore(spark, dir, Seq(s"$dir/words"))
+    Stores.bloom.vacuum(spark, dir)
 
   /** Load exactly the COMMITTED word rows (optionally as of a
     * generation), re-ORed at read like [[loadBloomIndex]]. Making a
@@ -1182,7 +1146,7 @@ object Dedup {
   def saveSimHashIndex(index: SimHashIndex, dir: String): Unit = {
     val spark = index.banded.sparkSession
     import spark.implicits._
-    StoreFiles.clearTombstones(spark, s"$dir/tombstones")
+    Stores.simhash.clearLedger(spark, dir)
     index.banded.write.mode("overwrite").partitionBy("band")
       .parquet(s"$dir/banded")
     Seq(index.maxHamming).toDF("max_hamming")
@@ -1196,18 +1160,21 @@ object Dedup {
     */
   def deleteFromSimHashIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, ids: DataFrame, idCol: String): Unit =
-    StoreFiles.appendTombstones(spark, s"$dir/tombstones",
-      ids.select(col(idCol).as("id")).distinct(), "id")
+    Stores.simhash.delete(spark, dir, ids, idCol)
 
-  def loadSimHashIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): SimHashIndex = {
+  /** Assemble a [[SimHashIndex]] under a per-sub reader (raw or
+    * snapshot); the ledger anti-joins lazily.
+    */
+  private def mkSimHashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, rd: String => DataFrame): SimHashIndex = {
     val p = spark.read.parquet(s"$dir/params").head()
-    val banded = spark.read.parquet(s"$dir/banded")
-    SimHashIndex(
-      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(banded)(t =>
-        banded.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")),
+    SimHashIndex(Stores.simhash.dropDeleted(spark, dir, rd("banded")),
       p.getInt(0))
   }
+
+  def loadSimHashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): SimHashIndex =
+    mkSimHashIndex(spark, dir, Stores.simhash.raw(spark, dir))
 
   /** Incrementally add an ACCEPTED batch: fingerprint + band with the
     * INDEX'S OWN stored hamming budget and append to the
@@ -1228,36 +1195,27 @@ object Dedup {
     * [[compactBandIndex]] contract on the `banded` table.
     */
   def compactSimHashIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
-    val tombs = StoreFiles.readTombstones(spark, s"$dir/tombstones")
-      .map(_.select(col("id")).localCheckpoint())
-    val manifested = StoreFiles.dirExists(spark, s"$dir/manifest")
-    val src = // committed snapshot when manifested (postings contract)
-      if (manifested) loadSimHashIndexSnapshot(spark, dir)
-        .banded.localCheckpoint()
-      else {
-        val raw = spark.read.parquet(s"$dir/banded")
-        tombs.fold(raw)(t => raw.join(broadcast(t), Seq("id"), "left_anti"))
-      }
-    StoreFiles.swapIn(spark, s"$dir/banded") { tmp =>
+      dir: String): Unit =
+    Stores.simhash.compactScaffold(spark, dir) { (manifested, tombs) =>
+      Map("banded" ->
+        (if (manifested)
+           loadSimHashIndexSnapshot(spark, dir).banded.localCheckpoint()
+         else {
+           val raw = spark.read.parquet(s"$dir/banded")
+           tombs.fold(raw)(t =>
+             raw.join(broadcast(t), Seq("id"), "left_anti"))
+         }))
+    } { (_, src, tmp) =>
       src.repartition(col("band")).write.partitionBy("band").parquet(tmp)
     }
-    tombs.foreach(_ => StoreFiles.clearTombstones(spark, s"$dir/tombstones"))
-    if (manifested)
-      StoreFiles.writeManifest(spark, dir, 0L,
-        StoreFiles.listDataFiles(spark, Seq(s"$dir/banded")), "overwrite")
-  }
 
-  // --- snapshot-manifest commit log for the SimHash family (shared
-  // --- StoreFiles machinery; postings-family semantics)
+  // --- committed lifecycle: [[Stores.simhash]]
 
   /** [[saveSimHashIndex]] plus the initial manifest (generation 0). */
-  def saveSimHashIndexCommitted(index: SimHashIndex, dir: String): Unit = {
-    val spark = index.banded.sparkSession
-    saveSimHashIndex(index, dir)
-    StoreFiles.writeManifest(spark, dir, 0L,
-      StoreFiles.listDataFiles(spark, Seq(s"$dir/banded")), "overwrite")
-  }
+  def saveSimHashIndexCommitted(index: SimHashIndex, dir: String): Unit =
+    Stores.simhash.saveCommitted(index.banded.sparkSession, dir) {
+      saveSimHashIndex(index, dir)
+    }
 
   /** [[appendSimHashIndex]] with a commit point (OCC via `expectedGen`);
     * returns the committed generation.
@@ -1265,33 +1223,27 @@ object Dedup {
   def appendSimHashIndexCommitted(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, textCol: String,
       expectedGen: Option[Long] = None): Long =
-    StoreFiles.commitAppend(spark, dir, Seq(s"$dir/banded"), expectedGen) {
+    Stores.simhash.appendCommitted(spark, dir, expectedGen) {
       appendSimHashIndex(spark, dir, batch, idCol, textCol)
     }
 
   /** Latest committed generation (-1 if never committed). */
   def simHashGen(spark: org.apache.spark.sql.SparkSession,
       dir: String): Long =
-    StoreFiles.manifestGen(spark, dir)
+    Stores.simhash.gen(spark, dir)
 
   /** Delete data files no committed snapshot references. */
   def vacuumSimHashIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[String] =
-    StoreFiles.vacuumStore(spark, dir, Seq(s"$dir/banded"))
+    Stores.simhash.vacuum(spark, dir)
 
   /** Load exactly the COMMITTED file set (optionally as of a
     * generation); tombstones stay retroactive ([[loadBandIndexSnapshot]]
     * contract).
     */
   def loadSimHashIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
-      dir: String, asOf: Option[Long] = None): SimHashIndex = {
-    val p = spark.read.parquet(s"$dir/params").head()
-    val banded = StoreFiles.snapshotRead(spark, dir, "banded", asOf)
-    SimHashIndex(
-      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(banded)(t =>
-        banded.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")),
-      p.getInt(0))
-  }
+      dir: String, asOf: Option[Long] = None): SimHashIndex =
+    mkSimHashIndex(spark, dir, Stores.simhash.snapshot(spark, dir, asOf))
 
   /** Probe a (possibly loaded) SimHash index with a new batch: only the
     * batch is fingerprinted; candidates are cross-side band-bucket
@@ -1347,7 +1299,7 @@ object Dedup {
     */
   def saveLabelStore(labels: DataFrame, dir: String): Unit = {
     val spark = labels.sparkSession
-    StoreFiles.clearTombstones(spark, s"$dir/tombstones")
+    Stores.label.clearLedger(spark, dir)
     labels.select(col("id"), col("component").as("label"))
       .write.mode("overwrite").parquet(s"$dir/labels")
     spark.createDataFrame(
@@ -1378,8 +1330,7 @@ object Dedup {
     */
   def deleteFromLabelStore(spark: org.apache.spark.sql.SparkSession,
       dir: String, ids: DataFrame, idCol: String): Unit =
-    StoreFiles.appendTombstones(spark, s"$dir/tombstones",
-      ids.select(col(idCol).as("id")).distinct(), "id")
+    Stores.label.delete(spark, dir, ids, idCol)
 
   /** Current (id, component) view: stored labels with remap chains
     * followed to fixpoint. Each pass rewrites every label that still has
@@ -1388,16 +1339,14 @@ object Dedup {
     * chains are short by construction; compact if they are not).
     */
   def resolveLabels(spark: org.apache.spark.sql.SparkSession,
-      dir: String, maxChain: Int = 64): DataFrame = {
-    val labels = spark.read.parquet(s"$dir/labels")
+      dir: String, maxChain: Int = 64): DataFrame =
     resolveLabelChains(
       // tombstoned ids leave the view BEFORE the chase (fewer rows
       // through the chain resolution); remap rows stay — surviving
       // members keep resolving through merges the deleted doc caused
-      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(labels)(t =>
-        labels.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")),
+      Stores.label.dropDeleted(spark, dir,
+        spark.read.parquet(s"$dir/labels")),
       spark.read.schema(remapSchema).parquet(s"$dir/remap"), maxChain)
-  }
 
   /** The resolution engine behind [[resolveLabels]], over EXPLICIT
     * (id, label) / (old_label, new_label) relations — also the view
@@ -1525,10 +1474,9 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/remap")
     // the resolved view already excluded tombstoned ids, so the rewrite
     // APPLIED the deletes — the ledger is spent
-    StoreFiles.clearTombstones(spark, s"$dir/tombstones")
+    Stores.label.clearLedger(spark, dir)
     if (manifested) // history collapses to a fresh generation 0
-      StoreFiles.writeManifest(spark, dir, 0L,
-        StoreFiles.listDataFiles(spark, labelDataDirs(dir)), "overwrite")
+      Stores.label.commitInitial(spark, dir)
   }
 
   /** Fold one batch into the store. `batchIds` are the new ids (absent
@@ -1554,16 +1502,11 @@ object Dedup {
   // --- as wrongly-split clusters; the manifest makes both halves land
   // --- or neither.
 
-  private def labelDataDirs(dir: String): Seq[String] =
-    Seq(s"$dir/labels", s"$dir/remap")
-
   /** [[saveLabelStore]] plus the initial manifest (generation 0). */
-  def saveLabelStoreCommitted(labels: DataFrame, dir: String): Unit = {
-    val spark = labels.sparkSession
-    saveLabelStore(labels, dir)
-    StoreFiles.writeManifest(spark, dir, 0L,
-      StoreFiles.listDataFiles(spark, labelDataDirs(dir)), "overwrite")
-  }
+  def saveLabelStoreCommitted(labels: DataFrame, dir: String): Unit =
+    Stores.label.saveCommitted(labels.sparkSession, dir) {
+      saveLabelStore(labels, dir)
+    }
 
   /** [[appendLabels]] with a commit point (OCC via `expectedGen`): the
     * increment computes against the COMMITTED resolved view, so a torn
@@ -1573,7 +1516,7 @@ object Dedup {
   def appendLabelsCommitted(spark: org.apache.spark.sql.SparkSession,
       dir: String, batchIds: DataFrame, idCol: String, pairs: DataFrame,
       expectedGen: Option[Long] = None): Long =
-    StoreFiles.commitAppend(spark, dir, labelDataDirs(dir), expectedGen) {
+    Stores.label.appendCommitted(spark, dir, expectedGen) {
       val resolved = resolveLabelsSnapshot(spark, dir).cache()
       try incrementLabels(resolved, batchIds, idCol, pairs) { (lab, rem) =>
         lab.write.mode("append").parquet(s"$dir/labels")
@@ -1583,12 +1526,12 @@ object Dedup {
 
   /** Latest committed generation (-1 if never committed). */
   def labelGen(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
-    StoreFiles.manifestGen(spark, dir)
+    Stores.label.gen(spark, dir)
 
   /** Delete data files no committed snapshot references. */
   def vacuumLabelStore(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[String] =
-    StoreFiles.vacuumStore(spark, dir, labelDataDirs(dir))
+    Stores.label.vacuum(spark, dir)
 
   /** [[resolveLabels]] over exactly the COMMITTED file set (optionally
     * as of a generation — the cluster state as it stood after that
@@ -1598,7 +1541,6 @@ object Dedup {
   def resolveLabelsSnapshot(spark: org.apache.spark.sql.SparkSession,
       dir: String, asOf: Option[Long] = None,
       maxChain: Int = 64): DataFrame = {
-    val labels = StoreFiles.snapshotRead(spark, dir, "labels", asOf)
     val remapPaths = StoreFiles.manifestPaths(spark, dir, asOf)
       .filter(_.contains("/remap/"))
     val remap =
@@ -1608,8 +1550,8 @@ object Dedup {
       else spark.read.schema(remapSchema)
         .option("basePath", s"$dir/remap").parquet(remapPaths: _*)
     resolveLabelChains(
-      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(labels)(t =>
-        labels.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")),
+      Stores.label.dropDeleted(spark, dir,
+        Stores.label.snapshot(spark, dir, asOf)("labels")),
       remap, maxChain)
   }
 
@@ -1682,7 +1624,6 @@ object Dedup {
     */
   final case class WinnowIndex(fps: DataFrame, k: Int, w: Int)
 
-  private def winnowDataDirs(dir: String): Seq[String] = Seq(s"$dir/fps")
 
   /** Fingerprint the corpus once ([[graft.operators.Curation.winnowFingerprints]]). */
   def buildWinnowIndex(corpus: DataFrame, idCol: String, textCol: String,
@@ -1696,19 +1637,17 @@ object Dedup {
   def saveWinnowIndex(index: WinnowIndex, dir: String): Unit = {
     val spark = index.fps.sparkSession
     import spark.implicits._
-    StoreFiles.clearTombstones(spark, s"$dir/tombstones")
+    Stores.winnow.clearLedger(spark, dir)
     index.fps.write.mode("overwrite").parquet(s"$dir/fps")
     Seq((index.k, index.w)).toDF("k", "w")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
   }
 
   /** [[saveWinnowIndex]] plus the initial manifest (generation 0). */
-  def saveWinnowIndexCommitted(index: WinnowIndex, dir: String): Unit = {
-    val spark = index.fps.sparkSession
-    saveWinnowIndex(index, dir)
-    StoreFiles.writeManifest(spark, dir, 0L,
-      StoreFiles.listDataFiles(spark, winnowDataDirs(dir)), "overwrite")
-  }
+  def saveWinnowIndexCommitted(index: WinnowIndex, dir: String): Unit =
+    Stores.winnow.saveCommitted(index.fps.sparkSession, dir) {
+      saveWinnowIndex(index, dir)
+    }
 
   /** Fingerprint an accepted batch with the INDEX'S OWN (k, w) and
     * append — existing files never rewritten. Probe before appending
@@ -1729,13 +1668,13 @@ object Dedup {
   def appendWinnowIndexCommitted(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, textCol: String,
       expectedGen: Option[Long] = None): Long =
-    StoreFiles.commitAppend(spark, dir, winnowDataDirs(dir), expectedGen) {
+    Stores.winnow.appendCommitted(spark, dir, expectedGen) {
       appendWinnowIndex(spark, dir, batch, idCol, textCol)
     }
 
   /** Latest committed generation (-1 if never committed). */
   def winnowGen(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
-    StoreFiles.manifestGen(spark, dir)
+    Stores.winnow.gen(spark, dir)
 
   /** Tombstone-delete documents — same re-admission semantics as
     * [[deleteFromBandIndex]]: a forgotten doc's fingerprints can no
@@ -1744,19 +1683,22 @@ object Dedup {
     */
   def deleteFromWinnowIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, ids: DataFrame, idCol: String): Unit =
-    StoreFiles.appendTombstones(spark, s"$dir/tombstones",
-      ids.select(col(idCol).as("id")).distinct(), "id")
+    Stores.winnow.delete(spark, dir, ids, idCol)
+
+  /** Assemble a [[WinnowIndex]] under a per-sub reader (raw or
+    * snapshot); the ledger anti-joins lazily.
+    */
+  private def mkWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, rd: String => DataFrame): WinnowIndex = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    WinnowIndex(Stores.winnow.dropDeleted(spark, dir, rd("fps")),
+      p.getInt(0), p.getInt(1))
+  }
 
   /** Raw directory load (tombstones anti-join lazily). */
   def loadWinnowIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): WinnowIndex = {
-    val p = spark.read.parquet(s"$dir/params").head()
-    val raw = spark.read.parquet(s"$dir/fps")
-    WinnowIndex(
-      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(raw)(t =>
-        raw.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")),
-      p.getInt(0), p.getInt(1))
-  }
+      dir: String): WinnowIndex =
+    mkWinnowIndex(spark, dir, Stores.winnow.raw(spark, dir))
 
   /** Load exactly the COMMITTED file set (optionally as of a
     * generation); tombstones stay retroactive — the delete ledger is
@@ -1764,19 +1706,13 @@ object Dedup {
     * historical read.
     */
   def loadWinnowIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
-      dir: String, asOf: Option[Long] = None): WinnowIndex = {
-    val p = spark.read.parquet(s"$dir/params").head()
-    val raw = StoreFiles.snapshotRead(spark, dir, "fps", asOf)
-    WinnowIndex(
-      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(raw)(t =>
-        raw.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")),
-      p.getInt(0), p.getInt(1))
-  }
+      dir: String, asOf: Option[Long] = None): WinnowIndex =
+    mkWinnowIndex(spark, dir, Stores.winnow.snapshot(spark, dir, asOf))
 
   /** Delete data files no committed snapshot references. */
   def vacuumWinnowIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[String] =
-    StoreFiles.vacuumStore(spark, dir, winnowDataDirs(dir))
+    Stores.winnow.vacuum(spark, dir)
 
   /** Nightly compaction: rewrite `fps` into `nFiles` files with
     * tombstones applied physically; a manifested store compacts its
@@ -1786,22 +1722,16 @@ object Dedup {
   def compactWinnowIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, nFiles: Int = 8): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
-    val tombs = StoreFiles.readTombstones(spark, s"$dir/tombstones")
-      .map(_.select(col("id")).localCheckpoint())
-    val manifested = StoreFiles.dirExists(spark, s"$dir/manifest")
-    val src =
-      if (manifested) loadWinnowIndexSnapshot(spark, dir).fps.localCheckpoint()
-      else {
-        val raw = spark.read.parquet(s"$dir/fps")
-        tombs.fold(raw)(t => raw.join(broadcast(t), Seq("id"), "left_anti"))
-      }
-    StoreFiles.swapIn(spark, s"$dir/fps") { tmp =>
-      src.coalesce(nFiles).write.parquet(tmp)
-    }
-    tombs.foreach(_ => StoreFiles.clearTombstones(spark, s"$dir/tombstones"))
-    if (manifested)
-      StoreFiles.writeManifest(spark, dir, 0L,
-        StoreFiles.listDataFiles(spark, winnowDataDirs(dir)), "overwrite")
+    Stores.winnow.compactScaffold(spark, dir) { (manifested, tombs) =>
+      Map("fps" ->
+        (if (manifested)
+           loadWinnowIndexSnapshot(spark, dir).fps.localCheckpoint()
+         else {
+           val raw = spark.read.parquet(s"$dir/fps")
+           tombs.fold(raw)(t =>
+             raw.join(broadcast(t), Seq("id"), "left_anti"))
+         }))
+    } { (_, src, tmp) => src.coalesce(nFiles).write.parquet(tmp) }
   }
 
   /** Probe a batch against the stored sketch: partial-overlap

@@ -194,8 +194,7 @@ object MatView {
     // must collapse to a fresh generation 0 or it would reference
     // deleted paths (same rule as compaction)
     if (StoreFiles.dirExists(spark, s"$dir/manifest"))
-      StoreFiles.writeManifest(spark, dir, 0L,
-        StoreFiles.listDataFiles(spark, Seq(s"$dir/state")), "overwrite")
+      Stores.agg.commitInitial(spark, dir)
   }
 
   /** [[retractAggState]] with a commit point: the retraction rows are a
@@ -206,7 +205,7 @@ object MatView {
     */
   def retractAggStateCommitted(spark: SparkSession, dir: String,
       deleted: DataFrame, expectedGen: Option[Long] = None): Long =
-    StoreFiles.commitAppend(spark, dir, Seq(s"$dir/state"), expectedGen) {
+    Stores.agg.appendCommitted(spark, dir, expectedGen) {
       retractAggState(spark, dir, deleted)
     }
 
@@ -214,13 +213,13 @@ object MatView {
     * (the merged partials are themselves valid delta rows), via the
     * guarded temp-swap. Serve results are unchanged; params untouched.
     */
-  def compactAggState(spark: SparkSession, dir: String): Unit = {
-    val manifested = StoreFiles.dirExists(spark, s"$dir/manifest")
-    val src = // committed snapshot when manifested (postings contract)
-      if (manifested)
-        StoreFiles.snapshotRead(spark, dir, "state").localCheckpoint()
-      else spark.read.parquet(s"$dir/state")
-    StoreFiles.swapIn(spark, s"$dir/state") { tmp =>
+  def compactAggState(spark: SparkSession, dir: String): Unit =
+    Stores.agg.compactScaffold(spark, dir) { (manifested, _) =>
+      Map("state" ->
+        (if (manifested)
+           StoreFiles.snapshotRead(spark, dir, "state").localCheckpoint()
+         else spark.read.parquet(s"$dir/state")))
+    } { (_, src, tmp) =>
       val (keys, _) = readParams(spark, dir)
       src.groupBy(keys.map(col): _*)
         .agg(sum(col("cnt")).as("cnt"),
@@ -229,10 +228,6 @@ object MatView {
           max(col("max_v")).as("max_v"))
         .write.parquet(tmp)
     }
-    if (manifested)
-      StoreFiles.writeManifest(spark, dir, 0L,
-        StoreFiles.listDataFiles(spark, Seq(s"$dir/state")), "overwrite")
-  }
 
   // --- snapshot-manifest commit log for the aggregate-state family
   // --- (shared StoreFiles machinery; postings-family semantics). For
@@ -242,29 +237,27 @@ object MatView {
   // --- The commit point restores all-or-nothing batches.
 
   /** [[saveAggState]] plus the initial manifest (generation 0). */
-  def saveAggStateCommitted(st: AggState, dir: String): Unit = {
-    val spark = st.state.sparkSession
-    saveAggState(st, dir)
-    StoreFiles.writeManifest(spark, dir, 0L,
-      StoreFiles.listDataFiles(spark, Seq(s"$dir/state")), "overwrite")
-  }
+  def saveAggStateCommitted(st: AggState, dir: String): Unit =
+    Stores.agg.saveCommitted(st.state.sparkSession, dir) {
+      saveAggState(st, dir)
+    }
 
   /** [[appendAggState]] with a commit point (OCC via `expectedGen`);
     * returns the committed generation.
     */
   def appendAggStateCommitted(spark: SparkSession, dir: String,
       batch: DataFrame, expectedGen: Option[Long] = None): Long =
-    StoreFiles.commitAppend(spark, dir, Seq(s"$dir/state"), expectedGen) {
+    Stores.agg.appendCommitted(spark, dir, expectedGen) {
       appendAggState(spark, dir, batch)
     }
 
   /** Latest committed generation (-1 if never committed). */
   def aggGen(spark: SparkSession, dir: String): Long =
-    StoreFiles.manifestGen(spark, dir)
+    Stores.agg.gen(spark, dir)
 
   /** Delete data files no committed snapshot references. */
   def vacuumAggState(spark: SparkSession, dir: String): Seq[String] =
-    StoreFiles.vacuumStore(spark, dir, Seq(s"$dir/state"))
+    Stores.agg.vacuum(spark, dir)
 
   /** Load exactly the COMMITTED delta rows (optionally as of a
     * generation — the aggregate as it stood after that commit; the

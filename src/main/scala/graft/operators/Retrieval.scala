@@ -120,7 +120,7 @@ object Retrieval {
   def savePostingsIndex(index: PostingsIndex, dir: String): Unit = {
     val spark = index.postings.sparkSession
     import spark.implicits._
-    StoreFiles.clearTombstones(spark, s"$dir/tombstones")
+    Stores.postings.clearLedger(spark, dir)
     index.postings.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
     index.stats.write.mode("overwrite").parquet(s"$dir/stats")
@@ -198,11 +198,20 @@ object Retrieval {
     * aggregated from the tombstones' (count, Σdl). Stores that never
     * saw a delete load exactly as before — same plan, same counters.
     */
-  def loadPostingsIndex(spark: SparkSession, dir: String): PostingsIndex = {
-    val raw = PostingsIndex(spark.read.parquet(s"$dir/postings"),
-      spark.read.parquet(s"$dir/stats"),
+  def loadPostingsIndex(spark: SparkSession, dir: String): PostingsIndex =
+    mkPostingsIndex(spark, dir, Stores.postings.raw(spark, dir))
+
+  /** Assemble a [[PostingsIndex]] under a per-sub reader (raw or
+    * snapshot). The ledger fold is the family's own: postings
+    * anti-join the tombstoned doc_ids (bucket pruning still reaches
+    * the scan below the join), and the stats deltas gain ONE negative
+    * row aggregated from the tombstones' (count, sum dl).
+    */
+  private def mkPostingsIndex(spark: SparkSession, dir: String,
+      rd: String => DataFrame): PostingsIndex = {
+    val raw = PostingsIndex(rd("postings"), rd("stats"),
       spark.read.parquet(s"$dir/params").head().getInt(0))
-    StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(raw) { tombs =>
+    Stores.postings.ledgerRows(spark, dir).fold(raw) { tombs =>
       raw.copy(
         postings = raw.postings.join(broadcast(tombs.select(col("doc_id"))),
           Seq("doc_id"), "left_anti"),
@@ -227,19 +236,14 @@ object Retrieval {
   // manifest — a delete is already a single-append-file commit.)
   // ------------------------------------------------------------------
 
-  private def dataDirs(dir: String): Seq[String] =
-    Seq(s"$dir/postings", s"$dir/stats")
-
   /** [[savePostingsIndex]] plus the initial manifest: the full data-file
     * listing becomes manifest generation 0 (replacing any previous
     * manifest, like the save replaces the data).
     */
-  def savePostingsIndexCommitted(index: PostingsIndex, dir: String): Unit = {
-    val spark = index.postings.sparkSession
-    savePostingsIndex(index, dir)
-    StoreFiles.writeManifest(spark, dir, 0L,
-      StoreFiles.listDataFiles(spark, dataDirs(dir)), "overwrite")
-  }
+  def savePostingsIndexCommitted(index: PostingsIndex, dir: String): Unit =
+    Stores.postings.saveCommitted(index.postings.sparkSession, dir) {
+      savePostingsIndex(index, dir)
+    }
 
   /** [[appendPostingsIndex]] with a COMMIT POINT: the batch's data files
     * land first, then ONE manifest row-file listing exactly those files
@@ -256,7 +260,7 @@ object Retrieval {
   def appendPostingsIndexCommitted(spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String, textCol: String,
       expectedGen: Option[Long] = None): Long =
-    StoreFiles.commitAppend(spark, dir, dataDirs(dir), expectedGen) {
+    Stores.postings.appendCommitted(spark, dir, expectedGen) {
       appendPostingsIndex(spark, dir, batch, idCol, textCol)
     }
 
@@ -264,7 +268,7 @@ object Retrieval {
     * committed) — what an optimistic writer reads before its append.
     */
   def postingsGen(spark: SparkSession, dir: String): Long =
-    StoreFiles.manifestGen(spark, dir)
+    Stores.postings.gen(spark, dir)
 
   /** Delete data files no committed snapshot references — torn appends
     * and lost optimistic commits. Serve results are unchanged (no
@@ -272,7 +276,7 @@ object Retrieval {
     * converges to the committed state. Returns the deleted paths.
     */
   def vacuumPostingsIndex(spark: SparkSession, dir: String): Seq[String] =
-    StoreFiles.vacuumStore(spark, dir, dataDirs(dir))
+    Stores.postings.vacuum(spark, dir)
 
   /** Size-tiered L0 compaction for the postings store (see
     * [[StoreFiles.compactL0]]): merge the appended runs into one fresh
@@ -310,24 +314,8 @@ object Retrieval {
     * travel; Delta/Iceberg choose the opposite).
     */
   def loadPostingsIndexSnapshot(spark: SparkSession, dir: String,
-      asOf: Option[Long] = None): PostingsIndex = {
-    val paths = StoreFiles.manifestPaths(spark, dir, asOf)
-    val (postPaths, statPaths) =
-      paths.partition(_.contains("/postings/"))
-    val raw = PostingsIndex(
-      spark.read.option("basePath", s"$dir/postings")
-        .parquet(postPaths.toSeq: _*),
-      spark.read.parquet(statPaths.toSeq: _*),
-      spark.read.parquet(s"$dir/params").head().getInt(0))
-    StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(raw) { tombs =>
-      raw.copy(
-        postings = raw.postings.join(broadcast(tombs.select(col("doc_id"))),
-          Seq("doc_id"), "left_anti"),
-        stats = raw.stats.unionByName(tombs.agg(
-          (count(lit(1)) * lit(-1L)).as("n"),
-          (coalesce(sum(col("dl")), lit(0L)) * lit(-1L)).as("t"))))
-    }
-  }
+      asOf: Option[Long] = None): PostingsIndex =
+    mkPostingsIndex(spark, dir, Stores.postings.snapshot(spark, dir, asOf))
 
   /** CHANGE FEED over the commit log — the incremental-consumer read
     * (Delta's table_changes / Iceberg's incremental scan, reduced to
@@ -384,44 +372,32 @@ object Retrieval {
     * (the stats row is already net), so a crash there needs the
     * tombstone directory removed manually before serving resumes.
     */
-  def compactPostingsIndex(spark: SparkSession, dir: String): Unit = {
-    val tombs = StoreFiles.readTombstones(spark, s"$dir/tombstones")
-      .map(_.select(col("doc_id"), col("dl")).localCheckpoint())
-    // a manifested store compacts its COMMITTED snapshot, never the
-    // raw directory — a torn append's orphaned files must be dropped
-    // by the rewrite, not resurrected into the committed set
-    val manifested = StoreFiles.dirExists(spark, s"$dir/manifest")
-    val (srcPostings, srcStats) =
+  def compactPostingsIndex(spark: SparkSession, dir: String): Unit =
+    Stores.postings.compactScaffold(spark, dir) { (manifested, tombs) =>
       if (manifested) {
         val snap = loadPostingsIndexSnapshot(spark, dir)
         // snapshot already applies tombstones — use its relations as-is
-        (snap.postings.localCheckpoint(), snap.stats.localCheckpoint())
+        Map("postings" -> snap.postings.localCheckpoint(),
+          "stats" -> snap.stats.localCheckpoint())
       } else {
         val rawP = spark.read.parquet(s"$dir/postings")
         val rawS = spark.read.parquet(s"$dir/stats")
-        (tombs.fold(rawP)(t => rawP.join(broadcast(t.select(col("doc_id"))),
-            Seq("doc_id"), "left_anti")),
-         tombs.fold(rawS)(t => rawS.unionByName(t.agg(
+        Map(
+          "postings" -> tombs.fold(rawP)(t =>
+            rawP.join(broadcast(t.select(col("doc_id"))),
+              Seq("doc_id"), "left_anti")),
+          "stats" -> tombs.fold(rawS)(t => rawS.unionByName(t.agg(
             (count(lit(1)) * lit(-1L)).as("n"),
             (coalesce(sum(col("dl")), lit(0L)) * lit(-1L)).as("t")))))
       }
-    StoreFiles.swapIn(spark, s"$dir/postings") { tmp =>
-      srcPostings.repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(tmp)
+    } {
+      case ("postings", src, tmp) =>
+        src.repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(tmp)
+      case (_, src, tmp) =>
+        src.agg(sum(col("n")).as("n"), sum(col("t")).as("t"))
+          .coalesce(1).write.parquet(tmp)
     }
-    StoreFiles.swapIn(spark, s"$dir/stats") { tmp =>
-      srcStats.agg(sum(col("n")).as("n"), sum(col("t")).as("t"))
-        .coalesce(1).write.parquet(tmp)
-    }
-    if (tombs.nonEmpty)
-      StoreFiles.clearTombstones(spark, s"$dir/tombstones")
-    if (manifested)
-      // history collapses to a fresh generation 0 — compaction rewrote
-      // every committed file, so older snapshots no longer exist to
-      // time-travel to (the Delta/Iceberg vacuum-horizon trade)
-      StoreFiles.writeManifest(spark, dir, 0L,
-        StoreFiles.listDataFiles(spark, dataDirs(dir)), "overwrite")
-  }
 
   /** The shared scoring tail: `hit` is postings already restricted to
     * query terms — (token, doc_id, dl, tf); `qterms` is the exploded
@@ -1038,7 +1014,7 @@ object Retrieval {
   def savePositionalIndex(index: PositionalIndex, dir: String): Unit = {
     val spark = index.postings.sparkSession
     import spark.implicits._
-    StoreFiles.clearTombstones(spark, s"$dir/tombstones")
+    Stores.positional.clearLedger(spark, dir)
     index.postings.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
     Seq(index.nBuckets).toDF("n_buckets")
@@ -1076,8 +1052,7 @@ object Retrieval {
     */
   def deleteFromPositionalIndex(spark: SparkSession, dir: String,
       ids: DataFrame, idCol: String): Unit =
-    StoreFiles.appendTombstones(spark, s"$dir/tombstones",
-      ids.select(col(idCol).as("doc_id")).distinct(), "doc_id")
+    Stores.positional.delete(spark, dir, ids, idCol)
 
   /** Load; with tombstones present the postings anti-join them lazily
     * (bucket partition pruning still reaches the scan below the join);
@@ -1085,40 +1060,35 @@ object Retrieval {
     * plan.
     */
   def loadPositionalIndex(spark: SparkSession,
-      dir: String): PositionalIndex = {
-    val raw = spark.read.parquet(s"$dir/postings")
+      dir: String): PositionalIndex =
+    mkPositionalIndex(spark, dir, Stores.positional.raw(spark, dir))
+
+  /** Assemble a [[PositionalIndex]] under a per-sub reader (raw or
+    * snapshot); the ledger anti-joins lazily.
+    */
+  private def mkPositionalIndex(spark: SparkSession, dir: String,
+      rd: String => DataFrame): PositionalIndex =
     PositionalIndex(
-      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(raw)(t =>
-        raw.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"),
-          "left_anti")),
+      Stores.positional.dropDeleted(spark, dir, rd("postings")),
       spark.read.parquet(s"$dir/params").head().getInt(0))
-  }
 
   /** Nightly small-file compaction: one file per bucket partition via
     * the guarded temp-swap; tombstones (if any) applied physically and
     * the ledger cleared. Serve results identical before and after.
     */
-  def compactPositionalIndex(spark: SparkSession, dir: String): Unit = {
-    val tombs = StoreFiles.readTombstones(spark, s"$dir/tombstones")
-      .map(_.select(col("doc_id")).localCheckpoint())
-    val manifested = StoreFiles.dirExists(spark, s"$dir/manifest")
-    val src = // committed snapshot when manifested (postings contract)
-      if (manifested)
-        loadPositionalIndexSnapshot(spark, dir).postings.localCheckpoint()
-      else {
-        val raw = spark.read.parquet(s"$dir/postings")
-        tombs.fold(raw)(t => raw.join(broadcast(t), Seq("doc_id"),
-          "left_anti"))
-      }
-    StoreFiles.swapIn(spark, s"$dir/postings") { tmp =>
+  def compactPositionalIndex(spark: SparkSession, dir: String): Unit =
+    Stores.positional.compactScaffold(spark, dir) { (manifested, tombs) =>
+      Map("postings" ->
+        (if (manifested)
+           loadPositionalIndexSnapshot(spark, dir).postings.localCheckpoint()
+         else {
+           val raw = spark.read.parquet(s"$dir/postings")
+           tombs.fold(raw)(t =>
+             raw.join(broadcast(t), Seq("doc_id"), "left_anti"))
+         }))
+    } { (_, src, tmp) =>
       src.repartition(col("bucket")).write.partitionBy("bucket").parquet(tmp)
     }
-    if (tombs.nonEmpty)
-      StoreFiles.clearTombstones(spark, s"$dir/tombstones")
-    if (manifested)
-      StoreFiles.writeManifest(spark, dir, 0L,
-        StoreFiles.listDataFiles(spark, Seq(s"$dir/postings")), "overwrite")
-  }
 
   // --- snapshot-manifest commit log for the positional family (shared
   // --- StoreFiles machinery; postings-family semantics — completing
@@ -1127,12 +1097,10 @@ object Retrieval {
 
   /** [[savePositionalIndex]] plus the initial manifest (generation 0). */
   def savePositionalIndexCommitted(index: PositionalIndex,
-      dir: String): Unit = {
-    val spark = index.postings.sparkSession
-    savePositionalIndex(index, dir)
-    StoreFiles.writeManifest(spark, dir, 0L,
-      StoreFiles.listDataFiles(spark, Seq(s"$dir/postings")), "overwrite")
-  }
+      dir: String): Unit =
+    Stores.positional.saveCommitted(index.postings.sparkSession, dir) {
+      savePositionalIndex(index, dir)
+    }
 
   /** [[appendPositionalIndex]] with a commit point (OCC via
     * `expectedGen`); returns the committed generation.
@@ -1140,18 +1108,17 @@ object Retrieval {
   def appendPositionalIndexCommitted(spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String, textCol: String,
       expectedGen: Option[Long] = None): Long =
-    StoreFiles.commitAppend(spark, dir, Seq(s"$dir/postings"),
-        expectedGen) {
+    Stores.positional.appendCommitted(spark, dir, expectedGen) {
       appendPositionalIndex(spark, dir, batch, idCol, textCol)
     }
 
   /** Latest committed generation (-1 if never committed). */
   def positionalGen(spark: SparkSession, dir: String): Long =
-    StoreFiles.manifestGen(spark, dir)
+    Stores.positional.gen(spark, dir)
 
   /** Delete data files no committed snapshot references. */
   def vacuumPositionalIndex(spark: SparkSession, dir: String): Seq[String] =
-    StoreFiles.vacuumStore(spark, dir, Seq(s"$dir/postings"))
+    Stores.positional.vacuum(spark, dir)
 
   /** Load exactly the COMMITTED file set (optionally as of a generation
     * — TIME TRAVEL to the phrase index as it stood after that commit).
@@ -1160,14 +1127,9 @@ object Retrieval {
     * contract). Bucket pruning survives via basePath.
     */
   def loadPositionalIndexSnapshot(spark: SparkSession, dir: String,
-      asOf: Option[Long] = None): PositionalIndex = {
-    val raw = StoreFiles.snapshotRead(spark, dir, "postings", asOf)
-    PositionalIndex(
-      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(raw)(t =>
-        raw.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"),
-          "left_anti")),
-      spark.read.parquet(s"$dir/params").head().getInt(0))
-  }
+      asOf: Option[Long] = None): PositionalIndex =
+    mkPositionalIndex(spark, dir,
+      Stores.positional.snapshot(spark, dir, asOf))
 
   /** Serve phrase queries from the stored index with ZERO corpus
     * tokenize jobs: the scan reads only the phrase terms' bucket

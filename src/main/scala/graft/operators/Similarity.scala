@@ -508,7 +508,7 @@ object Similarity {
           org.apache.spark.sql.types.LongType), nullable = false)))
     spark.createDataFrame(centRows, centSchema)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    StoreFiles.clearTombstones(spark, s"$dir/tombstones")
+    Stores.ivf.clearLedger(spark, dir)
     index.assignments.write.mode("overwrite")
       .partitionBy("cell").parquet(s"$dir/assignments")
   }
@@ -520,19 +520,22 @@ object Similarity {
     */
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, ids: DataFrame, idCol: String): Unit =
-    StoreFiles.appendTombstones(spark, s"$dir/tombstones",
-      ids.select(col(idCol).as("neighbor_id")).distinct(), "neighbor_id")
+    Stores.ivf.delete(spark, dir, ids, idCol)
 
-  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
+  /** Assemble an [[IvfIndex]] under a per-sub reader (raw or
+    * snapshot); the ledger anti-joins lazily.
+    */
+  private def mkIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, rd: String => DataFrame): IvfIndex = {
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Long](1).toArray)
-    val assigns = spark.read.parquet(s"$dir/assignments")
     IvfIndex(cents,
-      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(assigns)(t =>
-        assigns.join(broadcast(t.select(col("neighbor_id"))),
-          Seq("neighbor_id"), "left_anti")))
+      Stores.ivf.dropDeleted(spark, dir, rd("assignments")))
   }
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
+    mkIvfIndex(spark, dir, Stores.ivf.raw(spark, dir))
 
   /** Incrementally add a batch to a STORED index: assign the new vectors
     * to the EXISTING centroids and append to the cell-partitioned
@@ -564,40 +567,29 @@ object Similarity {
     * results are unchanged, the centroids params table is untouched.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
-    val tombs = StoreFiles.readTombstones(spark, s"$dir/tombstones")
-      .map(_.select(col("neighbor_id")).localCheckpoint())
-    val manifested = StoreFiles.dirExists(spark, s"$dir/manifest")
-    val src = // committed snapshot when manifested (postings contract)
-      if (manifested)
-        loadIvfIndexSnapshot(spark, dir).assignments.localCheckpoint()
-      else {
-        val raw = spark.read.parquet(s"$dir/assignments")
-        tombs.fold(raw)(t => raw.join(broadcast(t), Seq("neighbor_id"),
-          "left_anti"))
-      }
-    StoreFiles.swapIn(spark, s"$dir/assignments") { tmp =>
+      dir: String): Unit =
+    Stores.ivf.compactScaffold(spark, dir) { (manifested, tombs) =>
+      Map("assignments" ->
+        (if (manifested)
+           loadIvfIndexSnapshot(spark, dir).assignments.localCheckpoint()
+         else {
+           val raw = spark.read.parquet(s"$dir/assignments")
+           tombs.fold(raw)(t =>
+             raw.join(broadcast(t), Seq("neighbor_id"), "left_anti"))
+         }))
+    } { (_, src, tmp) =>
       src.repartition(col("cell")).write.partitionBy("cell").parquet(tmp)
     }
-    tombs.foreach(_ => StoreFiles.clearTombstones(spark, s"$dir/tombstones"))
-    if (manifested)
-      StoreFiles.writeManifest(spark, dir, 0L,
-        StoreFiles.listDataFiles(spark, Seq(s"$dir/assignments")),
-        "overwrite")
-  }
 
-  // --- snapshot-manifest commit log for the IVF family (shared
-  // --- StoreFiles machinery; postings-family semantics). Centroids are
+  // --- committed lifecycle: [[Stores.ivf]]. Centroids are
   // --- save-time-immutable — like the params tables they live outside
   // --- the manifest; only the append-accumulating assignments commit.
 
   /** [[saveIvfIndex]] plus the initial manifest (generation 0). */
-  def saveIvfIndexCommitted(index: IvfIndex, dir: String): Unit = {
-    val spark = index.assignments.sparkSession
-    saveIvfIndex(index, dir)
-    StoreFiles.writeManifest(spark, dir, 0L,
-      StoreFiles.listDataFiles(spark, Seq(s"$dir/assignments")), "overwrite")
-  }
+  def saveIvfIndexCommitted(index: IvfIndex, dir: String): Unit =
+    Stores.ivf.saveCommitted(index.assignments.sparkSession, dir) {
+      saveIvfIndex(index, dir)
+    }
 
   /** [[appendIvfIndex]] with a commit point (OCC via `expectedGen`);
     * returns the committed generation.
@@ -605,35 +597,26 @@ object Similarity {
   def appendIvfIndexCommitted(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, vecCol: String,
       expectedGen: Option[Long] = None): Long =
-    StoreFiles.commitAppend(spark, dir, Seq(s"$dir/assignments"),
-        expectedGen) {
+    Stores.ivf.appendCommitted(spark, dir, expectedGen) {
       appendIvfIndex(spark, dir, batch, idCol, vecCol)
     }
 
   /** Latest committed generation (-1 if never committed). */
   def ivfGen(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
-    StoreFiles.manifestGen(spark, dir)
+    Stores.ivf.gen(spark, dir)
 
   /** Delete data files no committed snapshot references. */
   def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[String] =
-    StoreFiles.vacuumStore(spark, dir, Seq(s"$dir/assignments"))
+    Stores.ivf.vacuum(spark, dir)
 
   /** Load exactly the COMMITTED assignments (optionally as of a
     * generation); tombstones stay retroactive. The cell partition
     * column (and a probe's pruning on it) survives via basePath.
     */
   def loadIvfIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
-      dir: String, asOf: Option[Long] = None): IvfIndex = {
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .orderBy(col("cell")).collect()
-      .map(_.getSeq[Long](1).toArray)
-    val assigns = StoreFiles.snapshotRead(spark, dir, "assignments", asOf)
-    IvfIndex(cents,
-      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(assigns)(t =>
-        assigns.join(broadcast(t.select(col("neighbor_id"))),
-          Seq("neighbor_id"), "left_anti")))
-  }
+      dir: String, asOf: Option[Long] = None): IvfIndex =
+    mkIvfIndex(spark, dir, Stores.ivf.snapshot(spark, dir, asOf))
 
   // ------------------------------------------------------------------
   // Product quantization (PQ) — the memory side of billion-vector ANN
@@ -931,7 +914,7 @@ object Similarity {
     */
   def savePqIndex(index: PqIndex, dir: String): Unit = {
     val spark = index.codes.sparkSession
-    StoreFiles.clearTombstones(spark, s"$dir/tombstones")
+    Stores.pq.clearLedger(spark, dir)
     import scala.jdk.CollectionConverters._
     val centRows = index.centroids.zipWithIndex.map { case (c, i) =>
       org.apache.spark.sql.Row(i, 0, c.toSeq)
@@ -972,22 +955,25 @@ object Similarity {
     */
   def deleteFromPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, ids: DataFrame, idCol: String): Unit =
-    StoreFiles.appendTombstones(spark, s"$dir/tombstones",
-      ids.select(col(idCol).as("neighbor_id")).distinct(), "neighbor_id")
+    Stores.pq.delete(spark, dir, ids, idCol)
 
   /** Load a stored index. With tombstones present the codes relation
     * anti-joins them lazily (cell partition pruning still reaches the
     * scan below the join); a store that never saw a delete loads with
     * its exact pre-tombstone plan.
     */
-  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): PqIndex = {
+  /** Assemble a [[PqIndex]] under a per-sub reader (raw or
+    * snapshot); the ledger anti-joins lazily.
+    */
+  private def mkPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, rd: String => DataFrame): PqIndex = {
     val (cents, books) = loadPqParams(spark, dir)
-    val codes = spark.read.parquet(s"$dir/codes")
     PqIndex(cents, books,
-      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(codes)(t =>
-        codes.join(broadcast(t.select(col("neighbor_id"))),
-          Seq("neighbor_id"), "left_anti")))
+      Stores.pq.dropDeleted(spark, dir, rd("codes")))
   }
+
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): PqIndex =
+    mkPqIndex(spark, dir, Stores.pq.raw(spark, dir))
 
   /** Incrementally add a batch to a STORED PQ index: encode the new
     * vectors with the STORED codebooks (no retraining — drift accumulates
@@ -1064,34 +1050,19 @@ object Similarity {
     * anti join over already-removed codes is a no-op).
     */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
-    val tombs = StoreFiles.readTombstones(spark, s"$dir/tombstones")
-      .map(_.select(col("neighbor_id")).localCheckpoint())
-    // a manifested store compacts its COMMITTED snapshot — a torn
-    // append's orphans are dropped by the rewrite, never resurrected
-    val manifested = StoreFiles.dirExists(spark, s"$dir/manifest")
-    val src =
-      if (manifested) loadPqIndexSnapshot(spark, dir).codes.localCheckpoint()
-      else {
-        val raw = spark.read.parquet(s"$dir/codes")
-        tombs.fold(raw)(t => raw.join(broadcast(t), Seq("neighbor_id"),
-          "left_anti"))
-      }
-    StoreFiles.swapIn(spark, s"$dir/codes") { tmp =>
+      dir: String): Unit =
+    Stores.pq.compactScaffold(spark, dir) { (manifested, tombs) =>
+      Map("codes" ->
+        (if (manifested)
+           loadPqIndexSnapshot(spark, dir).codes.localCheckpoint()
+         else {
+           val raw = spark.read.parquet(s"$dir/codes")
+           tombs.fold(raw)(t =>
+             raw.join(broadcast(t), Seq("neighbor_id"), "left_anti"))
+         }))
+    } { (_, src, tmp) =>
       src.repartition(col("cell")).write.partitionBy("cell").parquet(tmp)
     }
-    if (tombs.nonEmpty) {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-      require(p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true),
-        s"compact: could not delete $dir/tombstones")
-    }
-    if (manifested)
-      // history collapses to a fresh generation 0 (older snapshots'
-      // files no longer exist — the vacuum-horizon trade)
-      StoreFiles.writeManifest(spark, dir, 0L,
-        StoreFiles.listDataFiles(spark, Seq(s"$dir/codes")), "overwrite")
-  }
 
   // ------------------------------------------------------------------
   // Snapshot-manifest commits for the PQ index — the same generation-
@@ -1105,12 +1076,10 @@ object Similarity {
   // ------------------------------------------------------------------
 
   /** [[savePqIndex]] plus the initial manifest (generation 0). */
-  def savePqIndexCommitted(index: PqIndex, dir: String): Unit = {
-    val spark = index.codes.sparkSession
-    savePqIndex(index, dir)
-    StoreFiles.writeManifest(spark, dir, 0L,
-      StoreFiles.listDataFiles(spark, Seq(s"$dir/codes")), "overwrite")
-  }
+  def savePqIndexCommitted(index: PqIndex, dir: String): Unit =
+    Stores.pq.saveCommitted(index.codes.sparkSession, dir) {
+      savePqIndex(index, dir)
+    }
 
   /** [[appendPqIndex]] with the commit point (and, with `expectedGen`
     * from [[pqGen]], optimistic concurrency — a stale expectation
@@ -1120,20 +1089,20 @@ object Similarity {
   def appendPqIndexCommitted(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, vecCol: String,
       expectedGen: Option[Long] = None): Long =
-    StoreFiles.commitAppend(spark, dir, Seq(s"$dir/codes"), expectedGen) {
+    Stores.pq.appendCommitted(spark, dir, expectedGen) {
       appendPqIndex(spark, dir, batch, idCol, vecCol)
     }
 
   /** Latest committed generation (-1 if never committed). */
   def pqGen(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
-    StoreFiles.manifestGen(spark, dir)
+    Stores.pq.gen(spark, dir)
 
   /** Physically delete unmanifested codes files (torn appends, lost
     * optimistic commits). Returns the deleted paths.
     */
   def vacuumPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[String] =
-    StoreFiles.vacuumStore(spark, dir, Seq(s"$dir/codes"))
+    Stores.pq.vacuum(spark, dir)
 
   /** Load exactly the committed codes file set — torn appends invisible;
     * with `asOf`, time travel to that generation. basePath keeps the
@@ -1143,16 +1112,8 @@ object Similarity {
     * through an as-of load).
     */
   def loadPqIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
-      dir: String, asOf: Option[Long] = None): PqIndex = {
-    val (cents, books) = loadPqParams(spark, dir)
-    val paths = StoreFiles.manifestPaths(spark, dir, asOf)
-    val codes = spark.read.option("basePath", s"$dir/codes")
-      .parquet(paths: _*)
-    PqIndex(cents, books,
-      StoreFiles.readTombstones(spark, s"$dir/tombstones").fold(codes)(t =>
-        codes.join(broadcast(t.select(col("neighbor_id"))),
-          Seq("neighbor_id"), "left_anti")))
-  }
+      dir: String, asOf: Option[Long] = None): PqIndex =
+    mkPqIndex(spark, dir, Stores.pq.snapshot(spark, dir, asOf))
 
   /** Serve IVF-PQ top-k against a stored index — q116's ADC scan with
     * ZERO training jobs: queries rank cells against the loaded centroids

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
+
+/** Typed descriptor of one persisted store family — the paths, delete
+  * ledger key, and commit-log wiring that used to be ten hand-cloned
+  * ~80-line lifecycle quartets. A family is:
+  *
+  *   - `subs`: its data subdirectories under a store dir — the unit
+  *     the manifest commit log lists and vacuum/compaction walk.
+  *     Parameter tables (`params`, `centroids`, `codebooks`) live
+  *     OUTSIDE: they are save-time-immutable, so they need no commit
+  *     protocol;
+  *   - `ledger`: the tombstone key column, when the family keeps an
+  *     id-tombstone delete ledger (None = deletes are out of scope or
+  *     ride another mechanism — Bloom's documented stale-keys trade,
+  *     the agg store's retraction rows).
+  *
+  * The methods here are the COMMITTED lifecycle every family shares
+  * verbatim: save + generation-0 commit, OCC append commit,
+  * latest-generation read, orphan vacuum, ledger append/read/lazy
+  * anti-join, and the full-compaction scaffold (committed-snapshot
+  * source, guarded temp-swap per sub, spent-ledger clear, manifest
+  * re-base). Family #11 is a registration in [[Stores]] plus its own
+  * build/append-delta/load-assembly/merge-law code — not a
+  * re-implementation of any of this.
+  *
+  * What stays with the family, deliberately: what an append computes
+  * (the delta under the stored params), how a load assembles its
+  * typed index, merge laws (bit_or, stats deltas, remap chains), and
+  * per-sub compaction layouts. Those are semantics; this is plumbing.
+  */
+final case class StoreFamily(
+    name: String,
+    subs: Seq[String],
+    ledger: Option[String] = None) {
+
+  def dataDirs(dir: String): Seq[String] = subs.map(s => s"$dir/$s")
+  private def ledgerDir(dir: String) = s"$dir/tombstones"
+
+  /** Commit the store's CURRENT files as manifest generation 0 — the
+    * shared tail of every `save*Committed` and of a full compaction's
+    * history-collapsing re-base (atomic: [[StoreFiles.writeManifest]]
+    * publishes the new log as a new epoch).
+    */
+  def commitInitial(spark: SparkSession, dir: String): Unit =
+    StoreFiles.writeManifest(spark, dir, 0L,
+      StoreFiles.listDataFiles(spark, dataDirs(dir)), "overwrite")
+
+  /** Run `save`, then commit generation 0. */
+  def saveCommitted(spark: SparkSession, dir: String)(save: => Unit): Unit = {
+    save
+    commitInitial(spark, dir)
+  }
+
+  /** Run `append` under the commit protocol — data files land first,
+    * then ONE manifest file is the commit point; with `expectedGen`
+    * the commit is optimistic ([[StoreFiles.commitAppend]]). Returns
+    * the committed generation.
+    */
+  def appendCommitted(spark: SparkSession, dir: String,
+      expectedGen: Option[Long] = None)(append: => Unit): Long =
+    StoreFiles.commitAppend(spark, dir, dataDirs(dir), expectedGen)(append)
+
+  /** Latest committed generation (-1 if never committed). */
+  def gen(spark: SparkSession, dir: String): Long =
+    StoreFiles.manifestGen(spark, dir)
+
+  /** Delete data files no committed snapshot references — torn
+    * appends and lost optimistic commits. Returns the deleted paths.
+    */
+  def vacuum(spark: SparkSession, dir: String): Seq[String] =
+    StoreFiles.vacuumStore(spark, dir, dataDirs(dir))
+
+  /** Tombstone-delete by id: ONE append of bare ledger-key rows
+    * (idempotent — [[StoreFiles.appendTombstones]]); committed data
+    * files are never touched. Families whose ledger carries a payload
+    * (the postings family's dl) keep their own delete function.
+    */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String): Unit = {
+    val lc = ledgerKey
+    StoreFiles.appendTombstones(spark, ledgerDir(dir),
+      ids.select(col(idCol).as(lc)).distinct(), lc)
+  }
+
+  private def ledgerKey: String = ledger.getOrElse(throw
+    new IllegalStateException(s"store family '$name' keeps no delete ledger"))
+
+  /** The ledger relation, or None if the store never saw a delete. */
+  def ledgerRows(spark: SparkSession, dir: String): Option[DataFrame] =
+    StoreFiles.readTombstones(spark, ledgerDir(dir))
+
+  /** Reset the ledger (fresh saves — a new index at the same path
+    * must not inherit the old one's deletes).
+    */
+  def clearLedger(spark: SparkSession, dir: String): Unit =
+    StoreFiles.clearTombstones(spark, ledgerDir(dir))
+
+  /** Anti-join the (broadcast) ledger ids out of `df` — the lazy
+    * delete adjustment every load applies. A store that never saw a
+    * delete keeps its exact pre-tombstone plan: no extra relation, no
+    * counter drift.
+    */
+  def dropDeleted(spark: SparkSession, dir: String, df: DataFrame): DataFrame =
+    ledger.fold(df)(lc => ledgerRows(spark, dir).fold(df)(t =>
+      df.join(broadcast(t.select(col(lc))), Seq(lc), "left_anti")))
+
+  /** Raw per-sub reader — directory listing, sees torn appends (the
+    * contrast that makes the manifest the commit point).
+    */
+  def raw(spark: SparkSession, dir: String): String => DataFrame =
+    sub => spark.read.parquet(s"$dir/$sub")
+
+  /** Committed-snapshot per-sub reader, optionally as of a generation
+    * (time travel). Tombstones are NOT applied here — the ledger is
+    * unversioned and retroactive, and each family folds it through
+    * [[dropDeleted]] in its load assembly.
+    */
+  def snapshot(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): String => DataFrame =
+    sub => StoreFiles.snapshotRead(spark, dir, sub, asOf)
+
+  /** The full-compaction scaffold: checkpoint the ledger, pick the
+    * source state — the COMMITTED snapshot when manifested (a torn
+    * append's orphans must be dropped by the rewrite, never
+    * resurrected), else raw + ledger — temp-swap each sub through
+    * `layout`, clear the spent ledger, re-base the manifest to a
+    * fresh generation 0 (the vacuum-horizon trade: compaction rewrote
+    * every committed file, so older snapshots no longer exist to
+    * time-travel to). `sources(manifested, ledger)` returns the
+    * per-sub relations to rewrite — localCheckpoint'd when they read
+    * the store itself, because the swap deletes the files they read.
+    * Single-nightly-writer contract, like every stored structure.
+    */
+  def compactScaffold(spark: SparkSession, dir: String)(
+      sources: (Boolean, Option[DataFrame]) => Map[String, DataFrame])(
+      layout: (String, DataFrame, String) => Unit): Unit = {
+    val tombs = ledger.flatMap(_ => ledgerRows(spark, dir))
+      .map(_.localCheckpoint())
+    val manifested = StoreFiles.dirExists(spark, s"$dir/manifest")
+    val srcs = sources(manifested, tombs)
+    for (sub <- subs; src <- srcs.get(sub))
+      StoreFiles.swapIn(spark, s"$dir/$sub")(tmp => layout(sub, src, tmp))
+    if (tombs.nonEmpty) clearLedger(spark, dir)
+    if (manifested) commitInitial(spark, dir)
+  }
+}
+
+/** The registered store families. Adding family #11 = one line here
+  * plus the family's own build/delta/load-assembly code; the whole
+  * committed lifecycle (commit, OCC, vacuum, time travel, tombstone
+  * fold, compaction scaffold) comes from the descriptor.
+  */
+object Stores {
+  /** MinHash LSH band index ([[Dedup.BandIndex]]). */
+  val band = StoreFamily("band", Seq("bands", "sets"), Some("id"))
+  /** Bloom membership filter ([[Dedup.BloomIndex]]) — no ledger:
+    * deletes are the documented stale-keys trade (extra candidates
+    * only, scrubbed by the exact confirm). */
+  val bloom = StoreFamily("bloom", Seq("words"))
+  /** SimHash banded fingerprint index ([[Dedup.SimHashIndex]]). */
+  val simhash = StoreFamily("simhash", Seq("banded"), Some("id"))
+  /** Connected-components label store (labels + merge remaps). */
+  val label = StoreFamily("label", Seq("labels", "remap"), Some("id"))
+  /** Winnowing fingerprint index ([[Dedup.WinnowIndex]]). */
+  val winnow = StoreFamily("winnow", Seq("fps"), Some("id"))
+  /** IVF coarse-quantized ANN index ([[Similarity.IvfIndex]]);
+    * centroids are save-time-immutable and live outside the log. */
+  val ivf = StoreFamily("ivf", Seq("assignments"), Some("neighbor_id"))
+  /** IVF-PQ coded ANN index ([[Similarity.PqIndex]]); centroids and
+    * codebooks live outside the log. */
+  val pq = StoreFamily("pq", Seq("codes"), Some("neighbor_id"))
+  /** BM25 postings index ([[Retrieval.PostingsIndex]]) — the ledger
+    * carries (doc_id, dl) so serve-side stats adjust without a scan;
+    * its delete function stays with the family. */
+  val postings = StoreFamily("postings", Seq("postings", "stats"),
+    Some("doc_id"))
+  /** Positional phrase index ([[Retrieval.PositionalIndex]]). */
+  val positional = StoreFamily("positional", Seq("postings"),
+    Some("doc_id"))
+  /** Mergeable aggregate state ([[MatView.AggState]]) — no ledger:
+    * deletes are explicit retraction delta rows. */
+  val agg = StoreFamily("agg", Seq("state"))
+}
