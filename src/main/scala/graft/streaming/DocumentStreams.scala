@@ -578,8 +578,7 @@ object DocumentStreams {
     val seed = graft.operators.Similarity.loadPqIndex(spark, idxDir)
     val aligned = seed.codes.select(col("neighbor_id"), col("cell"),
       col("codes"))
-    seed.copy(codes = aligned.unionByName(readParts(spark,
-      committedParts(spark, outPath, -1L), aligned.schema)))
+    seed.copy(codes = sinkUnion(spark, aligned, outPath, aligned.schema))
   }
 
   private val momentsSchema = StructType(Seq(
@@ -620,8 +619,8 @@ object DocumentStreams {
     */
   def liveMoments(spark: SparkSession, seedPath: String,
       outPath: String): DataFrame =
-    spark.read.parquet(seedPath).unionByName(readParts(spark,
-      committedParts(spark, outPath, -1L), momentsSchema))
+    sinkUnion(spark, spark.read.parquet(seedPath), outPath,
+      momentsSchema)
 
   /** The plain-IVF sibling of [[pqIngest]] (same stateless-delta idiom;
     * assignments keep the quantized vector, so serving is exact cosine
@@ -657,8 +656,8 @@ object DocumentStreams {
     val seed = graft.operators.Similarity.loadIvfIndex(spark, idxDir)
     val aligned = seed.assignments.select(col("neighbor_id"), col("cv"),
       col("cell"))
-    seed.copy(assignments = aligned.unionByName(readParts(spark,
-      committedParts(spark, outPath, -1L), aligned.schema)))
+    seed.copy(assignments =
+      sinkUnion(spark, aligned, outPath, aligned.schema))
   }
 
   /** Incremental AGGREGATE maintenance — the MatView-family streaming
@@ -698,8 +697,8 @@ object DocumentStreams {
   def liveAggState(spark: SparkSession, mvDir: String,
       outPath: String): graft.operators.MatView.AggState = {
     val seed = graft.operators.MatView.loadAggState(spark, mvDir)
-    seed.copy(state = seed.state.unionByName(readParts(spark,
-      committedParts(spark, outPath, -1L), seed.state.schema)))
+    seed.copy(state =
+      sinkUnion(spark, seed.state, outPath, seed.state.schema))
   }
 
   // ------------------------------------------------------------------
@@ -844,13 +843,12 @@ object DocumentStreams {
       outPath: String): graft.operators.Retrieval.PostingsIndex = {
     val seed = graft.operators.Retrieval.loadPostingsIndex(spark, idxDir)
     seed.copy(
-      postings = seed.postings.select(col("doc_id"), col("dl"),
-          col("token"), col("tf"), col("bucket"))
-        .unionByName(readParts(spark,
-          committedParts(spark, s"$outPath/postings", -1L),
-          postingsDeltaSchema)),
-      stats = seed.stats.unionByName(readParts(spark,
-        committedParts(spark, s"$outPath/stats", -1L), statsDeltaSchema)))
+      postings = sinkUnion(spark,
+        seed.postings.select(col("doc_id"), col("dl"), col("token"),
+          col("tf"), col("bucket")),
+        s"$outPath/postings", postingsDeltaSchema),
+      stats = sinkUnion(spark, seed.stats, s"$outPath/stats",
+        statsDeltaSchema))
   }
 
   private val positionalDeltaSchema = StructType(Seq(
@@ -889,11 +887,10 @@ object DocumentStreams {
   def livePositionalIndex(spark: SparkSession, idxDir: String,
       outPath: String): graft.operators.Retrieval.PositionalIndex = {
     val seed = graft.operators.Retrieval.loadPositionalIndex(spark, idxDir)
-    seed.copy(postings = seed.postings
-      .select(col("doc_id"), col("pos"), col("token"), col("bucket"))
-      .unionByName(readParts(spark,
-        committedParts(spark, s"$outPath/postings", -1L),
-        positionalDeltaSchema)))
+    seed.copy(postings = sinkUnion(spark,
+      seed.postings.select(col("doc_id"), col("pos"), col("token"),
+        col("bucket")),
+      s"$outPath/postings", positionalDeltaSchema))
   }
 
   /** Read committed part files (possibly none) with an explicit schema —
@@ -906,6 +903,18 @@ object DocumentStreams {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.parquet(parts: _*)
+
+  /** base ∪ committed sink partitions — THE streaming-twin serve
+    * pattern, pinned once (r10 verdict Next #6): a stored base
+    * relation (already the committed base ∪ L0 when the store is
+    * manifested) extended by a stream sink's committed per-batch
+    * partitions, read under `schema` (the delta writer's shape; a
+    * sink no batch has written yet reads as EMPTY, not a throw).
+    */
+  private def sinkUnion(spark: SparkSession, base: DataFrame,
+      sinkPath: String, schema: StructType): DataFrame =
+    base.unionByName(readParts(spark,
+      committedParts(spark, sinkPath, -1L), schema))
 
   /** Long ids: the streaming twin binds to the documents table (doc_id);
     * the batch-side store stays type-generic.
@@ -989,9 +998,8 @@ object DocumentStreams {
       outPath: String): DataFrame = {
     import graft.operators.Dedup
     Dedup.resolveLabelChains(
-      spark.read.parquet(s"$storeDir/labels").unionByName(
-        readParts(spark,
-          committedParts(spark, s"$outPath/labels", -1L), labelsSchema)),
+      sinkUnion(spark, spark.read.parquet(s"$storeDir/labels"),
+        s"$outPath/labels", labelsSchema),
       readParts(spark,
         committedParts(spark, s"$outPath/remap", -1L), Dedup.remapSchema))
   }
