@@ -17,6 +17,38 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Pre-partition + sort a STATIC relation on `key` and pin it with
+    * `localCheckpoint`: the captured LogicalRDD preserves both the hash
+    * partitioning and the per-partition sort order, so every per-round
+    * sort-merge join/aggregation keyed on `key` streams this side with
+    * NO Exchange and NO Sort — only the small rank/label side moves
+    * each iteration. This is the distributed-iteration contract (pay
+    * one shuffle at pin time, zero per round); without it the edge
+    * relation re-exchanges every round and dominates at scale.
+    */
+  private def pinByKey(df: DataFrame, key: String): DataFrame =
+    df.repartition(col(key)).sortWithinPartitions(key).localCheckpoint()
+
+  /** [[pinByKey]] for a relation that still needs `dedupCols`-dedup:
+    * repartition FIRST, dedup after — hash(`key`) co-locates every
+    * duplicate group (key ∈ dedupCols, so HashPartitioning(key)
+    * satisfies ClusteredDistribution(dedupCols)), making the dedup
+    * partition-local. One shuffle buys dedup + pin together, where
+    * `.distinct().repartition(key)` would pay two edge-sized ones.
+    */
+  private def pinDedupByKey(df: DataFrame, key: String,
+      dedupCols: Seq[String]): DataFrame =
+    df.repartition(col(key)).dropDuplicates(dedupCols)
+      .sortWithinPartitions(key).localCheckpoint()
+
+  /** [[pinByKey]] for an aggregation/distinct output ALREADY
+    * hash-partitioned on `key` (a groupBy/dropDuplicates keyed on it):
+    * just sort and pin — a repartition here would be a redundant
+    * key-identical exchange Spark does not elide.
+    */
+  private def pinAgged(df: DataFrame, key: String): DataFrame =
+    df.sortWithinPartitions(key).localCheckpoint()
+
   /** Total scaled rank mass: ranks are "picos" of 1 (1e12 units). Large
     * enough that 6-8 iterations of floor division keep ~6 significant
     * digits on graphs up to ~1e9 nodes; small enough that
@@ -59,22 +91,29 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampBp >= 0 && dampBp <= 10000,
       s"dampBp must be in [0, 10000], got $dampBp")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // Static relations pinned ONCE on their per-round join key: the
+    // edge relation and out-degrees on src, the node universe on node.
+    // Per iteration the only Exchange left is the contribution
+    // aggregation's hash(dst) — the irreducible data movement of the
+    // power-iteration step (shares travel src-partitioning → dst-key).
+    val e = pinDedupByKey(edges.select(col(srcCol).as("src"),
+      col(dstCol).as("dst")), "src", Seq("src", "dst"))
+    val nodes = pinAgged(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct(), "node")
     // one scalar to the driver — the same bounded collect as the BM25
     // (N, T) stats row
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
-    val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("d")).localCheckpoint()
+    // keyed "src" directly (not "node") so the groupBy rides e's pin
+    // exchange-free and the per-round join needs no rename
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .sortWithinPartitions("src").localCheckpoint()
     val base = ((10000L - dampBp) * (Scale / n)) / 10000L
     var r = nodes.withColumn("rank", lit(Scale / n))
     for (_ <- 1 to iters) {
       val contrib = e
         .join(r.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank div d")).as("contrib"))
       r = nodes
@@ -116,10 +155,15 @@ object Graph {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // The auth step joins edges on src, the hub step on dst — pin one
+    // copy per key (2× static storage buys zero per-round edge
+    // movement; the only per-round Exchanges are the two aggregations'
+    // hash(dst)/hash(src), which move rank-sized rows, not edges).
+    val eBySrc = pinDedupByKey(edges.select(col(srcCol).as("src"),
+      col(dstCol).as("dst")), "src", Seq("src", "dst"))
+    val eByDst = pinByKey(eBySrc, "dst")
+    val nodes = pinAgged(eBySrc.select(col("src").as("node"))
+      .union(eBySrc.select(col("dst").as("node"))).distinct(), "node")
     def maxNorm(df: DataFrame, c: String): DataFrame = {
       val m = df.agg(max(col(c))).head().getLong(0)
       require(m > 0L, s"hits: degenerate graph, max $c = $m")
@@ -130,14 +174,14 @@ object Graph {
     var a: DataFrame = null
     for (_ <- 1 to iters) {
       a = maxNorm(nodes.join(
-          e.join(h.withColumnRenamed("node", "src"), Seq("src"))
+          eBySrc.join(h.withColumnRenamed("node", "src"), Seq("src"))
             .groupBy(col("dst").as("node"))
             .agg(sum(col("hub")).as("auth")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth")),
         "auth").localCheckpoint()
       h = maxNorm(nodes.join(
-          e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
+          eByDst.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
             .groupBy(col("src").as("node"))
             .agg(sum(col("auth")).as("hub")),
           Seq("node"), "left")
@@ -159,8 +203,13 @@ object Graph {
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
+    // edges pinned on src: each relaxation streams the edge side; the
+    // frontier (renamed node→src, partitioned hash(node) from the
+    // previous round's aggregation, alias-tracked to hash(src)) joins
+    // co-partitioned — the per-round Exchange is only the min-dist
+    // aggregation over frontier-sized rows.
+    val e = pinDedupByKey(edges.select(col(srcCol).as("src"),
+      col(dstCol).as("dst")), "src", Seq("src", "dst"))
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
     for (_ <- 1 to maxHops) {
@@ -204,7 +253,16 @@ object Graph {
       k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    var e = symmetrize(edges, aCol, bCol).localCheckpoint()
+    // The shrinking edge relation enters every round partitioned on
+    // src (pinned once up front, re-established below by the swap), so
+    // the degree aggregation AND the first semi join are exchange-free
+    // (keep is born hash(src), alias-tracked through its renames). The
+    // one per-round edge Exchange is the second semi's hash(dst) — and
+    // because the relation is SYMMETRIC, swapping (src,dst) afterwards
+    // is a set-identity that hands the next round a src-partitioned
+    // input for free: one edge exchange per round instead of two.
+    var e = pinDedupByKey(symmetrizeRaw(edges, aCol, bCol), "src",
+      Seq("src", "dst"))
     for (_ <- 1 to rounds) {
       val keep = e.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("d"))
@@ -213,7 +271,8 @@ object Graph {
           "left_semi")
         .join(keep.withColumnRenamed("node", "dst"), Seq("dst"),
           "left_semi")
-        .select(col("src"), col("dst")).localCheckpoint()
+        .select(col("dst").as("src"), col("src").as("dst"))
+        .localCheckpoint()
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
   }
@@ -226,15 +285,16 @@ object Graph {
     m.isNullAt(0) || m.getLong(0) >= k
   }
 
-  /** Both directions of an undirected edge list, deduplicated, no
-    * self-loops: (a,b) → {(a,b), (b,a)}. In the symmetric relation a
-    * node's out-count IS its undirected degree. */
-  private def symmetrize(edges: DataFrame, aCol: String,
+  /** Both directions of an undirected edge list, no self-loops:
+    * (a,b) → {(a,b), (b,a)} — NOT yet deduplicated (the caller's
+    * [[pinDedupByKey]] folds the dedup into the pin shuffle). In the
+    * deduplicated symmetric relation a node's out-count IS its
+    * undirected degree. */
+  private def symmetrizeRaw(edges: DataFrame, aCol: String,
       bCol: String): DataFrame = {
     val ab = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .filter(col("src") =!= col("dst"))
     ab.union(ab.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
   }
 
   /** Orient the canonical (a < b) edge list by DEGREE rank: each edge
