@@ -539,20 +539,18 @@ object SparkEntry {
     // (min-label propagation; component id = representative doc).
     "q68_dedup_components" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // a real handle: connectedComponents materializes the edge
-      // relation eagerly (edges.count() pins its own cache), so the
-      // shingle-set cache is dead weight from that point — releasing it
-      // here keeps the pairs pipeline's GC load out of every later
-      // query in the session (the q68 bench-band fix)
+      // a real handle, threaded INTO components as `upstream`: the
+      // edge count folds the pairs pipeline into the edge cache, and
+      // components releases the shingle sets right there — BEFORE the
+      // label rounds, whose GC the dead cache otherwise amplifies by
+      // 2-2.6 s/run at sf0.1 (the q68/q108 bench-band fix)
       val cache = new Dedup.CacheHandle()
       val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
           cache = cache)
         .select(col("id_a"), col("id_b"))
-      val out = Dedup.connectedComponents(docs.select(col("doc_id")),
-          "doc_id", pairs)
+      Dedup.connectedComponents(docs.select(col("doc_id")),
+          "doc_id", pairs, upstream = cache)
         .select(col("id").as("doc_id"), col("component"))
-      cache.release()
-      out
     }),
 
     // Skew-safe two-phase aggregation: group by (key, salt) then combine —
@@ -730,12 +728,10 @@ object SparkEntry {
       val pairs = Dedup.minHashLshPairs(gated, "doc_id", "text",
           cache = cache)
         .select(col("id_a"), col("id_b"))
-      val out = Dedup.dedupByComponents(gated, "doc_id", pairs)
+      Dedup.dedupByComponents(gated, "doc_id", pairs, upstream = cache)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"))
-      cache.release() // components ran eagerly above (q68 note)
-      out
     }),
 
     // Multimodal plumbing: opaque binary column + typed metadata (the
@@ -1113,13 +1109,11 @@ object SparkEntry {
       val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
           cache = cache)
         .select(col("id_a"), col("id_b"))
-      val out = Dedup.dedupByComponentsBest(docs, "doc_id", pairs,
-          col("n_tokens"))
+      Dedup.dedupByComponentsBest(docs, "doc_id", pairs,
+          col("n_tokens"), upstream = cache)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"))
-      cache.release() // components ran eagerly above (q68 note)
-      out
     }),
 
     // Incremental ANN index maintenance: build+persist IVF on the
@@ -1163,11 +1157,9 @@ object SparkEntry {
       val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
           cache = cache)
         .select(col("id_a"), col("id_b"))
-      val out = Curation.clusterAwareSplit(docs, "doc_id", pairs)
+      Curation.clusterAwareSplit(docs, "doc_id", pairs, upstream = cache)
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"))
-      cache.release() // components ran eagerly above (q68 note)
-      out
     }),
 
     // Rare-token quality gate — the log-free form of the CCNet-style
@@ -1605,7 +1597,7 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
       Dedup.saveLabelStore(
         Dedup.connectedComponents(corpus.select(col("doc_id")), "doc_id",
-          cPairs), store)
+          cPairs, upstream = cache), store)
       Dedup.saveBandIndex(Dedup.buildBandIndex(corpus, "doc_id", "text"), idxDir)
       for (d <- Seq(drop1, drop2)) {
         val within = Dedup.minHashLshPairs(d, "doc_id", "text",
@@ -1641,8 +1633,7 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
       Dedup.saveLabelStore(
         Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id",
-          pairs), store)
-      cache.release() // store persisted; the pairs pipeline is done
+          pairs, upstream = cache), store)
       Dedup.deleteFromLabelStore(s, store,
         docs.filter(col("doc_id") % 9 === 4).select("doc_id"), "doc_id")
       Dedup.resolveLabels(s, store)
@@ -1674,8 +1665,7 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
       Dedup.saveLabelStore(
         Dedup.connectedComponents(corpus.select(col("doc_id")), "doc_id",
-          cPairs), store)
-      cache.release() // store persisted; the pairs pipeline is done
+          cPairs, upstream = cache), store)
       Dedup.saveBandIndex(Dedup.buildBandIndex(corpus, "doc_id", "text"), idxDir)
       val out = s"$base/out$run"
       val q = graft.streaming.DocumentStreams.labelIngest(s,

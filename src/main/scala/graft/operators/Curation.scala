@@ -543,11 +543,13 @@ object Curation {
     * expression — no extra shuffle beyond the attach.
     */
   def clusterAwareSplit(df: DataFrame, idCol: String, pairs: DataFrame,
-      trainPct: Int = 90, valPct: Int = 5, seedTag: String = "split:"): DataFrame = {
+      trainPct: Int = 90, valPct: Int = 5, seedTag: String = "split:",
+      upstream: Dedup.CacheHandle = Dedup.CacheHandle.untracked): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       s"need 0 < trainPct, 0 <= valPct, trainPct + valPct < 100; " +
         s"got $trainPct/$valPct")
-    val labels = Dedup.connectedComponents(df.select(col(idCol)), idCol, pairs)
+    val labels = Dedup.connectedComponents(df.select(col(idCol)), idCol,
+        pairs, upstream = upstream)
       .withColumnRenamed("id", "__cid")
     val bucket = md5Bucket(seedTag, col("component"))
     df.join(labels, col(idCol) === col("__cid"))

@@ -131,10 +131,17 @@ object Dedup {
     * of `numHashes` — and still expressible in any engine with md5 for
     * the oracle mirror. Returns (id, seed, sig).
     */
-  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val hashed = sh.select(col("id"),
+  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+    minHashAgg(sh.select(col("id"),
       conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h1"),
-      conv(substring(md5(col("shingle")), 16, 14), 16, 10).cast("long").as("h2"))
+      conv(substring(md5(col("shingle")), 16, 14), 16, 10).cast("long").as("h2")),
+      numHashes)
+
+  /** The aggregation half of [[minHashSignatures]], over an ALREADY
+    * hashed (id, h1, h2) relation — shared by the string path above and
+    * the long-payload path ([[hashedShingleSets]]).
+    */
+  private def minHashAgg(hashed: DataFrame, numHashes: Int): DataFrame = {
     // all numHashes mins in ONE groupBy(id) (map-side combined) — the
     // explode-seeds-then-shuffle alternative moves numHashes× the rows
     val aggs = (0 until numHashes).map(i =>
@@ -165,6 +172,33 @@ object Dedup {
     df.select(col(idCol).as("id"),
       array_distinct(TextAnalysis.wordNGrams(col(textCol), n)).as("shset"))
 
+  /** [[shingleSets]] with the strings HASHED AWAY at build time: per doc
+    * one array of (h1, h2) structs — the md5-derived longs
+    * [[minHashSignatures]] computes per shingle anyway, now computed
+    * once while the cache is built. Everything downstream (signature
+    * mins, band hashes, intersection counts) runs on longs: the cached
+    * payload is ~16 bytes/shingle instead of a ~30-char string, and the
+    * verify step's set intersection allocates no strings at all — the
+    * GC lever for the q68/q72/q105/q108 family, whose task GC was
+    * string churn, not compute.
+    *
+    * Exactness: two DISTINCT shingles of one doc would merge only on a
+    * 120-bit md5-prefix collision (P < 2⁻¹⁰⁰ corpus-wide at any
+    * realistic scale — far inside the engine-exactness envelopes
+    * accepted elsewhere, cf. the md5 bucket and BIGINT bounds), so
+    * signatures, candidates, and Jaccard values are bit-identical to
+    * the string path and the SAME DuckDB mirror stays exact.
+    */
+  def hashedShingleSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sharr = array_distinct(TextAnalysis.wordNGrams(col(textCol), n))
+    df.select(col(idCol).as("id"),
+      transform(sharr, s => struct(
+        conv(substring(md5(s), 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(s), 16, 14), 16, 10).cast("long").as("h2")))
+        .as("harr"))
+  }
+
   /** Exact Jaccard for candidate pairs: |A∩B| / (|A|+|B|-|A∩B|) computed
     * with array_intersect over the per-doc sets — two narrow joins and
     * zero explosion (the exploded-postings verify shuffles |pairs|×|doc|
@@ -184,6 +218,11 @@ object Dedup {
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket-join
     * → exact-Jaccard verify ≥ `threshold`. Output (id_a, id_b, jaccard).
+    *
+    * Runs on the HASHED shingle payload ([[hashedShingleSets]]): the
+    * cache holds long pairs, signatures aggregate longs, and the verify
+    * intersects long arrays — values identical to the string path (see
+    * the collision envelope there), at a fraction of the allocation.
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
@@ -192,15 +231,37 @@ object Dedup {
     // cached because signatures and verify both consume it; pass a real
     // CacheHandle and release() after materializing to bound memory in
     // long-lived sessions
-    val sets = cache.track(shingleSets(df, idCol, textCol, shingleSize))
-    val sh = sets.select(col("id"), explode(col("shset")).as("shingle"))
-    val bands = lshBands(minHashSignatures(sh, numHashes), rowsPerBand)
+    val sets = cache.track(hashedShingleSets(df, idCol, textCol, shingleSize))
+    val hsh = sets.select(col("id"), explode(col("harr")).as("h"))
+      .select(col("id"), col("h.h1").as("h1"), col("h.h2").as("h2"))
+    val bands = lshBands(minHashAgg(hsh, numHashes), rowsPerBand)
     val l = bands.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val r = bands.select(col("band"), col("band_hash"), col("id").as("id_b"))
     val candidates = l.join(r, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    verifyJaccard(sets, candidates).filter(col("jaccard") >= threshold)
+    verifyJaccardHashed(sets, candidates).filter(col("jaccard") >= threshold)
+  }
+
+  /** [[verifyJaccard]] over the hashed payload: candidates join the
+    * per-doc (h1, h2) arrays and intersect on the h1 KEYS — long-array
+    * intersection, no string allocation. `array_intersect` /
+    * `array_distinct` already return distinct elements, mirroring the
+    * string path's distinct-shingle counts exactly (absent md5-prefix
+    * collisions — see [[hashedShingleSets]]).
+    */
+  def verifyJaccardHashed(docSets: DataFrame, candidates: DataFrame): DataFrame = {
+    def keys(c: Column): Column = transform(c, x => x.getField("h1"))
+    val a = docSets.select(col("id").as("id_a"), keys(col("harr")).as("set_a"))
+    val b = docSets.select(col("id").as("id_b"), keys(col("harr")).as("set_b"))
+    candidates.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).as("n_common"),
+        size(array_distinct(col("set_a"))).as("n_a"),
+        size(array_distinct(col("set_b"))).as("n_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
   }
 
   /** Near-dup pairs of a NEW batch against an EXISTING corpus — the
@@ -897,7 +958,8 @@ object Dedup {
     * to 0 to force the distributed loop.
     */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 25, driverEdgeBudget: Long = 1L << 20): DataFrame = {
+      maxIters: Int = 25, driverEdgeBudget: Long = 1L << 20,
+      upstream: CacheHandle = CacheHandle.untracked): DataFrame = {
     // ids are label values here: the long cast must be lossless. A string
     // id would cast to null, silently drop every edge, and return each doc
     // as its own singleton — fail loudly instead.
@@ -932,6 +994,13 @@ object Dedup {
     // round's snapshot window the round-end free() would unpersist
     // caches this function does not own
     val nEdges = edges.count()
+    // the count above folded the whole pairs pipeline into the edges
+    // cache — any caches the CALLER's pipeline tracked (minhash shingle
+    // sets, typically tens of MB of string arrays) are dead weight from
+    // here, and carrying them through the label rounds is exactly the
+    // measured 2-2.6 s/run GC amplification of the q68 family: release
+    // them BEFORE the rounds, not after the operator returns
+    upstream.release()
     // one stderr line per call names the path taken and the edge count —
     // bench logs must be able to PROVE which path a measurement measured
     // (a fast-path optimization whose engagement is invisible is an
@@ -1020,8 +1089,10 @@ object Dedup {
     * source (minhash/simhash/embedding/ensemble) with
     * [[connectedComponents]].
     */
-  def dedupByComponents(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val reps = connectedComponents(df.select(col(idCol)), idCol, pairs)
+  def dedupByComponents(df: DataFrame, idCol: String, pairs: DataFrame,
+      upstream: CacheHandle = CacheHandle.untracked): DataFrame = {
+    val reps = connectedComponents(df.select(col(idCol)), idCol, pairs,
+        upstream = upstream)
       .filter(col("id") === col("component"))
       .select(col("id").as("__keep"))
     df.join(reps, col(idCol) === col("__keep")).drop("__keep")
@@ -1038,8 +1109,10 @@ object Dedup {
     * component — no extra join beyond the label attach.
     */
   def dedupByComponentsBest(df: DataFrame, idCol: String,
-      pairs: DataFrame, score: Column): DataFrame = {
-    val labels = connectedComponents(df.select(col(idCol)), idCol, pairs)
+      pairs: DataFrame, score: Column,
+      upstream: CacheHandle = CacheHandle.untracked): DataFrame = {
+    val labels = connectedComponents(df.select(col(idCol)), idCol, pairs,
+        upstream = upstream)
       .withColumnRenamed("id", "__cid")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("component"))
