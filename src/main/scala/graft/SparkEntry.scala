@@ -3803,6 +3803,41 @@ object SparkEntry {
       graft.operators.Retrieval.ndcgMrrEvalFull(
         pool.filter(col("rn") <= 10 && col("qid") % 3 =!= 0), qrels,
         k = 10)
+    }),
+
+    // AUTO-TRIGGERED compaction (q228 gave the mechanism; this row is
+    // the POLICY): an ingest loop calls maintainPostingsL0 after every
+    // committed append, and the store self-regulates — with maxRuns=3
+    // the L0 stack grows 1, 2 (no trigger), hits 3 → compacts and
+    // re-bases, then grows 1, 2 again from the fresh base. The require
+    // chain pins the exact fire pattern AND that the re-based manifest
+    // restarts its generation count, so a 1000-append nightly loop
+    // holds read amplification at ≤ maxRuns extra file groups forever
+    // with rewrite cost proportional to ingest. Serve afterwards is
+    // the full corpus, byte-identical to never having compacted —
+    // which is what the oracle computes.
+    "q233_auto_compact_policy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = scratchDir("graft_postings_autoc", dir)
+      graft.operators.Retrieval.savePostingsIndexCommitted(
+        graft.operators.Retrieval.buildPostingsIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"), idxDir)
+      val policy = graft.operators.CompactionPolicy(maxRuns = 3)
+      val fired = (0 to 4).map { r =>
+        graft.operators.Retrieval.appendPostingsIndexCommitted(s, idxDir,
+          docs.filter(col("doc_id") % 50 === r * 10L), "doc_id", "text")
+        graft.operators.Retrieval.maintainPostingsL0(s, idxDir, policy)
+      }
+      require(fired == Seq(false, false, true, false, false),
+        s"q233: expected the policy to fire exactly on the 3rd append, got $fired")
+      require(graft.operators.Retrieval.postingsGen(s, idxDir) == 2L,
+        "q233: post-compaction appends must restart from the re-based gen 0")
+      val queries = docs.filter(col("doc_id") % 200 === 7)
+        .select(col("doc_id").as("qid"),
+          array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+      graft.operators.Retrieval.bm25SearchIndex(queries,
+        graft.operators.Retrieval.loadPostingsIndexSnapshot(s, idxDir),
+        "qid", "qterms", k = 10)
     })
   )
 
@@ -6435,6 +6470,9 @@ object SparkEntry {
     "q139_bm25_index_serve" -> bm25OracleSql,
     // L0 compaction is invisible to the serve: full corpus, same scores
     "q228_postings_l0_compact" -> bm25OracleSql,
+    // ...and so is the auto-triggered policy loop (base + 5 appends =
+    // full corpus; one mid-loop compaction)
+    "q233_auto_compact_policy" -> bm25OracleSql,
     "q158_bm25_delete_serve" -> bm25RestrictedOracleSql("doc_id % 7 <> 3"),
     // snapshot serve: the committed set is seed ∪ the manifested
     // append; the torn batch (% 20 = 10, data files without a manifest

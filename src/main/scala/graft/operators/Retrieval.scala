@@ -301,6 +301,21 @@ object Retrieval {
         throw new IllegalStateException(s"unexpected postings sub $sub")
     }
 
+  /** Background-maintenance step for the postings store: measure L0
+    * ([[StoreFamily.l0Stats]] — driver FS calls, no job), ask the
+    * [[CompactionPolicy]], and run [[compactPostingsL0]] iff it
+    * triggered (minRuns=1: the POLICY is the trigger; the compaction's
+    * own count check must not second-guess it). Ingest loops call this
+    * unconditionally after every committed append — the store then
+    * self-regulates its read amplification (run count) and
+    * fragmentation (L0 bytes) with cost proportional to the ingest,
+    * never the corpus. Returns whether a compaction ran.
+    */
+  def maintainPostingsL0(spark: SparkSession, dir: String,
+      policy: CompactionPolicy): Boolean =
+    policy.triggered(Stores.postings.l0Stats(spark, dir)) &&
+      compactPostingsL0(spark, dir, minRuns = 1)
+
   /** Load exactly the COMMITTED file set — the union of every manifest
     * row — so a concurrent or torn append is never visible. With
     * `asOf`, only generations ≤ that bound: TIME TRAVEL to the index as

@@ -122,6 +122,23 @@ final case class StoreFamily(
       asOf: Option[Long] = None): String => DataFrame =
     sub => StoreFiles.snapshotRead(spark, dir, sub, asOf)
 
+  /** L0 state of a committed store: the appended runs (manifest
+    * generations >= 1) and their total committed bytes — the two
+    * inputs a compaction trigger reads. Driver FS calls only (one
+    * `getFileStatus` per L0 data file — the same scale as the
+    * manifest itself); the generation-0 base is deliberately not
+    * measured, because L0 policy must not depend on corpus size.
+    */
+  def l0Stats(spark: SparkSession, dir: String): L0Stats = {
+    val l0 = StoreFiles.manifestEntries(spark, dir).filter(_._1 >= 1L)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = l0.flatMap(_._2).map { s =>
+      val p = new org.apache.hadoop.fs.Path(s)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    L0Stats(l0.size, bytes)
+  }
+
   /** The full-compaction scaffold: checkpoint the ledger, pick the
     * source state — the COMMITTED snapshot when manifested (a torn
     * append's orphans must be dropped by the rewrite, never
@@ -146,6 +163,42 @@ final case class StoreFamily(
     if (tombs.nonEmpty) clearLedger(spark, dir)
     if (manifested) commitInitial(spark, dir)
   }
+}
+
+/** One committed store's L0 measurement: appended runs and their
+  * total bytes (base excluded — see [[StoreFamily.l0Stats]]).
+  */
+final case class L0Stats(runs: Int, bytes: Long)
+
+/** AUTO-TRIGGER compaction policy — the background-maintenance
+  * decision RocksDB/LSM stores make after every flush, here made
+  * after every committed append: compact the L0 runs when either
+  * trigger fires —
+  *
+  *   - `maxRuns`: run-COUNT trigger (read amplification bound: every
+  *     snapshot serve unions base + all L0 runs, so runs is the
+  *     number of extra file groups each query touches);
+  *   - `maxL0Bytes`: run-SIZE trigger (write amplification bound:
+  *     many tiny appends can stay under any count threshold forever
+  *     while the store fragments — bytes catches the hot-ingest case
+  *     the count trigger exists to protect).
+  *
+  * A policy never fires on an empty L0 (nothing to merge), so
+  * ingest loops call `maintain*` unconditionally after each commit
+  * and the store self-regulates: cost stays proportional to the
+  * ingest rate, never the corpus (the compaction itself is
+  * [[StoreFiles.compactL0]] — base files untouched).
+  */
+final case class CompactionPolicy(
+    maxRuns: Int = 4,
+    maxL0Bytes: Long = Long.MaxValue) {
+  require(maxRuns >= 1, s"CompactionPolicy: maxRuns must be >= 1, got $maxRuns")
+  require(maxL0Bytes >= 1L,
+    s"CompactionPolicy: maxL0Bytes must be >= 1, got $maxL0Bytes")
+
+  /** Should the store compact its L0 now? */
+  def triggered(st: L0Stats): Boolean =
+    st.runs >= 1 && (st.runs >= maxRuns || st.bytes >= maxL0Bytes)
 }
 
 /** The registered store families. Adding family #11 = one line here

@@ -226,4 +226,51 @@ class CompactionSpec extends SparkSpec {
     assert(Retrieval.appendPostingsIndexCommitted(spark, dir,
       docs.filter($"doc_id" % 9 === 2), "doc_id", "text") == 1L)
   }
+
+  test("CompactionPolicy: bytes trigger fires when the count trigger " +
+      "would wait forever; empty L0 never fires; maintain loop " +
+      "self-regulates with serve unchanged") {
+    import graft.operators.{CompactionPolicy, L0Stats, StoreFiles, Stores}
+    // decision table, no store needed
+    val byCount = CompactionPolicy(maxRuns = 3)
+    assert(!byCount.triggered(L0Stats(0, 0L)))
+    assert(!byCount.triggered(L0Stats(2, 1L << 40))) // count-only ignores bytes
+    assert(byCount.triggered(L0Stats(3, 0L)))
+    val byBytes = CompactionPolicy(maxRuns = 1000, maxL0Bytes = 1L)
+    assert(!byBytes.triggered(L0Stats(0, 0L))) // nothing to merge
+    assert(byBytes.triggered(L0Stats(1, 1L)))
+    // against a real store: a bytes-1 policy compacts after EVERY
+    // append (the hot-ingest case the count trigger can't see), so the
+    // L0 stack never exceeds one run and gen never exceeds 1
+    val dir = tmpDir("postings_policy")
+    Retrieval.savePostingsIndexCommitted(
+      Retrieval.buildPostingsIndex(docs.filter($"doc_id" % 3 === 0),
+        "doc_id", "text"), dir)
+    for (r <- Seq(1, 4, 7)) {
+      Retrieval.appendPostingsIndexCommitted(spark, dir,
+        docs.filter($"doc_id" % 9 === r), "doc_id", "text")
+      assert(Stores.postings.l0Stats(spark, dir).runs == 1)
+      assert(Retrieval.maintainPostingsL0(spark, dir, byBytes))
+      assert(StoreFiles.manifestGen(spark, dir) == 0L)
+      assert(Stores.postings.l0Stats(spark, dir) == L0Stats(0, 0L))
+      // quiescent store: the policy does not re-fire on empty L0
+      assert(!Retrieval.maintainPostingsL0(spark, dir, byBytes))
+    }
+    // serve over the self-regulated store ≡ the same corpus indexed
+    // in one shot
+    val corpus = docs.filter($"doc_id" % 3 === 0 || $"doc_id" % 9 === 1 ||
+      $"doc_id" % 9 === 4 || $"doc_id" % 9 === 7)
+    val queries = docs.filter($"doc_id" % 50 === 7)
+      .select($"doc_id".as("qid"),
+        array_distinct(slice(split($"text", " "), 1, 4)).as("qterms"))
+    val served = Retrieval.bm25SearchIndex(queries,
+        Retrieval.loadPostingsIndexSnapshot(spark, dir),
+        "qid", "qterms", k = 5)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val oneShot = Retrieval.bm25SearchIndex(queries,
+        Retrieval.buildPostingsIndex(corpus, "doc_id", "text"),
+        "qid", "qterms", k = 5)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(served == oneShot && served.nonEmpty)
+  }
 }
