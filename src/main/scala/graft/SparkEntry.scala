@@ -3838,6 +3838,35 @@ object SparkEntry {
       graft.operators.Retrieval.bm25SearchIndex(queries,
         graft.operators.Retrieval.loadPostingsIndexSnapshot(s, idxDir),
         "qid", "qterms", k = 10)
+    }),
+
+    // BPE AT VOCABULARY SCALE — the real-tokenizer shape (k in the
+    // thousands), exercised on the one table whose character structure
+    // sustains it: customer names are ID-like strings, so merges walk
+    // the digit-prefix tree far past the 107-pair ceiling of the
+    // documents word vocabulary. minCount=1 is the standard trainer
+    // contract (no floor — train to the vocab-size target); the
+    // conflict filter thins hard here because every early pair shares
+    // a digit symbol, which is exactly what the deeper overfetch is
+    // for. The require pins turn the at-scale claim into a measured
+    // fact: ~1000 merges in ≤72 recounts (≥5 merges accepted per
+    // recount) — classic training would pay ~1000. The oracle replays
+    // the learned table over the vocab in chunked 50-replace CTE
+    // layers (DuckDB's expression-depth bound; same left-to-right
+    // non-overlapping replace semantics).
+    "q234_bpe_vocab_scale" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val (merges, rounds) = graft.operators.Bpe.trainBatchedCounted(
+        cust, "c_name", nMerges = 1000, batchSize = 64, minCount = 1,
+        overfetch = 16)
+      require(rounds <= 72,
+        s"q234: batching must compress recounts (<= 72), got $rounds")
+      require(merges.size >= 5 * rounds,
+        s"q234: expected >= 5 merges/recount, got ${merges.size} in $rounds")
+      graft.operators.Bpe.segmentVocab(cust, "c_name", merges)
+        .select(col("word"), col("freq"),
+          translate(col("seg"), "\u0001\u0002", "[]").as("seg_disp"),
+          col("n_subwords"))
     })
   )
 
@@ -3949,6 +3978,21 @@ object SparkEntry {
          |  replace(replace(seg, chr(1), '['), chr(2), ']') AS seg_disp,
          |  CAST(length(seg) - length(replace(seg, chr(1), '')) AS BIGINT) AS n_subwords
          |FROM s""".stripMargin
+    },
+    // the ~1k-merge table re-learned deterministically (same params),
+    // replayed in chunked CTE layers over the c_name vocabulary
+    "q234_bpe_vocab_scale" -> {
+      val (ctes, fin) = bpeChunkedSegCtes(graft.operators.Bpe.trainBatched(
+        Tables(spark, dir, "customer"), "c_name", nMerges = 1000,
+        batchSize = 64, minCount = 1, overfetch = 16))
+      s"""WITH w AS (SELECT unnest(string_split(c_name, ' ')) AS word FROM customer),
+         |v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |      FROM w WHERE word <> '' GROUP BY word),
+         |$ctes
+         |SELECT word, freq,
+         |  replace(replace(seg, chr(1), '['), chr(2), ']') AS seg_disp,
+         |  CAST(length(seg) - length(replace(seg, chr(1), '')) AS BIGINT) AS n_subwords
+         |FROM $fin""".stripMargin
     })
 
   /** The nested-replace replay of a TRAINED merge table: DuckDB's
@@ -3963,6 +4007,28 @@ object SparkEntry {
     merges.sortBy(_.rank).foldLeft(seg0) { (acc, m) =>
       s"replace($acc,\n      ${sym(m.a)}||${sym(m.b)}, ${sym(m.a + m.b)})"
     }
+  }
+
+  /** [[bpeSegSql]] for merge tables too deep to nest in one expression
+    * (DuckDB's max_expression_depth is 1000): the replay is broken into
+    * CTE layers of `chunk` nested replaces each — `s0` is the initial
+    * character segmentation of the vocab relation `v`, `s{i}` applies
+    * the next `chunk` merges to `s{i-1}`. Returns (cteFragment,
+    * finalCteName); sequential layers over a fold ≡ one deep fold.
+    */
+  private def bpeChunkedSegCtes(merges: Seq[graft.operators.Bpe.Merge],
+      chunk: Int = 50): (String, String) = {
+    def sym(x: String) = "chr(1)||'" + x.replace("'", "''") + "'||chr(2)"
+    val seg0 = """regexp_replace(word, '(.)', chr(1) || '\1' || chr(2), 'g')"""
+    val head = s"s0 AS (SELECT word, freq, $seg0 AS seg FROM v)"
+    val groups = merges.sortBy(_.rank).grouped(chunk).toSeq
+    val layers = groups.zipWithIndex.map { case (g, i) =>
+      val folded = g.foldLeft("seg") { (acc, m) =>
+        s"replace($acc, ${sym(m.a)}||${sym(m.b)}, ${sym(m.a + m.b)})"
+      }
+      s"s${i + 1} AS (SELECT word, freq,\n  $folded AS seg FROM s$i)"
+    }
+    ((head +: layers).mkString(",\n"), s"s${groups.size}")
   }
 
   /** Oracle-side retraining, shared by the q207/q213 mirrors: the

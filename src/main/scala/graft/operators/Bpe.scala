@@ -106,13 +106,26 @@ object Bpe {
     * map-side replace, with the vocab localCheckpoint'ed per round so
     * the plan stays one step deep (the [[Graph.pageRank]] iteration
     * discipline). Driver state: exactly one (a, b, count) row per
-    * round.
+    * round. Vocabularies within `driverVocabBudget` rows take the
+    * bit-identical driver path (see [[trainBatchedCounted]]); 0
+    * forces the distributed loop.
     */
   def train(docs: DataFrame, textCol: String, nMerges: Int,
-      minCount: Long = 2L): Seq[Merge] = {
+      minCount: Long = 2L, driverVocabBudget: Long = 1L << 20): Seq[Merge] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     var vocab = initialVocab(docs, textCol).localCheckpoint()
+    val n = vocab.count()
+    if (n <= driverVocabBudget) {
+      // classic training IS batched training with batchSize=1 (the
+      // spec-pinned identity), so the small-vocab path is shared
+      System.err.println(s"[bpe] path=driver vocab=$n (budget $driverVocabBudget)")
+      val out = trainDriver(collectVocab(vocab), nMerges, batchSize = 1,
+        minCount, overfetch = 1)._1
+      vocab.unpersist(blocking = false)
+      return out
+    }
+    System.err.println(s"[bpe] path=distributed vocab=$n (budget $driverVocabBudget)")
     var pinned = vocab // the last checkpointed relation (freed on advance)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 0
@@ -133,12 +146,13 @@ object Bpe {
         rank += 1
         // re-materialize every 4th round, not every round: unapplied
         // merges are cheap stacked replace() projections on top of the
-        // last checkpoint (≤ 3 deep), while each localCheckpoint costs
-        // its own job — this is what keeps training at ~1 job per
-        // round instead of ~3. Results are bit-identical either way.
+        // last checkpoint (≤ 3 deep). LAZY checkpoint — the boundary
+        // truncates the plan now, materialization rides the next
+        // round's collect — keeps training at ~1 job per round.
+        // Results are bit-identical either way.
         if (rank % 4 == 0) {
           val prev = pinned
-          vocab = vocab.localCheckpoint()
+          vocab = vocab.localCheckpoint(false)
           pinned = vocab
           prev.unpersist(blocking = false)
         }
@@ -167,19 +181,64 @@ object Bpe {
     * `batchSize = 1` ≡ [[train]] exactly, and pins the round count of
     * the batched run at ~k/batchSize). The payoff at vocabulary scale:
     * a 32k-merge training drops from 32k vocab recounts to ~32k/m.
+    *
+    * `overfetch` sizes the ranked candidate list per recount
+    * (`batchSize × overfetch` rows collected — still bounded driver
+    * literals). On symbol-dense corpora (ID-like strings where every
+    * early pair shares a digit symbol) the conflict filter thins the
+    * list hard, and a deeper overfetch is what keeps per-round
+    * acceptance near the batch size; 4 is plenty for natural text.
     */
   def trainBatched(docs: DataFrame, textCol: String, nMerges: Int,
-      batchSize: Int, minCount: Long = 2L): Seq[Merge] = {
+      batchSize: Int, minCount: Long = 2L, overfetch: Int = 4,
+      driverVocabBudget: Long = 1L << 20): Seq[Merge] =
+    trainBatchedCounted(docs, textCol, nMerges, batchSize, minCount,
+      overfetch, driverVocabBudget)._1
+
+  /** [[trainBatched]] that also reports its RECOUNT-ROUND count — the
+    * number the batching exists to compress (classic training = one
+    * recount per merge; batched ≈ nMerges / batchSize, inflated only
+    * by conflict thinning). Catalog rows pin it so the at-scale claim
+    * ("32k merges in ~k/batch recounts") stays a measured fact.
+    *
+    * SMALL-VOCAB DRIVER PATH (the [[Dedup.connectedComponents]]
+    * driver-union-find idiom applied here): the corpus-sized work is
+    * the ONE vocab groupBy; every round after is vocab-sized, and an
+    * iterative distributed loop pays ~1 scheduled job per recount
+    * regardless of data size. When the vocab fits
+    * `driverVocabBudget` rows it is collected once and the rounds run
+    * in driver memory — BIT-IDENTICAL merges (same exact counts, the
+    * same (count desc, a, b) total order with strings compared as
+    * UTF-8 bytes, the same overfetch truncation and conflict filter,
+    * the same left-to-right non-overlapping apply) — else the
+    * distributed loop runs. One stderr line names the path taken
+    * (bench logs must prove which path a measurement measured). Set
+    * the budget to 0 to force the distributed loop.
+    */
+  def trainBatchedCounted(docs: DataFrame, textCol: String, nMerges: Int,
+      batchSize: Int, minCount: Long = 2L,
+      overfetch: Int = 4, driverVocabBudget: Long = 1L << 20): (Seq[Merge], Int) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(overfetch >= 1, s"overfetch must be >= 1, got $overfetch")
     var vocab = initialVocab(docs, textCol).localCheckpoint()
+    val n = vocab.count()
+    if (n <= driverVocabBudget) {
+      System.err.println(s"[bpe] path=driver vocab=$n (budget $driverVocabBudget)")
+      val out = trainDriver(collectVocab(vocab), nMerges, batchSize,
+        minCount, overfetch)
+      vocab.unpersist(blocking = false)
+      return out
+    }
+    System.err.println(s"[bpe] path=distributed vocab=$n (budget $driverVocabBudget)")
     var pinned = vocab
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rounds = 0
     var done = false
     while (merges.size < nMerges && !done) {
       val want = math.min(batchSize, nMerges - merges.size)
-      // overfetch 4x: the conflict filter thins the ranked list; the
+      // overfetch: the conflict filter thins the ranked list; the
       // first candidate is always conflict-free, so a non-empty count
       // always advances (no livelock)
       val top = vocab
@@ -188,9 +247,10 @@ object Bpe {
         .agg(sum(col("freq")).as("c"))
         .filter(col("c") >= minCount)
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
-        .limit(want * 4).collect()
+        .limit(want * overfetch).collect()
       if (top.isEmpty) done = true
       else {
+        rounds += 1
         val used = scala.collection.mutable.Set.empty[String]
         val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
         val it = top.iterator
@@ -206,36 +266,161 @@ object Bpe {
           merges += Merge(merges.size, a, b)
           vocab = vocab.withColumn("seg", applyMerge(col("seg"), a, b))
         }
+        // LAZY checkpoint: the plan truncates to an RDD boundary right
+        // away (bounded analysis depth), but materialization rides the
+        // NEXT round's collect — one job per round instead of two,
+        // which at ~50 rounds is the difference between a bench row
+        // and a bench problem. Results are bit-identical either way.
         val prev = pinned
-        vocab = vocab.localCheckpoint()
+        vocab = vocab.localCheckpoint(false)
         pinned = vocab
         prev.unpersist(blocking = false)
       }
     }
     pinned.unpersist(blocking = false)
-    merges.toSeq
+    (merges.toSeq, rounds)
+  }
+
+  /** The collected vocab for the driver path: per WORD (rows are never
+    * collapsed — parity with the distributed relation) its initial
+    * symbol array (one code point per symbol, matching `(.)`) and
+    * corpus frequency.
+    */
+  private def collectVocab(vocab: DataFrame): Array[(Array[String], Long)] =
+    vocab.select(col("word"), col("freq")).collect().map { r =>
+      val w = r.getString(0)
+      val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        syms += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      (syms.toArray, r.getLong(1))
+    }
+
+  /** Spark's StringType orders by UTF-8 bytes (unsigned); the driver
+    * tiebreak must match it exactly or the two paths could learn
+    * different tables on non-ASCII symbols.
+    */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** One merge applied to one symbol array — the left-to-right
+    * non-overlapping scan `replace` performs on the wrapped string.
+    */
+  private def applyMergeDriver(syms: Array[String], a: String,
+      b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** The round loop of [[trainBatchedCounted]] run in driver memory —
+    * a step-for-step replica of the distributed loop (overlapping pair
+    * counts weighted by freq, minCount filter, (count desc, a, b)
+    * UTF-8 total order, `want × overfetch` truncation, conflict-free
+    * prefix, in-rank-order apply), so the learned table is
+    * bit-identical on either path (BpeSpec pins it).
+    */
+  private def trainDriver(words: Array[(Array[String], Long)], nMerges: Int,
+      batchSize: Int, minCount: Long, overfetch: Int): (Seq[Merge], Int) = {
+    var vocab = words
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rounds = 0
+    var done = false
+    while (merges.size < nMerges && !done) {
+      val want = math.min(batchSize, nMerges - merges.size)
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      val top = counts.iterator.filter(_._2 >= minCount).toArray
+        .sortWith { case (((a1, b1), c1), ((a2, b2), c2)) =>
+          if (c1 != c2) c1 > c2
+          else if (a1 != a2) utf8Lt(a1, a2)
+          else utf8Lt(b1, b2)
+        }
+        .take(want * overfetch)
+      if (top.isEmpty) done = true
+      else {
+        rounds += 1
+        val used = scala.collection.mutable.Set.empty[String]
+        val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val it = top.iterator
+        while (batch.size < want && it.hasNext) {
+          val ((a, b), _) = it.next()
+          if (!used(a) && !used(b)) {
+            batch += ((a, b))
+            used += a; used += b; used += (a + b)
+          }
+        }
+        batch.foreach { case (a, b) =>
+          merges += Merge(merges.size, a, b)
+          vocab = vocab.map { case (syms, f) =>
+            (applyMergeDriver(syms, a, b), f)
+          }
+        }
+      }
+    }
+    (merges.toSeq, rounds)
   }
 
   /** Segment the VOCABULARY under a learned merge table: fold the k
     * merges, in rank order, over the initial character segmentation —
-    * k nested replace expressions in one codegen'd projection (no
+    * nested replace expressions in one codegen'd projection (no
     * per-round materialization needed at apply time; only training
-    * recounts). Returns (word, freq, seg, n_subwords).
+    * recounts). Vocabulary-scale tables (k in the thousands — q234)
+    * would overflow Catalyst's recursive analysis as ONE expression
+    * tree, so the fold is broken into layers of ≤ 100 replaces with a
+    * plan-truncating localCheckpoint between layers (vocab-sized, a
+    * handful of layers); a table within one layer keeps the exact
+    * single-projection plan and job count it always had. Returns
+    * (word, freq, seg, n_subwords).
     */
   def segmentVocab(docs: DataFrame, textCol: String,
       merges: Seq[Merge]): DataFrame = {
-    val seg = merges.sortBy(_.rank).foldLeft(
-      regexp_replace(col("word"), "(.)", s"$Open$$1$Close")) {
-      (acc, m) => F.replace(acc, lit(s"$Open${m.a}$Close$Open${m.b}$Close"),
-        lit(s"$Open${m.a}${m.b}$Close"))
-    }
-    docs.select(explode(split(col(textCol), " ")).as("word"))
+    val layerSize = 100
+    def fold(seed: org.apache.spark.sql.Column, ms: Seq[Merge]) =
+      ms.foldLeft(seed) { (acc, m) =>
+        F.replace(acc, lit(s"$Open${m.a}$Close$Open${m.b}$Close"),
+          lit(s"$Open${m.a}${m.b}$Close"))
+      }
+    val ranked = merges.sortBy(_.rank)
+    val base = docs.select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .withColumn("seg", seg)
-      .withColumn("n_subwords",
-        (length(col("seg")) -
-          length(F.replace(col("seg"), lit(Open), lit("")))).cast("long"))
+      .withColumn("seg",
+        fold(regexp_replace(col("word"), "(.)", s"$Open$$1$Close"),
+          ranked.take(layerSize)))
+    val segged = ranked.drop(layerSize).grouped(layerSize)
+      .foldLeft(base) { (df, layer) =>
+        // lazy: the boundary truncates analysis depth now; the layers
+        // materialize inside whatever single job consumes the result
+        df.localCheckpoint(false).withColumn("seg", fold(col("seg"), layer))
+      }
+    segged.withColumn("n_subwords",
+      (length(col("seg")) -
+        length(F.replace(col("seg"), lit(Open), lit("")))).cast("long"))
   }
 
   /** Per-document subword statistics under a learned merge table: each

@@ -123,4 +123,22 @@ class BpeSpec extends SparkSpec {
       .agg(sum($"n_subwords" * $"freq")).as[Long].head()
     assert(n < chars)
   }
+
+  test("driver path ≡ distributed path, classic and batched (merge " +
+      "tables and round counts bit-identical)") {
+    // the fixture rides the driver path by default; budget 0 forces
+    // the distributed loop — both must learn the same table
+    assert(Bpe.train(docs, "text", nMerges = 8) ==
+      Bpe.train(docs, "text", nMerges = 8, driverVocabBudget = 0L))
+    assert(Bpe.trainBatchedCounted(docs, "text", nMerges = 10,
+        batchSize = 3, overfetch = 8) ==
+      Bpe.trainBatchedCounted(docs, "text", nMerges = 10, batchSize = 3,
+        overfetch = 8, driverVocabBudget = 0L))
+    // and on real data with minCount=1 (the q234 trainer contract)
+    val real = Tables(spark, sf, "documents")
+    assert(Bpe.trainBatchedCounted(real, "text", nMerges = 40,
+        batchSize = 8, minCount = 1) ==
+      Bpe.trainBatchedCounted(real, "text", nMerges = 40, batchSize = 8,
+        minCount = 1, driverVocabBudget = 0L))
+  }
 }
