@@ -214,6 +214,25 @@ object Bpe {
     * distributed loop runs. One stderr line names the path taken
     * (bench logs must prove which path a measurement measured). Set
     * the budget to 0 to force the distributed loop.
+    *
+    * The DISTRIBUTED loop maintains the PAIR-COUNT RELATION ACROSS
+    * ROUNDS instead of recounting the vocabulary: counts(t+1) =
+    * counts(t) + delta, where the delta aggregates only the AFFECTED
+    * words — those whose segmentation contains one of the round's
+    * merge patterns. Soundness of the filter: batch merges are
+    * symbol-disjoint, and a merge replaces two symbols with one NEW
+    * symbol, so it can neither create an occurrence of another
+    * accepted pattern (the new symbol is not that pattern's a or b,
+    * and the pattern's own symbols never become newly adjacent — the
+    * merged symbol sits between them) nor destroy one (it cannot
+    * consume the other pattern's symbols); a word without any pattern
+    * has a zero pair delta. Per-round cost: a TakeOrdered scan of the
+    * cached counts relation, a predicate scan of the cached vocab, an
+    * affected-sized aggregation, and a co-partitioned full-outer fold
+    * into counts (the counts side is checkpoint-pinned hash(a, b) —
+    * only the delta moves). Deltas are exact integers, so the
+    * maintained relation EQUALS the full recount and the learned
+    * table is bit-identical on every path (BpeSpec).
     */
   def trainBatchedCounted(docs: DataFrame, textCol: String, nMerges: Int,
       batchSize: Int, minCount: Long = 2L,
@@ -231,23 +250,38 @@ object Bpe {
       vocab.unpersist(blocking = false)
       return out
     }
-    System.err.println(s"[bpe] path=distributed vocab=$n (budget $driverVocabBudget)")
-    var pinned = vocab
+    System.err.println(
+      s"[bpe] path=distributed-incremental vocab=$n (budget $driverVocabBudget)")
+    def pairsOf(df: DataFrame): DataFrame = df
+      .select(col("freq"), explode(adjacentPairs(col("seg"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("c"))
+    // the cached-across-rounds relation: hash(a, b) partitioning is
+    // pinned by the checkpoint, so each round's fold moves only the
+    // delta (counts below minCount are RETAINED — a merge elsewhere
+    // can push them back up; the floor applies at selection time only)
+    var counts = pairsOf(vocab).localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rounds = 0
     var done = false
+    // retire windows for the LAZY checkpoints: generation g
+    // materializes at round g+1's collect, READING generation g-1's
+    // cache — so a superseded generation is freed only once the
+    // collect frontier has moved two rounds past it (freeing earlier
+    // would destroy data a locally-checkpointed child still needs)
+    val retireV = scala.collection.mutable.Queue.empty[DataFrame]
+    val retireC = scala.collection.mutable.Queue.empty[DataFrame]
     while (merges.size < nMerges && !done) {
       val want = math.min(batchSize, nMerges - merges.size)
       // overfetch: the conflict filter thins the ranked list; the
       // first candidate is always conflict-free, so a non-empty count
       // always advances (no livelock)
-      val top = vocab
-        .select(col("freq"), explode(adjacentPairs(col("seg"))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("freq")).as("c"))
+      val top = counts
         .filter(col("c") >= minCount)
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
         .limit(want * overfetch).collect()
+      while (retireV.size > 1) retireV.dequeue().unpersist(blocking = false)
+      while (retireC.size > 1) retireC.dequeue().unpersist(blocking = false)
       if (top.isEmpty) done = true
       else {
         rounds += 1
@@ -262,22 +296,38 @@ object Bpe {
             used += a; used += b; used += (a + b)
           }
         }
-        batch.foreach { case (a, b) =>
-          merges += Merge(merges.size, a, b)
-          vocab = vocab.withColumn("seg", applyMerge(col("seg"), a, b))
+        val cur = vocab
+        val isAffected = batch.map { case (a, b) =>
+          col("seg").contains(lit(s"$Open$a$Close$Open$b$Close"))
+        }.reduce(_ || _)
+        val affected = cur.filter(isAffected)
+        val after = batch.foldLeft(affected) { case (df, (a, b)) =>
+          df.withColumn("seg", applyMerge(col("seg"), a, b))
         }
-        // LAZY checkpoint: the plan truncates to an RDD boundary right
+        val delta = pairsOf(after).unionByName(
+            pairsOf(affected).select(col("a"), col("b"), (-col("c")).as("c")))
+          .groupBy(col("a"), col("b")).agg(sum(col("c")).as("dc"))
+          .filter(col("dc") =!= 0L)
+        batch.foreach { case (a, b) => merges += Merge(merges.size, a, b) }
+        retireV.enqueue(cur)
+        retireC.enqueue(counts)
+        // LAZY checkpoints: the plan truncates to an RDD boundary right
         // away (bounded analysis depth), but materialization rides the
-        // NEXT round's collect — one job per round instead of two,
-        // which at ~50 rounds is the difference between a bench row
-        // and a bench problem. Results are bit-identical either way.
-        val prev = pinned
-        vocab = vocab.localCheckpoint(false)
-        pinned = vocab
-        prev.unpersist(blocking = false)
+        // NEXT round's collect — ~1 job per round. Results are
+        // bit-identical either way.
+        counts = counts.join(delta, Seq("a", "b"), "full_outer")
+          .select(col("a"), col("b"),
+            (coalesce(col("c"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("c"))
+          .filter(col("c") =!= 0L)
+          .localCheckpoint(false)
+        vocab = batch.foldLeft(cur) { case (df, (a, b)) =>
+          df.withColumn("seg", applyMerge(col("seg"), a, b))
+        }.localCheckpoint(false)
       }
     }
-    pinned.unpersist(blocking = false)
+    (retireV ++ retireC).foreach(_.unpersist(blocking = false))
+    counts.unpersist(blocking = false)
+    vocab.unpersist(blocking = false)
     (merges.toSeq, rounds)
   }
 

@@ -140,5 +140,14 @@ class BpeSpec extends SparkSpec {
         batchSize = 8, minCount = 1) ==
       Bpe.trainBatchedCounted(real, "text", nMerges = 40, batchSize = 8,
         minCount = 1, driverVocabBudget = 0L))
+    // ...and on the ID-like corpus where the incrementally-maintained
+    // pair-count relation churns hardest (shared digit symbols: every
+    // round's batch destroys and creates many counts): 120 merges of
+    // delta maintenance must equal the driver's full recounts exactly
+    val cust = Tables(spark, sf, "customer")
+    assert(Bpe.trainBatchedCounted(cust, "c_name", nMerges = 120,
+        batchSize = 16, minCount = 1, overfetch = 16) ==
+      Bpe.trainBatchedCounted(cust, "c_name", nMerges = 120, batchSize = 16,
+        minCount = 1, overfetch = 16, driverVocabBudget = 0L))
   }
 }
