@@ -3867,7 +3867,23 @@ object SparkEntry {
         .select(col("word"), col("freq"),
           translate(col("seg"), "\u0001\u0002", "[]").as("seg_disp"),
           col("n_subwords"))
-    })
+    }),
+
+    // SEQUENCE PACKING (GPT concat-and-chunk): the corpus as one
+    // deterministic token stream cut into 512-token training chunks,
+    // documents crossing boundaries — the padding-free pretraining
+    // layout. The output is the packing PLAN (one row per
+    // chunk×document span, |documents| rows — tokens never
+    // materialize); offsets come from the two-phase distributed
+    // exclusive scan (per-partition sums collected once, no
+    // single-partition window). The oracle recomputes the same spans
+    // from a window cumsum — exact integers, so the hash pins every
+    // boundary split.
+    "q235_sequence_packing" -> ((s, dir) =>
+      graft.operators.Layout.packSequences(
+        t(s, dir, "documents").withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")).cast("long")),
+        "doc_id", "n_tokens", seqLen = 512))
   )
 
   /** Oracle SQL that must be GENERATED against the data (embedding dim,
@@ -5168,6 +5184,29 @@ object SparkEntry {
     // join FULL OUTER so judged-but-skipped queries score 0
     "q232_ndcg_eval_full" -> ndcgEvalOracleSql(k = 10, poolK = 20,
       runWhere = Some("qid % 3 <> 0"), full = true),
+    // the same concat-and-chunk spans from a window cumsum (the oracle
+    // may use the single-threaded window; the engine's two-phase scan
+    // must land on identical offsets)
+    "q235_sequence_packing" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents
+        |           WHERE len(string_split(text, ' ')) > 0),
+        |s AS (SELECT doc_id, n,
+        |        CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS start
+        |      FROM d),
+        |e AS (SELECT doc_id, n, start,
+        |        unnest(generate_series(start // 512, (start + n - 1) // 512))
+        |          AS chunk_id
+        |      FROM s)
+        |SELECT chunk_id, doc_id,
+        |  greatest(0, chunk_id * 512 - start) AS doc_off,
+        |  greatest(start, chunk_id * 512) - chunk_id * 512 AS chunk_off,
+        |  least(start + n, (chunk_id + 1) * 512)
+        |    - greatest(start, chunk_id * 512) AS len
+        |FROM e""".stripMargin,
     // same bigram-type relation, same continuation counts, same two
     // floor divisions in the documented order
     "q219_kneser_ney" ->

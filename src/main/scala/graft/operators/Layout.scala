@@ -41,6 +41,88 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** EXCLUSIVE global prefix sum of `nTokensCol` over ascending
+    * `idCol` order — each document's starting offset in the
+    * concatenated corpus token stream. The distributed scan is the
+    * classic two-phase pattern (the [[Relational.allocateIds]]
+    * sort-then-index idiom, generalized from counting to summing):
+    * range-partitioned global sort, pass 1 reduces each partition to
+    * ONE (partition, sum) row collected to the driver (bounded: one
+    * row per partition), pass 2 re-reads the sorted shuffle output
+    * and emits running totals seeded by the scanned per-partition
+    * offsets — no single-partition window anywhere, so the scan holds
+    * at any corpus size. Zero-token documents are dropped (they
+    * contribute nothing to the stream and would otherwise produce
+    * zero-length spans).
+    *
+    * @return (doc_id, n_tokens, start) with `start` the exclusive
+    *         running sum in doc_id order
+    */
+  def tokenOffsets(docs: DataFrame, idCol: String,
+      nTokensCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val sorted = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(nTokensCol).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .orderBy(col("doc_id"))
+    val rdd = sorted.rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val partSums = rdd.mapPartitionsWithIndex { case (i, it) =>
+        Iterator.single((i, it.map(_._2).sum))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // exclusive partition bases
+    val rows = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var acc = offsets(i)
+      it.map { case (id, n) =>
+        val st = acc; acc += n
+        org.apache.spark.sql.Row(id, n, st)
+      }
+    }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("start",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** GPT-style SEQUENCE PACKING (concatenate-and-chunk): lay the
+    * corpus out as one deterministic token stream (documents in
+    * doc-id order) and cut it into fixed `seqLen`-token training
+    * chunks, documents crossing chunk boundaries — the standard
+    * padding-free LLM pretraining layout (GPT-2/3 et al.), as opposed
+    * to first-fit bin packing whose greedy state is inherently
+    * sequential. The output is the packing PLAN — one row per
+    * (chunk, document) span — which is what an indexed data loader
+    * consumes; no token array is ever materialized, so the operator
+    * moves |documents| rows, not |tokens|.
+    *
+    * Cost: the [[tokenOffsets]] two-phase scan plus a map-side
+    * bounded explode (a document lands in 1 + ⌊(n−1+start mod L)/L⌋
+    * consecutive chunks). Every chunk except possibly the last covers
+    * exactly `seqLen` tokens; every document's spans reconstruct it
+    * contiguously (PackingSpec pins both).
+    *
+    * @return (chunk_id, doc_id, doc_off, chunk_off, len): tokens
+    *         [doc_off, doc_off+len) of doc_id occupy positions
+    *         [chunk_off, chunk_off+len) of chunk_id
+    */
+  def packSequences(docs: DataFrame, idCol: String, nTokensCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val L = seqLen.toLong
+    tokenOffsets(docs, idCol, nTokensCol)
+      .select(col("doc_id"), col("n_tokens"), col("start"),
+        explode(sequence(expr(s"start div $L"),
+          expr(s"(start + n_tokens - 1) div $L"))).as("chunk_id"))
+      .select(col("chunk_id"), col("doc_id"),
+        greatest(lit(0L), col("chunk_id") * L - col("start")).as("doc_off"),
+        (greatest(col("start"), col("chunk_id") * L) - col("chunk_id") * L)
+          .as("chunk_off"),
+        (least(col("start") + col("n_tokens"), (col("chunk_id") + 1L) * L) -
+          greatest(col("start"), col("chunk_id") * L)).as("len"))
+  }
+
   /** RENDEZVOUS (highest-random-weight) shard assignment (Thaler &
     * Ravishankar 1998 — the consistent-placement scheme behind cache
     * rings and shard maps): a key's shard is the argmax over shards of
