@@ -3883,7 +3883,22 @@ object SparkEntry {
       graft.operators.Layout.packSequences(
         t(s, dir, "documents").withColumn("n_tokens",
           TextAnalysis.tokenCount(col("text")).cast("long")),
-        "doc_id", "n_tokens", seqLen = 512))
+        "doc_id", "n_tokens", seqLen = 512)),
+
+    // TOKENIZER ENCODE — the missing last step of the BPE story
+    // (train q207 → segment q213 → encode): the corpus as integer
+    // token-id sequences under the trained table, ids dense 0..V-1 in
+    // UTF-8 subword order (two-pass allocation, no global window).
+    // The sequence itself never materializes: per-doc integer
+    // checksums include the order-sensitive Σ(pos+1)·id, so the hash
+    // pins the exact id stream — a transposition anywhere breaks it.
+    // The oracle re-learns the table, replays the segmentation, and
+    // recomputes positions from its own window cumsum.
+    "q236_bpe_encode_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Bpe.encodeCorpusIds(docs, "doc_id", "text",
+        graft.operators.Bpe.train(docs, "text", nMerges = 20))
+    })
   )
 
   /** Oracle SQL that must be GENERATED against the data (embedding dim,
@@ -3980,6 +3995,7 @@ object SparkEntry {
     },
     "q207_bpe_train" -> bpeOracleSql(spark, dir),
     "q213_bpe_fertility" -> bpeFertilityOracleSql(spark, dir),
+    "q236_bpe_encode_ids" -> bpeEncodeOracleSql(spark, dir),
     // the batched table re-learned deterministically, replayed the
     // same way (q207's mirror with trainBatched literals)
     "q231_bpe_train_batched" -> {
@@ -4069,6 +4085,46 @@ object SparkEntry {
        |  replace(replace(seg, chr(1), '['), chr(2), ']') AS seg_disp,
        |  CAST(length(seg) - length(replace(seg, chr(1), '')) AS BIGINT) AS n_subwords
        |FROM s""".stripMargin
+  }
+
+  /** Mirror of q236: replay the learned segmentation over the vocab,
+    * assign dense ids by subword binary order (row_number ↔ the
+    * engine's two-pass allocation), rebuild per-document subword
+    * positions from a window cumsum over the word stream, and reduce
+    * to the same integer checksums — the order-sensitive Σ(pos+1)·id
+    * pins the exact id sequence.
+    */
+  private def bpeEncodeOracleSql(spark: SparkSession, dir: String): String = {
+    val segK = bpeSegSql(bpeOracleMerges(spark, dir))
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |v AS (SELECT word FROM w WHERE word <> '' GROUP BY word),
+       |sv AS (SELECT word,
+       |         string_split(trim(seg, chr(1) || chr(2)), chr(2) || chr(1))
+       |           AS subs
+       |       FROM (SELECT word, $segK AS seg FROM v) sx),
+       |vid AS (SELECT subword,
+       |          CAST(row_number() OVER (ORDER BY subword) - 1 AS BIGINT) AS tid
+       |        FROM (SELECT DISTINCT unnest(subs) AS subword FROM sv) dv),
+       |tok AS (SELECT doc_id, s.wpos AS wpos, s.word AS word FROM
+       |  (SELECT doc_id, unnest([{'wpos': i, 'word': ww[i]}
+       |                          FOR i IN range(1, len(ww) + 1)]) AS s
+       |   FROM (SELECT doc_id, string_split(text, ' ') AS ww
+       |         FROM documents) t0) t1
+       |  WHERE s.word <> ''),
+       |two AS (SELECT tok.doc_id, tok.wpos, sv.subs,
+       |          CAST(coalesce(sum(len(sv.subs)) OVER (PARTITION BY tok.doc_id
+       |            ORDER BY tok.wpos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |            AS BIGINT) AS off
+       |        FROM tok JOIN sv USING (word)),
+       |ids AS (SELECT t.doc_id, t.off + t.s.j - 1 AS pos, vid.tid FROM
+       |  (SELECT doc_id, off, unnest([{'j': j, 'sub': subs[j]}
+       |                               FOR j IN range(1, len(subs) + 1)]) AS s
+       |   FROM two) t JOIN vid ON vid.subword = t.s.sub)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ids,
+       |  CAST(sum(tid) AS BIGINT) AS sum_ids,
+       |  CAST(sum((pos + 1) * tid) AS BIGINT) AS possum_ids
+       |FROM ids GROUP BY doc_id""".stripMargin
   }
 
   /** Mirror of q213: the same replay, but segmentation stays

@@ -473,6 +473,56 @@ object Bpe {
         length(F.replace(col("seg"), lit(Open), lit("")))).cast("long"))
   }
 
+  /** Encode the corpus to TOKEN IDS under a learned merge table — the
+    * last step of the tokenizer story (train → segment → encode): the
+    * text a model actually consumes is an integer sequence, and the id
+    * assignment must be deterministic across engines and runs.
+    *
+    *   - ids: dense 0..V−1 over the DISTINCT subword vocabulary in
+    *     UTF-8 binary order, allocated with the
+    *     [[Relational.allocateIds]] two-pass sort (no single-partition
+    *     window);
+    *   - the segmentation work stays vocabulary-sized ([[segmentVocab]]);
+    *     the corpus only tokenizes, joins its words to their subword
+    *     arrays, and positions subwords with a per-document running
+    *     offset (window partitioned BY DOCUMENT — never global);
+    *   - output is per-document integer CHECKSUMS of the id sequence:
+    *     `n_ids`, `sum_ids` (multiset), and the order-sensitive
+    *     `possum_ids` = Σ (pos+1)·id — a transposition of two ids
+    *     changes it, so the hash pins the exact sequence without
+    *     materializing it. Overflow envelope: safe while
+    *     n_ids · (n_ids · V) < 2⁶³ (≈ documents up to ~10⁶ subwords
+    *     with a ~10⁶-entry vocabulary).
+    *
+    * @return (docs.idCol as doc_id, n_ids, sum_ids, possum_ids)
+    */
+  def encodeCorpusIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val sv = segmentVocab(docs, textCol, merges)
+      .select(col("word"), symbols(col("seg")).as("subs"),
+        col("n_subwords"))
+    val vocabIds = Relational.allocateIds(
+      sv.select(explode(col("subs")).as("subword")).distinct(),
+      "subword", startAfter = -1L, idCol = "tid")
+    val tok = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("wpos", "word")))
+      .filter(col("word") =!= "")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("wpos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withOff = tok.join(sv, Seq("word"))
+      .withColumn("off", coalesce(sum(col("n_subwords")).over(w), lit(0L)))
+    withOff
+      .select(col("doc_id"), col("off"),
+        posexplode(col("subs")).as(Seq("j", "subword")))
+      .join(vocabIds, Seq("subword"))
+      .select(col("doc_id"), (col("off") + col("j")).as("pos"), col("tid"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ids"),
+        sum(col("tid")).as("sum_ids"),
+        sum((col("pos") + 1L) * col("tid")).as("possum_ids"))
+  }
+
   /** Per-document subword statistics under a learned merge table: each
     * document's token stream joins the segmented vocabulary (the merge
     * work is vocab-sized; the corpus only tokenizes and joins).

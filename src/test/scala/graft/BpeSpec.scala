@@ -150,4 +150,30 @@ class BpeSpec extends SparkSpec {
       Bpe.trainBatchedCounted(cust, "c_name", nMerges = 120, batchSize = 16,
         minCount = 1, overfetch = 16, driverVocabBudget = 0L))
   }
+
+  test("encodeCorpusIds: hand-checked ids and order-sensitive checksum") {
+    // no merges ⇒ character tokenizer; distinct chars of "ab ba b" are
+    // {a, b} ⇒ ids a=0, b=1 (UTF-8 order). Doc "ab ba b" id stream:
+    // a b b a b = 0 1 1 0 1 at pos 0..4
+    val d = Seq((7L, "ab ba b")).toDF("doc_id", "text")
+    val out = Bpe.encodeCorpusIds(d, "doc_id", "text", Seq.empty)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // n=5, sum=3, possum = 2*1 + 3*1 + 5*1 = 10 (1-based pos weights)
+    assert(out == Set((7L, 5L, 3L, 10L)))
+    // order sensitivity: "ba ab b" has the same id multiset but stream
+    // b a a b b = 1 0 0 1 1 → possum = 1 + 4 + 5 = 10 — pick a fixture
+    // where it differs: "b ab ba" → b a b b a = 1 0 1 1 0 → 1+3+4 = 8
+    val d2 = Seq((7L, "b ab ba")).toDF("doc_id", "text")
+    val out2 = Bpe.encodeCorpusIds(d2, "doc_id", "text", Seq.empty)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out2 == Set((7L, 5L, 3L, 8L)))
+    // under a merge, the merged symbol re-ranks the vocabulary: merge
+    // (b,a) on "ab ba b" → segs: a|b, ba, b → vocab {a, b, ba} ids
+    // a=0, b=1, ba=2; stream a b ba b = 0 1 2 1 → n=4 sum=4
+    // possum = 2*1 + 3*2 + 4*1 = 12
+    val m = Seq(Bpe.Merge(0, "b", "a"))
+    val out3 = Bpe.encodeCorpusIds(d, "doc_id", "text", m)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out3 == Set((7L, 4L, 4L, 12L)))
+  }
 }
