@@ -3898,6 +3898,21 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       graft.operators.Bpe.encodeCorpusIds(docs, "doc_id", "text",
         graft.operators.Bpe.train(docs, "text", nMerges = 20))
+    }),
+
+    // BENCHMARK DECONTAMINATION (GPT-3 appendix C): training docs
+    // sharing any 5-gram with the held-out eval slice, with
+    // attribution (which benchmark item leaked). The eval gram side is
+    // BROADCAST — benchmark-sized by definition — so the training side
+    // streams map-side with no shuffle before the keyed count. n=5
+    // fits this corpus's short documents; the operator default is the
+    // paper's 13.
+    "q237_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationPairs(
+        docs.filter(col("doc_id") % 100 =!= 3),
+        docs.filter(col("doc_id") % 100 === 3),
+        "doc_id", "text", n = 5)
     })
   )
 
@@ -5240,6 +5255,20 @@ object SparkEntry {
     // join FULL OUTER so judged-but-skipped queries score 0
     "q232_ndcg_eval_full" -> ndcgEvalOracleSql(k = 10, poolK = 20,
       runWhere = Some("qid % 3 <> 0"), full = true),
+    // every (train, eval) pair sharing a distinct 5-gram, recounted
+    // from scratch
+    "q237_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ww FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |        [ww[i] || ' ' || ww[i+1] || ' ' || ww[i+2] || ' ' ||
+        |         ww[i+3] || ' ' || ww[i+4]
+        |         FOR i IN range(1, greatest(len(ww) - 4, 0) + 1)])) AS g
+        |      FROM w),
+        |tr AS (SELECT doc_id, g FROM g WHERE doc_id % 100 <> 3),
+        |ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 100 = 3)
+        |SELECT tr.doc_id, ev.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM tr JOIN ev USING (g)
+        |GROUP BY tr.doc_id, ev.eval_id""".stripMargin,
     // the same concat-and-chunk spans from a window cumsum (the oracle
     // may use the single-threaded window; the engine's two-phase scan
     // must land on identical offsets)

@@ -840,6 +840,37 @@ object Dedup {
     verifyJaccard(sets, pairs).filter(col("jaccard") >= threshold)
   }
 
+  /** BENCHMARK DECONTAMINATION (the GPT-3 appendix-C rule, Brown et
+    * al. 2020, since standard in every pretraining pipeline): flag
+    * training documents that share any word n-gram with an EVALUATION
+    * set, so test answers don't leak into training. Returns the
+    * attribution relation (doc_id, eval_id, n_shared) — n_shared =
+    * |distinct shared n-grams| ≥ 1 — which both drives the drop action
+    * (anti-join training on doc_id) and answers the audit question
+    * "contaminated by WHICH benchmark item".
+    *
+    * Scale shape: per-side distinct n-grams (scan-linear explodes), an
+    * equi-join keyed on the gram, one keyed aggregation. The eval side
+    * is BROADCAST — an evaluation suite is benchmark-sized by
+    * definition (thousands of items), megabytes against a 100 TB
+    * training corpus; the training side streams map-side with no
+    * shuffle at all. With a long-gram default (n=13 in the paper;
+    * configurable for short-document corpora), gram collisions are
+    * near-certain leaks, so no similarity verification step is needed
+    * — that exactness is why the rule won.
+    */
+  def contaminationPairs(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    require(n >= 1, s"contaminationPairs: n must be >= 1, got $n")
+    def grams(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      explode(array_distinct(
+        graft.functions.TextAnalysis.wordNGrams(col(textCol), n))).as("g"))
+    grams(train, "doc_id")
+      .join(broadcast(grams(eval, "eval_id")), Seq("g"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** DIRECTIONAL n-gram containment pairs: C(a→b) = |A∩B| / |A| ≥ t —
     * the asymmetric cousin of [[ngramJaccardPairs]] that catches SUBSET
     * duplication (a quote, an excerpt, a doc pasted inside a larger
