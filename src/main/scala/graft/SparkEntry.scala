@@ -3904,15 +3904,15 @@ object SparkEntry {
     // sharing any 5-gram with the held-out eval slice, with
     // attribution (which benchmark item leaked). The eval gram side is
     // BROADCAST — benchmark-sized by definition — so the training side
-    // streams map-side with no shuffle before the keyed count. n=5
-    // fits this corpus's short documents; the operator default is the
-    // paper's 13.
+    // streams map-side with no shuffle before the keyed count. n=4
+    // fits this corpus's short documents (the 5-gram overlap set is
+    // empty below sf0.1); the operator default is the paper's 13.
     "q237_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.contaminationPairs(
         docs.filter(col("doc_id") % 100 =!= 3),
         docs.filter(col("doc_id") % 100 === 3),
-        "doc_id", "text", n = 5)
+        "doc_id", "text", n = 4)
     })
   )
 
@@ -5255,14 +5255,14 @@ object SparkEntry {
     // join FULL OUTER so judged-but-skipped queries score 0
     "q232_ndcg_eval_full" -> ndcgEvalOracleSql(k = 10, poolK = 20,
       runWhere = Some("qid % 3 <> 0"), full = true),
-    // every (train, eval) pair sharing a distinct 5-gram, recounted
+    // every (train, eval) pair sharing a distinct 4-gram, recounted
     // from scratch
     "q237_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ww FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(
         |        [ww[i] || ' ' || ww[i+1] || ' ' || ww[i+2] || ' ' ||
-        |         ww[i+3] || ' ' || ww[i+4]
-        |         FOR i IN range(1, greatest(len(ww) - 4, 0) + 1)])) AS g
+        |         ww[i+3]
+        |         FOR i IN range(1, greatest(len(ww) - 3, 0) + 1)])) AS g
         |      FROM w),
         |tr AS (SELECT doc_id, g FROM g WHERE doc_id % 100 <> 3),
         |ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 100 = 3)
