@@ -89,7 +89,10 @@ object PlanDump {
       "q223_ann_ivf_sq8_topk", "q224_pr_curve", "q225_span_corruption",
       "q226_rendezvous_shards", "q227_confusion",
       "q228_postings_l0_compact", "q229_calibration_bins",
-      "q230_containment_dedup", "q231_bpe_train_batched")
+      "q230_containment_dedup", "q231_bpe_train_batched",
+      "q232_ndcg_eval_full", "q233_auto_compact_policy",
+      "q234_bpe_vocab_scale", "q235_sequence_packing",
+      "q236_bpe_encode_ids", "q237_decontaminate")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))

@@ -451,6 +451,37 @@ object Dedup {
   def bandGen(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
     Stores.band.gen(spark, dir)
 
+  /** Size-tiered L0 compaction for the band store (the
+    * [[Retrieval.compactPostingsL0]] move on this family): merge the
+    * appended manifest generations into one fresh run per sub — bands
+    * re-bucketed into per-band files, sets coalesced — re-basing the
+    * manifest WITHOUT rewriting the generation-0 base. Returns false
+    * below `minRuns`; tombstone ledger survives (deleted docs may live
+    * in the untouched base — [[compactBandIndex]] is the full rewrite
+    * that clears it).
+    */
+  def compactBandL0(spark: org.apache.spark.sql.SparkSession, dir: String,
+      minRuns: Int = 4): Boolean =
+    StoreFiles.compactL0(spark, dir, Seq("bands", "sets"), minRuns) {
+      case ("bands", l0) =>
+        l0.repartition(col("band")).write.mode("append")
+          .partitionBy("band").parquet(s"$dir/bands")
+      case ("sets", l0) =>
+        l0.coalesce(1).write.mode("append").parquet(s"$dir/sets")
+      case (sub, _) =>
+        throw new IllegalStateException(s"unexpected band sub $sub")
+    }
+
+  /** Background-maintenance step for the band store (the
+    * [[Retrieval.maintainPostingsL0]] hook on this family — the
+    * [[CompactionPolicy]] machinery is family-agnostic; wiring a
+    * family is these three lines): compact L0 iff the policy fires.
+    */
+  def maintainBandL0(spark: org.apache.spark.sql.SparkSession, dir: String,
+      policy: CompactionPolicy): Boolean =
+    policy.triggered(Stores.band.l0Stats(spark, dir)) &&
+      compactBandL0(spark, dir, minRuns = 1)
+
   /** Delete data files no committed snapshot references. */
   def vacuumBandIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[String] =
@@ -1336,6 +1367,32 @@ object Dedup {
       dir: String): Long =
     Stores.simhash.gen(spark, dir)
 
+  /** Size-tiered L0 compaction for the SimHash store (see
+    * [[StoreFiles.compactL0]]): merge the appended runs into one fresh
+    * per-band-bucketed run, re-basing the manifest WITHOUT rewriting
+    * the generation-0 base. Returns false below `minRuns`; the
+    * tombstone ledger survives ([[compactSimHashIndex]] is the full
+    * rewrite that clears it).
+    */
+  def compactSimHashL0(spark: org.apache.spark.sql.SparkSession,
+      dir: String, minRuns: Int = 4): Boolean =
+    StoreFiles.compactL0(spark, dir, Seq("banded"), minRuns) {
+      case ("banded", l0) =>
+        l0.repartition(col("band")).write.mode("append")
+          .partitionBy("band").parquet(s"$dir/banded")
+      case (sub, _) =>
+        throw new IllegalStateException(s"unexpected simhash sub $sub")
+    }
+
+  /** Background-maintenance step for the SimHash store: compact L0 iff
+    * the [[CompactionPolicy]] fires (minRuns=1 — the policy IS the
+    * trigger). Call unconditionally after every committed append.
+    */
+  def maintainSimHashL0(spark: org.apache.spark.sql.SparkSession,
+      dir: String, policy: CompactionPolicy): Boolean =
+    policy.triggered(Stores.simhash.l0Stats(spark, dir)) &&
+      compactSimHashL0(spark, dir, minRuns = 1)
+
   /** Delete data files no committed snapshot references. */
   def vacuumSimHashIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[String] =
@@ -1637,6 +1694,34 @@ object Dedup {
       dir: String): Seq[String] =
     Stores.label.vacuum(spark, dir)
 
+  /** Size-tiered L0 compaction for the label store (see
+    * [[StoreFiles.compactL0]]): merge the appended label/remap runs
+    * into one fresh file each, re-basing the manifest WITHOUT touching
+    * the generation-0 base. PURELY physical — remap rows are an
+    * order-free edge set resolved to fixpoint at read time
+    * ([[resolveLabelChains]]), so coalescing runs changes no view;
+    * chain SHORTENING is [[compactLabelStore]]'s job (the full
+    * rewrite, which also clears the ledger). Returns false below
+    * `minRuns`.
+    */
+  def compactLabelL0(spark: org.apache.spark.sql.SparkSession,
+      dir: String, minRuns: Int = 4): Boolean =
+    StoreFiles.compactL0(spark, dir, Seq("labels", "remap"), minRuns) {
+      case (sub @ ("labels" | "remap"), l0) =>
+        l0.coalesce(1).write.mode("append").parquet(s"$dir/$sub")
+      case (sub, _) =>
+        throw new IllegalStateException(s"unexpected label sub $sub")
+    }
+
+  /** Background-maintenance step for the label store: compact L0 iff
+    * the [[CompactionPolicy]] fires (minRuns=1 — the policy IS the
+    * trigger). Call unconditionally after every committed append.
+    */
+  def maintainLabelL0(spark: org.apache.spark.sql.SparkSession,
+      dir: String, policy: CompactionPolicy): Boolean =
+    policy.triggered(Stores.label.l0Stats(spark, dir)) &&
+      compactLabelL0(spark, dir, minRuns = 1)
+
   /** [[resolveLabels]] over exactly the COMMITTED file set (optionally
     * as of a generation — the cluster state as it stood after that
     * commit). The remap side may have no committed files (a store that
@@ -1837,6 +1922,31 @@ object Dedup {
          }))
     } { (_, src, tmp) => src.coalesce(nFiles).write.parquet(tmp) }
   }
+
+  /** Size-tiered L0 compaction for the winnow store (see
+    * [[StoreFiles.compactL0]]): merge the appended fingerprint runs
+    * into one fresh file, re-basing the manifest WITHOUT touching the
+    * generation-0 base. Returns false below `minRuns`; the tombstone
+    * ledger survives ([[compactWinnowIndex]] is the full rewrite that
+    * clears it).
+    */
+  def compactWinnowL0(spark: org.apache.spark.sql.SparkSession,
+      dir: String, minRuns: Int = 4): Boolean =
+    StoreFiles.compactL0(spark, dir, Seq("fps"), minRuns) {
+      case ("fps", l0) =>
+        l0.coalesce(1).write.mode("append").parquet(s"$dir/fps")
+      case (sub, _) =>
+        throw new IllegalStateException(s"unexpected winnow sub $sub")
+    }
+
+  /** Background-maintenance step for the winnow store: compact L0 iff
+    * the [[CompactionPolicy]] fires (minRuns=1 — the policy IS the
+    * trigger). Call unconditionally after every committed append.
+    */
+  def maintainWinnowL0(spark: org.apache.spark.sql.SparkSession,
+      dir: String, policy: CompactionPolicy): Boolean =
+    policy.triggered(Stores.winnow.l0Stats(spark, dir)) &&
+      compactWinnowL0(spark, dir, minRuns = 1)
 
   /** Probe a batch against the stored sketch: partial-overlap
     * candidate pairs (id_a = index doc, id_b = batch doc, n_shared =

@@ -1135,6 +1135,32 @@ object Retrieval {
   def vacuumPositionalIndex(spark: SparkSession, dir: String): Seq[String] =
     Stores.positional.vacuum(spark, dir)
 
+  /** Size-tiered L0 compaction for the positional store (see
+    * [[StoreFiles.compactL0]]): merge the appended positional runs into
+    * one fresh per-bucket run, re-basing the manifest WITHOUT rewriting
+    * the generation-0 base. Returns false below `minRuns`; the
+    * tombstone ledger survives ([[compactPositionalIndex]] is the full
+    * rewrite that clears it).
+    */
+  def compactPositionalL0(spark: SparkSession, dir: String,
+      minRuns: Int = 4): Boolean =
+    StoreFiles.compactL0(spark, dir, Seq("postings"), minRuns) {
+      case ("postings", l0) =>
+        l0.repartition(col("bucket")).write.mode("append")
+          .partitionBy("bucket").parquet(s"$dir/postings")
+      case (sub, _) =>
+        throw new IllegalStateException(s"unexpected positional sub $sub")
+    }
+
+  /** Background-maintenance step for the positional store: compact L0
+    * iff the [[CompactionPolicy]] fires (minRuns=1 — the policy IS the
+    * trigger). Call unconditionally after every committed append.
+    */
+  def maintainPositionalL0(spark: SparkSession, dir: String,
+      policy: CompactionPolicy): Boolean =
+    policy.triggered(Stores.positional.l0Stats(spark, dir)) &&
+      compactPositionalL0(spark, dir, minRuns = 1)
+
   /** Load exactly the COMMITTED file set (optionally as of a generation
     * — TIME TRAVEL to the phrase index as it stood after that commit).
     * Tombstones stay retroactive: a forgotten document's phrases never

@@ -610,6 +610,32 @@ object Similarity {
       dir: String): Seq[String] =
     Stores.ivf.vacuum(spark, dir)
 
+  /** Size-tiered L0 compaction for the IVF store (see
+    * [[StoreFiles.compactL0]]): merge the appended assignment runs into
+    * one fresh per-cell-bucketed run, re-basing the manifest WITHOUT
+    * rewriting the generation-0 base. Returns false below `minRuns`;
+    * the tombstone ledger survives ([[compactIvfIndex]] is the full
+    * rewrite that clears it).
+    */
+  def compactIvfL0(spark: org.apache.spark.sql.SparkSession, dir: String,
+      minRuns: Int = 4): Boolean =
+    StoreFiles.compactL0(spark, dir, Seq("assignments"), minRuns) {
+      case ("assignments", l0) =>
+        l0.repartition(col("cell")).write.mode("append")
+          .partitionBy("cell").parquet(s"$dir/assignments")
+      case (sub, _) =>
+        throw new IllegalStateException(s"unexpected ivf sub $sub")
+    }
+
+  /** Background-maintenance step for the IVF store: compact L0 iff the
+    * [[CompactionPolicy]] fires (minRuns=1 — the policy IS the
+    * trigger). Call unconditionally after every committed append.
+    */
+  def maintainIvfL0(spark: org.apache.spark.sql.SparkSession, dir: String,
+      policy: CompactionPolicy): Boolean =
+    policy.triggered(Stores.ivf.l0Stats(spark, dir)) &&
+      compactIvfL0(spark, dir, minRuns = 1)
+
   /** Load exactly the COMMITTED assignments (optionally as of a
     * generation); tombstones stay retroactive. The cell partition
     * column (and a probe's pruning on it) survives via basePath.
@@ -1103,6 +1129,32 @@ object Similarity {
   def vacuumPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[String] =
     Stores.pq.vacuum(spark, dir)
+
+  /** Size-tiered L0 compaction for the PQ store (see
+    * [[StoreFiles.compactL0]]): merge the appended code runs into one
+    * fresh per-cell-bucketed run, re-basing the manifest WITHOUT
+    * rewriting the generation-0 base. Returns false below `minRuns`;
+    * the tombstone ledger survives ([[compactPqIndex]] is the full
+    * rewrite that clears it).
+    */
+  def compactPqL0(spark: org.apache.spark.sql.SparkSession, dir: String,
+      minRuns: Int = 4): Boolean =
+    StoreFiles.compactL0(spark, dir, Seq("codes"), minRuns) {
+      case ("codes", l0) =>
+        l0.repartition(col("cell")).write.mode("append")
+          .partitionBy("cell").parquet(s"$dir/codes")
+      case (sub, _) =>
+        throw new IllegalStateException(s"unexpected pq sub $sub")
+    }
+
+  /** Background-maintenance step for the PQ store: compact L0 iff the
+    * [[CompactionPolicy]] fires (minRuns=1 — the policy IS the
+    * trigger). Call unconditionally after every committed append.
+    */
+  def maintainPqL0(spark: org.apache.spark.sql.SparkSession, dir: String,
+      policy: CompactionPolicy): Boolean =
+    policy.triggered(Stores.pq.l0Stats(spark, dir)) &&
+      compactPqL0(spark, dir, minRuns = 1)
 
   /** Load exactly the committed codes file set — torn appends invisible;
     * with `asOf`, time travel to that generation. basePath keeps the

@@ -273,4 +273,161 @@ class CompactionSpec extends SparkSpec {
       .as[(Long, Long, Long, Int)].collect().toSet
     assert(served == oneShot && served.nonEmpty)
   }
+
+  test("compactBandL0 + maintainBandL0: the policy machinery is " +
+      "family-agnostic — base untouched, probe identical, re-based " +
+      "store appendable") {
+    import graft.operators.{CompactionPolicy, StoreFiles}
+    val dir = tmpDir("band_l0")
+    Dedup.saveBandIndexCommitted(
+      Dedup.buildBandIndex(docs.filter($"doc_id" % 3 === 0),
+        "doc_id", "text"), dir)
+    val baseStamps = parquetStamps(s"$dir/bands", s"$dir/sets")
+    for (r <- Seq(1, 4, 7))
+      Dedup.appendBandIndexCommitted(spark, dir,
+        docs.filter($"doc_id" % 9 === r), "doc_id", "text")
+    def served = Dedup.minHashLshProbe(
+        Dedup.loadBandIndexSnapshot(spark, dir), shifted, "doc_id", "text")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val before = served
+    // below the count trigger the policy refuses; at 3 runs it fires
+    assert(!Dedup.maintainBandL0(spark, dir, CompactionPolicy(maxRuns = 4)))
+    assert(StoreFiles.manifestGen(spark, dir) == 3L)
+    assert(Dedup.maintainBandL0(spark, dir, CompactionPolicy(maxRuns = 3)))
+    assert(StoreFiles.manifestGen(spark, dir) == 0L)
+    // generation-0 base files byte-identical (path + mtime)
+    val nowStamps = parquetStamps(s"$dir/bands", s"$dir/sets")
+    baseStamps.foreach { case (p, ts) =>
+      assert(nowStamps.get(p).contains(ts), s"base file rewritten: $p")
+    }
+    assert(served == before && before.nonEmpty)
+    assert(Dedup.appendBandIndexCommitted(spark, dir,
+      docs.filter($"doc_id" % 9 === 2), "doc_id", "text") == 1L)
+  }
+
+  /** The shared maintain-L0 contract, asserted per family: 3 committed
+    * appends; maxRuns=4 refuses; maxRuns=3 fires and re-bases to
+    * generation 0; generation-0 base files untouched (path + mtime);
+    * serve byte-identical to never having compacted.
+    */
+  private def checkL0Maintain(baseDirs: Seq[String],
+      append: Int => Unit,
+      maintain: graft.operators.CompactionPolicy => Boolean,
+      gen: => Long, serve: => Set[_]): Unit = {
+    import graft.operators.CompactionPolicy
+    val baseStamps = parquetStamps(baseDirs: _*)
+    (1 to 3).foreach(append)
+    val before = serve
+    assert(!maintain(CompactionPolicy(maxRuns = 4)), "fired below maxRuns")
+    assert(gen == 3L)
+    assert(maintain(CompactionPolicy(maxRuns = 3)), "did not fire at maxRuns")
+    assert(gen == 0L, "manifest must re-base to generation 0")
+    val now = parquetStamps(baseDirs: _*)
+    baseStamps.foreach { case (p, ts) =>
+      assert(now.get(p).contains(ts), s"base file rewritten: $p")
+    }
+    assert(serve == before && before.nonEmpty)
+  }
+
+  test("maintain*L0 sweep: winnow, simhash, ivf, pq, positional, label " +
+      "all honor the shared policy contract") {
+    import graft.operators.{Dedup, Retrieval, Similarity}
+    locally { // winnow
+      val dir = tmpDir("winnow_l0")
+      Dedup.saveWinnowIndexCommitted(
+        Dedup.buildWinnowIndex(docs.filter($"doc_id" % 3 === 0),
+          "doc_id", "text"), dir)
+      checkL0Maintain(Seq(s"$dir/fps"),
+        r => { Dedup.appendWinnowIndexCommitted(spark, dir,
+          docs.filter($"doc_id" % 9 === 3 * r - 2), "doc_id", "text"); () },
+        Dedup.maintainWinnowL0(spark, dir, _),
+        Dedup.winnowGen(spark, dir),
+        Dedup.winnowProbe(Dedup.loadWinnowIndexSnapshot(spark, dir),
+            shifted, "doc_id", "text", minShared = 1L)
+          .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet)
+    }
+    locally { // simhash
+      val dir = tmpDir("simhash_l0")
+      Dedup.saveSimHashIndexCommitted(
+        Dedup.buildSimHashIndex(docs.filter($"doc_id" % 3 === 0),
+          "doc_id", "text"), dir)
+      checkL0Maintain(Seq(s"$dir/banded"),
+        r => { Dedup.appendSimHashIndexCommitted(spark, dir,
+          docs.filter($"doc_id" % 9 === 3 * r - 2), "doc_id", "text"); () },
+        Dedup.maintainSimHashL0(spark, dir, _),
+        Dedup.simHashGen(spark, dir),
+        Dedup.simHashProbe(Dedup.loadSimHashIndexSnapshot(spark, dir),
+            shifted, "doc_id", "text")
+          .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet)
+    }
+    locally { // ivf
+      val dir = tmpDir("ivf_l0")
+      val queries = emb.filter($"vec_id" % 25 === 0 && $"vec_id" < 40)
+      Similarity.saveIvfIndexCommitted(
+        Similarity.buildIvfIndex(emb.filter($"vec_id" < 40),
+          "vec_id", "embedding"), dir)
+      checkL0Maintain(Seq(s"$dir/assignments"),
+        r => { Similarity.appendIvfIndexCommitted(spark, dir,
+          emb.filter($"vec_id" >= 40 * r && $"vec_id" < 40 * (r + 1)),
+          "vec_id", "embedding"); () },
+        Similarity.maintainIvfL0(spark, dir, _),
+        Similarity.ivfGen(spark, dir),
+        Similarity.ivfSearchIndex(queries,
+            Similarity.loadIvfIndexSnapshot(spark, dir),
+            "vec_id", "embedding", k = 5)
+          .select($"query_id", $"neighbor_id", $"rank")
+          .as[(Long, Long, Int)].collect().toSet)
+    }
+    locally { // pq
+      val dir = tmpDir("pq_l0")
+      val queries = emb.filter($"vec_id" % 25 === 0 && $"vec_id" < 40)
+      Similarity.savePqIndexCommitted(
+        Similarity.buildPqIndex(emb.filter($"vec_id" < 40),
+          "vec_id", "embedding"), dir)
+      checkL0Maintain(Seq(s"$dir/codes"),
+        r => { Similarity.appendPqIndexCommitted(spark, dir,
+          emb.filter($"vec_id" >= 40 * r && $"vec_id" < 40 * (r + 1)),
+          "vec_id", "embedding"); () },
+        Similarity.maintainPqL0(spark, dir, _),
+        Similarity.pqGen(spark, dir),
+        Similarity.pqSearchIndex(queries,
+            Similarity.loadPqIndexSnapshot(spark, dir),
+            "vec_id", "embedding", k = 5)
+          .select($"query_id", $"neighbor_id", $"rank")
+          .as[(Long, Long, Int)].collect().toSet)
+    }
+    locally { // positional
+      val dir = tmpDir("pos_l0")
+      val phrases = docs.filter($"doc_id" % 40 === 1)
+        .select($"doc_id".as("pid"),
+          slice(split($"text", " "), 1, 3).as("pterms"))
+      Retrieval.savePositionalIndexCommitted(
+        Retrieval.buildPositionalIndex(docs.filter($"doc_id" % 3 === 0),
+          "doc_id", "text", nBuckets = 8), dir)
+      checkL0Maintain(Seq(s"$dir/postings"),
+        r => { Retrieval.appendPositionalIndexCommitted(spark, dir,
+          docs.filter($"doc_id" % 9 === 3 * r - 2), "doc_id", "text"); () },
+        Retrieval.maintainPositionalL0(spark, dir, _),
+        Retrieval.positionalGen(spark, dir),
+        Retrieval.phraseSearchIndex(phrases,
+            Retrieval.loadPositionalIndexSnapshot(spark, dir),
+            "pid", "pterms")
+          .as[(Long, Long, Long)].collect().toSet)
+    }
+    locally { // label (remap side may legitimately carry no L0 files)
+      val dir = tmpDir("label_l0")
+      Dedup.saveLabelStoreCommitted(
+        Dedup.connectedComponents(
+          Seq(1L, 2L, 3L, 4L).toDF("id"), "id",
+          Seq((1L, 2L)).toDF("id_a", "id_b")), dir)
+      checkL0Maintain(Seq(s"$dir/labels", s"$dir/remap"),
+        r => { Dedup.appendLabelsCommitted(spark, dir,
+          Seq(10L + r).toDF("id"), "id",
+          Seq((10L + r, 1L)).toDF("id_a", "id_b")); () },
+        Dedup.maintainLabelL0(spark, dir, _),
+        Dedup.labelGen(spark, dir),
+        Dedup.resolveLabelsSnapshot(spark, dir)
+          .select($"id", $"component").as[(Long, Long)].collect().toSet)
+    }
+  }
 }
