@@ -3913,6 +3913,66 @@ object SparkEntry {
         docs.filter(col("doc_id") % 100 =!= 3),
         docs.filter(col("doc_id") % 100 === 3),
         "doc_id", "text", n = 4)
+    }),
+
+    // EXACTLY-ONCE store-maintaining stream ingest — the design the
+    // other 16 twins deliberately avoid (they keep the store immutable
+    // and park admissions in sink partitions): here each trigger
+    // APPENDS its admitted documents into the committed band store
+    // under a batch-id ledger (a `#batch=` header INSIDE the manifest
+    // file whose rename is the commit point — dedup record and commit
+    // are one atomic write), and the CompactionPolicy self-regulates
+    // the L0 the stream grows. The require pins make the exactly-once
+    // claims measured facts: the policy's re-base fired mid-stream
+    // (gen back to 0 with both batch ids carried through the re-base),
+    // and a re-delivered trigger — replayed directly against the store
+    // — changes neither the generation nor the ledger. Gating semantics
+    // are identical to q123 (corpus ∪ earlier admissions), so the
+    // oracle is the same sequential admission chain; output = the
+    // admitted ids as the store itself holds them.
+    "q238_committed_stream_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val base = scratchDir("graft_band_cstream", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      val idxDir = s"$base/bands$run"
+      Dedup.saveBandIndexCommitted(
+        Dedup.buildBandIndex(corpus, "doc_id", "text"), idxDir)
+      val policy = graft.operators.CompactionPolicy(maxRuns = 2)
+      val q = graft.streaming.DocumentStreams.bandIngestCommitted(s,
+        landing.toString, idxDir, s"$base/ckpt$run", policy,
+        maxFilesPerTrigger = Some(1))
+      for ((m, i) <- Seq(0, 10).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        docs.filter(col("doc_id") % 20 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      // the maxRuns=2 policy fired on the second trigger: history
+      // re-based to generation 0 with the ledger carried forward
+      require(Dedup.bandGen(s, idxDir) == 0L,
+        "q238: the compaction policy must have re-based mid-stream")
+      require(graft.operators.StoreFiles.committedBatchIds(s, idxDir)
+          == Set(0L, 1L),
+        "q238: both batch ids must survive the L0 re-base")
+      // exactly-once: re-deliver trigger 1 straight at the store — the
+      // ledger must swallow it (no append, no new generation)
+      graft.streaming.DocumentStreams.bandIngestCommittedBatch(
+        s, idxDir, policy)(docs.filter(col("doc_id") % 20 === 10), 1L)
+      require(Dedup.bandGen(s, idxDir) == 0L &&
+          graft.operators.StoreFiles.committedBatchIds(s, idxDir)
+            == Set(0L, 1L),
+        "q238: a re-delivered batch must append nothing")
+      Dedup.loadBandIndexSnapshot(s, idxDir).sets
+        .filter(col("id") % 10 === 0).select(col("id").as("doc_id"))
     })
   )
 
@@ -5269,6 +5329,23 @@ object SparkEntry {
         |SELECT tr.doc_id, ev.eval_id, CAST(count(*) AS BIGINT) AS n_shared
         |FROM tr JOIN ev USING (g)
         |GROUP BY tr.doc_id, ev.eval_id""".stripMargin,
+    // gating semantics ≡ q123 (corpus ∪ earlier admissions), so the
+    // oracle is the same sequential admission chain — the engine side
+    // differs in WHERE admissions live (the committed store itself,
+    // under the exactly-once batch ledger), not in what is admitted
+    "q238_committed_stream_ingest" ->
+      s"""WITH pairs AS (SELECT id_a, id_b FROM ($minhashOracleSql) p),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |        UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+         |adm1 AS (SELECT doc_id FROM documents d WHERE doc_id % 20 = 0
+         |  AND NOT EXISTS (SELECT 1 FROM sym
+         |                  WHERE sym.a = d.doc_id AND sym.b % 10 <> 0)),
+         |adm2 AS (SELECT doc_id FROM documents d WHERE doc_id % 20 = 10
+         |  AND NOT EXISTS (SELECT 1 FROM sym
+         |                  WHERE sym.a = d.doc_id
+         |                    AND (sym.b % 10 <> 0
+         |                         OR sym.b IN (SELECT doc_id FROM adm1))))
+         |SELECT doc_id FROM adm1 UNION ALL SELECT doc_id FROM adm2""".stripMargin,
     // the same concat-and-chunk spans from a window cumsum (the oracle
     // may use the single-threaded window; the engine's two-phase scan
     // must land on identical offsets)

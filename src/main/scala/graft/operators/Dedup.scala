@@ -447,6 +447,20 @@ object Dedup {
       appendBandIndex(spark, dir, batch, idCol, textCol)
     }
 
+  /** [[appendBandIndexCommitted]] made EXACTLY-ONCE for a replayable
+    * writer (foreachBatch): `batchId` rides the manifest commit as a
+    * ledger header; a re-delivered id writes nothing and returns None
+    * ([[StoreFiles.commitAppendIdempotent]] — the ledger survives
+    * [[compactBandL0]]'s re-base).
+    */
+  def appendBandIndexCommittedIdempotent(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      batchId: Long): Option[Long] =
+    Stores.band.appendCommittedIdempotent(spark, dir, batchId) {
+      appendBandIndex(spark, dir, batch, idCol, textCol)
+    }
+
   /** Latest committed generation (-1 if never committed). */
   def bandGen(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
     Stores.band.gen(spark, dir)

@@ -63,6 +63,16 @@ final case class StoreFamily(
       expectedGen: Option[Long] = None)(append: => Unit): Long =
     StoreFiles.commitAppend(spark, dir, dataDirs(dir), expectedGen)(append)
 
+  /** [[appendCommitted]] made EXACTLY-ONCE for a replayable writer
+    * (foreachBatch): the batch id rides the manifest commit as a
+    * ledger header; a re-delivered id writes nothing and returns None
+    * ([[StoreFiles.commitAppendIdempotent]]).
+    */
+  def appendCommittedIdempotent(spark: SparkSession, dir: String,
+      batchId: Long)(append: => Unit): Option[Long] =
+    StoreFiles.commitAppendIdempotent(spark, dir, dataDirs(dir),
+      batchId)(append)
+
   /** Latest committed generation (-1 if never committed). */
   def gen(spark: SparkSession, dir: String): Long =
     StoreFiles.manifestGen(spark, dir)

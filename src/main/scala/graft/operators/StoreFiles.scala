@@ -181,7 +181,8 @@ private[graft] object StoreFiles {
     * retries. Driver-only FS calls; no Spark job.
     */
   def writeManifest(spark: SparkSession, dir: String, gen: Long,
-      paths: Set[String], mode: String): Unit = {
+      paths: Set[String], mode: String,
+      headers: Seq[String] = Seq.empty): Unit = {
     val md = new org.apache.hadoop.fs.Path(s"$dir/manifest")
     val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (curEpoch, curDir) = activeEpoch(fs, md)
@@ -196,7 +197,7 @@ private[graft] object StoreFiles {
     val tmp = new org.apache.hadoop.fs.Path(target, f".tmp-gen-$gen%016d")
     val out = fs.create(tmp, true)
     try out.write(
-      paths.toSeq.sorted.mkString("\n")
+      (headers.map("#" + _) ++ paths.toSeq.sorted).mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val fin = new org.apache.hadoop.fs.Path(target, f"gen-$gen%016d.txt")
@@ -236,9 +237,56 @@ private[graft] object StoreFiles {
             org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
             java.nio.charset.StandardCharsets.UTF_8)
           finally in.close()
-        (g, text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
+        (g, text.split("\n").toSeq.map(_.trim)
+          .filter(l => l.nonEmpty && !l.startsWith("#")))
       }
   }
+
+  /** Every `#key=value` header line committed in the active epoch, as
+    * (key, value) pairs — the manifest's side-channel for writer
+    * metadata. One driver-side parse, same scale as [[manifestEntries]].
+    */
+  def manifestHeaders(spark: SparkSession,
+      dir: String): Seq[(String, String)] = {
+    val md = new org.apache.hadoop.fs.Path(s"$dir/manifest")
+    val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(activeEpoch(fs, md)._2).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case GenFileName(g) => Some((g.toLong, st.getPath))
+        case _ => None
+      })
+      .sortBy(_._1)
+      .flatMap { case (_, p) =>
+        val in = fs.open(p)
+        val text =
+          try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        text.split("\n").toSeq.map(_.trim)
+          .filter(_.startsWith("#"))
+          .flatMap { l =>
+            l.drop(1).split("=", 2) match {
+              case Array(k, v) => Some((k, v))
+              case _ => None
+            }
+          }
+      }
+  }
+
+  /** The batch ids already committed against this store — the
+    * exactly-once ledger a streaming writer's retry consults (the
+    * Delta `txn` appId/version dedup reduced to its minimum). Scope:
+    * the ACTIVE epoch — [[compactL0]] carries the headers forward
+    * through its re-base, so ids survive background maintenance; a
+    * FULL compaction or fresh save resets the ledger, which is sound
+    * under the single-writer contract (those are offline operations —
+    * no batch can be in flight across one to be retried).
+    */
+  def committedBatchIds(spark: SparkSession, dir: String): Set[Long] =
+    manifestHeaders(spark, dir)
+      .collect { case ("batch", v) => v.toLong }.toSet
 
   /** Latest committed generation of the active epoch, or -1 for a
     * store with no manifest (never committed, or pre-manifest layout).
@@ -295,7 +343,8 @@ private[graft] object StoreFiles {
     * generation.
     */
   def commitAppend(spark: SparkSession, dir: String,
-      dataDirs: Seq[String], expectedGen: Option[Long] = None)(
+      dataDirs: Seq[String], expectedGen: Option[Long] = None,
+      headers: Seq[String] = Seq.empty)(
       append: => Unit): Long = {
     val before = listDataFiles(spark, dataDirs)
     append
@@ -308,9 +357,32 @@ private[graft] object StoreFiles {
             s"orphaned (vacuum reclaims them); re-read and retry")
     }
     writeManifest(spark, dir, cur + 1L,
-      listDataFiles(spark, dataDirs) -- before, "append")
+      listDataFiles(spark, dataDirs) -- before, "append", headers)
     cur + 1L
   }
+
+  /** [[commitAppend]] made EXACTLY-ONCE for a replayable writer
+    * (Structured Streaming's foreachBatch contract: after a crash the
+    * engine re-delivers the same batch under the same `batchId`): the
+    * batch id is checked against the manifest's committed-id ledger
+    * BEFORE any data is written — a re-delivered batch writes nothing
+    * at all and returns None — and is recorded as a `#batch=` header
+    * line inside the SAME manifest file whose publish rename is the
+    * commit point, so the dedup record and the commit are one atomic
+    * write (never a committed batch without its id, or vice versa).
+    * Crash windows: data landed but no manifest → the retry re-appends
+    * (first attempt's files are unmanifested orphans — the listing
+    * diff excludes them from the retry's commit; vacuum reclaims);
+    * manifest landed but the caller's checkpoint didn't → the retry
+    * hits the ledger and skips. [[compactL0]] carries the ledger
+    * through its re-base.
+    */
+  def commitAppendIdempotent(spark: SparkSession, dir: String,
+      dataDirs: Seq[String], batchId: Long)(
+      append: => Unit): Option[Long] =
+    if (committedBatchIds(spark, dir).contains(batchId)) None
+    else Some(commitAppend(spark, dir, dataDirs,
+      headers = Seq(s"batch=$batchId"))(append))
 
   /** Physically delete data files NOT in the committed set — the
     * leftovers of torn appends and lost optimistic commits. Returns the
@@ -381,7 +453,12 @@ private[graft] object StoreFiles {
         committed ++= listDataFiles(spark, Seq(dataDir)) -- before
       }
     }
-    writeManifest(spark, dir, 0L, committed, "overwrite")
+    // the re-base carries every committed `#key=value` header forward —
+    // in particular the exactly-once batch-id ledger: a streaming
+    // writer's retry must still find its id after background
+    // maintenance collapsed the L0 generations it committed into
+    writeManifest(spark, dir, 0L, committed, "overwrite",
+      manifestHeaders(spark, dir).map { case (k, v) => s"$k=$v" }.distinct)
     val conf = spark.sparkContext.hadoopConfiguration
     l0.foreach { s =>
       val p = new org.apache.hadoop.fs.Path(s)

@@ -280,6 +280,72 @@ object DocumentStreams {
       .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
   }
 
+  /** STORE-MAINTAINING band-gated ingest — [[bandIngest]]'s
+    * exactly-once sibling. Where [[bandIngest]] keeps the stored index
+    * immutable and parks admissions in sink partitions (re-deriving
+    * their bands every trigger), this twin APPENDS each trigger's
+    * admitted documents straight into the committed band store and
+    * lets the [[graft.operators.CompactionPolicy]] regulate the L0 it
+    * grows — the full online lifecycle: gate against the committed
+    * snapshot (corpus ∪ every earlier admission), append under the
+    * manifest commit protocol, background-compact when the policy
+    * fires.
+    *
+    * Exactly-once without coordination: foreachBatch re-delivers a
+    * crashed batch under the SAME batchId, and the append is
+    * [[graft.operators.Dedup.appendBandIndexCommittedIdempotent]] —
+    * the id is checked against the manifest's ledger BEFORE any write
+    * and committed as a header INSIDE the manifest file whose rename
+    * publishes the batch, so a replay appends nothing and double
+    * admission is structurally impossible. The ledger survives the
+    * policy's L0 re-bases ([[graft.operators.StoreFiles.compactL0]]
+    * carries headers forward). Maintenance runs unconditionally after
+    * every trigger — including replays, covering the crash window
+    * between a batch's commit and its compaction.
+    */
+  def bandIngestCommitted(spark: SparkSession, landingDir: String,
+      idxDir: String, checkpointDir: String,
+      policy: graft.operators.CompactionPolicy,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readDocuments(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        bandIngestCommittedBatch(spark, idxDir, policy)(batch.toDF(), batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One [[bandIngestCommitted]] trigger, exposed for the replay spec
+    * and the in-row idempotence pin.
+    */
+  def bandIngestCommittedBatch(spark: SparkSession, idxDir: String,
+      policy: graft.operators.CompactionPolicy)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.{Dedup, StoreFiles}
+    // early ledger probe saves the replay even the gating jobs; the
+    // authoritative check stays inside the idempotent append
+    if (!StoreFiles.committedBatchIds(spark, idxDir).contains(batchId)) {
+      val pairs = Dedup.minHashLshProbe(
+        Dedup.loadBandIndexSnapshot(spark, idxDir),
+        batch, "doc_id", "text")
+      // every pair is cross-side; the union over both id columns hits
+      // the batch's member, index-side ids fall out of the anti join
+      val dupIds = pairs.select(col("id_a").as("doc_id"))
+        .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+      // pinned eagerly: the append writes two subs (bands, sets) and
+      // must not re-run the LSH probe per sub — and it must not READ
+      // the snapshot lazily while its own files land
+      val admitted =
+        batch.join(dupIds, Seq("doc_id"), "left_anti").localCheckpoint()
+      Dedup.appendBandIndexCommittedIdempotent(spark, idxDir, admitted,
+        "doc_id", "text", batchId)
+    }
+    // unconditional — including on replays, covering the crash window
+    // between a batch's commit and its compaction
+    Dedup.maintainBandL0(spark, idxDir, policy)
+    ()
+  }
+
   /** Winnow-gated ingest — [[bandIngest]]'s twin on the WINNOW
     * fingerprint store (partial-overlap gating: a drop doc is rejected
     * when it shares ≥ 2 df-capped selected fingerprints with the

@@ -352,4 +352,47 @@ class ManifestFamiliesSpec extends SparkSpec {
     assert(matches(Retrieval.loadPositionalIndexSnapshot(spark, dir)) ==
       Set((100L, 3L, 1L)))
   }
+
+  test("idempotent append: replay skips before any write; a torn " +
+      "attempt's retry commits only its own files; the batch ledger " +
+      "survives the L0 re-base") {
+    val dir = tmp("graft_band_idem")
+    val corpus = Seq((1L, sA), (2L, filler1)).toDF("doc_id", "text")
+    val b0 = Seq((5L, sB)).toDF("doc_id", "text")
+    val b1 = Seq((6L, sC)).toDF("doc_id", "text")
+    val probes = Seq((11L, sA), (12L, sB), (13L, sC)).toDF("doc_id", "text")
+    def pairs: Set[(Long, Long)] =
+      Dedup.minHashLshProbe(Dedup.loadBandIndexSnapshot(spark, dir),
+          probes, "doc_id", "text")
+        .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+
+    Dedup.saveBandIndexCommitted(
+      Dedup.buildBandIndex(corpus, "doc_id", "text"), dir)
+    // first delivery commits and records its id in the same manifest
+    assert(Dedup.appendBandIndexCommittedIdempotent(spark, dir, b0,
+      "doc_id", "text", batchId = 0L).contains(1L))
+    assert(StoreFiles.committedBatchIds(spark, dir) == Set(0L))
+    // replay: nothing written at all — no data files, no generation
+    val stamps = parquetStamps(s"$dir/bands", s"$dir/sets")
+    assert(Dedup.appendBandIndexCommittedIdempotent(spark, dir, b0,
+      "doc_id", "text", batchId = 0L).isEmpty)
+    assert(parquetStamps(s"$dir/bands", s"$dir/sets") == stamps)
+    assert(Dedup.bandGen(spark, dir) == 1L)
+    // torn first attempt of batch 1 (data landed, no manifest): the
+    // retry's listing diff commits ONLY the retry's files; the torn
+    // files stay orphans for vacuum
+    Dedup.appendBandIndex(spark, dir, b1, "doc_id", "text")
+    assert(Dedup.appendBandIndexCommittedIdempotent(spark, dir, b1,
+      "doc_id", "text", batchId = 1L).contains(2L))
+    assert(Dedup.vacuumBandIndex(spark, dir).nonEmpty)
+    assert(pairs == Set((1L, 11L), (5L, 12L), (6L, 13L)))
+    // the ledger rides the L0 re-base — a late replay after background
+    // maintenance still finds both ids
+    assert(Dedup.compactBandL0(spark, dir, minRuns = 1))
+    assert(Dedup.bandGen(spark, dir) == 0L)
+    assert(StoreFiles.committedBatchIds(spark, dir) == Set(0L, 1L))
+    assert(Dedup.appendBandIndexCommittedIdempotent(spark, dir, b1,
+      "doc_id", "text", batchId = 1L).isEmpty)
+    assert(pairs == Set((1L, 11L), (5L, 12L), (6L, 13L)))
+  }
 }
