@@ -3973,7 +3973,24 @@ object SparkEntry {
         "q238: a re-delivered batch must append nothing")
       Dedup.loadBandIndexSnapshot(s, idxDir).sets
         .filter(col("id") % 10 === 0).select(col("id").as("doc_id"))
-    })
+    }),
+
+    // WHOLE-DOCUMENT BIN PACKING (the SFT layout: sequences never
+    // cross document boundaries) — q235's complement. Exact
+    // first-fit-decreasing is inherently sequential, so this is the
+    // class-based (harmonic) relaxation: slot count k = ⌊C/n⌋,
+    // same-class docs pack k per bin in (n desc, id) order, bins
+    // number densely across classes. Every bin except possibly the
+    // last of each class is > C/2 full (harmonic ≤ 2× OPT bound);
+    // the plan is ONE global range sort (two-phase index, no
+    // single-partition window) + a ≤-C-row driver class fold. The
+    // oracle replays the identical arithmetic from its own window
+    // rank, so the hash pins every placement.
+    "q239_bin_packing" -> ((s, dir) =>
+      graft.operators.Layout.packBins(
+        t(s, dir, "documents").withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")).cast("long")),
+        "doc_id", "n_tokens", capacity = 128))
   )
 
   /** Oracle SQL that must be GENERATED against the data (embedding dim,
@@ -5346,6 +5363,31 @@ object SparkEntry {
          |                    AND (sym.b % 10 <> 0
          |                         OR sym.b IN (SELECT doc_id FROM adm1))))
          |SELECT doc_id FROM adm1 UNION ALL SELECT doc_id FROM adm2""".stripMargin,
+    // the same class-based placement from the oracle's own window rank
+    // (the engine's two-phase index and the window agree because the
+    // (k, n desc, id) order is total)
+    "q239_bin_packing" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, n, 128 // n AS k FROM d
+        |      WHERE n BETWEEN 1 AND 128),
+        |r AS (SELECT doc_id, n, k,
+        |        row_number() OVER (ORDER BY k, n DESC, doc_id) - 1 AS idx
+        |      FROM c),
+        |f AS (SELECT k, min(idx) AS first_idx, count(*) AS cnt
+        |      FROM r GROUP BY k),
+        |b AS (SELECT k, first_idx,
+        |        COALESCE(SUM((cnt + k - 1) // k) OVER (ORDER BY k
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS bin_base
+        |      FROM f)
+        |SELECT CAST(b.bin_base + (r.idx - b.first_idx) // r.k AS BIGINT)
+        |         AS bin_id,
+        |       r.doc_id,
+        |       CAST((r.idx - b.first_idx) % r.k AS BIGINT) AS slot,
+        |       r.n AS n_tokens, r.k AS slots
+        |FROM r JOIN b USING (k)""".stripMargin,
     // the same concat-and-chunk spans from a window cumsum (the oracle
     // may use the single-threaded window; the engine's two-phase scan
     // must land on identical offsets)

@@ -123,6 +123,85 @@ object Layout {
           greatest(col("start"), col("chunk_id") * L)).as("len"))
   }
 
+  /** WHOLE-DOCUMENT BIN PACKING (the SFT/instruction-tuning layout:
+    * sequences must NOT cross document boundaries, so the unit is a
+    * BIN of whole documents padded to `capacity` — the complement of
+    * [[packSequences]]' concat-and-chunk). Exact first-fit-decreasing
+    * is inherently sequential (every placement consults a global
+    * mutable bin state), so at corpus scale this is CLASS-BASED
+    * (harmonic-style) packing — fully relational, deterministic, and
+    * with a provable waste bound:
+    *
+    *   - slot count  k = ⌊capacity / n⌋  (same-k docs pack k per bin);
+    *   - rank within the class by (n desc, doc_id) — a total order, so
+    *     the plan is reproducible anywhere;
+    *   - bin = the class's rank ⁄ k-th bin; bins number densely across
+    *     classes (k ascending — longest docs first) via driver-side
+    *     class bases (bounded: ≤ capacity classes).
+    *
+    * Same-class docs have n ∈ (C/(k+1), C/k], so every bin except
+    * possibly the last of each class is > C·k/(k+1) ≥ C/2 full — the
+    * classic harmonic guarantee (≤ 2× OPT bins) vs FFD's 11/9, paid
+    * for a plan with ONE global range sort (the two-phase
+    * [[Relational.allocateIds]] index, no single-partition window) and
+    * a ≤-capacity-row driver aggregate. Documents with n > capacity
+    * cannot pack and are EXCLUDED — gate upstream (q212's span trim /
+    * q109's rare-token gate own oversize handling); zero-token docs
+    * are dropped as in [[tokenOffsets]].
+    *
+    * @return (bin_id, doc_id, slot, n_tokens, slots): doc_id is the
+    *         slot-th of the slots same-class documents of bin_id;
+    *         Σ n_tokens within a bin ≤ capacity by construction
+    */
+  def packBins(docs: DataFrame, idCol: String, nTokensCol: String,
+      capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val spark = docs.sparkSession
+    val C = capacity.toLong
+    val classed = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(nTokensCol).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1L && col("n_tokens") <= C)
+      .withColumn("slots", expr(s"$C div n_tokens"))
+    // global index over the (slots asc, n desc, id asc) total order:
+    // ranks within a class are then idx − first idx of the class
+    val sorted = classed.orderBy(col("slots"), col("n_tokens").desc,
+      col("doc_id"))
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), r.getLong(2), i)
+    }
+    val indexed = spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_tokens",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("slots",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("idx",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    // per-class first index and dense bin base — ≤ capacity rows, so a
+    // driver fold + broadcast join is the right scale
+    val classStats = indexed.groupBy(col("slots"))
+      .agg(min(col("idx")).as("first_idx"), count(lit(1)).as("cnt"))
+      .orderBy(col("slots")).collect()
+    var base = 0L
+    val classRows = classStats.map { r =>
+      val (k, first, cnt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val out = (k, first, base)
+      base += (cnt + k - 1L) / k // ceil(cnt / k) bins for this class
+      out
+    }.toSeq
+    import spark.implicits._
+    val bases = classRows.toDF("slots", "first_idx", "bin_base")
+    indexed.join(broadcast(bases), Seq("slots"))
+      .select(
+        (col("bin_base") +
+          expr("(idx - first_idx) div slots")).as("bin_id"),
+        col("doc_id"),
+        expr("(idx - first_idx) % slots").as("slot"),
+        col("n_tokens"), col("slots"))
+  }
+
   /** RENDEZVOUS (highest-random-weight) shard assignment (Thaler &
     * Ravishankar 1998 — the consistent-placement scheme behind cache
     * rings and shard maps): a key's shard is the argmax over shards of

@@ -77,4 +77,61 @@ class PackingSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect()
     assert(out.toSet == again.toSet)
   }
+
+  test("packBins hand-checked: class ranks, dense bin numbering, " +
+      "oversize and zero-token docs excluded") {
+    // C=10: k=1 docs (10, 6) → bins 0,1; k=2 docs (5, 5) → bin 2;
+    // k=3 docs (3, 3, 3) → bin 3; k=5 doc (2) → bin 4; 11 and 0 drop
+    val d = Seq((1L, 10L), (2L, 6L), (3L, 5L), (4L, 5L), (5L, 3L),
+      (6L, 3L), (7L, 3L), (8L, 2L), (9L, 11L), (10L, 0L))
+      .toDF("doc_id", "n_tokens")
+    val out = Layout.packBins(d, "doc_id", "n_tokens", capacity = 10)
+      .select($"bin_id", $"doc_id", $"slot", $"n_tokens", $"slots")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (0L, 1L, 0L, 10L, 1L), (1L, 2L, 0L, 6L, 1L),
+      (2L, 3L, 0L, 5L, 2L), (2L, 4L, 1L, 5L, 2L),
+      (3L, 5L, 0L, 3L, 3L), (3L, 6L, 1L, 3L, 3L), (3L, 7L, 2L, 3L, 3L),
+      (4L, 8L, 0L, 2L, 5L)))
+  }
+
+  test("packBins real corpus: every doc placed once, bins never " +
+      "overflow, all but the last bin per class are full and > C/2, " +
+      "deterministic") {
+    val C = 128
+    val out = Layout.packBins(docs, "doc_id", "n_tokens", C)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // exactly the packable docs, each exactly once
+    val expected = docs.filter($"n_tokens" >= 1 && $"n_tokens" <= C)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out.map(_._2).toSet == expected)
+    assert(out.map(_._2).length == expected.size)
+    // capacity: sum of tokens per bin <= C; slots agree within a bin
+    out.groupBy(_._1).foreach { case (bin, rows) =>
+      assert(rows.map(_._4).sum <= C, s"bin $bin overflows")
+      assert(rows.map(_._5).toSet.size == 1, s"bin $bin mixes classes")
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"bin $bin slots not dense")
+    }
+    // per class: every bin but the class's last holds exactly k docs,
+    // hence is > C·k/(k+1) >= C/2 full (the harmonic bound)
+    out.groupBy(_._5).foreach { case (k, rows) =>
+      val byBin = rows.groupBy(_._1)
+      val lastBin = byBin.keys.max
+      byBin.foreach { case (bin, docsIn) =>
+        if (bin != lastBin) {
+          assert(docsIn.length == k, s"class $k bin $bin not full")
+          assert(docsIn.map(_._4).sum * 2 > C,
+            s"class $k bin $bin below half fill")
+        }
+      }
+    }
+    // dense global bin ids
+    val bins = out.map(_._1).distinct.sorted
+    assert(bins.toSeq == (0L until bins.length).toSeq)
+    val again = Layout.packBins(docs, "doc_id", "n_tokens", C)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.toSet == again.toSet)
+  }
 }
