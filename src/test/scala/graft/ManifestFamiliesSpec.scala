@@ -395,4 +395,36 @@ class ManifestFamiliesSpec extends SparkSpec {
       "doc_id", "text", batchId = 1L).isEmpty)
     assert(pairs == Set((1L, 11L), (5L, 12L), (6L, 13L)))
   }
+
+  test("idempotent append is DESCRIPTOR-level: any family gets the " +
+      "batch ledger through appendCommittedIdempotent — postings shown") {
+    import graft.operators.Stores
+    val dir = tmp("graft_postings_idem")
+    val corpus = Seq((1L, sA), (2L, filler1)).toDF("doc_id", "text")
+    val b0 = Seq((5L, sB)).toDF("doc_id", "text")
+    val queries = Seq((100L, Seq("two", "three", "alpha")))
+      .toDF("qid", "qterms")
+    def served: Set[(Long, Long)] =
+      Retrieval.bm25SearchIndex(queries,
+          Retrieval.loadPostingsIndexSnapshot(spark, dir),
+          "qid", "qterms", k = 5)
+        .select(col("qid"), col("doc_id"))
+        .as[(Long, Long)].collect().toSet
+
+    Retrieval.savePostingsIndexCommitted(
+      Retrieval.buildPostingsIndex(corpus, "doc_id", "text"), dir)
+    assert(Stores.postings.appendCommittedIdempotent(spark, dir, 7L) {
+      Retrieval.appendPostingsIndex(spark, dir, b0, "doc_id", "text")
+    }.contains(1L))
+    val after = served
+    assert(after.contains((100L, 5L)) && after.contains((100L, 1L)))
+    // replay through the descriptor: no write, no generation, serve same
+    val stamps = parquetStamps(s"$dir/postings", s"$dir/stats")
+    assert(Stores.postings.appendCommittedIdempotent(spark, dir, 7L) {
+      Retrieval.appendPostingsIndex(spark, dir, b0, "doc_id", "text")
+    }.isEmpty)
+    assert(parquetStamps(s"$dir/postings", s"$dir/stats") == stamps)
+    assert(Retrieval.postingsGen(spark, dir) == 1L)
+    assert(served == after)
+  }
 }

@@ -193,6 +193,19 @@ class PlanSpec extends SparkSpec {
       s"quadratic plan shapes outside the named exact baselines:\n  ${offenders.mkString("\n  ")}")
   }
 
+  test("q235/q239: the layout rows carry NO Window operator — the " +
+      "global scan is the two-phase index, never a single-partition " +
+      "window") {
+    // the claim these rows make ("no single-partition window anywhere")
+    // as a plan property: a future rewrite that sneaks a global
+    // row_number()/sum() window back in fails here, not at 100 TB
+    for (q <- Seq("q235_sequence_packing", "q239_bin_packing")) {
+      val s = formatted(q)
+      assert(!s.contains("Window"),
+        s"$q plans a Window operator — the two-phase scan was lost")
+    }
+  }
+
   test("q117: bloom gate confirms and anti-joins via broadcast — the corpus never sort-merges") {
     val s = formatted("q117_bloom_gated_dedup")
     // the exact-confirm semi join and the final anti join both run
