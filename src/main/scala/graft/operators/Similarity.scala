@@ -412,6 +412,27 @@ object Similarity {
     (array_position(s, array_max(s)) - 1).cast("int")
   }
 
+  /** STATIC cell-pruning predicate for a stored-index probe: collect
+    * the query batch's probed cells (ONE bounded driver action —
+    * ≤ |queries|·nprobe rows, ≤ nlist distinct values; the same
+    * bounded-collect discipline as [[Retrieval.bm25SearchIndex]]'s
+    * bucket collect) and filter the stored relation on the literal set.
+    * This matters because the broadcast cell join alone does NOT prune
+    * the scan: Spark plans a DynamicPruningExpression on the partition
+    * column, but under the default reuseBroadcastOnly the runtime
+    * falls back to scanning every cell when the probe side's exchange
+    * isn't reusable — MEASURED in PruningSpec, where nprobe=1 and
+    * nprobe=nlist read identical bytes without this filter. A literal
+    * IN list prunes at plan time, unconditionally, in any engine. At
+    * 100 TB this is the difference between touching nprobe/nlist of
+    * the index files and re-scanning the corpus index per query batch.
+    */
+  private def probedCells(qb: DataFrame): Column = {
+    val cells = qb.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (cells.isEmpty) lit(false) else col("cell").isin(cells: _*)
+  }
+
   /** (vec_id, vm, cell, crn): every (vector, cell) scored and ranked by
     * (score desc, cell asc) — crn = 1 is the assignment, crn ≤ nprobe the
     * query probes. Relational form mirrors the oracle SQL one-to-one.
@@ -1192,7 +1213,8 @@ object Similarity {
       .select(col("id").as("query_id"), col("vm").as("qv"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist2").asc, col("neighbor_id").asc)
-    corpusFilter.foldLeft(index.codes)((c, f) => c.filter(f))
+    corpusFilter.foldLeft(index.codes.filter(probedCells(qb)))(
+        (c, f) => c.filter(f))
       .join(broadcast(qb), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -1244,7 +1266,7 @@ object Similarity {
       .select(col("id").as("query_id"), col("vm").as("qv"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    index.assignments.join(broadcast(qb), Seq("cell"))
+    index.assignments.filter(probedCells(qb)).join(broadcast(qb), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dotLong(col("qv"), col("cv")) /
