@@ -179,15 +179,19 @@ object Layout {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("idx",
           org.apache.spark.sql.types.LongType, nullable = false))))
-    // per-class first index and dense bin base — ≤ capacity rows, so a
-    // driver fold + broadcast join is the right scale
-    val classStats = indexed.groupBy(col("slots"))
-      .agg(min(col("idx")).as("first_idx"), count(lit(1)).as("cnt"))
+    // per-class first index and dense bin base, from class COUNTS alone
+    // (≤ capacity rows to the driver): the global order is
+    // slots-ascending primary, so first_idx(k) = Σ cnt(k' < k) — no
+    // second pass over the sorted relation, the global sort runs ONCE
+    val classStats = classed.groupBy(col("slots"))
+      .agg(count(lit(1)).as("cnt"))
       .orderBy(col("slots")).collect()
+    var firstIdx = 0L
     var base = 0L
     val classRows = classStats.map { r =>
-      val (k, first, cnt) = (r.getLong(0), r.getLong(1), r.getLong(2))
-      val out = (k, first, base)
+      val (k, cnt) = (r.getLong(0), r.getLong(1))
+      val out = (k, firstIdx, base)
+      firstIdx += cnt
       base += (cnt + k - 1L) / k // ceil(cnt / k) bins for this class
       out
     }.toSeq
