@@ -5485,7 +5485,7 @@ object SparkEntry {
         |      FROM c GROUP BY source)
         |SELECT source, n_pos, n_neg,
         |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0
-        |    AND 2 * n_pos * n_neg <= 9223372036854775 THEN
+        |    AND n_pos <= 4611686018427387 // greatest(n_neg, 1) THEN
         |    ((u2 * 1000) // (2 * n_pos * n_neg)) * 1000
         |    + (((u2 * 1000) % (2 * n_pos * n_neg)) * 1000)
         |      // (2 * n_pos * n_neg)

@@ -147,9 +147,15 @@ object Classify {
         sum(col("p_at") * (lit(2L) * (col("cum_neg") - col("neg_at"))
           + col("neg_at"))).as("u2"))
       .withColumn("auc_micro",
+        // envelope check WITHOUT multiplying: 2·P·N ≤ maxLong/10³ ⇔
+        // P ≤ (maxLong/10³/2) div N for P,N ≥ 1 — the product form
+        // wraps under non-ANSI Spark beyond ~4.6e18 (guard could pass
+        // falsely) and raises in DuckDB (engines diverge); the division
+        // form cannot overflow and both engines agree bit-for-bit
         when(col("n_pos") > 0L && col("n_neg") > 0L
-            && lit(2L) * col("n_pos") * col("n_neg")
-              <= lit(Long.MaxValue / 1000L), expr(
+            && col("n_pos") <= expr(
+              s"${Long.MaxValue / 1000L / 2L}L div greatest(n_neg, 1L)"),
+          expr(
           "((u2 * 1000L) div (2L * n_pos * n_neg)) * 1000L" +
             " + (((u2 * 1000L) % (2L * n_pos * n_neg)) * 1000L)" +
             " div (2L * n_pos * n_neg)")))

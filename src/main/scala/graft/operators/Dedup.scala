@@ -244,16 +244,18 @@ object Dedup {
   }
 
   /** [[verifyJaccard]] over the hashed payload: candidates join the
-    * per-doc (h1, h2) arrays and intersect on the h1 KEYS — long-array
-    * intersection, no string allocation. `array_intersect` /
-    * `array_distinct` already return distinct elements, mirroring the
-    * string path's distinct-shingle counts exactly (absent md5-prefix
-    * collisions — see [[hashedShingleSets]]).
+    * per-doc (h1, h2) arrays and intersect the FULL (h1, h2) structs —
+    * no string allocation, and the verify keeps the whole 120-bit
+    * md5-prefix collision envelope [[hashedShingleSets]] documents
+    * (an h1-only intersect would merge distinct shingles at ~2⁻⁶⁰ per
+    * pair, silently weakening the stated bound). `array_intersect` /
+    * `array_distinct` support struct elements and already return
+    * distinct values, mirroring the string path's distinct-shingle
+    * counts exactly.
     */
   def verifyJaccardHashed(docSets: DataFrame, candidates: DataFrame): DataFrame = {
-    def keys(c: Column): Column = transform(c, x => x.getField("h1"))
-    val a = docSets.select(col("id").as("id_a"), keys(col("harr")).as("set_a"))
-    val b = docSets.select(col("id").as("id_b"), keys(col("harr")).as("set_b"))
+    val a = docSets.select(col("id").as("id_a"), col("harr").as("set_a"))
+    val b = docSets.select(col("id").as("id_b"), col("harr").as("set_b"))
     candidates.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("set_a"), col("set_b"))).as("n_common"),

@@ -61,7 +61,24 @@ object Layout {
   def tokenOffsets(docs: DataFrame, idCol: String,
       nTokensCol: String): DataFrame = {
     val spark = docs.sparkSession
-    val sorted = docs.select(col(idCol).cast("long").as("doc_id"),
+    // ids order the stream here: the long cast must be lossless. A
+    // string/decimal id would cast to null, sort first, and die with an
+    // opaque NullPointerException deep in the RDD pass — fail loudly up
+    // front instead (the connectedComponents discipline), and guard
+    // actual null ids in-plan (assert_true is null on success, so the
+    // `when` passes the value through and no rewrite can drop the check).
+    def requireIntegral(c: String): Unit = {
+      import org.apache.spark.sql.types._
+      val dt = docs.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"tokenOffsets needs integral columns; '$c' is $dt " +
+          "(map string ids to longs first, e.g. via a surrogate-key join)")
+    }
+    requireIntegral(idCol); requireIntegral(nTokensCol)
+    val sorted = docs.select(
+        when(assert_true(col(idCol).isNotNull,
+            lit(s"tokenOffsets: null $idCol — every document needs an id"))
+          .isNull, col(idCol).cast("long")).as("doc_id"),
         col(nTokensCol).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
       .orderBy(col("doc_id"))

@@ -433,6 +433,15 @@ object Similarity {
     if (cells.isEmpty) lit(false) else col("cell").isin(cells: _*)
   }
 
+  /** Pin a query-side probe batch before [[probedCells]] reads it: the
+    * collected literal cell set and the later broadcast join consume
+    * the SAME materialized rows (localCheckpoint — one bounded job over
+    * ≤ |queries|·nprobe rows), so a nondeterministic queries input
+    * (sampled / rand-derived) cannot yield an IN set that disagrees
+    * with the join's cells and silently drop valid probes.
+    */
+  private def pinProbes(qb: DataFrame): DataFrame = qb.localCheckpoint()
+
   /** (vec_id, vm, cell, crn): every (vector, cell) scored and ranked by
     * (score desc, cell asc) — crn = 1 is the assignment, crn ≤ nprobe the
     * query probes. Relational form mirrors the oracle SQL one-to-one.
@@ -1208,9 +1217,9 @@ object Similarity {
   def pqSearchIndex(queries: DataFrame, index: PqIndex, idCol: String,
       vecCol: String, k: Int, nprobe: Int = 4,
       corpusFilter: Option[Column] = None): DataFrame = {
-    val qb = cellRanked(queries, idCol, vecCol, index.centroids)
+    val qb = pinProbes(cellRanked(queries, idCol, vecCol, index.centroids)
       .filter(col("crn") <= nprobe)
-      .select(col("id").as("query_id"), col("vm").as("qv"), col("cell"))
+      .select(col("id").as("query_id"), col("vm").as("qv"), col("cell")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist2").asc, col("neighbor_id").asc)
     corpusFilter.foldLeft(index.codes.filter(probedCells(qb)))(
@@ -1261,9 +1270,9 @@ object Similarity {
     */
   def ivfSearchIndex(queries: DataFrame, index: IvfIndex, idCol: String,
       vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
-    val qb = cellRanked(queries, idCol, vecCol, index.centroids)
+    val qb = pinProbes(cellRanked(queries, idCol, vecCol, index.centroids)
       .filter(col("crn") <= nprobe)
-      .select(col("id").as("query_id"), col("vm").as("qv"), col("cell"))
+      .select(col("id").as("query_id"), col("vm").as("qv"), col("cell")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     index.assignments.filter(probedCells(qb)).join(broadcast(qb), Seq("cell"))

@@ -137,6 +137,47 @@ private[graft] object StoreFiles {
   private val GenFileName = "gen-(\\d{16})\\.txt".r
   private val EpochDirName = "epoch-(\\d{8})".r
 
+  /** Bounded retry for the non-atomic list-then-read the manifest
+    * readers do: [[writeManifest]]'s post-commit cleanup deletes
+    * superseded epoch dirs and bare gen files, so a reader that listed
+    * the old epoch can hit FileNotFoundException opening a gen file
+    * mid-overwrite. The store is single-WRITER but readers are
+    * concurrent-legal (maintain*L0 re-bases online inside streaming
+    * ingest), so a vanished path means exactly one thing: the epoch
+    * the reader was walking was just superseded — re-list from the
+    * top and the new epoch's complete log is there (the commit rename
+    * published it BEFORE cleanup started). Bounded: each retry needs
+    * another full overwrite to race, so 10 misses in a row means
+    * something else is deleting manifest files.
+    *
+    * A mid-delete directory surfaces differently per FS layer —
+    * FileNotFoundException, java.nio NoSuchFile/AccessDenied, or
+    * RawLocalFileSystem's bare IOException("Invalid directory…") when
+    * File.list() returns null — so the retry catches IOException
+    * wholesale: within this bounded loop a transient miss and a racy
+    * list are indistinguishable, and a PERSISTENT error (real
+    * permissions, dead disk) still fails loudly after the retries.
+    */
+  private def isRacyMiss(t: Throwable): Boolean = t match {
+    case _: java.io.FileNotFoundException => true
+    case _: java.nio.file.NoSuchFileException => true
+    case _: java.nio.file.AccessDeniedException => true
+    case _ => false
+  }
+
+  private def retryingRead[T](what: String)(body: => T): T = {
+    var last: Throwable = null
+    var i = 0
+    while (i < 10) {
+      try return body
+      catch { case e: java.io.IOException => last = e; i += 1 }
+    }
+    throw new IllegalStateException(
+      s"$what: manifest kept vanishing across 10 re-listings — " +
+        s"something beyond overwrite cleanup is deleting manifest files",
+      last)
+  }
+
   /** The active epoch of a manifest directory: the highest epoch
     * holding at least one committed gen file. Bare `gen-*.txt` files
     * directly under `manifest/` are epoch 0 (the fresh-save layout);
@@ -144,25 +185,58 @@ private[graft] object StoreFiles {
     * re-bases. An epoch directory with NO gen file (a torn overwrite
     * that crashed before its commit rename) is ignored — readers fall
     * through to the previous epoch, which is exactly the atomicity the
-    * epoch scheme buys. Returns (epoch, dirHoldingItsGenFiles);
-    * (0, manifest dir) for a store that has never committed.
+    * epoch scheme buys. Returns Some((epoch, dirHoldingItsGenFiles));
+    * None for a store that has never committed.
     */
   private def activeEpoch(fs: org.apache.hadoop.fs.FileSystem,
-      md: org.apache.hadoop.fs.Path): (Long, org.apache.hadoop.fs.Path) = {
-    if (!fs.exists(md)) return (0L, md)
+      md: org.apache.hadoop.fs.Path)
+      : Option[(Long, org.apache.hadoop.fs.Path)] = {
+    if (!fs.exists(md)) return None
     val sts = fs.listStatus(md).toSeq
     val hasBare = sts.exists(_.getPath.getName match {
       case GenFileName(_) => true; case _ => false })
+    // the inner listing races writeManifest's post-commit cleanup: an
+    // epoch dir that vanishes between the outer listStatus and this one
+    // is by definition superseded — treat it as holding no gen files
+    def hasGen(p: org.apache.hadoop.fs.Path): Boolean =
+      try fs.listStatus(p).exists(_.getPath.getName match {
+        case GenFileName(_) => true; case _ => false })
+      catch { case e: Throwable if isRacyMiss(e) => false }
     val epochs = sts.flatMap(st => st.getPath.getName match {
-      case EpochDirName(e) if fs.listStatus(st.getPath).exists(
-          _.getPath.getName match {
-            case GenFileName(_) => true; case _ => false }) =>
+      case EpochDirName(e) if hasGen(st.getPath) =>
         Some((e.toLong, st.getPath))
       case _ => None
     })
     ((if (hasBare) Seq((0L, md)) else Seq.empty) ++ epochs)
-      .sortBy(_._1).lastOption.getOrElse((0L, md))
+      .sortBy(_._1).lastOption
   }
+
+  /** The active epoch's gen files as (gen, path) ascending, read under
+    * the STABLE-EPOCH protocol: a committed epoch always holds at
+    * least one gen file, and cleanup of a superseded epoch starts only
+    * AFTER its successor's gen file is published — so if the epoch
+    * resolved before the listing is still the active one after it, and
+    * the listing saw gen files, the listing could not have raced a
+    * sweep (a half-swept epoch is by then outranked by its published
+    * successor). Any violation throws into [[retryingRead]], which
+    * re-resolves from the top. Empty = the store has never committed.
+    */
+  private def activeGenFiles(fs: org.apache.hadoop.fs.FileSystem,
+      md: org.apache.hadoop.fs.Path)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] =
+    activeEpoch(fs, md) match {
+      case None => Seq.empty
+      case Some((e, d)) =>
+        val gens = fs.listStatus(d).toSeq
+          .flatMap(st => st.getPath.getName match {
+            case GenFileName(g) => Some((g.toLong, st.getPath))
+            case _ => None // in-flight temp files, epoch dirs
+          })
+        if (gens.isEmpty || !activeEpoch(fs, md).map(_._1).contains(e))
+          throw new java.io.FileNotFoundException(
+            s"manifest epoch $e at $md superseded mid-read")
+        gens.sortBy(_._1)
+    }
 
   /** One manifest generation: the text file `gen-<g 16-digit>.txt`
     * (one committed data-file path per line) under the manifest's
@@ -185,10 +259,9 @@ private[graft] object StoreFiles {
       headers: Seq[String] = Seq.empty): Unit = {
     val md = new org.apache.hadoop.fs.Path(s"$dir/manifest")
     val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (curEpoch, curDir) = activeEpoch(fs, md)
-    val hasLog = fs.exists(md) && fs.listStatus(curDir).exists(
-      _.getPath.getName match {
-        case GenFileName(_) => true; case _ => false })
+    val act = activeEpoch(fs, md)
+    val hasLog = act.nonEmpty
+    val (curEpoch, curDir) = act.getOrElse((0L, md))
     val target =
       if (mode == "overwrite" && hasLog)
         new org.apache.hadoop.fs.Path(md, f"epoch-${curEpoch + 1L}%08d")
@@ -224,22 +297,19 @@ private[graft] object StoreFiles {
     val md = new org.apache.hadoop.fs.Path(s"$dir/manifest")
     val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(md)) Seq.empty
-    else fs.listStatus(activeEpoch(fs, md)._2).toSeq
-      .flatMap(st => st.getPath.getName match {
-        case GenFileName(g) => Some((g.toLong, st.getPath))
-        case _ => None // temp files of an in-flight commit, epoch dirs
-      })
-      .sortBy(_._1)
-      .map { case (g, p) =>
-        val in = fs.open(p)
-        val text =
-          try new String(
-            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-            java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-        (g, text.split("\n").toSeq.map(_.trim)
-          .filter(l => l.nonEmpty && !l.startsWith("#")))
-      }
+    else retryingRead("manifestEntries") {
+      activeGenFiles(fs, md)
+        .map { case (g, p) =>
+          val in = fs.open(p)
+          val text =
+            try new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+              java.nio.charset.StandardCharsets.UTF_8)
+            finally in.close()
+          (g, text.split("\n").toSeq.map(_.trim)
+            .filter(l => l.nonEmpty && !l.startsWith("#")))
+        }
+    }
   }
 
   /** Every `#key=value` header line committed in the active epoch, as
@@ -251,28 +321,25 @@ private[graft] object StoreFiles {
     val md = new org.apache.hadoop.fs.Path(s"$dir/manifest")
     val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(md)) Seq.empty
-    else fs.listStatus(activeEpoch(fs, md)._2).toSeq
-      .flatMap(st => st.getPath.getName match {
-        case GenFileName(g) => Some((g.toLong, st.getPath))
-        case _ => None
-      })
-      .sortBy(_._1)
-      .flatMap { case (_, p) =>
-        val in = fs.open(p)
-        val text =
-          try new String(
-            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-            java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-        text.split("\n").toSeq.map(_.trim)
-          .filter(_.startsWith("#"))
-          .flatMap { l =>
-            l.drop(1).split("=", 2) match {
-              case Array(k, v) => Some((k, v))
-              case _ => None
+    else retryingRead("manifestHeaders") {
+      activeGenFiles(fs, md)
+        .flatMap { case (_, p) =>
+          val in = fs.open(p)
+          val text =
+            try new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+              java.nio.charset.StandardCharsets.UTF_8)
+            finally in.close()
+          text.split("\n").toSeq.map(_.trim)
+            .filter(_.startsWith("#"))
+            .flatMap { l =>
+              l.drop(1).split("=", 2) match {
+                case Array(k, v) => Some((k, v))
+                case _ => None
+              }
             }
-          }
-      }
+        }
+    }
   }
 
   /** The batch ids already committed against this store — the
@@ -296,12 +363,9 @@ private[graft] object StoreFiles {
     val md = new org.apache.hadoop.fs.Path(s"$dir/manifest")
     val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(md)) -1L
-    else fs.listStatus(activeEpoch(fs, md)._2).toSeq
-      .flatMap(_.getPath.getName match {
-        case GenFileName(g) => Some(g.toLong)
-        case _ => None
-      })
-      .foldLeft(-1L)(math.max)
+    else retryingRead("manifestGen") {
+      activeGenFiles(fs, md).map(_._1).foldLeft(-1L)(math.max)
+    }
   }
 
   /** The committed file set: union of every manifest generation with

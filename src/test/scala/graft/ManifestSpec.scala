@@ -217,6 +217,50 @@ class ManifestSpec extends SparkSpec {
     assert(StoreFiles.manifestGen(spark, dir) == 1L)
   }
 
+  test("manifest readers survive concurrent overwrite re-bases (list-then-read retry)") {
+    // writeManifest's post-commit cleanup deletes superseded epoch dirs
+    // and bare gen files while readers do a non-atomic list-then-read —
+    // and re-bases happen ONLINE now (maintain*L0 fires inside streaming
+    // ingest), so this race is realistic. Readers must never surface a
+    // FileNotFoundException or an empty/partial log: a vanished path
+    // means the epoch was superseded, and the retry re-lists from the
+    // top. 200 re-bases under two hot reader threads exercises the
+    // window thousands of times.
+    import graft.operators.StoreFiles
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_race").toString
+    StoreFiles.writeManifest(spark, dir, 0L,
+      Set(s"$dir/sub/p-0.parquet"), "overwrite", Seq("v=0"))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    val readers = (1 to 2).map { _ =>
+      new Thread(() => {
+        while (!stop.get()) {
+          try {
+            val es = StoreFiles.manifestEntries(spark, dir)
+            require(es.nonEmpty && es.flatMap(_._2).size == 1,
+              s"reader saw an incomplete log: $es")
+            val hv = StoreFiles.manifestHeaders(spark, dir)
+              .collect { case ("v", x) => x.toLong }
+            require(hv.size == 1, s"reader saw headers $hv")
+            require(StoreFiles.manifestGen(spark, dir) == 0L)
+            reads.incrementAndGet(); ()
+          } catch { case t: Throwable => failures.add(t); stop.set(true) }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    for (i <- 1 to 200)
+      StoreFiles.writeManifest(spark, dir, 0L,
+        Set(s"$dir/sub/p-$i.parquet"), "overwrite", Seq(s"v=$i"))
+    stop.set(true)
+    readers.foreach(_.join())
+    assert(failures.isEmpty,
+      failures.asScala.map(_.toString).mkString("; "))
+    assert(reads.get() > 0L, "readers never completed a read")
+  }
+
   test("tombstone deletes compose with snapshot loads") {
     val dir = java.nio.file.Files.createTempDirectory("graft_manifest_del").toString
     Retrieval.savePostingsIndexCommitted(
