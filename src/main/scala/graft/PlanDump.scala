@@ -93,7 +93,8 @@ object PlanDump {
       "q232_ndcg_eval_full", "q233_auto_compact_policy",
       "q234_bpe_vocab_scale", "q235_sequence_packing",
       "q236_bpe_encode_ids", "q237_decontaminate",
-      "q238_committed_stream_ingest", "q239_bin_packing")
+      "q238_committed_stream_ingest", "q239_bin_packing",
+      "q240_zonemap_range_serve")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))

@@ -3990,7 +3990,56 @@ object SparkEntry {
       graft.operators.Layout.packBins(
         t(s, dir, "documents").withColumn("n_tokens",
           TextAnalysis.tokenCount(col("text")).cast("long")),
-        "doc_id", "n_tokens", capacity = 128))
+        "doc_id", "n_tokens", capacity = 128)),
+
+    // ZONE-MAP FILE SKIPPING on a committed serve — the data-skipping
+    // half of the pruning story (q164/PruningSpec pinned partition
+    // pruning; this row pins per-file (min, max) envelopes): three
+    // range-disjoint commits (the id-correlated ingest every store
+    // sees when ids grow with time) each carry their files' doc_id
+    // envelopes as `#stat=` lines INSIDE the manifest commit, and the
+    // ranged serve drops non-overlapping files from the scan list at
+    // plan time — Spark never lists, opens, or footer-reads them
+    // (PruningSpec holds the measured byte arithmetic; the require
+    // here pins the file-set arithmetic in-row). Scoring contract:
+    // candidates restricted BEFORE the top-k (a post-filtered k-list
+    // under-returns), global stats keep corpus-level idf/avgdl, df is
+    // hit-derived — the oracle replays exactly that split.
+    "q240_zonemap_range_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = scratchDir("graft_postings_zonemap", dir)
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val c1 = mx / 2; val c2 = (mx * 3) / 4
+      graft.operators.Retrieval.savePostingsIndexCommitted(
+        graft.operators.Retrieval.buildPostingsIndex(
+          docs.filter(col("doc_id") <= c1), "doc_id", "text",
+          nBuckets = 16), idxDir)
+      graft.operators.Retrieval.appendPostingsIndexCommitted(s, idxDir,
+        docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+        "doc_id", "text")
+      graft.operators.Retrieval.appendPostingsIndexCommitted(s, idxDir,
+        docs.filter(col("doc_id") > c2), "doc_id", "text")
+      // plan-time file-set arithmetic: the range keeps a strict
+      // minority of the committed postings files (base + first append
+      // have provably disjoint envelopes)
+      val all = graft.operators.StoreFiles.manifestPaths(s, idxDir)
+        .filter(_.contains("/postings/"))
+      val st = graft.operators.StoreFiles.fileStats(s, idxDir)
+      val kept = all.filter { p =>
+        st.get(p).flatMap(_.get("doc_id"))
+          .forall { case (mn, mxv) => mxv >= c2 + 1 && mn <= mx }
+      }
+      require(kept.nonEmpty && kept.size * 2 <= all.size,
+        s"q240: range kept ${kept.size} of ${all.size} committed files — " +
+          "zone maps did not prune")
+      val queries = docs.filter(col("doc_id") % 200 === 7)
+        .select(col("doc_id").as("qid"),
+          array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+      graft.operators.Retrieval.bm25SearchIndex(queries,
+        graft.operators.Retrieval.loadPostingsIndexSnapshotRange(
+          s, idxDir, c2 + 1, mx),
+        "qid", "qterms", k = 10)
+    })
   )
 
   /** Oracle SQL that must be GENERATED against the data (embedding dim,
@@ -5363,6 +5412,40 @@ object SparkEntry {
          |                    AND (sym.b % 10 <> 0
          |                         OR sym.b IN (SELECT doc_id FROM adm1))))
          |SELECT doc_id FROM adm1 UNION ALL SELECT doc_id FROM adm2""".stripMargin,
+    // candidates restricted to the top-quarter id range BEFORE the
+    // top-k, stats over the WHOLE corpus, df over restricted hits —
+    // exactly the filtered-search scoring contract the ranged load
+    // implements (zone maps only change which files are read)
+    "q240_zonemap_range_serve" ->
+      """WITH wq AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |mxv AS (SELECT max(doc_id) AS mx FROM documents),
+        |dla AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM wq),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                 CAST(sum(dl) AS BIGINT) AS t FROM dla),
+        |w AS (SELECT wq.* FROM wq, mxv WHERE wq.doc_id > (mx * 3) // 4),
+        |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+        |tok AS (SELECT doc_id, unnest(w.w) AS token FROM w),
+        |postings AS (SELECT tok.doc_id, dl.dl, tok.token, count(*) AS tf
+        |             FROM tok JOIN dl ON dl.doc_id = tok.doc_id
+        |             GROUP BY tok.doc_id, dl.dl, tok.token),
+        |q AS (SELECT doc_id AS qid,
+        |        unnest(list_distinct(list_slice(wq.w, 1, 4))) AS term
+        |      FROM wq WHERE doc_id % 200 = 7),
+        |hit AS (SELECT * FROM postings WHERE token IN (SELECT term FROM q)),
+        |dfreq AS (SELECT token, count(*) AS df FROM hit GROUP BY token),
+        |scored AS (SELECT q.qid, h.doc_id,
+        |    CAST(sum(CAST(floor(
+        |      CAST((2*s.n - 2*f.df + 1) * 22 * h.tf * s.t AS DOUBLE)
+        |      / CAST((2*f.df + 1) * (10*h.tf*s.t + 3*s.t + 9*h.dl*s.n) AS DOUBLE)
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+        |  FROM hit h JOIN q ON q.term = h.token
+        |  JOIN dfreq f ON f.token = h.token
+        |  CROSS JOIN stats s
+        |  GROUP BY q.qid, h.doc_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |             ORDER BY score_micro DESC, doc_id ASC) AS rn FROM scored)
+        |SELECT qid, doc_id, score_micro, CAST(rn AS INT) AS rn
+        |FROM ranked WHERE rn <= 10""".stripMargin,
     // the same class-based placement from the oracle's own window rank
     // (the engine's two-phase index and the window agree because the
     // (k, n desc, id) order is total)

@@ -478,7 +478,8 @@ object Dedup {
     */
   def compactBandL0(spark: org.apache.spark.sql.SparkSession, dir: String,
       minRuns: Int = 4): Boolean =
-    StoreFiles.compactL0(spark, dir, Seq("bands", "sets"), minRuns) {
+    StoreFiles.compactL0(spark, dir, Seq("bands", "sets"), minRuns,
+        Stores.band.statCols) {
       case ("bands", l0) =>
         l0.repartition(col("band")).write.mode("append")
           .partitionBy("band").parquet(s"$dir/bands")
@@ -1392,7 +1393,8 @@ object Dedup {
     */
   def compactSimHashL0(spark: org.apache.spark.sql.SparkSession,
       dir: String, minRuns: Int = 4): Boolean =
-    StoreFiles.compactL0(spark, dir, Seq("banded"), minRuns) {
+    StoreFiles.compactL0(spark, dir, Seq("banded"), minRuns,
+        Stores.simhash.statCols) {
       case ("banded", l0) =>
         l0.repartition(col("band")).write.mode("append")
           .partitionBy("band").parquet(s"$dir/banded")
@@ -1722,7 +1724,8 @@ object Dedup {
     */
   def compactLabelL0(spark: org.apache.spark.sql.SparkSession,
       dir: String, minRuns: Int = 4): Boolean =
-    StoreFiles.compactL0(spark, dir, Seq("labels", "remap"), minRuns) {
+    StoreFiles.compactL0(spark, dir, Seq("labels", "remap"), minRuns,
+        Stores.label.statCols) {
       case (sub @ ("labels" | "remap"), l0) =>
         l0.coalesce(1).write.mode("append").parquet(s"$dir/$sub")
       case (sub, _) =>
@@ -1877,6 +1880,20 @@ object Dedup {
       appendWinnowIndex(spark, dir, batch, idCol, textCol)
     }
 
+  /** [[appendWinnowIndexCommitted]] made EXACTLY-ONCE for a replayable
+    * writer (foreachBatch): `batchId` rides the manifest commit as a
+    * ledger header; a re-delivered id writes nothing and returns None
+    * ([[StoreFiles.commitAppendIdempotent]] — the ledger survives
+    * [[compactWinnowL0]]'s re-base).
+    */
+  def appendWinnowIndexCommittedIdempotent(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      batchId: Long): Option[Long] =
+    Stores.winnow.appendCommittedIdempotent(spark, dir, batchId) {
+      appendWinnowIndex(spark, dir, batch, idCol, textCol)
+    }
+
   /** Latest committed generation (-1 if never committed). */
   def winnowGen(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
     Stores.winnow.gen(spark, dir)
@@ -1948,7 +1965,8 @@ object Dedup {
     */
   def compactWinnowL0(spark: org.apache.spark.sql.SparkSession,
       dir: String, minRuns: Int = 4): Boolean =
-    StoreFiles.compactL0(spark, dir, Seq("fps"), minRuns) {
+    StoreFiles.compactL0(spark, dir, Seq("fps"), minRuns,
+        Stores.winnow.statCols) {
       case ("fps", l0) =>
         l0.coalesce(1).write.mode("append").parquet(s"$dir/fps")
       case (sub, _) =>

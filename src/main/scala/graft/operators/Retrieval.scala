@@ -264,6 +264,19 @@ object Retrieval {
       appendPostingsIndex(spark, dir, batch, idCol, textCol)
     }
 
+  /** [[appendPostingsIndexCommitted]] made EXACTLY-ONCE for a
+    * replayable writer (foreachBatch): `batchId` rides the manifest
+    * commit as a ledger header; a re-delivered id writes nothing and
+    * returns None ([[StoreFiles.commitAppendIdempotent]] — the ledger
+    * survives [[compactPostingsL0]]'s re-base).
+    */
+  def appendPostingsIndexCommittedIdempotent(spark: SparkSession,
+      dir: String, batch: DataFrame, idCol: String, textCol: String,
+      batchId: Long): Option[Long] =
+    Stores.postings.appendCommittedIdempotent(spark, dir, batchId) {
+      appendPostingsIndex(spark, dir, batch, idCol, textCol)
+    }
+
   /** Latest committed generation of a stored index (-1 if it was never
     * committed) — what an optimistic writer reads before its append.
     */
@@ -290,7 +303,8 @@ object Retrieval {
     */
   def compactPostingsL0(spark: SparkSession, dir: String,
       minRuns: Int = 4): Boolean =
-    StoreFiles.compactL0(spark, dir, Seq("postings", "stats"), minRuns) {
+    StoreFiles.compactL0(spark, dir, Seq("postings", "stats"), minRuns,
+        Stores.postings.statCols) {
       case ("postings", l0) =>
         l0.repartition(col("bucket")).write.mode("append")
           .partitionBy("bucket").parquet(s"$dir/postings")
@@ -331,6 +345,36 @@ object Retrieval {
   def loadPostingsIndexSnapshot(spark: SparkSession, dir: String,
       asOf: Option[Long] = None): PostingsIndex =
     mkPostingsIndex(spark, dir, Stores.postings.snapshot(spark, dir, asOf))
+
+  /** FILTERED-SEARCH load: the committed snapshot restricted to
+    * candidate documents with `doc_id ∈ [lo, hi]`, with ZONE-MAP file
+    * skipping — committed postings files whose per-file (min, max)
+    * doc_id envelope (recorded in the manifest at commit time from the
+    * parquet footers) provably misses the range never enter the scan's
+    * file list. Because batches commit as their own files, an
+    * id-correlated ingest (the normal case: ids grow with time) gives
+    * every commit a tight envelope, so a range serve touches only the
+    * commits it can hit — at 100 TB the difference between scanning
+    * the probed buckets of the whole store and of the matching
+    * commits. The range predicate is also applied in-plan; stats only
+    * prune, never decide.
+    *
+    * Scoring contract (the [[graft.operators.Similarity.pqSearchIndex]]
+    * `corpusFilter` semantics, on this family): candidates are
+    * restricted BEFORE scoring — the top-k ranks allowed documents
+    * only, which a post-filtered k-limited result cannot give — while
+    * the stored global stats (N, total length) still describe the
+    * WHOLE index, so idf/avgdl keep their corpus-level meaning. df
+    * counts restricted hits, as in every serve (df is hit-derived).
+    */
+  def loadPostingsIndexSnapshotRange(spark: SparkSession, dir: String,
+      lo: Long, hi: Long): PostingsIndex = {
+    val ranged = Stores.postings.snapshotSkipping(spark, dir, "doc_id",
+      lo, hi)
+    val full = Stores.postings.snapshot(spark, dir)
+    mkPostingsIndex(spark, dir,
+      sub => if (sub == "postings") ranged(sub) else full(sub))
+  }
 
   /** CHANGE FEED over the commit log — the incremental-consumer read
     * (Delta's table_changes / Iceberg's incremental scan, reduced to
@@ -1144,7 +1188,8 @@ object Retrieval {
     */
   def compactPositionalL0(spark: SparkSession, dir: String,
       minRuns: Int = 4): Boolean =
-    StoreFiles.compactL0(spark, dir, Seq("postings"), minRuns) {
+    StoreFiles.compactL0(spark, dir, Seq("postings"), minRuns,
+        Stores.positional.statCols) {
       case ("postings", l0) =>
         l0.repartition(col("bucket")).write.mode("append")
           .partitionBy("bucket").parquet(s"$dir/postings")

@@ -649,7 +649,8 @@ object Similarity {
     */
   def compactIvfL0(spark: org.apache.spark.sql.SparkSession, dir: String,
       minRuns: Int = 4): Boolean =
-    StoreFiles.compactL0(spark, dir, Seq("assignments"), minRuns) {
+    StoreFiles.compactL0(spark, dir, Seq("assignments"), minRuns,
+        Stores.ivf.statCols) {
       case ("assignments", l0) =>
         l0.repartition(col("cell")).write.mode("append")
           .partitionBy("cell").parquet(s"$dir/assignments")
@@ -1169,7 +1170,8 @@ object Similarity {
     */
   def compactPqL0(spark: org.apache.spark.sql.SparkSession, dir: String,
       minRuns: Int = 4): Boolean =
-    StoreFiles.compactL0(spark, dir, Seq("codes"), minRuns) {
+    StoreFiles.compactL0(spark, dir, Seq("codes"), minRuns,
+        Stores.pq.statCols) {
       case ("codes", l0) =>
         l0.repartition(col("cell")).write.mode("append")
           .partitionBy("cell").parquet(s"$dir/codes")

@@ -34,7 +34,8 @@ import org.apache.spark.sql.functions.{broadcast, col}
 final case class StoreFamily(
     name: String,
     subs: Seq[String],
-    ledger: Option[String] = None) {
+    ledger: Option[String] = None,
+    statCols: Map[String, Seq[String]] = Map.empty) {
 
   def dataDirs(dir: String): Seq[String] = subs.map(s => s"$dir/$s")
   private def ledgerDir(dir: String) = s"$dir/tombstones"
@@ -42,11 +43,14 @@ final case class StoreFamily(
   /** Commit the store's CURRENT files as manifest generation 0 — the
     * shared tail of every `save*Committed` and of a full compaction's
     * history-collapsing re-base (atomic: [[StoreFiles.writeManifest]]
-    * publishes the new log as a new epoch).
+    * publishes the new log as a new epoch). Every committed file's
+    * zone-map envelope ([[statCols]]) rides the same commit.
     */
-  def commitInitial(spark: SparkSession, dir: String): Unit =
-    StoreFiles.writeManifest(spark, dir, 0L,
-      StoreFiles.listDataFiles(spark, dataDirs(dir)), "overwrite")
+  def commitInitial(spark: SparkSession, dir: String): Unit = {
+    val files = StoreFiles.listDataFiles(spark, dataDirs(dir))
+    StoreFiles.writeManifest(spark, dir, 0L, files, "overwrite",
+      StoreFiles.zoneMapHeaders(spark, files, statCols))
+  }
 
   /** Run `save`, then commit generation 0. */
   def saveCommitted(spark: SparkSession, dir: String)(save: => Unit): Unit = {
@@ -61,7 +65,8 @@ final case class StoreFamily(
     */
   def appendCommitted(spark: SparkSession, dir: String,
       expectedGen: Option[Long] = None)(append: => Unit): Long =
-    StoreFiles.commitAppend(spark, dir, dataDirs(dir), expectedGen)(append)
+    StoreFiles.commitAppend(spark, dir, dataDirs(dir), expectedGen,
+      statCols = statCols)(append)
 
   /** [[appendCommitted]] made EXACTLY-ONCE for a replayable writer
     * (foreachBatch): the batch id rides the manifest commit as a
@@ -71,7 +76,7 @@ final case class StoreFamily(
   def appendCommittedIdempotent(spark: SparkSession, dir: String,
       batchId: Long)(append: => Unit): Option[Long] =
     StoreFiles.commitAppendIdempotent(spark, dir, dataDirs(dir),
-      batchId)(append)
+      batchId, statCols = statCols)(append)
 
   /** Latest committed generation (-1 if never committed). */
   def gen(spark: SparkSession, dir: String): Long =
@@ -131,6 +136,17 @@ final case class StoreFamily(
   def snapshot(spark: SparkSession, dir: String,
       asOf: Option[Long] = None): String => DataFrame =
     sub => StoreFiles.snapshotRead(spark, dir, sub, asOf)
+
+  /** Committed-snapshot per-sub reader with ZONE-MAP file skipping for
+    * `colName ∈ [lo, hi]` ([[StoreFiles.snapshotReadSkipping]]):
+    * committed files whose recorded envelope misses the range never
+    * enter the scan; the predicate is also applied in-plan, so
+    * correctness never rests on the stats.
+    */
+  def snapshotSkipping(spark: SparkSession, dir: String, colName: String,
+      lo: Long, hi: Long, asOf: Option[Long] = None): String => DataFrame =
+    sub => StoreFiles.snapshotReadSkipping(spark, dir, sub, colName,
+      lo, hi, asOf)
 
   /** L0 state of a committed store: the appended runs (manifest
     * generations >= 1) and their total committed bytes — the two
@@ -218,32 +234,42 @@ final case class CompactionPolicy(
   */
 object Stores {
   /** MinHash LSH band index ([[Dedup.BandIndex]]). */
-  val band = StoreFamily("band", Seq("bands", "sets"), Some("id"))
+  val band = StoreFamily("band", Seq("bands", "sets"), Some("id"),
+    statCols = Map("bands" -> Seq("id"), "sets" -> Seq("id")))
   /** Bloom membership filter ([[Dedup.BloomIndex]]) — no ledger:
     * deletes are the documented stale-keys trade (extra candidates
-    * only, scrubbed by the exact confirm). */
+    * only, scrubbed by the exact confirm). No zone maps: word_idx is
+    * hash-uniform per file, so envelopes never prune. */
   val bloom = StoreFamily("bloom", Seq("words"))
   /** SimHash banded fingerprint index ([[Dedup.SimHashIndex]]). */
-  val simhash = StoreFamily("simhash", Seq("banded"), Some("id"))
+  val simhash = StoreFamily("simhash", Seq("banded"), Some("id"),
+    statCols = Map("banded" -> Seq("id")))
   /** Connected-components label store (labels + merge remaps). */
-  val label = StoreFamily("label", Seq("labels", "remap"), Some("id"))
+  val label = StoreFamily("label", Seq("labels", "remap"), Some("id"),
+    statCols = Map("labels" -> Seq("id")))
   /** Winnowing fingerprint index ([[Dedup.WinnowIndex]]). */
-  val winnow = StoreFamily("winnow", Seq("fps"), Some("id"))
+  val winnow = StoreFamily("winnow", Seq("fps"), Some("id"),
+    statCols = Map("fps" -> Seq("id")))
   /** IVF coarse-quantized ANN index ([[Similarity.IvfIndex]]);
     * centroids are save-time-immutable and live outside the log. */
-  val ivf = StoreFamily("ivf", Seq("assignments"), Some("neighbor_id"))
+  val ivf = StoreFamily("ivf", Seq("assignments"), Some("neighbor_id"),
+    statCols = Map("assignments" -> Seq("neighbor_id")))
   /** IVF-PQ coded ANN index ([[Similarity.PqIndex]]); centroids and
     * codebooks live outside the log. */
-  val pq = StoreFamily("pq", Seq("codes"), Some("neighbor_id"))
+  val pq = StoreFamily("pq", Seq("codes"), Some("neighbor_id"),
+    statCols = Map("codes" -> Seq("neighbor_id")))
   /** BM25 postings index ([[Retrieval.PostingsIndex]]) — the ledger
     * carries (doc_id, dl) so serve-side stats adjust without a scan;
     * its delete function stays with the family. */
   val postings = StoreFamily("postings", Seq("postings", "stats"),
-    Some("doc_id"))
+    Some("doc_id"),
+    statCols = Map("postings" -> Seq("doc_id")))
   /** Positional phrase index ([[Retrieval.PositionalIndex]]). */
   val positional = StoreFamily("positional", Seq("postings"),
-    Some("doc_id"))
+    Some("doc_id"),
+    statCols = Map("postings" -> Seq("doc_id")))
   /** Mergeable aggregate state ([[MatView.AggState]]) — no ledger:
-    * deletes are explicit retraction delta rows. */
+    * deletes are explicit retraction delta rows. No zone maps: state
+    * keys are group values, not range-predicated ids. */
   val agg = StoreFamily("agg", Seq("state"))
 }

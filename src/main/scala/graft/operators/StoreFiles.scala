@@ -137,6 +137,132 @@ private[graft] object StoreFiles {
   private val GenFileName = "gen-(\\d{16})\\.txt".r
   private val EpochDirName = "epoch-(\\d{8})".r
 
+  // ------------------------------------------------------------------
+  // Per-file ZONE MAPS — the data-skipping half of the pruning story
+  // (partition pruning covers directory-encoded columns; these cover
+  // content columns). At commit time each newly committed file's
+  // (col, min, max) envelope is read from its parquet FOOTER on the
+  // driver — no Spark job, one bounded footer read per file, the same
+  // scale as the listing diff itself — and rides the manifest as
+  // `#stat=` header lines inside the SAME gen file whose publish
+  // rename is the commit point (stats and file list land atomically).
+  // Serve-side, [[snapshotReadSkipping]] drops committed files whose
+  // envelope provably misses a range predicate BEFORE Spark ever
+  // lists the store: at 100 TB this is the difference between
+  // listing/footer-reading every file of the probed partitions and
+  // touching only the files the predicate can hit. Stats are a
+  // pruning HINT, never the correctness boundary — the predicate is
+  // also applied in-plan, and a file with no recorded envelope is
+  // always kept.
+  // ------------------------------------------------------------------
+
+  private def statLongOf(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l.longValue)
+    case i: java.lang.Integer => Some(i.longValue)
+    case _ => None // only integral envelopes are recorded
+  }
+
+  /** (col, min, max) for the requested LONG/INT columns of one parquet
+    * file, from its footer's row-group statistics — driver-side, no
+    * job. A column is reported only when EVERY row group carries
+    * non-null stats for it (otherwise the file's envelope is unknown
+    * and it must never be skipped). Null rows never widen the
+    * envelope, which is sound for range pruning: a BETWEEN predicate
+    * cannot match null.
+    */
+  def parquetLongStats(conf: org.apache.hadoop.conf.Configuration,
+      file: String, cols: Seq[String]): Seq[(String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      cols.flatMap { c =>
+        val chunks = blocks.flatMap(_.getColumns.asScala
+          .filter(_.getPath.toDotString == c))
+        val envs = chunks.flatMap { ch =>
+          val s = ch.getStatistics
+          if (s == null || !s.hasNonNullValue) None
+          else for (mn <- statLongOf(s.genericGetMin);
+                    mx <- statLongOf(s.genericGetMax)) yield (mn, mx)
+        }
+        if (chunks.isEmpty || envs.size != chunks.size) None
+        else Some((c, envs.map(_._1).min, envs.map(_._2).max))
+      }
+    } finally reader.close()
+  }
+
+  /** `stat=<col>|<min>|<max>|<path>` header lines for the files whose
+    * store subdirectory has registered stat columns (path goes LAST —
+    * it is the one field that may contain arbitrary characters).
+    */
+  def zoneMapHeaders(spark: SparkSession, files: Set[String],
+      statCols: Map[String, Seq[String]]): Seq[String] =
+    if (statCols.isEmpty) Seq.empty
+    else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      files.toSeq.sorted.flatMap { f =>
+        statCols.collectFirst {
+          case (sub, cs) if f.contains(s"/$sub/") => cs
+        } match {
+          case None => Seq.empty
+          case Some(cs) => parquetLongStats(conf, f, cs)
+            .map { case (c, mn, mx) => s"stat=$c|$mn|$mx|$f" }
+        }
+      }
+    }
+
+  /** The committed zone maps of the active epoch:
+    * path → col → (min, max). Driver-side header parse, no job.
+    */
+  def fileStats(spark: SparkSession,
+      dir: String): Map[String, Map[String, (Long, Long)]] =
+    manifestHeaders(spark, dir)
+      .collect { case ("stat", v) => v }
+      .flatMap { v =>
+        v.split("\\|", 4) match {
+          case Array(c, mn, mx, p) =>
+            try Some((p, c, mn.toLong, mx.toLong))
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      }
+      .groupBy(_._1)
+      .map { case (p, rows) =>
+        (p, rows.map(r => (r._2, (r._3, r._4))).toMap)
+      }
+
+  /** [[snapshotRead]] with zone-map FILE SKIPPING for
+    * `colName ∈ [lo, hi]`: committed files whose recorded envelope is
+    * disjoint from the range never enter the scan's file list; files
+    * with no envelope are kept. The range predicate is also applied
+    * in-plan — correctness never rests on the stats.
+    */
+  def snapshotReadSkipping(spark: SparkSession, dir: String, sub: String,
+      colName: String, lo: Long, hi: Long,
+      asOf: Option[Long] = None): DataFrame = {
+    require(lo <= hi, s"snapshotReadSkipping: empty range [$lo, $hi]")
+    val paths = manifestPaths(spark, dir, asOf)
+      .filter(_.contains(s"/$sub/"))
+    require(paths.nonEmpty,
+      s"snapshotReadSkipping: no committed files under $dir/$sub")
+    val stats = fileStats(spark, dir)
+    val kept = paths.filter { p =>
+      stats.get(p).flatMap(_.get(colName))
+        .forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    val range = org.apache.spark.sql.functions.col(colName)
+      .between(lo, hi)
+    if (kept.isEmpty)
+      // every file provably misses: empty relation, schema preserved
+      spark.read.option("basePath", s"$dir/$sub").parquet(paths: _*)
+        .filter(org.apache.spark.sql.functions.lit(false))
+    else
+      spark.read.option("basePath", s"$dir/$sub").parquet(kept: _*)
+        .filter(range)
+  }
+
   /** Bounded retry for the non-atomic list-then-read the manifest
     * readers do: [[writeManifest]]'s post-commit cleanup deletes
     * superseded epoch dirs and bare gen files, so a reader that listed
@@ -408,7 +534,8 @@ private[graft] object StoreFiles {
     */
   def commitAppend(spark: SparkSession, dir: String,
       dataDirs: Seq[String], expectedGen: Option[Long] = None,
-      headers: Seq[String] = Seq.empty)(
+      headers: Seq[String] = Seq.empty,
+      statCols: Map[String, Seq[String]] = Map.empty)(
       append: => Unit): Long = {
     val before = listDataFiles(spark, dataDirs)
     append
@@ -420,8 +547,9 @@ private[graft] object StoreFiles {
             s"a concurrent commit won; this batch's data files are " +
             s"orphaned (vacuum reclaims them); re-read and retry")
     }
-    writeManifest(spark, dir, cur + 1L,
-      listDataFiles(spark, dataDirs) -- before, "append", headers)
+    val fresh = listDataFiles(spark, dataDirs) -- before
+    writeManifest(spark, dir, cur + 1L, fresh, "append",
+      headers ++ zoneMapHeaders(spark, fresh, statCols))
     cur + 1L
   }
 
@@ -442,11 +570,12 @@ private[graft] object StoreFiles {
     * through its re-base.
     */
   def commitAppendIdempotent(spark: SparkSession, dir: String,
-      dataDirs: Seq[String], batchId: Long)(
+      dataDirs: Seq[String], batchId: Long,
+      statCols: Map[String, Seq[String]] = Map.empty)(
       append: => Unit): Option[Long] =
     if (committedBatchIds(spark, dir).contains(batchId)) None
     else Some(commitAppend(spark, dir, dataDirs,
-      headers = Seq(s"batch=$batchId"))(append))
+      headers = Seq(s"batch=$batchId"), statCols = statCols)(append))
 
   /** Physically delete data files NOT in the committed set — the
     * leftovers of torn appends and lost optimistic commits. Returns the
@@ -498,7 +627,8 @@ private[graft] object StoreFiles {
     * clears it.
     */
   def compactL0(spark: SparkSession, dir: String, subs: Seq[String],
-      minRuns: Int)(rewrite: (String, org.apache.spark.sql.DataFrame) => Unit): Boolean = {
+      minRuns: Int, statCols: Map[String, Seq[String]] = Map.empty)(
+      rewrite: (String, org.apache.spark.sql.DataFrame) => Unit): Boolean = {
     require(minRuns >= 1, s"compactL0: minRuns must be >= 1, got $minRuns")
     val entries = manifestEntries(spark, dir)
     require(entries.nonEmpty,
@@ -507,6 +637,7 @@ private[graft] object StoreFiles {
     if (l0Gens.size < minRuns) return false
     val l0 = l0Gens.flatMap(_._2).toSet
     var committed = entries.flatMap(_._2).toSet -- l0
+    var compacted = Set.empty[String]
     for (sub <- subs) {
       val dataDir = s"$dir/$sub"
       val subL0 = l0.filter(_.contains(s"/$sub/")).toSeq.sorted
@@ -514,15 +645,26 @@ private[graft] object StoreFiles {
         val before = listDataFiles(spark, Seq(dataDir))
         rewrite(sub,
           spark.read.option("basePath", dataDir).parquet(subL0: _*))
-        committed ++= listDataFiles(spark, Seq(dataDir)) -- before
+        compacted ++= listDataFiles(spark, Seq(dataDir)) -- before
       }
     }
+    committed ++= compacted
     // the re-base carries every committed `#key=value` header forward —
     // in particular the exactly-once batch-id ledger: a streaming
     // writer's retry must still find its id after background
-    // maintenance collapsed the L0 generations it committed into
+    // maintenance collapsed the L0 generations it committed into.
+    // ZONE-MAP lines follow the files: survivors keep theirs, the
+    // merged L0 files' lines drop with the files, and the compacted
+    // runs get fresh envelopes from their footers
+    val carried = manifestHeaders(spark, dir).filter {
+      case ("stat", v) => v.split("\\|", 4) match {
+        case Array(_, _, _, p) => committed.contains(p)
+        case _ => false
+      }
+      case _ => true
+    }.map { case (k, v) => s"$k=$v" }.distinct
     writeManifest(spark, dir, 0L, committed, "overwrite",
-      manifestHeaders(spark, dir).map { case (k, v) => s"$k=$v" }.distinct)
+      carried ++ zoneMapHeaders(spark, compacted, statCols))
     val conf = spark.sparkContext.hadoopConfiguration
     l0.foreach { s =>
       val p = new org.apache.hadoop.fs.Path(s)

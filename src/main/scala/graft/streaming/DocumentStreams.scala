@@ -346,6 +346,91 @@ object DocumentStreams {
     ()
   }
 
+  /** WINNOW-gated ingest MAINTAINING the committed store exactly-once
+    * — [[bandIngestCommitted]]'s design on the winnow family: each
+    * trigger probes the COMMITTED snapshot (base corpus ∪ earlier
+    * admitted batches — the same sequential admission chain as
+    * [[winnowIngest]]), APPENDS the admitted documents' fingerprints
+    * into the store itself under the batch-id ledger
+    * ([[graft.operators.Dedup.appendWinnowIndexCommittedIdempotent]]),
+    * and lets the [[graft.operators.CompactionPolicy]] self-regulate
+    * the L0 the stream grows. A re-delivered batch writes nothing:
+    * the ledger rides the manifest commit and survives the re-base.
+    */
+  def winnowIngestCommitted(spark: SparkSession, landingDir: String,
+      idxDir: String, checkpointDir: String,
+      policy: graft.operators.CompactionPolicy,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readDocuments(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        winnowIngestCommittedBatch(spark, idxDir, policy)(batch.toDF(), batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One [[winnowIngestCommitted]] trigger, exposed for the replay
+    * spec and the in-row idempotence pin.
+    */
+  def winnowIngestCommittedBatch(spark: SparkSession, idxDir: String,
+      policy: graft.operators.CompactionPolicy)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.{Dedup, StoreFiles}
+    // early ledger probe saves the replay even the gating jobs; the
+    // authoritative check stays inside the idempotent append
+    if (!StoreFiles.committedBatchIds(spark, idxDir).contains(batchId)) {
+      val pairs = Dedup.winnowProbe(
+        Dedup.loadWinnowIndexSnapshot(spark, idxDir),
+        batch, "doc_id", "text", minShared = 2L, maxDf = 50L)
+      // pairs are (id_a = index side, id_b = batch side) by contract.
+      // Pinned eagerly: the append must not READ the snapshot lazily
+      // while its own files land
+      val admitted = batch.join(
+          pairs.select(col("id_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti").localCheckpoint()
+      Dedup.appendWinnowIndexCommittedIdempotent(spark, idxDir, admitted,
+        "doc_id", "text", batchId)
+    }
+    // unconditional — including on replays, covering the crash window
+    // between a batch's commit and its compaction
+    Dedup.maintainWinnowL0(spark, idxDir, policy)
+    ()
+  }
+
+  /** Postings ingest MAINTAINING the committed store exactly-once —
+    * the UNGATED member of the committed-twin family (every batch
+    * document enters the index; there is nothing to probe): each
+    * trigger appends the batch's postings + stats delta under the
+    * batch-id ledger. The ledger is the ONLY thing making this
+    * exactly-once — unlike the sink-partition twins, a re-delivered
+    * append here would double postings rows AND stats totals, which is
+    * exactly the corruption the `#batch=` header prevents.
+    */
+  def postingsIngestCommitted(spark: SparkSession, landingDir: String,
+      idxDir: String, checkpointDir: String,
+      policy: graft.operators.CompactionPolicy,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readDocuments(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        postingsIngestCommittedBatch(spark, idxDir, policy)(batch.toDF(), batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One [[postingsIngestCommitted]] trigger, exposed for the replay
+    * spec and the in-row idempotence pin.
+    */
+  def postingsIngestCommittedBatch(spark: SparkSession, idxDir: String,
+      policy: graft.operators.CompactionPolicy)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.Retrieval
+    Retrieval.appendPostingsIndexCommittedIdempotent(spark, idxDir,
+      batch, "doc_id", "text", batchId)
+    Retrieval.maintainPostingsL0(spark, idxDir, policy)
+    ()
+  }
+
   /** Winnow-gated ingest — [[bandIngest]]'s twin on the WINNOW
     * fingerprint store (partial-overlap gating: a drop doc is rejected
     * when it shares ≥ 2 df-capped selected fingerprints with the

@@ -160,6 +160,7 @@ class PlanSpec extends SparkSpec {
       // same one-row (N, T) stats broadcast as every BM25 serve row
       "q228_postings_l0_compact" -> 1,
       "q233_auto_compact_policy" -> 1,
+      "q240_zonemap_range_serve" -> 1,
       // round 1 of the feedback loop materializes behind a
       // localCheckpoint, so only round 2's stats broadcast remains in
       // the served plan

@@ -77,6 +77,91 @@ class PruningSpec extends SparkSpec {
         "falls back to a full scan when the broadcast is not reusable)")
   }
 
+  test("zone maps: a ranged postings serve skips non-overlapping " +
+      "committed files, and envelopes survive an L0 re-base") {
+    import graft.operators.{Retrieval, StoreFiles}
+    val docs = Tables(spark, sf, "documents")
+    val dir = tmpDir("zonemap")
+    val mx = docs.agg(max($"doc_id")).head().getLong(0)
+    val c1 = mx / 2; val c2 = (mx * 3) / 4; val lo = c2 + 1
+    Retrieval.savePostingsIndexCommitted(
+      Retrieval.buildPostingsIndex(docs.filter($"doc_id" <= c1),
+        "doc_id", "text", nBuckets = 8), dir)
+    Retrieval.appendPostingsIndexCommitted(spark, dir,
+      docs.filter($"doc_id" > c1 && $"doc_id" <= c2), "doc_id", "text")
+    Retrieval.appendPostingsIndexCommitted(spark, dir,
+      docs.filter($"doc_id" > c2), "doc_id", "text")
+    // every committed postings file carries a doc_id envelope, and the
+    // range keeps only a strict minority (base + first append skipped)
+    val allPost = StoreFiles.manifestPaths(spark, dir)
+      .filter(_.contains("/postings/"))
+    val st1 = StoreFiles.fileStats(spark, dir)
+    assert(allPost.forall(p => st1.get(p).exists(_.contains("doc_id"))),
+      "a committed postings file has no doc_id envelope")
+    val kept = allPost.filter { p =>
+      val (mn, mxv) = st1(p)("doc_id"); mxv >= lo && mn <= mx
+    }
+    assert(kept.nonEmpty && kept.size * 2 <= allPost.size,
+      s"range [$lo,$mx] kept ${kept.size} of ${allPost.size} files")
+    val queries = docs.filter($"doc_id" % 200 === 7)
+      .select($"doc_id".as("qid"),
+        array_distinct(slice(split($"text", " "), 1, 4)).as("qterms"))
+      .localCheckpoint()
+    def ranged() = Retrieval.bm25SearchIndex(queries,
+      Retrieval.loadPostingsIndexSnapshotRange(spark, dir, lo, mx),
+      "qid", "qterms", k = 10)
+    // stats only PRUNE: identical rows to the unpruned ranged serve
+    val plain = Retrieval.loadPostingsIndexSnapshot(spark, dir)
+    val unpruned = Retrieval.bm25SearchIndex(queries,
+      plain.copy(postings = plain.postings.filter($"doc_id".between(lo, mx))),
+      "qid", "qterms", k = 10)
+    assert(ranged().collect().toSet == unpruned.collect().toSet)
+    // measured, three ways: (a) the ranged serve reads strictly less
+    // than the full serve; (b) it reads strictly less than the SAME
+    // range served without zone maps — parquet row-group pushdown can
+    // skip a missed file's data pages but still opens and reads every
+    // file's footer, and never-listing the file is the part that
+    // matters at millions of files; (c) at this scale, where per-file
+    // fixed costs dominate, the skipped bytes are at least the footer
+    // mass of the skipped files (kept is a minority of the list, so a
+    // conservative 10% floor)
+    val bFull = totalInputBytes {
+      Retrieval.bm25SearchIndex(queries,
+        Retrieval.loadPostingsIndexSnapshot(spark, dir),
+        "qid", "qterms", k = 10).count(); ()
+    }
+    val bRanged = totalInputBytes { ranged().count(); () }
+    val bPushdownOnly = totalInputBytes {
+      val idx = Retrieval.loadPostingsIndexSnapshot(spark, dir)
+      Retrieval.bm25SearchIndex(queries,
+        idx.copy(postings = idx.postings.filter($"doc_id".between(lo, mx))),
+        "qid", "qterms", k = 10).count(); ()
+    }
+    assert(bRanged < bFull,
+      s"ranged serve read $bRanged of $bFull bytes — files not skipped")
+    assert(bRanged < bPushdownOnly,
+      s"zone-map skip ($bRanged) must beat pushdown-only ($bPushdownOnly): " +
+        "pushdown still reads every skipped file's footer")
+    assert((bFull - bRanged) * 10 >= bFull,
+      s"skipping saved ${bFull - bRanged} of $bFull bytes — below the 10% floor")
+    // L0 re-base: the compacted run gets a FRESH envelope from its
+    // footers, survivors keep theirs, serve rows unchanged, and the
+    // untouched base is still skippable
+    val before = ranged().collect().toSet
+    assert(Retrieval.compactPostingsL0(spark, dir, minRuns = 1))
+    val post2 = StoreFiles.manifestPaths(spark, dir)
+      .filter(_.contains("/postings/"))
+    val st2 = StoreFiles.fileStats(spark, dir)
+    assert(post2.forall(p => st2.get(p).exists(_.contains("doc_id"))),
+      "a post-compaction postings file has no doc_id envelope")
+    assert(ranged().collect().toSet == before)
+    val kept2 = post2.filter { p =>
+      val (mn, mxv) = st2(p)("doc_id"); mxv >= lo && mn <= mx
+    }
+    assert(kept2.size < post2.size,
+      "the re-based store must still skip the untouched base files")
+  }
+
   test("pqSearchIndex: same measured pruning on the codes scan") {
     val dir = tmpDir("pq")
     Similarity.savePqIndex(
