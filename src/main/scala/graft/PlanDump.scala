@@ -94,7 +94,8 @@ object PlanDump {
       "q234_bpe_vocab_scale", "q235_sequence_packing",
       "q236_bpe_encode_ids", "q237_decontaminate",
       "q238_committed_stream_ingest", "q239_bin_packing",
-      "q240_zonemap_range_serve")
+      "q240_zonemap_range_serve", "q241_committed_postings_ingest",
+      "q242_committed_winnow_ingest")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))

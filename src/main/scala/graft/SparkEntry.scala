@@ -4039,6 +4039,116 @@ object SparkEntry {
         graft.operators.Retrieval.loadPostingsIndexSnapshotRange(
           s, idxDir, c2 + 1, mx),
         "qid", "qterms", k = 10)
+    }),
+
+    // EXACTLY-ONCE ledger on the POSTINGS store-maintaining twin —
+    // q238's design on the second family, and the UNGATED one: every
+    // streamed document appends postings + stats deltas into the
+    // committed index under the batch-id ledger. Here the ledger is
+    // the ONLY exactly-once mechanism (a re-delivered append would
+    // double postings rows AND stats totals — visible as wrong BM25
+    // scores, which is what the oracle would catch). The require pins:
+    // the maxRuns=2 policy re-based mid-stream with both ids carried,
+    // and a replayed trigger moves neither generation nor ledger.
+    // Serve = the full corpus, so the oracle is the standard BM25
+    // mirror.
+    "q241_committed_postings_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val base = scratchDir("graft_postings_cstream", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      val idxDir = s"$base/idx$run"
+      graft.operators.Retrieval.savePostingsIndexCommitted(
+        graft.operators.Retrieval.buildPostingsIndex(corpus,
+          "doc_id", "text"), idxDir)
+      val policy = graft.operators.CompactionPolicy(maxRuns = 2)
+      val q = graft.streaming.DocumentStreams.postingsIngestCommitted(s,
+        landing.toString, idxDir, s"$base/ckpt$run", policy,
+        maxFilesPerTrigger = Some(1))
+      for ((m, i) <- Seq(0, 10).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        docs.filter(col("doc_id") % 20 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      require(graft.operators.Retrieval.postingsGen(s, idxDir) == 0L,
+        "q241: the compaction policy must have re-based mid-stream")
+      require(graft.operators.StoreFiles.committedBatchIds(s, idxDir)
+          == Set(0L, 1L),
+        "q241: both batch ids must survive the L0 re-base")
+      // exactly-once: re-deliver trigger 1 straight at the store
+      graft.streaming.DocumentStreams.postingsIngestCommittedBatch(
+        s, idxDir, policy)(docs.filter(col("doc_id") % 20 === 10), 1L)
+      require(graft.operators.Retrieval.postingsGen(s, idxDir) == 0L &&
+          graft.operators.StoreFiles.committedBatchIds(s, idxDir)
+            == Set(0L, 1L),
+        "q241: a re-delivered batch must append nothing")
+      val queries = docs.filter(col("doc_id") % 200 === 7)
+        .select(col("doc_id").as("qid"),
+          array_distinct(slice(split(col("text"), " "), 1, 4)).as("qterms"))
+      graft.operators.Retrieval.bm25SearchIndex(queries,
+        graft.operators.Retrieval.loadPostingsIndexSnapshot(s, idxDir),
+        "qid", "qterms", k = 10)
+    }),
+
+    // EXACTLY-ONCE ledger on the WINNOW store-maintaining twin — the
+    // GATED shape (q215's partial-overlap admission chain) run as
+    // q238's design: each trigger probes the committed snapshot
+    // (corpus ∪ earlier ADMISSIONS — the chain runs through the store
+    // itself), appends admitted fingerprints under the batch-id
+    // ledger, and the policy self-regulates L0. Pins as q238/q241.
+    // Output = the streamed admissions as the store holds them; the
+    // oracle replays the sequential chain, restricted to documents
+    // that fingerprint at all (a zero-fingerprint admission leaves no
+    // trace in a fingerprint store, by construction).
+    "q242_committed_winnow_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val base = scratchDir("graft_winnow_cstream", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      val idxDir = s"$base/winnow$run"
+      Dedup.saveWinnowIndexCommitted(
+        Dedup.buildWinnowIndex(corpus, "doc_id", "text"), idxDir)
+      val policy = graft.operators.CompactionPolicy(maxRuns = 2)
+      val q = graft.streaming.DocumentStreams.winnowIngestCommitted(s,
+        landing.toString, idxDir, s"$base/ckpt$run", policy,
+        maxFilesPerTrigger = Some(1))
+      for ((m, i) <- Seq(0, 10).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        docs.filter(col("doc_id") % 20 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      require(Dedup.winnowGen(s, idxDir) == 0L,
+        "q242: the compaction policy must have re-based mid-stream")
+      require(graft.operators.StoreFiles.committedBatchIds(s, idxDir)
+          == Set(0L, 1L),
+        "q242: both batch ids must survive the L0 re-base")
+      graft.streaming.DocumentStreams.winnowIngestCommittedBatch(
+        s, idxDir, policy)(docs.filter(col("doc_id") % 20 === 10), 1L)
+      require(Dedup.winnowGen(s, idxDir) == 0L &&
+          graft.operators.StoreFiles.committedBatchIds(s, idxDir)
+            == Set(0L, 1L),
+        "q242: a re-delivered batch must append nothing")
+      Dedup.loadWinnowIndexSnapshot(s, idxDir).fps
+        .filter(col("id") % 10 === 0)
+        .select(col("id").as("doc_id")).distinct()
     })
   )
 
@@ -5446,6 +5556,39 @@ object SparkEntry {
         |             ORDER BY score_micro DESC, doc_id ASC) AS rn FROM scored)
         |SELECT qid, doc_id, score_micro, CAST(rn AS INT) AS rn
         |FROM ranked WHERE rn <= 10""".stripMargin,
+    // the committed ingest serves the full corpus (base ∪ both drops),
+    // so the standard BM25 mirror applies — a doubled replay would
+    // break it through doubled tf/df/stats
+    "q241_committed_postings_ingest" -> bm25OracleSql,
+    // q215's sequential admission chain, restricted to documents that
+    // fingerprint at all (the store can only hold docs with ≥ 1 fp)
+    "q242_committed_winnow_ingest" ->
+      s"""WITH $winnowFpCtes,
+         |cor AS (SELECT doc_id AS b, fp FROM f WHERE doc_id % 10 <> 0),
+         |k1 AS (SELECT fp FROM (SELECT fp, count(*) AS c2 FROM cor GROUP BY fp)
+         |       WHERE c2 <= 50),
+         |m1 AS (SELECT bf.doc_id AS a, cor.b AS b
+         |       FROM (SELECT doc_id, fp FROM f WHERE doc_id % 20 = 0) bf
+         |       JOIN k1 USING (fp) JOIN cor USING (fp)
+         |       GROUP BY bf.doc_id, cor.b HAVING count(*) >= 2),
+         |adm1 AS (SELECT doc_id FROM documents d WHERE doc_id % 20 = 0
+         |         AND NOT EXISTS (SELECT 1 FROM m1 WHERE m1.a = d.doc_id)),
+         |idx2 AS (SELECT b, fp FROM cor
+         |         UNION ALL SELECT doc_id AS b, fp FROM f
+         |         WHERE doc_id IN (SELECT doc_id FROM adm1)),
+         |k2 AS (SELECT fp FROM (SELECT fp, count(*) AS c2 FROM idx2 GROUP BY fp)
+         |       WHERE c2 <= 50),
+         |m2 AS (SELECT bf.doc_id AS a, idx2.b AS b
+         |       FROM (SELECT doc_id, fp FROM f WHERE doc_id % 20 = 10) bf
+         |       JOIN k2 USING (fp) JOIN idx2 USING (fp)
+         |       GROUP BY bf.doc_id, idx2.b HAVING count(*) >= 2),
+         |adm2 AS (SELECT doc_id FROM documents d WHERE doc_id % 20 = 10
+         |         AND NOT EXISTS (SELECT 1 FROM m2 WHERE m2.a = d.doc_id))
+         |SELECT doc_id FROM adm1
+         |WHERE doc_id IN (SELECT doc_id FROM f)
+         |UNION ALL
+         |SELECT doc_id FROM adm2
+         |WHERE doc_id IN (SELECT doc_id FROM f)""".stripMargin,
     // the same class-based placement from the oracle's own window rank
     // (the engine's two-phase index and the window agree because the
     // (k, n desc, id) order is total)

@@ -396,6 +396,77 @@ class ManifestFamiliesSpec extends SparkSpec {
     assert(pairs == Set((1L, 11L), (5L, 12L), (6L, 13L)))
   }
 
+  test("postings: exactly-once store-maintaining stream ingest — " +
+      "replay writes nothing even after the policy's mid-stream re-base") {
+    import graft.streaming.DocumentStreams
+    val dir = tmp("graft_postings_ledger")
+    val corpus = Seq((1L, sA), (2L, filler1)).toDF("doc_id", "text")
+    val b0 = Seq((5L, sB)).toDF("doc_id", "text")
+    val b1 = Seq((6L, sC)).toDF("doc_id", "text")
+    val queries = Seq((100L, Seq("two", "alpha", "red")))
+      .toDF("qid", "qterms")
+    def served: Set[(Long, Long, Long, Int)] =
+      Retrieval.bm25SearchIndex(queries,
+          Retrieval.loadPostingsIndexSnapshot(spark, dir),
+          "qid", "qterms", k = 6)
+        .as[(Long, Long, Long, Int)].collect().toSet
+    Retrieval.savePostingsIndexCommitted(
+      Retrieval.buildPostingsIndex(corpus, "doc_id", "text"), dir)
+    val policy = graft.operators.CompactionPolicy(maxRuns = 2)
+    DocumentStreams.postingsIngestCommittedBatch(spark, dir, policy)(b0, 0L)
+    assert(Retrieval.postingsGen(spark, dir) == 1L)
+    // the second trigger hits maxRuns: L0 re-bases, ledger carried
+    DocumentStreams.postingsIngestCommittedBatch(spark, dir, policy)(b1, 1L)
+    assert(Retrieval.postingsGen(spark, dir) == 0L)
+    assert(StoreFiles.committedBatchIds(spark, dir) == Set(0L, 1L))
+    // a doubled replay would double postings rows AND stats totals —
+    // the serve must equal the in-flight build over corpus ∪ b0 ∪ b1,
+    // and replays must not move a byte
+    val want = Retrieval.bm25TopK(corpus.unionByName(b0).unionByName(b1),
+        queries, "doc_id", "text", "qid", "qterms", k = 6)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(served == want)
+    val stamps = parquetStamps(s"$dir/postings", s"$dir/stats")
+    DocumentStreams.postingsIngestCommittedBatch(spark, dir, policy)(b0, 0L)
+    DocumentStreams.postingsIngestCommittedBatch(spark, dir, policy)(b1, 1L)
+    assert(parquetStamps(s"$dir/postings", s"$dir/stats") == stamps)
+    assert(Retrieval.postingsGen(spark, dir) == 0L)
+    assert(served == want)
+  }
+
+  test("winnow: exactly-once gated stream ingest — admissions chain " +
+      "through the store, replay writes nothing") {
+    import graft.streaming.DocumentStreams
+    val dir = tmp("graft_winnow_ledger")
+    val corpus = Seq((1L, sA), (2L, filler1)).toDF("doc_id", "text")
+    // b0: a twin of a corpus doc (rejected) + a novel doc (admitted);
+    // b1: a twin of b0's ADMISSION (rejected only if the chain runs
+    // through the store) + a novel doc (admitted)
+    val b0 = Seq((5L, sA), (6L, sB)).toDF("doc_id", "text")
+    val b1 = Seq((7L, sB), (8L, sC)).toDF("doc_id", "text")
+    def storedIds: Set[Long] =
+      Dedup.loadWinnowIndexSnapshot(spark, dir).fps
+        .select(col("id")).distinct().as[Long].collect().toSet
+    Dedup.saveWinnowIndexCommitted(
+      Dedup.buildWinnowIndex(corpus, "doc_id", "text"), dir)
+    val policy = graft.operators.CompactionPolicy(maxRuns = 2)
+    DocumentStreams.winnowIngestCommittedBatch(spark, dir, policy)(b0, 0L)
+    assert(storedIds == Set(1L, 2L, 6L),
+      "corpus twin must be rejected, novel doc admitted")
+    DocumentStreams.winnowIngestCommittedBatch(spark, dir, policy)(b1, 1L)
+    assert(storedIds == Set(1L, 2L, 6L, 8L),
+      "a twin of an earlier ADMISSION must be rejected by the store chain")
+    // the policy re-based mid-stream; the ledger survived
+    assert(Dedup.winnowGen(spark, dir) == 0L)
+    assert(StoreFiles.committedBatchIds(spark, dir) == Set(0L, 1L))
+    // replays append nothing
+    val stamps = parquetStamps(s"$dir/fps")
+    DocumentStreams.winnowIngestCommittedBatch(spark, dir, policy)(b0, 0L)
+    DocumentStreams.winnowIngestCommittedBatch(spark, dir, policy)(b1, 1L)
+    assert(parquetStamps(s"$dir/fps") == stamps)
+    assert(Dedup.winnowGen(spark, dir) == 0L && storedIds == Set(1L, 2L, 6L, 8L))
+  }
+
   test("idempotent append is DESCRIPTOR-level: any family gets the " +
       "batch ledger through appendCommittedIdempotent — postings shown") {
     import graft.operators.Stores

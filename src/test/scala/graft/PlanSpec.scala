@@ -161,6 +161,7 @@ class PlanSpec extends SparkSpec {
       "q228_postings_l0_compact" -> 1,
       "q233_auto_compact_policy" -> 1,
       "q240_zonemap_range_serve" -> 1,
+      "q241_committed_postings_ingest" -> 1,
       // round 1 of the feedback loop materializes behind a
       // localCheckpoint, so only round 2's stats broadcast remains in
       // the served plan
