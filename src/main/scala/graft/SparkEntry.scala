@@ -1592,22 +1592,32 @@ object SparkEntry {
       // store folds them into cluster state incrementally
       val idxDir = s"$store/bands"
       val cache = new Dedup.CacheHandle()
-      val cPairs = Dedup.minHashLshPairs(corpus, "doc_id", "text",
-          cache = cache)
+      // ONE shingle+sign pass seeds both stores: the saved band index's
+      // own bands/sets derive the corpus pairs (identical rows to
+      // minHashLshPairs — same bands, same verify), instead of paying
+      // the corpus md5/shingle pipeline once for the pairs and again
+      // for the index
+      val cIdx = Dedup.buildBandIndex(corpus, "doc_id", "text",
+        cache = cache)
+      Dedup.saveBandIndex(cIdx, idxDir)
+      val cPairs = Dedup.minHashLshPairsFromIndex(cIdx)
         .select(col("id_a"), col("id_b"))
       Dedup.saveLabelStore(
         Dedup.connectedComponents(corpus.select(col("doc_id")), "doc_id",
           cPairs, upstream = cache), store)
-      Dedup.saveBandIndex(Dedup.buildBandIndex(corpus, "doc_id", "text"), idxDir)
       for (d <- Seq(drop1, drop2)) {
-        val within = Dedup.minHashLshPairs(d, "doc_id", "text",
-            cache = cache)
+        // one shingle+sign pass per drop feeds both pair sides
+        val dIdx = Dedup.buildBandIndex(d, "doc_id", "text", cache = cache)
+        val within = Dedup.minHashLshPairsFromIndex(dIdx)
           .select(col("id_a"), col("id_b"))
-        val across = Dedup.minHashLshProbe(Dedup.loadBandIndex(s, idxDir),
-            d, "doc_id", "text")
+        val across = Dedup.minHashLshProbeIndexed(
+            Dedup.loadBandIndex(s, idxDir), dIdx)
           .select(col("id_a"), col("id_b"))
+        // the handle forwards into the component flood: each drop's
+        // shingle caches + resolved view are released the moment the
+        // contracted edge cache is pinned, BEFORE the flood rounds
         Dedup.appendLabels(s, store, d.select(col("doc_id")), "doc_id",
-          within.unionByName(across))
+          within.unionByName(across), upstream = cache)
         Dedup.appendBandIndex(s, idxDir, d, "doc_id", "text")
       }
       cache.release() // every append wrote; shingle caches are dead
@@ -1660,13 +1670,15 @@ object SparkEntry {
       val store = s"$base/store$run"
       val idxDir = s"$base/bands$run"
       val cache = new Dedup.CacheHandle()
-      val cPairs = Dedup.minHashLshPairs(corpus, "doc_id", "text",
-          cache = cache)
+      // one shingle+sign pass seeds both stores (the q131 seed idiom)
+      val cIdx = Dedup.buildBandIndex(corpus, "doc_id", "text",
+        cache = cache)
+      Dedup.saveBandIndex(cIdx, idxDir)
+      val cPairs = Dedup.minHashLshPairsFromIndex(cIdx)
         .select(col("id_a"), col("id_b"))
       Dedup.saveLabelStore(
         Dedup.connectedComponents(corpus.select(col("doc_id")), "doc_id",
           cPairs, upstream = cache), store)
-      Dedup.saveBandIndex(Dedup.buildBandIndex(corpus, "doc_id", "text"), idxDir)
       val out = s"$base/out$run"
       val q = graft.streaming.DocumentStreams.labelIngest(s,
         landing.toString, idxDir, store, out, s"$base/ckpt$run",

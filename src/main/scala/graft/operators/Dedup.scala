@@ -27,14 +27,14 @@ object Dedup {
     */
   final class CacheHandle(private val record: Boolean = true) {
     private val frames = scala.collection.mutable.Buffer.empty[DataFrame]
-    private[operators] def track(df: DataFrame): DataFrame = {
+    private[graft] def track(df: DataFrame): DataFrame = {
       df.cache()
       trackCached(df)
     }
     /** Record an ALREADY-cached frame (avoids the CacheManager
       * "already cached" warning a second `.cache()` would log).
       */
-    private[operators] def trackCached(df: DataFrame): DataFrame = {
+    private[graft] def trackCached(df: DataFrame): DataFrame = {
       // synchronized: concurrent dedup jobs may share a handle
       if (record) frames.synchronized { frames += df }
       df
@@ -266,6 +266,57 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
   }
 
+  /** WITHIN-corpus near-dup pairs derived from an ALREADY-BUILT band
+    * index — [[minHashLshPairs]] without its shingle+sign pass: the
+    * index's own bands self-join for candidates and its sets feed the
+    * hashed verify. Identical rows to [[minHashLshPairs]] with the
+    * index's parameters (same bands, same verify). This is the seed
+    * idiom for the label-store rows: a pipeline that both STORES the
+    * band index and floods components from its pairs was paying the
+    * corpus shingle+sign twice — build the index once, derive the
+    * pairs from it.
+    */
+  def minHashLshPairsFromIndex(index: BandIndex,
+      threshold: Double = 0.5): DataFrame = {
+    val l = index.bands.select(col("band"), col("band_hash"),
+      col("id").as("id_a"))
+    val r = index.bands.select(col("band"), col("band_hash"),
+      col("id").as("id_b"))
+    val candidates = l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    verifyJaccardHashed(index.sets, candidates)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** [[minHashLshProbe]] over an ALREADY-BUILT batch index — the probe
+    * without its shingle+sign pass, for callers that need the batch's
+    * within-pairs AND its cross-pairs in one trigger (the label-stream
+    * shape): build the batch's bands/sets once, derive both from it.
+    * Parameters must match (required — a mismatched probe is a silent
+    * recall hole).
+    */
+  def minHashLshProbeIndexed(index: BandIndex, batchIdx: BandIndex,
+      threshold: Double = 0.5): DataFrame = {
+    require(index.shingleSize == batchIdx.shingleSize &&
+        index.numHashes == batchIdx.numHashes &&
+        index.rowsPerBand == batchIdx.rowsPerBand,
+      s"minHashLshProbeIndexed: parameter mismatch — index " +
+        s"(${index.shingleSize},${index.numHashes},${index.rowsPerBand}) " +
+        s"vs batch (${batchIdx.shingleSize},${batchIdx.numHashes}," +
+        s"${batchIdx.rowsPerBand})")
+    val nb = batchIdx.bands.select(col("band"), col("band_hash"),
+      col("id").as("nid"))
+    val c = index.bands.select(col("band"), col("band_hash"),
+      col("id").as("cid"))
+    val candidates = nb.join(c, Seq("band", "band_hash"))
+      .select(least(col("nid"), col("cid")).as("id_a"),
+        greatest(col("nid"), col("cid")).as("id_b"))
+      .distinct()
+    verifyJaccardHashed(index.sets.unionByName(batchIdx.sets), candidates)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Near-dup pairs of a NEW batch against an EXISTING corpus — the
     * incremental form of [[minHashLshPairs]] and the fuzzy analog of a
     * fingerprint anti-join: dedup tonight's crawl against the corpus
@@ -303,8 +354,10 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /** A stored-or-in-memory LSH index over a corpus: `bands` is
-    * (band, band_hash, id), `sets` the per-doc distinct shingle arrays,
-    * and the three parameters that SHAPE the index travel with it so a
+    * (band, band_hash, id), `sets` the per-doc distinct HASHED shingle
+    * arrays ((h1, h2) long structs — [[hashedShingleSets]]; ~16 B per
+    * shingle on disk and in cache instead of a ~30-char string), and
+    * the three parameters that SHAPE the index travel with it so a
     * probe can never silently hash with mismatched settings.
     */
   final case class BandIndex(bands: DataFrame, sets: DataFrame,
@@ -316,9 +369,17 @@ object Dedup {
   def buildBandIndex(corpus: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
       cache: CacheHandle = CacheHandle.untracked): BandIndex = {
-    val sets = cache.track(shingleSets(corpus, idCol, textCol, shingleSize))
-    val bands = lshBands(minHashSignatures(
-      sets.select(col("id"), explode(col("shset")).as("shingle")),
+    // HASHED payload end-to-end ([[hashedShingleSets]]): the stored
+    // sets table holds (h1, h2) long pairs (~16 B/shingle instead of a
+    // ~30-char string), signatures aggregate longs, and every probe's
+    // verify intersects long structs — values bit-identical to the
+    // string path (see the collision envelope there), which is why the
+    // family's oracle mirrors needed no change when the format moved
+    val sets = cache.track(
+      hashedShingleSets(corpus, idCol, textCol, shingleSize))
+    val bands = lshBands(minHashAgg(
+      sets.select(col("id"), explode(col("harr")).as("h"))
+        .select(col("id"), col("h.h1").as("h1"), col("h.h2").as("h2")),
       numHashes), rowsPerBand)
     BandIndex(bands, sets, shingleSize, numHashes, rowsPerBand)
   }
@@ -389,10 +450,11 @@ object Dedup {
       (p.getInt(0), p.getInt(1), p.getInt(2))
     // cached: the band write and the sets write both consume it — an
     // uncached plan would shingle the batch twice
-    val nSets = shingleSets(batch, idCol, textCol, shingleSize).cache()
+    val nSets = hashedShingleSets(batch, idCol, textCol, shingleSize).cache()
     try {
-      lshBands(minHashSignatures(
-          nSets.select(col("id"), explode(col("shset")).as("shingle")),
+      lshBands(minHashAgg(
+          nSets.select(col("id"), explode(col("harr")).as("h"))
+            .select(col("id"), col("h.h1").as("h1"), col("h.h2").as("h2")),
           numHashes), rowsPerBand)
         .write.mode("append").partitionBy("band").parquet(s"$dir/bands")
       nSets.write.mode("append").parquet(s"$dir/sets")
@@ -524,9 +586,10 @@ object Dedup {
       idCol: String, textCol: String, threshold: Double = 0.5,
       cache: CacheHandle = CacheHandle.untracked): DataFrame = {
     val nSets = cache.track(
-      shingleSets(newBatch, idCol, textCol, index.shingleSize))
-    val nb = lshBands(minHashSignatures(
-        nSets.select(col("id"), explode(col("shset")).as("shingle")),
+      hashedShingleSets(newBatch, idCol, textCol, index.shingleSize))
+    val nb = lshBands(minHashAgg(
+        nSets.select(col("id"), explode(col("harr")).as("h"))
+          .select(col("id"), col("h.h1").as("h1"), col("h.h2").as("h2")),
         index.numHashes), index.rowsPerBand)
       .select(col("band"), col("band_hash"), col("id").as("nid"))
     val c = index.bands.select(col("band"), col("band_hash"),
@@ -535,7 +598,7 @@ object Dedup {
       .select(least(col("nid"), col("cid")).as("id_a"),
         greatest(col("nid"), col("cid")).as("id_b"))
       .distinct()
-    verifyJaccard(index.sets.unionByName(nSets), candidates)
+    verifyJaccardHashed(index.sets.unionByName(nSets), candidates)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -1665,11 +1728,19 @@ object Dedup {
     * against the corpus). Existing files are never rewritten.
     */
   def appendLabels(spark: org.apache.spark.sql.SparkSession, dir: String,
-      batchIds: DataFrame, idCol: String, pairs: DataFrame): Unit = {
-    val resolved = resolveLabels(spark, dir).cache()
-    try incrementLabels(resolved, batchIds, idCol, pairs) { (lab, rem) =>
-      lab.write.mode("append").parquet(s"$dir/labels")
-      rem.write.mode("append").parquet(s"$dir/remap")
+      batchIds: DataFrame, idCol: String, pairs: DataFrame,
+      upstream: CacheHandle = CacheHandle.untracked): Unit = {
+    // resolved rides the upstream handle: it is consumed only inside
+    // the contracted-edge plan, so connectedComponents releases it —
+    // together with the caller's shingle caches — the moment the edge
+    // cache is pinned, BEFORE the label flood rounds (the q108 GC
+    // discipline applied to the label path); the finally stays as the
+    // fallback for the driver-union-find fast path and error exits
+    val resolved = upstream.trackCached(resolveLabels(spark, dir).cache())
+    try incrementLabels(resolved, batchIds, idCol, pairs, upstream) {
+      (lab, rem) =>
+        lab.write.mode("append").parquet(s"$dir/labels")
+        rem.write.mode("append").parquet(s"$dir/remap")
     } finally { resolved.unpersist(); () }
   }
 
@@ -1773,7 +1844,8 @@ object Dedup {
     * rows.
     */
   def incrementLabels(resolved: DataFrame, batchIds: DataFrame,
-      idCol: String, pairs: DataFrame)(
+      idCol: String, pairs: DataFrame,
+      upstream: CacheHandle = CacheHandle.untracked)(
       write: (DataFrame, DataFrame) => Unit): Unit = {
     {
       val ids = batchIds.select(col(idCol).as("id"))
@@ -1798,7 +1870,11 @@ object Dedup {
         val touched = e.select(col("id_a").as("id"))
           .unionByName(e.select(col("id_b").as("id"))).distinct()
         val nodes = ids.unionByName(touched).distinct()
-        val comp = connectedComponents(nodes, "id", e).cache()
+        // upstream forwarded: pinning the edge cache folds the whole
+        // pair pipeline (shingle caches, resolved labels) into `e`, so
+        // the flood rounds run with those buffers already released
+        val comp = connectedComponents(nodes, "id", e,
+          upstream = upstream).cache()
         try {
           // batch rows enter labels exactly once, with their final
           // label; merged old labels get a remap row (only where the

@@ -1105,10 +1105,22 @@ object DocumentStreams {
       .option("checkpointLocation", checkpointDir)
       .start()
 
-  /** One [[labelIngest]] trigger, exposed for the replay spec. */
+  /** One [[labelIngest]] trigger, exposed for the replay spec.
+    *
+    * Cache discipline (the q108 GC fix applied to the label path): one
+    * handle per trigger tracks every shingle cache the probe/pairs
+    * pipeline builds plus the resolved label view, and
+    * [[graft.operators.Dedup.incrementLabels]] forwards it into the
+    * component flood — which releases everything the moment the
+    * contracted edge cache is pinned, so the flood rounds (the
+    * trigger's task bulk) run with no dead buffers resident. Without
+    * this, each trigger's untracked caches outlived the trigger and
+    * the stream's task GC grew with every drop.
+    */
   def labelIngestBatch(spark: SparkSession, idxDir: String,
       storeDir: String, outPath: String)(batch: DataFrame, batchId: Long): Unit = {
     import graft.operators.Dedup
+    val cache = new Dedup.CacheHandle()
     val stored = Dedup.loadBandIndex(spark, idxDir)
     val docParts = committedParts(spark, s"$outPath/docs", batchId)
     val index =
@@ -1117,7 +1129,8 @@ object DocumentStreams {
         val prior = Dedup.buildBandIndex(
           spark.read.parquet(docParts: _*).select(col("doc_id"), col("text")),
           "doc_id", "text",
-          stored.shingleSize, stored.numHashes, stored.rowsPerBand)
+          stored.shingleSize, stored.numHashes, stored.rowsPerBand,
+          cache = cache)
         stored.copy(bands = stored.bands.unionByName(prior.bands),
           sets = stored.sets.unionByName(prior.sets))
       }
@@ -1126,20 +1139,26 @@ object DocumentStreams {
         committedParts(spark, s"$outPath/labels", batchId), labelsSchema))
     val remap = readParts(spark,
       committedParts(spark, s"$outPath/remap", batchId), Dedup.remapSchema)
-    val resolved = Dedup.resolveLabelChains(labels, remap).cache()
+    val resolved = cache.trackCached(
+      Dedup.resolveLabelChains(labels, remap).cache())
     try {
-      val pairs = Dedup.minHashLshPairs(batch, "doc_id", "text")
+      // the batch's bands/sets build ONCE; within-pairs and the probe
+      // both derive from them (one shingle+sign pass per trigger)
+      val bIdx = Dedup.buildBandIndex(batch, "doc_id", "text",
+        stored.shingleSize, stored.numHashes, stored.rowsPerBand,
+        cache = cache)
+      val pairs = Dedup.minHashLshPairsFromIndex(bIdx)
         .select(col("id_a"), col("id_b"))
-        .unionByName(Dedup.minHashLshProbe(index, batch, "doc_id", "text")
+        .unionByName(Dedup.minHashLshProbeIndexed(index, bIdx)
           .select(col("id_a"), col("id_b")))
       Dedup.incrementLabels(resolved, batch.select(col("doc_id")),
-          "doc_id", pairs) { (lab, rem) =>
+          "doc_id", pairs, upstream = cache) { (lab, rem) =>
         lab.write.mode("overwrite").parquet(s"$outPath/labels/batch_id=$batchId")
         rem.write.mode("overwrite").parquet(s"$outPath/remap/batch_id=$batchId")
       }
       batch.select(col("doc_id"), col("text"))
         .write.mode("overwrite").parquet(s"$outPath/docs/batch_id=$batchId")
-    } finally { resolved.unpersist(); () }
+    } finally { cache.release(); resolved.unpersist(); () }
   }
 
   /** The stream's live (id, component) view: seed labels ∪ committed
