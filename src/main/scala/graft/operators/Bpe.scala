@@ -245,7 +245,10 @@ object Bpe {
     val n = vocab.count()
     if (n <= driverVocabBudget) {
       System.err.println(s"[bpe] path=driver vocab=$n (budget $driverVocabBudget)")
-      val out = trainDriver(collectVocab(vocab), nMerges, batchSize,
+      // the INDEXED loop: bit-identical table, O(affected words) per
+      // merge instead of O(vocab) — what makes 32k-merge tables train
+      // in seconds (q243) rather than hours
+      val out = trainDriverIndexed(collectVocab(vocab), nMerges, batchSize,
         minCount, overfetch)
       vocab.unpersist(blocking = false)
       return out
@@ -336,7 +339,7 @@ object Bpe {
     * symbol array (one code point per symbol, matching `(.)`) and
     * corpus frequency.
     */
-  private def collectVocab(vocab: DataFrame): Array[(Array[String], Long)] =
+  private[graft] def collectVocab(vocab: DataFrame): Array[(Array[String], Long)] =
     vocab.select(col("word"), col("freq")).collect().map { r =>
       val w = r.getString(0)
       val syms = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -354,15 +357,33 @@ object Bpe {
     * different tables on non-ASCII symbols.
     */
   private def utf8Lt(x: String, y: String): Boolean = {
-    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // allocation-free ASCII fast path: below 0x80 the UTF-8 byte order
+    // IS the char order, so the common case (hex/latin vocabularies,
+    // and the count-1 tie storms of large-merge training, where this
+    // comparator is the hot path) never materializes byte arrays; the
+    // first non-ASCII char on either side falls back to comparing the
+    // REMAINDERS as UTF-8 bytes — equal-so-far prefixes make that
+    // exactly the whole-string byte comparison
+    val n = math.min(x.length, y.length)
     var i = 0
-    while (i < a.length && i < b.length) {
-      val c = (a(i) & 0xff) - (b(i) & 0xff)
-      if (c != 0) return c < 0
-      i += 1
+    while (i < n) {
+      val cx = x.charAt(i); val cy = y.charAt(i)
+      if (cx < 0x80 && cy < 0x80) {
+        if (cx != cy) return cx < cy
+        i += 1
+      } else {
+        val a = x.substring(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val b = y.substring(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var j = 0
+        while (j < a.length && j < b.length) {
+          val c = (a(j) & 0xff) - (b(j) & 0xff)
+          if (c != 0) return c < 0
+          j += 1
+        }
+        return a.length < b.length
+      }
     }
-    a.length < b.length
+    x.length < y.length
   }
 
   /** One merge applied to one symbol array — the left-to-right
@@ -380,6 +401,264 @@ object Bpe {
     out.toArray
   }
 
+  private def pairBetter(c1: Long, a1: String, b1: String,
+      c2: Long, a2: String, b2: String): Boolean =
+    if (c1 != c2) c1 > c2
+    else if (a1 != a2) utf8Lt(a1, a2)
+    else utf8Lt(b1, b2)
+
+  private def pairLt(x: (String, String), y: (String, String)): Boolean =
+    if (x._1 != y._1) utf8Lt(x._1, y._1) else utf8Lt(x._2, y._2)
+
+  /** Partially order `arr` so its first `n` elements are the n
+    * smallest by (a, b) — Hoare quickselect; the selected SET is
+    * pivot-independent because the order is strict and total (map
+    * keys are distinct), so the caller's final sort makes the result
+    * deterministic.
+    */
+  private def quickSelectPairs(arr: Array[((String, String), Long)],
+      n: Int): Unit = {
+    var lo = 0; var hi = arr.length - 1
+    while (lo < hi) {
+      val pivot = arr((lo + hi) >>> 1)._1
+      var i = lo; var j = hi
+      while (i <= j) {
+        while (pairLt(arr(i)._1, pivot)) i += 1
+        while (pairLt(pivot, arr(j)._1)) j -= 1
+        if (i <= j) {
+          val t = arr(i); arr(i) = arr(j); arr(j) = t
+          i += 1; j -= 1
+        }
+      }
+      if (n - 1 <= j) hi = j
+      else if (n - 1 >= i) lo = i
+      else lo = hi
+    }
+  }
+
+  /** Top-k pair candidates under the trainer's (count desc, a, b)
+    * UTF-8 total order WITHOUT sorting the whole count table: a count
+    * HISTOGRAM finds the threshold count T where the k-th candidate
+    * sits (pure long arithmetic — no string compares at all), every
+    * pair above T enters outright, and the tie population AT T is cut
+    * by quickselect on (a, b). Large-merge training spends its late
+    * rounds in count-1 tie storms (hundreds of thousands of tied
+    * candidates per round); a k-bounded heap pays O(wins · log k)
+    * comparator sifts there — measured 40 s of a 50 s q243 run —
+    * while this is two O(P) scans and one O(ties) select. Result ≡
+    * full-sort-take(k).
+    */
+  private def selectTopPairs(counts: scala.collection.Map[(String, String), Long],
+      k: Int, minCount: Long): Array[((String, String), Long)] = {
+    if (k <= 0) return Array.empty
+    val hist = scala.collection.mutable.HashMap.empty[Long, Int]
+    counts.foreach { case (_, c) =>
+      if (c >= minCount) { hist.update(c, hist.getOrElse(c, 0) + 1); () }
+    }
+    selectTopPairsHist(counts, hist, k, minCount)
+  }
+
+  /** [[selectTopPairs]] with the count histogram supplied (the indexed
+    * trainer maintains it incrementally — selection is then one
+    * collect scan plus the tie quickselect, never two table scans).
+    */
+  private def selectTopPairsHist(
+      counts: scala.collection.Map[(String, String), Long],
+      hist: scala.collection.Map[Long, Int],
+      k: Int, minCount: Long): Array[((String, String), Long)] = {
+    if (k <= 0) return Array.empty
+    val descCounts = hist.keysIterator.filter(_ >= minCount).toArray
+    if (descCounts.isEmpty) return Array.empty
+    java.util.Arrays.sort(descCounts)
+    var cum = 0; var ti = descCounts.length - 1; var T = descCounts(ti)
+    var stop = false
+    while (!stop && ti >= 0) {
+      cum += hist(descCounts(ti))
+      T = descCounts(ti)
+      if (cum >= k) stop = true else ti -= 1
+    }
+    val sure = scala.collection.mutable.ArrayBuffer.empty[((String, String), Long)]
+    val ties = scala.collection.mutable.ArrayBuffer.empty[((String, String), Long)]
+    counts.foreach { case (p, c) =>
+      if (c > T && c >= minCount) { sure += ((p, c)); () }
+      else if (c == T && c >= minCount) { ties += ((p, c)); () }
+    }
+    val need = k - sure.size
+    val pick =
+      if (ties.size <= need) ties.toArray
+      else {
+        val arr = ties.toArray
+        quickSelectPairs(arr, need)
+        arr.take(need)
+      }
+    (sure.toArray ++ pick).sortWith((x, y) =>
+      pairBetter(x._2, x._1._1, x._1._2, y._2, y._1._1, y._1._2))
+  }
+
+  /** The conflict-free batch prefix of a ranked candidate list — the
+    * exact selection rule of every trainer path here: a candidate
+    * enters the batch only if neither symbol (nor the merged symbol)
+    * was touched by an earlier member, so the batch's merges commute
+    * and one in-rank-order pass ≡ sequential whole-vocab passes.
+    */
+  private def conflictFreeBatch(top: Array[((String, String), Long)],
+      want: Int): Seq[(String, String)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val it = top.iterator
+    while (batch.size < want && it.hasNext) {
+      val ((a, b), _) = it.next()
+      if (!used(a) && !used(b)) {
+        batch += ((a, b))
+        used += a; used += b; used += (a + b)
+      }
+    }
+    batch.toSeq
+  }
+
+  /** The driver loop at REAL tokenizer scale (k in the tens of
+    * thousands): pair counts are maintained INCREMENTALLY (a merge
+    * removes each affected word's old adjacency contribution and
+    * re-adds its new one — counts(t+1) = counts(t) + delta, the same
+    * law the distributed loop's delta fold applies), and a
+    * pair → word-postings index finds the affected words, so applying
+    * a merge costs O(words containing the pair), never O(vocab).
+    * Postings are stale-tolerant (a word is re-checked for the pair
+    * before processing; a duplicate or superseded entry skips), which
+    * keeps the index append-only. Selection, ordering, batching, and
+    * application are byte-for-byte the shared rules above, so the
+    * learned table is bit-identical to [[trainDriverRecount]] and to
+    * the distributed loop (BpeSpec pins the three-way agreement; the
+    * q243 oracle pins indexed ≡ recount at the full 32k scale).
+    */
+  private[graft] def trainDriverIndexed(words: Array[(Array[String], Long)],
+      nMerges: Int, batchSize: Int, minCount: Long,
+      overfetch: Int): (Seq[Merge], Int) = {
+    val syms = words.map(_._1)
+    val freq = words.map(_._2)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occ = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.ArrayBuffer[Int]]
+    // count histogram maintained INCREMENTALLY alongside counts, so the
+    // per-round threshold walk never scans the pair table (selection is
+    // then ONE collect scan + the tie quickselect)
+    val hist = scala.collection.mutable.HashMap.empty[Long, Int]
+    def histMove(from: Long, to: Long): Unit = {
+      if (from != 0L) {
+        val h = hist(from) - 1
+        if (h == 0) { hist.remove(from); () } else hist.update(from, h)
+      }
+      if (to != 0L) { hist.update(to, hist.getOrElse(to, 0) + 1); () }
+    }
+    def contribute(wi: Int, sign: Long, index: Boolean): Unit = {
+      val s = syms(wi); var i = 0
+      while (i < s.length - 1) {
+        val k = (s(i), s(i + 1))
+        val c0 = counts.getOrElse(k, 0L)
+        val c = c0 + sign * freq(wi)
+        if (c == 0L) { counts.remove(k); () } else counts.update(k, c)
+        histMove(c0, c)
+        if (index) {
+          occ.getOrElseUpdate(k,
+            scala.collection.mutable.ArrayBuffer.empty[Int]) += wi
+          ()
+        }
+        i += 1
+      }
+    }
+    var wi0 = 0
+    while (wi0 < syms.length) { contribute(wi0, 1L, index = true); wi0 += 1 }
+    def hasPair(s: Array[String], a: String, b: String): Boolean = {
+      var i = 0
+      while (i < s.length - 1) {
+        if (s(i) == a && s(i + 1) == b) return true
+        i += 1
+      }
+      false
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rounds = 0
+    var done = false
+    var tSel = 0L; var tApp = 0L; var nTouch = 0L
+    while (merges.size < nMerges && !done) {
+      val want = math.min(batchSize, nMerges - merges.size)
+      val t0 = System.nanoTime()
+      val top = selectTopPairsHist(counts, hist, want * overfetch, minCount)
+      tSel += System.nanoTime() - t0
+      if (top.isEmpty) done = true
+      else {
+        rounds += 1
+        val t1 = System.nanoTime()
+        for ((a, b) <- conflictFreeBatch(top, want)) {
+          merges += Merge(merges.size, a, b)
+          for (buf <- occ.remove((a, b)); wi <- buf
+               if hasPair(syms(wi), a, b)) {
+            nTouch += 1
+            contribute(wi, -1L, index = false)
+            syms(wi) = applyMergeDriver(syms(wi), a, b)
+            contribute(wi, 1L, index = true)
+          }
+        }
+        tApp += System.nanoTime() - t1
+      }
+    }
+    System.err.println(s"[bpe] indexed sel=${tSel/1000000}ms app=${tApp/1000000}ms touches=$nTouch pairs=${counts.size}")
+    (merges.toSeq, rounds)
+  }
+
+  /** The RECOUNT reference for [[trainDriverIndexed]]: full pair
+    * recount every round (no incremental state at all) and one
+    * whole-vocab pass per round applying the batch in rank order —
+    * algorithmically independent of the index/delta machinery, so
+    * agreement at full scale is a real cross-implementation check
+    * (this is what generates the q243 oracle literals).
+    */
+  private[graft] def trainDriverRecount(words: Array[(Array[String], Long)],
+      nMerges: Int, batchSize: Int, minCount: Long,
+      overfetch: Int): (Seq[Merge], Int) = {
+    var vocab = words
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rounds = 0
+    var done = false
+    while (merges.size < nMerges && !done) {
+      val want = math.min(batchSize, nMerges - merges.size)
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (s, f) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      val top = selectTopPairs(counts, want * overfetch, minCount)
+      if (top.isEmpty) done = true
+      else {
+        rounds += 1
+        val batch = conflictFreeBatch(top, want)
+        batch.foreach { case (a, b) => merges += Merge(merges.size, a, b) }
+        // conflict-free ⇒ one in-rank-order pass per word ≡ sequential
+        // whole-vocab passes (no batch member can create or destroy
+        // another's adjacency — they share no symbol)
+        vocab = vocab.map { case (s, f) =>
+          (batch.foldLeft(s) { case (cur, (a, b)) =>
+            if (hasPairRef(cur, a, b)) applyMergeDriver(cur, a, b) else cur
+          }, f)
+        }
+      }
+    }
+    (merges.toSeq, rounds)
+  }
+
+  private def hasPairRef(s: Array[String], a: String, b: String): Boolean = {
+    var i = 0
+    while (i < s.length - 1) {
+      if (s(i) == a && s(i + 1) == b) return true
+      i += 1
+    }
+    false
+  }
+
   /** The round loop of [[trainBatchedCounted]] run in driver memory —
     * a step-for-step replica of the distributed loop (overlapping pair
     * counts weighted by freq, minCount filter, (count desc, a, b)
@@ -387,7 +666,7 @@ object Bpe {
     * prefix, in-rank-order apply), so the learned table is
     * bit-identical on either path (BpeSpec pins it).
     */
-  private def trainDriver(words: Array[(Array[String], Long)], nMerges: Int,
+  private[graft] def trainDriver(words: Array[(Array[String], Long)], nMerges: Int,
       batchSize: Int, minCount: Long, overfetch: Int): (Seq[Merge], Int) = {
     var vocab = words
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]

@@ -37,6 +37,33 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(docs, "text", nMerges = 4) == merges)
   }
 
+  test("driver trainers agree three ways: indexed ≡ recount ≡ classic") {
+    // the q243 oracle rests on indexed ≡ recount; this pins all three
+    // driver loops (incl. the original per-merge-scan one) to the same
+    // (merges, rounds) on a fixture with real tie-breaks and conflicts
+    val vocab = Bpe.collectVocab(Bpe.initialVocab(docs, "text"))
+    val a = Bpe.trainDriverIndexed(vocab, nMerges = 40, batchSize = 4,
+      minCount = 1L, overfetch = 4)
+    val b = Bpe.trainDriverRecount(vocab, nMerges = 40, batchSize = 4,
+      minCount = 1L, overfetch = 4)
+    val c = Bpe.trainDriver(vocab, nMerges = 40, batchSize = 4,
+      minCount = 1L, overfetch = 4)
+    assert(a == b, s"indexed vs recount:\n$a\n$b")
+    assert(b == c, s"recount vs classic:\n$b\n$c")
+    // and on a hash-diverse vocabulary (the q243 shape, small slice)
+    val synth = Bpe.collectVocab(Bpe.initialVocab(
+      spark.range(0, 512).select(
+        substring(md5(concat(lit("bpe:"), col("id").cast("string"))),
+          1, 16).as("w")), "w"))
+    val sa = Bpe.trainDriverIndexed(synth, nMerges = 600, batchSize = 64,
+      minCount = 1L, overfetch = 8)
+    val sb = Bpe.trainDriverRecount(synth, nMerges = 600, batchSize = 64,
+      minCount = 1L, overfetch = 8)
+    val sc = Bpe.trainDriver(synth, nMerges = 600, batchSize = 64,
+      minCount = 1L, overfetch = 8)
+    assert(sa == sb && sb == sc)
+  }
+
   test("merge application is leftmost non-overlapping (aaa → aa|a)") {
     val d = Seq("aaa aaaa").toDF("text")
     val merges = Seq(Bpe.Merge(0, "a", "a"))
