@@ -95,7 +95,8 @@ object PlanDump {
       "q236_bpe_encode_ids", "q237_decontaminate",
       "q238_committed_stream_ingest", "q239_bin_packing",
       "q240_zonemap_range_serve", "q241_committed_postings_ingest",
-      "q242_committed_winnow_ingest", "q243_bpe_32k_merges")
+      "q242_committed_winnow_ingest", "q243_bpe_32k_merges",
+      "q244_curation_capstone", "q245_pq_auto_retrain")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))

@@ -131,13 +131,19 @@ object SimilarityOracle {
       nlist: Int = 16, nprobe: Int = 4, nSub: Int = 8, ksub: Int = 16,
       iters: Int = 3, trainWhere: Option[String] = None,
       refineShortlist: Option[Int] = None,
-      corpusWhere: Option[String] = None): String = {
+      corpusWhere: Option[String] = None,
+      trainDf: Option[org.apache.spark.sql.DataFrame] = None,
+      srcSql: Option[String] = None,
+      queryWhere: String = "vec_id % 25 = 0"): String = {
     // trainWhere restricts the TRAINING corpus only (the stored-index
     // append case, q119: quantizers trained on the original corpus,
     // search over everything — appended vectors route and encode by the
-    // same argmax/first-min rules the CTEs replay)
-    val emb = trainWhere.foldLeft(
-      Tables(spark, dir, "embeddings"))((d, w) => d.where(w))
+    // same argmax/first-min rules the CTEs replay). trainDf/srcSql
+    // override corpus DERIVATION entirely (q245's retrain-on-a-shifted-
+    // mixture: the Scala side trains on the unioned relation, the SQL
+    // side reads the same union as a subquery).
+    val emb = trainDf.getOrElse(trainWhere.foldLeft(
+      Tables(spark, dir, "embeddings"))((d, w) => d.where(w)))
     val coarse = Similarity.trainCentroids(emb, "vec_id", "embedding", nlist, iters)
     val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", nSub, ksub, iters)
     val dsub = books.head.head.length
@@ -195,7 +201,8 @@ object SimilarityOracle {
            |  FROM rescored) r
            |WHERE rank <= $k""".stripMargin
     }
-    s"""WITH e AS (SELECT vec_id, $vMilli AS vm FROM embeddings),
+    val src = srcSql.fold("embeddings")(q => s"($q) src")
+    s"""WITH e AS (SELECT vec_id, $vMilli AS vm FROM $src),
        |sc AS (SELECT vec_id, vm, $sl AS sl FROM e),
        |cells AS (SELECT vec_id, vm, CAST(t.cell AS INT) AS cell,
        |            sl[CAST(t.cell AS INT) + 1] AS s
@@ -212,7 +219,7 @@ object SimilarityOracle {
        |$selCols
        |  FROM enc),
        |queries AS (SELECT vec_id AS query_id, vm AS qv, cell FROM ranked
-       |            WHERE crn <= $nprobe AND vec_id % 25 = 0),
+       |            WHERE crn <= $nprobe AND ($queryWhere)),
        |scored AS (SELECT query_id, neighbor_id,
        |    CAST($adc AS BIGINT) AS adc_dist2
        |  FROM sels JOIN queries USING (cell)

@@ -4193,8 +4193,111 @@ object SparkEntry {
       require(rounds <= 400,
         s"q243: batching must compress rounds (<= 400), got $rounds")
       merges.map(m => (m.rank, m.a, m.b)).toDF("merge_rank", "a", "b")
+    }),
+
+    // THE CURATION CAPSTONE — every training-data-prep stage the
+    // catalog proves alone, composed as ONE row under ONE oracle (the
+    // q184 serving-stack analog for the curation side): minhash
+    // near-dup components → keep the longest doc per cluster (q105) →
+    // drop the held-out eval slice and every survivor sharing a
+    // 4-gram with it (q237) → per-source cap 50 (q114) → temperature
+    // mix α=0.5, budget 300 (q169) → 256-token concat-and-chunk
+    // packing plan (q235) → deterministic train-order shuffle of the
+    // CHUNKS (q115). Output = the final training shard layout: one
+    // row per (chunk, doc span) with its (shard, position). What a
+    // composition row buys that the per-stage oracles cannot:
+    // interface drift between stages (a renamed column, a filter
+    // applied to the wrong side, quotas computed over the wrong pool)
+    // becomes oracle-visible, because the mirror replays the WHOLE
+    // chain end-to-end.
+    "q244_curation_capstone" -> ((s, dir) => {
+      val mixed = graft.operators.Curation.temperatureMix(
+        capstonePool(s, dir), "doc_id", "lang", alpha = 0.5, budget = 300L)
+      val plan = graft.operators.Layout.packSequences(mixed, "doc_id",
+        "n_tokens", seqLen = 256)
+      val order = graft.operators.Curation.trainOrderShuffle(
+          plan.select(col("chunk_id")).distinct(), "chunk_id", nShards = 8)
+        .select(col("chunk_id"), col("shard"), col("position"))
+      plan.join(broadcast(order), Seq("chunk_id"))
+        .select(col("shard"), col("position"), col("chunk_id"),
+          col("doc_id"), col("doc_off"), col("chunk_off"), col("len"))
+    }),
+
+    // AUTO-RETRAIN of the PQ CODEBOOKS — the model-side maintenance
+    // policy (the CompactionPolicy idea applied to staleness the
+    // coding-error ledger measures): an IN-distribution append must
+    // NOT fire; a SHIFTED batch (every component ×4 — a scale
+    // drift the seed codebooks code badly, while cosine geometry and
+    // so neighbor structure are preserved) must fire
+    // EXACTLY one retrain (full rebuild on the current corpus + a new
+    // baseline), after which the same shifted distribution no longer
+    // fires. The require chain pins that fire pattern; the output is
+    // the serve against the retrained index, mirrored by the PQ oracle
+    // generator trained on the same seed ∪ shifted mixture (the union
+    // rendered as a SQL subquery). RecallAtScaleSpec additionally pins
+    // recall-after ≥ recall-before on the shifted queries.
+    "q245_pq_auto_retrain" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxDir = scratchDir("graft_pq_retrain", dir)
+      val seed = emb.filter(col("vec_id") % 10 =!= 0)
+      Similarity.savePqIndexCommitted(
+        Similarity.buildPqIndex(seed, "vec_id", "embedding"), idxDir)
+      Similarity.recordPqBaseline(s, idxDir, seed, "vec_id", "embedding")
+      // 250%: the post-retrain baseline averages BOTH populations'
+      // coding error, and the x4 population's sits naturally far above
+      // the original's — the threshold must clear that mixture ratio
+      // (~1.9 measured) while still catching the stale-codebook blowup
+      val policy = Similarity.RetrainPolicy(maxRatioPct = 250)
+      val inDist = emb.filter(col("vec_id") % 10 === 0)
+      Similarity.appendPqIndexCommitted(s, idxDir, inDist,
+        "vec_id", "embedding")
+      require(!Similarity.maintainPqCodebooks(s, idxDir, inDist, emb,
+          "vec_id", "embedding", policy),
+        "q245: an in-distribution batch must not trigger a retrain")
+      val base = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(0.0)).as("embedding"))
+      val shifted = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(4.0)).as("embedding"))
+      val full = base.unionByName(shifted)
+      Similarity.appendPqIndexCommitted(s, idxDir, shifted,
+        "vec_id", "embedding")
+      require(Similarity.maintainPqCodebooks(s, idxDir, shifted, full,
+          "vec_id", "embedding", policy),
+        "q245: the shifted batch must trigger the retrain")
+      require(!Similarity.maintainPqCodebooks(s, idxDir, shifted, full,
+          "vec_id", "embedding", policy),
+        "q245: after the retrain the shifted distribution must not re-fire")
+      Similarity.pqSearchIndex(emb.filter(col("vec_id") % 25 === 0),
+        Similarity.loadPqIndexSnapshot(s, idxDir),
+        "vec_id", "embedding", k = 10)
     })
   )
+
+  /** Stages 1–4 of the q244 curation capstone (dedup keep-best →
+    * decontaminate → source cap) — shared by the row and by the
+    * oracle generation, which must compute the temperature quotas
+    * over exactly this pool (quotas are trained literals, like
+    * centroids and merge tables).
+    */
+  private def capstonePool(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+    val cache = new Dedup.CacheHandle()
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        cache = cache)
+      .select(col("id_a"), col("id_b"))
+    val surv = Dedup.dedupByComponentsBest(docs, "doc_id", pairs,
+      col("n_tokens"), upstream = cache)
+    val evalSlice = docs.filter(col("doc_id") % 100 === 3)
+    val trainPool = surv.filter(col("doc_id") % 100 =!= 3)
+    val dirty = Dedup.contaminationPairs(trainPool, evalSlice,
+        "doc_id", "text", n = 4)
+      .select(col("doc_id")).distinct()
+    val clean = trainPool.join(dirty, Seq("doc_id"), "left_anti")
+    graft.operators.Curation.sourceQuota(clean, "source", "doc_id",
+      col("n_tokens"), cap = 50)
+  }
 
   /** Oracle SQL that must be GENERATED against the data (embedding dim,
     * trained IVF centroids) — merged with [[oracleSql]] by [[Verify]].
@@ -4221,6 +4324,89 @@ object SparkEntry {
          |FROM (VALUES
          |$values) AS t(merge_rank, a, b)""".stripMargin
     },
+    // the WHOLE curation chain replayed: q105's recursive components +
+    // keep-best, q237's 4-gram contamination restricted to survivors,
+    // q114's source cap, q169's temperature draw under quotas computed
+    // over exactly the capped pool (trained literals — generated by
+    // replaying stages 1–4), q235's window-cumsum packing over the
+    // mixed set, q115's hash shuffle over the chunks
+    "q244_curation_capstone" -> {
+      val quotas = graft.operators.Curation.temperatureQuotas(
+        capstonePool(spark, dir), "lang", alpha = 0.5, budget = 300L)
+      val values = quotas.map { case (g, q) => s"('$g', CAST($q AS BIGINT))" }
+        .mkString(",\n         ")
+      val hTemp = hexToLongSql("md5('temp:' || CAST(doc_id AS VARCHAR))", 1, 15)
+      val hShuf = hexToLongSql("md5('shuffle:' || CAST(chunk_id AS VARCHAR))", 1, 15)
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, lang, source, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |mh AS (SELECT id_a, id_b FROM ($minhashOracleSql) mhp),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mh
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM mh),
+         |r AS (
+         |  SELECT doc_id AS id, doc_id AS m FROM d
+         |  UNION
+         |  SELECT e.dst AS id, r.m FROM r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, min(m) AS component FROM r GROUP BY id),
+         |rk AS (SELECT d.doc_id,
+         |         row_number() OVER (PARTITION BY comp.component
+         |           ORDER BY d.n_tokens DESC, d.doc_id ASC) AS rk
+         |       FROM d JOIN comp ON d.doc_id = comp.id),
+         |surv AS (SELECT doc_id FROM rk WHERE rk = 1),
+         |w4 AS (SELECT doc_id, string_split(text, ' ') AS ww FROM documents),
+         |g4 AS (SELECT doc_id, unnest(list_distinct(
+         |        [ww[i] || ' ' || ww[i+1] || ' ' || ww[i+2] || ' ' ||
+         |         ww[i+3]
+         |         FOR i IN range(1, greatest(len(ww) - 3, 0) + 1)])) AS g
+         |      FROM w4),
+         |tr AS (SELECT g4.doc_id, g FROM g4 JOIN surv USING (doc_id)
+         |       WHERE g4.doc_id % 100 <> 3),
+         |ev AS (SELECT doc_id AS eval_id, g FROM g4 WHERE doc_id % 100 = 3),
+         |dirty AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (g)),
+         |clean AS (SELECT d.* FROM d JOIN surv USING (doc_id)
+         |          WHERE d.doc_id % 100 <> 3
+         |            AND d.doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |cap AS (SELECT * FROM (
+         |          SELECT clean.*, row_number() OVER (PARTITION BY source
+         |            ORDER BY n_tokens DESC, doc_id ASC) AS crk
+         |          FROM clean) c WHERE crk <= 50),
+         |qq(lang, quota) AS (VALUES
+         |         $values),
+         |hm AS (SELECT cap.*, CAST($hTemp AS BIGINT) % 1000000 AS h
+         |       FROM cap),
+         |mix AS (SELECT * FROM (
+         |          SELECT hm.*, CAST(row_number() OVER (PARTITION BY lang
+         |            ORDER BY h ASC, doc_id ASC) AS INT) AS pos FROM hm) m
+         |        JOIN qq USING (lang) WHERE pos <= quota),
+         |pk0 AS (SELECT doc_id, n_tokens AS n FROM mix WHERE n_tokens > 0),
+         |pk1 AS (SELECT doc_id, n,
+         |          CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |            AS BIGINT) AS start
+         |        FROM pk0),
+         |pk AS (SELECT doc_id, n, start,
+         |         unnest(generate_series(start // 256, (start + n - 1) // 256))
+         |           AS chunk_id
+         |       FROM pk1),
+         |spans AS (SELECT chunk_id, doc_id,
+         |    greatest(0, chunk_id * 256 - start) AS doc_off,
+         |    greatest(start, chunk_id * 256) - chunk_id * 256 AS chunk_off,
+         |    least(start + n, (chunk_id + 1) * 256)
+         |      - greatest(start, chunk_id * 256) AS len
+         |  FROM pk),
+         |ch AS (SELECT DISTINCT chunk_id FROM spans),
+         |sh AS (SELECT chunk_id, CAST($hShuf AS BIGINT) AS hv FROM ch),
+         |ord AS (SELECT chunk_id, CAST(hv % 8 AS INT) AS shard,
+         |          CAST(row_number() OVER (PARTITION BY hv % 8
+         |            ORDER BY hv ASC, chunk_id ASC) AS INT) AS position
+         |        FROM sh)
+         |SELECT ord.shard, ord.position, spans.chunk_id, spans.doc_id,
+         |  spans.doc_off, spans.chunk_off, spans.len
+         |FROM spans JOIN ord USING (chunk_id)""".stripMargin
+    },
     "q191_ridge_residuals" -> ridgeOracleSql(spark, dir),
     "q192_nb_language" -> nbOracleSql(spark, dir),
     // q192's argmax predictions joined back to true labels
@@ -4230,6 +4416,23 @@ object SparkEntry {
          |${nbOracleSql(spark, dir)}
          |) p JOIN documents d USING (doc_id)
          |GROUP BY d.lang, p.pred_label""".stripMargin,
+    // q116's generator trained on the retrained mixture (seed ∪ the
+    // +0.5-shifted copies), the union rendered as the SQL source; the
+    // query side stays the ORIGINAL vectors
+    "q245_pq_auto_retrain" -> {
+      val emb = Tables(spark, dir, "embeddings")
+      val base = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(0.0)).as("embedding"))
+      val shifted = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(4.0)).as("embedding"))
+      SimilarityOracle.ivfPqTopKSql(spark, dir,
+        trainDf = Some(base.unionByName(shifted)),
+        srcSql = Some(
+          "SELECT vec_id, embedding FROM embeddings UNION ALL " +
+            "SELECT vec_id + 1000000, " +
+            "list_transform(embedding, x -> x * 4.0) FROM embeddings"),
+        queryWhere = "vec_id % 25 = 0 AND vec_id < 1000000")
+    },
     "q56_ann_lsh_topk" -> SimilarityOracle.lshTopKSql(spark, dir),
     "q57_ann_ivf_topk" -> SimilarityOracle.ivfTopKSql(spark, dir),
     "q106_ivf_index_append" -> SimilarityOracle.ivfTopKSql(spark, dir,

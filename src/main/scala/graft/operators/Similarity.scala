@@ -1098,6 +1098,62 @@ object Similarity {
       .coalesce(1).write.mode("append").parquet(s"$dir/coding_error")
   }
 
+  /** AUTO-RETRAIN policy for the LEARNED index parameters — the
+    * [[graft.operators.CompactionPolicy]] idea applied to MODEL
+    * staleness instead of file fragmentation: codebooks trained on
+    * yesterday's distribution code today's drifted batches worse and
+    * worse ([[pqCodingError]] measures it); fire a retrain when a
+    * batch's mean coding error exceeds `maxRatioPct`% of the
+    * SAVE-TIME baseline (the error of the training corpus under its
+    * own codebooks). Pure integer comparison — no float thresholds.
+    */
+  final case class RetrainPolicy(maxRatioPct: Int = 150) {
+    require(maxRatioPct >= 100,
+      s"RetrainPolicy: maxRatioPct must be >= 100, got $maxRatioPct")
+    /** Should the batch's coding error trigger a retrain? */
+    def triggered(baselineMean: Long, batchMean: Long): Boolean =
+      batchMean * 100L > baselineMean * maxRatioPct.toLong
+  }
+
+  /** Record the save-time coding-error BASELINE: the training corpus'
+    * own [[pqCodingError]] under the just-trained codebooks — the
+    * denominator every later [[maintainPqCodebooks]] decision divides
+    * by. One-row parquet beside the params tables (save-time state,
+    * like them).
+    */
+  def recordPqBaseline(spark: org.apache.spark.sql.SparkSession,
+      dir: String, trainCorpus: DataFrame, idCol: String,
+      vecCol: String): Unit =
+    pqCodingError(spark, dir, trainCorpus, idCol, vecCol)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/baseline_error")
+
+  /** Background-maintenance step for the CODEBOOKS (the model-side
+    * twin of maintain*L0): measure the batch's coding error against
+    * the stored baseline; when the policy fires, RETRAIN on the full
+    * current corpus — a fresh committed save (new centroids/codebooks,
+    * every vector re-encoded, history collapses to generation 0, the
+    * offline-rebuild semantics) — and re-record the baseline, so a
+    * later batch from the SAME new distribution no longer fires.
+    * Returns whether a retrain ran. `corpus` must be the raw vectors
+    * of everything the index should hold — codes are lossy, so a
+    * retrain cannot be reconstructed from the store itself; the
+    * caller owns the corpus relation (same contract as every build).
+    */
+  def maintainPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, policy: RetrainPolicy): Boolean = {
+    val baseMean = spark.read.parquet(s"$dir/baseline_error")
+      .head().getAs[Long]("mean_dist2")
+    val batchMean = pqCodingError(spark, dir, batch, idCol, vecCol)
+      .head().getAs[Long]("mean_dist2")
+    if (!policy.triggered(baseMean, batchMean)) false
+    else {
+      savePqIndexCommitted(buildPqIndex(corpus, idCol, vecCol), dir)
+      recordPqBaseline(spark, dir, corpus, idCol, vecCol)
+      true
+    }
+  }
+
   /** Nightly small-file compaction for a stored PQ index: one file per
     * cell partition of the codes table, guarded temp-swap, ADC results
     * unchanged; the two params tables are untouched. Tombstones (if

@@ -71,4 +71,69 @@ class RecallAtScaleSpec extends SparkSpec {
     assert(refined > 0.30, s"refined recall too low at sf0.1: $refined")
     assert(multi > 0.90, s"multi-probe recall too low at sf0.1: $multi")
   }
+
+  test("auto-retrain fires on a drifted distribution and restores " +
+      "coding fidelity (q245's policy, measured at bench scale)") {
+    assume(available, s"sf0.1 fixture not present at $sf01")
+    import org.apache.spark.sql.functions.{col, lit, transform}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_retrain_recall").toString
+    // seed index on the ORIGINAL distribution; the shifted copies are
+    // the drifted ingest its codebooks were never trained for
+    Similarity.savePqIndexCommitted(
+      Similarity.buildPqIndex(emb, "vec_id", "embedding"), dir)
+    Similarity.recordPqBaseline(spark, dir, emb, "vec_id", "embedding")
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(0.0)).as("embedding"))
+    val shifted = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"), x => x * lit(4.0)).as("embedding"))
+    val full = base.unionByName(shifted)
+    Similarity.appendPqIndexCommitted(spark, dir, shifted,
+      "vec_id", "embedding")
+    val sq = shifted.filter(col("vec_id") % 25 === 0)
+    // ground truth for the SHIFTED queries over the full mixture.
+    // Measured through the REFINED serve (ADC shortlist + exact
+    // rerank): its recall is exactly shortlist quality, which is what
+    // the codebooks control — raw ADC@10 at these params is noise on
+    // both sides of the retrain, while the shortlist either contains
+    // the true neighbors (fresh codebooks) or misses them (stale).
+    val truth = Similarity
+      .bruteForceTopK(sq, full, "vec_id", "embedding", 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recallNow(): Double = {
+      val got = pairsOf(Similarity.pqSearchRefined(sq,
+        Similarity.loadPqIndexSnapshot(spark, dir), full,
+        "vec_id", "embedding", 10))
+      (truth & got).size.toDouble / truth.size
+    }
+    def codingErr(): Long = Similarity.pqCodingError(spark, dir, shifted,
+      "vec_id", "embedding").head().getAs[Long]("mean_dist2")
+    val (before, errBefore) = (recallNow(), codingErr())
+    assert(Similarity.maintainPqCodebooks(spark, dir, shifted, full,
+      "vec_id", "embedding", Similarity.RetrainPolicy(maxRatioPct = 250)),
+      "the shifted batch must fire the retrain")
+    val (after, errAfter) = (recallNow(), codingErr())
+    info(f"shifted-query refined recall@10: before=$before%.3f " +
+      f"after=$after%.3f; mean coding dist2: $errBefore -> $errAfter")
+    // What the measurement actually shows (and the assertions pin):
+    // the policy's objective — coding FIDELITY on the drifted batch —
+    // strictly improves, and the refined serve stays functional on
+    // both sides of the retrain. Recall itself is NOT asserted to
+    // rise, because measured behavior is the opposite for a scale
+    // drift: systematic coding bias CANCELS between a query and a
+    // corpus coded with the same stale codebooks (relative ADC
+    // ordering within the scaled population partially survives —
+    // 0.388 before), while retraining on the scale-MIXED corpus
+    // dilutes the fixed code budget across two shells (0.250 after).
+    // The honest operational lesson a 100 TB deployment needs:
+    // retrain serves reconstruction-style consumers immediately;
+    // ranking-only consumers on a scale-split corpus want per-shard
+    // indexes, not one diluted codebook.
+    assert(errAfter < errBefore,
+      s"retrain must reduce the shifted batch's coding error: " +
+        s"$errBefore -> $errAfter")
+    assert(before > 0.2 && after > 0.2,
+      s"the refined serve must stay functional across the retrain " +
+        s"lifecycle: before=$before after=$after")
+  }
 }
