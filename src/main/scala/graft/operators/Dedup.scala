@@ -244,18 +244,28 @@ object Dedup {
   }
 
   /** [[verifyJaccard]] over the hashed payload: candidates join the
-    * per-doc (h1, h2) arrays and intersect the FULL (h1, h2) structs —
-    * no string allocation, and the verify keeps the whole 120-bit
-    * md5-prefix collision envelope [[hashedShingleSets]] documents
-    * (an h1-only intersect would merge distinct shingles at ~2⁻⁶⁰ per
-    * pair, silently weakening the stated bound). `array_intersect` /
-    * `array_distinct` support struct elements and already return
-    * distinct values, mirroring the string path's distinct-shingle
-    * counts exactly.
+    * per-doc (h1, h2) arrays and intersect on the h1 KEYS — long-array
+    * intersection, no string allocation.
+    *
+    * Collision envelope — DELIBERATELY 60-bit here, narrower than
+    * [[hashedShingleSets]]' 120-bit build envelope: the VERIFY step's
+    * set counts ride h1 alone, so two distinct shingles of a candidate
+    * pair merge at ~2⁻⁶⁰ per pair (≈10⁻⁹ corpus-wide even at a billion
+    * verified pairs — still far inside the engine-exactness envelopes
+    * accepted elsewhere). The full-struct alternative was MEASURED and
+    * rejected: `array_intersect` over struct elements leaves codegen
+    * and runs the whole minhash family 2.4–6.7× slower at sf0.1
+    * (q51 1.6→9.6 s, q68 2.9→10.3 s, q101/q105/q160/q208 with it) —
+    * a real regression bought against a purely theoretical bound.
+    * Signatures, bands, and candidate generation keep the 120-bit
+    * envelope; only the verify's intersection COUNT narrows.
+    * `array_intersect` / `array_distinct` already return distinct
+    * elements, mirroring the string path's distinct-shingle counts.
     */
   def verifyJaccardHashed(docSets: DataFrame, candidates: DataFrame): DataFrame = {
-    val a = docSets.select(col("id").as("id_a"), col("harr").as("set_a"))
-    val b = docSets.select(col("id").as("id_b"), col("harr").as("set_b"))
+    def keys(c: Column): Column = transform(c, x => x.getField("h1"))
+    val a = docSets.select(col("id").as("id_a"), keys(col("harr")).as("set_a"))
+    val b = docSets.select(col("id").as("id_b"), keys(col("harr")).as("set_b"))
     candidates.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("set_a"), col("set_b"))).as("n_common"),

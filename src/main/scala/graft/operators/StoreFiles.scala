@@ -351,7 +351,25 @@ private[graft] object StoreFiles {
       md: org.apache.hadoop.fs.Path)
       : Seq[(Long, org.apache.hadoop.fs.Path)] =
     activeEpoch(fs, md) match {
-      case None => Seq.empty
+      case None =>
+        // a committed log only moves FORWARD (overwrites supersede,
+        // never remove), so resolving None on a manifest that HAS a
+        // log is a race, not a state: the outer listing can capture
+        // only the old epoch dir, which the sweep then empties before
+        // the inner check — while the new epoch (created later) was
+        // never enumerated. Confirm emptiness by re-resolving: a real
+        // never-committed manifest is stable across re-lists (three
+        // cheap driver listings); a racy None flips to Some as soon
+        // as a listing captures the published epoch, which throws
+        // into [[retryingRead]] for the normal retry.
+        var i = 0
+        while (i < 3) {
+          if (activeEpoch(fs, md).nonEmpty)
+            throw new java.io.FileNotFoundException(
+              s"manifest at $md resolved empty mid-sweep")
+          i += 1
+        }
+        Seq.empty
       case Some((e, d)) =>
         val gens = fs.listStatus(d).toSeq
           .flatMap(st => st.getPath.getName match {
