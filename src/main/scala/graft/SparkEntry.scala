@@ -4270,7 +4270,173 @@ object SparkEntry {
       Similarity.pqSearchIndex(emb.filter(col("vec_id") % 25 === 0),
         Similarity.loadPqIndexSnapshot(s, idxDir),
         "vec_id", "embedding", k = 10)
-    })
+    }),
+
+    // The TRUE ExactSubstr span relation (Lee et al. 2021) at UNBOUNDED
+    // span length: distributed prefix-doubling suffix ranks over the
+    // sentinel-separated global token stream (rounds bound by log of
+    // the longest DOCUMENT, not the corpus — per-doc unique sentinels
+    // force resolution at the doc boundary), exact LCPs by binary
+    // lifting over the retained rank levels, dup_len(p) = max LCP with
+    // the two rank-adjacent suffixes, islands merged per doc. q210's
+    // fixed-5-gram spans chain unrelated repeats and can't say how long
+    // the shared substring actually is; here every span is the exact
+    // maximal extent of a substring occurring >= 2x corpus-wide.
+    "q246_suffix_dup_spans" -> ((s, dir) =>
+      graft.operators.Suffix.maximalDupSpans(t(s, dir, "documents"),
+        "doc_id", "text", minLen = 8L)),
+
+    // ZONE-MAP ranged serve on the PQ family — q240's measured
+    // file-skipping story on a SECOND family (the ANN side): the codes
+    // store commits in three id-range-disjoint batches (base trains
+    // the quantizers; appends encode with the stored codebooks), and a
+    // serve restricted to the top-quarter id range loads through
+    // [[Similarity.loadPqIndexSnapshotRange]] — files whose committed
+    // neighbor_id envelope misses the range never enter the scan (the
+    // in-row require pins the file-set arithmetic), and the serve is
+    // exactly q129's filtered-search contract: candidates restricted
+    // BEFORE the top-k, disallowed rows never reach the ADC expression.
+    "q247_pq_zonemap_range_serve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxDir = scratchDir("graft_pq_zonemap", dir)
+      val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val c1 = mx / 2; val c2 = (mx * 3) / 4
+      Similarity.savePqIndexCommitted(
+        Similarity.buildPqIndex(emb.filter(col("vec_id") <= c1),
+          "vec_id", "embedding"), idxDir)
+      Similarity.appendPqIndexCommitted(s, idxDir,
+        emb.filter(col("vec_id") > c1 && col("vec_id") <= c2),
+        "vec_id", "embedding")
+      Similarity.appendPqIndexCommitted(s, idxDir,
+        emb.filter(col("vec_id") > c2), "vec_id", "embedding")
+      val all = graft.operators.StoreFiles.manifestPaths(s, idxDir)
+        .filter(_.contains("/codes/"))
+      val st = graft.operators.StoreFiles.fileStats(s, idxDir)
+      val kept = all.filter { p =>
+        st.get(p).flatMap(_.get("neighbor_id"))
+          .forall { case (mn, mxv) => mxv >= c2 + 1 && mn <= mx }
+      }
+      require(kept.nonEmpty && kept.size * 2 <= all.size,
+        s"q247: range kept ${kept.size} of ${all.size} committed codes " +
+          "files — zone maps did not prune")
+      Similarity.pqSearchIndex(emb.filter(col("vec_id") % 25 === 0),
+        Similarity.loadPqIndexSnapshotRange(s, idxDir, c2 + 1, mx),
+        "vec_id", "embedding", k = 10)
+    }),
+
+    // EXACTLY-ONCE ledger on the IVF store-maintaining twin — with
+    // this and q249, EVERY store-maintaining streaming ingest runs
+    // under the batch-id ledger (bands q238, postings q241, winnow
+    // q242, IVF, PQ). Ungated like q241: each trigger routes the drop
+    // with the STORED centroids and appends assignments INTO the
+    // committed store; maxRuns=2 forces an L0 re-base mid-stream; the
+    // requires pin gen-0 after re-base, both batch ids surviving it,
+    // and a replayed trigger appending nothing. Serve = q151's search
+    // over the identical corpus ⇒ identical oracle.
+    "q248_committed_ivf_ingest" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = scratchDir("graft_ivf_cstream", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      val idxDir = s"$base/idx$run"
+      Similarity.saveIvfIndexCommitted(
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding"), idxDir)
+      val policy = graft.operators.CompactionPolicy(maxRuns = 2)
+      val q = graft.streaming.DocumentStreams.ivfIngestCommitted(s,
+        landing.toString, idxDir, s"$base/ckpt$run", policy,
+        maxFilesPerTrigger = Some(1))
+      for ((m, i) <- Seq(0, 10).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        emb.filter(col("vec_id") % 20 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      require(Similarity.ivfGen(s, idxDir) == 0L,
+        "q248: the compaction policy must have re-based mid-stream")
+      require(graft.operators.StoreFiles.committedBatchIds(s, idxDir)
+          == Set(0L, 1L),
+        "q248: both batch ids must survive the L0 re-base")
+      graft.streaming.DocumentStreams.ivfIngestCommittedBatch(
+        s, idxDir, policy)(emb.filter(col("vec_id") % 20 === 10), 1L)
+      require(Similarity.ivfGen(s, idxDir) == 0L &&
+          graft.operators.StoreFiles.committedBatchIds(s, idxDir)
+            == Set(0L, 1L),
+        "q248: a re-delivered batch must append nothing")
+      Similarity.ivfSearchIndex(emb.filter(col("vec_id") % 25 === 0),
+        Similarity.loadIvfIndexSnapshot(s, idxDir),
+        "vec_id", "embedding", k = 10)
+    }),
+
+    // q248's design on the PQ family (drops encode with the STORED
+    // codebooks — zero training jobs — and append into the committed
+    // codes under the ledger). Same train/search split as q150 ⇒ same
+    // oracle.
+    "q249_committed_pq_ingest" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = scratchDir("graft_pq_cstream", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      val idxDir = s"$base/idx$run"
+      Similarity.savePqIndexCommitted(
+        Similarity.buildPqIndex(emb.filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding"), idxDir)
+      val policy = graft.operators.CompactionPolicy(maxRuns = 2)
+      val q = graft.streaming.DocumentStreams.pqIngestCommitted(s,
+        landing.toString, idxDir, s"$base/ckpt$run", policy,
+        maxFilesPerTrigger = Some(1))
+      for ((m, i) <- Seq(0, 10).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        emb.filter(col("vec_id") % 20 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      require(Similarity.pqGen(s, idxDir) == 0L,
+        "q249: the compaction policy must have re-based mid-stream")
+      require(graft.operators.StoreFiles.committedBatchIds(s, idxDir)
+          == Set(0L, 1L),
+        "q249: both batch ids must survive the L0 re-base")
+      graft.streaming.DocumentStreams.pqIngestCommittedBatch(
+        s, idxDir, policy)(emb.filter(col("vec_id") % 20 === 10), 1L)
+      require(Similarity.pqGen(s, idxDir) == 0L &&
+          graft.operators.StoreFiles.committedBatchIds(s, idxDir)
+            == Set(0L, 1L),
+        "q249: a re-delivered batch must append nothing")
+      Similarity.pqSearchIndex(emb.filter(col("vec_id") % 25 === 0),
+        Similarity.loadPqIndexSnapshot(s, idxDir),
+        "vec_id", "embedding", k = 10)
+    }),
+
+    // The ExactSubstr APPLY step at unbounded length (q246's spans as
+    // a per-doc token charge) under the REMOVE-ALL-COPIES policy —
+    // what Lee et al.'s released tool does; q212 keeps one canonical
+    // copy but only at fixed gram width. The exact per-doc
+    // trimmed/kept counts a curation pipeline budgets with.
+    "q250_suffix_trim" -> ((s, dir) =>
+      graft.operators.Suffix.trimDupSpansAll(t(s, dir, "documents"),
+        "doc_id", "text", minLen = 8L)),
+
+    // The BOILERPLATE REPORT: the 20 longest maximal duplicated spans
+    // with their extracted text — the auditor artifact (license
+    // headers, chrome, templated paragraphs surface here first).
+    // ORDER BY + LIMIT plans as TakeOrderedAndProject.
+    "q251_boilerplate_report" -> ((s, dir) =>
+      graft.operators.Suffix.longestDupSpans(t(s, dir, "documents"),
+        "doc_id", "text", minLen = 8L, k = 20))
   )
 
   /** Stages 1–4 of the q244 curation capstone (dedup keep-best →
@@ -4440,6 +4606,16 @@ object SparkEntry {
     // the streaming twin keeps q106's exact train/search split
     "q151_ivf_stream_serve" -> SimilarityOracle.ivfTopKSql(spark, dir,
       trainWhere = Some("vec_id % 10 <> 0")),
+    // the committed-store twin keeps q151's exact train/search split
+    // (seed trains, drops assign with stored centroids, serve over
+    // everything) — the ledger changes WHERE appends live, not what
+    // the serve returns; a doubled replay would duplicate candidate
+    // rows, which this mirror would catch
+    "q248_committed_ivf_ingest" -> SimilarityOracle.ivfTopKSql(spark, dir,
+      trainWhere = Some("vec_id % 10 <> 0")),
+    // same on the PQ family ≡ q150's mirror
+    "q249_committed_pq_ingest" -> SimilarityOracle.ivfPqTopKSql(spark, dir,
+      trainWhere = Some("vec_id % 10 <> 0")),
     "q67_neardup_lsh_banded" -> SimilarityOracle.bandedNearDupSql(spark, dir, threshold = 0.45),
     "q116_ann_ivf_pq_topk" -> SimilarityOracle.ivfPqTopKSql(spark, dir),
     "q223_ann_ivf_sq8_topk" -> SimilarityOracle.ivfSq8TopKSql(spark, dir),
@@ -4463,6 +4639,17 @@ object SparkEntry {
       refineShortlist = Some(50)),
     "q129_pq_filtered_topk" -> SimilarityOracle.ivfPqTopKSql(spark, dir,
       corpusWhere = Some("vec_id % 2 = 0")),
+    // the zone-map ranged serve ≡ filtered search over the top-quarter
+    // id range (quantizers trained on the base batch alone — the
+    // committed-store append contract; zone maps only change which
+    // FILES are read, never which rows qualify)
+    "q247_pq_zonemap_range_serve" -> {
+      val mx = Tables(spark, dir, "embeddings")
+        .agg(max(col("vec_id"))).head().getLong(0)
+      SimilarityOracle.ivfPqTopKSql(spark, dir,
+        trainWhere = Some(s"vec_id <= ${mx / 2}"),
+        corpusWhere = Some(s"vec_id > ${(mx * 3) / 4}"))
+    },
     "q133_media_neardup" -> SimilarityOracle.mediaNearDupSql(threshold = 0.999,
       nPlanes = 10, nTables = 2),
     "q153_semdedup" -> SimilarityOracle.semDedupSql(spark, dir, threshold = 0.35),
@@ -4705,6 +4892,104 @@ object SparkEntry {
     * survivors only); the PHRASE side reads the unrestricted split
     * (`wq`) — a deleted doc may still query, never match.
     */
+  /** DuckDB mirror for [[graft.operators.Suffix.maximalDupSpans]]:
+    * suffix ranks by `lead()`-based prefix doubling UNROLLED to a fixed
+    * `k` rounds (2^k must exceed the longest document's token count +
+    * 1 — the sentinel bounds every comparison, so ranks are provably
+    * distinct by then), exact LCPs for rank-adjacent pairs by unrolled
+    * binary lifting, then the q210 island merge. Single-window
+    * dense_rank/lead are fine HERE (the oracle engine is single-node by
+    * contract); the Spark side uses the distributed
+    * sort-then-zipWithIndex ranks and equi-join neighbor lookups.
+    */
+  private def suffixDupSpansOracleSql(minLen: Int, k: Int): String =
+    s"""WITH ${suffixSpanCtes(minLen, k)}
+       |SELECT doc_id, span_start, span_end, span_tokens, n_pos
+       |FROM spans""".stripMargin
+
+  /** [[suffixDupSpansOracleSql]]'s per-document trim charge under the
+    * remove-all-copies policy (q212's COALESCE-0 shape).
+    */
+  private def suffixTrimOracleSql(minLen: Int, k: Int): String =
+    s"""WITH ${suffixSpanCtes(minLen, k)}
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |  COALESCE(s.tt, 0) AS trimmed_tokens,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) - COALESCE(s.tt, 0)
+       |    AS kept_tokens
+       |FROM documents d LEFT JOIN
+       |  (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS tt
+       |   FROM spans GROUP BY doc_id) s USING (doc_id)""".stripMargin
+
+  /** [[suffixDupSpansOracleSql]]'s top-`topK` longest spans with their
+    * extracted text, under the same deterministic total order as the
+    * Spark plan.
+    */
+  private def suffixReportOracleSql(minLen: Int, k: Int, topK: Int): String =
+    s"""WITH ${suffixSpanCtes(minLen, k)}
+       |SELECT spans.doc_id, span_start, span_end, span_tokens,
+       |  array_to_string(list_slice(t.w, CAST(span_start AS INT),
+       |    CAST(span_end AS INT)), ' ') AS span_text
+       |FROM spans JOIN t ON t.doc_id = spans.doc_id
+       |ORDER BY span_tokens DESC, spans.doc_id, span_start
+       |LIMIT $topK""".stripMargin
+
+  private def suffixSpanCtes(minLen: Int, k: Int): String = {
+    val doubling = (1 to k).map { i =>
+      val s = 1L << (i - 1)
+      s"""r$i AS (SELECT gpos, dense_rank() OVER (ORDER BY r, r2) AS r FROM
+         |  (SELECT gpos, r, COALESCE(lead(r, $s) OVER (ORDER BY gpos), -1) AS r2
+         |   FROM r${i - 1}))""".stripMargin
+    }
+    val lifting = (k - 1 to 0 by -1).map { i =>
+      val s = 1L << i
+      val prev = if (i == k - 1) "l" else s"l${i + 1}"
+      s"""l$i AS (SELECT p, q,
+         |  lcp + CASE WHEN rp.r = rq.r THEN $s ELSE 0 END AS lcp
+         |  FROM $prev LEFT JOIN r$i rp ON rp.gpos = $prev.p + $prev.lcp
+         |             LEFT JOIN r$i rq ON rq.gpos = $prev.q + $prev.lcp)""".stripMargin
+    }
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |base AS (SELECT doc_id, len(w) AS n,
+       |  COALESCE(sum(len(w) + 1) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt FROM t),
+       |pos AS (
+       |  SELECT x.doc_id, x.s.pos AS pos, x.strt + x.s.pos - 1 AS gpos,
+       |         1 AS flag, x.s.key AS key
+       |  FROM (SELECT t.doc_id, strt,
+       |          unnest([{'pos': i, 'key': w[i]} FOR i IN range(1, len(w) + 1)]) AS s
+       |        FROM t JOIN base USING (doc_id)) x
+       |  UNION ALL
+       |  SELECT doc_id, n + 1 AS pos, strt + n AS gpos, 0 AS flag,
+       |         CAST(doc_id AS VARCHAR) AS key FROM base),
+       |r0 AS (SELECT gpos, dense_rank() OVER (ORDER BY flag, key) AS r FROM pos),
+       |${doubling.mkString(",\n")},
+       |sa AS (SELECT gpos, row_number() OVER (ORDER BY r) AS sr FROM r$k),
+       |l AS (SELECT a.gpos AS p, b.gpos AS q, CAST(0 AS BIGINT) AS lcp
+       |  FROM sa a JOIN sa b ON b.sr = a.sr + 1),
+       |${lifting.mkString(",\n")},
+       |dl AS (SELECT gpos, max(lcp) AS dup_len FROM
+       |  (SELECT p AS gpos, lcp FROM l0 UNION ALL SELECT q, lcp FROM l0)
+       |  GROUP BY gpos),
+       |h AS (SELECT pos.doc_id, pos.pos, pos.pos + dl.dup_len - 1 AS e
+       |  FROM dl JOIN pos USING (gpos)
+       |  WHERE dl.dup_len >= $minLen AND pos.flag = 1),
+       |i1 AS (SELECT doc_id, pos, e,
+       |  max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM h),
+       |i2 AS (SELECT doc_id, pos, e,
+       |  CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS brk
+       |  FROM i1),
+       |i3 AS (SELECT doc_id, pos, e,
+       |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i2),
+       |spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(e) AS BIGINT) AS span_end,
+       |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_pos
+       |FROM i3 GROUP BY doc_id, island)""".stripMargin
+  }
+
   private def phraseRestrictedOracleSql(corpusWhere: String): String =
     s"""WITH wq AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |w AS (SELECT * FROM wq WHERE $corpusWhere),
@@ -5855,6 +6140,21 @@ object SparkEntry {
          |UNION ALL
          |SELECT doc_id FROM adm2
          |WHERE doc_id IN (SELECT doc_id FROM f)""".stripMargin,
+    // an algorithmically INDEPENDENT suffix construction: single-window
+    // dense ranks + lead() doubling at a fixed 10 rounds (2^10 > any
+    // test doc + sentinel; the Spark side doubles until distinct),
+    // unrolled binary-lifting LCP joins. Agreement is guaranteed
+    // because dup_len depends only on rank EQUALITY classes and the
+    // max-LCP neighbor is adjacent in ANY lexicographic order — engine
+    // collation and doubling depth cancel out of the output.
+    "q246_suffix_dup_spans" -> suffixDupSpansOracleSql(minLen = 8, k = 10),
+    // the span CTEs rolled up per document (COALESCE-0 for untouched
+    // docs, q212's shape)
+    "q250_suffix_trim" -> suffixTrimOracleSql(minLen = 8, k = 10),
+    // the span CTEs joined back to the token arrays; both engines cut
+    // the SAME 1-based inclusive slice and space-join it
+    "q251_boilerplate_report" ->
+      suffixReportOracleSql(minLen = 8, k = 10, topK = 20),
     // the same class-based placement from the oracle's own window rank
     // (the engine's two-phase index and the window agree because the
     // (k, n desc, id) order is total)

@@ -327,7 +327,7 @@ object Curation {
     * + 1 merges touching gram windows (the covered token run stays
     * contiguous).
     */
-  private def mergeSpans(hits: DataFrame, idCol: String): DataFrame = {
+  private[operators] def mergeSpans(hits: DataFrame, idCol: String): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     hits
       .withColumn("prev_end", max(col("end"))

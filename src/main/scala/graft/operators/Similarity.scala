@@ -631,6 +631,20 @@ object Similarity {
       appendIvfIndex(spark, dir, batch, idCol, vecCol)
     }
 
+  /** [[appendIvfIndexCommitted]] made EXACTLY-ONCE for a replayable
+    * writer (foreachBatch): `batchId` rides the manifest commit as a
+    * ledger header; a re-delivered id writes nothing and returns None
+    * ([[StoreFiles.commitAppendIdempotent]] — the ledger survives
+    * [[compactIvfL0]]'s re-base).
+    */
+  def appendIvfIndexCommittedIdempotent(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      batchId: Long): Option[Long] =
+    Stores.ivf.appendCommittedIdempotent(spark, dir, batchId) {
+      appendIvfIndex(spark, dir, batch, idCol, vecCol)
+    }
+
   /** Latest committed generation (-1 if never committed). */
   def ivfGen(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
     Stores.ivf.gen(spark, dir)
@@ -1206,6 +1220,20 @@ object Similarity {
       appendPqIndex(spark, dir, batch, idCol, vecCol)
     }
 
+  /** [[appendPqIndexCommitted]] made EXACTLY-ONCE for a replayable
+    * writer (foreachBatch): `batchId` rides the manifest commit as a
+    * ledger header; a re-delivered id writes nothing and returns None
+    * ([[StoreFiles.commitAppendIdempotent]] — the ledger survives
+    * [[compactPqL0]]'s re-base).
+    */
+  def appendPqIndexCommittedIdempotent(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      batchId: Long): Option[Long] =
+    Stores.pq.appendCommittedIdempotent(spark, dir, batchId) {
+      appendPqIndex(spark, dir, batch, idCol, vecCol)
+    }
+
   /** Latest committed generation (-1 if never committed). */
   def pqGen(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
     Stores.pq.gen(spark, dir)
@@ -1254,6 +1282,25 @@ object Similarity {
   def loadPqIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
       dir: String, asOf: Option[Long] = None): PqIndex =
     mkPqIndex(spark, dir, Stores.pq.snapshot(spark, dir, asOf))
+
+  /** [[loadPqIndexSnapshot]] restricted to `neighbor_id ∈ [lo, hi]`
+    * with ZONE-MAP FILE SKIPPING: committed codes files whose
+    * manifest-recorded (min, max) envelope misses the range never
+    * enter the scan's file list, and the range predicate is also
+    * applied in-plan (correctness never rests on the stats). Serving
+    * against this index IS filtered search — disallowed candidates
+    * never reach the ADC expression, so
+    * `pqSearchIndex(..., loadPqIndexSnapshotRange(lo, hi), ...)` ≡
+    * `pqSearchIndex(..., corpusFilter = id BETWEEN lo AND hi)` row for
+    * row, but reads only the surviving files: on a store committed in
+    * id-range batches (the natural shape when ingest partitions by id
+    * epoch), a serve over one batch's range reads ~1/batches of the
+    * codes bytes, at ANY corpus size.
+    */
+  def loadPqIndexSnapshotRange(spark: org.apache.spark.sql.SparkSession,
+      dir: String, lo: Long, hi: Long): PqIndex =
+    mkPqIndex(spark, dir,
+      Stores.pq.snapshotSkipping(spark, dir, "neighbor_id", lo, hi))
 
   /** Serve IVF-PQ top-k against a stored index — q116's ADC scan with
     * ZERO training jobs: queries rank cells against the loaded centroids

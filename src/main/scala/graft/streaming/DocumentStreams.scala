@@ -801,6 +801,69 @@ object DocumentStreams {
       .select(col("neighbor_id"), col("cv"), col("cell"))
       .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
 
+  /** VECTOR ingest MAINTAINING the committed IVF store exactly-once —
+    * [[postingsIngestCommitted]]'s design on the IVF family (ungated:
+    * every drop vector enters the index): each trigger routes the
+    * batch with the STORED centroids (zero training jobs) and appends
+    * the assignments INTO the store under the batch-id ledger; the
+    * [[graft.operators.CompactionPolicy]] self-regulates the L0 the
+    * stream grows. A re-delivered batch writes nothing — the ledger
+    * rides the manifest commit and survives the policy's re-bases.
+    */
+  def ivfIngestCommitted(spark: SparkSession, landingDir: String,
+      idxDir: String, checkpointDir: String,
+      policy: graft.operators.CompactionPolicy,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readEmbeddings(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ivfIngestCommittedBatch(spark, idxDir, policy)(batch.toDF(), batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One [[ivfIngestCommitted]] trigger, exposed for the replay spec
+    * and the in-row idempotence pin.
+    */
+  def ivfIngestCommittedBatch(spark: SparkSession, idxDir: String,
+      policy: graft.operators.CompactionPolicy)(
+      batch: DataFrame, batchId: Long): Unit = {
+    graft.operators.Similarity.appendIvfIndexCommittedIdempotent(spark,
+      idxDir, batch.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", batchId)
+    graft.operators.Similarity.maintainIvfL0(spark, idxDir, policy)
+    ()
+  }
+
+  /** [[ivfIngestCommitted]] on the PQ family: drops encode with the
+    * STORED codebooks and append into the committed codes under the
+    * batch-id ledger; the policy self-regulates L0.
+    */
+  def pqIngestCommitted(spark: SparkSession, landingDir: String,
+      idxDir: String, checkpointDir: String,
+      policy: graft.operators.CompactionPolicy,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readEmbeddings(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        pqIngestCommittedBatch(spark, idxDir, policy)(batch.toDF(), batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One [[pqIngestCommitted]] trigger, exposed for the replay spec
+    * and the in-row idempotence pin.
+    */
+  def pqIngestCommittedBatch(spark: SparkSession, idxDir: String,
+      policy: graft.operators.CompactionPolicy)(
+      batch: DataFrame, batchId: Long): Unit = {
+    graft.operators.Similarity.appendPqIndexCommittedIdempotent(spark,
+      idxDir, batch.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", batchId)
+    graft.operators.Similarity.maintainPqL0(spark, idxDir, policy)
+    ()
+  }
+
   /** The stream's live IVF index: stored ∪ committed assignment deltas. */
   def liveIvfIndex(spark: SparkSession, idxDir: String,
       outPath: String): graft.operators.Similarity.IvfIndex = {

@@ -467,6 +467,93 @@ class ManifestFamiliesSpec extends SparkSpec {
     assert(Dedup.winnowGen(spark, dir) == 0L && storedIds == Set(1L, 2L, 6L, 8L))
   }
 
+  test("ivf: exactly-once store-maintaining stream ingest — replay " +
+      "writes nothing even after the policy's mid-stream re-base") {
+    import graft.streaming.DocumentStreams
+    val emb = Tables(spark, sf, "embeddings")
+    val dir = tmp("graft_ivf_ledger")
+    val seed = emb.filter(col("vec_id") < 40)
+    val b0 = emb.filter(col("vec_id") >= 40 && col("vec_id") < 60)
+    val b1 = emb.filter(col("vec_id") >= 60 && col("vec_id") < 80)
+    val queries = emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 40)
+      .localCheckpoint()
+    def served: Set[(Long, Long, Int)] =
+      Similarity.ivfSearchIndex(queries,
+          Similarity.loadIvfIndexSnapshot(spark, dir),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .as[(Long, Long, Int)].collect().toSet
+    Similarity.saveIvfIndexCommitted(
+      Similarity.buildIvfIndex(seed, "vec_id", "embedding"), dir)
+    val policy = graft.operators.CompactionPolicy(maxRuns = 2)
+    DocumentStreams.ivfIngestCommittedBatch(spark, dir, policy)(b0, 0L)
+    assert(Similarity.ivfGen(spark, dir) == 1L)
+    // the second trigger hits maxRuns: L0 re-bases, ledger carried
+    DocumentStreams.ivfIngestCommittedBatch(spark, dir, policy)(b1, 1L)
+    assert(Similarity.ivfGen(spark, dir) == 0L)
+    assert(StoreFiles.committedBatchIds(spark, dir) == Set(0L, 1L))
+    // serve must equal an independently-built store over seed ∪ b0 ∪ b1
+    // (a doubled replay would duplicate candidate rows)
+    val refDir = tmp("graft_ivf_ledger_ref")
+    Similarity.saveIvfIndex(
+      Similarity.buildIvfIndex(seed, "vec_id", "embedding"), refDir)
+    Similarity.appendIvfIndex(spark, refDir, b0, "vec_id", "embedding")
+    Similarity.appendIvfIndex(spark, refDir, b1, "vec_id", "embedding")
+    val want = Similarity.ivfSearchIndex(queries,
+        Similarity.loadIvfIndex(spark, refDir), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(served == want)
+    val stamps = parquetStamps(s"$dir/assignments")
+    DocumentStreams.ivfIngestCommittedBatch(spark, dir, policy)(b0, 0L)
+    DocumentStreams.ivfIngestCommittedBatch(spark, dir, policy)(b1, 1L)
+    assert(parquetStamps(s"$dir/assignments") == stamps)
+    assert(Similarity.ivfGen(spark, dir) == 0L)
+    assert(served == want)
+  }
+
+  test("pq: exactly-once store-maintaining stream ingest — drops encode " +
+      "with the stored codebooks, replay writes nothing") {
+    import graft.streaming.DocumentStreams
+    val emb = Tables(spark, sf, "embeddings")
+    val dir = tmp("graft_pq_ledger")
+    val seed = emb.filter(col("vec_id") < 40)
+    val b0 = emb.filter(col("vec_id") >= 40 && col("vec_id") < 60)
+    val b1 = emb.filter(col("vec_id") >= 60 && col("vec_id") < 80)
+    val queries = emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 40)
+      .localCheckpoint()
+    def served: Set[(Long, Long, Int)] =
+      Similarity.pqSearchIndex(queries,
+          Similarity.loadPqIndexSnapshot(spark, dir),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .as[(Long, Long, Int)].collect().toSet
+    Similarity.savePqIndexCommitted(
+      Similarity.buildPqIndex(seed, "vec_id", "embedding"), dir)
+    val policy = graft.operators.CompactionPolicy(maxRuns = 2)
+    DocumentStreams.pqIngestCommittedBatch(spark, dir, policy)(b0, 0L)
+    assert(Similarity.pqGen(spark, dir) == 1L)
+    DocumentStreams.pqIngestCommittedBatch(spark, dir, policy)(b1, 1L)
+    assert(Similarity.pqGen(spark, dir) == 0L)
+    assert(StoreFiles.committedBatchIds(spark, dir) == Set(0L, 1L))
+    val refDir = tmp("graft_pq_ledger_ref")
+    Similarity.savePqIndex(
+      Similarity.buildPqIndex(seed, "vec_id", "embedding"), refDir)
+    Similarity.appendPqIndex(spark, refDir, b0, "vec_id", "embedding")
+    Similarity.appendPqIndex(spark, refDir, b1, "vec_id", "embedding")
+    val want = Similarity.pqSearchIndex(queries,
+        Similarity.loadPqIndex(spark, refDir), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(served == want)
+    val stamps = parquetStamps(s"$dir/codes")
+    DocumentStreams.pqIngestCommittedBatch(spark, dir, policy)(b0, 0L)
+    DocumentStreams.pqIngestCommittedBatch(spark, dir, policy)(b1, 1L)
+    assert(parquetStamps(s"$dir/codes") == stamps)
+    assert(Similarity.pqGen(spark, dir) == 0L)
+    assert(served == want)
+  }
+
   test("idempotent append is DESCRIPTOR-level: any family gets the " +
       "batch ledger through appendCommittedIdempotent — postings shown") {
     import graft.operators.Stores

@@ -181,4 +181,60 @@ class PruningSpec extends SparkSpec {
       s"cell partition filter missing on codes scan:\n$plan")
     assert(!plan.contains("dynamicpruning"))
   }
+
+  test("zone maps on the PQ family: a ranged codes serve skips " +
+      "non-overlapping committed files and equals filtered search") {
+    import graft.operators.StoreFiles
+    val dir = tmpDir("pqzone")
+    val mx = emb.agg(max($"vec_id")).head().getLong(0)
+    val c1 = mx / 2; val c2 = (mx * 3) / 4; val lo = c2 + 1
+    Similarity.savePqIndexCommitted(
+      Similarity.buildPqIndex(emb.filter($"vec_id" <= c1),
+        "vec_id", "embedding"), dir)
+    Similarity.appendPqIndexCommitted(spark, dir,
+      emb.filter($"vec_id" > c1 && $"vec_id" <= c2), "vec_id", "embedding")
+    Similarity.appendPqIndexCommitted(spark, dir,
+      emb.filter($"vec_id" > c2), "vec_id", "embedding")
+    // every committed codes file carries a neighbor_id envelope; the
+    // top-quarter range keeps a strict minority of the file list
+    val allCodes = StoreFiles.manifestPaths(spark, dir)
+      .filter(_.contains("/codes/"))
+    val st = StoreFiles.fileStats(spark, dir)
+    assert(allCodes.forall(p => st.get(p).exists(_.contains("neighbor_id"))),
+      "a committed codes file has no neighbor_id envelope")
+    val kept = allCodes.filter { p =>
+      val (mn, mxv) = st(p)("neighbor_id"); mxv >= lo && mn <= mx
+    }
+    assert(kept.nonEmpty && kept.size * 2 <= allCodes.size,
+      s"range [$lo,$mx] kept ${kept.size} of ${allCodes.size} codes files")
+    val q = emb.filter($"vec_id" % 25 === 0).localCheckpoint()
+    def ranged() = Similarity.pqSearchIndex(q,
+      Similarity.loadPqIndexSnapshotRange(spark, dir, lo, mx),
+      "vec_id", "embedding", k = 10)
+    // stats only PRUNE: identical rows to corpusFilter-ed full serve
+    val viaFilter = Similarity.pqSearchIndex(q,
+      Similarity.loadPqIndexSnapshot(spark, dir), "vec_id", "embedding",
+      k = 10, corpusFilter = Some($"neighbor_id".between(lo, mx)))
+    assert(ranged().collect().toSet == viaFilter.collect().toSet)
+    // measured: ranged < pushdown-only < full — never-listing a file
+    // beats opening it for its footer, which beats reading it
+    val bFull = totalInputBytes {
+      Similarity.pqSearchIndex(q, Similarity.loadPqIndexSnapshot(spark, dir),
+        "vec_id", "embedding", k = 10).count(); ()
+    }
+    // each serve BUILDS its load inside the measured region (the
+    // params tables and manifest-listed footers count for all three)
+    val bPushdownOnly = totalInputBytes {
+      Similarity.pqSearchIndex(q, Similarity.loadPqIndexSnapshot(spark, dir),
+        "vec_id", "embedding", k = 10,
+        corpusFilter = Some($"neighbor_id".between(lo, mx))).count(); ()
+    }
+    val bRanged = totalInputBytes { ranged().count(); () }
+    assert(bRanged < bFull,
+      s"ranged serve read $bRanged of $bFull bytes — files not skipped")
+    assert(bRanged < bPushdownOnly,
+      s"zone-map skip ($bRanged) must beat pushdown-only ($bPushdownOnly)")
+    assert((bFull - bRanged) * 10 >= bFull,
+      s"skipping saved ${bFull - bRanged} of $bFull bytes — below the 10% floor")
+  }
 }

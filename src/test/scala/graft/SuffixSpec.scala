@@ -1,0 +1,144 @@
+package graft
+
+import graft.operators.{Curation, Suffix}
+import org.apache.spark.sql.functions._
+
+/** Prefix-doubling suffix ranks + unbounded maximal duplicated spans:
+  * exact agreement with an in-memory brute force on handcrafted corpora
+  * (intra-doc repeats, cross-doc repeats, whole-doc duplicates,
+  * boundary-adjacent repeats), the fixed-n equivalence law against
+  * [[Curation.duplicatedSpans]] on real data, and sentinel isolation
+  * (a repeat spanning two concatenated documents must NOT be found).
+  */
+class SuffixSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force maximal dup spans: dup_len(d, p) = the longest L such
+    * that tokens(d)(p until p+L) occurs at a second (doc, pos); spans =
+    * maximal contiguous runs of the union of [p, p+dup_len-1] over
+    * positions with dup_len >= minLen. O(n^2 * len) — fixtures only.
+    */
+  private def bruteSpans(docs: Seq[(Long, String)],
+      minLen: Int): Set[(Long, Long, Long, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val all = for {
+      (id, w) <- toks; p <- w.indices
+    } yield (id, p, w.drop(p))
+    def lcp(a: Seq[String], b: Seq[String]): Int =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size
+    val dupLen = all.map { case (id, p, suf) =>
+      val m = all.filter { case (id2, p2, _) => (id2, p2) != ((id, p)) }
+        .map { case (_, _, suf2) => lcp(suf, suf2) }
+      ((id, p), if (m.isEmpty) 0 else m.max)
+    }.toMap
+    toks.flatMap { case (id, w) =>
+      val covered = w.indices.flatMap { p =>
+        val dl = dupLen((id, p))
+        if (dl >= minLen) p until (p + dl) else Seq.empty
+      }.toSet
+      // maximal contiguous runs of the covered set, 1-based inclusive
+      val runs = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+      var start = -1
+      for (p <- 0 to w.size) {
+        val in = p < w.size && covered(p)
+        if (in && start < 0) start = p
+        if (!in && start >= 0) { runs += ((start, p - 1)); start = -1 }
+      }
+      runs.map { case (s, e) =>
+        (id, (s + 1).toLong, (e + 1).toLong, (e - s + 1).toLong) }
+    }.toSet
+  }
+
+  private def run(docs: Seq[(Long, String)], minLen: Int)
+      : Set[(Long, Long, Long, Long)] =
+    Suffix.maximalDupSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+        minLen.toLong)
+      .select($"doc_id", $"span_start", $"span_end", $"span_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  test("brute-force agreement: intra-doc, cross-doc, and whole-doc repeats") {
+    val docs = Seq(
+      // intra-doc repeat: "x y z w" twice, plus unique filler
+      1L -> "x y z w a b c x y z w d",
+      // cross-doc repeat with doc 3, at doc START and END
+      2L -> "p q r s t u1 u2 u3 k l m n",
+      3L -> "k l m n v1 v2 p q r s t",
+      // whole-doc duplicate pair
+      4L -> "e f g h i j",
+      5L -> "e f g h i j",
+      // no repeats at all
+      6L -> "z1 z2 z3 z4 z5")
+    for (minLen <- Seq(2, 3, 4, 6)) {
+      assert(run(docs, minLen) == bruteSpans(docs, minLen),
+        s"minLen=$minLen")
+    }
+  }
+
+  test("brute force agreement: overlapping self-repeat and touching islands") {
+    val docs = Seq(
+      // overlapping periodic repeat: "a a a a a a" — every suffix matches
+      // the next one, dup_len(p) = remaining - 1
+      1L -> "a a a a a a",
+      // two dup regions separated by ONE unique token (islands touch
+      // after interval extension) and by TWO (they must stay separate)
+      2L -> "m1 m2 m3 g1 m1 m2 m3 g2 g3 n1 n2 n3",
+      3L -> "m1 m2 m3 h1 h2 n1 n2 n3")
+    for (minLen <- Seq(2, 3)) {
+      assert(run(docs, minLen) == bruteSpans(docs, minLen),
+        s"minLen=$minLen")
+    }
+  }
+
+  test("unbounded span length: a 40-token repeat is one exact span") {
+    val shared = (1 to 40).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"u1 u2 $shared u3",
+      2L -> s"$shared w1 w2 w3")
+    val out = run(docs, minLen = 8)
+    assert(out == Set((1L, 3L, 42L, 40L), (2L, 1L, 40L, 40L)))
+  }
+
+  test("sentinel isolation: a match across the doc boundary is never found") {
+    // doc 1's tail + doc 2's head would form "c1 c2 c3 c4" if the global
+    // stream had no sentinel; doc 3 contains that 4-gram contiguously.
+    // No span may be reported: the only true repeats are shorter than 3.
+    val docs = Seq(
+      1L -> "a1 a2 a3 c1 c2",
+      2L -> "c3 c4 b1 b2 b3",
+      3L -> "d1 c1 c2 c3 c4 d2")
+    assert(run(docs, minLen = 3).isEmpty)
+    assert(run(docs, minLen = 2) == bruteSpans(docs, 2))
+  }
+
+  test("fixed-n law: suffix spans at minLen=n equal the n-gram spans") {
+    // dup_len(p) >= n iff the n-gram at p repeats corpus-wide, and a
+    // dup_len extension [p, p+dup_len-1] is exactly covered by the
+    // chain of duplicated n-grams at p..p+dup_len-n — so the MERGED
+    // spans coincide with Curation.duplicatedSpans at the same n (the
+    // per-span contributor counts differ by construction).
+    val docs = Tables(spark, sf, "documents")
+    for (n <- Seq(5, 8)) {
+      val viaSuffix = Suffix.maximalDupSpans(docs, "doc_id", "text", n)
+        .select($"doc_id", $"span_start", $"span_end", $"span_tokens")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val viaGrams = Curation.duplicatedSpans(docs, "doc_id", "text", n = n)
+        .select($"doc_id", $"span_start", $"span_end", $"span_tokens")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(viaSuffix == viaGrams, s"n=$n")
+      assert(viaSuffix.nonEmpty, s"n=$n: fixture corpus must have repeats")
+    }
+  }
+
+  test("resolution depth is document-bound: rank levels stop near log2(max doc)") {
+    val docs = Tables(spark, sf, "documents")
+    val pos = Suffix.positions(docs, "doc_id", "text").localCheckpoint()
+    val n = pos.count()
+    val levels = Suffix.suffixRankLevels(pos, n)
+    val maxDoc = docs.select(max(size(split($"text", " ")))).head().getInt(0)
+    val bound = 64 - java.lang.Long.numberOfLeadingZeros(maxDoc.toLong + 1) + 1
+    assert(levels.head._1 <= (1L << bound),
+      s"resolved at window ${levels.head._1}, max doc $maxDoc tokens")
+    // the head level is a true suffix-array permutation: ranks distinct
+    assert(levels.head._2.select($"r").distinct().count() == n)
+  }
+}
