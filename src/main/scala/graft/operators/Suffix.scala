@@ -99,20 +99,32 @@ object Suffix {
     real.unionByName(sentinels)
   }
 
-  /** Dense 0-based ranks for a DISTINCT key relation: global sort on
-    * all columns, then the two-phase zipWithIndex id assignment (the
+  /** Dense 0-based ranks AND their count for a DISTINCT key relation:
+    * global sort on all columns, then the two-phase id assignment (the
     * [[Relational.allocateIds]] idiom — no single-partition window).
-    * Input rows must be distinct; ties would get different ids.
+    * ONE eager job (the partition-size scan, which also yields the
+    * count the doubling loop needs for its termination test — no
+    * separate `.count()` pass); the id assignment itself stays lazy
+    * and re-reads the sort's shuffle output. Input rows must be
+    * distinct; ties would get different ids.
     */
-  private def denseRanks(distinctKeys: DataFrame): DataFrame = {
+  private def denseRanksCounted(distinctKeys: DataFrame): (DataFrame, Long) = {
     val spark = distinctKeys.sparkSession
     val sorted = distinctKeys.orderBy(distinctKeys.columns.map(col).toSeq: _*)
     val schema = StructType(sorted.schema.fields :+
       StructField("r", LongType, nullable = false))
-    val rows = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ i)
+    val rdd = sorted.rdd // ONE rdd: both passes reuse its shuffle output
+    val sizes = rdd.mapPartitionsWithIndex { case (i, it) =>
+        Iterator.single((i, {
+          var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
+        }))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val rows = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var k = offsets(i)
+      it.map { row => val out = Row.fromSeq(row.toSeq :+ k); k += 1; out }
     }
-    spark.createDataFrame(rows, schema)
+    (spark.createDataFrame(rows, schema), sizes.sum)
   }
 
   /** Prefix-doubling suffix ranks over a pinned position stream.
@@ -125,11 +137,12 @@ object Suffix {
     *         permutation); every level localCheckpoint-pinned
     */
   def suffixRankLevels(pos: DataFrame, nPos: Long): Seq[(Long, DataFrame)] = {
-    val key0 = pos.select(col("flag"), col("key")).distinct()
-    val r0 = pos.join(denseRanks(key0), Seq("flag", "key"))
+    val (rk0, n0) = denseRanksCounted(
+      pos.select(col("flag"), col("key")).distinct())
+    val r0 = pos.join(rk0, Seq("flag", "key"))
       .select(col("gpos"), col("r")).localCheckpoint()
     var levels = List((1L, r0))
-    var nDistinct = key0.count()
+    var nDistinct = n0
     var len = 1L
     // sentinels bound the resolution depth: ranks are distinct once the
     // window covers the longest document + its sentinel. The require is
@@ -140,16 +153,19 @@ object Suffix {
       val (_, cur) = levels.head
       val shifted = cur.select((col("gpos") - len).as("gpos"),
         col("r").as("r2raw"))
+      // pinned: consumed twice (distinct keys + the rank join-back),
+      // and the next round's shifted self-join reads it twice more
       val paired = cur.join(shifted, Seq("gpos"), "left")
         .select(col("gpos"), col("r").as("r1"),
           coalesce(col("r2raw"), lit(-1L)).as("r2"))
-      val keys = paired.select(col("r1"), col("r2")).distinct()
-      val ranked = denseRanks(keys)
+        .localCheckpoint()
+      val (ranked, m) = denseRanksCounted(
+        paired.select(col("r1"), col("r2")).distinct())
       val next = paired.join(ranked, Seq("r1", "r2"))
         .select(col("gpos"), col("r")).localCheckpoint()
       len *= 2
       levels ::= (len, next)
-      nDistinct = keys.count()
+      nDistinct = m
     }
     levels
   }
@@ -166,6 +182,9 @@ object Suffix {
     val init = sa.select(col("gpos").as("p"), (col("r") + 1L).as("rn"))
       .join(sa.select(col("gpos").as("q"), col("r").as("rn")), Seq("rn"))
       .select(col("p"), col("q"), lit(0L).as("lcp"))
+    // one left-deep plan (2 joins per level against the PINNED level
+    // tables) — no per-level materialization: the whole lift runs as
+    // one job when the caller consumes it
     levels.tail.foldLeft(init) { case (pairs, (len, lvl)) =>
       val rp = lvl.select(col("gpos").as("pg"), col("r").as("pr"))
       val rq = lvl.select(col("gpos").as("qg"), col("r").as("qr"))
@@ -178,7 +197,6 @@ object Suffix {
           when(col("pr").isNotNull && col("pr") === col("qr"), lit(len))
             .otherwise(lit(0L)))
         .select(col("p"), col("q"), col("lcp"))
-        .localCheckpoint()
     }
   }
 
