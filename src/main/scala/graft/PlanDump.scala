@@ -98,7 +98,9 @@ object PlanDump {
       "q242_committed_winnow_ingest", "q243_bpe_32k_merges",
       "q244_curation_capstone", "q245_pq_auto_retrain",
       "q246_suffix_dup_spans", "q247_pq_zonemap_range_serve",
-      "q248_committed_ivf_ingest", "q249_committed_pq_ingest")
+      "q248_committed_ivf_ingest", "q249_committed_pq_ingest",
+      "q250_suffix_trim", "q251_boilerplate_report",
+      "q252_committed_agg_ingest")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))

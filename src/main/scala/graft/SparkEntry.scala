@@ -4436,7 +4436,61 @@ object SparkEntry {
     // ORDER BY + LIMIT plans as TakeOrderedAndProject.
     "q251_boilerplate_report" -> ((s, dir) =>
       graft.operators.Suffix.longestDupSpans(t(s, dir, "documents"),
-        "doc_id", "text", minLen = 8L, k = 20))
+        "doc_id", "text", minLen = 8L, k = 20)),
+
+    // EXACTLY-ONCE ledger on the AGGREGATE store-maintaining twin —
+    // the last maintaining family without it (bands q238, postings
+    // q241, winnow q242, IVF q248, PQ q249; with this, ALL of them).
+    // The quiet failure the ledger prevents here is the worst of the
+    // six: a re-delivered delta batch merges into a PLAUSIBLE
+    // aggregate that silently double-counts. maxRuns=2 forces an L0
+    // re-base mid-stream (delta runs collapse to one row per key —
+    // the same associative merge the serve applies); the requires pin
+    // gen-0, ledger survival, and replay-appends-nothing. Serve over
+    // seed ∪ both drops = the full corpus ⇒ q143's oracle.
+    "q252_committed_agg_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = scratchDir("graft_agg_cstream", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      val mvDir = s"$base/mv$run"
+      graft.operators.MatView.saveAggStateCommitted(
+        graft.operators.MatView.buildAggState(
+          docs.filter(col("doc_id") % 10 =!= 0)
+            .withColumn("tok", size(split(col("text"), " ")).cast("long")),
+          Seq("lang", "source"), "tok"),
+        mvDir)
+      val policy = graft.operators.CompactionPolicy(maxRuns = 2)
+      val q = graft.streaming.DocumentStreams.aggIngestCommitted(s,
+        landing.toString, mvDir, s"$base/ckpt$run", policy,
+        maxFilesPerTrigger = Some(1))
+      for ((m, i) <- Seq(0, 10).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        docs.filter(col("doc_id") % 20 === m).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      require(graft.operators.MatView.aggGen(s, mvDir) == 0L,
+        "q252: the compaction policy must have re-based mid-stream")
+      require(graft.operators.StoreFiles.committedBatchIds(s, mvDir)
+          == Set(0L, 1L),
+        "q252: both batch ids must survive the L0 re-base")
+      graft.streaming.DocumentStreams.aggIngestCommittedBatch(
+        s, mvDir, policy)(docs.filter(col("doc_id") % 20 === 10), 1L)
+      require(graft.operators.MatView.aggGen(s, mvDir) == 0L &&
+          graft.operators.StoreFiles.committedBatchIds(s, mvDir)
+            == Set(0L, 1L),
+        "q252: a re-delivered batch must append nothing")
+      graft.operators.MatView.serveAgg(
+        graft.operators.MatView.loadAggStateSnapshot(s, mvDir))
+    })
   )
 
   /** Stages 1–4 of the q244 curation capstone (dedup keep-best →
@@ -7803,6 +7857,10 @@ object SparkEntry {
          |FROM r WHERE rk <= 128 GROUP BY g_a, g_b""".stripMargin,
     "q143_incremental_agg" -> aggOracleSql,
     "q148_agg_stream" -> aggOracleSql,
+    // the committed twin serves seed ∪ both drops = the full corpus;
+    // the ledger changes WHERE deltas live, not what the merge returns
+    // (a doubled replay would double cnt/sum — this mirror would catch)
+    "q252_committed_agg_ingest" -> aggOracleSql,
     // retraction + extreme repair ≡ a corpus that never held the
     // deleted rows
     "q181_agg_retract_serve" -> aggRestrictedOracleSql("doc_id % 7 <> 3"),

@@ -251,6 +251,50 @@ object MatView {
       appendAggState(spark, dir, batch)
     }
 
+  /** [[appendAggStateCommitted]] made EXACTLY-ONCE for a replayable
+    * writer (foreachBatch): `batchId` rides the manifest commit as a
+    * ledger header; a re-delivered id writes nothing and returns None.
+    * For MERGEABLE state the ledger matters doubly: a doubled delta
+    * batch would not fail loudly — it would merge into a plausible
+    * aggregate that silently double-counts the batch.
+    */
+  def appendAggStateCommittedIdempotent(spark: SparkSession, dir: String,
+      batch: DataFrame, batchId: Long): Option[Long] =
+    Stores.agg.appendCommittedIdempotent(spark, dir, batchId) {
+      appendAggState(spark, dir, batch)
+    }
+
+  /** Size-tiered L0 compaction for the aggregate store (see
+    * [[StoreFiles.compactL0]]): the appended delta runs collapse to at
+    * most one row per key (the same associative merge [[serveAgg]]
+    * applies — fully-retracted keys keep their cnt=0 row, exactly as
+    * the uncollapsed pile would merge) in one fresh run, re-basing the
+    * manifest WITHOUT rewriting the generation-0 base.
+    * [[compactAggState]] remains the full rewrite.
+    */
+  def compactAggL0(spark: SparkSession, dir: String,
+      minRuns: Int = 4): Boolean =
+    StoreFiles.compactL0(spark, dir, Seq("state"), minRuns,
+        Stores.agg.statCols) {
+      case ("state", l0) =>
+        val (keys, _) = readParams(spark, dir)
+        l0.groupBy(keys.map(col): _*)
+          .agg(sum(col("cnt")).as("cnt"), sum(col("sum_v")).as("sum_v"),
+            min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+          .write.mode("append").parquet(s"$dir/state")
+      case (sub, _) =>
+        throw new IllegalStateException(s"unexpected agg sub $sub")
+    }
+
+  /** Background-maintenance step for the aggregate store: compact L0
+    * iff the [[CompactionPolicy]] fires (minRuns=1 — the policy IS the
+    * trigger). Call unconditionally after every committed append.
+    */
+  def maintainAggL0(spark: SparkSession, dir: String,
+      policy: CompactionPolicy): Boolean =
+    policy.triggered(Stores.agg.l0Stats(spark, dir)) &&
+      compactAggL0(spark, dir, minRuns = 1)
+
   /** Latest committed generation (-1 if never committed). */
   def aggGen(spark: SparkSession, dir: String): Long =
     Stores.agg.gen(spark, dir)

@@ -904,6 +904,40 @@ object DocumentStreams {
         batch.withColumn("tok", size(split(col("text"), " ")).cast("long")))
       .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
 
+  /** Aggregate ingest MAINTAINING the committed store exactly-once —
+    * [[postingsIngestCommitted]]'s design on the MatView family: each
+    * trigger reduces the batch to its delta rows under the STORED
+    * params and appends them INTO the store under the batch-id ledger;
+    * the [[graft.operators.CompactionPolicy]] self-regulates the delta
+    * pile. The quiet failure the ledger prevents here: a re-delivered
+    * delta batch merges into a PLAUSIBLE aggregate that double-counts
+    * the batch — no reader could tell.
+    */
+  def aggIngestCommitted(spark: SparkSession, landingDir: String,
+      mvDir: String, checkpointDir: String,
+      policy: graft.operators.CompactionPolicy,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readDocuments(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        aggIngestCommittedBatch(spark, mvDir, policy)(batch.toDF(), batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One [[aggIngestCommitted]] trigger, exposed for the replay spec
+    * and the in-row idempotence pin.
+    */
+  def aggIngestCommittedBatch(spark: SparkSession, mvDir: String,
+      policy: graft.operators.CompactionPolicy)(
+      batch: DataFrame, batchId: Long): Unit = {
+    graft.operators.MatView.appendAggStateCommittedIdempotent(spark, mvDir,
+      batch.withColumn("tok", size(split(col("text"), " ")).cast("long")),
+      batchId)
+    graft.operators.MatView.maintainAggL0(spark, mvDir, policy)
+    ()
+  }
+
   /** The stream's live aggregate state: stored seed ∪ committed delta
     * partitions (the empty-sink schema comes from the seed itself, so
     * this stays generic over the store's grouping).

@@ -554,6 +554,45 @@ class ManifestFamiliesSpec extends SparkSpec {
     assert(served == want)
   }
 
+  test("agg: exactly-once store-maintaining stream ingest — a doubled " +
+      "delta would merge silently; the ledger and re-base prevent it") {
+    import graft.streaming.DocumentStreams
+    val dir = tmp("graft_agg_ledger")
+    val corpus = Seq((1L, "en", "web", sA), (2L, "de", "web", filler1))
+      .toDF("doc_id", "lang", "source", "text")
+    val b0 = Seq((5L, "en", "web", sB)).toDF("doc_id", "lang", "source", "text")
+    val b1 = Seq((6L, "en", "book", sC)).toDF("doc_id", "lang", "source", "text")
+    def served: Set[(String, String, Long, Long, Long, Long, Long)] =
+      MatView.serveAgg(MatView.loadAggStateSnapshot(spark, dir))
+        .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+    MatView.saveAggStateCommitted(
+      MatView.buildAggState(corpus.withColumn("tok",
+        size(split(col("text"), " ")).cast("long")),
+        Seq("lang", "source"), "tok"), dir)
+    val policy = graft.operators.CompactionPolicy(maxRuns = 2)
+    DocumentStreams.aggIngestCommittedBatch(spark, dir, policy)(b0, 0L)
+    assert(MatView.aggGen(spark, dir) == 1L)
+    // second trigger hits maxRuns: the delta pile collapses to one row
+    // per key in a fresh run, base untouched, ledger carried
+    DocumentStreams.aggIngestCommittedBatch(spark, dir, policy)(b1, 1L)
+    assert(MatView.aggGen(spark, dir) == 0L)
+    assert(StoreFiles.committedBatchIds(spark, dir) == Set(0L, 1L))
+    // serve = the from-scratch aggregate over corpus ∪ b0 ∪ b1
+    val want = MatView.serveAgg(MatView.buildAggState(
+        corpus.unionByName(b0).unionByName(b1).withColumn("tok",
+          size(split(col("text"), " ")).cast("long")),
+        Seq("lang", "source"), "tok"))
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(served == want)
+    // replays write nothing — the double-count the merge would absorb
+    // silently is exactly what the mtime pin rules out
+    val stamps = parquetStamps(s"$dir/state")
+    DocumentStreams.aggIngestCommittedBatch(spark, dir, policy)(b0, 0L)
+    DocumentStreams.aggIngestCommittedBatch(spark, dir, policy)(b1, 1L)
+    assert(parquetStamps(s"$dir/state") == stamps)
+    assert(MatView.aggGen(spark, dir) == 0L && served == want)
+  }
+
   test("idempotent append is DESCRIPTOR-level: any family gets the " +
       "batch ledger through appendCommittedIdempotent — postings shown") {
     import graft.operators.Stores
