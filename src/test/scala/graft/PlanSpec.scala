@@ -208,6 +208,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q246/q250/q251: suffix-span serves keep every exchange keyed — " +
+      "no single-partition stage; the report is a TakeOrdered") {
+    // the suffix pipeline's eager half (rank doubling) is two-phase
+    // RDD scans by construction; this pins the SERVED half: islands
+    // merge under doc-partitioned windows and the only global
+    // operation in the report row is the TakeOrderedAndProject limit
+    for (q <- Seq("q246_suffix_dup_spans", "q250_suffix_trim")) {
+      val s = formatted(q)
+      assert(!s.contains("SinglePartition"),
+        s"$q plans a single-partition exchange:\n$s")
+    }
+    val rep = formatted("q251_boilerplate_report")
+    assert(rep.contains("TakeOrderedAndProject"),
+      "q251 must plan its top-k as TakeOrderedAndProject, not a global sort")
+  }
+
   test("q117: bloom gate confirms and anti-joins via broadcast — the corpus never sort-merges") {
     val s = formatted("q117_bloom_gated_dedup")
     // the exact-confirm semi join and the final anti join both run
