@@ -100,7 +100,7 @@ object PlanDump {
       "q246_suffix_dup_spans", "q247_pq_zonemap_range_serve",
       "q248_committed_ivf_ingest", "q249_committed_pq_ingest",
       "q250_suffix_trim", "q251_boilerplate_report",
-      "q252_committed_agg_ingest")
+      "q252_committed_agg_ingest", "q253_suffix_keep_first")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))

@@ -4490,7 +4490,23 @@ object SparkEntry {
         "q252: a re-delivered batch must append nothing")
       graft.operators.MatView.serveAgg(
         graft.operators.MatView.loadAggStateSnapshot(s, mvDir))
-    })
+    }),
+
+    // The ExactSubstr APPLY step under the exact KEEP-FIRST-OCCURRENCE
+    // policy (the paper text's "keep one copy", canonical under the
+    // (doc, pos) stream order): prev_len(p) = longest prefix of
+    // suffix p occurring at a strictly earlier global position,
+    // computed by the distributed ANSV descend — ONE set of sparse
+    // (min-gpos, min-LCP) tables by doubling over the suffix-array
+    // order, then left+right nearest-smaller-gpos walks against them
+    // (each the same conditional-join descend as the LCP lift). q250
+    // removes every copy (the released tool's policy); here the
+    // corpus-wide first occurrence of every duplicated substring
+    // survives untouched — identical twin documents keep exactly one
+    // full copy.
+    "q253_suffix_keep_first" -> ((s, dir) =>
+      graft.operators.Suffix.trimDupSpansKeepFirst(t(s, dir, "documents"),
+        "doc_id", "text", minLen = 8L))
   )
 
   /** Stages 1–4 of the q244 curation capstone (dedup keep-best →
@@ -4988,20 +5004,16 @@ object SparkEntry {
        |ORDER BY span_tokens DESC, spans.doc_id, span_start
        |LIMIT $topK""".stripMargin
 
-  private def suffixSpanCtes(minLen: Int, k: Int): String = {
+  /** The shared suffix-construction prefix: tokenization, the global
+    * slot layout with per-doc sentinels, and `k` unrolled doubling
+    * rounds of dense ranks (r0..r`k`). No WITH keyword — callers embed.
+    */
+  private def suffixRankCtes(k: Int): String = {
     val doubling = (1 to k).map { i =>
       val s = 1L << (i - 1)
       s"""r$i AS (SELECT gpos, dense_rank() OVER (ORDER BY r, r2) AS r FROM
          |  (SELECT gpos, r, COALESCE(lead(r, $s) OVER (ORDER BY gpos), -1) AS r2
          |   FROM r${i - 1}))""".stripMargin
-    }
-    val lifting = (k - 1 to 0 by -1).map { i =>
-      val s = 1L << i
-      val prev = if (i == k - 1) "l" else s"l${i + 1}"
-      s"""l$i AS (SELECT p, q,
-         |  lcp + CASE WHEN rp.r = rq.r THEN $s ELSE 0 END AS lcp
-         |  FROM $prev LEFT JOIN r$i rp ON rp.gpos = $prev.p + $prev.lcp
-         |             LEFT JOIN r$i rq ON rq.gpos = $prev.q + $prev.lcp)""".stripMargin
     }
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |base AS (SELECT doc_id, len(w) AS n,
@@ -5017,7 +5029,19 @@ object SparkEntry {
        |  SELECT doc_id, n + 1 AS pos, strt + n AS gpos, 0 AS flag,
        |         CAST(doc_id AS VARCHAR) AS key FROM base),
        |r0 AS (SELECT gpos, dense_rank() OVER (ORDER BY flag, key) AS r FROM pos),
-       |${doubling.mkString(",\n")},
+       |${doubling.mkString(",\n")}""".stripMargin
+  }
+
+  private def suffixSpanCtes(minLen: Int, k: Int): String = {
+    val lifting = (k - 1 to 0 by -1).map { i =>
+      val s = 1L << i
+      val prev = if (i == k - 1) "l" else s"l${i + 1}"
+      s"""l$i AS (SELECT p, q,
+         |  lcp + CASE WHEN rp.r = rq.r THEN $s ELSE 0 END AS lcp
+         |  FROM $prev LEFT JOIN r$i rp ON rp.gpos = $prev.p + $prev.lcp
+         |             LEFT JOIN r$i rq ON rq.gpos = $prev.q + $prev.lcp)""".stripMargin
+    }
+    s"""${suffixRankCtes(k)},
        |sa AS (SELECT gpos, row_number() OVER (ORDER BY r) AS sr FROM r$k),
        |l AS (SELECT a.gpos AS p, b.gpos AS q, CAST(0 AS BIGINT) AS lcp
        |  FROM sa a JOIN sa b ON b.sr = a.sr + 1),
@@ -5042,6 +5066,109 @@ object SparkEntry {
        |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens,
        |  CAST(count(*) AS BIGINT) AS n_pos
        |FROM i3 GROUP BY doc_id, island)""".stripMargin
+  }
+
+  /** DuckDB mirror for [[graft.operators.Suffix.trimDupSpansKeepFirst]]
+    * — an independent single-node ANSV: the same rank/lifting core as
+    * [[suffixSpanCtes]] (0-based, rank carried through the lift so
+    * L[i] indexes by rank), then `kn` unrolled lead()-built sparse
+    * (min-gpos, min-LCP) levels stacked into ONE MATERIALIZED table
+    * and TWO RECURSIVE-CTE descends (left/right nearest-smaller-gpos
+    * walks, k counting down — each iteration joins the working set to
+    * the level-k slice). MATERIALIZED matters: DuckDB inlines CTEs by
+    * default, and the recursive term would otherwise recompute the
+    * whole sparse stack every iteration. Agreement with the Spark side
+    * is construction-independent — prev_len is a property of
+    * (gpos order, rank equality classes) alone.
+    */
+  private def suffixKeepFirstOracleSql(minLen: Int, k: Int, kn: Int): String = {
+    val maxv = Long.MaxValue
+    val lifting = (k - 1 to 0 by -1).map { i =>
+      val s = 1L << i
+      val prev = if (i == k - 1) "l" else s"l${i + 1}"
+      s"""l$i AS (SELECT p, q, i,
+         |  lcp + CASE WHEN rp.r = rq.r THEN $s ELSE 0 END AS lcp
+         |  FROM $prev LEFT JOIN r$i rp ON rp.gpos = $prev.p + $prev.lcp
+         |             LEFT JOIN r$i rq ON rq.gpos = $prev.q + $prev.lcp)""".stripMargin
+    }
+    val sparse = (1 to kn).map { i =>
+      val s = 1L << (i - 1)
+      s"""sp$i AS (SELECT r,
+         |  least(mg, COALESCE(lead(mg, $s) OVER (ORDER BY r), $maxv)) AS mg,
+         |  least(ml, COALESCE(lead(ml, $s) OVER (ORDER BY r), $maxv)) AS ml
+         |  FROM sp${i - 1})""".stripMargin
+    }
+    val spUnion = (0 to kn)
+      .map(i => s"SELECT $i AS k, r, mg, ml FROM sp$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH RECURSIVE ${suffixRankCtes(k)},
+       |sa AS (SELECT gpos, row_number() OVER (ORDER BY r) - 1 AS i FROM r$k),
+       |l AS (SELECT a.gpos AS p, b.gpos AS q, a.i AS i, CAST(0 AS BIGINT) AS lcp
+       |  FROM sa a JOIN sa b ON b.i = a.i + 1),
+       |${lifting.mkString(",\n")},
+       |st AS MATERIALIZED (SELECT sa.i, sa.gpos AS g, ll.lcp AS lnext
+       |  FROM sa LEFT JOIN (SELECT i, lcp FROM l0) ll USING (i)),
+       |nn AS (SELECT count(*) AS n FROM pos),
+       |sp0 AS (SELECT i AS r, g AS mg, COALESCE(lnext, $maxv) AS ml FROM st),
+       |${sparse.mkString(",\n")},
+       |sp AS MATERIALIZED ($spUnion),
+       |wl AS (
+       |  SELECT i, g, CAST($kn AS INT) AS k, i AS c,
+       |         CAST($maxv AS BIGINT) AS acc FROM st
+       |  UNION ALL
+       |  SELECT w.i, w.g, w.k - 1,
+       |    CASE WHEN s.mg >= w.g THEN w.c - (CAST(1 AS BIGINT) << w.k)
+       |         ELSE w.c END,
+       |    CASE WHEN s.mg >= w.g THEN least(w.acc, s.ml) ELSE w.acc END
+       |  FROM wl w LEFT JOIN sp s
+       |    ON s.k = w.k AND s.r = w.c - (CAST(1 AS BIGINT) << w.k)
+       |  WHERE w.k >= 0),
+       |lres AS (SELECT w.i,
+       |  CASE WHEN w.c = 0 THEN 0
+       |       ELSE least(w.acc, COALESCE(s2.lnext, $maxv)) END AS llen
+       |  FROM (SELECT * FROM wl WHERE k = -1) w
+       |  LEFT JOIN st s2 ON s2.i = w.c - 1),
+       |wr AS (
+       |  SELECT i, g, CAST($kn AS INT) AS k, i AS c,
+       |         CAST($maxv AS BIGINT) AS acc FROM st
+       |  UNION ALL
+       |  SELECT w.i, w.g, w.k - 1,
+       |    CASE WHEN smg.mg >= w.g THEN w.c + (CAST(1 AS BIGINT) << w.k)
+       |         ELSE w.c END,
+       |    CASE WHEN smg.mg >= w.g THEN least(w.acc, sml.ml) ELSE w.acc END
+       |  FROM wr w
+       |  LEFT JOIN sp smg ON smg.k = w.k AND smg.r = w.c + 1
+       |  LEFT JOIN sp sml ON sml.k = w.k AND sml.r = w.c
+       |  WHERE w.k >= 0),
+       |rres AS (SELECT w.i,
+       |  CASE WHEN w.c >= n.n - 1 THEN 0
+       |       ELSE least(w.acc, COALESCE(s2.lnext, $maxv)) END AS rlen
+       |  FROM (SELECT * FROM wr WHERE k = -1) w CROSS JOIN nn n
+       |  LEFT JOIN st s2 ON s2.i = w.c),
+       |pv AS (SELECT l2.i, greatest(l2.llen, r2.rlen) AS prev_len
+       |  FROM lres l2 JOIN rres r2 USING (i)),
+       |h AS (SELECT pos.doc_id, pos.pos, pos.pos + pv.prev_len - 1 AS e
+       |  FROM pv JOIN sa ON sa.i = pv.i JOIN pos ON pos.gpos = sa.gpos
+       |  WHERE pv.prev_len >= $minLen AND pos.flag = 1),
+       |i1 AS (SELECT doc_id, pos, e,
+       |  max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM h),
+       |i2 AS (SELECT doc_id, pos, e,
+       |  CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS brk
+       |  FROM i1),
+       |i3 AS (SELECT doc_id, pos, e,
+       |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i2),
+       |isl AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS s,
+       |  CAST(max(e) AS BIGINT) AS e FROM i3 GROUP BY doc_id, island)
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |  COALESCE(tr.tt, 0) AS trimmed_tokens,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) - COALESCE(tr.tt, 0)
+       |    AS kept_tokens
+       |FROM documents d LEFT JOIN
+       |  (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS tt
+       |   FROM isl GROUP BY doc_id) tr USING (doc_id)""".stripMargin
   }
 
   private def phraseRestrictedOracleSql(corpusWhere: String): String =
@@ -6209,6 +6336,12 @@ object SparkEntry {
     // the SAME 1-based inclusive slice and space-join it
     "q251_boilerplate_report" ->
       suffixReportOracleSql(minLen = 8, k = 10, topK = 20),
+    // the independent recursive-CTE ANSV: same rank core, sparse
+    // min-tables by lead() doubling, two recursive descends — engine
+    // agreement is construction-independent (prev_len is a property
+    // of gpos order + rank equality classes alone)
+    "q253_suffix_keep_first" ->
+      suffixKeepFirstOracleSql(minLen = 8, k = 10, kn = 20),
     // the same class-based placement from the oracle's own window rank
     // (the engine's two-phase index and the window agree because the
     // (k, n desc, id) order is total)

@@ -174,14 +174,17 @@ object Suffix {
     * the doubling levels (head level excluded — its ranks are distinct,
     * so it can never contribute).
     *
-    * @return (p, q, lcp): global positions of each adjacent pair in
-    *         rank order, with their exact common-prefix token count
+    * @return (p, q, lcp, sar): global positions of each adjacent pair
+    *         in rank order with their exact common-prefix token count;
+    *         `sar` is p's 0-based final rank (the pair covers ranks
+    *         sar and sar + 1)
     */
   def adjacentLcp(levels: Seq[(Long, DataFrame)]): DataFrame = {
     val sa = levels.head._2
-    val init = sa.select(col("gpos").as("p"), (col("r") + 1L).as("rn"))
+    val init = sa.select(col("gpos").as("p"), col("r").as("sar"),
+        (col("r") + 1L).as("rn"))
       .join(sa.select(col("gpos").as("q"), col("r").as("rn")), Seq("rn"))
-      .select(col("p"), col("q"), lit(0L).as("lcp"))
+      .select(col("p"), col("q"), lit(0L).as("lcp"), col("sar"))
     // one left-deep plan (2 joins per level against the PINNED level
     // tables) — no per-level materialization: the whole lift runs as
     // one job when the caller consumes it
@@ -196,7 +199,7 @@ object Suffix {
         .withColumn("lcp", col("lcp") +
           when(col("pr").isNotNull && col("pr") === col("qr"), lit(len))
             .otherwise(lit(0L)))
-        .select(col("p"), col("q"), col("lcp"))
+        .select(col("p"), col("q"), col("lcp"), col("sar"))
     }
   }
 
@@ -253,6 +256,175 @@ object Suffix {
   def trimDupSpansAll(docs: DataFrame, idCol: String, textCol: String,
       minLen: Long): DataFrame = {
     val trimmed = maximalDupSpans(docs, idCol, textCol, minLen)
+      .groupBy(col(idCol))
+      .agg(sum(col("span_tokens")).as("trimmed_tokens"))
+    docs.select(col(idCol),
+        size(graft.functions.TextAnalysis.tokens(col(textCol)))
+          .cast("long").as("n_tokens"))
+      .join(trimmed, Seq(idCol), "left")
+      .na.fill(0L, Seq("trimmed_tokens"))
+      .withColumn("kept_tokens", col("n_tokens") - col("trimmed_tokens"))
+  }
+
+  private val Inf = Long.MaxValue
+
+  /** Pin a recurrence step by materializing its ROWS (RDD local
+    * checkpoint) and re-wrapping them as a fresh relation. Equivalent
+    * to `Dataset.localCheckpoint` for lineage truncation, but it also
+    * RESETS the plan's size statistics — and that is the point: the
+    * doubling recurrence below derives each level from TWO references
+    * to the previous pinned level, and Catalyst's size-only estimator
+    * MULTIPLIES child sizes through a join, so inherited stats double
+    * their DIGIT count per level (a ~2^K-digit BigInteger by level K;
+    * observed as minutes of BigInteger.multiplyToomCook3 on the
+    * driver past K ≈ 12). A fresh LogicalRDD carries the engine
+    * default size instead, keeping every downstream stats product
+    * bounded. The rank levels' shallower recurrence (digit count
+    * ~2^8) stays on Dataset.localCheckpoint, where the rewritten
+    * stats are still cheap and useful.
+    */
+  private def pinRows(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    rdd.count()
+    spark.createDataFrame(rdd, df.schema)
+  }
+
+  /** prev_len(gpos) = the EXACT length of the longest prefix of the
+    * suffix at gpos that also occurs at some STRICTLY EARLIER global
+    * position (any document, any offset; "earlier" = the (doc, pos)
+    * stream order). 0 for first occurrences and sentinels.
+    *
+    * This is the distributed ANSV (all-nearest-smaller-values) step
+    * behind exact first-occurrence detection, built with the same
+    * doubling + descend idiom as the rank levels and the LCP lift:
+    *
+    *  - ONE set of SPARSE TABLES by doubling: `tab_k(r)` = (min gpos,
+    *    min adjacent-LCP) over ranks [r, r + 2^k) — K = ⌊log2 n⌋
+    *    rounds of one self-join each, every level pinned. K grows with
+    *    the CORPUS here (unlike the rank levels' document bound) —
+    *    the price of a global first-occurrence order; still polylog
+    *    rounds of linear keyed shuffles.
+    *  - TWO DESCENDS against the same tables: each position walks from
+    *    its own rank leftward and rightward, skipping a 2^k block
+    *    whenever the block's min gpos proves no earlier-gpos suffix
+    *    lives there, accumulating the skipped blocks' LCP-min — K
+    *    conditional joins per side, one left-deep plan each.
+    *
+    * Each walk lands exactly on the NEAREST rank on its side whose
+    * suffix began earlier in the corpus, with acc = the min
+    * adjacent-LCP over the skipped range — i.e. lcp(suffix_i,
+    * suffix_{r*}), which is the best lcp against ANY earlier-gpos
+    * suffix on that side (moving past r* only min-reduces the
+    * range-min). prev_len = the max of the two sides.
+    */
+  def prevLengths(levels: Seq[(Long, DataFrame)], nPos: Long): DataFrame = {
+    val sa = levels.head._2 // (gpos, r) — ranks dense 0..nPos-1
+    val lnext = adjacentLcp(levels)
+      .select(col("sar").as("i"), col("lcp").as("lnext"))
+    var kMax = 0
+    while ((1L << (kMax + 1)) <= nPos) kMax += 1
+    val st0 = sa.select(col("r").as("i"), col("gpos").as("g"))
+      .join(lnext, Seq("i"), "left").localCheckpoint()
+    // sparse tables over SA order: tab_k(r) = (min g over ranks
+    // [r, r+2^k), min L over L-indexes [r, r+2^k)); partial blocks at
+    // the top pad with Inf (least() keeps the existing half's min)
+    var tabs = List((0, pinRows(st0.select(col("i").as("r"),
+      col("g").as("mg"),
+      coalesce(col("lnext"), lit(Inf)).as("ml")))))
+    for (k <- 0 until kMax) {
+      val step = 1L << k
+      val t = tabs.head._2
+      val b = t.select((col("r") - step).as("r"), col("mg").as("bg"),
+        col("ml").as("bl"))
+      tabs ::= (k + 1, pinRows(t.join(b, Seq("r"), "left")
+        .select(col("r"),
+          least(col("mg"), coalesce(col("bg"), lit(Inf))).as("mg"),
+          least(col("ml"), coalesce(col("bl"), lit(Inf))).as("ml"))))
+    }
+    val init = st0.select(col("i"), col("g"), col("i").as("c"),
+      lit(Inf).as("acc"))
+    // LEFT: invariant "ranks in [c, i) are all non-qualifying"; skip
+    // block [c-2^k, c-1] when its min g >= g_i (L-range = the same
+    // [c-2^k, c-1]); finish at r* = c-1 with L[r*] joined on top
+    val leftWalk = tabs.foldLeft(init) { case (w, (k, tab)) =>
+      val step = 1L << k
+      val sp = tab.select(col("r").as("s"), col("mg"), col("ml"))
+      val stepped = w.withColumn("s", col("c") - step)
+        .join(sp, Seq("s"), "left")
+        .withColumn("skip", col("s") >= 0 && col("mg").isNotNull &&
+          col("mg") >= col("g"))
+        .select(col("i"), col("g"),
+          when(col("skip"), col("s")).otherwise(col("c")).as("c"),
+          when(col("skip"), least(col("acc"), col("ml")))
+            .otherwise(col("acc")).as("acc"))
+      if (k % 8 == 0 && k > 0) pinRows(stepped) else stepped
+    }
+    val lAtLeft = st0.select((col("i") + 1L).as("c"),
+      coalesce(col("lnext"), lit(Inf)).as("lstar"))
+    val left = leftWalk.join(lAtLeft, Seq("c"), "left")
+      .select(col("i"),
+        when(col("c") === 0, lit(0L))
+          .otherwise(least(col("acc"), col("lstar"))).as("llen"))
+    // RIGHT: invariant "ranks in (i, c] are all non-qualifying"; skip
+    // block [c+1, c+2^k] when its min g >= g_i (minG keyed at c+1;
+    // L-range = [c, c+2^k-1], keyed at c); finish at r* = c+1 with
+    // L[c] joined on top; c past the top rank means no qualifier
+    val rightWalk = tabs.foldLeft(init) { case (w, (k, tab)) =>
+      val sp = tab.select(col("r").as("s"), col("mg"))
+      val spl = tab.select(col("r").as("cc"), col("ml"))
+      val stepped = w.withColumn("s", col("c") + 1L)
+        .join(sp, Seq("s"), "left")
+        .withColumn("cc", col("c"))
+        .join(spl, Seq("cc"), "left")
+        .withColumn("skip", col("mg").isNotNull && col("mg") >= col("g"))
+        .select(col("i"), col("g"),
+          when(col("skip"), col("c") + (1L << k)).otherwise(col("c")).as("c"),
+          when(col("skip"), least(col("acc"), col("ml")))
+            .otherwise(col("acc")).as("acc"))
+      if (k % 8 == 0 && k > 0) pinRows(stepped) else stepped
+    }
+    val lAtRight = st0.select(col("i").as("c"),
+      coalesce(col("lnext"), lit(Inf)).as("lstar"))
+    val right = rightWalk.join(lAtRight, Seq("c"), "left")
+      .select(col("i"),
+        when(col("c") >= nPos - 1L, lit(0L))
+          .otherwise(least(col("acc"), col("lstar"))).as("rlen"))
+    left.join(right, Seq("i"))
+      .select(col("i"), greatest(col("llen"), col("rlen")).as("prev_len"))
+      .join(sa.select(col("r").as("i"), col("gpos")), Seq("i"))
+      .select(col("gpos"), col("prev_len"))
+  }
+
+  /** The ExactSubstr APPLY step at unbounded length under the
+    * KEEP-FIRST-OCCURRENCE policy (the paper TEXT's "keep one copy",
+    * exact and total-order-canonical): every position p whose suffix
+    * shares a prefix of ≥ `minLen` tokens with a STRICTLY EARLIER
+    * global position is trimmed over exactly that shared extent
+    * [p, p + prev_len(p) − 1]; the corpus-wide FIRST occurrence of
+    * every duplicated substring survives untouched. Contrast
+    * [[trimDupSpansAll]] (removes every copy, the released tool's
+    * policy) and [[Curation.trimDuplicatedSpans]] (keep-one-copy but
+    * only at fixed gram width). Identical duplicate documents keep
+    * exactly one full copy — the earliest.
+    *
+    * @return one row per document: (idCol, n_tokens, trimmed_tokens,
+    *         kept_tokens)
+    */
+  def trimDupSpansKeepFirst(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Long): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val pos = positions(docs, idCol, textCol).localCheckpoint()
+    val nPos = pos.count()
+    val levels = suffixRankLevels(pos, nPos)
+    val hits = prevLengths(levels, nPos)
+      .filter(col("prev_len") >= minLen)
+      .join(pos.filter(col("flag") === 1)
+        .select(col("gpos"), col("doc_id"), col("pos")), Seq("gpos"))
+      .select(col("doc_id").as(idCol), col("pos"),
+        (col("pos") + col("prev_len") - 1L).as("end"))
+    val trimmed = Curation.mergeSpans(hits, idCol)
       .groupBy(col(idCol))
       .agg(sum(col("span_tokens")).as("trimmed_tokens"))
     docs.select(col(idCol),

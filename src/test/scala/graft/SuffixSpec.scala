@@ -129,6 +129,74 @@ class SuffixSpec extends SparkSpec {
     }
   }
 
+  /** Brute-force keep-first trim: prev_len(d, p) = the longest L with
+    * tokens(d)(p until p+L) occurring at a strictly EARLIER global
+    * position; per-doc trimmed = |union of [p, p+prev_len-1] over
+    * positions with prev_len >= minLen|.
+    */
+  private def bruteKeepFirst(docs: Seq[(Long, String)],
+      minLen: Int): Map[Long, (Long, Long)] = {
+    val toks = docs.sortBy(_._1).map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val all = toks.flatMap { case (id, w) =>
+      w.indices.map(p => (id, p, w.drop(p)))
+    } // already in (doc, pos) = global order
+    def lcp(a: Seq[String], b: Seq[String]): Int =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size
+    toks.map { case (id, w) =>
+      val covered = w.indices.flatMap { p =>
+        val idx = all.indexWhere { case (id2, p2, _) => id2 == id && p2 == p }
+        val m = all.take(idx).map { case (_, _, suf2) => lcp(all(idx)._3, suf2) }
+        val pl = if (m.isEmpty) 0 else m.max
+        if (pl >= minLen) p until (p + pl) else Seq.empty
+      }.toSet
+      id -> (w.size.toLong, covered.size.toLong)
+    }.toMap
+  }
+
+  test("keep-first trim: brute-force agreement, first occurrences survive") {
+    val docs = Seq(
+      1L -> "x y z w a b c x y z w d",   // intra-doc: 2nd "x y z w" trims
+      2L -> "p q r s t u1 u2 u3 k l m n",
+      3L -> "k l m n v1 v2 p q r s t",   // both repeats trim here, not in 2
+      4L -> "e f g h i j",
+      5L -> "e f g h i j",               // exact twin: doc 5 fully trims
+      6L -> "a a a a a a")               // periodic: keeps exactly one token
+    for (minLen <- Seq(1, 2, 3, 4)) {
+      val got = graft.operators.Suffix.trimDupSpansKeepFirst(
+          docs.toDF("doc_id", "text"), "doc_id", "text", minLen.toLong)
+        .select($"doc_id", $"n_tokens", $"trimmed_tokens")
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, n, t) => id -> ((n, t)) }.toMap
+      assert(got == bruteKeepFirst(docs, minLen), s"minLen=$minLen")
+    }
+    // the headline contracts, spelled out at minLen=2: the twin doc
+    // keeps nothing, its original keeps everything, and the periodic
+    // doc keeps exactly one token
+    val at2 = graft.operators.Suffix.trimDupSpansKeepFirst(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 2L)
+      .select($"doc_id", $"kept_tokens").as[(Long, Long)].collect().toMap
+    assert(at2(4L) == 6L && at2(5L) == 0L)
+    assert(at2(6L) == 1L)
+  }
+
+  test("keep-first vs remove-all law: first-occurrence trimming always keeps more") {
+    val docs = Tables(spark, sf, "documents")
+    val keepFirst = graft.operators.Suffix.trimDupSpansKeepFirst(
+        docs, "doc_id", "text", 8L)
+      .select($"doc_id", $"trimmed_tokens").as[(Long, Long)].collect().toMap
+    val removeAll = graft.operators.Suffix.trimDupSpansAll(
+        docs, "doc_id", "text", 8L)
+      .select($"doc_id", $"trimmed_tokens").as[(Long, Long)].collect().toMap
+    assert(keepFirst.keySet == removeAll.keySet)
+    for ((id, t) <- keepFirst)
+      assert(t <= removeAll(id), s"doc $id: keep-first trimmed $t > " +
+        s"remove-all ${removeAll(id)}")
+    // and it genuinely trims something on this corpus (q246's spans
+    // are non-empty, so later copies exist)
+    assert(keepFirst.values.sum > 0)
+    assert(keepFirst.values.sum < removeAll.values.sum)
+  }
+
   test("resolution depth is document-bound: rank levels stop near log2(max doc)") {
     val docs = Tables(spark, sf, "documents")
     val pos = Suffix.positions(docs, "doc_id", "text").localCheckpoint()
