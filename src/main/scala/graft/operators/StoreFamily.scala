@@ -148,6 +148,16 @@ final case class StoreFamily(
     sub => StoreFiles.snapshotReadSkipping(spark, dir, sub, colName,
       lo, hi, asOf)
 
+  /** [[snapshotSkipping]] for a STRING range — committed files whose
+    * recorded UTF-8 envelope misses `colName ∈ [lo, hi]` never enter
+    * the scan ([[StoreFiles.snapshotReadSkippingStr]]).
+    */
+  def snapshotSkippingStr(spark: SparkSession, dir: String,
+      colName: String, lo: String, hi: String,
+      asOf: Option[Long] = None): String => DataFrame =
+    sub => StoreFiles.snapshotReadSkippingStr(spark, dir, sub, colName,
+      lo, hi, asOf)
+
   /** L0 state of a committed store: the appended runs (manifest
     * generations >= 1) and their total committed bytes — the two
     * inputs a compaction trigger reads. Driver FS calls only (one
@@ -272,4 +282,20 @@ object Stores {
     * deletes are explicit retraction delta rows. No zone maps: state
     * keys are group values, not range-predicated ids. */
   val agg = StoreFamily("agg", Seq("state"))
+  /** Exact-duplication suffix index ([[Suffix.DupIndex]]) — the
+    * per-token (dup_len, prev_len) relation plus per-doc token counts.
+    * Build-once/rebuild (no ledger, no incremental append: a new
+    * document can change dup_len at ARBITRARY earlier positions, so
+    * no sound per-batch delta exists — the PQ-codebook lifecycle, not
+    * the postings one). Both subs are range-clustered on doc_id at
+    * save, so the zone maps stay disjoint per file. */
+  val suffix = StoreFamily("suffix", Seq("duplens", "doclens"),
+    statCols = Map("duplens" -> Seq("doc_id"), "doclens" -> Seq("doc_id")))
+  /** Committed raw-document store ([[DocStore]]) — the "bronze table":
+    * the corpus itself under the manifest lifecycle, clustered on
+    * (source, doc_id) at save so BOTH the string `source` envelope and
+    * the integral `doc_id` envelope prune files at plan time (a
+    * source- or id-ranged read never lists the rest of the corpus). */
+  val docstore = StoreFamily("docstore", Seq("docs"), Some("doc_id"),
+    statCols = Map("docs" -> Seq("doc_id", "source")))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -30,25 +30,26 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *     sentinels make every suffix distinct and stop any match at the
   *     document boundary, so ranks resolve in O(log max_doc_tokens)
   *     doubling rounds — a function of DOCUMENT length, not corpus
-  *     size: 100 TB of 2k-token documents needs the same ~11 rounds as
-  *     1 GB of them.
-  *  2. Rank doubling: rank_{2L}(p) = dense rank of (rank_L(p),
-  *     rank_L(p+L)), missing → −1 (end-padding sorts first, i.e. the
-  *     shorter suffix wins ties — standard lexicographic suffix order).
-  *     The neighbor lookup is one self equi-join on the dense gpos;
+  *     size: 100 TB of 2k-token documents needs the same handful of
+  *     rounds as 1 GB of them.
+  *  2. Rank doubling, 4-ARY: rank_{4L}(p) = dense rank of (rank_L(p),
+  *     rank_L(p+L), rank_L(p+2L), rank_L(p+3L)), missing → −1
+  *     (end-padding sorts first, i.e. the shorter suffix wins ties —
+  *     standard lexicographic suffix order). Quadrupling instead of
+  *     doubling HALVES the number of rounds and of retained levels
+  *     (the LCP lift below re-reads every level, so each level is
+  *     `localCheckpoint`-pinned — peak resident levels is the module's
+  *     memory bill; ~6 for 2k-token documents instead of ~11). The
+  *     neighbor lookups are three self equi-joins on the dense gpos;
   *     dense ranks are assigned by the [[Relational.allocateIds]]
-  *     sort-then-zipWithIndex idiom over the DISTINCT pair set (never
-  *     the position set). Each level is `localCheckpoint`-pinned: the
-  *     doubling recurrence would otherwise stack K joins of lineage,
-  *     and the levels are re-read by the LCP lifting below. (On a real
-  *     cluster, reliable `checkpoint` to the cluster FS is the same
-  *     call with durability; the memory bill is K ≈ log max_doc_tokens
-  *     slim (gpos, rank) relations.)
-  *  3. Exact LCPs by BINARY LIFTING over the retained levels: suffix
+  *     sort-then-zipWithIndex idiom over the DISTINCT tuple set (never
+  *     the position set). (On a real cluster, reliable `checkpoint` to
+  *     the cluster FS is the same call with durability.)
+  *  3. Exact LCPs by BASE-4 LIFTING over the retained levels: suffix
   *     pairs adjacent in the final rank order walk levels from widest
-  *     to width 1, adding 2^k tokens whenever the level-k ranks at the
-  *     current offsets agree — K sequential slim joins, O(n log
-  *     max_doc_tokens) total join rows.
+  *     to width 1, adding the level's width 2^{2k} for each of UP TO
+  *     THREE agreements of the level ranks at the current offsets (a
+  *     base-4 digit is 0..3) — still ONE left-deep plan.
   *  4. dup_len(p) = max(LCP with the rank predecessor, LCP with the
   *     rank successor) — for a lexicographic order, the max-LCP partner
   *     of any suffix is rank-adjacent (LCP over a rank range is the
@@ -62,8 +63,26 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * dup_len and the merged spans are invariant to HOW ties between
   * equal-prefix windows are ordered (only rank EQUALITY enters LCP
   * lifting, and the max-LCP neighbor is adjacent in ANY lexicographic
-  * order). A mirror engine may therefore use its own collation and its
-  * own doubling depth and still agree bit-for-bit on the output.
+  * order) and to the doubling ARITY (the resolved head order and the
+  * rank equality classes at any window width are construction
+  * facts of the corpus). A mirror engine may therefore use its own
+  * collation, its own doubling base, and its own depth and still agree
+  * bit-for-bit on the output.
+  *
+  * PERSISTENCE (store family #11, [[Stores.suffix]]): the pipeline
+  * above is the only compute-heavy artifact in the codebase that a
+  * per-query rebuild cannot amortize — at 100 TB, re-deriving suffix
+  * ranks per audit query is a re-ingest, not a report. [[buildDupIndex]]
+  * distills the whole construction into the per-token relation
+  * (doc_id, pos, dup_len, prev_len) plus per-doc token counts;
+  * [[saveDupIndexCommitted]] commits both through the standard manifest
+  * lifecycle (zone-mapped on doc_id, range-clustered so a per-doc or
+  * ranged audit prunes files); every report/trim/serve below then runs
+  * from the store with ZERO positions/doubling/ANSV jobs. The family is
+  * deliberately build-once/rebuild (no incremental append): a new
+  * document can lengthen dup_len of ARBITRARY earlier positions, so
+  * there is no sound per-batch delta — the honest lifecycle is the PQ
+  * codebook one (rebuild on a staleness policy), not the postings one.
   */
 object Suffix {
 
@@ -127,14 +146,16 @@ object Suffix {
     (spark.createDataFrame(rows, schema), sizes.sum)
   }
 
-  /** Prefix-doubling suffix ranks over a pinned position stream.
+  /** 4-ary prefix-doubling suffix ranks over a pinned position stream.
     *
     * @param pos   [[positions]] output, already pinned by the caller
     * @param nPos  total slot count (= pos.count(), passed so the one
     *              action is shared with the caller)
-    * @return levels widest-first: (window length 2^k, (gpos, r)) with
+    * @return levels widest-first: (window length 4^k, (gpos, r)) with
     *         the HEAD fully resolved (ranks distinct, a suffix-array
-    *         permutation); every level localCheckpoint-pinned
+    *         permutation); every level localCheckpoint-pinned. Peak
+    *         resident: ⌈log₄ max_doc_tokens⌉ + 1 slim (gpos, r)
+    *         relations — document-bounded, never corpus-bounded.
     */
   def suffixRankLevels(pos: DataFrame, nPos: Long): Seq[(Long, DataFrame)] = {
     val (rk0, n0) = denseRanksCounted(
@@ -146,33 +167,43 @@ object Suffix {
     var len = 1L
     // sentinels bound the resolution depth: ranks are distinct once the
     // window covers the longest document + its sentinel. The require is
-    // a defensive cap (2^62 would mean the invariant broke, not data).
+    // a defensive cap (4^25 would mean the invariant broke, not data).
     while (nDistinct < nPos) {
       require(len < (1L << 50),
         s"suffix ranks failed to resolve by window $len — sentinel invariant broken")
       val (_, cur) = levels.head
-      val shifted = cur.select((col("gpos") - len).as("gpos"),
-        col("r").as("r2raw"))
-      // pinned: consumed twice (distinct keys + the rank join-back),
-      // and the next round's shifted self-join reads it twice more
-      val paired = cur.join(shifted, Seq("gpos"), "left")
+      def shifted(m: Long, as: String) =
+        cur.select((col("gpos") - m * len).as("gpos"), col("r").as(as))
+      // pinned: consumed twice (distinct tuples + the rank join-back),
+      // and the next round's three shifted self-joins read it again
+      val paired = cur
+        .join(shifted(1L, "s1"), Seq("gpos"), "left")
+        .join(shifted(2L, "s2"), Seq("gpos"), "left")
+        .join(shifted(3L, "s3"), Seq("gpos"), "left")
         .select(col("gpos"), col("r").as("r1"),
-          coalesce(col("r2raw"), lit(-1L)).as("r2"))
+          coalesce(col("s1"), lit(-1L)).as("r2"),
+          coalesce(col("s2"), lit(-1L)).as("r3"),
+          coalesce(col("s3"), lit(-1L)).as("r4"))
         .localCheckpoint()
       val (ranked, m) = denseRanksCounted(
-        paired.select(col("r1"), col("r2")).distinct())
-      val next = paired.join(ranked, Seq("r1", "r2"))
+        paired.select(col("r1"), col("r2"), col("r3"), col("r4")).distinct())
+      val next = paired.join(ranked, Seq("r1", "r2", "r3", "r4"))
         .select(col("gpos"), col("r")).localCheckpoint()
-      len *= 2
+      len *= 4
       levels ::= (len, next)
       nDistinct = m
     }
     levels
   }
 
-  /** Exact LCPs for rank-adjacent suffix pairs by binary lifting over
+  /** Exact LCPs for rank-adjacent suffix pairs by BASE-4 lifting over
     * the doubling levels (head level excluded — its ranks are distinct,
-    * so it can never contribute).
+    * so it can never contribute): at each retained level the pair tries
+    * to advance by the level's width UP TO THREE times (a base-4 digit
+    * is 0..3; a failed agreement repeats the identical comparison and
+    * adds nothing, so correctness never depends on short-circuiting).
+    * Max representable = Σ 3·4^k = 4^m − 1 ≥ any adjacent LCP (head
+    * distinct at window 4^m bounds LCPs strictly below it).
     *
     * @return (p, q, lcp, sar): global positions of each adjacent pair
     *         in rank order with their exact common-prefix token count;
@@ -185,21 +216,23 @@ object Suffix {
         (col("r") + 1L).as("rn"))
       .join(sa.select(col("gpos").as("q"), col("r").as("rn")), Seq("rn"))
       .select(col("p"), col("q"), lit(0L).as("lcp"), col("sar"))
-    // one left-deep plan (2 joins per level against the PINNED level
-    // tables) — no per-level materialization: the whole lift runs as
-    // one job when the caller consumes it
-    levels.tail.foldLeft(init) { case (pairs, (len, lvl)) =>
+    // one left-deep plan (≤ 3 × 2 joins per level against the PINNED
+    // level tables) — no per-level materialization: the whole lift runs
+    // as one job when the caller consumes it
+    levels.tail.foldLeft(init) { case (lvlPairs, (len, lvl)) =>
       val rp = lvl.select(col("gpos").as("pg"), col("r").as("pr"))
       val rq = lvl.select(col("gpos").as("qg"), col("r").as("qr"))
-      pairs
-        .withColumn("pg", col("p") + col("lcp"))
-        .join(rp, Seq("pg"), "left")
-        .withColumn("qg", col("q") + col("lcp"))
-        .join(rq, Seq("qg"), "left")
-        .withColumn("lcp", col("lcp") +
-          when(col("pr").isNotNull && col("pr") === col("qr"), lit(len))
-            .otherwise(lit(0L)))
-        .select(col("p"), col("q"), col("lcp"), col("sar"))
+      (1 to 3).foldLeft(lvlPairs) { case (pairs, _) =>
+        pairs
+          .withColumn("pg", col("p") + col("lcp"))
+          .join(rp, Seq("pg"), "left")
+          .withColumn("qg", col("q") + col("lcp"))
+          .join(rq, Seq("qg"), "left")
+          .withColumn("lcp", col("lcp") +
+            when(col("pr").isNotNull && col("pr") === col("qr"), lit(len))
+              .otherwise(lit(0L)))
+          .select(col("p"), col("q"), col("lcp"), col("sar"))
+      }
     }
   }
 
@@ -208,37 +241,207 @@ object Suffix {
     * times anywhere in the corpus (self-document repeats included).
     * Sentinel positions are unique by construction and report 0.
     */
-  def dupLengths(levels: Seq[(Long, DataFrame)]): DataFrame = {
-    val pairs = adjacentLcp(levels)
+  def dupLengths(levels: Seq[(Long, DataFrame)]): DataFrame =
+    dupLengthsFromPairs(adjacentLcp(levels))
+
+  private def dupLengthsFromPairs(pairs: DataFrame): DataFrame =
     pairs.select(col("p").as("gpos"), col("lcp"))
       .union(pairs.select(col("q").as("gpos"), col("lcp")))
       .groupBy(col("gpos")).agg(max(col("lcp")).as("dup_len"))
+
+  // ------------------------------------------------------------------
+  // Store family #11: the persisted exact-duplication index.
+  // ------------------------------------------------------------------
+
+  /** A loaded suffix-duplication index: `duplens` = one row per REAL
+    * token (doc_id, pos, dup_len, prev_len); `doclens` = one row per
+    * document (doc_id, n_tokens). Everything the serve surface needs —
+    * spans, trims, reports — derives from these two relations with
+    * plain filters/windows/joins; the suffix construction never reruns.
+    */
+  final case class DupIndex(duplens: DataFrame, doclens: DataFrame)
+
+  /** Build the per-token exact-duplication relation: ONE suffix
+    * construction yields both dup_len (any-second-occurrence length,
+    * [[dupLengths]]) and prev_len (strictly-earlier-occurrence length,
+    * [[prevLengths]]) for every real token position. This is the
+    * build step of store family #11 — all four audit/trim shapes
+    * (maximal spans, remove-all trim, keep-first trim, boilerplate
+    * report) serve from its output at ANY minLen ≥ 1 without
+    * re-deriving ranks.
+    */
+  def buildDupIndex(docs: DataFrame, idCol: String,
+      textCol: String): DupIndex = {
+    val pos = positions(docs, idCol, textCol).localCheckpoint()
+    val nPos = pos.count()
+    val levels = suffixRankLevels(pos, nPos)
+    // the lift is the construction's most expensive single plan — pin
+    // it ONCE and feed both consumers (dup_len and the ANSV's L array)
+    val pairs = adjacentLcp(levels).localCheckpoint()
+    val duplens = pos.filter(col("flag") === 1)
+      .select(col("gpos"), col("doc_id"), col("pos"))
+      .join(dupLengthsFromPairs(pairs), Seq("gpos"))
+      .join(prevLengthsFromPairs(levels.head._2, pairs, nPos), Seq("gpos"))
+      .select(col("doc_id"), col("pos"), col("dup_len"), col("prev_len"))
+    val doclens = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(graft.functions.TextAnalysis.tokens(col(textCol)))
+        .cast("long").as("n_tokens"))
+    DupIndex(duplens, doclens)
   }
+
+  /** Build and COMMIT the duplication index as store family #11:
+    * both subs land range-clustered on doc_id (disjoint per-file
+    * zone-map envelopes — a per-document or id-ranged audit prunes
+    * files at plan time), then one manifest commit publishes the
+    * store with its envelopes ([[StoreFamily.saveCommitted]]).
+    */
+  def saveDupIndexCommitted(spark: SparkSession, dir: String,
+      docs: DataFrame, idCol: String, textCol: String): Unit = {
+    val idx = buildDupIndex(docs, idCol, textCol)
+    Stores.suffix.saveCommitted(spark, dir) {
+      idx.duplens.repartitionByRange(col("doc_id"), col("pos"))
+        .write.mode("overwrite").parquet(s"$dir/duplens")
+      idx.doclens.repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/doclens")
+    }
+  }
+
+  /** Load exactly the COMMITTED file set (optionally as of a
+    * generation — time travel over rebuilds).
+    */
+  def loadDupIndexSnapshot(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): DupIndex = {
+    val read = Stores.suffix.snapshot(spark, dir, asOf)
+    DupIndex(read("duplens"), read("doclens"))
+  }
+
+  /** Latest committed generation (-1 if never committed). */
+  def dupIndexGen(spark: SparkSession, dir: String): Long =
+    Stores.suffix.gen(spark, dir)
+
+  /** Delete data files no committed snapshot references. */
+  def vacuumDupIndex(spark: SparkSession, dir: String): Seq[String] =
+    Stores.suffix.vacuum(spark, dir)
+
+  /** [[maximalDupSpans]] served from a built index: filter + island
+    * merge only — no suffix jobs.
+    */
+  def maximalDupSpansFrom(index: DupIndex, idCol: String,
+      minLen: Long): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val hits = index.duplens
+      .filter(col("dup_len") >= minLen)
+      .select(col("doc_id").as(idCol), col("pos"),
+        (col("pos") + col("dup_len") - 1L).as("end"))
+    Curation.mergeSpans(hits, idCol)
+      .withColumnRenamed("n_grams", "n_pos")
+  }
+
+  /** Per-document trim charge of a span relation against the stored
+    * token counts — the shared tail of both trim policies.
+    */
+  private def chargeSpans(index: DupIndex, idCol: String,
+      hits: DataFrame): DataFrame = {
+    val trimmed = Curation.mergeSpans(hits, idCol)
+      .groupBy(col(idCol))
+      .agg(sum(col("span_tokens")).as("trimmed_tokens"))
+    index.doclens.select(col("doc_id").as(idCol), col("n_tokens"))
+      .join(trimmed, Seq(idCol), "left")
+      .na.fill(0L, Seq("trimmed_tokens"))
+      .withColumn("kept_tokens", col("n_tokens") - col("trimmed_tokens"))
+  }
+
+  /** [[trimDupSpansAll]] served from a built index. */
+  def trimDupSpansAllFrom(index: DupIndex, idCol: String,
+      minLen: Long): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    chargeSpans(index, idCol, index.duplens
+      .filter(col("dup_len") >= minLen)
+      .select(col("doc_id").as(idCol), col("pos"),
+        (col("pos") + col("dup_len") - 1L).as("end")))
+  }
+
+  /** [[trimDupSpansKeepFirst]] served from a built index. */
+  def trimDupSpansKeepFirstFrom(index: DupIndex, idCol: String,
+      minLen: Long): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    chargeSpans(index, idCol, keepFirstHits(index, idCol, minLen))
+  }
+
+  private def keepFirstHits(index: DupIndex, idCol: String,
+      minLen: Long): DataFrame =
+    index.duplens
+      .filter(col("prev_len") >= minLen)
+      .select(col("doc_id").as(idCol), col("pos"),
+        (col("pos") + col("prev_len") - 1L).as("end"))
+
+  /** The keep-first-occurrence APPLY step MATERIALIZED: rebuild each
+    * document's cleaned text with every duplicated-span token removed
+    * (the corpus-wide first occurrence of every duplicated substring
+    * survives, so re-running detection on the output finds nothing ≥
+    * minLen — the splice-back law [[Curation.stripDupSpans]] pins at
+    * fixed n, here exact and unbounded). This is the artifact a
+    * curation pipeline actually ships — the cleaned corpus — where
+    * [[trimDupSpansKeepFirstFrom]] only reports the token charge.
+    *
+    * Scale shape: spans expand to covered positions (output-linear:
+    * Σ span_tokens rows, never n × n), the token stream anti-joins
+    * them, and ONE ordered per-doc aggregation splices the survivors —
+    * all keyed by doc.
+    *
+    * @return one row per document: (idCol, n_tokens, kept_tokens,
+    *         clean_text) — clean_text '' when everything was trimmed
+    */
+  def trimDupSpansKeepFirstText(index: DupIndex, docs: DataFrame,
+      idCol: String, textCol: String, minLen: Long): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val covered = Curation.mergeSpans(keepFirstHits(index, idCol, minLen), idCol)
+      .select(col(idCol),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val toks = docs.select(col(idCol).cast("long").as(idCol),
+        posexplode(graft.functions.TextAnalysis.tokens(col(textCol)))
+          .as(Seq("i0", "tok")))
+      .select(col(idCol), (col("i0") + 1L).as("pos"), col("tok"))
+    val rebuilt = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
+    index.doclens.select(col("doc_id").as(idCol), col("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("kept_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** [[longestDupSpans]] served from a built index. */
+  def longestDupSpansFrom(index: DupIndex, docs: DataFrame, idCol: String,
+      textCol: String, minLen: Long, k: Int): DataFrame =
+    maximalDupSpansFrom(index, idCol, minLen)
+      .join(docs.select(col(idCol),
+        graft.functions.TextAnalysis.tokens(col(textCol)).as("w")), Seq(idCol))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("span_tokens"),
+        concat_ws(" ", slice(col("w"), col("span_start").cast("int"),
+          col("span_tokens").cast("int"))).as("span_text"))
+      .orderBy(col("span_tokens").desc, col(idCol), col("span_start"))
+      .limit(k)
 
   /** Maximal duplicated-substring spans, UNBOUNDED length (the exact
     * ExactSubstr span relation): every position opening a duplicated
     * substring of ≥ `minLen` tokens emits its exact-length interval,
-    * and intervals island-merge per document.
+    * and intervals island-merge per document. Build-inline convenience
+    * ([[buildDupIndex]] + [[maximalDupSpansFrom]]) — repeated audits
+    * should build ONCE through [[saveDupIndexCommitted]] and serve.
     *
     * @return one row per maximal span: (idCol, span_start, span_end,
     *         span_tokens, n_pos) — 1-based inclusive token positions;
     *         n_pos = duplicated suffix-start positions merged in
     */
   def maximalDupSpans(docs: DataFrame, idCol: String, textCol: String,
-      minLen: Long): DataFrame = {
-    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
-    val pos = positions(docs, idCol, textCol).localCheckpoint()
-    val nPos = pos.count()
-    val levels = suffixRankLevels(pos, nPos)
-    val hits = dupLengths(levels)
-      .filter(col("dup_len") >= minLen)
-      .join(pos.filter(col("flag") === 1)
-        .select(col("gpos"), col("doc_id"), col("pos")), Seq("gpos"))
-      .select(col("doc_id").as(idCol), col("pos"),
-        (col("pos") + col("dup_len") - 1L).as("end"))
-    Curation.mergeSpans(hits, idCol)
-      .withColumnRenamed("n_grams", "n_pos")
-  }
+      minLen: Long): DataFrame =
+    maximalDupSpansFrom(buildDupIndex(docs, idCol, textCol), idCol, minLen)
 
   /** The ExactSubstr APPLY step at unbounded length under the
     * REMOVE-ALL-COPIES policy (what Lee et al. 2021's released tool
@@ -246,25 +449,14 @@ object Suffix {
     * tokens is cut, including the first): per-document token charge
     * of the [[maximalDupSpans]] relation. The fixed-n sibling
     * [[Curation.trimDuplicatedSpans]] implements the paper TEXT's
-    * keep-one-copy policy instead; at unbounded length the canonical
-    * copy of overlapping repeats is ill-defined (merged islands have
-    * no single owner), so the tool's policy is the exact one.
+    * keep-one-copy policy instead. Build-inline convenience.
     *
     * @return one row per document: (idCol, n_tokens, trimmed_tokens,
     *         kept_tokens) — trimmed_tokens 0 for untouched docs
     */
   def trimDupSpansAll(docs: DataFrame, idCol: String, textCol: String,
-      minLen: Long): DataFrame = {
-    val trimmed = maximalDupSpans(docs, idCol, textCol, minLen)
-      .groupBy(col(idCol))
-      .agg(sum(col("span_tokens")).as("trimmed_tokens"))
-    docs.select(col(idCol),
-        size(graft.functions.TextAnalysis.tokens(col(textCol)))
-          .cast("long").as("n_tokens"))
-      .join(trimmed, Seq(idCol), "left")
-      .na.fill(0L, Seq("trimmed_tokens"))
-      .withColumn("kept_tokens", col("n_tokens") - col("trimmed_tokens"))
-  }
+      minLen: Long): DataFrame =
+    trimDupSpansAllFrom(buildDupIndex(docs, idCol, textCol), idCol, minLen)
 
   private val Inf = Long.MaxValue
 
@@ -272,23 +464,29 @@ object Suffix {
     * checkpoint) and re-wrapping them as a fresh relation. Equivalent
     * to `Dataset.localCheckpoint` for lineage truncation, but it also
     * RESETS the plan's size statistics — and that is the point: the
-    * doubling recurrence below derives each level from TWO references
-    * to the previous pinned level, and Catalyst's size-only estimator
-    * MULTIPLIES child sizes through a join, so inherited stats double
-    * their DIGIT count per level (a ~2^K-digit BigInteger by level K;
-    * observed as minutes of BigInteger.multiplyToomCook3 on the
-    * driver past K ≈ 12). A fresh LogicalRDD carries the engine
+    * doubling recurrence below derives each level from repeated
+    * references to the previous pinned level, and Catalyst's size-only
+    * estimator MULTIPLIES child sizes through a join, so inherited
+    * stats double their DIGIT count per level (a ~2^K-digit BigInteger
+    * by level K; observed as minutes of BigInteger.multiplyToomCook3
+    * on the driver past K ≈ 12). A fresh LogicalRDD carries the engine
     * default size instead, keeping every downstream stats product
-    * bounded. The rank levels' shallower recurrence (digit count
-    * ~2^8) stays on Dataset.localCheckpoint, where the rewritten
+    * bounded. Returns the wrapped relation AND its pinned RDD so the
+    * caller can RELEASE the blocks ([[org.apache.spark.rdd.RDD.unpersist]])
+    * the moment nothing downstream re-reads them — the ANSV walk
+    * consumes its sparse-table levels in strict widest-first order, so
+    * consumed levels free incrementally instead of all K staying
+    * resident to the end. The rank levels' shallower recurrence (digit
+    * count ~2^8) stays on Dataset.localCheckpoint, where the rewritten
     * stats are still cheap and useful.
     */
-  private def pinRows(df: DataFrame): DataFrame = {
+  private def pinRows(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
     val spark = df.sparkSession
     val rdd = df.rdd
     rdd.localCheckpoint()
     rdd.count()
-    spark.createDataFrame(rdd, df.schema)
+    (spark.createDataFrame(rdd, df.schema), rdd)
   }
 
   /** prev_len(gpos) = the EXACT length of the longest prefix of the
@@ -300,17 +498,23 @@ object Suffix {
     * behind exact first-occurrence detection, built with the same
     * doubling + descend idiom as the rank levels and the LCP lift:
     *
-    *  - ONE set of SPARSE TABLES by doubling: `tab_k(r)` = (min gpos,
-    *    min adjacent-LCP) over ranks [r, r + 2^k) — K = ⌊log2 n⌋
-    *    rounds of one self-join each, every level pinned. K grows with
-    *    the CORPUS here (unlike the rank levels' document bound) —
-    *    the price of a global first-occurrence order; still polylog
-    *    rounds of linear keyed shuffles.
+    *  - ONE set of 4-ARY SPARSE TABLES: `tab_k(r)` = (min gpos, min
+    *    adjacent-LCP) over ranks [r, r + 4^k) — K = ⌊log₄ n⌋ rounds of
+    *    three shifted self-joins each. K grows with the CORPUS here
+    *    (unlike the rank levels' document bound) — the price of a
+    *    global first-occurrence order; still polylog rounds of linear
+    *    keyed shuffles. The 4-ary base HALVES both the rounds and the
+    *    peak pinned levels vs binary (⌊log₄ n⌋ + 1 ≈ 15 corpus-sized
+    *    relations at 100 TB, vs 30+).
     *  - TWO DESCENDS against the same tables: each position walks from
-    *    its own rank leftward and rightward, skipping a 2^k block
-    *    whenever the block's min gpos proves no earlier-gpos suffix
-    *    lives there, accumulating the skipped blocks' LCP-min — K
-    *    conditional joins per side, one left-deep plan each.
+    *    its own rank leftward and rightward, skipping UP TO THREE 4^k
+    *    blocks per level (a base-4 digit) whenever the block's min gpos
+    *    proves no earlier-gpos suffix lives there, accumulating the
+    *    skipped blocks' LCP-min. The walks are stepped level-by-level
+    *    with BOTH walks pinned every few levels, after which every
+    *    table level they consumed is UNPERSISTED — peak resident
+    *    during the descend DECREASES monotonically from K instead of
+    *    holding all K to the end (the r12 scale note).
     *
     * Each walk lands exactly on the NEAREST rank on its side whose
     * suffix began earlier in the corpus, with acc = the min
@@ -319,75 +523,114 @@ object Suffix {
     * suffix on that side (moving past r* only min-reduces the
     * range-min). prev_len = the max of the two sides.
     */
-  def prevLengths(levels: Seq[(Long, DataFrame)], nPos: Long): DataFrame = {
-    val sa = levels.head._2 // (gpos, r) — ranks dense 0..nPos-1
-    val lnext = adjacentLcp(levels)
-      .select(col("sar").as("i"), col("lcp").as("lnext"))
+  def prevLengths(levels: Seq[(Long, DataFrame)], nPos: Long): DataFrame =
+    prevLengthsFromPairs(levels.head._2, adjacentLcp(levels), nPos)
+
+  private def prevLengthsFromPairs(sa: DataFrame, pairs: DataFrame,
+      nPos: Long): DataFrame = {
+    // sa: (gpos, r) — ranks dense 0..nPos-1
+    val lnext = pairs.select(col("sar").as("i"), col("lcp").as("lnext"))
     var kMax = 0
-    while ((1L << (kMax + 1)) <= nPos) kMax += 1
+    while (pow4(kMax + 1) <= nPos) kMax += 1
     val st0 = sa.select(col("r").as("i"), col("gpos").as("g"))
       .join(lnext, Seq("i"), "left").localCheckpoint()
-    // sparse tables over SA order: tab_k(r) = (min g over ranks
-    // [r, r+2^k), min L over L-indexes [r, r+2^k)); partial blocks at
-    // the top pad with Inf (least() keeps the existing half's min)
-    var tabs = List((0, pinRows(st0.select(col("i").as("r"),
-      col("g").as("mg"),
-      coalesce(col("lnext"), lit(Inf)).as("ml")))))
+    // 4-ary sparse tables over SA order: tab_k(r) = (min g over ranks
+    // [r, r+4^k), min L over L-indexes [r, r+4^k)); partial blocks at
+    // the top pad with Inf (least() keeps the existing part's min)
+    val tab0 = pinRows(st0.select(col("i").as("r"),
+      col("g").as("mg"), coalesce(col("lnext"), lit(Inf)).as("ml")))
+    var tabs: List[(Int, DataFrame, org.apache.spark.rdd.RDD[Row])] =
+      List((0, tab0._1, tab0._2))
     for (k <- 0 until kMax) {
-      val step = 1L << k
+      val step = pow4(k)
       val t = tabs.head._2
-      val b = t.select((col("r") - step).as("r"), col("mg").as("bg"),
-        col("ml").as("bl"))
-      tabs ::= (k + 1, pinRows(t.join(b, Seq("r"), "left")
+      def sh(m: Long, gn: String, ln: String) =
+        t.select((col("r") - m * step).as("r"), col("mg").as(gn),
+          col("ml").as(ln))
+      val (df, rdd) = pinRows(t
+        .join(sh(1L, "g1", "l1"), Seq("r"), "left")
+        .join(sh(2L, "g2", "l2"), Seq("r"), "left")
+        .join(sh(3L, "g3", "l3"), Seq("r"), "left")
         .select(col("r"),
-          least(col("mg"), coalesce(col("bg"), lit(Inf))).as("mg"),
-          least(col("ml"), coalesce(col("bl"), lit(Inf))).as("ml"))))
+          least(col("mg"), coalesce(col("g1"), lit(Inf)),
+            coalesce(col("g2"), lit(Inf)),
+            coalesce(col("g3"), lit(Inf))).as("mg"),
+          least(col("ml"), coalesce(col("l1"), lit(Inf)),
+            coalesce(col("l2"), lit(Inf)),
+            coalesce(col("l3"), lit(Inf))).as("ml")))
+      tabs ::= (k + 1, df, rdd)
     }
     val init = st0.select(col("i"), col("g"), col("i").as("c"),
       lit(Inf).as("acc"))
-    // LEFT: invariant "ranks in [c, i) are all non-qualifying"; skip
-    // block [c-2^k, c-1] when its min g >= g_i (L-range = the same
-    // [c-2^k, c-1]); finish at r* = c-1 with L[r*] joined on top
-    val leftWalk = tabs.foldLeft(init) { case (w, (k, tab)) =>
-      val step = 1L << k
+    // LEFT invariant: "ranks in [c, i) are all non-qualifying"; skip
+    // block [c-4^k, c-1] when its min g >= g_i (L-range = the same
+    // block), up to 3 times per level; finish at r* = c-1 with L[r*]
+    // joined on top
+    def leftStep(w: DataFrame, tab: DataFrame, k: Int): DataFrame = {
+      val step = pow4(k)
       val sp = tab.select(col("r").as("s"), col("mg"), col("ml"))
-      val stepped = w.withColumn("s", col("c") - step)
-        .join(sp, Seq("s"), "left")
-        .withColumn("skip", col("s") >= 0 && col("mg").isNotNull &&
-          col("mg") >= col("g"))
-        .select(col("i"), col("g"),
-          when(col("skip"), col("s")).otherwise(col("c")).as("c"),
-          when(col("skip"), least(col("acc"), col("ml")))
-            .otherwise(col("acc")).as("acc"))
-      if (k % 8 == 0 && k > 0) pinRows(stepped) else stepped
+      (1 to 3).foldLeft(w) { case (cur, _) =>
+        cur.withColumn("s", col("c") - step)
+          .join(sp, Seq("s"), "left")
+          .withColumn("skip", col("s") >= 0 && col("mg").isNotNull &&
+            col("mg") >= col("g"))
+          .select(col("i"), col("g"),
+            when(col("skip"), col("s")).otherwise(col("c")).as("c"),
+            when(col("skip"), least(col("acc"), col("ml")))
+              .otherwise(col("acc")).as("acc"))
+      }
+    }
+    // RIGHT invariant: "ranks in (i, c] are all non-qualifying"; skip
+    // block [c+1, c+4^k] when its min g >= g_i (minG keyed at c+1;
+    // L-range = [c, c+4^k-1], keyed at c), up to 3 times per level;
+    // finish at r* = c+1 with L[c] joined on top; c past the top rank
+    // means no qualifier
+    def rightStep(w: DataFrame, tab: DataFrame, k: Int): DataFrame = {
+      val step = pow4(k)
+      val sp = tab.select(col("r").as("s"), col("mg"))
+      val spl = tab.select(col("r").as("cc"), col("ml"))
+      (1 to 3).foldLeft(w) { case (cur, _) =>
+        cur.withColumn("s", col("c") + 1L)
+          .join(sp, Seq("s"), "left")
+          .withColumn("cc", col("c"))
+          .join(spl, Seq("cc"), "left")
+          .withColumn("skip", col("mg").isNotNull && col("mg") >= col("g"))
+          .select(col("i"), col("g"),
+            when(col("skip"), col("c") + step).otherwise(col("c")).as("c"),
+            when(col("skip"), least(col("acc"), col("ml")))
+              .otherwise(col("acc")).as("acc"))
+      }
+    }
+    // the interleaved descend: widest level first for both walks, pin
+    // both every `chunk` levels, then RELEASE the consumed tables —
+    // nothing re-reads a level once both walks folded past it
+    val chunk = 3
+    var lw = init
+    var rw = init
+    var consumed = List.empty[org.apache.spark.rdd.RDD[Row]]
+    var sinceLastPin = 0
+    for ((k, tab, rdd) <- tabs) { // tabs is widest-first by construction
+      lw = leftStep(lw, tab, k)
+      rw = rightStep(rw, tab, k)
+      consumed ::= rdd
+      sinceLastPin += 1
+      if (sinceLastPin >= chunk || k == 0) {
+        lw = pinRows(lw)._1
+        rw = pinRows(rw)._1
+        consumed.foreach(_.unpersist(blocking = false))
+        consumed = Nil
+        sinceLastPin = 0
+      }
     }
     val lAtLeft = st0.select((col("i") + 1L).as("c"),
       coalesce(col("lnext"), lit(Inf)).as("lstar"))
-    val left = leftWalk.join(lAtLeft, Seq("c"), "left")
+    val left = lw.join(lAtLeft, Seq("c"), "left")
       .select(col("i"),
         when(col("c") === 0, lit(0L))
           .otherwise(least(col("acc"), col("lstar"))).as("llen"))
-    // RIGHT: invariant "ranks in (i, c] are all non-qualifying"; skip
-    // block [c+1, c+2^k] when its min g >= g_i (minG keyed at c+1;
-    // L-range = [c, c+2^k-1], keyed at c); finish at r* = c+1 with
-    // L[c] joined on top; c past the top rank means no qualifier
-    val rightWalk = tabs.foldLeft(init) { case (w, (k, tab)) =>
-      val sp = tab.select(col("r").as("s"), col("mg"))
-      val spl = tab.select(col("r").as("cc"), col("ml"))
-      val stepped = w.withColumn("s", col("c") + 1L)
-        .join(sp, Seq("s"), "left")
-        .withColumn("cc", col("c"))
-        .join(spl, Seq("cc"), "left")
-        .withColumn("skip", col("mg").isNotNull && col("mg") >= col("g"))
-        .select(col("i"), col("g"),
-          when(col("skip"), col("c") + (1L << k)).otherwise(col("c")).as("c"),
-          when(col("skip"), least(col("acc"), col("ml")))
-            .otherwise(col("acc")).as("acc"))
-      if (k % 8 == 0 && k > 0) pinRows(stepped) else stepped
-    }
     val lAtRight = st0.select(col("i").as("c"),
       coalesce(col("lnext"), lit(Inf)).as("lstar"))
-    val right = rightWalk.join(lAtRight, Seq("c"), "left")
+    val right = rw.join(lAtRight, Seq("c"), "left")
       .select(col("i"),
         when(col("c") >= nPos - 1L, lit(0L))
           .otherwise(least(col("acc"), col("lstar"))).as("rlen"))
@@ -396,6 +639,8 @@ object Suffix {
       .join(sa.select(col("r").as("i"), col("gpos")), Seq("i"))
       .select(col("gpos"), col("prev_len"))
   }
+
+  private def pow4(k: Int): Long = 1L << (2 * k)
 
   /** The ExactSubstr APPLY step at unbounded length under the
     * KEEP-FIRST-OCCURRENCE policy (the paper TEXT's "keep one copy",
@@ -407,33 +652,15 @@ object Suffix {
     * [[trimDupSpansAll]] (removes every copy, the released tool's
     * policy) and [[Curation.trimDuplicatedSpans]] (keep-one-copy but
     * only at fixed gram width). Identical duplicate documents keep
-    * exactly one full copy — the earliest.
+    * exactly one full copy — the earliest. Build-inline convenience.
     *
     * @return one row per document: (idCol, n_tokens, trimmed_tokens,
     *         kept_tokens)
     */
   def trimDupSpansKeepFirst(docs: DataFrame, idCol: String,
-      textCol: String, minLen: Long): DataFrame = {
-    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
-    val pos = positions(docs, idCol, textCol).localCheckpoint()
-    val nPos = pos.count()
-    val levels = suffixRankLevels(pos, nPos)
-    val hits = prevLengths(levels, nPos)
-      .filter(col("prev_len") >= minLen)
-      .join(pos.filter(col("flag") === 1)
-        .select(col("gpos"), col("doc_id"), col("pos")), Seq("gpos"))
-      .select(col("doc_id").as(idCol), col("pos"),
-        (col("pos") + col("prev_len") - 1L).as("end"))
-    val trimmed = Curation.mergeSpans(hits, idCol)
-      .groupBy(col(idCol))
-      .agg(sum(col("span_tokens")).as("trimmed_tokens"))
-    docs.select(col(idCol),
-        size(graft.functions.TextAnalysis.tokens(col(textCol)))
-          .cast("long").as("n_tokens"))
-      .join(trimmed, Seq(idCol), "left")
-      .na.fill(0L, Seq("trimmed_tokens"))
-      .withColumn("kept_tokens", col("n_tokens") - col("trimmed_tokens"))
-  }
+      textCol: String, minLen: Long): DataFrame =
+    trimDupSpansKeepFirstFrom(buildDupIndex(docs, idCol, textCol),
+      idCol, minLen)
 
   /** The BOILERPLATE REPORT: the corpus's `k` longest maximal
     * duplicated spans WITH their text — the auditor-facing artifact
@@ -441,16 +668,10 @@ object Suffix {
     * surface here first). Deterministic total order:
     * (span_tokens desc, id, span_start); ORDER BY + LIMIT plans as
     * TakeOrderedAndProject (no global sort materializes).
+    * Build-inline convenience.
     */
   def longestDupSpans(docs: DataFrame, idCol: String, textCol: String,
       minLen: Long, k: Int): DataFrame =
-    maximalDupSpans(docs, idCol, textCol, minLen)
-      .join(docs.select(col(idCol),
-        graft.functions.TextAnalysis.tokens(col(textCol)).as("w")), Seq(idCol))
-      .select(col(idCol), col("span_start"), col("span_end"),
-        col("span_tokens"),
-        concat_ws(" ", slice(col("w"), col("span_start").cast("int"),
-          col("span_tokens").cast("int"))).as("span_text"))
-      .orderBy(col("span_tokens").desc, col(idCol), col("span_start"))
-      .limit(k)
+    longestDupSpansFrom(buildDupIndex(docs, idCol, textCol), docs,
+      idCol, textCol, minLen, k)
 }
