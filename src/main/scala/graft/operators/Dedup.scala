@@ -553,7 +553,13 @@ object Dedup {
     StoreFiles.compactL0(spark, dir, Seq("bands", "sets"), minRuns,
         Stores.band.statCols) {
       case ("bands", l0) =>
-        l0.repartition(col("band")).write.mode("append")
+        // CLUSTERED re-base: range-partitioning on (band, id) keeps the
+        // compacted run's per-file id envelopes disjoint — a plain
+        // hash repartition would give every file the whole id domain
+        // and the zone maps would stop pruning exactly as stores age
+        l0.repartitionByRange(
+            l0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("band"), col("id")).write.mode("append")
           .partitionBy("band").parquet(s"$dir/bands")
       case ("sets", l0) =>
         l0.coalesce(1).write.mode("append").parquet(s"$dir/sets")
@@ -1469,7 +1475,10 @@ object Dedup {
     StoreFiles.compactL0(spark, dir, Seq("banded"), minRuns,
         Stores.simhash.statCols) {
       case ("banded", l0) =>
-        l0.repartition(col("band")).write.mode("append")
+        // clustered re-base — see compactBandL0: disjoint id envelopes
+        l0.repartitionByRange(
+            l0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("band"), col("id")).write.mode("append")
           .partitionBy("band").parquet(s"$dir/banded")
       case (sub, _) =>
         throw new IllegalStateException(s"unexpected simhash sub $sub")

@@ -306,7 +306,14 @@ object Retrieval {
     StoreFiles.compactL0(spark, dir, Seq("postings", "stats"), minRuns,
         Stores.postings.statCols) {
       case ("postings", l0) =>
-        l0.repartition(col("bucket")).write.mode("append")
+        // clustered re-base: range-partitioning on (bucket, doc_id)
+        // keeps the compacted run's per-file doc_id envelopes disjoint,
+        // so ranged serves keep skipping after the store ages (a hash
+        // repartition widens every file's envelope to the full domain)
+        l0.repartitionByRange(
+            l0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("bucket"), col("doc_id"))
+          .write.mode("append")
           .partitionBy("bucket").parquet(s"$dir/postings")
       case ("stats", l0) =>
         l0.agg(sum(col("n")).as("n"), sum(col("t")).as("t"))
@@ -1191,7 +1198,12 @@ object Retrieval {
     StoreFiles.compactL0(spark, dir, Seq("postings"), minRuns,
         Stores.positional.statCols) {
       case ("postings", l0) =>
-        l0.repartition(col("bucket")).write.mode("append")
+        // clustered re-base — see compactPostingsL0: disjoint doc_id
+        // envelopes per compacted file
+        l0.repartitionByRange(
+            l0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("bucket"), col("doc_id"))
+          .write.mode("append")
           .partitionBy("bucket").parquet(s"$dir/postings")
       case (sub, _) =>
         throw new IllegalStateException(s"unexpected positional sub $sub")

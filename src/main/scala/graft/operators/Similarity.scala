@@ -666,7 +666,14 @@ object Similarity {
     StoreFiles.compactL0(spark, dir, Seq("assignments"), minRuns,
         Stores.ivf.statCols) {
       case ("assignments", l0) =>
-        l0.repartition(col("cell")).write.mode("append")
+        // clustered re-base: range-partitioning on (cell, neighbor_id)
+        // keeps the compacted run's per-file id envelopes disjoint, so
+        // zone-map skipping survives store aging (a hash repartition
+        // would spread every id range across every file)
+        l0.repartitionByRange(
+            l0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("cell"), col("neighbor_id"))
+          .write.mode("append")
           .partitionBy("cell").parquet(s"$dir/assignments")
       case (sub, _) =>
         throw new IllegalStateException(s"unexpected ivf sub $sub")
@@ -1257,7 +1264,11 @@ object Similarity {
     StoreFiles.compactL0(spark, dir, Seq("codes"), minRuns,
         Stores.pq.statCols) {
       case ("codes", l0) =>
-        l0.repartition(col("cell")).write.mode("append")
+        // clustered re-base — see compactIvfL0: disjoint id envelopes
+        l0.repartitionByRange(
+            l0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("cell"), col("neighbor_id"))
+          .write.mode("append")
           .partitionBy("cell").parquet(s"$dir/codes")
       case (sub, _) =>
         throw new IllegalStateException(s"unexpected pq sub $sub")
@@ -1336,7 +1347,12 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** ADC shortlist + EXACT re-rank — the two-stage serving shape (Jégou
+  /** ADC shortlist + EXACT re-rank — THE DEFAULT SERVING PATH for a
+    * stored PQ index (the raw [[pqSearchIndex]] ADC ranking is the
+    * store-lifecycle proof the commit/ledger/zone-map rows exercise,
+    * not what a product query should run: RecallAtScaleSpec pins raw
+    * ADC recall@10 at 0.150 vs 0.360 refined at sf0.1, and the floor
+    * for THIS path is asserted at >= 0.35). Two-stage shape (Jégou
     * et al.'s IVFADC+R refinement): the stored index ADC-ranks each
     * query's probed cells down to a `shortlist` of candidates using
     * codes only, then ONLY those |q|·shortlist rows fetch their raw

@@ -193,25 +193,133 @@ private[graft] object StoreFiles {
     } finally reader.close()
   }
 
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
+
+  /** (col, min, max) envelopes for the requested STRING (parquet
+    * binary) columns of one file's footer — the string sibling of
+    * [[parquetLongStats]], same every-row-group rule. Bounds are raw
+    * UTF-8 bytes compared UNSIGNED-lexicographically, which is exactly
+    * parquet's UTF8 sort order AND Spark's UTF8String comparison, so a
+    * range predicate prunes consistently with how the engine filters.
+    * Sound under parquet's statistics-truncation contract: a truncated
+    * min is a PREFIX (≤ the true min) and a truncated max is
+    * incremented upward (≥ the true max), so envelopes only widen.
+    */
+  def parquetStringStats(conf: org.apache.hadoop.conf.Configuration,
+      file: String, cols: Seq[String]): Seq[(String, Array[Byte], Array[Byte])] = {
+    if (cols.isEmpty) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      cols.flatMap { c =>
+        val chunks = blocks.flatMap(_.getColumns.asScala
+          .filter(_.getPath.toDotString == c))
+        val envs = chunks.flatMap { ch =>
+          val s = ch.getStatistics
+          if (s == null || !s.hasNonNullValue) None
+          else (s.genericGetMin, s.genericGetMax) match {
+            case (mn: org.apache.parquet.io.api.Binary,
+                  mx: org.apache.parquet.io.api.Binary) =>
+              Some((mn.getBytes, mx.getBytes))
+            case _ => None
+          }
+        }
+        if (chunks.isEmpty || envs.size != chunks.size) None
+        else Some((c,
+          envs.map(_._1).reduce((a, b) => if (cmpBytes(a, b) <= 0) a else b),
+          envs.map(_._2).reduce((a, b) => if (cmpBytes(a, b) >= 0) a else b)))
+      }
+    } finally reader.close()
+  }
+
   /** `stat=<col>|<min>|<max>|<path>` header lines for the files whose
     * store subdirectory has registered stat columns (path goes LAST —
     * it is the one field that may contain arbitrary characters).
+    * Columns that are not integral fall through to STRING envelopes,
+    * recorded as `strstat=<col>|<b64 min>|<b64 max>|<path>` (base64:
+    * arbitrary token bytes must never collide with the delimiter).
     */
   def zoneMapHeaders(spark: SparkSession, files: Set[String],
       statCols: Map[String, Seq[String]]): Seq[String] =
     if (statCols.isEmpty) Seq.empty
     else {
       val conf = spark.sparkContext.hadoopConfiguration
+      val b64 = java.util.Base64.getEncoder
       files.toSeq.sorted.flatMap { f =>
         statCols.collectFirst {
           case (sub, cs) if f.contains(s"/$sub/") => cs
         } match {
           case None => Seq.empty
-          case Some(cs) => parquetLongStats(conf, f, cs)
-            .map { case (c, mn, mx) => s"stat=$c|$mn|$mx|$f" }
+          case Some(cs) =>
+            val longs = parquetLongStats(conf, f, cs)
+            val covered = longs.map(_._1).toSet
+            val strs = parquetStringStats(conf, f, cs.filterNot(covered))
+            longs.map { case (c, mn, mx) => s"stat=$c|$mn|$mx|$f" } ++
+              strs.map { case (c, mn, mx) =>
+                s"strstat=$c|${b64.encodeToString(mn)}|" +
+                  s"${b64.encodeToString(mx)}|$f"
+              }
         }
       }
     }
+
+  /** The committed STRING zone maps of the active epoch:
+    * path → col → (min, max) raw UTF-8 bounds. Driver-side parse.
+    */
+  def fileStringStats(spark: SparkSession,
+      dir: String): Map[String, Map[String, (Array[Byte], Array[Byte])]] = {
+    val b64 = java.util.Base64.getDecoder
+    manifestHeaders(spark, dir)
+      .collect { case ("strstat", v) => v }
+      .flatMap { v =>
+        v.split("\\|", 4) match {
+          case Array(c, mn, mx, p) =>
+            try Some((p, c, b64.decode(mn), b64.decode(mx)))
+            catch { case _: IllegalArgumentException => None }
+          case _ => None
+        }
+      }
+      .groupBy(_._1)
+      .map { case (p, rows) =>
+        (p, rows.map(r => (r._2, (r._3, r._4))).toMap)
+      }
+  }
+
+  /** [[snapshotReadSkipping]] for a STRING range `colName ∈ [lo, hi]`:
+    * committed files whose recorded UTF-8 envelope is disjoint from
+    * the range never enter the scan. Same hint-only contract — the
+    * predicate is also applied in-plan, envelope-less files are kept.
+    */
+  def snapshotReadSkippingStr(spark: SparkSession, dir: String,
+      sub: String, colName: String, lo: String, hi: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val loB = lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val hiB = hi.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    require(cmpBytes(loB, hiB) <= 0,
+      s"snapshotReadSkippingStr: empty range ['$lo', '$hi']")
+    val paths = manifestPaths(spark, dir, asOf)
+      .filter(_.contains(s"/$sub/"))
+    require(paths.nonEmpty,
+      s"snapshotReadSkippingStr: no committed files under $dir/$sub")
+    val stats = fileStringStats(spark, dir)
+    val kept = paths.filter { p =>
+      stats.get(p).flatMap(_.get(colName))
+        .forall { case (mn, mx) =>
+          cmpBytes(mx, loB) >= 0 && cmpBytes(mn, hiB) <= 0 }
+    }
+    val range = org.apache.spark.sql.functions.col(colName)
+      .between(lo, hi)
+    if (kept.isEmpty)
+      spark.read.option("basePath", s"$dir/$sub").parquet(paths.head)
+        .filter(org.apache.spark.sql.functions.lit(false))
+    else
+      spark.read.option("basePath", s"$dir/$sub").parquet(kept: _*)
+        .filter(range)
+  }
 
   /** The committed zone maps of the active epoch:
     * path → col → (min, max). Driver-side header parse, no job.
@@ -255,8 +363,9 @@ private[graft] object StoreFiles {
     val range = org.apache.spark.sql.functions.col(colName)
       .between(lo, hi)
     if (kept.isEmpty)
-      // every file provably misses: empty relation, schema preserved
-      spark.read.option("basePath", s"$dir/$sub").parquet(paths: _*)
+      // every file provably misses: empty relation, schema preserved —
+      // ONE file carries the schema; scanning the rest buys nothing
+      spark.read.option("basePath", s"$dir/$sub").parquet(paths.head)
         .filter(org.apache.spark.sql.functions.lit(false))
     else
       spark.read.option("basePath", s"$dir/$sub").parquet(kept: _*)

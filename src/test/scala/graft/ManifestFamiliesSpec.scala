@@ -624,4 +624,99 @@ class ManifestFamiliesSpec extends SparkSpec {
     assert(Retrieval.postingsGen(spark, dir) == 1L)
     assert(served == after)
   }
+
+  test("suffix store (family #11): build-once commit, rebuild re-bases " +
+      "atomically, vacuum reclaims a torn rebuild's orphans") {
+    import graft.operators.Suffix
+    val dir = tmp("graft_suffix_manifest")
+    val v1 = Seq((1L, sA), (2L, filler1), (3L, sA)).toDF("doc_id", "text")
+    Suffix.saveDupIndexCommitted(spark, dir, v1, "doc_id", "text")
+    assert(Suffix.dupIndexGen(spark, dir) == 0L)
+    def spans(minLen: Long): Set[(Long, Long, Long)] =
+      Suffix.maximalDupSpansFrom(Suffix.loadDupIndexSnapshot(spark, dir),
+          "doc_id", minLen)
+        .select(col("doc_id"), col("span_start"), col("span_tokens"))
+        .as[(Long, Long, Long)].collect().toSet
+    // docs 1 and 3 are 10-token twins: both fully covered at minLen 10
+    assert(spans(10L) == Set((1L, 1L, 10L), (3L, 1L, 10L)))
+    // REBUILD (the family's only update path — no incremental append
+    // exists because a new doc changes dup_len at arbitrary earlier
+    // positions): a fresh save re-bases to a new epoch's generation 0,
+    // and the serve flips atomically to the new corpus
+    val v2 = Seq((1L, sA), (2L, filler1), (3L, filler2)).toDF("doc_id", "text")
+    Suffix.saveDupIndexCommitted(spark, dir, v2, "doc_id", "text")
+    assert(Suffix.dupIndexGen(spark, dir) == 0L)
+    assert(spans(10L).isEmpty) // the twin is gone; nothing repeats
+    // a torn rebuild (data written, no commit) leaves orphans the
+    // snapshot never sees and vacuum reclaims
+    Suffix.buildDupIndex(v1, "doc_id", "text").duplens
+      .write.mode("append").parquet(s"$dir/duplens")
+    assert(spans(10L).isEmpty)
+    assert(Suffix.vacuumDupIndex(spark, dir).nonEmpty)
+    assert(Suffix.vacuumDupIndex(spark, dir).isEmpty)
+    // every committed duplens file carries a doc_id envelope (the
+    // range-clustered save makes them disjoint per file)
+    val files = graft.operators.StoreFiles.manifestPaths(spark, dir)
+      .filter(_.contains("/duplens/"))
+    val st = graft.operators.StoreFiles.fileStats(spark, dir)
+    assert(files.nonEmpty &&
+      files.forall(p => st.get(p).exists(_.contains("doc_id"))))
+  }
+
+  test("docstore (family #12): commit, OCC append, torn invisible, " +
+      "string + long zone maps prune, delete, time travel, vacuum") {
+    import graft.operators.{DocStore, StoreFiles}
+    val dir = tmp("graft_docstore_manifest")
+    val mk = (rows: Seq[(Long, String, String)]) =>
+      rows.toDF("doc_id", "source", "text")
+    val base = mk(Seq((1L, "arx", sA), (2L, "arx", filler1),
+      (3L, "web", sB), (4L, "web", filler2), (5L, "wiki", sC)))
+    DocStore.saveDocStoreCommitted(spark, dir, base, numFiles = 3)
+    assert(DocStore.docStoreGen(spark, dir) == 0L)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("doc_id")).as[Long].collect().toSet
+    assert(ids(DocStore.loadDocStoreSnapshot(spark, dir)) ==
+      Set(1L, 2L, 3L, 4L, 5L))
+    // OCC append commits; a raw (uncommitted) write stays invisible
+    assert(DocStore.appendDocStoreCommitted(spark, dir,
+      mk(Seq((6L, "web", filler3)))) == 1L)
+    mk(Seq((9L, "zzz", filler3))).write.mode("append")
+      .parquet(s"$dir/docs") // torn
+    assert(ids(DocStore.loadDocStoreSnapshot(spark, dir)) ==
+      Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // STRING zone maps: the 'web' serve returns exactly the web docs
+    // and provably skips committed files whose source envelope misses
+    assert(ids(DocStore.loadDocStoreSourceRange(spark, dir, "web", "web"))
+      == Set(3L, 4L, 6L))
+    val all = StoreFiles.manifestPaths(spark, dir).filter(_.contains("/docs/"))
+    val sst = StoreFiles.fileStringStats(spark, dir)
+    assert(all.forall(p => sst.get(p).exists(_.contains("source"))),
+      "a committed docs file has no source envelope")
+    val web = "web".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val keptStr = all.filter { p =>
+      val (mn, mx) = sst(p)("source")
+      java.util.Arrays.compareUnsigned(mx, web) >= 0 &&
+        java.util.Arrays.compareUnsigned(mn, web) <= 0
+    }
+    assert(keptStr.nonEmpty && keptStr.size < all.size,
+      s"source range kept ${keptStr.size} of ${all.size} files")
+    // LONG zone maps on the same family
+    assert(ids(DocStore.loadDocStoreIdRange(spark, dir, 1L, 2L)) ==
+      Set(1L, 2L))
+    // time travel to the save; tombstone-delete is retroactive
+    assert(ids(DocStore.loadDocStoreSnapshot(spark, dir, Some(0L))) ==
+      Set(1L, 2L, 3L, 4L, 5L))
+    DocStore.deleteDocs(spark, dir, Seq(4L).toDF("doc_id"))
+    assert(ids(DocStore.loadDocStoreSnapshot(spark, dir)) ==
+      Set(1L, 2L, 3L, 5L, 6L))
+    assert(ids(DocStore.loadDocStoreSourceRange(spark, dir, "web", "web"))
+      == Set(3L, 6L))
+    assert(ids(DocStore.loadDocStoreSnapshot(spark, dir, Some(0L))) ==
+      Set(1L, 2L, 3L, 5L))
+    // vacuum reclaims exactly the torn write's orphan
+    assert(DocStore.vacuumDocStore(spark, dir).nonEmpty)
+    assert(DocStore.vacuumDocStore(spark, dir).isEmpty)
+    assert(ids(DocStore.loadDocStoreSnapshot(spark, dir)) ==
+      Set(1L, 2L, 3L, 5L, 6L))
+  }
 }

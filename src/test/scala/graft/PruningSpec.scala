@@ -237,4 +237,63 @@ class PruningSpec extends SparkSpec {
     assert((bFull - bRanged) * 10 >= bFull,
       s"skipping saved ${bFull - bRanged} of $bFull bytes — below the 10% floor")
   }
+
+  test("clustered L0 re-base: interleaved appends regain disjoint " +
+      "envelopes — the compacted run skips where the raw pile cannot") {
+    import graft.operators.StoreFiles
+    val dir = tmpDir("pqcluster")
+    val mx = emb.agg(max($"vec_id")).head().getLong(0)
+    val c1 = mx / 2; val lo = (mx * 3) / 4 + 1
+    Similarity.savePqIndexCommitted(
+      Similarity.buildPqIndex(emb.filter($"vec_id" <= c1),
+        "vec_id", "embedding"), dir)
+    // two INTERLEAVED appends: each spans the whole upper id domain, so
+    // every L0 file's envelope covers (c1, mx] and a top-quarter range
+    // can skip NONE of them
+    Similarity.appendPqIndexCommitted(spark, dir,
+      emb.filter($"vec_id" > c1 && $"vec_id" % 2 === 0),
+      "vec_id", "embedding")
+    Similarity.appendPqIndexCommitted(spark, dir,
+      emb.filter($"vec_id" > c1 && $"vec_id" % 2 === 1),
+      "vec_id", "embedding")
+    def codesFiles() = StoreFiles.manifestPaths(spark, dir)
+      .filter(_.contains("/codes/"))
+    def keptOf(files: Seq[String]): Seq[String] = {
+      val st = StoreFiles.fileStats(spark, dir)
+      files.filter { p =>
+        st.get(p).flatMap(_.get("neighbor_id"))
+          .forall { case (mn, mxv) => mxv >= lo && mn <= mx }
+      }
+    }
+    val preFiles = codesFiles()
+    val preKept = keptOf(preFiles)
+    // pre-compaction: every L0 file overlaps the range (the base files
+    // may or may not be skipped; the L0 pile provably cannot be)
+    val q = emb.filter($"vec_id" % 25 === 0).localCheckpoint()
+    def ranged() = Similarity.pqSearchIndex(q,
+      Similarity.loadPqIndexSnapshotRange(spark, dir, lo, mx),
+      "vec_id", "embedding", k = 10)
+    val before = ranged().collect().toSet
+    // CLUSTERED re-base (repartitionByRange on (cell, neighbor_id)):
+    // the compacted run's files get tight, near-disjoint id envelopes
+    assert(Similarity.compactPqL0(spark, dir, minRuns = 1))
+    val postFiles = codesFiles()
+    val compacted = postFiles.filterNot(preFiles.toSet)
+    assert(compacted.nonEmpty, "the re-base wrote no compacted files")
+    val keptCompacted = keptOf(compacted)
+    // the claim the clustering exists for: SOME compacted file's
+    // envelope provably misses the range (a hash-repartitioned rewrite
+    // gives every file the full id domain and skips nothing)
+    assert(keptCompacted.size < compacted.size,
+      s"range kept all ${compacted.size} compacted files — the re-base " +
+        "did not cluster on the stat column")
+    // serve rows unchanged, and the serve skips at least as large a
+    // file FRACTION as before the re-base
+    assert(ranged().collect().toSet == before)
+    val postKept = keptOf(postFiles)
+    assert(postKept.size.toDouble / postFiles.size <=
+      preKept.size.toDouble / preFiles.size,
+      s"kept fraction worsened: ${postKept.size}/${postFiles.size} vs " +
+        s"${preKept.size}/${preFiles.size}")
+  }
 }
