@@ -32,6 +32,7 @@ object PlanDump {
       "q55_embedding_neardup", "q56_ann_lsh_topk", "q57_ann_ivf_topk",
       "q65_dedup_ensemble", "q67_neardup_lsh_banded",
       "q68_dedup_components", "q72_curation_neardup",
+      "q73_events_sliding",
       "q75_stratified_sample", "q77_vocab_topk", "q80_incremental_dedup",
       "q89_repetition_stats", "q90_dup_ngrams", "q91_embedding_outliers",
       "q92_mix_weights", "q93_event_funnel", "q94_dup_source_matrix",
@@ -100,7 +101,9 @@ object PlanDump {
       "q246_suffix_dup_spans", "q247_pq_zonemap_range_serve",
       "q248_committed_ivf_ingest", "q249_committed_pq_ingest",
       "q250_suffix_trim", "q251_boilerplate_report",
-      "q252_committed_agg_ingest", "q253_suffix_keep_first")
+      "q252_committed_agg_ingest", "q253_suffix_keep_first",
+      "q254_suffix_clean_text", "q255_capstone_exact_trim",
+      "q256_docstore_source_serve")
     for (q <- qs) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))

@@ -4283,8 +4283,8 @@ object SparkEntry {
     // the shared substring actually is; here every span is the exact
     // maximal extent of a substring occurring >= 2x corpus-wide.
     "q246_suffix_dup_spans" -> ((s, dir) =>
-      graft.operators.Suffix.maximalDupSpans(t(s, dir, "documents"),
-        "doc_id", "text", minLen = 8L)),
+      graft.operators.Suffix.maximalDupSpansFrom(
+        suffixStore(s, dir), "doc_id", minLen = 8L)),
 
     // ZONE-MAP ranged serve on the PQ family — q240's measured
     // file-skipping story on a SECOND family (the ANN side): the codes
@@ -4427,16 +4427,16 @@ object SparkEntry {
     // copy but only at fixed gram width. The exact per-doc
     // trimmed/kept counts a curation pipeline budgets with.
     "q250_suffix_trim" -> ((s, dir) =>
-      graft.operators.Suffix.trimDupSpansAll(t(s, dir, "documents"),
-        "doc_id", "text", minLen = 8L)),
+      graft.operators.Suffix.trimDupSpansAllFrom(
+        suffixStore(s, dir), "doc_id", minLen = 8L)),
 
     // The BOILERPLATE REPORT: the 20 longest maximal duplicated spans
     // with their extracted text — the auditor artifact (license
     // headers, chrome, templated paragraphs surface here first).
     // ORDER BY + LIMIT plans as TakeOrderedAndProject.
     "q251_boilerplate_report" -> ((s, dir) =>
-      graft.operators.Suffix.longestDupSpans(t(s, dir, "documents"),
-        "doc_id", "text", minLen = 8L, k = 20)),
+      graft.operators.Suffix.longestDupSpansFrom(suffixStore(s, dir),
+        t(s, dir, "documents"), "doc_id", "text", minLen = 8L, k = 20)),
 
     // EXACTLY-ONCE ledger on the AGGREGATE store-maintaining twin —
     // the last maintaining family without it (bands q238, postings
@@ -4505,9 +4505,133 @@ object SparkEntry {
     // survives untouched — identical twin documents keep exactly one
     // full copy.
     "q253_suffix_keep_first" -> ((s, dir) =>
-      graft.operators.Suffix.trimDupSpansKeepFirst(t(s, dir, "documents"),
-        "doc_id", "text", minLen = 8L))
+      graft.operators.Suffix.trimDupSpansKeepFirstFrom(
+        suffixStore(s, dir), "doc_id", minLen = 8L)),
+
+    // The keep-first APPLY step MATERIALIZED: the cleaned corpus
+    // itself — every later occurrence of a duplicated substring of
+    // >= 8 tokens spliced out, the corpus-wide first occurrence kept
+    // verbatim (q253 reports the token charge; this row ships the
+    // artifact a pipeline trains on). Served from the suffix store:
+    // spans expand to covered positions (output-linear), the token
+    // stream anti-joins them, ONE ordered per-doc aggregation splices.
+    "q254_suffix_clean_text" -> ((s, dir) =>
+      graft.operators.Suffix.trimDupSpansKeepFirstText(suffixStore(s, dir),
+        t(s, dir, "documents"), "doc_id", "text", minLen = 8L)),
+
+    // CAPSTONE v2 — the q244 chain with the EXACT-SUBSTRING keep-first
+    // trim (q253/q254's suffix ANSV) inserted between dedup and
+    // decontamination: dedup keep-best -> exact trim ON THE SURVIVOR
+    // CORPUS (prev_len must be computed against what dedup kept, or
+    // "first occurrence" could point at a removed duplicate) ->
+    // decontaminate the TRIMMED text -> source cap -> temperature mix
+    // -> pack -> chunk shuffle. This is the Lee et al. 2021 pipeline
+    // order as real curation runs it; the oracle replays the WHOLE
+    // chain including the ANSV and the splice.
+    "q255_capstone_exact_trim" -> ((s, dir) => {
+      val mixed = graft.operators.Curation.temperatureMix(
+        capstonePoolExact(s, dir), "doc_id", "lang", alpha = 0.5,
+        budget = 300L)
+      val plan = graft.operators.Layout.packSequences(mixed, "doc_id",
+        "n_tokens", seqLen = 256)
+      val order = graft.operators.Curation.trainOrderShuffle(
+          plan.select(col("chunk_id")).distinct(), "chunk_id", nShards = 8)
+        .select(col("chunk_id"), col("shard"), col("position"))
+      plan.join(broadcast(order), Seq("chunk_id"))
+        .select(col("shard"), col("position"), col("chunk_id"),
+          col("doc_id"), col("doc_off"), col("chunk_off"), col("len"))
+    }),
+
+    // STRING ZONE MAPS, measured — the r12 verdict's open question
+    // closed with a row on the DOCSTORE family (#12, the committed
+    // "bronze table"): the corpus commits range-clustered on
+    // (source, doc_id), each file's UTF-8 source envelope rides the
+    // manifest, and a serve restricted to ONE source prunes its
+    // committed file list at PLAN time (the require pins the file-set
+    // arithmetic — a strict minority of files may enter the scan).
+    // Output: that source's per-language length profile, mirrored by a
+    // plain WHERE source = min(source) oracle.
+    "q256_docstore_source_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val storeDir = scratchDir("graft_docstore", dir)
+      if (graft.operators.DocStore.docStoreGen(s, storeDir) < 0L)
+        graft.operators.DocStore.saveDocStoreCommitted(s, storeDir, docs,
+          numFiles = 8)
+      val src = docs.agg(min(col("source"))).head().getString(0)
+      val all = graft.operators.StoreFiles.manifestPaths(s, storeDir)
+        .filter(_.contains("/docs/"))
+      val st = graft.operators.StoreFiles.fileStringStats(s, storeDir)
+      val srcB = src.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val kept = all.filter { p =>
+        st.get(p).flatMap(_.get("source")).forall { case (mn, mx) =>
+          java.util.Arrays.compareUnsigned(mx, srcB) >= 0 &&
+            java.util.Arrays.compareUnsigned(mn, srcB) <= 0
+        }
+      }
+      require(kept.nonEmpty && kept.size * 2 <= all.size,
+        s"q256: source range kept ${kept.size} of ${all.size} committed " +
+          "files — string zone maps did not prune")
+      graft.operators.DocStore.loadDocStoreSourceRange(s, storeDir, src, src)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"))
+    })
   )
+
+  /** The suffix duplication index (store family #11) for a corpus dir,
+    * built + committed ONCE per JVM and scale — whichever suffix row
+    * runs first pays the build; every other row (and every later pass
+    * of the same row) serves from the committed store with ZERO
+    * positions/doubling/ANSV jobs. This is the lifecycle the family
+    * exists for: build nightly, audit always.
+    */
+  private val suffixStoreLock = new Object
+  private def suffixStore(s: SparkSession,
+      dir: String): graft.operators.Suffix.DupIndex =
+    suffixStoreLock.synchronized {
+      val sd = scratchDir("graft_suffix_store", dir)
+      if (graft.operators.Suffix.dupIndexGen(s, sd) < 0L)
+        graft.operators.Suffix.saveDupIndexCommitted(s, sd,
+          t(s, dir, "documents"), "doc_id", "text")
+      graft.operators.Suffix.loadDupIndexSnapshot(s, sd)
+    }
+
+  /** The v2 capstone pool (stages 1–5 of q255): dedup keep-best →
+    * exact-substring keep-first trim (suffix ANSV over the SURVIVOR
+    * corpus, 8-token threshold) → decontaminate the trimmed text →
+    * source cap. Shared by the row and by the oracle generation
+    * (temperature quotas over this pool are trained literals).
+    */
+  private def capstonePoolExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+    val cache = new Dedup.CacheHandle()
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        cache = cache)
+      .select(col("id_a"), col("id_b"))
+    // pinned: the survivor set feeds the suffix build, the splice, and
+    // the metadata join — without the pin each re-runs the dedup chain
+    val surv = Dedup.dedupByComponentsBest(docs, "doc_id", pairs,
+      col("n_tokens"), upstream = cache).localCheckpoint()
+    val idx = graft.operators.Suffix.buildDupIndex(surv, "doc_id", "text")
+    val trimmed = graft.operators.Suffix
+      .trimDupSpansKeepFirstText(idx, surv, "doc_id", "text", minLen = 8L)
+      .filter(col("kept_tokens") > 0)
+      .join(surv.select(col("doc_id"), col("lang"), col("source")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("clean_text").as("text"), col("kept_tokens").as("n_tokens"))
+    val evalSlice = docs.filter(col("doc_id") % 100 === 3)
+    val trainPool = trimmed.filter(col("doc_id") % 100 =!= 3)
+    val dirty = Dedup.contaminationPairs(trainPool, evalSlice,
+        "doc_id", "text", n = 4)
+      .select(col("doc_id")).distinct()
+    val clean = trainPool.join(dirty, Seq("doc_id"), "left_anti")
+    graft.operators.Curation.sourceQuota(clean, "source", "doc_id",
+      col("n_tokens"), cap = 50)
+  }
 
   /** Stages 1–4 of the q244 curation capstone (dedup keep-best →
     * decontaminate → source cap) — shared by the row and by the
@@ -4617,6 +4741,105 @@ object SparkEntry {
          |          SELECT hm.*, CAST(row_number() OVER (PARTITION BY lang
          |            ORDER BY h ASC, doc_id ASC) AS INT) AS pos FROM hm) m
          |        JOIN qq USING (lang) WHERE pos <= quota),
+         |pk0 AS (SELECT doc_id, n_tokens AS n FROM mix WHERE n_tokens > 0),
+         |pk1 AS (SELECT doc_id, n,
+         |          CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |            AS BIGINT) AS start
+         |        FROM pk0),
+         |pk AS (SELECT doc_id, n, start,
+         |         unnest(generate_series(start // 256, (start + n - 1) // 256))
+         |           AS chunk_id
+         |       FROM pk1),
+         |spans AS (SELECT chunk_id, doc_id,
+         |    greatest(0, chunk_id * 256 - start) AS doc_off,
+         |    greatest(start, chunk_id * 256) - chunk_id * 256 AS chunk_off,
+         |    least(start + n, (chunk_id + 1) * 256)
+         |      - greatest(start, chunk_id * 256) AS len
+         |  FROM pk),
+         |ch AS (SELECT DISTINCT chunk_id FROM spans),
+         |sh AS (SELECT chunk_id, CAST($hShuf AS BIGINT) AS hv FROM ch),
+         |ord AS (SELECT chunk_id, CAST(hv % 8 AS INT) AS shard,
+         |          CAST(row_number() OVER (PARTITION BY hv % 8
+         |            ORDER BY hv ASC, chunk_id ASC) AS INT) AS position
+         |        FROM sh)
+         |SELECT ord.shard, ord.position, spans.chunk_id, spans.doc_id,
+         |  spans.doc_off, spans.chunk_off, spans.len
+         |FROM spans JOIN ord USING (chunk_id)""".stripMargin
+    },
+    // CAPSTONE v2: the q244 replay with the exact-substring keep-first
+    // trim spliced between dedup and decontamination — the survivor
+    // corpus runs the FULL ANSV chain (suffixKeepFirstCtes over a
+    // surv-restricted source), the kept token stream rebuilds each
+    // trimmed document, and every later stage (4-gram decontamination,
+    // source cap, temperature mix, packing, shuffle) reads the TRIMMED
+    // text and token counts
+    "q255_capstone_exact_trim" -> {
+      val quotas = graft.operators.Curation.temperatureQuotas(
+        capstonePoolExact(spark, dir), "lang", alpha = 0.5, budget = 300L)
+      val values = quotas.map { case (g, q) => s"('$g', CAST($q AS BIGINT))" }
+        .mkString(",\n         ")
+      val hTemp = hexToLongSql("md5('temp:' || CAST(doc_id AS VARCHAR))", 1, 15)
+      val hShuf = hexToLongSql("md5('shuffle:' || CAST(chunk_id AS VARCHAR))", 1, 15)
+      val suffixCtes = suffixKeepFirstCtes(minLen = 8, k = 10, kn = 20,
+        docsRel = "(SELECT d2.doc_id, d2.text FROM documents d2 " +
+          "JOIN surv s2 ON s2.doc_id = d2.doc_id) tsrc")
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, lang, source, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |mh AS (SELECT id_a, id_b FROM ($minhashOracleSql) mhp),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mh
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM mh),
+         |r AS (
+         |  SELECT doc_id AS id, doc_id AS m FROM d
+         |  UNION
+         |  SELECT e.dst AS id, r.m FROM r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, min(m) AS component FROM r GROUP BY id),
+         |rk AS (SELECT d.doc_id,
+         |         row_number() OVER (PARTITION BY comp.component
+         |           ORDER BY d.n_tokens DESC, d.doc_id ASC) AS rk
+         |       FROM d JOIN comp ON d.doc_id = comp.id),
+         |surv AS (SELECT doc_id FROM rk WHERE rk = 1),
+         |$suffixCtes,
+         |keep AS (SELECT p.doc_id, p.pos, p.key FROM pos p
+         |  WHERE p.flag = 1 AND NOT EXISTS (SELECT 1 FROM isl
+         |    WHERE isl.doc_id = p.doc_id AND p.pos BETWEEN isl.s AND isl.e)),
+         |td AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  string_agg(key, ' ' ORDER BY pos) AS text
+         |  FROM keep GROUP BY doc_id),
+         |w5 AS (SELECT doc_id, string_split(text, ' ') AS ww FROM td),
+         |trg AS (SELECT w5.doc_id, unnest(list_distinct(
+         |        [ww[i] || ' ' || ww[i+1] || ' ' || ww[i+2] || ' ' ||
+         |         ww[i+3]
+         |         FOR i IN range(1, greatest(len(ww) - 3, 0) + 1)])) AS g
+         |      FROM w5 WHERE w5.doc_id % 100 <> 3),
+         |w4 AS (SELECT doc_id, string_split(text, ' ') AS ww
+         |       FROM documents WHERE doc_id % 100 = 3),
+         |evg AS (SELECT doc_id AS eval_id, unnest(list_distinct(
+         |        [ww[i] || ' ' || ww[i+1] || ' ' || ww[i+2] || ' ' ||
+         |         ww[i+3]
+         |         FOR i IN range(1, greatest(len(ww) - 3, 0) + 1)])) AS g
+         |      FROM w4),
+         |dirty AS (SELECT DISTINCT trg.doc_id FROM trg JOIN evg USING (g)),
+         |clean AS (SELECT td.doc_id, dd.lang, dd.source, td.n_tokens
+         |          FROM td JOIN documents dd USING (doc_id)
+         |          WHERE td.doc_id % 100 <> 3
+         |            AND td.doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |cap AS (SELECT * FROM (
+         |          SELECT clean.*, row_number() OVER (PARTITION BY source
+         |            ORDER BY n_tokens DESC, doc_id ASC) AS crk
+         |          FROM clean) c WHERE crk <= 50),
+         |qq(lang, quota) AS (VALUES
+         |         $values),
+         |hm AS (SELECT cap.*, CAST($hTemp AS BIGINT) % 1000000 AS h
+         |       FROM cap),
+         |mix AS (SELECT * FROM (
+         |          SELECT hm.*, CAST(row_number() OVER (PARTITION BY lang
+         |            ORDER BY h ASC, doc_id ASC) AS INT) AS mpos FROM hm) m
+         |        JOIN qq USING (lang) WHERE mpos <= quota),
          |pk0 AS (SELECT doc_id, n_tokens AS n FROM mix WHERE n_tokens > 0),
          |pk1 AS (SELECT doc_id, n,
          |          CAST(coalesce(sum(n) OVER (ORDER BY doc_id
@@ -5008,14 +5231,15 @@ object SparkEntry {
     * slot layout with per-doc sentinels, and `k` unrolled doubling
     * rounds of dense ranks (r0..r`k`). No WITH keyword — callers embed.
     */
-  private def suffixRankCtes(k: Int): String = {
+  private def suffixRankCtes(k: Int,
+      docsRel: String = "documents"): String = {
     val doubling = (1 to k).map { i =>
       val s = 1L << (i - 1)
       s"""r$i AS (SELECT gpos, dense_rank() OVER (ORDER BY r, r2) AS r FROM
          |  (SELECT gpos, r, COALESCE(lead(r, $s) OVER (ORDER BY gpos), -1) AS r2
          |   FROM r${i - 1}))""".stripMargin
     }
-    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM $docsRel),
        |base AS (SELECT doc_id, len(w) AS n,
        |  COALESCE(sum(len(w) + 1) OVER (ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt FROM t),
@@ -5081,7 +5305,8 @@ object SparkEntry {
     * is construction-independent — prev_len is a property of
     * (gpos order, rank equality classes) alone.
     */
-  private def suffixKeepFirstOracleSql(minLen: Int, k: Int, kn: Int): String = {
+  private def suffixKeepFirstCtes(minLen: Int, k: Int, kn: Int,
+      docsRel: String = "documents"): String = {
     val maxv = Long.MaxValue
     val lifting = (k - 1 to 0 by -1).map { i =>
       val s = 1L << i
@@ -5101,7 +5326,7 @@ object SparkEntry {
     val spUnion = (0 to kn)
       .map(i => s"SELECT $i AS k, r, mg, ml FROM sp$i")
       .mkString("\nUNION ALL ")
-    s"""WITH RECURSIVE ${suffixRankCtes(k)},
+    s"""${suffixRankCtes(k, docsRel)},
        |sa AS (SELECT gpos, row_number() OVER (ORDER BY r) - 1 AS i FROM r$k),
        |l AS (SELECT a.gpos AS p, b.gpos AS q, a.i AS i, CAST(0 AS BIGINT) AS lcp
        |  FROM sa a JOIN sa b ON b.i = a.i + 1),
@@ -5160,7 +5385,15 @@ object SparkEntry {
        |i3 AS (SELECT doc_id, pos, e,
        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i2),
        |isl AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS s,
-       |  CAST(max(e) AS BIGINT) AS e FROM i3 GROUP BY doc_id, island)
+       |  CAST(max(e) AS BIGINT) AS e FROM i3 GROUP BY doc_id, island)""".stripMargin
+  }
+
+  /** DuckDB mirror for [[graft.operators.Suffix.trimDupSpansKeepFirst]]
+    * — the [[suffixKeepFirstCtes]] ANSV chain with the per-document
+    * token charge on top.
+    */
+  private def suffixKeepFirstOracleSql(minLen: Int, k: Int, kn: Int): String =
+    s"""WITH RECURSIVE ${suffixKeepFirstCtes(minLen, k, kn)}
        |SELECT d.doc_id,
        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
        |  COALESCE(tr.tt, 0) AS trimmed_tokens,
@@ -5169,7 +5402,25 @@ object SparkEntry {
        |FROM documents d LEFT JOIN
        |  (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS tt
        |   FROM isl GROUP BY doc_id) tr USING (doc_id)""".stripMargin
-  }
+
+  /** DuckDB mirror for the keep-first SPLICE-BACK
+    * ([[graft.operators.Suffix.trimDupSpansKeepFirstText]], q254): the
+    * same ANSV chain, then the kept token stream (positions outside
+    * every merged span) re-joined in order per document.
+    */
+  private def suffixCleanTextOracleSql(minLen: Int, k: Int,
+      kn: Int): String =
+    s"""WITH RECURSIVE ${suffixKeepFirstCtes(minLen, k, kn)},
+       |keep AS (SELECT p.doc_id, p.pos, p.key FROM pos p
+       |  WHERE p.flag = 1 AND NOT EXISTS (SELECT 1 FROM isl
+       |    WHERE isl.doc_id = p.doc_id AND p.pos BETWEEN isl.s AND isl.e)),
+       |tr2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |  string_agg(key, ' ' ORDER BY pos) AS ct FROM keep GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |  COALESCE(tr2.n_kept, 0) AS kept_tokens,
+       |  COALESCE(tr2.ct, '') AS clean_text
+       |FROM documents d LEFT JOIN tr2 USING (doc_id)""".stripMargin
 
   private def phraseRestrictedOracleSql(corpusWhere: String): String =
     s"""WITH wq AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -6258,6 +6509,15 @@ object SparkEntry {
     // top-k, stats over the WHOLE corpus, df over restricted hits —
     // exactly the filtered-search scoring contract the ranged load
     // implements (zone maps only change which files are read)
+    // the lexicographically-least source's per-language length profile
+    // (the serve side proves string-envelope file skipping; the rows
+    // are a plain restricted aggregate)
+    "q256_docstore_source_serve" ->
+      """WITH s AS (SELECT min(source) AS src FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents, s WHERE source = s.src
+        |GROUP BY lang""".stripMargin,
     "q240_zonemap_range_serve" ->
       """WITH wq AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |mxv AS (SELECT max(doc_id) AS mx FROM documents),
@@ -6342,6 +6602,9 @@ object SparkEntry {
     // of gpos order + rank equality classes alone)
     "q253_suffix_keep_first" ->
       suffixKeepFirstOracleSql(minLen = 8, k = 10, kn = 20),
+    // the splice-back: same ANSV chain, kept tokens re-joined in order
+    "q254_suffix_clean_text" ->
+      suffixCleanTextOracleSql(minLen = 8, k = 10, kn = 20),
     // the same class-based placement from the oracle's own window rank
     // (the engine's two-phase index and the window agree because the
     // (k, n desc, id) order is total)

@@ -68,7 +68,11 @@ class RecallAtScaleSpec extends SparkSpec {
     assert(ivf > 0.45, s"IVF recall too low at sf0.1: $ivf")
     assert(pq > 0.12, s"IVF-PQ recall too low at sf0.1: $pq")
     assert(sq8 > 0.45, s"IVF-SQ8 recall too low at sf0.1: $sq8")
-    assert(refined > 0.30, s"refined recall too low at sf0.1: $refined")
+    // the DEFAULT SERVING PATH for stored PQ (pqSearchRefined — raw ADC
+    // is the store-lifecycle proof, not the product path) must hold
+    // >= 0.35 at bench scale (r12 measured 0.360)
+    assert(refined >= 0.35,
+      s"default PQ serve (refined) recall too low at sf0.1: $refined")
     assert(multi > 0.90, s"multi-probe recall too low at sf0.1: $multi")
   }
 
