@@ -4616,6 +4616,10 @@ object SparkEntry {
     val surv = Dedup.dedupByComponentsBest(docs, "doc_id", pairs,
       col("n_tokens"), upstream = cache).localCheckpoint()
     val idx = graft.operators.Suffix.buildDupIndex(surv, "doc_id", "text")
+    // pinned: the trimmed pool feeds the decontamination grams, the
+    // dirty anti-join, AND the final pool — without the pin the splice
+    // (spans → covered positions → ordered rebuild) re-executes per
+    // reference
     val trimmed = graft.operators.Suffix
       .trimDupSpansKeepFirstText(idx, surv, "doc_id", "text", minLen = 8L)
       .filter(col("kept_tokens") > 0)
@@ -4623,6 +4627,7 @@ object SparkEntry {
         Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"),
         col("clean_text").as("text"), col("kept_tokens").as("n_tokens"))
+      .localCheckpoint()
     val evalSlice = docs.filter(col("doc_id") % 100 === 3)
     val trainPool = trimmed.filter(col("doc_id") % 100 =!= 3)
     val dirty = Dedup.contaminationPairs(trainPool, evalSlice,
