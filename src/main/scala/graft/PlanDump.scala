@@ -25,6 +25,10 @@ object PlanDump {
         }
       else Map.empty
     val label = if (args.length > 2) args(2) else "bench counters (min pass)"
+    // optional 4th arg: comma-separated subset of the list to dump
+    // (incremental regeneration — splice the sections into PLANS.md)
+    val onlyNames = if (args.length > 3)
+      Some(args(3).split(",").map(_.trim).toSet) else None
     val qs = Seq("q01_pricing_summary", "q02_filter_project",
       "q10_join_revenue_by_nation", "q12_anti_join", "q21_sort_limit",
       "q51_dedup_minhash_lsh", "q52_dedup_ngram_jaccard",
@@ -103,8 +107,8 @@ object PlanDump {
       "q250_suffix_trim", "q251_boilerplate_report",
       "q252_committed_agg_ingest", "q253_suffix_keep_first",
       "q254_suffix_clean_text", "q255_capstone_exact_trim",
-      "q256_docstore_source_serve")
-    for (q <- qs) {
+      "q256_docstore_source_serve", "q257_suffix_ranged_audit")
+    for (q <- qs if onlyNames.forall(_.contains(q))) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))
       println("```")

@@ -4576,6 +4576,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(TextAnalysis.tokenCount(col("text")).cast("long"))
             .as("n_tokens"))
+    }),
+
+    // RANGED AUDIT on the SUFFIX STORE — family #11's zone maps doing
+    // real work: the maximal-span report restricted to the top-quarter
+    // doc_id range reads ONLY the committed duplens files whose doc_id
+    // envelope can hit it (kept-file arithmetic require'd in-row; the
+    // save is range-clustered so envelopes are disjoint). Sound by
+    // construction: dup_len is a CORPUS-GLOBAL value baked at build
+    // time, so the restriction picks which documents are audited,
+    // never what the lengths mean — the oracle computes global spans
+    // and filters to the same bound.
+    "q257_suffix_ranged_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sd = suffixStoreDir(s, dir)
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val lo = (mx * 3) / 4 + 1
+      val all = graft.operators.StoreFiles.manifestPaths(s, sd)
+        .filter(_.contains("/duplens/"))
+      val st = graft.operators.StoreFiles.fileStats(s, sd)
+      val kept = all.filter { p =>
+        st.get(p).flatMap(_.get("doc_id"))
+          .forall { case (mn, mxv) => mxv >= lo && mn <= mx }
+      }
+      require(kept.nonEmpty && kept.size * 2 <= all.size,
+        s"q257: doc range kept ${kept.size} of ${all.size} committed " +
+          "duplens files — suffix zone maps did not prune")
+      graft.operators.Suffix.maximalDupSpansFrom(
+        graft.operators.Suffix.loadDupIndexIdRange(s, sd, lo, mx),
+        "doc_id", minLen = 8L)
     })
   )
 
@@ -4587,15 +4616,17 @@ object SparkEntry {
     * exists for: build nightly, audit always.
     */
   private val suffixStoreLock = new Object
-  private def suffixStore(s: SparkSession,
-      dir: String): graft.operators.Suffix.DupIndex =
+  private def suffixStoreDir(s: SparkSession, dir: String): String =
     suffixStoreLock.synchronized {
       val sd = scratchDir("graft_suffix_store", dir)
       if (graft.operators.Suffix.dupIndexGen(s, sd) < 0L)
         graft.operators.Suffix.saveDupIndexCommitted(s, sd,
-          t(s, dir, "documents"), "doc_id", "text")
-      graft.operators.Suffix.loadDupIndexSnapshot(s, sd)
+          t(s, dir, "documents"), "doc_id", "text", numFiles = 8)
+      sd
     }
+  private def suffixStore(s: SparkSession,
+      dir: String): graft.operators.Suffix.DupIndex =
+    graft.operators.Suffix.loadDupIndexSnapshot(s, suffixStoreDir(s, dir))
 
   /** The v2 capstone pool (stages 1–5 of q255): dedup keep-best →
     * exact-substring keep-first trim (suffix ANSV over the SURVIVOR
@@ -6594,6 +6625,13 @@ object SparkEntry {
     // max-LCP neighbor is adjacent in ANY lexicographic order — engine
     // collation and doubling depth cancel out of the output.
     "q246_suffix_dup_spans" -> suffixDupSpansOracleSql(minLen = 8, k = 10),
+    // global spans filtered to the top-quarter doc_id bound (the serve
+    // side proves duplens file skipping; dup_len stays corpus-global)
+    "q257_suffix_ranged_audit" ->
+      s"""WITH ${suffixSpanCtes(8, 10)},
+         |bnd AS (SELECT (max(doc_id) * 3) // 4 + 1 AS lo FROM documents)
+         |SELECT doc_id, span_start, span_end, span_tokens, n_pos
+         |FROM spans, bnd WHERE spans.doc_id >= bnd.lo""".stripMargin,
     // the span CTEs rolled up per document (COALESCE-0 for untouched
     // docs, q212's shape)
     "q250_suffix_trim" -> suffixTrimOracleSql(minLen = 8, k = 10),

@@ -296,15 +296,38 @@ object Suffix {
     * store with its envelopes ([[StoreFamily.saveCommitted]]).
     */
   def saveDupIndexCommitted(spark: SparkSession, dir: String,
-      docs: DataFrame, idCol: String, textCol: String): Unit = {
+      docs: DataFrame, idCol: String, textCol: String,
+      numFiles: Int = 0): Unit = {
     val idx = buildDupIndex(docs, idCol, textCol)
+    // numFiles > 0 pins the duplens file count (an EXPLICIT range
+    // partitioning AQE must not coalesce — a small corpus would land
+    // as one file and a doc-ranged audit would have nothing to skip);
+    // 0 leaves it to the shuffle-partition default, right at scale
+    val clustered =
+      if (numFiles > 0)
+        idx.duplens.repartitionByRange(numFiles, col("doc_id"), col("pos"))
+      else idx.duplens.repartitionByRange(col("doc_id"), col("pos"))
     Stores.suffix.saveCommitted(spark, dir) {
-      idx.duplens.repartitionByRange(col("doc_id"), col("pos"))
-        .write.mode("overwrite").parquet(s"$dir/duplens")
+      clustered.write.mode("overwrite").parquet(s"$dir/duplens")
       idx.doclens.repartitionByRange(4, col("doc_id"))
         .write.mode("overwrite").parquet(s"$dir/doclens")
     }
   }
+
+  /** Committed snapshot of the duplens relation restricted to
+    * `doc_id ∈ [lo, hi]` with zone-map FILE SKIPPING: committed files
+    * whose doc_id envelope misses the range never enter the scan —
+    * the per-tenant/per-slice audit read (predicate also in-plan).
+    * Sound by construction: dup_len/prev_len are CORPUS-GLOBAL values
+    * baked at build time, so restricting the rows restricts WHICH
+    * documents are audited, never what the lengths mean. Pair with
+    * the full doclens for the trim charges.
+    */
+  def loadDupIndexIdRange(spark: SparkSession, dir: String,
+      lo: Long, hi: Long): DupIndex =
+    DupIndex(
+      Stores.suffix.snapshotSkipping(spark, dir, "doc_id", lo, hi)("duplens"),
+      Stores.suffix.snapshot(spark, dir)("doclens"))
 
   /** Load exactly the COMMITTED file set (optionally as of a
     * generation — time travel over rebuilds).
@@ -413,6 +436,46 @@ object Suffix {
       .select(col(idCol), col("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("kept_tokens"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** The keep-first cleaner ITERATED TO FIXPOINT — the loop an
+    * ExactSubstr deployment actually runs: one splice pass is not
+    * idempotent (removing a span makes its neighbors adjacent, and the
+    * new adjacency can duplicate text elsewhere — why Lee et al.
+    * iterate), so re-build the index on the cleaned corpus and re-trim
+    * until a pass finds NO position with prev_len ≥ minLen. Returns
+    * the converged corpus (idCol, textCol — docs cleaned to empty are
+    * dropped) and the number of TRIM passes run; the output provably
+    * contains no duplicated substring of ≥ minLen tokens (that is the
+    * termination test, checked against the rebuilt index, not
+    * assumed). Convergence is guaranteed: every pass that does not
+    * terminate strictly removes ≥ minLen tokens from the corpus.
+    *
+    * Each pass is one [[buildDupIndex]] + one splice — K passes cost
+    * K polylog-round constructions, and real corpora converge in 1–2
+    * passes (new-adjacency duplicates are rare); `maxIters` bounds the
+    * pathological case loudly rather than silently.
+    */
+  def cleanCorpusToFixpoint(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Long, maxIters: Int = 8): (DataFrame, Int) = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    var cur = docs.select(col(idCol), col(textCol)).localCheckpoint()
+    var iters = 0
+    while (iters < maxIters) {
+      val idx = buildDupIndex(cur, idCol, textCol)
+      val dupPositions = idx.duplens
+        .filter(col("prev_len") >= minLen).limit(1).count()
+      if (dupPositions == 0L) return (cur, iters)
+      iters += 1
+      cur = trimDupSpansKeepFirstText(idx, cur, idCol, textCol, minLen)
+        .filter(col("kept_tokens") > 0)
+        .select(col(idCol), col("clean_text").as(textCol))
+        .localCheckpoint()
+    }
+    // maxIters trims without a clean verification pass — refuse to
+    // return a corpus the contract cannot vouch for
+    throw new IllegalStateException(
+      s"cleanCorpusToFixpoint: no fixpoint after $maxIters passes")
   }
 
   /** [[longestDupSpans]] served from a built index. */

@@ -197,6 +197,45 @@ class SuffixSpec extends SparkSpec {
     assert(keepFirst.values.sum < removeAll.values.sum)
   }
 
+  test("fixpoint cleaner: a splice-created duplicate needs a second pass, " +
+      "and the converged corpus re-detects nothing") {
+    // the adversarial fixture: doc 3's "a1 a2 a3" trims on pass 1
+    // (doc 1 holds the first occurrence), which makes "c1 c2" adjacent
+    // in doc 3 — duplicating doc 2. One pass leaves that duplicate;
+    // the fixpoint loop must take a SECOND trim pass to remove it.
+    val docs = Seq(
+      1L -> "a1 a2 a3 x1 x2",
+      2L -> "c1 c2 y1 y2 y3",
+      3L -> "c1 a1 a2 a3 c2").toDF("doc_id", "text")
+    val minLen = 2L
+    // one pass is NOT enough here (the documented non-idempotence)
+    val idx = Suffix.buildDupIndex(docs, "doc_id", "text")
+    val onePass = Suffix.trimDupSpansKeepFirstText(idx, docs,
+        "doc_id", "text", minLen)
+      .filter($"kept_tokens" > 0)
+      .select($"doc_id", $"clean_text".as("text"))
+    assert(Suffix.maximalDupSpans(onePass, "doc_id", "text", minLen)
+      .count() > 0, "fixture must create a duplicate by splicing")
+    val (cleaned, iters) = Suffix.cleanCorpusToFixpoint(docs,
+      "doc_id", "text", minLen)
+    assert(iters == 2, s"expected exactly 2 trim passes, ran $iters")
+    val out = cleaned.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toMap
+    // pass 1: doc 3 -> "c1 c2"; pass 2: that duplicate of doc 2 trims
+    // too and doc 3 vanishes; first occurrences survive verbatim
+    assert(out == Map(1L -> "a1 a2 a3 x1 x2", 2L -> "c1 c2 y1 y2 y3"))
+    assert(Suffix.maximalDupSpans(cleaned, "doc_id", "text", minLen)
+      .count() == 0)
+    // and on an already-converging corpus the loop runs exactly the
+    // one pass the earlier splice-back test needed
+    val easy = Seq(1L -> "e f g h i j", 2L -> "e f g h i j",
+      3L -> "k l m n o p").toDF("doc_id", "text")
+    val (cleanedEasy, itersEasy) = Suffix.cleanCorpusToFixpoint(easy,
+      "doc_id", "text", 2L)
+    assert(itersEasy == 1)
+    assert(cleanedEasy.count() == 2) // the twin doc cleaned to empty
+  }
+
   test("resolution depth is document-bound: rank levels stop near log4(max doc)") {
     val docs = Tables(spark, sf, "documents")
     val pos = Suffix.positions(docs, "doc_id", "text").localCheckpoint()
