@@ -558,7 +558,7 @@ object Dedup {
         // hash repartition would give every file the whole id domain
         // and the zone maps would stop pruning exactly as stores age
         l0.repartitionByRange(
-            l0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+            StoreFiles.rebaseParts(l0),
             col("band"), col("id")).write.mode("append")
           .partitionBy("band").parquet(s"$dir/bands")
       case ("sets", l0) =>
@@ -1477,7 +1477,7 @@ object Dedup {
       case ("banded", l0) =>
         // clustered re-base — see compactBandL0: disjoint id envelopes
         l0.repartitionByRange(
-            l0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+            StoreFiles.rebaseParts(l0),
             col("band"), col("id")).write.mode("append")
           .partitionBy("band").parquet(s"$dir/banded")
       case (sub, _) =>

@@ -56,6 +56,48 @@ object DocStore {
         .write.mode("append").parquet(s"$dir/docs")
     }
 
+  /** [[appendDocStoreCommitted]] made EXACTLY-ONCE for a replayable
+    * writer (foreachBatch): the batch id rides the manifest commit as
+    * a ledger header — a re-delivered batch writes nothing. The quiet
+    * failure the ledger prevents on THIS family is the one a lake
+    * cares most about: a doubled ingest batch silently duplicates the
+    * bronze documents themselves, and every derived store then bakes
+    * the duplicates in. Returns the committed generation, or None on
+    * a replay.
+    */
+  def appendDocStoreCommittedIdempotent(spark: SparkSession, dir: String,
+      docs: DataFrame, batchId: Long): Option[Long] =
+    Stores.docstore.appendCommittedIdempotent(spark, dir, batchId) {
+      docs.repartitionByRange(col("source"), col("doc_id"))
+        .write.mode("append").parquet(s"$dir/docs")
+    }
+
+  /** Size-tiered L0 compaction for the docstore: merge the appended
+    * manifest generations into one fresh CLUSTERED run —
+    * `repartitionByRange` on (source, doc_id) with an explicit count,
+    * so the compacted files regain the disjoint string+long zone-map
+    * envelopes the ingest stream's per-batch files lose — re-basing
+    * the manifest without rewriting the generation-0 base. Ledger and
+    * batch-id headers survive ([[StoreFiles.compactL0]] carries them).
+    */
+  def compactDocL0(spark: SparkSession, dir: String,
+      minRuns: Int = 4): Boolean =
+    StoreFiles.compactL0(spark, dir, Seq("docs"), minRuns,
+        Stores.docstore.statCols) {
+      case ("docs", l0) =>
+        l0.repartitionByRange(StoreFiles.rebaseParts(l0),
+            col("source"), col("doc_id"))
+          .write.mode("append").parquet(s"$dir/docs")
+      case (sub, _) =>
+        throw new IllegalStateException(s"unexpected docstore sub $sub")
+    }
+
+  /** Background-maintenance hook: compact L0 iff the policy fires. */
+  def maintainDocL0(spark: SparkSession, dir: String,
+      policy: CompactionPolicy): Boolean =
+    policy.triggered(Stores.docstore.l0Stats(spark, dir)) &&
+      compactDocL0(spark, dir, minRuns = 1)
+
   /** The committed snapshot (optionally as of a generation), with the
     * tombstone ledger folded out.
     */

@@ -143,6 +143,40 @@ object Pca {
     df.select(col(idCol) +: cols: _*)
   }
 
+  /** OPQ-style rotation for the PQ stack (Ge et al., "Optimized
+    * Product Quantization", CVPR 2013 — the parametric variant:
+    * rotate by the PCA basis, then BALANCE variance across the PQ
+    * subspaces by interleaving components): project the milli vector
+    * onto the FULL-RANK basis, floor back to milli scale, and emit
+    * the exact-integer-over-1000 double array that
+    * [[Similarity.quantize]] round-trips losslessly. The basis is
+    * orthonormal, so L2 geometry is preserved up to the 1-milli
+    * rounding; what changes is the COORDINATES the PQ subspaces cut.
+    * With `balance = nSub`, output position k carries component
+    * (k % dsub) · nSub + k / dsub — each contiguous dsub-slice
+    * (= one PQ subspace) gets an even mix of high- and low-variance
+    * components instead of subspace 0 hoarding all the variance the
+    * plain eigenvalue order would give it.
+    */
+  def rotateForPq(vecCol: Column, model: PcaModel,
+      balance: Int = 1): Column = {
+    val d = model.basisMicro.length
+    require(balance >= 1 && d % balance == 0,
+      s"balance $balance must divide the basis rank $d")
+    val dsub = d / balance
+    val vm = Similarity.quantize(vecCol)
+    val centered = zip_with(vm,
+      array(model.meanMilli.map(lit(_)): _*), (x, m) => x - m)
+    def rot(j: Int): Column =
+      floor(aggregate(
+        zip_with(centered, array(model.basisMicro(j).map(lit(_)): _*),
+          (x, w) => x * w),
+        lit(0L), (acc: Column, x: Column) => acc + x).cast("double")
+        / lit(1e6)).cast("long")
+    val order = (0 until d).map(k => (k % dsub) * balance + k / dsub)
+    array(order.map(j => rot(j).cast("double") / lit(1000.0)): _*)
+  }
+
   /** Cyclic Jacobi eigensolver for a symmetric matrix — deterministic:
     * fixed (p, q) sweep order, the standard stable rotation
     * (Golub & Van Loan §8.4), IEEE sqrt only. Returns (eigenvalues,

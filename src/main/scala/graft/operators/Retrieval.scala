@@ -311,7 +311,7 @@ object Retrieval {
         // so ranged serves keep skipping after the store ages (a hash
         // repartition widens every file's envelope to the full domain)
         l0.repartitionByRange(
-            l0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+            StoreFiles.rebaseParts(l0),
             col("bucket"), col("doc_id"))
           .write.mode("append")
           .partitionBy("bucket").parquet(s"$dir/postings")
@@ -1201,7 +1201,7 @@ object Retrieval {
         // clustered re-base — see compactPostingsL0: disjoint doc_id
         // envelopes per compacted file
         l0.repartitionByRange(
-            l0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+            StoreFiles.rebaseParts(l0),
             col("bucket"), col("doc_id"))
           .write.mode("append")
           .partitionBy("bucket").parquet(s"$dir/postings")

@@ -671,7 +671,7 @@ object Similarity {
         // zone-map skipping survives store aging (a hash repartition
         // would spread every id range across every file)
         l0.repartitionByRange(
-            l0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+            StoreFiles.rebaseParts(l0),
             col("cell"), col("neighbor_id"))
           .write.mode("append")
           .partitionBy("cell").parquet(s"$dir/assignments")
@@ -1266,7 +1266,7 @@ object Similarity {
       case ("codes", l0) =>
         // clustered re-base — see compactIvfL0: disjoint id envelopes
         l0.repartitionByRange(
-            l0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+            StoreFiles.rebaseParts(l0),
             col("cell"), col("neighbor_id"))
           .write.mode("append")
           .partitionBy("cell").parquet(s"$dir/codes")

@@ -46,16 +46,21 @@ final case class StoreFamily(
     * publishes the new log as a new epoch). Every committed file's
     * zone-map envelope ([[statCols]]) rides the same commit.
     */
-  def commitInitial(spark: SparkSession, dir: String): Unit = {
+  def commitInitial(spark: SparkSession, dir: String,
+      headers: Seq[String] = Seq.empty): Unit = {
     val files = StoreFiles.listDataFiles(spark, dataDirs(dir))
     StoreFiles.writeManifest(spark, dir, 0L, files, "overwrite",
-      StoreFiles.zoneMapHeaders(spark, files, statCols))
+      headers ++ StoreFiles.zoneMapHeaders(spark, files, statCols))
   }
 
-  /** Run `save`, then commit generation 0. */
-  def saveCommitted(spark: SparkSession, dir: String)(save: => Unit): Unit = {
+  /** Run `save`, then commit generation 0. `headers` ride the commit
+    * as `#key=value` manifest lines — the writer-metadata side channel
+    * (e.g. the suffix family's corpus-provenance record).
+    */
+  def saveCommitted(spark: SparkSession, dir: String,
+      headers: Seq[String] = Seq.empty)(save: => Unit): Unit = {
     save
-    commitInitial(spark, dir)
+    commitInitial(spark, dir, headers)
   }
 
   /** Run `append` under the commit protocol — data files land first,
@@ -298,4 +303,17 @@ object Stores {
     * source- or id-ranged read never lists the rest of the corpus). */
   val docstore = StoreFamily("docstore", Seq("docs"), Some("doc_id"),
     statCols = Map("docs" -> Seq("doc_id", "source")))
+  /** SURVIVOR-TRIM store ([[Suffix.saveSurvTrimCommitted]]) — the
+    * curation capstone's exact-trim stage made build-once: the DEDUP
+    * STAGE'S OUTPUT (the keep-best survivor corpus) committed next to
+    * its own suffix duplication index. The full-corpus [[suffix]]
+    * store is deliberately the WRONG index for the post-dedup trim
+    * (prev_len must be computed against what dedup KEPT, or "first
+    * occurrence" could point at a removed duplicate), so the survivor
+    * index is its own family, keyed by the dedup output. Build-once/
+    * rebuild like [[suffix]] (no sound per-batch delta exists). */
+  val survtrim = StoreFamily("survtrim",
+    Seq("duplens", "doclens", "surv"),
+    statCols = Map("duplens" -> Seq("doc_id"), "doclens" -> Seq("doc_id"),
+      "surv" -> Seq("doc_id")))
 }

@@ -632,6 +632,19 @@ private[graft] object StoreFiles {
       .filter { case (g, _) => asOf.forall(g <= _) }
       .flatMap(_._2)
 
+  /** Total byte size of the ACTIVE committed data files — the
+    * FS-metadata scale proxy behind staleness policies
+    * ([[graft.operators.Suffix.rebuildDue]]): one driver-side status
+    * call per committed file, no job, no data read.
+    */
+  def committedBytes(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    manifestPaths(spark, dir).map { s =>
+      val p = new org.apache.hadoop.fs.Path(s)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+  }
+
   /** Read one manifested subdirectory of a committed store as of a
     * generation: the committed files under `$dir/$sub` as one relation.
     * basePath keeps the subdirectory's partition columns (and their
@@ -753,6 +766,20 @@ private[graft] object StoreFiles {
     * lazy anti-join; only the full compaction (which rewrites the base)
     * clears it.
     */
+  /** Partition count for a CLUSTERED L0 re-base (the
+    * `repartitionByRange(n, …)` every family's compaction uses). Two
+    * deliberate choices: (a) the TYPED resolver, never
+    * `conf.get("spark.sql.shuffle.partitions").toInt` — deployments
+    * that set the conf to `"auto"` (AQE-managed) would throw
+    * NumberFormatException on the raw string; (b) still an EXPLICIT
+    * count at the write, because leaving the partitioning implicit
+    * lets AQE coalesce a small re-base into one file and the
+    * clustering (disjoint per-file zone-map envelopes) never
+    * materializes.
+    */
+  def rebaseParts(df: org.apache.spark.sql.DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
   def compactL0(spark: SparkSession, dir: String, subs: Seq[String],
       minRuns: Int, statCols: Map[String, Seq[String]] = Map.empty)(
       rewrite: (String, org.apache.spark.sql.DataFrame) => Unit): Boolean = {

@@ -297,8 +297,12 @@ object Suffix {
     */
   def saveDupIndexCommitted(spark: SparkSession, dir: String,
       docs: DataFrame, idCol: String, textCol: String,
-      numFiles: Int = 0): Unit = {
-    val idx = buildDupIndex(docs, idCol, textCol)
+      numFiles: Int = 0): Unit =
+    writeDupIndexCommitted(spark, dir, buildDupIndex(docs, idCol, textCol),
+      numFiles, Seq.empty)
+
+  private def writeDupIndexCommitted(spark: SparkSession, dir: String,
+      idx: DupIndex, numFiles: Int, headers: Seq[String]): Unit = {
     // numFiles > 0 pins the duplens file count (an EXPLICIT range
     // partitioning AQE must not coalesce — a small corpus would land
     // as one file and a doc-ranged audit would have nothing to skip);
@@ -307,12 +311,85 @@ object Suffix {
       if (numFiles > 0)
         idx.duplens.repartitionByRange(numFiles, col("doc_id"), col("pos"))
       else idx.duplens.repartitionByRange(col("doc_id"), col("pos"))
-    Stores.suffix.saveCommitted(spark, dir) {
+    Stores.suffix.saveCommitted(spark, dir, headers) {
       clustered.write.mode("overwrite").parquet(s"$dir/duplens")
       idx.doclens.repartitionByRange(4, col("doc_id"))
         .write.mode("overwrite").parquet(s"$dir/doclens")
     }
   }
+
+  /** [[saveDupIndexCommitted]] reading the corpus FROM a committed
+    * raw-document store snapshot (the bronze→silver lineage build):
+    * the suffix manifest records the docstore generation and committed
+    * byte count it was built against (`#corpusgen=`, `#corpusbytes=`),
+    * so (a) the build is REPRODUCIBLE — time-travel the docstore to
+    * `corpusgen` and the identical corpus comes back — and (b)
+    * [[rebuildDue]] answers staleness later from driver FS metadata
+    * alone. Returns the pinned docstore generation.
+    */
+  def saveDupIndexFromDocStore(spark: SparkSession, dir: String,
+      docstoreDir: String, idCol: String = "doc_id",
+      textCol: String = "text", numFiles: Int = 0): Long = {
+    val gen = Stores.docstore.gen(spark, docstoreDir)
+    require(gen >= 0L,
+      s"saveDupIndexFromDocStore: $docstoreDir has no committed snapshot")
+    val bytes = StoreFiles.committedBytes(spark, docstoreDir)
+    val docs = DocStore.loadDocStoreSnapshot(spark, docstoreDir, Some(gen))
+    writeDupIndexCommitted(spark, dir,
+      buildDupIndex(docs, idCol, textCol), numFiles,
+      Seq(s"corpusgen=$gen", s"corpusbytes=$bytes"))
+    gen
+  }
+
+  /** WHEN is a build-once index due for its full rebuild? The family
+    * has no sound incremental append (a new document changes dup_len
+    * at arbitrary earlier positions), so the operational question is
+    * when to re-pay the construction — the [[Similarity.RetrainPolicy]]
+    * question on this family. Trigger: the fraction of the corpus's
+    * committed bytes APPENDED since the recorded build (bytes are the
+    * FS-metadata proxy for tokens — the docstore manifest lists its
+    * files; no job runs, no data is read). Deletes don't fire it:
+    * tombstones only shrink the audited set, never invalidate a
+    * baked dup_len upward.
+    */
+  final case class RebuildPolicy(maxAppendedFraction: Double = 0.2) {
+    require(maxAppendedFraction > 0,
+      s"maxAppendedFraction must be > 0, got $maxAppendedFraction")
+    def due(builtBytes: Long, currentBytes: Long): Boolean =
+      currentBytes > builtBytes &&
+        (currentBytes - builtBytes).toDouble > maxAppendedFraction * builtBytes
+  }
+
+  /** True when the suffix store at `dir` is stale against the corpus
+    * docstore per `policy`. Requires the store to carry corpus
+    * provenance (built via [[saveDupIndexFromDocStore]]) — a store
+    * with no record refuses loudly rather than guessing.
+    */
+  def rebuildDue(spark: SparkSession, dir: String, docstoreDir: String,
+      policy: RebuildPolicy): Boolean = {
+    val built = StoreFiles.manifestHeaders(spark, dir)
+      .collectFirst { case ("corpusbytes", v) => v.toLong }
+      .getOrElse(throw new IllegalStateException(
+        s"rebuildDue: $dir has no #corpusbytes provenance — build the " +
+          "store via saveDupIndexFromDocStore"))
+    policy.due(built, StoreFiles.committedBytes(spark, docstoreDir))
+  }
+
+  /** Background-maintenance hook (the PQ auto-retrain shape on family
+    * #11): rebuild + re-baseline the suffix store from the CURRENT
+    * docstore snapshot iff the policy fires — the rebuild re-records
+    * provenance, so the same corpus never re-fires. Returns whether a
+    * rebuild ran; the staleness probe itself is driver FS metadata
+    * only (a no-fire call costs zero jobs).
+    */
+  def maintainDupIndexRebuild(spark: SparkSession, dir: String,
+      docstoreDir: String, policy: RebuildPolicy,
+      numFiles: Int = 0): Boolean =
+    rebuildDue(spark, dir, docstoreDir, policy) && {
+      saveDupIndexFromDocStore(spark, dir, docstoreDir,
+        numFiles = numFiles)
+      true
+    }
 
   /** Committed snapshot of the duplens relation restricted to
     * `doc_id ∈ [lo, hi]` with zone-map FILE SKIPPING: committed files
@@ -345,6 +422,56 @@ object Suffix {
   /** Delete data files no committed snapshot references. */
   def vacuumDupIndex(spark: SparkSession, dir: String): Seq[String] =
     Stores.suffix.vacuum(spark, dir)
+
+  /** Build and COMMIT the SURVIVOR-TRIM store (family #13): the DEDUP
+    * STAGE'S OUTPUT — `surv`, the keep-best survivor corpus with
+    * `idCol`, `textCol`, and any metadata columns riding along — next
+    * to its own suffix duplication index, every sub range-clustered on
+    * the id. This makes the curation capstone's exact-trim stage
+    * build-once: the trim AND the splice that ships the cleaned
+    * artifact serve from the committed relations with ZERO suffix-
+    * construction jobs and without re-running the dedup that keyed the
+    * store. The full-corpus [[Stores.suffix]] store is deliberately
+    * NOT reused here: prev_len must be computed against what dedup
+    * KEPT, or "first occurrence" could point at a removed duplicate.
+    * Build-once/rebuild, the family #11 contract — a changed survivor
+    * set re-bases the whole store atomically.
+    */
+  def saveSurvTrimCommitted(spark: SparkSession, dir: String,
+      surv: DataFrame, idCol: String, textCol: String,
+      numFiles: Int = 0): Unit = {
+    val idx = buildDupIndex(surv, idCol, textCol)
+    def clustered(df: DataFrame,
+        cols: Seq[org.apache.spark.sql.Column]) =
+      if (numFiles > 0) df.repartitionByRange(numFiles, cols: _*)
+      else df.repartitionByRange(cols: _*)
+    Stores.survtrim.saveCommitted(spark, dir) {
+      clustered(idx.duplens, Seq(col("doc_id"), col("pos")))
+        .write.mode("overwrite").parquet(s"$dir/duplens")
+      idx.doclens.repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/doclens")
+      clustered(surv, Seq(col(idCol)))
+        .write.mode("overwrite").parquet(s"$dir/surv")
+    }
+  }
+
+  /** Committed snapshot of the survivor-trim store: (the survivor
+    * corpus's suffix index, the survivor corpus itself). Everything
+    * the capstone's trim + splice stages need; no suffix job reruns.
+    */
+  def loadSurvTrimSnapshot(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): (DupIndex, DataFrame) = {
+    val read = Stores.survtrim.snapshot(spark, dir, asOf)
+    (DupIndex(read("duplens"), read("doclens")), read("surv"))
+  }
+
+  /** Latest committed generation (-1 if never committed). */
+  def survTrimGen(spark: SparkSession, dir: String): Long =
+    Stores.survtrim.gen(spark, dir)
+
+  /** Delete data files no committed snapshot references. */
+  def vacuumSurvTrim(spark: SparkSession, dir: String): Seq[String] =
+    Stores.survtrim.vacuum(spark, dir)
 
   /** [[maximalDupSpans]] served from a built index: filter + island
     * merge only — no suffix jobs.
@@ -459,7 +586,12 @@ object Suffix {
   def cleanCorpusToFixpoint(docs: DataFrame, idCol: String,
       textCol: String, minLen: Long, maxIters: Int = 8): (DataFrame, Int) = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
-    var cur = docs.select(col(idCol), col(textCol)).localCheckpoint()
+    // the working corpus pins through [[pinRows]] so each superseded
+    // iteration's blocks RELEASE once the next is materialized (ADVICE
+    // r13) — repeated fixpoint runs in one JVM must not accrete every
+    // pass's corpus in executor storage; only the pin being returned
+    // stays resident (the caller reads it lazily)
+    var (cur, curPin) = pinRows(docs.select(col(idCol), col(textCol)))
     var iters = 0
     while (iters < maxIters) {
       val idx = buildDupIndex(cur, idCol, textCol)
@@ -467,10 +599,15 @@ object Suffix {
         .filter(col("prev_len") >= minLen).limit(1).count()
       if (dupPositions == 0L) return (cur, iters)
       iters += 1
-      cur = trimDupSpansKeepFirstText(idx, cur, idCol, textCol, minLen)
-        .filter(col("kept_tokens") > 0)
-        .select(col(idCol), col("clean_text").as(textCol))
-        .localCheckpoint()
+      val (nc, ncPin) = pinRows(
+        trimDupSpansKeepFirstText(idx, cur, idCol, textCol, minLen)
+          .filter(col("kept_tokens") > 0)
+          .select(col(idCol), col("clean_text").as(textCol)))
+      // nc is materialized (pinRows counts eagerly); nothing re-reads
+      // the superseded corpus — free it now, not at session end
+      curPin.unpersist(blocking = false)
+      cur = nc
+      curPin = ncPin
     }
     // maxIters trims without a clean verification pass — refuse to
     // return a corpus the contract cannot vouch for
@@ -671,6 +808,11 @@ object Suffix {
     var lw = init
     var rw = init
     var consumed = List.empty[org.apache.spark.rdd.RDD[Row]]
+    // the walks' own superseded pins release too (ADVICE r13): a new
+    // pin is materialized eagerly by pinRows, so the stage it replaces
+    // is never re-read — only the FINAL pair must stay resident (the
+    // returned plan reads it lazily)
+    var walkPins = List.empty[org.apache.spark.rdd.RDD[Row]]
     var sinceLastPin = 0
     for ((k, tab, rdd) <- tabs) { // tabs is widest-first by construction
       lw = leftStep(lw, tab, k)
@@ -678,8 +820,12 @@ object Suffix {
       consumed ::= rdd
       sinceLastPin += 1
       if (sinceLastPin >= chunk || k == 0) {
-        lw = pinRows(lw)._1
-        rw = pinRows(rw)._1
+        val lp = pinRows(lw)
+        val rp = pinRows(rw)
+        lw = lp._1
+        rw = rp._1
+        walkPins.foreach(_.unpersist(blocking = false))
+        walkPins = List(lp._2, rp._2)
         consumed.foreach(_.unpersist(blocking = false))
         consumed = Nil
         sinceLastPin = 0

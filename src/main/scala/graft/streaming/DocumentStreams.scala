@@ -431,6 +431,45 @@ object DocumentStreams {
     ()
   }
 
+  /** RAW-DOCUMENT (bronze) ingest MAINTAINING the committed docstore
+    * exactly-once — the entry point of the whole lake: every trigger
+    * appends the batch's documents range-clustered on (source, doc_id)
+    * under the batch-id ledger, and the [[graft.operators
+    * .CompactionPolicy]] self-regulates the L0 the stream grows (the
+    * clustered re-base restores the string+long zone-map envelopes the
+    * per-batch files lose). Ungated like the postings twin — a bronze
+    * table admits everything; dedup/curation are downstream, derived
+    * stores. A re-delivered batch writes nothing: the ledger rides the
+    * manifest commit and survives the re-base. With this, the lake
+    * story is end-to-end — raw landing → committed bronze →
+    * generation-pinned derived builds ([[graft.operators.Suffix
+    * .saveDupIndexFromDocStore]]), every hop replay-idempotent.
+    */
+  def docIngestCommitted(spark: SparkSession, landingDir: String,
+      storeDir: String, checkpointDir: String,
+      policy: graft.operators.CompactionPolicy,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readDocuments(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        docIngestCommittedBatch(spark, storeDir, policy)(batch.toDF(), batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One [[docIngestCommitted]] trigger, exposed for the replay spec
+    * and the in-row idempotence pin.
+    */
+  def docIngestCommittedBatch(spark: SparkSession, storeDir: String,
+      policy: graft.operators.CompactionPolicy)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.DocStore
+    DocStore.appendDocStoreCommittedIdempotent(spark, storeDir, batch,
+      batchId)
+    DocStore.maintainDocL0(spark, storeDir, policy)
+    ()
+  }
+
   /** Winnow-gated ingest — [[bandIngest]]'s twin on the WINNOW
     * fingerprint store (partial-overlap gating: a drop doc is rejected
     * when it shares ≥ 2 df-capped selected fingerprints with the

@@ -719,4 +719,117 @@ class ManifestFamiliesSpec extends SparkSpec {
     assert(ids(DocStore.loadDocStoreSnapshot(spark, dir)) ==
       Set(1L, 2L, 3L, 5L, 6L))
   }
+
+  test("docstore: exactly-once store-maintaining stream ingest — replay " +
+      "writes nothing even after the policy's mid-stream re-base") {
+    import graft.operators.DocStore
+    import graft.streaming.DocumentStreams
+    val dir = tmp("graft_doc_ledger")
+    val mk = (rows: Seq[(Long, String, String)]) =>
+      rows.toDF("doc_id", "source", "text")
+    val seed = mk(Seq((1L, "arx", sA), (2L, "web", filler1)))
+    val b0 = mk(Seq((5L, "web", sB), (6L, "wiki", filler2)))
+    val b1 = mk(Seq((7L, "arx", sC)))
+    def ids: Set[Long] = DocStore.loadDocStoreSnapshot(spark, dir)
+      .select(col("doc_id")).as[Long].collect().toSet
+    DocStore.saveDocStoreCommitted(spark, dir, seed, numFiles = 2)
+    val policy = graft.operators.CompactionPolicy(maxRuns = 2)
+    DocumentStreams.docIngestCommittedBatch(spark, dir, policy)(b0, 0L)
+    assert(DocStore.docStoreGen(spark, dir) == 1L)
+    assert(ids == Set(1L, 2L, 5L, 6L))
+    // the second trigger hits maxRuns: L0 re-bases CLUSTERED on
+    // (source, doc_id), the batch-id ledger carried
+    DocumentStreams.docIngestCommittedBatch(spark, dir, policy)(b1, 1L)
+    assert(DocStore.docStoreGen(spark, dir) == 0L)
+    assert(StoreFiles.committedBatchIds(spark, dir) == Set(0L, 1L))
+    assert(ids == Set(1L, 2L, 5L, 6L, 7L))
+    // a doubled replay would duplicate the bronze DOCUMENTS themselves
+    // — replays must not move a byte, and the row set must hold
+    val stamps = parquetStamps(s"$dir/docs")
+    DocumentStreams.docIngestCommittedBatch(spark, dir, policy)(b0, 0L)
+    DocumentStreams.docIngestCommittedBatch(spark, dir, policy)(b1, 1L)
+    assert(parquetStamps(s"$dir/docs") == stamps)
+    assert(DocStore.docStoreGen(spark, dir) == 0L)
+    assert(ids == Set(1L, 2L, 5L, 6L, 7L))
+    // the serve keeps the bronze contract end-to-end: source-ranged
+    // reads still prune on the re-based clustered envelopes
+    assert(DocStore.loadDocStoreSourceRange(spark, dir, "web", "web")
+      .select(col("doc_id")).as[Long].collect().toSet == Set(2L, 5L))
+  }
+
+  test("suffix rebuild policy: no-fire on an unchanged corpus, " +
+      "fire-exactly-once on growth, provenance required loudly") {
+    import graft.operators.{DocStore, Suffix}
+    val dsDir = tmp("graft_rebuild_corpus")
+    val sxDir = tmp("graft_rebuild_suffix")
+    val mk = (rows: Seq[(Long, String, String)]) =>
+      rows.toDF("doc_id", "source", "text")
+    DocStore.saveDocStoreCommitted(spark, dsDir,
+      mk(Seq((1L, "arx", sA), (2L, "web", filler1))))
+    assert(Suffix.saveDupIndexFromDocStore(spark, sxDir, dsDir) == 0L)
+    val policy = Suffix.RebuildPolicy(maxAppendedFraction = 0.1)
+    // unchanged corpus: the probe is driver FS metadata only — no fire
+    assert(!Suffix.maintainDupIndexRebuild(spark, sxDir, dsDir, policy))
+    // growth past the fraction: fire EXACTLY once (the rebuild
+    // re-records provenance), then the same corpus never re-fires
+    DocStore.appendDocStoreCommitted(spark, dsDir,
+      mk(Seq((3L, "web", sA), (4L, "wiki", filler2))))
+    assert(Suffix.maintainDupIndexRebuild(spark, sxDir, dsDir, policy))
+    assert(!Suffix.maintainDupIndexRebuild(spark, sxDir, dsDir, policy))
+    // the rebuilt index covers the grown corpus: docs 1 and 3 are
+    // 10-token twins now, invisible to the pre-rebuild index
+    val spans = Suffix.maximalDupSpansFrom(
+        Suffix.loadDupIndexSnapshot(spark, sxDir), "doc_id", 10L)
+      .select(col("doc_id"), col("span_start"), col("span_tokens"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spans == Set((1L, 1L, 10L), (3L, 1L, 10L)))
+    // a store with no provenance refuses the staleness question loudly
+    val bare = tmp("graft_rebuild_bare")
+    Suffix.saveDupIndexCommitted(spark, bare,
+      mk(Seq((1L, "arx", sA))), "doc_id", "text")
+    intercept[IllegalStateException] {
+      Suffix.rebuildDue(spark, bare, dsDir, policy)
+    }
+  }
+
+  test("survivor-trim store (family #13): committed surv + index serve " +
+      "the trim and the splice identically to the inline build") {
+    import graft.operators.Suffix
+    val dir = tmp("graft_survtrim_manifest")
+    // the "dedup output": doc 3 already removed by an upstream keep-best
+    val surv = Seq((1L, "arx", sA), (2L, "web", filler1),
+        (4L, "web", sA), (5L, "wiki", filler3))
+      .toDF("doc_id", "source", "text")
+    Suffix.saveSurvTrimCommitted(spark, dir, surv, "doc_id", "text",
+      numFiles = 2)
+    assert(Suffix.survTrimGen(spark, dir) == 0L)
+    val (idx, storedSurv) = Suffix.loadSurvTrimSnapshot(spark, dir)
+    // the committed surv sub IS the dedup output, columns intact
+    assert(storedSurv.columns.toSet == Set("doc_id", "source", "text"))
+    assert(storedSurv.select(col("doc_id")).as[Long].collect().toSet ==
+      Set(1L, 2L, 4L, 5L))
+    // trim + splice from the store ≡ the inline build over the same
+    // survivor corpus (docs 1 and 4 are twins: 1 survives verbatim,
+    // 4 splices to empty)
+    def cleanMap(idx2: Suffix.DupIndex, docs2: org.apache.spark.sql.DataFrame) =
+      Suffix.trimDupSpansKeepFirstText(idx2, docs2, "doc_id", "text", 3L)
+        .select(col("doc_id"), col("kept_tokens"), col("clean_text"))
+        .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    val viaStore = cleanMap(idx, storedSurv)
+    val inline = cleanMap(Suffix.buildDupIndex(surv, "doc_id", "text"), surv)
+    assert(viaStore == inline)
+    assert(viaStore(1L)._3 == sA && viaStore(4L)._3 == "")
+    // ZERO suffix-construction jobs on serve: the splice is spans →
+    // covered positions → anti-join → one ordered per-doc aggregation
+    // (a rebuild costs dozens of doubling/ANSV jobs)
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    val (idx3, surv3) = Suffix.loadSurvTrimSnapshot(spark, dir)
+    Suffix.trimDupSpansKeepFirstText(idx3, surv3, "doc_id", "text", 3L)
+      .count()
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after - before <= 12,
+      s"splice serve launched ${after - before} jobs — a suffix " +
+        "rebuild costs dozens; the serve must stay joins+aggregation")
+  }
 }
