@@ -107,7 +107,9 @@ object PlanDump {
       "q250_suffix_trim", "q251_boilerplate_report",
       "q252_committed_agg_ingest", "q253_suffix_keep_first",
       "q254_suffix_clean_text", "q255_capstone_exact_trim",
-      "q256_docstore_source_serve", "q257_suffix_ranged_audit")
+      "q256_docstore_source_serve", "q257_suffix_ranged_audit",
+      "q258_committed_doc_ingest", "q259_suffix_rebuild_policy",
+      "q260_lineage_pinned_build")
     for (q <- qs if onlyNames.forall(_.contains(q))) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))

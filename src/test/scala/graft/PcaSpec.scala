@@ -114,4 +114,47 @@ class PcaSpec extends SparkSpec {
     assert(vs.sliding(2).forall(p => p.head >= p.last * 0.999),
       s"projected variances not descending: $vs")
   }
+
+  test("rotateForPq: quantize round-trips losslessly, pairwise L2 " +
+      "geometry survives the full-rank rotation, balance permutes") {
+    import graft.operators.Similarity
+    val sample = emb.filter($"vec_id" < 40).localCheckpoint()
+    val d = sample.select(size($"embedding")).head().getInt(0)
+    val model = Pca.fit(sample, "embedding", r = d)
+    def milliRows(balance: Int): Map[Long, Seq[Long]] =
+      sample.select($"vec_id",
+          Similarity.quantize(Pca.rotateForPq($"embedding", model, balance))
+            .as("vm"))
+        .as[(Long, Seq[Long])].collect().toMap
+    val rot = milliRows(1)
+    // lossless round-trip: quantize recovers EXACTLY the floor-divided
+    // integers (the rotated array is exact-integer-over-1000 doubles),
+    // so the whole PQ stack consumes the rotation bit-reproducibly
+    val viaDouble = sample.select($"vec_id",
+        Pca.rotateForPq($"embedding", model, 1).as("r"))
+      .as[(Long, Seq[Double])].collect().toMap
+    for ((id, r) <- viaDouble; (x, i) <- r.zipWithIndex)
+      assert(math.round(x * 1000) == rot(id)(i), s"vec $id dim $i")
+    // orthonormal basis ⇒ pairwise squared L2 preserved up to the
+    // 1-milli/dim rounding (basis rows are micro-rounded and each
+    // coordinate floors once, so allow a ~d·|x|-scaled slack)
+    val orig = sample.select($"vec_id",
+        Similarity.quantize($"embedding").as("vm"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def d2(m: Map[Long, Seq[Long]], a: Long, b: Long): Double =
+      m(a).zip(m(b)).map { case (x, y) =>
+        (x - y).toDouble * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted.take(10)
+    for (a <- ids; b <- ids if a < b) {
+      val o = d2(orig, a, b); val r = d2(rot, a, b)
+      assert(math.abs(o - r) <= 0.02 * o + 4 * d,
+        s"pair ($a,$b): orig d2=$o rotated d2=$r")
+    }
+    // balance=8 is a PERMUTATION of the balance=1 coordinates per row
+    val bal = milliRows(8)
+    for (id <- ids)
+      assert(bal(id).sorted == rot(id).sorted, s"vec $id")
+    assert(bal(ids.head) != rot(ids.head),
+      "balance=8 did not reorder the components")
+  }
 }
