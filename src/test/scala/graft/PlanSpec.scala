@@ -162,6 +162,9 @@ class PlanSpec extends SparkSpec {
       "q233_auto_compact_policy" -> 1,
       "q240_zonemap_range_serve" -> 1,
       "q241_committed_postings_ingest" -> 1,
+      // the lineage row's serve IS a BM25 serve (index built from the
+      // pinned docstore generation) — same one-row stats broadcast
+      "q260_lineage_pinned_build" -> 1,
       // round 1 of the feedback loop materializes behind a
       // localCheckpoint, so only round 2's stats broadcast remains in
       // the served plan
