@@ -4711,6 +4711,51 @@ object SparkEntry {
       graft.operators.Retrieval.bm25SearchIndex(queries,
         graft.operators.Retrieval.loadPostingsIndexSnapshot(s, idxDir),
         "qid", "qterms", k = 10)
+    }),
+
+    // SEMANTIC benchmark decontamination — the embedding-level sibling
+    // of q83's n-gram rule (paraphrased eval items share no gram with
+    // a training doc; they DO share an embedding neighborhood): flag
+    // corpus vectors within cosine 0.30 of ANY eval vector (eval slice
+    // = vec_id % 25, q54's query-side convention), with the hit count
+    // and closest eval item per flagged doc. The eval side BROADCASTS
+    // (an eval suite is bounded by definition — the q83 contract);
+    // the corpus scan never shuffles its vectors, only one aggregate
+    // row per flagged doc moves. Exact by contract: a decontamination
+    // miss is eval leakage, so no ANN shortlist substitutes here.
+    "q261_semantic_decontam" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticContamination(
+        emb.filter(col("vec_id") % 25 =!= 0),
+        emb.filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", tau = 0.30)
+    }),
+
+    // DISTILLED QUALITY FILTER (the GPT-3 Appendix A / FineWeb-edu
+    // recipe): an expensive per-doc teacher signal (unique-token
+    // ratio in exact micros — standing in for an LLM judge's grade)
+    // is distilled into a cheap linear proxy over hashed-unigram
+    // bucket counts + length (one scan-linear pass), ridge-fit on the
+    // 90% train split; the held-out 10% is then scored by the
+    // micro-literal weights and GATED at predicted ratio ≥ 0.5. The
+    // fit's moment pass shuffles p² scalars regardless of corpus
+    // size; scoring is a codegen'd integer dot product. The oracle
+    // refits deterministically and replays the SAME literals.
+    "q262_quality_distill" -> ((s, dir) => {
+      // pinned: features feed the moment pass AND the held-out scoring
+      // — without the pin the tokenize+aggregate pass runs twice
+      val feats = graft.operators.Classify.distillQualityFeatures(
+        t(s, dir, "documents"), "doc_id", "text", nBuckets = 8)
+        .localCheckpoint()
+      val fit = graft.operators.Regression.fitRidge(
+        feats.filter(col("doc_id") % 10 =!= 0), "y_micro",
+        Seq("n_tokens") ++ (0 until 8).map(j => s"f$j"), lambda = 1e4)
+      graft.operators.Regression.scoreResiduals(
+          feats.filter(col("doc_id") % 10 === 0), "y_micro", fit)
+        .withColumn("kept",
+          (col("pred_micro") >= lit(500000L * 1000000L)).cast("int"))
+        .select(col("doc_id"), col("n_tokens"), col("y_micro"),
+          col("pred_micro"), col("kept"))
     })
   )
 
@@ -4800,10 +4845,25 @@ object SparkEntry {
     * survivor-relative, exactly as the inline build computed it.
     */
   private val survTrimStoreLock = new Object
+
+  /** Fingerprint of the dedup configuration behind the survivor-trim
+    * store: the minHashLshPairs defaults the build uses plus the
+    * keep-best policy key. Recorded as a `#survparams=` manifest
+    * header at save and ASSERTED at every load — if a future round
+    * changes any of these knobs, the store rebuilds instead of
+    * silently serving survivors of the old configuration (the r14
+    * round-notes residual closed).
+    */
+  private val survTrimParamsFp =
+    "minhash:shingle=3,hashes=12,rowsPerBand=2,threshold=0.5;" +
+      "keep=best:n_tokens"
   private def survTrimStoreDir(s: SparkSession, dir: String): String =
     survTrimStoreLock.synchronized {
       val sd = scratchDir("graft_survtrim_store", dir)
-      if (graft.operators.Suffix.survTrimGen(s, sd) < 0L) {
+      val stale = graft.operators.Suffix.survTrimGen(s, sd) >= 0L &&
+        !graft.operators.Suffix.survTrimParams(s, sd)
+          .contains(survTrimParamsFp)
+      if (graft.operators.Suffix.survTrimGen(s, sd) < 0L || stale) {
         val docs = t(s, dir, "documents")
           .withColumn("n_tokens",
             TextAnalysis.tokenCount(col("text")).cast("long"))
@@ -4816,7 +4876,8 @@ object SparkEntry {
         val surv = Dedup.dedupByComponentsBest(docs, "doc_id", pairs,
           col("n_tokens"), upstream = cache).localCheckpoint()
         graft.operators.Suffix.saveSurvTrimCommitted(s, sd, surv,
-          "doc_id", "text", numFiles = 8)
+          "doc_id", "text", numFiles = 8,
+          params = Some(survTrimParamsFp))
       }
       sd
     }
@@ -4834,7 +4895,8 @@ object SparkEntry {
     */
   private def capstonePoolExact(s: SparkSession, dir: String): DataFrame = {
     val (idx, surv) = graft.operators.Suffix.loadSurvTrimSnapshot(
-      s, survTrimStoreDir(s, dir))
+      s, survTrimStoreDir(s, dir),
+      expectParams = Some(survTrimParamsFp))
     // pinned: the trimmed pool feeds the decontamination grams, the
     // dirty anti-join, AND the final pool — without the pin the splice
     // (spans → covered positions → ordered rebuild) re-executes per
@@ -5312,7 +5374,52 @@ object SparkEntry {
     // after the policy-fired rebuild the index covers the FULL corpus
     // (seed ∪ append) — the q246 global-span mirror applies verbatim
     "q259_suffix_rebuild_policy" ->
-      suffixDupSpansOracleSql(minLen = 8, k = sfxK))
+      suffixDupSpansOracleSql(minLen = 8, k = sfxK),
+    // the distilled quality filter: the generator REFITS the ridge
+    // through the same deterministic moment pass + driver solve the
+    // engine ran (identical integer moments → identical pivots →
+    // identical micro literals, the ridgeOracleSql contract) and
+    // replays the hashed features + literal dot product in SQL
+    "q262_quality_distill" -> qualityDistillOracleSql(spark, dir))
+  }
+
+  /** q262's mirror: refit the distilled quality ridge (deterministic —
+    * same exact-integer moments, same fixed-pivot elimination), render
+    * the micro weights as literals over DuckDB-side hashed features,
+    * and replay the gate at predicted ratio ≥ 0.5.
+    */
+  private def qualityDistillOracleSql(spark: SparkSession,
+      dir: String): String = {
+    val xCols = Seq("n_tokens") ++ (0 until 8).map(j => s"f$j")
+    val fit = graft.operators.Regression.fitRidge(
+      graft.operators.Classify.distillQualityFeatures(
+        Tables(spark, dir, "documents"), "doc_id", "text", nBuckets = 8)
+        .filter(col("doc_id") % 10 =!= 0),
+      "y_micro", xCols, lambda = 1e4)
+    val h = hexToLongSql("md5('qf:' || tok)", 1, 15)
+    val fSel = (0 until 8).map(j =>
+      s"CAST(count(*) FILTER (WHERE bucket = $j) AS BIGINT) AS f$j")
+      .mkString(",\n        ")
+    val pred = fit.wMicro.zipWithIndex.map { case (w, i) =>
+      if (i == 0) s"($w)" else s"($w) * ${xCols(i - 1)}"
+    }.mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |            FROM documents WHERE doc_id % 10 = 0),
+       |b AS (SELECT doc_id, tok, CAST($h AS BIGINT) % 8 AS bucket
+       |      FROM tok),
+       |f AS (SELECT doc_id,
+       |        CAST(count(*) AS BIGINT) AS n_tokens,
+       |        CAST((count(DISTINCT tok) * 1000000) // count(*) AS BIGINT)
+       |          AS y_micro,
+       |        $fSel
+       |      FROM b GROUP BY doc_id),
+       |s AS (SELECT doc_id, n_tokens, y_micro,
+       |        CAST($pred AS BIGINT) AS pred_micro
+       |      FROM f)
+       |SELECT doc_id, n_tokens, y_micro, pred_micro,
+       |  CAST(CASE WHEN pred_micro >= 500000000000 THEN 1 ELSE 0 END
+       |    AS INT) AS kept
+       |FROM s""".stripMargin
   }
 
   /** The nested-replace replay of a TRAINED merge table: DuckDB's
@@ -6821,6 +6928,32 @@ object SparkEntry {
     // (query side stays unrestricted: an excluded doc may still query)
     "q260_lineage_pinned_build" ->
       bm25RestrictedOracleSql("doc_id % 10 <> 0"),
+    // q54's quantize-then-exact-cosine arithmetic (identical IEEE op
+    // set: integer dot, two sqrts, one multiply, one divide); the
+    // closest-eval tie-break is (cosine DESC, eval_id ASC), matching
+    // the engine's lexicographic struct-max
+    "q261_semantic_decontam" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |           FROM embeddings),
+        |ev AS (SELECT vec_id AS eval_id, v,
+        |         sqrt(list_dot_product(v, v)) AS en
+        |       FROM e WHERE vec_id % 25 = 0),
+        |co AS (SELECT vec_id AS corpus_id, v,
+        |         sqrt(list_dot_product(v, v)) AS cn
+        |       FROM e WHERE vec_id % 25 <> 0),
+        |hits AS (SELECT corpus_id, eval_id,
+        |           list_dot_product(co.v, ev.v) / (co.cn * ev.en) AS cosine
+        |         FROM co CROSS JOIN ev
+        |         WHERE list_dot_product(co.v, ev.v) / (co.cn * ev.en) >= 0.3),
+        |r AS (SELECT corpus_id, eval_id, cosine,
+        |        count(*) OVER (PARTITION BY corpus_id) AS n_eval_hits,
+        |        row_number() OVER (PARTITION BY corpus_id
+        |          ORDER BY cosine DESC, eval_id ASC) AS rn
+        |      FROM hits)
+        |SELECT corpus_id, CAST(n_eval_hits AS BIGINT) AS n_eval_hits,
+        |  eval_id AS best_eval_id, cosine AS best_cosine
+        |FROM r WHERE rn = 1""".stripMargin,
     "q240_zonemap_range_serve" ->
       """WITH wq AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |mxv AS (SELECT max(doc_id) AS mx FROM documents),

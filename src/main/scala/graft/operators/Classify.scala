@@ -36,7 +36,16 @@ object Classify {
     * mirror reproduces it from the md5 hex string).
     */
   def tokenBucket(token: Column, nBuckets: Int): Column =
-    conv(substring(md5(concat(lit("nb:"), token)), 1, 15), 16, 10)
+    taggedTokenBucket("nb:", token, nBuckets)
+
+  /** [[tokenBucket]] under a caller-chosen hash-family tag, so two
+    * models over the same corpus (the NB classifier, the quality
+    * distiller) draw INDEPENDENT hash families from the same
+    * engine-portable md5 idiom.
+    */
+  def taggedTokenBucket(tag: String, token: Column,
+      nBuckets: Int): Column =
+    conv(substring(md5(concat(lit(tag), token)), 1, 15), 16, 10)
       .cast("long") % nBuckets.toLong
 
   private def bucketCounts(docs: DataFrame, idCol: String,
@@ -258,5 +267,42 @@ object Classify {
       .filter(col("rn") === 1)
       .select(col(idCol), col("label").as("pred_label"),
         col("score_micro"))
+  }
+
+  /** Per-document features for the DISTILLED quality filter (the
+    * GPT-3 Appendix A / FineWeb-edu recipe shape: an expensive
+    * teacher signal is distilled into a cheap linear proxy that then
+    * gates the whole corpus). One pass emits BOTH sides:
+    *
+    *  - `y_micro` — the TEACHER: unique-token ratio in exact integer
+    *    micros (floor), the repetition/quality signal an expensive
+    *    scorer would stand in for (in production: an LLM judge's
+    *    grade; the relational distillation mechanics are identical).
+    *  - `n_tokens` + `f0..f{nBuckets-1}` — the PROXY features: total
+    *    token count and hashed-unigram bucket counts (the Weinberger
+    *    hashing trick under its own `qf:` hash family), all exact
+    *    BIGINTs a [[Regression.fitRidge]] consumes directly.
+    *
+    * Scale shape: explode → ONE keyed aggregation (the distinct
+    * count plans as a two-phase Expand, still map-side partial);
+    * output is one row per document, scan-linear, no joins. The
+    * bucket columns pivot via conditional sums over the SAME rows —
+    * never one aggregation per bucket.
+    */
+  def distillQualityFeatures(docs: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 8): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 64,
+      s"nBuckets must be in [2, 64], got $nBuckets")
+    val tok = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("bucket", taggedTokenBucket("qf:", col("tok"), nBuckets))
+    val fCols = (0 until nBuckets).map(j =>
+      sum(when(col("bucket") === j.toLong, 1L).otherwise(0L))
+        .as(s"f$j"))
+    tok.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        (Seq(count_distinct(col("tok")).as("n_uniq")) ++ fCols): _*)
+      .withColumn("y_micro", expr("(n_uniq * 1000000L) div n_tokens"))
+      .drop("n_uniq")
   }
 }

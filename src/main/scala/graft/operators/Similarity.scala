@@ -93,6 +93,59 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** SEMANTIC benchmark decontamination (the embedding-level sibling of
+    * [[Curation.contaminatedIds]]'s n-gram rule — the DataComp/FineWeb
+    * "semantic leakage" filter): flag every corpus vector whose cosine
+    * to ANY eval-set vector reaches `tau`, with the hit count and the
+    * closest eval item per flagged doc. Paraphrased eval questions
+    * share no n-gram with a training doc; they do share an embedding
+    * neighborhood — this catches what the lexical rule cannot.
+    *
+    * EXACTNESS IS THE CONTRACT: a decontamination miss is eval leakage,
+    * so no ANN shortlist (recall < 1) is acceptable here — the scan is
+    * deliberately exact, exactly as q83 probes every training gram.
+    * Scale shape: the EVAL side broadcasts (an eval suite is bounded —
+    * thousands of items — by definition; same contract as the
+    * benchmark gram side of [[Curation.decontaminate]]), the corpus
+    * side is one scan with per-row work O(|eval|·d) and NEVER
+    * shuffles its vectors: the only exchange is the per-flagged-doc
+    * aggregation row (map-side combined — flagged hits for a corpus
+    * row are produced in that row's own partition). Corpus-linear at
+    * any scale; the quadratic-looking nested loop is O(n·|eval|), the
+    * sanctioned bounded-broadcast shape, not all-pairs. For
+    * UNBOUNDED both-sides similarity use the ANN/banded stack
+    * (q65/q67) — different contract (recall), different tool.
+    *
+    * Norms are computed once per side before the loop (the
+    * [[bruteForceTopK]] discipline); ties for the closest eval item
+    * break on eval id asc via one lexicographic struct-max — no
+    * ranking window, the aggregation stays one shuffle of flagged
+    * rows only.
+    *
+    * @return (corpus_id, n_eval_hits, best_eval_id, best_cosine)
+    */
+  def semanticContamination(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val ev = evalSet.select(col(idCol).as("eval_id"),
+        quantize(col(vecCol)).as("ev"))
+      .withColumn("en", sqrt(dotLong(col("ev"), col("ev")).cast("double")))
+    val co = corpus.select(col(idCol).as("corpus_id"),
+        quantize(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(dotLong(col("cv"), col("cv")).cast("double")))
+    val hits = co.crossJoin(broadcast(ev))
+      .select(col("corpus_id"), col("eval_id"),
+        (dotLong(col("cv"), col("ev")) / (col("cn") * col("en")))
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+    hits.groupBy(col("corpus_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(struct(col("cosine").as("c"),
+          (-col("eval_id")).as("nid"))).as("m"))
+      .select(col("corpus_id"), col("n_eval_hits"),
+        (-col("m.nid")).as("best_eval_id"), col("m.c").as("best_cosine"))
+  }
+
   /** Per-group embedding outliers by distance to the group centroid — the
     * SemDeDup-flavored curation signal: vectors far from their cluster's
     * center are mislabeled/noisy candidates a training pipeline reviews

@@ -436,16 +436,27 @@ object Suffix {
     * KEPT, or "first occurrence" could point at a removed duplicate.
     * Build-once/rebuild, the family #11 contract — a changed survivor
     * set re-bases the whole store atomically.
+    *
+    * `params` — an optional fingerprint of the DEDUP CONFIGURATION
+    * that produced `surv` (shingle size, hash count, band shape,
+    * threshold, keep policy), recorded as a `#survparams=` manifest
+    * header (the `#corpusbytes=` provenance pattern). The committed
+    * rows only say WHAT survived, not under which config; the header
+    * lets a serve assert it is reading survivors of the config it
+    * expects — see [[loadSurvTrimSnapshot]]'s `expectParams`.
     */
   def saveSurvTrimCommitted(spark: SparkSession, dir: String,
       surv: DataFrame, idCol: String, textCol: String,
-      numFiles: Int = 0): Unit = {
+      numFiles: Int = 0, params: Option[String] = None): Unit = {
+    params.foreach(p => require(!p.contains("\n"),
+      s"params fingerprint must be newline-free, got: $p"))
     val idx = buildDupIndex(surv, idCol, textCol)
     def clustered(df: DataFrame,
         cols: Seq[org.apache.spark.sql.Column]) =
       if (numFiles > 0) df.repartitionByRange(numFiles, cols: _*)
       else df.repartitionByRange(cols: _*)
-    Stores.survtrim.saveCommitted(spark, dir) {
+    Stores.survtrim.saveCommitted(spark, dir,
+        params.toSeq.map(p => s"survparams=$p")) {
       clustered(idx.duplens, Seq(col("doc_id"), col("pos")))
         .write.mode("overwrite").parquet(s"$dir/duplens")
       idx.doclens.repartitionByRange(4, col("doc_id"))
@@ -458,12 +469,35 @@ object Suffix {
   /** Committed snapshot of the survivor-trim store: (the survivor
     * corpus's suffix index, the survivor corpus itself). Everything
     * the capstone's trim + splice stages need; no suffix job reruns.
+    *
+    * `expectParams` — when set, the caller states which dedup
+    * configuration it expects the survivors to descend from; a store
+    * committed under a DIFFERENT fingerprint (or with none recorded)
+    * refuses loudly instead of silently serving stale survivors.
+    * The check is driver FS metadata only (manifest headers).
     */
   def loadSurvTrimSnapshot(spark: SparkSession, dir: String,
-      asOf: Option[Long] = None): (DupIndex, DataFrame) = {
+      asOf: Option[Long] = None,
+      expectParams: Option[String] = None): (DupIndex, DataFrame) = {
+    expectParams.foreach { want =>
+      val got = survTrimParams(spark, dir)
+      require(got.contains(want),
+        s"loadSurvTrimSnapshot: $dir was committed under dedup params " +
+          s"${got.getOrElse("<none recorded>")} but the caller expects " +
+          s"$want — rebuild the store (saveSurvTrimCommitted) under " +
+          "the current configuration instead of serving its survivors")
+    }
     val read = Stores.survtrim.snapshot(spark, dir, asOf)
     (DupIndex(read("duplens"), read("doclens")), read("surv"))
   }
+
+  /** The dedup-configuration fingerprint the store was committed
+    * under, if one was recorded ([[saveSurvTrimCommitted]]'s
+    * `params`). None for a pre-provenance store.
+    */
+  def survTrimParams(spark: SparkSession, dir: String): Option[String] =
+    StoreFiles.manifestHeaders(spark, dir)
+      .collectFirst { case ("survparams", v) => v }
 
   /** Latest committed generation (-1 if never committed). */
   def survTrimGen(spark: SparkSession, dir: String): Long =

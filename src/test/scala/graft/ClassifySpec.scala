@@ -132,4 +132,37 @@ class ClassifySpec extends SparkSpec {
       .select($"gap_micro").as[Long].collect()
     assert(gaps.nonEmpty && gaps.forall(_ == 0L))
   }
+
+  test("distillQualityFeatures: exact teacher ratio, bucket counts " +
+      "partition the token count, independent hash family") {
+    val docs = Seq((1L, "a b a"), (2L, "x"), (3L, "w w w w"))
+      .toDF("doc_id", "text")
+    val f = Classify.distillQualityFeatures(docs, "doc_id", "text",
+      nBuckets = 8)
+    val rows = f.collect().map(r =>
+      r.getLong(0) -> r).toMap
+    // teacher = floor(1e6 · uniq / total), exact integers
+    assert(rows(1L).getAs[Long]("n_tokens") == 3L &&
+      rows(1L).getAs[Long]("y_micro") == 666666L)
+    assert(rows(2L).getAs[Long]("n_tokens") == 1L &&
+      rows(2L).getAs[Long]("y_micro") == 1000000L)
+    assert(rows(3L).getAs[Long]("n_tokens") == 4L &&
+      rows(3L).getAs[Long]("y_micro") == 250000L)
+    // the hashed buckets PARTITION the tokens: Σ f_j = n_tokens
+    val fc = (0 until 8).map(j => s"f$j")
+    rows.values.foreach { r =>
+      assert(fc.map(c => r.getAs[Long](c)).sum ==
+        r.getAs[Long]("n_tokens"))
+    }
+    // the quality features draw from their own `qf:` hash family —
+    // a token need not land where the NB `nb:` family puts it, and
+    // the mapping is the documented md5 idiom
+    val wBucket = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("qf:w")
+        .substring(0, 15), 16) % 8
+    assert(rows(3L).getAs[Long](s"f$wBucket") == 4L)
+    intercept[IllegalArgumentException] {
+      Classify.distillQualityFeatures(docs, "doc_id", "text", nBuckets = 1)
+    }
+  }
 }

@@ -832,4 +832,40 @@ class ManifestFamiliesSpec extends SparkSpec {
       s"splice serve launched ${after - before} jobs — a suffix " +
         "rebuild costs dozens; the serve must stay joins+aggregation")
   }
+
+  test("survivor-trim store: dedup-params provenance travels in the " +
+      "manifest and a mismatched serve refuses loudly") {
+    import graft.operators.Suffix
+    val surv = Seq((1L, sA), (2L, filler1)).toDF("doc_id", "text")
+    // params recorded at save → readable, and an expecting load serves
+    val dir = tmp("graft_survtrim_params")
+    val fpA = "minhash:shingle=3,hashes=12;keep=best:n_tokens"
+    Suffix.saveSurvTrimCommitted(spark, dir, surv, "doc_id", "text",
+      params = Some(fpA))
+    assert(Suffix.survTrimParams(spark, dir).contains(fpA))
+    val (_, served) = Suffix.loadSurvTrimSnapshot(spark, dir,
+      expectParams = Some(fpA))
+    assert(served.select(col("doc_id")).as[Long].collect().toSet ==
+      Set(1L, 2L))
+    // a caller expecting a DIFFERENT dedup config must not be served
+    // this store's survivors
+    intercept[IllegalArgumentException] {
+      Suffix.loadSurvTrimSnapshot(spark, dir,
+        expectParams = Some("minhash:shingle=5,hashes=24;keep=min_id"))
+    }
+    // a pre-provenance store refuses any expectation rather than guess
+    val bare = tmp("graft_survtrim_noparams")
+    Suffix.saveSurvTrimCommitted(spark, bare, surv, "doc_id", "text")
+    assert(Suffix.survTrimParams(spark, bare).isEmpty)
+    intercept[IllegalArgumentException] {
+      Suffix.loadSurvTrimSnapshot(spark, bare, expectParams = Some(fpA))
+    }
+    // no expectation stays compatible with both
+    Suffix.loadSurvTrimSnapshot(spark, bare)
+    // a re-save under new params re-bases: the fingerprint follows
+    Suffix.saveSurvTrimCommitted(spark, dir, surv, "doc_id", "text",
+      params = Some("minhash:shingle=5,hashes=24;keep=min_id"))
+    assert(Suffix.survTrimParams(spark, dir)
+      .contains("minhash:shingle=5,hashes=24;keep=min_id"))
+  }
 }

@@ -176,7 +176,14 @@ class PlanSpec extends SparkSpec {
       "q206_collocations" -> 1,
       // one-row bigram-type total broadcast into the continuation
       // probability (the same single-row stats shape)
-      "q219_kneser_ney" -> 1
+      "q219_kneser_ney" -> 1,
+      // corpus scan × the BROADCAST EVAL SUITE — bounded by contract
+      // (an eval set is thousands of items, the q83 benchmark-side
+      // rule), so the loop is O(corpus·|eval|), corpus-linear, and
+      // deliberately EXACT: a decontamination miss is eval leakage,
+      // no ANN shortlist substitutes. A second BNLJ here (or a
+      // genuine all-pairs) still fails the cap.
+      "q261_semantic_decontam" -> 1
     ).withDefaultValue(0)
     // each physical instance appears exactly once as a "(NN) Broadcast-
     // NestedLoopJoin" detail header in formatted mode (tree lines

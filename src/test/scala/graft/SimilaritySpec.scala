@@ -548,4 +548,46 @@ class SimilaritySpec extends SparkSpec {
     assert(ledger.map(_._3).max > 4 * base._3 &&
       ledger.map(_._3).min < 2 * base._3)
   }
+
+  test("semanticContamination: exact hits, hit counts, and the " +
+      "closest-eval tie-break on eval id") {
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val evalSet = Seq((100L, v(1.0, 0.0)), (101L, v(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, v(1.0, 0.1)),   // cos(e100) ≈ 0.995, cos(e101) ≈ 0.0995
+      (2L, v(0.7, 0.7)),   // cos ≡ for BOTH evals → exact tie
+      (3L, v(-1.0, -1.0)), // negative cosines — unflagged
+      (4L, v(0.0, 1.0)))   // identical to e101 → cosine 1.0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticContamination(corpus, evalSet,
+        "vec_id", "embedding", tau = 0.5)
+      .select($"corpus_id", $"n_eval_hits", $"best_eval_id", $"best_cosine")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 4L))
+    assert(out(1L)._2 == 1L && out(1L)._3 == 100L)
+    // the exact tie (identical cosine to both evals) breaks on the
+    // SMALLER eval id — the (cosine DESC, eval_id ASC) contract
+    assert(out(2L)._2 == 2L && out(2L)._3 == 100L)
+    assert(out(4L)._2 == 1L && out(4L)._3 == 101L &&
+      math.abs(out(4L)._4 - 1.0) < 1e-12)
+    // below-threshold corpus rows never appear (no zero-hit rows)
+    assert(!out.contains(3L))
+    // the fixture-free law at data scale: every flagged doc's best hit
+    // clears tau, and flagging agrees with an independent exact filter
+    val emb = Tables(spark, sf, "embeddings")
+    val ev = emb.filter($"vec_id" % 25 === 0)
+    val co = emb.filter($"vec_id" % 25 =!= 0)
+    val flagged = Similarity.semanticContamination(co, ev,
+      "vec_id", "embedding", tau = 0.30)
+    assert(flagged.filter($"best_cosine" < 0.30).count() == 0)
+    val viaBrute = Similarity.bruteForceTopK(ev, emb, "vec_id", "embedding",
+        k = emb.count().toInt)
+      .filter($"cosine" >= 0.30 && $"neighbor_id" % 25 =!= 0)
+      .select($"neighbor_id").distinct()
+      .as[Long].collect().toSet
+    val viaOp = flagged.select($"corpus_id").as[Long].collect().toSet
+    assert(viaOp == viaBrute)
+  }
 }
