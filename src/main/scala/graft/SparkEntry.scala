@@ -4756,6 +4756,29 @@ object SparkEntry {
           (col("pred_micro") >= lit(500000L * 1000000L)).cast("int"))
         .select(col("doc_id"), col("n_tokens"), col("y_micro"),
           col("pred_micro"), col("kept"))
+    }),
+
+    // THE DISTILLED FILTER'S OWN EVAL (q222's discipline applied to
+    // q262: no filter threshold is trusted before its AUC): per-source
+    // ROC-AUC of the cheap proxy's score against the TEACHER'S verdict
+    // (ratio ≥ 0.5) on the held-out split the fit never saw — does
+    // the distilled ranking agree with the expensive signal where it
+    // will actually be used? Exact Mann-Whitney integers (q222's
+    // arithmetic); a one-class source reports NULL, never a guess.
+    "q263_distill_auc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = graft.operators.Classify.distillQualityFeatures(
+        docs, "doc_id", "text", nBuckets = 8).localCheckpoint()
+      val fit = graft.operators.Regression.fitRidge(
+        feats.filter(col("doc_id") % 10 =!= 0), "y_micro",
+        Seq("n_tokens") ++ (0 until 8).map(j => s"f$j"), lambda = 1e4)
+      val scored = graft.operators.Regression.scoreResiduals(
+          feats.filter(col("doc_id") % 10 === 0), "y_micro", fit)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), col("pred_micro").as("score"),
+          (col("y_micro") >= 500000L).cast("int").as("label"))
+      graft.operators.Classify.rocAuc(scored, Seq("source"),
+        "score", "label")
     })
   )
 
@@ -5380,15 +5403,21 @@ object SparkEntry {
     // engine ran (identical integer moments → identical pivots →
     // identical micro literals, the ridgeOracleSql contract) and
     // replays the hashed features + literal dot product in SQL
-    "q262_quality_distill" -> qualityDistillOracleSql(spark, dir))
+    "q262_quality_distill" -> qualityDistillOracleSql(spark, dir),
+    // the proxy's eval: same refit literals, q222's exact
+    // Mann-Whitney AUC over the held-out scores vs the teacher's
+    // ≥ 0.5 verdict, per source
+    "q263_distill_auc" -> distillAucOracleSql(spark, dir))
   }
 
-  /** q262's mirror: refit the distilled quality ridge (deterministic —
-    * same exact-integer moments, same fixed-pivot elimination), render
-    * the micro weights as literals over DuckDB-side hashed features,
-    * and replay the gate at predicted ratio ≥ 0.5.
+  /** Shared CTE block for the q262/q263 mirrors: refit the distilled
+    * quality ridge (deterministic — same exact-integer moments, same
+    * fixed-pivot elimination ⇒ identical micro literals), render
+    * DuckDB-side hashed features for the HELD-OUT split, and score
+    * them with the literal dot product as `s(doc_id, n_tokens,
+    * y_micro, pred_micro)`.
     */
-  private def qualityDistillOracleSql(spark: SparkSession,
+  private def distillScoredCtes(spark: SparkSession,
       dir: String): String = {
     val xCols = Seq("n_tokens") ++ (0 until 8).map(j => s"f$j")
     val fit = graft.operators.Regression.fitRidge(
@@ -5403,7 +5432,7 @@ object SparkEntry {
     val pred = fit.wMicro.zipWithIndex.map { case (w, i) =>
       if (i == 0) s"($w)" else s"($w) * ${xCols(i - 1)}"
     }.mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
        |            FROM documents WHERE doc_id % 10 = 0),
        |b AS (SELECT doc_id, tok, CAST($h AS BIGINT) % 8 AS bucket
        |      FROM tok),
@@ -5415,12 +5444,51 @@ object SparkEntry {
        |      FROM b GROUP BY doc_id),
        |s AS (SELECT doc_id, n_tokens, y_micro,
        |        CAST($pred AS BIGINT) AS pred_micro
-       |      FROM f)
+       |      FROM f)""".stripMargin
+  }
+
+  /** q262's mirror: the shared scored CTEs + the gate at predicted
+    * ratio ≥ 0.5.
+    */
+  private def qualityDistillOracleSql(spark: SparkSession,
+      dir: String): String =
+    s"""WITH ${distillScoredCtes(spark, dir)}
        |SELECT doc_id, n_tokens, y_micro, pred_micro,
        |  CAST(CASE WHEN pred_micro >= 500000000000 THEN 1 ELSE 0 END
        |    AS INT) AS kept
        |FROM s""".stripMargin
-  }
+
+  /** q263's mirror: the shared scored CTEs + q222's exact-integer
+    * Mann-Whitney AUC arithmetic over (proxy score, teacher verdict)
+    * per source.
+    */
+  private def distillAucOracleSql(spark: SparkSession,
+      dir: String): String =
+    s"""WITH ${distillScoredCtes(spark, dir)},
+       |d AS (SELECT doc.source, s.pred_micro AS score,
+       |        CAST(CASE WHEN s.y_micro >= 500000 THEN 1 ELSE 0 END
+       |          AS BIGINT) AS label
+       |      FROM s JOIN documents doc ON doc.doc_id = s.doc_id),
+       |g AS (SELECT source, score, CAST(count(*) AS BIGINT) AS n_at,
+       |        CAST(sum(label) AS BIGINT) AS p_at
+       |      FROM d GROUP BY source, score),
+       |c AS (SELECT *, n_at - p_at AS neg_at,
+       |        CAST(sum(n_at - p_at) OVER (PARTITION BY source
+       |          ORDER BY score) AS BIGINT) AS cum_neg
+       |      FROM g),
+       |a AS (SELECT source, CAST(sum(p_at) AS BIGINT) AS n_pos,
+       |        CAST(sum(neg_at) AS BIGINT) AS n_neg,
+       |        CAST(sum(p_at * (2*(cum_neg - neg_at) + neg_at)) AS BIGINT)
+       |          AS u2
+       |      FROM c GROUP BY source)
+       |SELECT source, n_pos, n_neg,
+       |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+       |    AND n_pos <= 4611686018427387 // greatest(n_neg, 1) THEN
+       |    ((u2 * 1000) // (2 * n_pos * n_neg)) * 1000
+       |    + (((u2 * 1000) % (2 * n_pos * n_neg)) * 1000)
+       |      // (2 * n_pos * n_neg)
+       |  END AS BIGINT) AS auc_micro
+       |FROM a""".stripMargin
 
   /** The nested-replace replay of a TRAINED merge table: DuckDB's
     * replace shares Spark's left-to-right non-overlapping scan and
