@@ -85,16 +85,21 @@ object SimilarityOracle {
   def ivfTopKSql(spark: SparkSession, dir: String, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
       trainWhere: Option[String] = None,
-      queryWhere: String = "vec_id % 25 = 0"): String = {
+      queryWhere: String = "vec_id % 25 = 0",
+      corpusWhere: Option[String] = None): String = {
     // trainWhere restricts the TRAINING corpus only (the incremental-add
     // case: centroids from the original corpus, search over everything —
-    // appended vectors assign by the same crn = 1 rule the CTE replays)
+    // appended vectors assign by the same crn = 1 rule the CTE replays);
+    // corpusWhere restricts the SEARCHED corpus (the gated-ingest case:
+    // only admitted vectors ever entered the store) — it may reference
+    // the quantized `e(vec_id, vm)` CTE for vector predicates
     val trainDf = trainWhere.foldLeft(
       Tables(spark, dir, "embeddings"))((d, w) => d.where(w))
     val cents = Similarity.trainCentroids(
       trainDf, "vec_id", "embedding", nlist, iters)
     val sl = cents.map(c => s"list_dot_product(vm, ${longList(c)})")
       .mkString("[\n    ", ",\n    ", "]")
+    val cw = corpusWhere.fold("")(w => s" AND ($w)")
     s"""WITH e AS (SELECT vec_id, $vMilli AS vm FROM embeddings),
        |sc AS (SELECT vec_id, vm, $sl AS sl FROM e),
        |cells AS (SELECT vec_id, vm, CAST(t.cell AS INT) AS cell,
@@ -103,7 +108,7 @@ object SimilarityOracle {
        |ranked AS (SELECT vec_id, vm, cell,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS crn
        |  FROM cells),
-       |corpus AS (SELECT vec_id AS neighbor_id, vm AS cv, cell FROM ranked WHERE crn = 1),
+       |corpus AS (SELECT vec_id AS neighbor_id, vm AS cv, cell FROM ranked WHERE crn = 1$cw),
        |queries AS (SELECT vec_id AS query_id, vm AS qv, cell FROM ranked
        |            WHERE crn <= $nprobe AND ($queryWhere)),
        |scored AS (SELECT query_id, neighbor_id,

@@ -4779,6 +4779,74 @@ object SparkEntry {
           (col("y_micro") >= 500000L).cast("int").as("label"))
       graft.operators.Classify.rocAuc(scored, Seq("source"),
         "score", "label")
+    }),
+
+    // SEMANTICALLY-GATED vector ingest — q261's decontamination rule
+    // moved to INGEST TIME, as the 5th gate family on the committed
+    // stores (band/SimHash/Bloom/winnow gate on content duplication;
+    // this gates on eval proximity): a clean IVF seed is committed,
+    // then two streamed drops are each probed against the broadcast
+    // eval slice and vectors within cosine 0.30 are REJECTED at the
+    // door; admitted vectors route with the STORED centroids (zero
+    // training jobs) under the exactly-once batch ledger, the policy
+    // re-bases L0 mid-stream with both ids carried, and a re-delivered
+    // batch appends nothing — the early ledger probe skips even the
+    // gate's jobs. Serve = eval-slice ANN over the committed snapshot;
+    // the mirror searches ONLY the decontaminated corpus, so one
+    // leaked vector (or a doubled replay) is hash-visible.
+    "q264_semantic_gated_ingest" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val evalSet = emb.filter(col("vec_id") % 25 === 0)
+      val base = scratchDir("graft_semgate_stream", dir)
+      val run = streamRuns.incrementAndGet()
+      val landing = new java.io.File(s"$base/landing$run")
+      landing.mkdirs()
+      val idxDir = s"$base/idx$run"
+      val seed = emb.filter(
+        col("vec_id") % 10 =!= 0 && col("vec_id") % 25 =!= 0)
+      Similarity.saveIvfIndexCommitted(
+        Similarity.buildIvfIndex(seed, "vec_id", "embedding"), idxDir)
+      val policy = graft.operators.CompactionPolicy(maxRuns = 2)
+      val q = graft.streaming.DocumentStreams.semanticIvfIngestCommitted(
+        s, landing.toString, idxDir, s"$base/ckpt$run", evalSet,
+        tau = 0.30, policy, maxFilesPerTrigger = Some(1))
+      def drop(m: Int) = emb.filter(
+        col("vec_id") % 20 === m && col("vec_id") % 25 =!= 0)
+      for ((m, i) <- Seq(0, 10).zipWithIndex) {
+        val stage = s"$base/stage$run-$i"
+        drop(m).coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).head
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/$part"),
+          java.nio.file.Paths.get(s"$landing/drop_0$i.parquet"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      require(Similarity.ivfGen(s, idxDir) == 0L,
+        "q264: the compaction policy must have re-based mid-stream")
+      require(graft.operators.StoreFiles.committedBatchIds(s, idxDir)
+          == Set(0L, 1L),
+        "q264: both batch ids must survive the L0 re-base")
+      // the gate did real work: the store holds strictly fewer vectors
+      // than seed + drops, and strictly more than the seed alone
+      val stored = Similarity.loadIvfIndexSnapshot(s, idxDir)
+        .assignments.count()
+      val nSeed = seed.count()
+      val nDrops = drop(0).count() + drop(10).count()
+      require(stored > nSeed && stored < nSeed + nDrops,
+        s"q264: gate vacuous — stored=$stored seed=$nSeed drops=$nDrops")
+      // a re-delivered batch appends nothing (the ledger probe fires
+      // before the gate even runs)
+      graft.streaming.DocumentStreams.semanticIvfIngestCommittedBatch(
+        s, idxDir, evalSet, 0.30, policy)(drop(10), 1L)
+      require(Similarity.ivfGen(s, idxDir) == 0L &&
+          Similarity.loadIvfIndexSnapshot(s, idxDir)
+            .assignments.count() == stored,
+        "q264: a re-delivered batch must append nothing")
+      Similarity.ivfSearchIndex(evalSet,
+        Similarity.loadIvfIndexSnapshot(s, idxDir),
+        "vec_id", "embedding", k = 10)
     })
   )
 
@@ -5407,7 +5475,23 @@ object SparkEntry {
     // the proxy's eval: same refit literals, q222's exact
     // Mann-Whitney AUC over the held-out scores vs the teacher's
     // ≥ 0.5 verdict, per source
-    "q263_distill_auc" -> distillAucOracleSql(spark, dir))
+    "q263_distill_auc" -> distillAucOracleSql(spark, dir),
+    // the gated-ingest serve ranks over ONLY the decontaminated
+    // corpus: seed (clean by layout) ∪ drop vectors NOT within
+    // cosine 0.30 of the eval slice — the NOT-IN subquery replays
+    // the gate over the same quantized vectors; centroids train on
+    // the seed exactly as the engine's committed build did
+    "q264_semantic_gated_ingest" -> SimilarityOracle.ivfTopKSql(
+      spark, dir,
+      trainWhere = Some("vec_id % 10 <> 0 AND vec_id % 25 <> 0"),
+      corpusWhere = Some(
+        """vec_id % 25 <> 0 AND (vec_id % 10 <> 0 OR vec_id NOT IN (
+          |      SELECT co.vec_id FROM e co, e ev
+          |      WHERE ev.vec_id % 25 = 0 AND co.vec_id % 25 <> 0
+          |        AND list_dot_product(co.vm, ev.vm) /
+          |          (sqrt(list_dot_product(co.vm, co.vm)) *
+          |           sqrt(list_dot_product(ev.vm, ev.vm))) >= 0.3))"""
+          .stripMargin)))
   }
 
   /** Shared CTE block for the q262/q263 mirrors: refit the distilled

@@ -874,6 +874,58 @@ object DocumentStreams {
     ()
   }
 
+  /** SEMANTICALLY-GATED vector ingest MAINTAINING the committed IVF
+    * store exactly-once — [[bandIngestCommitted]]'s GATED design in
+    * EMBEDDING space (the 5th gate family: band, SimHash, Bloom, and
+    * winnow gate on content duplication; this one gates on EVAL-SET
+    * PROXIMITY — ingest-time benchmark decontamination, the streaming
+    * arm of q261's batch rule): each trigger flags batch vectors
+    * within cosine `tau` of ANY vector in the frozen `evalSet`
+    * ([[graft.operators.Similarity.semanticContamination]] — exact,
+    * eval side broadcast), DROPS them, and appends only the clean
+    * remainder with the STORED centroids under the batch-id ledger.
+    * The eval set is static, so admission is per-drop independent (no
+    * band-style sequential chain) and a re-delivered batch writes
+    * nothing — the early ledger probe even skips the gate's jobs.
+    */
+  def semanticIvfIngestCommitted(spark: SparkSession, landingDir: String,
+      idxDir: String, checkpointDir: String, evalSet: DataFrame,
+      tau: Double, policy: graft.operators.CompactionPolicy,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    readEmbeddings(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        semanticIvfIngestCommittedBatch(spark, idxDir, evalSet, tau,
+          policy)(batch.toDF(), batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One [[semanticIvfIngestCommitted]] trigger, exposed for the
+    * replay spec and the in-row idempotence pin.
+    */
+  def semanticIvfIngestCommittedBatch(spark: SparkSession,
+      idxDir: String, evalSet: DataFrame, tau: Double,
+      policy: graft.operators.CompactionPolicy)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.{Similarity, StoreFiles}
+    if (!StoreFiles.committedBatchIds(spark, idxDir).contains(batchId)) {
+      val flagged = Similarity.semanticContamination(batch, evalSet,
+          "vec_id", "embedding", tau)
+        .select(col("corpus_id").as("vec_id"))
+      // pinned eagerly: the append routes cells + writes files and
+      // must not re-run the contamination scan per consumer
+      val admitted = batch.select(col("vec_id"), col("embedding"))
+        .join(flagged, Seq("vec_id"), "left_anti").localCheckpoint()
+      Similarity.appendIvfIndexCommittedIdempotent(spark, idxDir,
+        admitted, "vec_id", "embedding", batchId)
+    }
+    // unconditional — including on replays, covering the crash window
+    // between a batch's commit and its compaction
+    Similarity.maintainIvfL0(spark, idxDir, policy)
+    ()
+  }
+
   /** [[ivfIngestCommitted]] on the PQ family: drops encode with the
     * STORED codebooks and append into the committed codes under the
     * batch-id ledger; the policy self-regulates L0.

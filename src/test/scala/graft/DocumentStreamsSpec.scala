@@ -599,6 +599,55 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(rows(DocumentStreams.liveIvfIndex(spark, idxDir, out)) == live)
   }
 
+  test("semantic ivf ingest: eval-near vectors rejected at the door; " +
+      "store holds exactly seed ∪ admitted; replay appends nothing") {
+    import graft.operators.{CompactionPolicy, Similarity, StoreFiles}
+    val emb = Tables(spark, sf, "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("semgate").toString
+    val landing = s"$base/landing"; new java.io.File(landing).mkdirs()
+    val idxDir = s"$base/idx"
+    val evalSet = emb.filter($"vec_id" % 25 === 0)
+    val seed = emb.filter($"vec_id" % 10 =!= 0 && $"vec_id" % 25 =!= 0)
+    Similarity.saveIvfIndexCommitted(
+      Similarity.buildIvfIndex(seed, "vec_id", "embedding"), idxDir)
+    val policy = CompactionPolicy(maxRuns = 99)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(s"$landing/$name.parquet"))
+    }
+    val q = DocumentStreams.semanticIvfIngestCommitted(spark, landing,
+      idxDir, s"$base/ckpt", evalSet, tau = 0.30, policy,
+      maxFilesPerTrigger = Some(1))
+    def drop(m: Int) = emb.filter(
+      $"vec_id" % 20 === m && $"vec_id" % 25 =!= 0)
+    land(drop(0), "drop_00"); q.processAllAvailable()
+    land(drop(10), "drop_01"); q.processAllAvailable()
+    q.stop()
+    // the committed store holds EXACTLY seed ∪ (drops minus flagged) —
+    // the gate's semantics pinned against the batch operator itself
+    val flagged = Similarity.semanticContamination(
+        drop(0).unionByName(drop(10)), evalSet, "vec_id", "embedding", 0.30)
+      .select($"corpus_id").as[Long].collect().toSet
+    assert(flagged.nonEmpty, "fixture gives the gate nothing to reject")
+    val want = seed.select($"vec_id").as[Long].collect().toSet ++
+      drop(0).unionByName(drop(10)).select($"vec_id").as[Long]
+        .collect().toSet.diff(flagged)
+    val stored = Similarity.loadIvfIndexSnapshot(spark, idxDir)
+      .assignments.select($"neighbor_id").as[Long].collect().toSet
+    assert(stored == want)
+    assert(StoreFiles.committedBatchIds(spark, idxDir) == Set(0L, 1L))
+    // a re-delivered trigger writes nothing — the ledger probe fires
+    // before the gate's jobs
+    DocumentStreams.semanticIvfIngestCommittedBatch(spark, idxDir,
+      evalSet, 0.30, policy)(drop(0).toDF(), 0L)
+    assert(Similarity.loadIvfIndexSnapshot(spark, idxDir)
+      .assignments.select($"neighbor_id").as[Long].collect().toSet == stored)
+  }
+
   test("pq ingest: live-index serve ≡ batch append lifecycle; replay overwrites identically") {
     import graft.operators.Similarity
     val emb = Tables(spark, sf, "embeddings")
