@@ -111,7 +111,7 @@ object PlanDump {
       "q258_committed_doc_ingest", "q259_suffix_rebuild_policy",
       "q260_lineage_pinned_build", "q261_semantic_decontam",
       "q262_quality_distill", "q263_distill_auc",
-      "q264_semantic_gated_ingest")
+      "q264_semantic_gated_ingest", "q265_trustrank")
     for (q <- qs if onlyNames.forall(_.contains(q))) {
       println(s"\n## $q\n")
       counters.get(q).foreach(l => println(s"$label: `$l`\n"))

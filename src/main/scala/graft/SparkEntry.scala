@@ -4847,6 +4847,32 @@ object SparkEntry {
       Similarity.ivfSearchIndex(evalSet,
         Similarity.loadIvfIndexSnapshot(s, idxDir),
         "vec_id", "embedding", k = 10)
+    }),
+
+    // TRUSTRANK (Gyöngyi et al. VLDB'04) over q190's bipartite
+    // customer↔supplier graph: teleport mass lands ONLY on a curated
+    // supplier whitelist (s_suppkey % 10 — a table-derived seed set,
+    // joined, never collected), so trust decays with link distance
+    // from the whitelist — the crawl-quality / link-spam-demotion
+    // signal of web corpus curation (high PageRank + low TrustRank =
+    // the classic spam shape). Same pinned-edge/one-exchange-per-round
+    // execution and floor-integer arithmetic as q190; the mirror
+    // unrolls the same iterations with the seed-biased teleport.
+    "q265_trustrank" -> ((s, dir) => {
+      val fwd = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = fwd.union(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(s, dir, "supplier")
+        .filter(col("s_suppkey") % 10 === 0)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      graft.operators.Graph.trustRank(edges, "src", "dst", seeds,
+          iters = 6)
+        .orderBy(col("trust").desc, col("node").asc)
+        .limit(20)
     })
   )
 
@@ -6503,6 +6529,54 @@ object SparkEntry {
        |ORDER BY r DESC, node ASC LIMIT 20""".stripMargin
   }
 
+  /** q265's mirror: [[pageRankOracleSql]]'s unrolled power iteration
+    * with the SEED-BIASED teleport — r₀ is the seed distribution and
+    * the per-round base term lands only on whitelist nodes, both in
+    * the engine's exact driver-literal-free integer order
+    * ((10000−d)·(Scale // s)) // 10000.
+    */
+  private def trustRankOracleSql(iters: Int, dampBp: Int): String = {
+    val chain = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT nd.node,
+         |    CAST(CASE WHEN sd.node IS NOT NULL
+         |        THEN (${10000 - dampBp} * (1000000000000 // sn.s)) // 10000
+         |        ELSE 0 END
+         |      + ($dampBp * coalesce(c.contrib, 0)) // 10000 AS BIGINT) AS r
+         |  FROM nodes nd CROSS JOIN sn
+         |  LEFT JOIN sd ON sd.node = nd.node
+         |  LEFT JOIN (SELECT e.dst AS node,
+         |               CAST(sum(p.r // o.d) AS BIGINT) AS contrib
+         |             FROM e JOIN r${i - 1} p ON e.src = p.node
+         |             JOIN outd o ON e.src = o.node
+         |             GROUP BY e.dst) c ON c.node = nd.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH fwd AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+       |        (SELECT src, dst FROM fwd
+       |         UNION ALL SELECT dst AS src, src AS dst FROM fwd) u),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       |            (SELECT src AS node FROM e
+       |             UNION ALL SELECT dst FROM e) v),
+       |sd AS MATERIALIZED (SELECT nd.node FROM nodes nd
+       |       JOIN (SELECT DISTINCT s_suppkey * 2 + 1 AS node
+       |             FROM supplier WHERE s_suppkey % 10 = 0) w
+       |         ON w.node = nd.node),
+       |sn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS s FROM sd),
+       |outd AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+       |         FROM e GROUP BY src),
+       |r0 AS (SELECT nd.node,
+       |         CAST(CASE WHEN sd.node IS NOT NULL
+       |           THEN 1000000000000 // sn.s ELSE 0 END AS BIGINT) AS r
+       |       FROM nodes nd CROSS JOIN sn
+       |       LEFT JOIN sd ON sd.node = nd.node),
+       |$chain
+       |SELECT node, r AS trust FROM r$iters
+       |ORDER BY r DESC, node ASC LIMIT 20""".stripMargin
+  }
+
   /** q197's mirror: the HITS fixed-point iteration unrolled; the
     * per-round max-normalizer is a scalar subquery over the same exact
     * integers Spark collects to the driver.
@@ -6716,6 +6790,7 @@ object SparkEntry {
         |  gap_us, next_gap_us, mov3_cents
         |FROM w""".stripMargin,
     "q190_pagerank" -> pageRankOracleSql(iters = 6, dampBp = 8500),
+    "q265_trustrank" -> trustRankOracleSql(iters = 6, dampBp = 8500),
     "q197_hits" -> hitsOracleSql(iters = 4),
     "q198_bfs_hops" -> bfsOracleSql(maxHops = 4),
     // the triple self-join triangle definition over the same

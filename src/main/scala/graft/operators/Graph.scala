@@ -127,6 +127,74 @@ object Graph {
     r
   }
 
+  /** TRUSTRANK (Gyöngyi, Garcia-Molina & Pedersen, VLDB'04) — biased
+    * PageRank whose teleport mass lands ONLY on a curated trusted SEED
+    * set: trust flows out of the whitelist along edges and decays with
+    * distance, so a node reachable only through untrusted regions ends
+    * near zero however well-linked it is. This is the crawl-quality /
+    * spam-demotion signal of web-scale corpus curation (a high
+    * PageRank with a low TrustRank is the classic link-spam shape) —
+    * the graph-side sibling of the content-side quality gates.
+    *
+    * Identical execution contract to [[pageRank]]: edges/out-degrees
+    * pinned once on src, nodes on node, one hash(dst) aggregation per
+    * round, floor-integer [[Scale]] arithmetic any engine replays.
+    * Differences, both standard TrustRank: (a) r₀ = Scale/|S| on the
+    * seeds and 0 elsewhere (the seed distribution, not uniform);
+    * (b) the per-round teleport term is per-NODE — (1−d)·Scale/|S| on
+    * seeds, 0 elsewhere — so total mass stays ≤ Scale with trust
+    * conserved to the whitelist. Seeds not present in the graph are
+    * ignored (they can neither receive nor forward trust); requiring
+    * at least one surviving seed is the caller-visible contract.
+    *
+    * @param seeds single-column relation of trusted node ids (the
+    *              whitelist — bounded by curation definition, but
+    *              joined, never collected)
+    * @return (node, trust) in [[Scale]] units, Σ trust ≤ Scale
+    */
+  def trustRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, iters: Int, dampBp: Int = 8500): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampBp >= 0 && dampBp <= 10000,
+      s"dampBp must be in [0, 10000], got $dampBp")
+    val e = pinDedupByKey(edges.select(col(srcCol).as("src"),
+      col(dstCol).as("dst")), "src", Seq("src", "dst"))
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // seed membership rides the node universe (one flag column) so the
+    // per-round teleport needs no extra join; seeds outside the graph
+    // drop out of the inner join here
+    val seedIds = seeds.toDF("node").distinct()
+    val nodes = pinAgged(
+      nodes0.join(seedIds.withColumn("is_seed", lit(1)),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("is_seed"), lit(0)).as("is_seed")),
+      "node")
+    val s = nodes.filter(col("is_seed") === 1).count()
+    require(s > 0, "trustRank: no seed survives in the graph")
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .sortWithinPartitions("src").localCheckpoint()
+    val seedBase = ((10000L - dampBp) * (Scale / s)) / 10000L
+    var r = nodes.select(col("node"), col("is_seed"),
+      when(col("is_seed") === 1, lit(Scale / s)).otherwise(lit(0L))
+        .as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(r.select(col("node").as("src"), col("rank")), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("rank div d")).as("contrib"))
+      r = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
+          (when(col("is_seed") === 1, lit(seedBase)).otherwise(lit(0L)) +
+            expr(s"(${dampBp}L * coalesce(contrib, 0L)) div 10000L"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    r.select(col("node"), col("rank").as("trust"))
+  }
+
   /** Scale of [[hits]] scores: max-normalized to 1e6 ("micro of the top
     * node") so the normalization multiply a·S stays inside BIGINT even
     * at degree 10⁹ (a_raw ≤ d_max·S ≤ 10¹⁵; ·S = 10²¹ would overflow —

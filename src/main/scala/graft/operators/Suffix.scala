@@ -639,7 +639,7 @@ object Suffix {
           .select(col(idCol), col("clean_text").as(textCol)))
       // nc is materialized (pinRows counts eagerly); nothing re-reads
       // the superseded corpus — free it now, not at session end
-      curPin.unpersist(blocking = false)
+      releasePin(curPin)
       cur = nc
       curPin = ncPin
     }
@@ -721,6 +721,29 @@ object Suffix {
     rdd.localCheckpoint()
     rdd.count()
     (spark.createDataFrame(rdd, df.schema), rdd)
+  }
+
+  /** Release a superseded pin's blocks WITHOUT Spark's per-block
+    * "locally checkpointed … cannot be recomputed" WARN. The release
+    * is by design — only superseded pins are freed, and every
+    * successor is eagerly materialized first (the invariant each call
+    * site documents) — so the warning is pure noise here, and a long
+    * fixpoint/ANSV run used to emit hundreds of them. The RDD's class
+    * logger is scoped to ERROR for the duration of the (non-blocking,
+    * driver-local) unpersist call. The log4j2 config is process-global,
+    * so a concurrent warning from the same RDD class could be lost in
+    * that microsecond window — an accepted trade, documented rather
+    * than engineered around, since that logger's only other messages
+    * are this same unpersist path.
+    */
+  private[graft] def releasePin(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    val name = rdd.getClass.getName
+    val prev = org.apache.logging.log4j.LogManager.getLogger(name).getLevel
+    org.apache.logging.log4j.core.config.Configurator
+      .setLevel(name, org.apache.logging.log4j.Level.ERROR)
+    try rdd.unpersist(blocking = false)
+    finally org.apache.logging.log4j.core.config.Configurator
+      .setLevel(name, prev)
   }
 
   /** prev_len(gpos) = the EXACT length of the longest prefix of the
@@ -858,9 +881,9 @@ object Suffix {
         val rp = pinRows(rw)
         lw = lp._1
         rw = rp._1
-        walkPins.foreach(_.unpersist(blocking = false))
+        walkPins.foreach(releasePin)
         walkPins = List(lp._2, rp._2)
-        consumed.foreach(_.unpersist(blocking = false))
+        consumed.foreach(releasePin)
         consumed = Nil
         sinceLastPin = 0
       }

@@ -202,4 +202,53 @@ class GraphSpec extends SparkSpec {
       "a", "b", k = 2, rounds = 1)
     assert(!Graph.kCoreFixpointReached(mid, k = 2))
   }
+
+  private def trusts(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      iters: Int = 6): Map[Long, Long] =
+    Graph.trustRank(edges.toDF("src", "dst"), "src", "dst",
+      seeds.toDF("node"), iters).as[(Long, Long)].collect().toMap
+
+  test("trustRank: trust decays with distance from the seed and never " +
+      "reaches a node untouched by the whitelist") {
+    // s → a → b, plus spammy c → b (c has in-links from nobody): trust
+    // flows s > a > b; c gets NOTHING however much it links out
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L))
+    val t = trusts(edges, seeds = Seq(1L))
+    assert(t(1L) > t(2L) && t(2L) > t(3L) && t(3L) > 0L,
+      s"trust must decay along the chain, got $t")
+    assert(t(4L) == 0L,
+      s"a node unreachable from the whitelist must hold zero trust, got $t")
+    // mass is conserved to the whitelist's teleport: Σ ≤ Scale
+    assert(t.values.sum <= Graph.Scale)
+    // the same graph under uniform PageRank DOES pay c — the spam
+    // shape TrustRank exists to demote (c outranks nothing here, but
+    // its rank is strictly positive under pageRank)
+    val pr = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", 6)
+      .as[(Long, Long)].collect().toMap
+    assert(pr(4L) > 0L)
+  }
+
+  test("trustRank: seeds outside the graph are ignored; an all-outside " +
+      "whitelist refuses; symmetric seeds split trust evenly") {
+    val edges = Seq((1L, 2L), (2L, 1L))
+    // node 99 is not in the graph — the surviving whitelist is {1}
+    val t = trusts(edges, seeds = Seq(1L, 99L))
+    assert(t(1L) > t(2L) && !t.contains(99L))
+    intercept[IllegalArgumentException] {
+      trusts(edges, seeds = Seq(99L))
+    }
+    // both nodes seeded on a symmetric 2-cycle: identical trust
+    val sym = trusts(edges, seeds = Seq(1L, 2L))
+    assert(sym(1L) == sym(2L))
+  }
+
+  test("trustRank is deterministic across partitionings") {
+    val edges = (1L to 30L).map(i => (i, i % 7 + 1))
+    val a = trusts(edges, seeds = Seq(1L, 3L))
+    val b = Graph.trustRank(
+      edges.toDF("src", "dst").repartition(13), "src", "dst",
+      Seq(3L, 1L).toDF("node").repartition(3), 6)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
 }
