@@ -401,14 +401,48 @@ object Bpe {
     out.toArray
   }
 
+  /** Three-way [[utf8Lt]] — ONE walk returns the sign, where the
+    * `!= then utf8Lt` idiom walked equal prefixes twice (an equality
+    * scan, then the ordering scan); this comparator is the tie-storm
+    * hot path, called tens of millions of times per 32k-merge
+    * training. Order identical to [[utf8Lt]] by construction.
+    */
+  private def utf8Cmp(x: String, y: String): Int = {
+    if (x eq y) return 0
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val cx = x.charAt(i); val cy = y.charAt(i)
+      if (cx < 0x80 && cy < 0x80) {
+        if (cx != cy) return cx - cy
+        i += 1
+      } else {
+        val a = x.substring(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val b = y.substring(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var j = 0
+        while (j < a.length && j < b.length) {
+          val c = (a(j) & 0xff) - (b(j) & 0xff)
+          if (c != 0) return c
+          j += 1
+        }
+        return a.length - b.length
+      }
+    }
+    x.length - y.length
+  }
+
   private def pairBetter(c1: Long, a1: String, b1: String,
       c2: Long, a2: String, b2: String): Boolean =
     if (c1 != c2) c1 > c2
-    else if (a1 != a2) utf8Lt(a1, a2)
-    else utf8Lt(b1, b2)
+    else {
+      val ca = utf8Cmp(a1, a2)
+      if (ca != 0) ca < 0 else utf8Cmp(b1, b2) < 0
+    }
 
-  private def pairLt(x: (String, String), y: (String, String)): Boolean =
-    if (x._1 != y._1) utf8Lt(x._1, y._1) else utf8Lt(x._2, y._2)
+  private def pairLt(x: (String, String), y: (String, String)): Boolean = {
+    val ca = utf8Cmp(x._1, y._1)
+    if (ca != 0) ca < 0 else utf8Cmp(x._2, y._2) < 0
+  }
 
   /** Partially order `arr` so its first `n` elements are the n
     * smallest by (a, b) — Hoare quickselect; the selected SET is
@@ -458,9 +492,90 @@ object Bpe {
     selectTopPairsHist(counts, hist, k, minCount)
   }
 
-  /** [[selectTopPairs]] with the count histogram supplied (the indexed
-    * trainer maintains it incrementally — selection is then one
-    * collect scan plus the tie quickselect, never two table scans).
+  /** [[selectTopPairsHist]] over count-BUCKETED pair sets (the indexed
+    * trainer maintains them incrementally): the threshold walk reads
+    * bucket SIZES, the candidate collect reads only the buckets above
+    * the threshold plus the tie bucket AT it — O(selected + distinct
+    * counts), never a scan of the pair table. Result set and order are
+    * IDENTICAL to [[selectTopPairsHist]]: same threshold T (bucket
+    * sizes ARE the histogram), same strictly-above-T "sure" set, same
+    * (a, b) quickselect cut of the tie bucket, same final
+    * (count desc, a, b) sort.
+    */
+  /** Reusable per-training scratch for the tie cut — grown on demand,
+    * so storm rounds (hundreds of thousands of count-1 ties) don't
+    * allocate a fresh array (and a boxed (pair, count) tuple per tie)
+    * every round.
+    */
+  private final class TieScratch {
+    var arr: Array[(String, String)] = new Array(0)
+    def ensure(n: Int): Unit =
+      if (arr.length < n) arr = new Array(math.max(n, arr.length * 2))
+  }
+
+  /** [[quickSelectPairs]] on a bare pair array (first `len` slots). */
+  private def quickSelectPairsOnly(arr: Array[(String, String)], len: Int,
+      n: Int): Unit = {
+    var lo = 0; var hi = len - 1
+    while (lo < hi) {
+      val pivot = arr((lo + hi) >>> 1)
+      var i = lo; var j = hi
+      while (i <= j) {
+        while (pairLt(arr(i), pivot)) i += 1
+        while (pairLt(pivot, arr(j))) j -= 1
+        if (i <= j) {
+          val t = arr(i); arr(i) = arr(j); arr(j) = t
+          i += 1; j -= 1
+        }
+      }
+      if (n - 1 <= j) hi = j
+      else if (n - 1 >= i) lo = i
+      else lo = hi
+    }
+  }
+
+  private def selectTopPairsBuckets(
+      buckets: scala.collection.Map[Long,
+        scala.collection.mutable.HashSet[(String, String)]],
+      k: Int, minCount: Long, scratch: TieScratch): Array[((String, String), Long)] = {
+    if (k <= 0) return Array.empty
+    val descCounts = buckets.keysIterator.filter(_ >= minCount).toArray
+    if (descCounts.isEmpty) return Array.empty
+    java.util.Arrays.sort(descCounts)
+    var cum = 0; var ti = descCounts.length - 1; var T = descCounts(ti)
+    var stop = false
+    while (!stop && ti >= 0) {
+      cum += buckets(descCounts(ti)).size
+      T = descCounts(ti)
+      if (cum >= k) stop = true else ti -= 1
+    }
+    val sure = scala.collection.mutable.ArrayBuffer.empty[((String, String), Long)]
+    var i = descCounts.length - 1
+    while (i >= 0 && descCounts(i) > T) {
+      val c = descCounts(i)
+      buckets(c).foreach(p => sure += ((p, c)))
+      i -= 1
+    }
+    val need = k - sure.size
+    for (tieSet <- buckets.get(T)) {
+      if (tieSet.size <= need) tieSet.foreach(p => sure += ((p, T)))
+      else {
+        scratch.ensure(tieSet.size)
+        val arr = scratch.arr
+        var j = 0
+        tieSet.foreach { p => arr(j) = p; j += 1 }
+        quickSelectPairsOnly(arr, j, need)
+        var q = 0
+        while (q < need) { sure += ((arr(q), T)); q += 1 }
+      }
+    }
+    sure.toArray.sortWith((x, y) =>
+      pairBetter(x._2, x._1._1, x._1._2, y._2, y._1._1, y._1._2))
+  }
+
+  /** [[selectTopPairs]] with the count histogram supplied (selection
+    * is then one collect scan plus the tie quickselect, never two
+    * table scans).
     */
   private def selectTopPairsHist(
       counts: scala.collection.Map[(String, String), Long],
@@ -539,16 +654,26 @@ object Bpe {
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val occ = scala.collection.mutable.HashMap
       .empty[(String, String), scala.collection.mutable.ArrayBuffer[Int]]
-    // count histogram maintained INCREMENTALLY alongside counts, so the
-    // per-round threshold walk never scans the pair table (selection is
-    // then ONE collect scan + the tie quickselect)
-    val hist = scala.collection.mutable.HashMap.empty[Long, Int]
-    def histMove(from: Long, to: Long): Unit = {
+    // count-BUCKETED pair sets maintained INCREMENTALLY alongside
+    // counts (bucket(c) = the pairs whose count is exactly c; bucket
+    // sizes are the old histogram), so per-round selection walks only
+    // the buckets it selects from — the previous histogram-only form
+    // still paid one full O(pairs) table scan per round to COLLECT the
+    // above-threshold pairs, which dominated selection at 32k-merge
+    // scale (hundreds of rounds x hundreds of thousands of live pairs)
+    val buckets = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.HashSet[(String, String)]]
+    def bucketMove(k: (String, String), from: Long, to: Long): Unit = {
       if (from != 0L) {
-        val h = hist(from) - 1
-        if (h == 0) { hist.remove(from); () } else hist.update(from, h)
+        val s = buckets(from)
+        s.remove(k)
+        if (s.isEmpty) { buckets.remove(from); () }
       }
-      if (to != 0L) { hist.update(to, hist.getOrElse(to, 0) + 1); () }
+      if (to != 0L) {
+        buckets.getOrElseUpdate(to,
+          scala.collection.mutable.HashSet.empty[(String, String)]).add(k)
+        ()
+      }
     }
     def contribute(wi: Int, sign: Long, index: Boolean): Unit = {
       val s = syms(wi); var i = 0
@@ -557,7 +682,7 @@ object Bpe {
         val c0 = counts.getOrElse(k, 0L)
         val c = c0 + sign * freq(wi)
         if (c == 0L) { counts.remove(k); () } else counts.update(k, c)
-        histMove(c0, c)
+        bucketMove(k, c0, c)
         if (index) {
           occ.getOrElseUpdate(k,
             scala.collection.mutable.ArrayBuffer.empty[Int]) += wi
@@ -580,10 +705,12 @@ object Bpe {
     var rounds = 0
     var done = false
     var tSel = 0L; var tApp = 0L; var nTouch = 0L
+    val tieScratch = new TieScratch
     while (merges.size < nMerges && !done) {
       val want = math.min(batchSize, nMerges - merges.size)
       val t0 = System.nanoTime()
-      val top = selectTopPairsHist(counts, hist, want * overfetch, minCount)
+      val top = selectTopPairsBuckets(buckets, want * overfetch, minCount,
+        tieScratch)
       tSel += System.nanoTime() - t0
       if (top.isEmpty) done = true
       else {

@@ -232,10 +232,17 @@ object Graph {
     val eByDst = pinByKey(eBySrc, "dst")
     val nodes = pinAgged(eBySrc.select(col("src").as("node"))
       .union(eBySrc.select(col("dst").as("node"))).distinct(), "node")
-    def maxNorm(df: DataFrame, c: String): DataFrame = {
-      val m = df.agg(max(col(c))).head().getLong(0)
+    // Pin the RAW per-round aggregate FIRST, then read the max off the
+    // pin and normalize as a pure projection over it: the max collect
+    // and the next round's join consume ONE materialization of the
+    // expensive edge join+agg. (Normalize-then-pin re-executed the
+    // join+agg for the pin after the max's head() had already run it —
+    // the whole per-round edge pass paid twice, at any scale.)
+    def maxNorm(raw: DataFrame, c: String): DataFrame = {
+      val pinned = raw.localCheckpoint()
+      val m = pinned.agg(max(col(c))).head().getLong(0)
       require(m > 0L, s"hits: degenerate graph, max $c = $m")
-      df.select(col("node"),
+      pinned.select(col("node"),
         expr(s"($c * ${HitsScale}L) div ${m}L").as(c))
     }
     var h = nodes.withColumn("hub", lit(HitsScale))
@@ -247,14 +254,14 @@ object Graph {
             .agg(sum(col("hub")).as("auth")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth")),
-        "auth").localCheckpoint()
+        "auth")
       h = maxNorm(nodes.join(
           eByDst.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
             .groupBy(col("src").as("node"))
             .agg(sum(col("auth")).as("hub")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub")),
-        "hub").localCheckpoint()
+        "hub")
     }
     h.join(a, Seq("node")).select(col("node"), col("hub"), col("auth"))
   }
