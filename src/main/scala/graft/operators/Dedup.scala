@@ -401,14 +401,15 @@ object Dedup {
     */
   def saveBandIndex(index: BandIndex, dir: String): Unit = {
     val spark = index.bands.sparkSession
-    import spark.implicits._
     Stores.band.clearLedger(spark, dir)
-    index.bands.write.mode("overwrite").partitionBy("band")
+    StoreFiles.clusterForWrite(index.bands, "band")
+      .write.mode("overwrite").partitionBy("band")
       .parquet(s"$dir/bands")
     index.sets.write.mode("overwrite").parquet(s"$dir/sets")
-    Seq((index.shingleSize, index.numHashes, index.rowsPerBand))
-      .toDF("shingle_size", "num_hashes", "rows_per_band")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    StoreFiles.writeParams(spark, dir, Seq(
+      "shingle_size" -> index.shingleSize.toString,
+      "num_hashes" -> index.numHashes.toString,
+      "rows_per_band" -> index.rowsPerBand.toString))
   }
 
   /** Delete documents from a stored band index — the LSM tombstone path
@@ -431,10 +432,11 @@ object Dedup {
     */
   private def mkBandIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, rd: String => DataFrame): BandIndex = {
-    val p = spark.read.parquet(s"$dir/params").head()
+    val p = StoreFiles.readParams(spark, dir)
     BandIndex(Stores.band.dropDeleted(spark, dir, rd("bands")),
       Stores.band.dropDeleted(spark, dir, rd("sets")),
-      p.getInt(0), p.getInt(1), p.getInt(2))
+      p("shingle_size").toInt, p("num_hashes").toInt,
+      p("rows_per_band").toInt)
   }
 
   /** Load a stored index from the raw directories. */
@@ -453,19 +455,20 @@ object Dedup {
     */
   def appendBandIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       batch: DataFrame, idCol: String, textCol: String): Unit = {
-    // only the params row is needed — loading the full index would list
+    // only the params are needed — loading the full index would list
     // and footer-scan the (large) bands/sets tables for nothing
-    val p = spark.read.parquet(s"$dir/params").head()
+    val p = StoreFiles.readParams(spark, dir)
     val (shingleSize, numHashes, rowsPerBand) =
-      (p.getInt(0), p.getInt(1), p.getInt(2))
+      (p("shingle_size").toInt, p("num_hashes").toInt,
+        p("rows_per_band").toInt)
     // cached: the band write and the sets write both consume it — an
     // uncached plan would shingle the batch twice
     val nSets = hashedShingleSets(batch, idCol, textCol, shingleSize).cache()
     try {
-      lshBands(minHashAgg(
+      StoreFiles.clusterForWrite(lshBands(minHashAgg(
           nSets.select(col("id"), explode(col("harr")).as("h"))
             .select(col("id"), col("h.h1").as("h1"), col("h.h2").as("h2")),
-          numHashes), rowsPerBand)
+          numHashes), rowsPerBand), "band")
         .write.mode("append").partitionBy("band").parquet(s"$dir/bands")
       nSets.write.mode("append").parquet(s"$dir/sets")
     } finally { nSets.unpersist(); () }
@@ -747,10 +750,10 @@ object Dedup {
 
   def saveBloomIndex(index: BloomIndex, dir: String): Unit = {
     val spark = index.words.sparkSession
-    import spark.implicits._
     index.words.write.mode("overwrite").parquet(s"$dir/words")
-    Seq((index.mBits, index.kHashes)).toDF("m_bits", "k_hashes")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    StoreFiles.writeParams(spark, dir, Seq(
+      "m_bits" -> index.mBits.toString,
+      "k_hashes" -> index.kHashes.toString))
   }
 
   /** Load re-ORs the word rows at read time (see [[appendBloomIndex]]:
@@ -761,10 +764,10 @@ object Dedup {
     */
   def loadBloomIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): BloomIndex = {
-    val p = spark.read.parquet(s"$dir/params").head()
+    val p = StoreFiles.readParams(spark, dir)
     BloomIndex(spark.read.parquet(s"$dir/words")
         .groupBy(col("word")).agg(expr("bit_or(bits)").as("bits")),
-      p.getLong(0), p.getInt(1))
+      p("m_bits").toLong, p("k_hashes").toInt)
   }
 
   /** Incrementally absorb a batch's keys into a stored filter: build the
@@ -776,8 +779,9 @@ object Dedup {
     */
   def appendBloomIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, keyCol: String): Unit = {
-    val p = spark.read.parquet(s"$dir/params").head()
-    bloomBuild(batch.select(col(keyCol)), col(keyCol), p.getLong(0), p.getInt(1))
+    val p = StoreFiles.readParams(spark, dir)
+    bloomBuild(batch.select(col(keyCol)), col(keyCol),
+        p("m_bits").toLong, p("k_hashes").toInt)
       .write.mode("append").parquet(s"$dir/words")
   }
 
@@ -844,10 +848,10 @@ object Dedup {
     */
   def loadBloomIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
       dir: String, asOf: Option[Long] = None): BloomIndex = {
-    val p = spark.read.parquet(s"$dir/params").head()
+    val p = StoreFiles.readParams(spark, dir)
     BloomIndex(StoreFiles.snapshotRead(spark, dir, "words", asOf)
         .groupBy(col("word")).agg(expr("bit_or(bits)").as("bits")),
-      p.getLong(0), p.getInt(1))
+      p("m_bits").toLong, p("k_hashes").toInt)
   }
 
   /** [[bloomGatedAntiJoin]] against a STORED filter: the bitmap loads
@@ -1376,12 +1380,12 @@ object Dedup {
     */
   def saveSimHashIndex(index: SimHashIndex, dir: String): Unit = {
     val spark = index.banded.sparkSession
-    import spark.implicits._
     Stores.simhash.clearLedger(spark, dir)
-    index.banded.write.mode("overwrite").partitionBy("band")
+    StoreFiles.clusterForWrite(index.banded, "band")
+      .write.mode("overwrite").partitionBy("band")
       .parquet(s"$dir/banded")
-    Seq(index.maxHamming).toDF("max_hamming")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    StoreFiles.writeParams(spark, dir,
+      Seq("max_hamming" -> index.maxHamming.toString))
   }
 
   /** Delete documents from a stored SimHash index — same tombstone
@@ -1398,9 +1402,8 @@ object Dedup {
     */
   private def mkSimHashIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, rd: String => DataFrame): SimHashIndex = {
-    val p = spark.read.parquet(s"$dir/params").head()
     SimHashIndex(Stores.simhash.dropDeleted(spark, dir, rd("banded")),
-      p.getInt(0))
+      StoreFiles.readParams(spark, dir)("max_hamming").toInt)
   }
 
   def loadSimHashIndex(spark: org.apache.spark.sql.SparkSession,
@@ -1416,8 +1419,9 @@ object Dedup {
     */
   def appendSimHashIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, textCol: String): Unit = {
-    val maxHamming = spark.read.parquet(s"$dir/params").head().getInt(0)
-    simHashBanded(simHash(batch, idCol, textCol), maxHamming)
+    val maxHamming = StoreFiles.readParams(spark, dir)("max_hamming").toInt
+    StoreFiles.clusterForWrite(
+        simHashBanded(simHash(batch, idCol, textCol), maxHamming), "band")
       .write.mode("append").partitionBy("band").parquet(s"$dir/banded")
   }
 
@@ -1939,11 +1943,10 @@ object Dedup {
   /** Persist: the fingerprint relation plus a one-row params parquet. */
   def saveWinnowIndex(index: WinnowIndex, dir: String): Unit = {
     val spark = index.fps.sparkSession
-    import spark.implicits._
     Stores.winnow.clearLedger(spark, dir)
     index.fps.write.mode("overwrite").parquet(s"$dir/fps")
-    Seq((index.k, index.w)).toDF("k", "w")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    StoreFiles.writeParams(spark, dir, Seq(
+      "k" -> index.k.toString, "w" -> index.w.toString))
   }
 
   /** [[saveWinnowIndex]] plus the initial manifest (generation 0). */
@@ -1958,9 +1961,9 @@ object Dedup {
     */
   def appendWinnowIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, textCol: String): Unit = {
-    val p = spark.read.parquet(s"$dir/params").head()
+    val p = StoreFiles.readParams(spark, dir)
     graft.operators.Curation
-      .winnowFingerprints(batch, idCol, textCol, p.getInt(0), p.getInt(1))
+      .winnowFingerprints(batch, idCol, textCol, p("k").toInt, p("w").toInt)
       .select(col(idCol).as("id"), col("fp_pos"), col("fp"))
       .write.mode("append").parquet(s"$dir/fps")
   }
@@ -2007,9 +2010,9 @@ object Dedup {
     */
   private def mkWinnowIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, rd: String => DataFrame): WinnowIndex = {
-    val p = spark.read.parquet(s"$dir/params").head()
+    val p = StoreFiles.readParams(spark, dir)
     WinnowIndex(Stores.winnow.dropDeleted(spark, dir, rd("fps")),
-      p.getInt(0), p.getInt(1))
+      p("k").toInt, p("w").toInt)
   }
 
   /** Raw directory load (tombstones anti-join lazily). */

@@ -70,16 +70,15 @@ object MatView {
     */
   def saveAggState(st: AggState, dir: String): Unit = {
     val spark = st.state.sparkSession
-    import spark.implicits._
     st.state.write.mode("overwrite").parquet(s"$dir/state")
-    Seq((st.keys.mkString(","), st.valueCol)).toDF("keys", "value_col")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    StoreFiles.writeParams(spark, dir, Seq(
+      "keys" -> st.keys.mkString(","), "value_col" -> st.valueCol))
   }
 
   private def readParams(spark: SparkSession,
       dir: String): (Seq[String], String) = {
-    val row = spark.read.parquet(s"$dir/params").head()
-    (row.getString(0).split(",").toIndexedSeq, row.getString(1))
+    val p = StoreFiles.readParams(spark, dir)
+    (p("keys").split(",").toIndexedSeq, p("value_col"))
   }
 
   /** The partial-aggregate rows one batch contributes to a STORED

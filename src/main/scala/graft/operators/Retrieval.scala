@@ -119,13 +119,13 @@ object Retrieval {
     */
   def savePostingsIndex(index: PostingsIndex, dir: String): Unit = {
     val spark = index.postings.sparkSession
-    import spark.implicits._
     Stores.postings.clearLedger(spark, dir)
-    index.postings.write.mode("overwrite").partitionBy("bucket")
+    StoreFiles.clusterForWrite(index.postings, "bucket")
+      .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
     index.stats.write.mode("overwrite").parquet(s"$dir/stats")
-    Seq(index.nBuckets).toDF("n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    StoreFiles.writeParams(spark, dir,
+      Seq("n_buckets" -> index.nBuckets.toString))
   }
 
   /** The postings + stats DELTA a batch of NEW documents contributes to
@@ -138,7 +138,7 @@ object Retrieval {
     */
   def postingsDelta(spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String, textCol: String): PostingsIndex = {
-    val nBuckets = spark.read.parquet(s"$dir/params").head().getInt(0)
+    val nBuckets = StoreFiles.readParams(spark, dir)("n_buckets").toInt
     PostingsIndex(
       tokenize(batch, idCol, textCol)
         .withColumn("bucket", tokenBucket(col("token"), nBuckets)),
@@ -158,7 +158,7 @@ object Retrieval {
   def appendPostingsIndex(spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String, textCol: String): Unit = {
     val delta = postingsDelta(spark, dir, batch, idCol, textCol)
-    delta.postings
+    StoreFiles.clusterForWrite(delta.postings, "bucket")
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
     delta.stats.write.mode("append").parquet(s"$dir/stats")
   }
@@ -210,7 +210,7 @@ object Retrieval {
   private def mkPostingsIndex(spark: SparkSession, dir: String,
       rd: String => DataFrame): PostingsIndex = {
     val raw = PostingsIndex(rd("postings"), rd("stats"),
-      spark.read.parquet(s"$dir/params").head().getInt(0))
+      StoreFiles.readParams(spark, dir)("n_buckets").toInt)
     Stores.postings.ledgerRows(spark, dir).fold(raw) { tombs =>
       raw.copy(
         postings = raw.postings.join(broadcast(tombs.select(col("doc_id"))),
@@ -994,8 +994,14 @@ object Retrieval {
   }
 
   def rankAgreement(a: DataFrame, b: DataFrame): DataFrame =
+    // both runs are top-k lists of a bounded EVAL query batch (the
+    // qb-broadcast contract every serve path already relies on), so
+    // the comparison side broadcasts: the sort-merge plan paid two
+    // exchanges + two sorts on pinned run lists whose size estimate
+    // (LogicalRDD) Spark cannot see
     a.select(col("qid"), col("doc_id"), col("rn"))
-      .join(b.select(col("qid"), col("doc_id"), col("rn").as("rn_b")),
+      .join(broadcast(b.select(col("qid"), col("doc_id"),
+          col("rn").as("rn_b"))),
         Seq("qid", "doc_id"), "left")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("k_a"),
@@ -1079,12 +1085,12 @@ object Retrieval {
     */
   def savePositionalIndex(index: PositionalIndex, dir: String): Unit = {
     val spark = index.postings.sparkSession
-    import spark.implicits._
     Stores.positional.clearLedger(spark, dir)
-    index.postings.write.mode("overwrite").partitionBy("bucket")
+    StoreFiles.clusterForWrite(index.postings, "bucket")
+      .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
-    Seq(index.nBuckets).toDF("n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    StoreFiles.writeParams(spark, dir,
+      Seq("n_buckets" -> index.nBuckets.toString))
   }
 
   /** The positional rows a batch of NEW documents contributes under a
@@ -1095,7 +1101,7 @@ object Retrieval {
     */
   def positionalDelta(spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val nBuckets = spark.read.parquet(s"$dir/params").head().getInt(0)
+    val nBuckets = StoreFiles.readParams(spark, dir)("n_buckets").toInt
     batch.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
       .withColumn("bucket", tokenBucket(col("token"), nBuckets))
@@ -1107,7 +1113,8 @@ object Retrieval {
     */
   def appendPositionalIndex(spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String, textCol: String): Unit =
-    positionalDelta(spark, dir, batch, idCol, textCol)
+    StoreFiles.clusterForWrite(
+        positionalDelta(spark, dir, batch, idCol, textCol), "bucket")
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
 
   /** Delete documents — the LSM tombstone path, in its simplest form:
@@ -1136,7 +1143,7 @@ object Retrieval {
       rd: String => DataFrame): PositionalIndex =
     PositionalIndex(
       Stores.positional.dropDeleted(spark, dir, rd("postings")),
-      spark.read.parquet(s"$dir/params").head().getInt(0))
+      StoreFiles.readParams(spark, dir)("n_buckets").toInt)
 
   /** Nightly small-file compaction: one file per bucket partition via
     * the guarded temp-swap; tombstones (if any) applied physically and

@@ -579,20 +579,11 @@ object Similarity {
     */
   def saveIvfIndex(index: IvfIndex, dir: String): Unit = {
     val spark = index.assignments.sparkSession
-    import scala.jdk.CollectionConverters._
-    val centRows = index.centroids.zipWithIndex.map { case (c, i) =>
-      org.apache.spark.sql.Row(i, c.toSeq)
-    }.toSeq.asJava
-    val centSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("cell",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("centroid",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.LongType), nullable = false)))
-    spark.createDataFrame(centRows, centSchema)
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    StoreFiles.writeVecTable(spark, s"$dir/centroids",
+      index.centroids.zipWithIndex.map { case (c, i) => (i, 0, c) }.toSeq)
     Stores.ivf.clearLedger(spark, dir)
-    index.assignments.write.mode("overwrite")
+    StoreFiles.clusterForWrite(index.assignments, "cell")
+      .write.mode("overwrite")
       .partitionBy("cell").parquet(s"$dir/assignments")
   }
 
@@ -610,9 +601,8 @@ object Similarity {
     */
   private def mkIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, rd: String => DataFrame): IvfIndex = {
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .orderBy(col("cell")).collect()
-      .map(_.getSeq[Long](1).toArray)
+    val cents = StoreFiles.readVecTable(spark, s"$dir/centroids")
+      .sortBy(_._1).map(_._3).toArray
     IvfIndex(cents,
       Stores.ivf.dropDeleted(spark, dir, rd("assignments")))
   }
@@ -629,7 +619,8 @@ object Similarity {
     */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       batch: DataFrame, idCol: String, vecCol: String): Unit =
-    ivfAssignDelta(spark, dir, batch, idCol, vecCol)
+    StoreFiles.clusterForWrite(
+        ivfAssignDelta(spark, dir, batch, idCol, vecCol), "cell")
       .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
 
   /** The assignment-rows delta a batch contributes under a STORED
@@ -1046,19 +1037,15 @@ object Similarity {
   def savePqIndex(index: PqIndex, dir: String): Unit = {
     val spark = index.codes.sparkSession
     Stores.pq.clearLedger(spark, dir)
-    import scala.jdk.CollectionConverters._
-    val centRows = index.centroids.zipWithIndex.map { case (c, i) =>
-      org.apache.spark.sql.Row(i, 0, c.toSeq)
-    }.toSeq.asJava
-    spark.createDataFrame(centRows, vecTableSchema("cell"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    val bookRows = (for {
-      (cb, m) <- index.books.zipWithIndex
-      (c, j) <- cb.zipWithIndex
-    } yield org.apache.spark.sql.Row(j, m, c.toSeq)).toSeq.asJava
-    spark.createDataFrame(bookRows, vecTableSchema("code"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    index.codes.write.mode("overwrite")
+    StoreFiles.writeVecTable(spark, s"$dir/centroids",
+      index.centroids.zipWithIndex.map { case (c, i) => (i, 0, c) }.toSeq)
+    StoreFiles.writeVecTable(spark, s"$dir/codebooks",
+      (for {
+        (cb, m) <- index.books.zipWithIndex
+        (c, j) <- cb.zipWithIndex
+      } yield (j, m, c)).toSeq)
+    StoreFiles.clusterForWrite(index.codes, "cell")
+      .write.mode("overwrite")
       .partitionBy("cell").parquet(s"$dir/codes")
   }
 
@@ -1067,13 +1054,11 @@ object Similarity {
     */
   def loadPqParams(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Array[Array[Long]], Array[Array[Array[Long]]]) = {
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .orderBy(col("cell")).collect()
-      .map(_.getSeq[Long](2).toArray)
-    val bookRows = spark.read.parquet(s"$dir/codebooks")
-      .orderBy(col("sub"), col("code")).collect()
-    val books = bookRows.groupBy(_.getInt(1)).toArray.sortBy(_._1)
-      .map(_._2.sortBy(_.getInt(0)).map(_.getSeq[Long](2).toArray))
+    val cents = StoreFiles.readVecTable(spark, s"$dir/centroids")
+      .sortBy(_._1).map(_._3).toArray
+    val bookRows = StoreFiles.readVecTable(spark, s"$dir/codebooks")
+    val books = bookRows.groupBy(_._2).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._1).map(_._3).toArray)
     (cents, books)
   }
 
@@ -1114,7 +1099,8 @@ object Similarity {
     */
   def appendPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       batch: DataFrame, idCol: String, vecCol: String): Unit =
-    pqCodesDelta(spark, dir, batch, idCol, vecCol)
+    StoreFiles.clusterForWrite(
+        pqCodesDelta(spark, dir, batch, idCol, vecCol), "cell")
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
 
   /** The encoded-codes delta a batch contributes under a STORED index's
@@ -1197,9 +1183,14 @@ object Similarity {
     */
   def recordPqBaseline(spark: org.apache.spark.sql.SparkSession,
       dir: String, trainCorpus: DataFrame, idCol: String,
-      vecCol: String): Unit =
-    pqCodingError(spark, dir, trainCorpus, idCol, vecCol)
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/baseline_error")
+      vecCol: String): Unit = {
+    val r = pqCodingError(spark, dir, trainCorpus, idCol, vecCol).head()
+    StoreFiles.writeParams(spark, dir, Seq(
+      "n" -> r.getAs[Long]("n").toString,
+      "sum_dist2" -> r.getAs[Long]("sum_dist2").toString,
+      "mean_dist2" -> r.getAs[Long]("mean_dist2").toString),
+      sub = "baseline_error")
+  }
 
   /** Background-maintenance step for the CODEBOOKS (the model-side
     * twin of maintain*L0): measure the batch's coding error against
@@ -1216,8 +1207,8 @@ object Similarity {
   def maintainPqCodebooks(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, policy: RetrainPolicy): Boolean = {
-    val baseMean = spark.read.parquet(s"$dir/baseline_error")
-      .head().getAs[Long]("mean_dist2")
+    val baseMean = StoreFiles.readParams(spark, dir,
+      sub = "baseline_error")("mean_dist2").toLong
     val batchMean = pqCodingError(spark, dir, batch, idCol, vecCol)
       .head().getAs[Long]("mean_dist2")
     if (!policy.triggered(baseMean, batchMean)) false

@@ -44,6 +44,97 @@ private[graft] object StoreFiles {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  // ------------------------------------------------------------------
+  // Save-time-immutable scalar PARAMS as plain text — the manifest
+  // discipline applied to the one metadata sidecar that was still a
+  // parquet table: a one-row params parquet cost one Spark JOB to
+  // write and two more (listing + head) on EVERY load/append/serve of
+  // every stored family, which is exactly the
+  // metadata-ops-must-be-driver-FS-calls lesson the r9 counters taught
+  // for the manifest itself. `key=value` lines, written to a temp file
+  // and published by rename; values are written and read by the same
+  // library, never user data.
+  // ------------------------------------------------------------------
+
+  /** Replace sidecar directory `d` with one plain-text file of `lines`
+    * — a bounded driver FS call, zero Spark jobs. The whole directory
+    * is deleted first so a store saved over an older store (or an
+    * older parquet-era sidecar table) never leaves stale files behind
+    * — matching the `mode("overwrite")` semantics the parquet form
+    * had; the publish rename is the visibility point.
+    */
+  private def writeSidecar(spark: SparkSession, d0: String,
+      lines: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = new org.apache.hadoop.fs.Path(d0)
+    val fs = d.getFileSystem(conf)
+    if (fs.exists(d))
+      require(fs.delete(d, true), s"writeSidecar: could not replace $d")
+    require(fs.mkdirs(d), s"writeSidecar: could not create $d")
+    val tmp = new org.apache.hadoop.fs.Path(d, "_sidecar.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(lines.map { l =>
+      require(!l.contains("\n"), s"writeSidecar: illegal line '$l'")
+      l + "\n"
+    }.mkString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fin = new org.apache.hadoop.fs.Path(d, "sidecar.txt")
+    require(fs.rename(tmp, fin), s"writeSidecar: publish rename to $fin failed")
+  }
+
+  private def readSidecar(spark: SparkSession, d0: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$d0/sidecar.txt")
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val txt =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    txt.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** Write a store's save-time-immutable scalar params under
+    * `<sub>` (default `params`) as `key=value` text — zero Spark jobs.
+    */
+  def writeParams(spark: SparkSession, dir: String,
+      kv: Seq[(String, String)], sub: String = "params"): Unit =
+    writeSidecar(spark, s"$dir/$sub", kv.map { case (k, v) =>
+      require(!k.contains("="), s"writeParams: illegal key $k")
+      s"$k=$v"
+    })
+
+  /** Read a params sidecar written by [[writeParams]] — zero Spark
+    * jobs.
+    */
+  def readParams(spark: SparkSession, dir: String,
+      sub: String = "params"): Map[String, String] =
+    readSidecar(spark, s"$dir/$sub").map { l =>
+      val i = l.indexOf('=')
+      require(i > 0, s"readParams: malformed line '$l' in $dir/$sub")
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+
+  /** Write an (a, b) → long-vector table (trained centroids/codebooks
+    * — driver literals by contract) as text lines `a,b:v1,v2,…` —
+    * zero Spark jobs, replacing the one-row-parquet form whose save
+    * cost a job and whose every load cost a listing + collect job.
+    */
+  def writeVecTable(spark: SparkSession, d: String,
+      rows: Seq[(Int, Int, Array[Long])]): Unit =
+    writeSidecar(spark, d, rows.map { case (a, b, v) =>
+      s"$a,$b:${v.mkString(",")}"
+    })
+
+  /** Read a vec table written by [[writeVecTable]] — zero Spark jobs. */
+  def readVecTable(spark: SparkSession, d: String): Seq[(Int, Int, Array[Long])] =
+    readSidecar(spark, d).map { l =>
+      val colon = l.indexOf(':')
+      require(colon > 0, s"readVecTable: malformed line '$l' in $d")
+      val Array(a, b) = l.substring(0, colon).split(",")
+      (a.toInt, b.toInt,
+        l.substring(colon + 1).split(",").map(_.toLong))
+    }
+
   /** Record deletes against an append-only store as TOMBSTONE rows —
     * the LSM delete: committed data files are never touched; `rows`
     * (already restricted by the caller to ids live in the store, and
@@ -779,6 +870,24 @@ private[graft] object StoreFiles {
     */
   def rebaseParts(df: org.apache.spark.sql.DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** Cluster rows on the directory-partition column before a
+    * `partitionBy` write — the REBALANCE-before-write / hash
+    * write-distribution idiom. Without it every write task emits one
+    * file per partition value it happens to hold (tasks × values
+    * small files per save/append), and the commit-time zone-map
+    * footer walk, the serve-time listing, and every snapshot scan pay
+    * per file. AQE sizes the rebalanced partitions both ways —
+    * a small delta coalesces to one task (one file per touched
+    * value), a hot value at cluster scale splits to advisory-sized
+    * files — so the setting is scale-adaptive, not tuned to the local
+    * harness. Batch-level zone-map envelopes (what the range-serve
+    * rows pin) are untouched: clustering within one write never
+    * widens that write's own id span.
+    */
+  def clusterForWrite(df: org.apache.spark.sql.DataFrame,
+      c: String): org.apache.spark.sql.DataFrame =
+    df.hint("rebalance", org.apache.spark.sql.functions.col(c))
 
   def compactL0(spark: SparkSession, dir: String, subs: Seq[String],
       minRuns: Int, statCols: Map[String, Seq[String]] = Map.empty)(

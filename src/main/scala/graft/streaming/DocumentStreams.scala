@@ -1072,9 +1072,10 @@ object DocumentStreams {
       outPath: String, checkpointDir: String): Unit = {
     val pParts = committedParts(spark, s"$outPath/postings", -1L)
     if (pParts.nonEmpty)
-      spark.read.parquet(pParts: _*)
-        .select(col("doc_id"), col("dl"), col("token"), col("tf"),
-          col("bucket"))
+      graft.operators.StoreFiles.clusterForWrite(
+          spark.read.parquet(pParts: _*)
+            .select(col("doc_id"), col("dl"), col("token"), col("tf"),
+              col("bucket")), "bucket")
         .write.mode("append").partitionBy("bucket")
         .parquet(s"$idxDir/postings")
     val sParts = committedParts(spark, s"$outPath/stats", -1L)
@@ -1103,8 +1104,9 @@ object DocumentStreams {
       outPath: String, checkpointDir: String): Unit = {
     val parts = committedParts(spark, outPath, -1L)
     if (parts.nonEmpty)
-      spark.read.parquet(parts: _*)
-        .select(col("neighbor_id"), col("cell"), col("codes"))
+      graft.operators.StoreFiles.clusterForWrite(
+          spark.read.parquet(parts: _*)
+            .select(col("neighbor_id"), col("cell"), col("codes")), "cell")
         .write.mode("append").partitionBy("cell").parquet(s"$idxDir/codes")
     deleteDirs(spark, outPath, checkpointDir)
   }
@@ -1116,8 +1118,9 @@ object DocumentStreams {
       outPath: String, checkpointDir: String): Unit = {
     val parts = committedParts(spark, outPath, -1L)
     if (parts.nonEmpty)
-      spark.read.parquet(parts: _*)
-        .select(col("neighbor_id"), col("cv"), col("cell"))
+      graft.operators.StoreFiles.clusterForWrite(
+          spark.read.parquet(parts: _*)
+            .select(col("neighbor_id"), col("cv"), col("cell")), "cell")
         .write.mode("append").partitionBy("cell")
         .parquet(s"$idxDir/assignments")
     deleteDirs(spark, outPath, checkpointDir)

@@ -38,11 +38,11 @@ class CompactionSpec extends SparkSpec {
         shifted, "doc_id", "text")
       .as[(Long, Long, Double)].collect().toSet
     val (before, filesBefore) = (probe, files(dir))
-    val params = spark.read.parquet(s"$dir/params").collect().toSeq
+    val params = graft.operators.StoreFiles.readParams(spark, dir)
     Dedup.compactBandIndex(spark, dir, setsFiles = 2)
     assert(probe == before && before.nonEmpty)
     assert(files(dir) < filesBefore, s"${files(dir)} !< $filesBefore")
-    assert(spark.read.parquet(s"$dir/params").collect().toSeq == params)
+    assert(graft.operators.StoreFiles.readParams(spark, dir) == params)
   }
 
   test("compactSimHashIndex: probes identical, fewer files, params preserved") {
@@ -55,11 +55,11 @@ class CompactionSpec extends SparkSpec {
         shifted, "doc_id", "text")
       .as[(Long, Long, Long)].collect().toSet
     val (before, filesBefore) = (probe, files(dir))
-    val params = spark.read.parquet(s"$dir/params").collect().toSeq
+    val params = graft.operators.StoreFiles.readParams(spark, dir)
     Dedup.compactSimHashIndex(spark, dir)
     assert(probe == before && before.nonEmpty)
     assert(files(dir) < filesBefore, s"${files(dir)} !< $filesBefore")
-    assert(spark.read.parquet(s"$dir/params").collect().toSeq == params)
+    assert(graft.operators.StoreFiles.readParams(spark, dir) == params)
   }
 
   test("compactBloomIndex: merged bitmap identical, fewer files, params preserved") {
@@ -94,11 +94,11 @@ class CompactionSpec extends SparkSpec {
         Similarity.loadIvfIndex(spark, dir), "vec_id", "embedding", 10)
       .as[(Long, Long, Double, Int)].collect().toSet
     val (before, filesBefore) = (served, files(dir))
-    val cents = spark.read.parquet(s"$dir/centroids").collect().toSeq
+    val cents = graft.operators.StoreFiles.readVecTable(spark, s"$dir/centroids").map { case (a, b, v) => (a, b, v.toSeq) }
     Similarity.compactIvfIndex(spark, dir)
     assert(served == before && before.nonEmpty)
     assert(files(dir) < filesBefore, s"${files(dir)} !< $filesBefore")
-    assert(spark.read.parquet(s"$dir/centroids").collect().toSeq == cents)
+    assert(graft.operators.StoreFiles.readVecTable(spark, s"$dir/centroids").map { case (a, b, v) => (a, b, v.toSeq) } == cents)
   }
 
   test("compactPqIndex: served top-k identical, fewer files, codebooks preserved") {
@@ -113,11 +113,11 @@ class CompactionSpec extends SparkSpec {
         Similarity.loadPqIndex(spark, dir), "vec_id", "embedding", 10)
       .as[(Long, Long, Long, Int)].collect().toSet
     val (before, filesBefore) = (served, files(dir))
-    val books = spark.read.parquet(s"$dir/codebooks").collect().toSeq
+    val books = graft.operators.StoreFiles.readVecTable(spark, s"$dir/codebooks").map { case (a, b, v) => (a, b, v.toSeq) }
     Similarity.compactPqIndex(spark, dir)
     assert(served == before && before.nonEmpty)
     assert(files(dir) < filesBefore, s"${files(dir)} !< $filesBefore")
-    assert(spark.read.parquet(s"$dir/codebooks").collect().toSeq == books)
+    assert(graft.operators.StoreFiles.readVecTable(spark, s"$dir/codebooks").map { case (a, b, v) => (a, b, v.toSeq) } == books)
   }
 
   test("compactPostingsIndex: serve identical, fewer files, stats collapse to one row") {
@@ -136,11 +136,11 @@ class CompactionSpec extends SparkSpec {
         Retrieval.loadPostingsIndex(spark, dir), "qid", "qterms", k = 5)
       .as[(Long, Long, Long, Int)].collect().toSet
     val (before, filesBefore) = (served, files(dir))
-    val params = spark.read.parquet(s"$dir/params").collect().toSeq
+    val params = graft.operators.StoreFiles.readParams(spark, dir)
     Retrieval.compactPostingsIndex(spark, dir)
     assert(served == before && before.nonEmpty)
     assert(files(dir) < filesBefore, s"${files(dir)} !< $filesBefore")
-    assert(spark.read.parquet(s"$dir/params").collect().toSeq == params)
+    assert(graft.operators.StoreFiles.readParams(spark, dir) == params)
     assert(spark.read.parquet(s"$dir/stats").count() == 1)
   }
 
